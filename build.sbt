@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Many sequential queries in one JVM saturate the single default C2
+  // compiler thread with whole-stage-codegen classes; queries then run
+  // interpreted for tens of seconds. More compiler threads drain the queue.
+  "-XX:CICompilerCount=12",
 )

@@ -1,5 +1,15 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: one JSON line with per-query wall seconds.
+  *
+  * Before the timed pass, every query runs once against the smallest
+  * available scale factor: whole-stage-codegen classes are identical across
+  * scale factors (plans depend on shape, not data volume), so this
+  * JIT-compiles all generated code cheaply. Without it, queries late in the
+  * run measure the C2 compile queue, not the engine — observed 10-40×
+  * inflation (e.g. 147 s for a 0.3 s-warm aggregation) on JDK 17.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,9 +17,17 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    val warmDir = Seq("/root/testdata/sf0.001", sfDir)
+      .find(p => new java.io.File(p).isDirectory).getOrElse(sfDir)
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+    }
+
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

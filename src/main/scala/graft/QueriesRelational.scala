@@ -154,20 +154,18 @@ object QueriesRelational {
 
     // J9: interval self-join — equi on the partition key (user_id) with a
     // ±1h residual, so it hash-partitions by user instead of exploding.
-    // ts is epoch-nanos (see Tables.events), so the ±1h window is exact
-    // integer arithmetic on both engines.
+    // Event time is compared in µs (ts DIV 1000 ↔ DuckDB epoch_us): DuckDB
+    // truncates parquet ns timestamps to µs at scan, so µs is the exact
+    // cross-engine arithmetic domain.
     "join_interval_self" -> ((s, d) => {
-      val hourNs = 3600L * 1000000000L
-      val a = events(s, d).select(
-        col("user_id"), col("event_id").as("a_id"),
-        col("ts").as("a_ts"), col("event_type").as("a_type"))
-      val b = events(s, d).select(
-        col("user_id"), col("event_id").as("b_id"),
-        col("ts").as("b_ts"), col("event_type").as("b_type"))
-      a.join(b, Seq("user_id"))
+      val hourUs = 3600L * 1000000L
+      def side(p: String) = events(s, d).select(
+        col("user_id"), col("event_id").as(s"${p}_id"),
+        expr("ts DIV 1000").as(s"${p}_us"), col("event_type").as(s"${p}_type"))
+      side("a").join(side("b"), Seq("user_id"))
         .filter(col("a_id") < col("b_id") &&
                 col("a_type") =!= col("b_type") &&
-                col("b_ts").between(col("a_ts") - hourNs, col("a_ts") + hourNs))
+                col("b_us").between(col("a_us") - hourUs, col("a_us") + hourUs))
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_pairs"))
     }),
@@ -396,7 +394,8 @@ object QueriesRelational {
         FROM events a JOIN events b
           ON a.user_id = b.user_id AND a.event_id < b.event_id
          AND a.event_type <> b.event_type
-         AND b.ts BETWEEN a.ts - INTERVAL 1 HOUR AND a.ts + INTERVAL 1 HOUR
+         AND epoch_us(b.ts) BETWEEN epoch_us(a.ts) - 3600000000
+                                AND epoch_us(a.ts) + 3600000000
         GROUP BY 1""",
 
     "join_broadcast_dim" ->

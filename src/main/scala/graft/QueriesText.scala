@@ -1,0 +1,171 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis / deduplication / multimodal operator surface over the
+  * `documents` table (north-star extension, SURVEY.md §2.9).
+  *
+  * Everything here is pure `org.apache.spark.sql.functions` — codegen'd,
+  * shuffle-minimal, and scale-ready:
+  *   - per-document operators (stats, lang-id, token count, fingerprint)
+  *     are narrow map-only transformations: zero shuffles, pushdown-safe;
+  *   - exact dedup is one hash-partitioned aggregation on the fingerprint;
+  *   - near-dup jaccard prunes candidates by cheap blocking keys
+  *     (lang, source, length bucket) BEFORE the pairwise join, so the
+  *     self-join never goes quadratic in the corpus: pairs are bounded per
+  *     block. At 100 TB the blocking key simply gets finer (MinHash bands
+  *     in [[QueriesDedup]] are the fully-scalable variant).
+  */
+object QueriesText {
+  import Tables._
+
+  /** Whitespace-collapsed, lowercased canonical text form. */
+  private def normText(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Token / char / punctuation / stopword statistics — quality-scoring
+    // raw signals for a training-data pipeline.
+    "text_stats" -> ((s, d) =>
+      documents(s, d).select(
+        col("doc_id"),
+        length(col("text")).as("n_chars_calc"),
+        size(split(col("text"), "\\s+")).as("n_tokens"),
+        (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", "")))
+          .as("n_punct"),
+        expr("regexp_count(text, '\\\\bthe\\\\b')").as("n_the"),
+        (expr("CAST(regexp_count(text, '\\\\bthe\\\\b') AS DOUBLE)") /
+          size(split(col("text"), "\\s+"))).as("stop_ratio"))),
+
+    // Heuristic language ID: charset probe for CJK, stopword probes for
+    // de/fr/es, default en. Deterministic CASE cascade, map-only.
+    "text_lang_id" -> ((s, d) =>
+      documents(s, d).select(
+        col("doc_id"),
+        col("lang"),
+        when(col("text").rlike("[\\x{4e00}-\\x{9fff}]"), "zh")
+          .when(instr(col("text"), " und ") > 0 || instr(col("text"), " der ") > 0, "de")
+          .when(instr(col("text"), " le ") > 0 || instr(col("text"), " une ") > 0, "fr")
+          .when(instr(col("text"), " el ") > 0 || instr(col("text"), " los ") > 0, "es")
+          .otherwise("en").as("pred_lang"))
+        .withColumn("is_match", (col("pred_lang") === col("lang")).cast(IntegerType))),
+
+    // BPE-ish token counting: word pieces | digit runs | single symbols.
+    "text_token_count" -> ((s, d) =>
+      documents(s, d).select(
+        col("doc_id"),
+        expr("regexp_count(text, '[a-z]+|[0-9]+|[^a-z0-9\\\\s]')").as("n_bpe_tokens"),
+        expr("regexp_count(text, '[0-9]+')").as("n_digit_runs"))),
+
+    // Content fingerprint of the canonical text form (md5 = portable
+    // across engines; the engine-native 64-bit variant is xxhash64).
+    // md5 is the portable oracle-checkable fingerprint; the engine-native
+    // 64-bit path (xxhash64) is exercised in DedupSpec.
+    "text_fingerprint" -> ((s, d) =>
+      documents(s, d).select(
+        col("doc_id"),
+        md5(normText(col("text"))).as("fp"))),
+
+    // Exact dedup: one aggregation keyed by the fingerprint. min() picks
+    // the canonical doc deterministically.
+    "dedup_exact" -> ((s, d) =>
+      documents(s, d)
+        .groupBy(md5(normText(col("text"))).as("fp"))
+        .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("canonical_id"))),
+
+    // Near-dup by n-gram (token-set) jaccard with blocking:
+    // candidates = same (lang, source, n_chars/100); pairwise only inside
+    // blocks. Joins hash-partition on the blocking key — no quadratic blowup.
+    "dedup_ngram_jaccard" -> ((s, d) => {
+      def side(p: String) = documents(s, d).select(
+        col("lang"), col("source"),
+        expr("n_chars DIV 100").as("len_bucket"), // integer div: portable, no rounding-mode drift
+        col("doc_id").as(s"${p}_id"),
+        array_distinct(split(normText(col("text")), " ")).as(s"${p}_toks"))
+      side("a").join(side("b"), Seq("lang", "source", "len_bucket"))
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          (size(array_intersect(col("a_toks"), col("b_toks"))).cast(DoubleType) /
+           size(array_union(col("a_toks"), col("b_toks")))).as("jac"))
+        .filter(col("jac") >= 0.6)
+    }),
+
+    // Multimodal plumbing: opaque binary payload + typed metadata. The
+    // payload here is the utf-8 encoding of text (a deterministic stand-in
+    // for image/audio bytes); content-hash dedup + size audit are the real
+    // operators and are byte-level, not text-level.
+    "multimodal_hash" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+                encode(col("text"), "UTF-8").as("payload"),
+                col("source"))
+        .select(col("doc_id"),
+                md5(col("payload")).as("content_hash"),
+                length(col("payload")).as("n_bytes"),
+                col("source")))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "text_stats" ->
+      """SELECT doc_id,
+          length(text) AS n_chars_calc,
+          len(regexp_split_to_array(text, '\s+')) AS n_tokens,
+          length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+          len(regexp_extract_all(text, '\bthe\b')) AS n_the,
+          CAST(len(regexp_extract_all(text, '\bthe\b')) AS DOUBLE)
+            / len(regexp_split_to_array(text, '\s+')) AS stop_ratio
+        FROM documents""",
+
+    "text_lang_id" ->
+      """SELECT doc_id, lang,
+          CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+               WHEN position(' und ' IN text) > 0 OR position(' der ' IN text) > 0 THEN 'de'
+               WHEN position(' le ' IN text) > 0 OR position(' une ' IN text) > 0 THEN 'fr'
+               WHEN position(' el ' IN text) > 0 OR position(' los ' IN text) > 0 THEN 'es'
+               ELSE 'en' END AS pred_lang,
+          CAST(CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+               WHEN position(' und ' IN text) > 0 OR position(' der ' IN text) > 0 THEN 'de'
+               WHEN position(' le ' IN text) > 0 OR position(' une ' IN text) > 0 THEN 'fr'
+               WHEN position(' el ' IN text) > 0 OR position(' los ' IN text) > 0 THEN 'es'
+               ELSE 'en' END = lang AS INT) AS is_match
+        FROM documents""",
+
+    "text_token_count" ->
+      """SELECT doc_id,
+          len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens,
+          len(regexp_extract_all(text, '[0-9]+')) AS n_digit_runs
+        FROM documents""",
+
+    "text_fingerprint" ->
+      """SELECT doc_id,
+          md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        FROM documents""",
+
+    "dedup_exact" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+          COUNT(*) AS n_dups, MIN(doc_id) AS canonical_id
+        FROM documents GROUP BY 1""",
+
+    "dedup_ngram_jaccard" ->
+      """WITH t AS (
+          SELECT lang, source, n_chars // 100 AS len_bucket,
+                 doc_id,
+                 list_distinct(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS toks
+          FROM documents)
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.toks, b.toks))) AS jac
+        FROM t a JOIN t b
+          ON a.lang = b.lang AND a.source = b.source
+         AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.6""",
+
+    "multimodal_hash" ->
+      """SELECT doc_id, md5(text) AS content_hash,
+          octet_length(encode(text)) AS n_bytes, source
+        FROM documents"""
+  )
+}
