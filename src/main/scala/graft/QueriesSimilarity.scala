@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.VectorExpressions._
+
+/** Similarity-search operator surface over the `embeddings` table
+  * (north-star extension, SURVEY.md §2.9).
+  *
+  * Cosine / dot / norm are native codegen'd Catalyst expressions
+  * ([[graft.functions.VectorExpressions]]), f32-sequential to be
+  * bit-identical with DuckDB's list functions — every query here is
+  * oracle-checked, including the ANN path.
+  *
+  * Scale shape:
+  *   - brute-force top-k broadcasts the (small) query set against the
+  *     corpus — a map-side nested loop with NO shuffle of the corpus, then
+  *     a per-query top-k window. At 100 TB the corpus side stays
+  *     partitioned; only the k results per (query, partition) move.
+  *   - the IVF variant joins on a coarse-quantizer cell (here: the `label`
+  *     column as the inverted-list key) so each probe touches one cell —
+  *     the classic inverted-file trade of recall for a ~nlist× scan cut.
+  *     Both sides hash-partition on the cell id: co-located, skew-safe.
+  *   - cosine ties are broken by neighbor id after rounding to 6 decimals,
+  *     so ranking is deterministic across engines (raw f32 cosine is
+  *     bit-equal, but rounding makes the ORDER BY robust by construction).
+  */
+object QueriesSimilarity {
+  import Tables._
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact k-NN baseline: 20 query vectors × corpus, top-5 by cosine.
+    "sim_bruteforce_topk" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val c = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+      val w = Window.partitionBy("q_id").orderBy(col("cos_r").desc, col("n_id"))
+      c.crossJoin(broadcast(q))
+        .filter(col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("n_id"),
+                round(vec_cosine(col("q_emb"), col("n_emb")), 6).as("cos_r"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+    }),
+
+    // IVF-style ANN: inverted lists keyed by the coarse cell (label);
+    // each query probes only its own cell. Top-3 per query.
+    "sim_ivf_label_topk" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val q = e.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("q_id"), col("label"), col("embedding").as("q_emb"))
+      val c = e.select(col("vec_id").as("n_id"), col("label"), col("embedding").as("n_emb"))
+      val w = Window.partitionBy("q_id").orderBy(col("cos_r").desc, col("n_id"))
+      c.join(broadcast(q), Seq("label"))
+        .filter(col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("n_id"),
+                round(vec_cosine(col("q_emb"), col("n_emb")), 6).as("cos_r"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+    }),
+
+    // Embedding-cosine near-duplicate pairs, blocked by label cell.
+    "dedup_embedding_cosine" -> ((s, d) => {
+      val e = embeddings(s, d)
+      def side(p: String) = e.select(
+        col("label"), col("vec_id").as(s"${p}_id"), col("embedding").as(s"${p}_emb"))
+      side("a").join(side("b"), Seq("label"))
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+                round(vec_cosine(col("a_emb"), col("b_emb")), 6).as("cos_r"))
+        .filter(col("cos_r") >= 0.4)
+    }),
+
+    // Norm/dot audit of the expression library (map-only, no shuffle).
+    "fn_vector_norms" -> ((s, d) =>
+      embeddings(s, d).select(
+        col("vec_id"),
+        round(vec_norm(col("embedding")), 6).as("norm_r"),
+        round(vec_dot(col("embedding"), col("embedding")), 4).as("self_dot_r"),
+        size(col("embedding")).as("dim")))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "sim_bruteforce_topk" ->
+      """SELECT q_id, n_id, cos_r, rn FROM (
+          SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+            round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 6) AS cos_r,
+            ROW_NUMBER() OVER (PARTITION BY a.vec_id
+              ORDER BY round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 6) DESC,
+                       b.vec_id) AS rn
+          FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+          WHERE a.vec_id < 20) t
+        WHERE rn <= 5""",
+
+    "sim_ivf_label_topk" ->
+      """SELECT q_id, n_id, cos_r, rn FROM (
+          SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+            round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 6) AS cos_r,
+            ROW_NUMBER() OVER (PARTITION BY a.vec_id
+              ORDER BY round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 6) DESC,
+                       b.vec_id) AS rn
+          FROM embeddings a JOIN embeddings b
+            ON a.label = b.label AND a.vec_id <> b.vec_id
+          WHERE a.vec_id < 50) t
+        WHERE rn <= 3""",
+
+    "dedup_embedding_cosine" ->
+      """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+          round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 6) AS cos_r
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 6) >= 0.4""",
+
+    "fn_vector_norms" ->
+      """SELECT vec_id,
+          round(CAST(CAST(sqrt(CAST(list_dot_product(embedding, embedding) AS DOUBLE)) AS FLOAT) AS DOUBLE), 6) AS norm_r,
+          round(CAST(list_dot_product(embedding, embedding) AS DOUBLE), 4) AS self_dot_r,
+          len(embedding) AS dim
+        FROM embeddings"""
+  )
+}

@@ -15,10 +15,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    QueriesRelational.queries ++ QueriesText.queries ++ QueriesEvents.queries
+    QueriesRelational.queries ++ QueriesText.queries ++ QueriesEvents.queries ++
+      QueriesSimilarity.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    QueriesRelational.oracleSql ++ QueriesText.oracleSql ++ QueriesEvents.oracleSql
+    QueriesRelational.oracleSql ++ QueriesText.oracleSql ++ QueriesEvents.oracleSql ++
+      QueriesSimilarity.oracleSql
 }
