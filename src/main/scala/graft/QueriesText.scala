@@ -92,6 +92,19 @@ object QueriesText {
         .filter(col("jac") >= 0.6)
     }),
 
+    // MinHash+LSH near-dup (graft.operators.DedupOps): linear signature
+    // pass + band-bucket join — no O(n²) stage. With 16 bands × 2 rows the
+    // miss probability at the planted-dup jaccard (≈0.8) is ~3e-8, so the
+    // verified output ≥0.5 equals the DuckDB brute-force oracle.
+    "dedup_minhash_lsh" -> ((s, d) =>
+      graft.operators.DedupOps.minhashNearDups(documents(s, d), "doc_id", "text", 0.5)),
+
+    // SimHash 64-bit sketch + 4×16-bit banding, Hamming-verified. Sketch
+    // values are engine-hash-specific → no SQL oracle (rows-only check);
+    // cross-validated against minhash/jaccard in DedupSpec.
+    "dedup_simhash" -> ((s, d) =>
+      graft.operators.DedupOps.simhashNearDups(documents(s, d), "doc_id", "text", 8)),
+
     // Multimodal plumbing: opaque binary payload + typed metadata. The
     // payload here is the utf-8 encoding of text (a deterministic stand-in
     // for image/audio bytes); content-hash dedup + size audit are the real
@@ -162,6 +175,23 @@ object QueriesText {
          AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
         WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
             / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.6""",
+
+    "dedup_minhash_lsh" ->
+      """WITH t AS (
+          SELECT doc_id,
+                 string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(range(len(toks) - 2),
+                   i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS shingles
+          FROM t WHERE len(toks) >= 3)
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jac
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5""",
 
     "multimodal_hash" ->
       """SELECT doc_id, md5(text) AS content_hash,

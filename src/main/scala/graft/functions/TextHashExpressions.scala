@@ -1,0 +1,139 @@
+// Lives under org.apache.spark.sql for the same reason as
+// VectorExpressions — private[sql] expression API. Source: graft/functions/.
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Hash sketches for near-duplicate detection (north-star §2.9):
+  * MinHash signatures and SimHash fingerprints over token arrays, as
+  * one-pass codegen'd Catalyst expressions.
+  *
+  * Both hash each token once (xxhash64 over the raw UTF-8 bytes — no
+  * String materialization) and derive all H hash functions from that base
+  * value with a splitmix64 finalizer, so per-row cost is
+  * O(tokens × H) cheap mixes, not O(tokens × H) string hashes.
+  */
+object TextHashExpressions {
+
+  /** splitmix64 finalizer — a full-avalanche 64-bit mixer. */
+  def mix64(zIn: Long): Long = {
+    var z = zIn + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  def tokenHash(s: UTF8String): Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+
+  /** MinHash signature: array of `numHashes` longs; element i is
+    * min over tokens of mix64(xxh64(token) ^ mix64(i)).
+    */
+  case class MinHashSignature(child: Expression, numHashes: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    require(numHashes > 0)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+    override def nullSafeEval(a: Any): Any = {
+      val arr = a.asInstanceOf[ArrayData]
+      val sig = Array.fill(numHashes)(Long.MaxValue)
+      var t = 0
+      while (t < arr.numElements()) {
+        if (!arr.isNullAt(t)) {
+          val base = tokenHash(arr.getUTF8String(t))
+          var i = 0
+          while (i < numHashes) {
+            val h = mix64(base ^ mix64(i.toLong))
+            if (h < sig(i)) sig(i) = h
+            i += 1
+          }
+        }
+        t += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(sig)
+    }
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val G = "org.apache.spark.sql.graft.TextHashExpressions"
+        val sig = ctx.freshName("sig"); val t = ctx.freshName("t")
+        val i = ctx.freshName("i"); val base = ctx.freshName("base"); val h = ctx.freshName("h")
+        s"""
+        long[] $sig = new long[$numHashes];
+        java.util.Arrays.fill($sig, Long.MAX_VALUE);
+        for (int $t = 0; $t < $a.numElements(); $t++) {
+          if (!$a.isNullAt($t)) {
+            long $base = $G.tokenHash($a.getUTF8String($t));
+            for (int $i = 0; $i < $numHashes; $i++) {
+              long $h = $G.mix64($base ^ $G.mix64((long) $i));
+              if ($h < $sig[$i]) $sig[$i] = $h;
+            }
+          }
+        }
+        ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($sig);
+        """
+      })
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  /** 64-bit SimHash over a token array: bit j of the result is set iff the
+    * count of tokens whose hash has bit j set exceeds the count that do not.
+    */
+  case class SimHash64(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def dataType: DataType = LongType
+    override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+    override def nullSafeEval(a: Any): Any = {
+      val arr = a.asInstanceOf[ArrayData]
+      val acc = new Array[Int](64)
+      var t = 0
+      while (t < arr.numElements()) {
+        if (!arr.isNullAt(t)) {
+          val h = tokenHash(arr.getUTF8String(t))
+          var j = 0
+          while (j < 64) {
+            if (((h >>> j) & 1L) == 1L) acc(j) += 1 else acc(j) -= 1
+            j += 1
+          }
+        }
+        t += 1
+      }
+      var out = 0L; var j = 0
+      while (j < 64) { if (acc(j) > 0) out |= (1L << j); j += 1 }
+      out
+    }
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val G = "org.apache.spark.sql.graft.TextHashExpressions"
+        val acc = ctx.freshName("acc"); val t = ctx.freshName("t")
+        val j = ctx.freshName("j"); val h = ctx.freshName("h"); val out = ctx.freshName("out")
+        s"""
+        int[] $acc = new int[64];
+        for (int $t = 0; $t < $a.numElements(); $t++) {
+          if (!$a.isNullAt($t)) {
+            long $h = $G.tokenHash($a.getUTF8String($t));
+            for (int $j = 0; $j < 64; $j++) {
+              if ((($h >>> $j) & 1L) == 1L) $acc[$j]++; else $acc[$j]--;
+            }
+          }
+        }
+        long $out = 0L;
+        for (int $j = 0; $j < 64; $j++) { if ($acc[$j] > 0) $out |= (1L << $j); }
+        ${ev.value} = $out;
+        """
+      })
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  def minhash_signature(tokens: Column, numHashes: Int): Column =
+    ExpressionUtils.column(MinHashSignature(ExpressionUtils.expression(tokens), numHashes))
+  def simhash64(tokens: Column): Column =
+    ExpressionUtils.column(SimHash64(ExpressionUtils.expression(tokens)))
+}
