@@ -1,0 +1,171 @@
+package graft
+
+import java.sql.{Date, Timestamp}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{FraudDetection, Scd}
+import graft.sources.BankFeeds
+
+/** End-to-end replacement for the reference's daily cron run
+  * (main.py:544-580): discover feed files by pattern, load them in
+  * day order, maintain the SCD2 terminal history / SCD1 blacklist /
+  * append-only transactions fact as parquet tables, and rebuild the
+  * fraud mart.
+  *
+  * Usage: runMain graft.EtlPipeline <feedDir> <warehouseDir> [bankDir]
+  *
+  * Differences from the reference, by design (SURVEY §3):
+  *   - staging tables, per-statement DDL and the close/insert UPDATE
+  *     sequence collapse into pure snapshot-rewrite transformations
+  *     written atomically per day — no non-transactional window;
+  *   - the processed-file ledger is the warehouse state itself (loads are
+  *     idempotent: SCD1/SCD2 re-application is a fixpoint, and the fact
+  *     load skips days already present);
+  *   - `bank.*` tables come from parquet fixtures in bankDir; without one,
+  *     deterministic demo fixtures are derived from the card numbers seen
+  *     in the feed (clearly a demo: the reference assumes these tables
+  *     pre-exist in the bank, main.py:410-414).
+  */
+object EtlPipeline {
+  private val DayRe = """(\d{2})(\d{2})(\d{4})""".r.unanchored
+
+  def dayOf(fileName: String): String = fileName match {
+    case DayRe(dd, mm, yyyy) => s"$yyyy-$mm-$dd"
+    case _ => throw new IllegalArgumentException(s"no DDMMYYYY in $fileName")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val feedDir = args.lift(0).getOrElse("/root/reference")
+    val whDir = args.lift(1).getOrElse("/tmp/graft_warehouse")
+    val bankDir = args.lift(2)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    run(spark, feedDir, whDir, bankDir)
+    spark.stop()
+  }
+
+  def run(spark: SparkSession, feedDir: String, whDir: String,
+          bankDir: Option[String]): Unit = {
+    val files = new java.io.File(feedDir).list().toSeq.sorted
+    def feed(prefix: String): Seq[(String, String)] = // (day, path) in day order
+      files.filter(_.startsWith(prefix)).map(f => (dayOf(f), s"$feedDir/$f")).sortBy(_._1)
+
+    def tablePath(name: String) = s"$whDir/$name"
+    def readIf(name: String): Option[DataFrame] = {
+      // partitioned tables keep their data under key=value subdirs, so
+      // don't look for top-level *.parquet — attempt the read and let an
+      // empty/absent path mean "first load"
+      val p = new java.io.File(tablePath(name))
+      if (p.isDirectory && p.list().exists(f => !f.startsWith("_") && !f.startsWith(".")))
+        Some(spark.read.parquet(tablePath(name)))
+      else None
+    }
+    // snapshot-rewrite: localCheckpoint breaks lineage before overwriting
+    // the same path we read from (and resets SCD lineage growth per load)
+    def overwrite(df: DataFrame, name: String): Unit =
+      df.localCheckpoint().write.mode(SaveMode.Overwrite).parquet(tablePath(name))
+
+    val termAttrs = Seq("terminal_type", "terminal_city", "terminal_address")
+
+    // --- terminals: daily full snapshots → SCD2 history (main.py:556-565)
+    for ((day, path) <- feed("terminals")) {
+      val loadTs = Timestamp.valueOf(s"$day 00:00:00")
+      val hist = readIf("dwh_dim_terminals_hist")
+      val already = hist.exists(h =>
+        h.filter(col("effective_from") === lit(loadTs)).limit(1).count() > 0)
+      if (!already) {
+        val snap = BankFeeds.terminals(spark, path)
+        overwrite(Scd.scd2Apply(spark, hist, snap, "terminal_id", termAttrs, loadTs),
+          "dwh_dim_terminals_hist")
+      }
+    }
+
+    // --- blacklist: cumulative feed → SCD1 fact (main.py:566-570)
+    for ((_, path) <- feed("passport")) {
+      val snap = BankFeeds.blacklist(spark, path)
+      overwrite(Scd.scd1Apply(readIf("dwh_fact_pssprt_blcklst"), snap,
+        "passport_num", Seq("entry_dt")), "dwh_fact_pssprt_blcklst")
+    }
+
+    // --- transactions: daily increments → append-only fact, partitioned by
+    // day for partition pruning (the scalable form of main.py:417's
+    // current-day filter)
+    val existingDays: Set[String] = readIf("dwh_fact_transactions")
+      .map(_.select(date_format(col("day"), "yyyy-MM-dd")).distinct()
+        .collect().map(_.getString(0)).toSet)
+      .getOrElse(Set.empty)
+    for ((day, path) <- feed("transactions") if !existingDays.contains(day)) {
+      BankFeeds.transactionsFact(spark, path)
+        .withColumn("day", to_date(col("trans_date")))
+        .write.mode(SaveMode.Append).partitionBy("day")
+        .parquet(tablePath("dwh_fact_transactions"))
+    }
+
+    if (readIf("dwh_fact_transactions").isEmpty || readIf("dwh_dim_terminals_hist").isEmpty) {
+      println("[etl] no transactions/terminals loaded — skipping fraud mart")
+      return
+    }
+
+    // --- bank dimension tables (pre-existing in the reference's Oracle)
+    val (clients, accounts, cards) = bankDir match {
+      case Some(dir) =>
+        (spark.read.parquet(s"$dir/clients.parquet"),
+         spark.read.parquet(s"$dir/accounts.parquet"),
+         spark.read.parquet(s"$dir/cards.parquet"))
+      case None => demoBankTables(spark, whDir)
+    }
+
+    // --- fraud mart rebuild over the full fact (main.py:574-576)
+    val tx = spark.read.parquet(tablePath("dwh_fact_transactions"))
+    val hist = spark.read.parquet(tablePath("dwh_dim_terminals_hist"))
+    val bl = spark.read.parquet(tablePath("dwh_fact_pssprt_blcklst"))
+    val asOf = new Timestamp(System.currentTimeMillis())
+    val view = FraudDetection.dataView(clients, accounts, cards, tx, hist, asOf)
+      .cache()
+    val rep = FraudDetection.repFraud(view, bl, new Date(System.currentTimeMillis()))
+    overwrite(rep, "rep_fraud")
+
+    val histN = spark.read.parquet(tablePath("dwh_dim_terminals_hist")).count()
+    val txN = tx.count()
+    val repN = spark.read.parquet(tablePath("rep_fraud")).count()
+    println(s"[etl] terminals_hist=$histN transactions=$txN blacklist=${bl.count()} rep_fraud=$repN")
+  }
+
+  /** Deterministic demo bank.* fixtures derived from the cards seen in the
+    * fact — DEMO ONLY: real deployments pass bankDir. First 5 clients'
+    * passports are wired to blacklist entries so rule 1 has positives.
+    */
+  def demoBankTables(spark: SparkSession, whDir: String): (DataFrame, DataFrame, DataFrame) = {
+    val tx = spark.read.parquet(s"$whDir/dwh_fact_transactions")
+    val cardsSeen = tx.select(trim(col("card_num")).as("card_num")).distinct()
+      .orderBy("card_num")
+      .withColumn("cid", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("card_num")).cast("long"))
+    val cards = cardsSeen.select(col("card_num"), concat(lit("ACC"), col("cid")).as("account"))
+    val accounts = cardsSeen.select(
+      concat(lit("ACC"), col("cid")).as("account"),
+      to_date(lit("2030-01-01")).as("valid_to"),
+      col("cid").as("client"))
+    val bl = spark.read.parquet(s"$whDir/dwh_fact_pssprt_blcklst")
+      .orderBy("passport_num")
+      .withColumn("bid", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("passport_num")).cast("long"))
+    val clients = cardsSeen
+      .join(bl.select(col("bid").as("cid"), col("passport_num").as("bl_passport")),
+        Seq("cid"), "left")
+      .select(
+        col("cid").as("client_id"),
+        concat(lit("Фамилия"), col("cid")).as("last_name"),
+        concat(lit("Имя"), col("cid")).as("first_name"),
+        concat(lit("Отчество"), col("cid")).as("patronymic"),
+        coalesce(col("bl_passport"), concat(lit("9999 "), col("cid"))).as("passport_num"),
+        to_date(lit("2030-01-01")).as("passport_valid_to"),
+        concat(lit("+7 900 "), col("cid")).as("phone"))
+    (clients, accounts, cards)
+  }
+}

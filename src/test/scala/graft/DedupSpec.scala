@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.DedupOps
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("LSH finds planted near-identical docs and skips unrelated ones") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val nearDup = ((1 to 58).map(i => s"tok$i") ++ Seq("x", "y")).mkString(" ")
+    val other = (100 to 160).map(i => s"zz$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("doc_id", "text")
+    val pairs = DedupOps.minhashNearDups(docs, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
+  test("LSH candidates cover all high-jaccard pairs on real docs (recall)") {
+    val docs = Tables.documents(spark, sf0001)
+    // ground truth: brute-force shingle jaccard ≥ 0.5
+    val sigs = DedupOps.signatures(docs, "doc_id", "text").cache()
+    val a = sigs.select(col("doc_id").as("a_id"), col("shingles").as("a_sh"))
+    val b = sigs.select(col("doc_id").as("b_id"), col("shingles").as("b_sh"))
+    val truth = a.crossJoin(b).filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+         size(array_union(col("a_sh"), col("b_sh")))).as("jac"))
+      .filter(col("jac") >= 0.5)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = DedupOps.minhashNearDups(docs, "doc_id", "text", 0.5)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found === truth) // exact: b=16, r=2 ⇒ P(miss at j≥0.8) ≈ 3e-8
+  }
+
+  test("simhash near-dups: deterministic across two runs") {
+    val docs = Tables.documents(spark, sf0001)
+    val r1 = DedupOps.simhashNearDups(docs, "doc_id", "text", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val r2 = DedupOps.simhashNearDups(docs, "doc_id", "text", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(r1 === r2)
+  }
+
+  test("simhash recalls most minhash-confirmed near-dups (cross-validation)") {
+    // SimHash is a lossy 64-bit sketch: a jaccard≈0.8 pair can land above
+    // any fixed Hamming radius, so assert a recall bound, not containment.
+    val docs = Tables.documents(spark, sf0001)
+    val mh = DedupOps.minhashNearDups(docs, "doc_id", "text", 0.8)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = DedupOps.simhashNearDups(docs, "doc_id", "text", 12)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh.nonEmpty)
+    val recall = (mh intersect sh).size.toDouble / mh.size
+    assert(recall >= 0.75, s"simhash recall $recall; missing: ${mh -- sh}")
+  }
+}
