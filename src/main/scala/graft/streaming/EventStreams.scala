@@ -1,0 +1,96 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (SURVEY §2.8).
+  *
+  * The reference is a nightly cron batch; its streaming generalization is:
+  * file feeds become `readStream` sources with `Trigger.AvailableNow`
+  * (replacing cron + the Archive/ ledger with checkpoints), and the
+  * event-time operators in QueriesEvents become true watermarked streams.
+  * These builders take any DataFrame with (ts: Timestamp, user_id,
+  * event_type, value) — batch twins are oracle-checked, the streaming
+  * versions are spec-driven through the memory sink.
+  *
+  * Scale: all stateful ops are keyed by user/window — state is
+  * hash-partitioned and bounded by the watermark; nothing accumulates
+  * unbounded.
+  */
+object EventStreams {
+
+  /** Tumbling 10-minute counts/sums per event type with a 30-minute
+    * watermark (late data beyond it is dropped and state evicted). */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+              col("n"), col("sum_value"))
+
+  /** Session windows with a 30-minute gap per user (streaming twin of the
+    * batch evt_sessionize query). */
+  def sessionAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("sess_start"),
+              col("session_window.end").as("sess_end"),
+              col("user_id"), col("n_events"))
+
+  /** Event-id dedup within the watermark — the streaming form of the
+    * reference's re-delivery tolerance (its anti-join staging pattern). */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  // --- stateful SCD2-style tracking ------------------------------------
+
+  case class KeyedAttr(key: String, ts: Timestamp, attr: String)
+  case class Version(key: String, attr: String,
+                     effective_from: Timestamp, effective_to: Option[Timestamp])
+  case class TrackState(current: Option[Version])
+
+  /** flatMapGroupsWithState version of the SCD2 close/insert: for each key,
+    * emit a closed version whenever the attribute changes — the streaming
+    * generalization of the reference's daily close/insert (main.py:129-186).
+    * Emits every version (closed ones exactly once; the open one on every
+    * update with effective_to = None).
+    */
+  def scd2Track(events: Dataset[KeyedAttr])
+               (implicit spark: SparkSession): Dataset[Version] = {
+    import spark.implicits._
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[TrackState, Version](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key, rows, state: GroupState[TrackState]) =>
+          var cur = state.getOption.flatMap(_.current)
+          val out = scala.collection.mutable.Buffer.empty[Version]
+          rows.toSeq.sortBy(_.ts.getTime).foreach { r =>
+            cur match {
+              case Some(v) if v.attr != r.attr =>
+                out += v.copy(effective_to = Some(new Timestamp(r.ts.getTime - 1000)))
+                cur = Some(Version(key, r.attr, r.ts, None))
+              case Some(_) => // unchanged attribute: no-op (idempotent re-delivery)
+              case None =>
+                cur = Some(Version(key, r.attr, r.ts, None))
+            }
+          }
+          state.update(TrackState(cur))
+          out.iterator
+      }
+  }
+
+  /** File-source incremental load: the streaming replacement for the
+    * reference's cron + glob + archive loop. `Trigger.AvailableNow`
+    * processes everything present, checkpoints, and stops — exactly the
+    * nightly batch, minus the hand-rolled ledger. */
+  def fileStream(spark: SparkSession, schema: org.apache.spark.sql.types.StructType,
+                 pattern: String): DataFrame =
+    spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(pattern)
+}

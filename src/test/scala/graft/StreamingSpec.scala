@@ -1,0 +1,99 @@
+package graft
+
+import java.sql.Timestamp
+import graft.streaming.EventStreams
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming surface driven synchronously: MemoryStream → memory sink via
+  * processAllAvailable(). Each query's batch twin is oracle-checked in
+  * QueriesEvents; here we check the streaming semantics themselves
+  * (watermark windows, sessionization, dedup, stateful SCD2).
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+                event_type: String, value: Double)
+
+  private def runToMemory(df: DataFrame, name: String): Unit = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
+  private def completeToMemory(df: DataFrame, name: String): Unit = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
+  test("tumbling windows aggregate by 10-minute buckets") {
+    val in = MemoryStream[Ev](spark)
+    in.addData(
+      Ev(1, ts("2024-01-01 00:01:00"), 1, "click", 1.0),
+      Ev(2, ts("2024-01-01 00:05:00"), 1, "click", 2.0),
+      Ev(3, ts("2024-01-01 00:11:00"), 1, "click", 4.0))
+    completeToMemory(EventStreams.tumblingCounts(in.toDF()), "tumble")
+    val rows = spark.table("tumble").orderBy("win_start").collect()
+    assert(rows.map(_.getAs[Long]("n")).toSeq === Seq(2L, 1L))
+    assert(rows.head.getAs[Double]("sum_value") === 3.0)
+  }
+
+  test("session window closes after a 30-minute gap") {
+    val in = MemoryStream[Ev](spark)
+    in.addData(
+      Ev(1, ts("2024-01-01 00:00:00"), 7, "a", 1.0),
+      Ev(2, ts("2024-01-01 00:10:00"), 7, "a", 1.0), // same session
+      Ev(3, ts("2024-01-01 01:00:00"), 7, "a", 1.0)) // new session
+    completeToMemory(EventStreams.sessionAgg(in.toDF()), "sess")
+    val rows = spark.table("sess").orderBy("sess_start").collect()
+    assert(rows.length === 2)
+    assert(rows.map(_.getAs[Long]("n_events")).toSeq === Seq(2L, 1L))
+  }
+
+  test("dropDuplicatesWithinWatermark suppresses re-delivered event ids") {
+    val in = MemoryStream[Ev](spark)
+    in.addData(
+      Ev(10, ts("2024-01-01 00:00:00"), 1, "a", 1.0),
+      Ev(10, ts("2024-01-01 00:00:05"), 1, "a", 1.0), // dup id
+      Ev(11, ts("2024-01-01 00:01:00"), 1, "a", 1.0))
+    runToMemory(EventStreams.dedupWithinWatermark(in.toDF()), "dedup")
+    assert(spark.table("dedup").select("event_id").collect().map(_.getLong(0)).sorted
+      === Array(10L, 11L))
+  }
+
+  test("stateful SCD2 tracking closes versions on attribute change") {
+    implicit val s = spark
+    val in = MemoryStream[EventStreams.KeyedAttr](spark)
+    in.addData(
+      EventStreams.KeyedAttr("T1", ts("2021-03-01 00:00:00"), "city A"),
+      EventStreams.KeyedAttr("T1", ts("2021-03-02 00:00:00"), "city A"), // no change
+      EventStreams.KeyedAttr("T1", ts("2021-03-03 00:00:00"), "city B")) // change
+    runToMemory(EventStreams.scd2Track(in.toDS()).toDF(), "scd2track")
+    val closed = spark.table("scd2track").collect()
+    assert(closed.length === 1) // exactly the closed "city A" version
+    val v = closed.head
+    assert(v.getAs[String]("attr") === "city A")
+    assert(v.getAs[Timestamp]("effective_from") === ts("2021-03-01 00:00:00"))
+    assert(v.getAs[Timestamp]("effective_to") === ts("2021-03-02 23:59:59"))
+  }
+
+  test("file stream with AvailableNow drains the events table incrementally") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_").toString
+    Tables.events(spark, sf0001).write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val counts = EventStreams.fileStream(spark, schema, dir)
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+    val q = counts.writeStream.format("memory").queryName("filestream")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val total = spark.table("filestream").agg(sum("n")).head().getLong(0)
+    assert(total === 1000)
+  }
+}
