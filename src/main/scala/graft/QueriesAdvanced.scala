@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Advanced relational breadth: pivot, correlated subqueries, scalar
+  * subqueries, extended window functions, percentiles, grouping sets, and
+  * a SQL-API query run through spark.sql via [[GraftSession]].
+  */
+object QueriesAdvanced {
+  import Tables._
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Pivot with a FIXED value list → static schema, map-side combine
+    // still applies; the DuckDB oracle is the FILTERed-aggregate rewrite.
+    "agg_pivot" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(dec(col("l_quantity"))).cast(DoubleType))
+        .withColumnsRenamed(Map("F" -> "qty_f", "O" -> "qty_o"))),
+
+    // Explicit GROUPING SETS (beyond rollup/cube).
+    "agg_grouping_sets" -> ((s, d) => {
+      lineitem(s, d).createOrReplaceTempView("gs_lineitem")
+      s.sql("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+               FROM gs_lineitem
+               GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""")
+    }),
+
+    // Correlated EXISTS with an extra predicate (P6 extended).
+    "sub_exists_corr" -> ((s, d) =>
+      customer(s, d)
+        .join(orders(s, d).filter(col("o_totalprice") > 300000).select("o_custkey"),
+              col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")),
+
+    // Scalar subquery: deviation from the global mean (computed exactly
+    // through decimal, then double division — cross-engine deterministic).
+    "sub_scalar_avg" -> ((s, d) => {
+      val c = customer(s, d)
+      val stats = c.agg(
+        sum(dec(col("c_acctbal"))).cast(DoubleType).as("s"),
+        count(lit(1)).cast(DoubleType).as("n"))
+      c.crossJoin(broadcast(stats))
+        .select(col("c_custkey"),
+                round(col("c_acctbal") - col("s") / col("n"), 4).as("dev_from_avg"))
+    }),
+
+    // Window breadth: ntile, first/last value with explicit frames.
+    "win_ntile_first_last" -> ((s, d) => {
+      val byDate = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      orders(s, d).select(
+        col("o_orderkey"),
+        ntile(4).over(byDate).as("quartile"),
+        first_value(col("o_orderkey")).over(
+          byDate.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("first_ok"),
+        last_value(col("o_orderkey")).over(
+          byDate.rowsBetween(Window.currentRow, Window.unboundedFollowing)).as("last_ok"))
+    }),
+
+    // Exact percentiles via percentile_cont over integral-valued doubles.
+    "agg_percentiles" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, 0.5)").as("median_qty"),
+             expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+             min("l_quantity").as("min_qty"),
+             max("l_quantity").as("max_qty"))),
+
+    // SQL API end-to-end (TPC-H Q3 shape) through GraftSession.attach —
+    // the spark.sql path exercises the same Catalyst plans as the
+    // DataFrame API.
+    "sql_shipping_priority" -> ((s, d) => {
+      GraftSession.attach(s, d)
+      s.sql("""
+        SELECT o_orderkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+               CAST(o_orderdate AS DATE) AS order_date
+        FROM customer JOIN orders ON c_custkey = o_custkey
+                      JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING' AND l_shipdate > o_orderdate
+        GROUP BY o_orderkey, o_orderdate
+        ORDER BY revenue DESC, o_orderkey LIMIT 10""")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "agg_pivot" ->
+      """SELECT l_returnflag,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_f,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS qty_o
+        FROM lineitem GROUP BY 1""",
+
+    "agg_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""",
+
+    "sub_exists_corr" ->
+      """SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 300000)""",
+
+    "sub_scalar_avg" ->
+      """SELECT c_custkey,
+          round(c_acctbal - (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                                    / CAST(COUNT(*) AS DOUBLE) FROM customer), 4) AS dev_from_avg
+        FROM customer""",
+
+    "win_ntile_first_last" ->
+      """SELECT o_orderkey,
+          NTILE(4) OVER w AS quartile,
+          FIRST_VALUE(o_orderkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_ok,
+          LAST_VALUE(o_orderkey) OVER (w ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS last_ok
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
+
+    "agg_percentiles" ->
+      """SELECT l_returnflag,
+          quantile_cont(l_quantity, 0.5) AS median_qty,
+          quantile_cont(l_quantity, 0.9) AS p90_qty,
+          MIN(l_quantity) AS min_qty,
+          MAX(l_quantity) AS max_qty
+        FROM lineitem GROUP BY 1""",
+
+    "sql_shipping_priority" ->
+      """SELECT o_orderkey,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+          CAST(o_orderdate AS DATE) AS order_date
+        FROM customer JOIN orders ON c_custkey = o_custkey
+                      JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING' AND l_shipdate > o_orderdate
+        GROUP BY o_orderkey, o_orderdate
+        ORDER BY revenue DESC, o_orderkey LIMIT 10"""
+  )
+}
