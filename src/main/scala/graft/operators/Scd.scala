@@ -69,7 +69,16 @@ object Scd {
       .filter(attrs.map(a => col(s"s.$a") =!= col(s"h.$a")).reduce(_ || _))
       .select(col(key) +: attrs.map(a => col(s"s.$a").as(a)): _*)
 
-    val closingKeys = delKeys.union(changed.select(key)).distinct()
+    // a deleted key reappearing in the snapshot must close its open
+    // tombstone, or the key ends up with two open versions. (The reference
+    // never closes tombstones — its active view hides the quirk because it
+    // filters deleted_flg; found by ScdPropertySpec, fixed as documented
+    // sane behavior per SURVEY §7.3.)
+    val reappearing = snap.select(key).join(
+      h.filter(col("effective_to") === lit(SentinelTs) && col("deleted_flg") === 1)
+        .select(key), Seq(key), "left_semi")
+
+    val closingKeys = delKeys.union(changed.select(key)).union(reappearing).distinct()
 
     // close affected versions (UPDATEs at main.py:131-142)
     val untouched = h.join(closingKeys, Seq(key), "left_anti")
