@@ -39,6 +39,23 @@ object QueriesText {
         (expr("CAST(regexp_count(text, '\\\\bthe\\\\b') AS DOUBLE)") /
           size(split(col("text"), "\\s+"))).as("stop_ratio"))),
 
+    // Composite quality score — the filter stage of a training-data
+    // pipeline: length band + punctuation ratio + stopword presence fold
+    // into one keep/drop signal. Pure integer/ratio arithmetic → exact
+    // cross-engine determinism.
+    "text_quality_score" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), "\\s+")).as("n_tokens"),
+          (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", "")))
+            .as("n_punct"),
+          expr("regexp_count(text, '\\\\bthe\\\\b')").as("n_the"))
+        .select(col("doc_id"),
+          (when(col("n_tokens").between(20, 1000), 1).otherwise(0) +
+           when(col("n_punct") * 10 < col("n_tokens"), 1).otherwise(0) +
+           when(col("n_the") > 0, 1).otherwise(0)).as("quality_score"))
+        .withColumn("keep", (col("quality_score") >= 2).cast(IntegerType))),
+
     // Heuristic language ID: charset probe for CJK, stopword probes for
     // de/fr/es, default en. Deterministic CASE cascade, map-only.
     "text_lang_id" -> ((s, d) =>
@@ -130,6 +147,22 @@ object QueriesText {
           CAST(len(regexp_extract_all(text, '\bthe\b')) AS DOUBLE)
             / len(regexp_split_to_array(text, '\s+')) AS stop_ratio
         FROM documents""",
+
+    "text_quality_score" ->
+      """WITH sig AS (
+          SELECT doc_id,
+            len(regexp_split_to_array(text, '\s+')) AS n_tokens,
+            length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+            len(regexp_extract_all(text, '\bthe\b')) AS n_the
+          FROM documents)
+        SELECT doc_id,
+          (CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 1 ELSE 0 END +
+           CASE WHEN n_punct * 10 < n_tokens THEN 1 ELSE 0 END +
+           CASE WHEN n_the > 0 THEN 1 ELSE 0 END) AS quality_score,
+          CAST((CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 1 ELSE 0 END +
+           CASE WHEN n_punct * 10 < n_tokens THEN 1 ELSE 0 END +
+           CASE WHEN n_the > 0 THEN 1 ELSE 0 END) >= 2 AS INT) AS keep
+        FROM sig""",
 
     "text_lang_id" ->
       """SELECT doc_id, lang,

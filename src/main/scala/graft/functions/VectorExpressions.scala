@@ -121,6 +121,56 @@ object VectorExpressions {
       copy(left = l, right = r)
   }
 
+  /** Sign-random-projection LSH signature over a float array: bit j is the
+    * sign of the dot product with a pseudo-random Rademacher (±1)
+    * hyperplane derived from (seed, j, i) by a splitmix64 mix — no stored
+    * hyperplane matrix, fully deterministic, O(bits × dim) per row.
+    * Cosine-similar vectors collide with probability 1 − θ/π per bit.
+    */
+  case class SrpSignature(child: Expression, bits: Int, seed: Long)
+      extends UnaryExpression with ExpectsInputTypes {
+    require(bits > 0 && bits <= 64)
+    override def dataType: DataType = LongType
+    override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+    override def nullSafeEval(a: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      var sig = 0L; var j = 0
+      while (j < bits) {
+        var acc = 0.0; var i = 0
+        while (i < x.numElements()) {
+          val m = TextHashExpressions.mix64(seed ^ (j.toLong << 32) ^ i.toLong)
+          acc += (if ((m & 1L) == 0L) x.getFloat(i) else -x.getFloat(i))
+          i += 1
+        }
+        if (acc >= 0) sig |= (1L << j)
+        j += 1
+      }
+      sig
+    }
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, x => {
+        val G = "org.apache.spark.sql.graft.TextHashExpressions"
+        val sig = ctx.freshName("sig"); val j = ctx.freshName("j")
+        val acc = ctx.freshName("acc"); val i = ctx.freshName("i"); val m = ctx.freshName("m")
+        s"""
+        long $sig = 0L;
+        for (int $j = 0; $j < $bits; $j++) {
+          double $acc = 0.0;
+          for (int $i = 0; $i < $x.numElements(); $i++) {
+            long $m = $G.mix64(${seed}L ^ (((long) $j) << 32) ^ (long) $i);
+            $acc += (($m & 1L) == 0L) ? $x.getFloat($i) : -$x.getFloat($i);
+          }
+          if ($acc >= 0) $sig |= (1L << $j);
+        }
+        ${ev.value} = $sig;
+        """
+      })
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  def srp_signature(v: Column, bits: Int, seed: Long = 42L): Column =
+    ExpressionUtils.column(SrpSignature(ExpressionUtils.expression(v), bits, seed))
+
   // Column-level API.
   def vec_dot(a: Column, b: Column): Column =
     ExpressionUtils.column(DotProductF32(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))

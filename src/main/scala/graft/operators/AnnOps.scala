@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.VectorExpressions._
+
+/** Approximate-nearest-neighbor search paths over an embedding column
+  * (north-star §2.9). Two scale strategies:
+  *
+  *   - IVF (inverted file): partition the corpus by a coarse cell id and
+  *     probe only the query's cell — `sim_ivf_label_topk` in
+  *     QueriesSimilarity (oracle-checked, uses `label` as the cell).
+  *   - SRP-LSH (this file): sign-random-projection signatures bucket the
+  *     corpus by a 2^bits hash space; neighbors are searched only inside
+  *     the query's bucket (optionally multi-probe by flipping one bit).
+  *
+  * Both reduce the per-query scan from |corpus| to a cell/bucket, the
+  * difference being that SRP needs no trained quantizer. All pairwise
+  * work is inside buckets: shuffle keys are (bucket), never payload
+  * vectors crossed with everything.
+  */
+object AnnOps {
+  /** Signature table: (vec_id, embedding, bucket). */
+  def withBuckets(emb: DataFrame, bits: Int, seed: Long = 42L): DataFrame =
+    emb.withColumn("bucket", srp_signature(col("embedding"), bits, seed))
+
+  /** Top-k cosine neighbors per query, searched within the query's SRP
+    * bucket. `multiProbe` additionally searches all buckets at Hamming
+    * distance 1 (bits+1 probes total) — the standard recall/latency knob.
+    */
+  def srpTopK(emb: DataFrame, queryIds: Seq[Long], k: Int, bits: Int,
+              multiProbe: Boolean = false, seed: Long = 42L): DataFrame = {
+    val bucketed = withBuckets(emb, bits, seed)
+    val corpus = bucketed.select(col("vec_id").as("n_id"),
+      col("embedding").as("n_emb"), col("bucket"))
+    val q0 = bucketed.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("bucket"))
+    val probes =
+      if (!multiProbe) q0
+      else q0.withColumn("flip", explode(array((-1 +: (0 until bits)).map(lit): _*)))
+        .withColumn("bucket",
+          when(col("flip") === -1, col("bucket"))
+            .otherwise(expr("bucket ^ (1L << flip)")))
+        .drop("flip")
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    corpus.join(probes, Seq("bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+              vec_cosine(col("q_emb"), col("n_emb")).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
+  /** Exact brute-force top-k (ground truth for recall measurement). */
+  def bruteForceTopK(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val q = emb.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val c = emb.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    c.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+              vec_cosine(col("q_emb"), col("n_emb")).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+}

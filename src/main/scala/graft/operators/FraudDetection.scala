@@ -78,6 +78,27 @@ object FraudDetection {
       .withColumn("event_type", lit("Совершение операции при просроченном или заблокированном паспорте"))
   }
 
+  /** Rule 1, faithful form: the reference's literal OR-condition left join
+    * (main.py:464-471) written as-is. Without help this plans as a nested
+    * loop; with [[graft.plans.OrJoinDecomposition]] installed the optimizer
+    * splits it into hash-joinable branches — semantics identical to
+    * [[blacklistedPassport]]'s manual union rewrite (FraudSpec proves the
+    * outputs equal). Use the manual rewrite by default; this exists as the
+    * strict-reference form (SURVEY §7.3).
+    */
+  def blacklistedPassportFaithful(view: DataFrame, blacklist: DataFrame): DataFrame = {
+    val day = to_date(col("trans_date"))
+    val bl = blacklist.select(col("passport_num").as("bl_passport"), col("entry_dt"))
+    view.join(bl,
+        (col("passport_num") === col("bl_passport") && col("entry_dt") <= day) ||
+          col("passport_valid_to") < day,
+        "inner")
+      .select(col("trans_date").as("event_dt"), col("passport_num").as("passport"),
+              col("fio"), col("phone"))
+      .distinct()
+      .withColumn("event_type", lit("Совершение операции при просроченном или заблокированном паспорте"))
+  }
+
   /** Rule 2: transaction after the account contract expired
     * (`trunc(trans_date) > valid_to`, main.py:487). */
   def expiredContract(view: DataFrame): DataFrame =

@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.AnnOps
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.VectorExpressions.srp_signature
+
+class AnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = Tables.embeddings(spark, sf0001).cache()
+  private val queries = (0L until 20L).toSeq
+
+  test("SRP signatures are deterministic and bounded by the bit width") {
+    val sigs = AnnOps.withBuckets(emb, bits = 8).select("bucket").distinct()
+      .collect().map(_.getLong(0))
+    assert(sigs.forall(s => s >= 0 && s < 256))
+    val again = AnnOps.withBuckets(emb, bits = 8).select("bucket").distinct()
+      .collect().map(_.getLong(0))
+    assert(sigs.sorted.toSeq === again.sorted.toSeq)
+  }
+
+  test("identical vectors share a bucket; a negated vector lands elsewhere") {
+    val v = Seq((1L, Array.fill(16)(0.5f)), (2L, Array.fill(16)(0.5f)),
+                (3L, Array.fill(16)(-0.5f))).toDF("vec_id", "embedding")
+    val b = AnnOps.withBuckets(v, bits = 16).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("bucket")).toMap
+    assert(b(1L) === b(2L))
+    assert(b(1L) !== b(3L)) // 16 sign bits all flip for the negation
+  }
+
+  test("SRP neighbors all share the query's bucket (single-probe contract)") {
+    val res = AnnOps.srpTopK(emb, queries, k = 3, bits = 6)
+    val bucketOf = AnnOps.withBuckets(emb, bits = 6)
+      .select("vec_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val violations = res.select("q_id", "n_id").collect()
+      .filterNot(r => bucketOf(r.getLong(0)) == bucketOf(r.getLong(1)))
+    assert(violations.isEmpty)
+  }
+
+  test("multi-probe recall ≥ single-probe recall vs brute-force truth") {
+    def recall(approx: Map[Long, Set[Long]], truth: Map[Long, Set[Long]]): Double = {
+      val hits = truth.map { case (q, t) => (approx.getOrElse(q, Set.empty) & t).size }.sum
+      hits.toDouble / truth.values.map(_.size).sum
+    }
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "n_id").collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val truth = toMap(AnnOps.bruteForceTopK(emb, queries, 3))
+    val single = recall(toMap(AnnOps.srpTopK(emb, queries, 3, bits = 6)), truth)
+    val multi = recall(toMap(AnnOps.srpTopK(emb, queries, 3, bits = 6, multiProbe = true)), truth)
+    assert(multi >= single)
+    assert(multi > 0.0) // finds at least some true neighbors on random data
+  }
+
+  test("srp_signature agrees between codegen and interpreted eval") {
+    val df = emb.limit(100).select(col("vec_id"), srp_signature(col("embedding"), 16).as("s"))
+    val viaCodegen = df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val viaInterp = df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(viaCodegen === viaInterp)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+  }
+}

@@ -93,6 +93,13 @@ class FraudSpec extends SparkSpec {
       Seq("event_dt", "passport", "fio", "phone", "event_type", "report_dt"))
   }
 
+  test("faithful OR-join form of rule 1 equals the union rewrite") {
+    val rewrite = FraudDetection.blacklistedPassport(view, blacklist)
+    val faithful = FraudDetection.blacklistedPassportFaithful(view, blacklist)
+    assert(rewrite.exceptAll(faithful).count() === 0)
+    assert(faithful.exceptAll(rewrite).count() === 0)
+  }
+
   test("city hop outside one hour is not flagged") {
     val slow = transactions
       .withColumn("trans_date",
