@@ -57,7 +57,7 @@ object QueriesAdvanced {
         .orderBy(col("o_orderdate"), col("o_orderkey"))
       orders(s, d).select(
         col("o_orderkey"),
-        ntile(4).over(byDate).as("quartile"),
+        ntile(4).over(byDate).cast(LongType).as("quartile"),
         first_value(col("o_orderkey")).over(
           byDate.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("first_ok"),
         last_value(col("o_orderkey")).over(

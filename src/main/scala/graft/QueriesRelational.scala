@@ -182,7 +182,7 @@ object QueriesRelational {
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       orders(s, d)
-        .withColumn("rn", row_number().over(w))
+        .withColumn("rn", row_number().over(w).cast(LongType))
         .filter(col("rn") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
     }),
@@ -201,7 +201,7 @@ object QueriesRelational {
       val w = Window.partitionBy("s_nationkey").orderBy(col("s_acctbal").desc)
       supplier(s, d)
         .select(col("s_suppkey"), col("s_nationkey"),
-                dense_rank().over(w).as("drank"))
+                dense_rank().over(w).cast(LongType).as("drank"))
     }),
 
     "win_running_sum" -> ((s, d) => {
@@ -253,7 +253,7 @@ object QueriesRelational {
         concat_ws(" ", col("c_name"), col("c_mktsegment")).as("fio"),
         upper(col("c_name")).as("uname"),
         substring(col("c_name"), 1, 5).as("prefix5"),
-        length(col("c_name")).as("name_len"),
+        length(col("c_name")).cast(LongType).as("name_len"),
         trim(col("c_mktsegment")).as("seg_trim"))),
 
     // F3–F8: date/timestamp functions + interval arithmetic.

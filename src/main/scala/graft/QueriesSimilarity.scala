@@ -41,7 +41,7 @@ object QueriesSimilarity {
         .filter(col("q_id") =!= col("n_id"))
         .select(col("q_id"), col("n_id"),
                 round(vec_cosine(col("q_emb"), col("n_emb")), 6).as("cos_r"))
-        .withColumn("rn", row_number().over(w))
+        .withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= 5)
     }),
 
@@ -57,7 +57,7 @@ object QueriesSimilarity {
         .filter(col("q_id") =!= col("n_id"))
         .select(col("q_id"), col("n_id"),
                 round(vec_cosine(col("q_emb"), col("n_emb")), 6).as("cos_r"))
-        .withColumn("rn", row_number().over(w))
+        .withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= 3)
     }),
 
@@ -79,7 +79,7 @@ object QueriesSimilarity {
         col("vec_id"),
         round(vec_norm(col("embedding")), 6).as("norm_r"),
         round(vec_dot(col("embedding"), col("embedding")), 4).as("self_dot_r"),
-        size(col("embedding")).as("dim")))
+        size(col("embedding")).cast("long").as("dim")))
   )
 
   val oracleSql: Map[String, String] = Map(

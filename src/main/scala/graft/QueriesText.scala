@@ -31,11 +31,11 @@ object QueriesText {
     "text_stats" -> ((s, d) =>
       documents(s, d).select(
         col("doc_id"),
-        length(col("text")).as("n_chars_calc"),
-        size(split(col("text"), "\\s+")).as("n_tokens"),
+        length(col("text")).cast(LongType).as("n_chars_calc"),
+        size(split(col("text"), "\\s+")).cast(LongType).as("n_tokens"),
         (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", "")))
-          .as("n_punct"),
-        expr("regexp_count(text, '\\\\bthe\\\\b')").as("n_the"),
+          .cast(LongType).as("n_punct"),
+        expr("regexp_count(text, '\\\\bthe\\\\b')").cast(LongType).as("n_the"),
         (expr("CAST(regexp_count(text, '\\\\bthe\\\\b') AS DOUBLE)") /
           size(split(col("text"), "\\s+"))).as("stop_ratio"))),
 
@@ -73,8 +73,8 @@ object QueriesText {
     "text_token_count" -> ((s, d) =>
       documents(s, d).select(
         col("doc_id"),
-        expr("regexp_count(text, '[a-z]+|[0-9]+|[^a-z0-9\\\\s]')").as("n_bpe_tokens"),
-        expr("regexp_count(text, '[0-9]+')").as("n_digit_runs"))),
+        expr("regexp_count(text, '[a-z]+|[0-9]+|[^a-z0-9\\\\s]')").cast(LongType).as("n_bpe_tokens"),
+        expr("regexp_count(text, '[0-9]+')").cast(LongType).as("n_digit_runs"))),
 
     // Content fingerprint of the canonical text form (md5 = portable
     // across engines; the engine-native 64-bit variant is xxhash64).
@@ -133,7 +133,7 @@ object QueriesText {
                 col("source"))
         .select(col("doc_id"),
                 md5(col("payload")).as("content_hash"),
-                length(col("payload")).as("n_bytes"),
+                length(col("payload")).cast(LongType).as("n_bytes"),
                 col("source")))
   )
 

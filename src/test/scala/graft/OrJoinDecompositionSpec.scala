@@ -1,73 +1,65 @@
 package graft
 
 import graft.plans.OrJoinDecomposition
-import org.apache.spark.sql.SparkSession
 
-/** The OR-join decomposition rule needs its own session (optimizer rules
-  * are injected at session build time). */
+/** Exercises the rule through spark.experimental.extraOptimizations —
+  * runtime-injectable on the shared session (SparkSession.getOrCreate
+  * returns the existing session, so builder-time withExtensions cannot be
+  * tested per-suite in one JVM; production installs use
+  * OrJoinDecomposition.install / spark.sql.extensions=GraftExtensions).
+  */
 class OrJoinDecompositionSpec extends SparkSpec {
+  import spark.implicits._
 
-  private lazy val xspark: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .appName("graft-orjoin")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .withExtensions(OrJoinDecomposition.install)
-      .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
-    s
+  private def withRule[T](f: => T): T = {
+    spark.experimental.extraOptimizations = Seq(OrJoinDecomposition)
+    try f finally spark.experimental.extraOptimizations = Nil
   }
 
   test("OR join result matches 3VL semantics, including null predicates") {
-    val sqlc = xspark
-    import sqlc.implicits._
-    val lrows = Seq((1, Option(10)), (2, Option.empty[Int]), (3, Option(30)))
-    val rrows = Seq((1, 100), (2, 200), (9, 900))
-    val l = lrows.toDF("lk", "lv")
-    val r = rrows.toDF("rk", "rv")
-    val cond = ($"lk" === $"rk" && $"lv" > 5) || $"rv" > 150
-    val got = l.join(r, cond).select("lk", "rk").collect()
-      .map(x => (x.getInt(0), x.getInt(1))).sorted.toSeq
+    withRule {
+      val lrows = Seq((1, Option(10)), (2, Option.empty[Int]), (3, Option(30)))
+      val rrows = Seq((1, 100), (2, 200), (9, 900))
+      val l = lrows.toDF("lk", "lv")
+      val r = rrows.toDF("rk", "rv")
+      val cond = ($"lk" === $"rk" && $"lv" > 5) || $"rv" > 150
+      val got = l.join(r, cond).select("lk", "rk").collect()
+        .map(x => (x.getInt(0), x.getInt(1))).sorted.toSeq
 
-    // hand-computed truth: keep iff c1=true or c2=true (SQL 3VL)
-    val want = (for {
-      (lk, lv) <- lrows; (rk, rv) <- rrows
-      c1 = lk == rk && lv.exists(_ > 5)
-      c2 = rv > 150
-      if c1 || c2
-    } yield (lk, rk)).sorted
-    assert(got === want)
-    // null-c1 case really present: lk=2 matches rk=2 with lv NULL, rv=200
-    assert(got.contains((2, 2)))
+      // hand-computed truth: keep iff c1=true or c2=true (SQL 3VL)
+      val want = (for {
+        (lk, lv) <- lrows; (rk, rv) <- rrows
+        c1 = lk == rk && lv.exists(_ > 5)
+        c2 = rv > 150
+        if c1 || c2
+      } yield (lk, rk)).sorted
+      assert(got === want)
+      // null-c1 case really present: lk=2 matches rk=2 with lv NULL, rv=200
+      assert(got.contains((2, 2)))
+    }
   }
 
   test("row multiplicity is preserved when both branches are true") {
-    val sqlc = xspark
-    import sqlc.implicits._
-    val l = Seq((1, 10)).toDF("lk", "lv")
-    val r = Seq((1, 200)).toDF("rk", "rv")
-    // both c1 and c2 true for the single pair — must appear exactly once
-    val n = l.join(r, ($"lk" === $"rk") || ($"rv" > 150)).count()
-    assert(n === 1)
+    withRule {
+      val l = Seq((1, 10)).toDF("lk", "lv")
+      val r = Seq((1, 200)).toDF("rk", "rv")
+      // both c1 and c2 true for the single pair — must appear exactly once
+      assert(l.join(r, ($"lk" === $"rk") || ($"rv" > 150)).count() === 1)
+    }
   }
 
   test("rewritten plan is a union of joins, not a nested loop") {
-    val sqlc = xspark
-    import sqlc.implicits._
-    val l = (1 to 100).map(i => (i, i * 2)).toDF("lk", "lv")
-    val r = (1 to 100).map(i => (i, i * 3)).toDF("rk", "rv")
-    val df = l.join(r, ($"lk" === $"rk" && $"lv" > 10) || ($"lv" === $"rv"))
-    val optimized = df.queryExecution.optimizedPlan.toString
-    assert(optimized.contains("Union"), optimized)
-    val physical = df.queryExecution.executedPlan.toString
-    assert(!physical.contains("BroadcastNestedLoopJoin"), physical)
+    withRule {
+      val l = (1 to 100).map(i => (i, i * 2)).toDF("lk", "lv")
+      val r = (1 to 100).map(i => (i, i * 3)).toDF("rk", "rv")
+      val df = l.join(r, ($"lk" === $"rk" && $"lv" > 10) || ($"lv" === $"rv"))
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("Union"), optimized)
+      assert(!df.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+    }
   }
 
-  test("plain session (no extension) still nested-loops the same query") {
-    val plain = SparkTestBase.spark
-    import plain.implicits._
+  test("without the rule the same query nested-loops") {
     val l = (1 to 100).map(i => (i, i * 2)).toDF("lk", "lv")
     val r = (1 to 100).map(i => (i, i * 3)).toDF("rk", "rv")
     val df = l.join(r, ($"lk" === $"rk" && $"lv" > 10) || ($"lv" === $"rv"))
