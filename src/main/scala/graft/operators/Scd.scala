@@ -126,4 +126,22 @@ object Scd {
   def activeAt(hist: DataFrame, asOf: Timestamp): DataFrame =
     hist.filter(lit(asOf).between(col("effective_from"), col("effective_to")) &&
                 col("deleted_flg") === 0)
+
+  /** Point-in-time (as-of) join: each fact row picks the dimension version
+    * that was active at the row's own event time — the per-row
+    * generalization of [[activeAt]] (which the reference can only do for
+    * "now" because its view hard-codes sysdate). Equi join on the business
+    * key with a validity-interval residual: hash join on the key, residual
+    * filter per match. SCD2 intervals are disjoint per key, so each fact
+    * row matches at most one version; `how` = "left" keeps facts whose
+    * event time precedes the first version.
+    */
+  def asOfJoin(fact: DataFrame, hist: DataFrame, key: String,
+               tsCol: String, how: String = "inner"): DataFrame =
+    fact.join(
+      hist.filter(col("deleted_flg") === 0),
+      fact(key) === hist(key) &&
+        fact(tsCol).between(hist("effective_from"), hist("effective_to")),
+      how)
+      .drop(hist(key))
 }

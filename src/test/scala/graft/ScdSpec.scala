@@ -79,6 +79,26 @@ class ScdSpec extends SparkSpec {
     assert(d3.exceptAll(active).count() === 0)
   }
 
+  test("as-of join resolves each event to the version active at its time") {
+    import spark.implicits._
+    val facts = Seq(
+      ("A8966", ts("2021-03-01 12:00:00")), // day-1 version
+      ("A8966", ts("2021-03-02 12:00:00")), // day-2 version (address changed)
+      ("A8966", ts("2021-03-04 12:00:00")), // open day-3 version
+      ("P9111", ts("2021-03-02 12:00:00"))) // only live day 2
+      .toDF("terminal_id", "event_ts")
+    val joined = Scd.asOfJoin(facts, hist3, "terminal_id", "event_ts")
+    assert(joined.count() === 4)
+    val a = joined.filter(col("terminal_id") === "A8966")
+      .orderBy("event_ts").select("terminal_address").collect().map(_.getString(0))
+    assert(a.length === 3)
+    assert(a(0) !== a(1)) // address changed between day 1 and day 2
+    assert(a(1) !== a(2)) // and again on day 3
+    // a fact before the first version drops out of the inner join
+    val early = Seq(("P9111", ts("2021-03-01 12:00:00"))).toDF("terminal_id", "event_ts")
+    assert(Scd.asOfJoin(early, hist3, "terminal_id", "event_ts").count() === 0)
+  }
+
   test("SCD1 blacklist: cumulative loads are idempotent upserts") {
     val b1 = BankFeeds.blacklist(spark, s"$refDir/passport_blacklist_01032021.xlsx")
     val b2 = BankFeeds.blacklist(spark, s"$refDir/passport_blacklist_02032021.xlsx")
