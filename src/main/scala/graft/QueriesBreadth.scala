@@ -1,0 +1,163 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Final breadth batch: outer joins, same-nation 6-way join (TPC-H Q5
+  * shape), explode/unnest, collect+sort arrays, conditional aggregates,
+  * calendar trends, rank distributions, null-handling functions.
+  */
+object QueriesBreadth {
+  import Tables._
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q5 shape: revenue where customer and supplier share the
+    // nation, filtered to one region. Dims broadcast; fact-fact joins
+    // shuffle on their keys.
+    "join_6way_same_nation" -> ((s, d) =>
+      lineitem(s, d)
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(supplier(s, d),
+              col("l_suppkey") === col("s_suppkey") &&
+                col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, d).filter(col("r_name") === "ASIA")),
+              col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(4, 2)) - dec(col("l_discount"))))
+               .cast(DoubleType).as("revenue"))),
+
+    "join_full_outer" -> ((s, d) =>
+      customer(s, d).select(col("c_nationkey").as("nk")).groupBy("nk")
+        .agg(count(lit(1)).as("n_cust"))
+        .join(supplier(s, d).select(col("s_nationkey").as("nk")).groupBy("nk")
+                .agg(count(lit(1)).as("n_supp")),
+              Seq("nk"), "full_outer")
+        .select(col("nk"), coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+                coalesce(col("n_supp"), lit(0L)).as("n_supp"))),
+
+    "join_right_outer" -> ((s, d) =>
+      orders(s, d)
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"), "right")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"))),
+
+    // explode/unnest: word frequencies over part names.
+    "explode_word_freq" -> ((s, d) =>
+      part(s, d)
+        .select(explode(split(col("p_name"), " ")).as("word"))
+        .groupBy("word")
+        .agg(count(lit(1)).as("n"))),
+
+    // collect + sort: deterministic array-valued aggregation.
+    "agg_collect_sorted" -> ((s, d) =>
+      orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(array_sort(collect_set(col("o_orderpriority"))).as("priorities"),
+             count(lit(1)).as("n"))),
+
+    // conditional aggregation (FILTER / count_if).
+    "agg_conditional" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(count(when(col("l_discount") > 0.05, 1)).as("n_high_disc"),
+             sum(when(col("l_quantity") > 25, dec(col("l_extendedprice")))).cast(DoubleType)
+               .as("sum_price_bigqty"),
+             count(lit(1)).as("n"))),
+
+    // calendar trend: per month counts + exact sums.
+    "agg_month_trend" -> ((s, d) =>
+      orders(s, d)
+        .groupBy(date_trunc("month", col("o_orderdate")).cast(DateType).as("month"))
+        .agg(count(lit(1)).as("n_orders"),
+             sum(dec(col("o_totalprice"))).cast(DoubleType).as("sum_price"))),
+
+    // rank-distribution windows: percent_rank / cume_dist (exact rational
+    // arithmetic in double — deterministic across engines).
+    "win_rank_dist" -> ((s, d) => {
+      val w = Window.partitionBy("s_nationkey").orderBy(col("s_acctbal"), col("s_suppkey"))
+      supplier(s, d).select(
+        col("s_suppkey"),
+        percent_rank().over(w).as("prank"),
+        cume_dist().over(w).as("cdist"))
+    }),
+
+    // null-handling scalars (nullif introduces the nulls; testdata has none).
+    "fn_null_handling" -> ((s, d) =>
+      lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        nullif(col("l_discount"), lit(0.0)).as("disc_or_null"),
+        coalesce(nullif(col("l_discount"), lit(0.0)), lit(-1.0)).as("disc_coalesced"),
+        (col("l_discount") === 0.0).cast(IntegerType).as("is_zero")))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "join_6way_same_nation" ->
+      """SELECT n_name,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY 1""",
+
+    "join_full_outer" ->
+      """SELECT COALESCE(c.nk, s.nk) AS nk,
+          COALESCE(c.n_cust, 0) AS n_cust, COALESCE(s.n_supp, 0) AS n_supp
+        FROM (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY 1) c
+        FULL OUTER JOIN
+             (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY 1) s
+          ON c.nk = s.nk""",
+
+    "join_right_outer" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+        FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1""",
+
+    "explode_word_freq" ->
+      """SELECT word, COUNT(*) AS n FROM (
+          SELECT unnest(string_split(p_name, ' ')) AS word FROM part) t
+        GROUP BY 1""",
+
+    "agg_collect_sorted" ->
+      """SELECT o_orderstatus,
+          list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+          COUNT(*) AS n
+        FROM orders GROUP BY 1""",
+
+    "agg_conditional" ->
+      """SELECT l_returnflag,
+          COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_high_disc,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) FILTER (WHERE l_quantity > 25) AS DOUBLE) AS sum_price_bigqty,
+          COUNT(*) AS n
+        FROM lineitem GROUP BY 1""",
+
+    "agg_month_trend" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+          COUNT(*) AS n_orders,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM orders GROUP BY 1""",
+
+    "win_rank_dist" ->
+      """SELECT s_suppkey,
+          PERCENT_RANK() OVER w AS prank,
+          CUME_DIST() OVER w AS cdist
+        FROM supplier
+        WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)""",
+
+    "fn_null_handling" ->
+      """SELECT l_orderkey, l_linenumber,
+          nullif(l_discount, 0.0) AS disc_or_null,
+          coalesce(nullif(l_discount, 0.0), -1.0) AS disc_coalesced,
+          CAST(l_discount = 0.0 AS INT) AS is_zero
+        FROM lineitem"""
+  )
+}
