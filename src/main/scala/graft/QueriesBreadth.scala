@@ -87,6 +87,24 @@ object QueriesBreadth {
         cume_dist().over(w).as("cdist"))
     }),
 
+    // multiset set ops (bag semantics — duplicates preserved/subtracted).
+    "set_intersect_all" -> ((s, d) =>
+      orders(s, d).select(col("o_custkey").as("k"))
+        .intersectAll(lineitem(s, d).select(col("l_orderkey").as("k")))
+        .groupBy("k").agg(count(lit(1)).as("n"))),
+
+    "set_except_all" -> ((s, d) =>
+      orders(s, d).select(col("o_custkey").as("k"))
+        .exceptAll(lineitem(s, d).select(col("l_orderkey").as("k")))
+        .groupBy("k").agg(count(lit(1)).as("n"))),
+
+    // ordered string aggregation (string_agg parity via sorted collect).
+    "agg_string_concat" -> ((s, d) =>
+      customer(s, d)
+        .filter(col("c_custkey") < 50)
+        .groupBy("c_mktsegment")
+        .agg(array_join(array_sort(collect_list(col("c_name"))), ",").as("names"))),
+
     // null-handling scalars (nullif introduces the nulls; testdata has none).
     "fn_null_handling" -> ((s, d) =>
       lineitem(s, d).select(
@@ -152,6 +170,24 @@ object QueriesBreadth {
           CUME_DIST() OVER w AS cdist
         FROM supplier
         WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)""",
+
+    "set_intersect_all" ->
+      """SELECT k, COUNT(*) AS n FROM (
+          SELECT o_custkey AS k FROM orders
+          INTERSECT ALL SELECT l_orderkey AS k FROM lineitem) t
+        GROUP BY 1""",
+
+    "set_except_all" ->
+      """SELECT k, COUNT(*) AS n FROM (
+          SELECT o_custkey AS k FROM orders
+          EXCEPT ALL SELECT l_orderkey AS k FROM lineitem) t
+        GROUP BY 1""",
+
+    "agg_string_concat" ->
+      """SELECT c_mktsegment,
+          string_agg(c_name, ',' ORDER BY c_name) AS names
+        FROM customer WHERE c_custkey < 50
+        GROUP BY 1""",
 
     "fn_null_handling" ->
       """SELECT l_orderkey, l_linenumber,
