@@ -105,6 +105,19 @@ object QueriesBreadth {
         .groupBy("c_mktsegment")
         .agg(array_join(array_sort(collect_list(col("c_name"))), ",").as("names"))),
 
+    // higher-order array functions (transform / filter / aggregate) —
+    // integer arithmetic end-to-end for exact cross-engine parity.
+    "fn_hof_arrays" -> ((s, d) =>
+      lineitem(s, d)
+        .filter(col("l_linenumber") >= 1)
+        .select(col("l_orderkey"), col("l_linenumber"),
+                expr("sequence(1, l_linenumber)").as("arr"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          expr("aggregate(arr, 0L, (acc, x) -> acc + x)").as("arr_sum"),
+          expr("size(filter(arr, x -> x % 2 = 0))").cast(LongType).as("n_even"),
+          expr("aggregate(transform(arr, x -> x * x), 0L, (acc, x) -> acc + x)")
+            .as("sum_squares"))),
+
     // null-handling scalars (nullif introduces the nulls; testdata has none).
     "fn_null_handling" -> ((s, d) =>
       lineitem(s, d).select(
@@ -188,6 +201,13 @@ object QueriesBreadth {
           string_agg(c_name, ',' ORDER BY c_name) AS names
         FROM customer WHERE c_custkey < 50
         GROUP BY 1""",
+
+    "fn_hof_arrays" ->
+      """SELECT l_orderkey, l_linenumber,
+          CAST(list_sum(range(1, l_linenumber + 1)) AS BIGINT) AS arr_sum,
+          CAST(len(list_filter(range(1, l_linenumber + 1), x -> x % 2 = 0)) AS BIGINT) AS n_even,
+          CAST(list_sum(list_transform(range(1, l_linenumber + 1), x -> x * x)) AS BIGINT) AS sum_squares
+        FROM lineitem WHERE l_linenumber >= 1""",
 
     "fn_null_handling" ->
       """SELECT l_orderkey, l_linenumber,

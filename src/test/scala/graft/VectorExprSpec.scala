@@ -44,6 +44,20 @@ class VectorExprSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
   }
 
+  test("zip_with/aggregate HOF dot product agrees with the native expression") {
+    // the built-in higher-order-function formulation (f64) vs the codegen'd
+    // f32 expression — must agree to f32 precision on real embeddings
+    val e = Tables.embeddings(spark, sf0001).limit(100)
+    val pairs = e.alias("a").crossJoin(e.alias("b"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .select(
+        vec_dot(col("a.embedding"), col("b.embedding")).as("native"),
+        expr("""aggregate(zip_with(a.embedding, b.embedding, (x, y) -> CAST(x AS DOUBLE) * y),
+                          0D, (acc, v) -> acc + v)""").as("hof"))
+    val maxDiff = pairs.select(max(abs(col("native") - col("hof")))).head().getDouble(0)
+    assert(maxDiff < 1e-4, s"f32 expression vs f64 HOF diverged: $maxDiff")
+  }
+
   test("minhash signature: equal token sets → equal signatures; length H") {
     val df = Seq(
       (1L, Seq("a", "b", "c")), (2L, Seq("c", "b", "a")), (3L, Seq("x", "y", "z")))
