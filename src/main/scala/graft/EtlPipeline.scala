@@ -94,11 +94,13 @@ object EtlPipeline {
 
     // --- transactions: daily increments → append-only fact, partitioned by
     // day for partition pruning (the scalable form of main.py:417's
-    // current-day filter)
-    val existingDays: Set[String] = readIf("dwh_fact_transactions")
-      .map(_.select(date_format(col("day"), "yyyy-MM-dd")).distinct()
-        .collect().map(_.getString(0)).toSet)
-      .getOrElse(Set.empty)
+    // current-day filter). Loaded days come from the partition directory
+    // names (pure filesystem metadata) — no fact scan, no collect.
+    val factDir = new java.io.File(tablePath("dwh_fact_transactions"))
+    val existingDays: Set[String] =
+      if (factDir.isDirectory)
+        factDir.list().filter(_.startsWith("day=")).map(_.stripPrefix("day=")).toSet
+      else Set.empty
     for ((day, path) <- feed("transactions") if !existingDays.contains(day)) {
       BankFeeds.transactionsFact(spark, path)
         .withColumn("day", to_date(col("trans_date")))
@@ -111,13 +113,22 @@ object EtlPipeline {
       return
     }
 
-    // --- bank dimension tables (pre-existing in the reference's Oracle)
+    // --- bank dimension tables (pre-existing in the reference's Oracle).
+    // Resolution order: explicit parquet fixtures → JDBC if the env gate is
+    // set (graft.sources.BankJdbc — the reference's actual transport,
+    // main.py:410-414) → deterministic demo fixtures.
     val (clients, accounts, cards) = bankDir match {
       case Some(dir) =>
         (spark.read.parquet(s"$dir/clients.parquet"),
          spark.read.parquet(s"$dir/accounts.parquet"),
          spark.read.parquet(s"$dir/cards.parquet"))
-      case None => demoBankTables(spark, whDir)
+      case None => graft.sources.BankJdbc.fromEnv() match {
+        case Some(cfg) =>
+          (graft.sources.BankJdbc.readTable(spark, cfg, "bank.clients"),
+           graft.sources.BankJdbc.readTable(spark, cfg, "bank.accounts"),
+           graft.sources.BankJdbc.readTable(spark, cfg, "bank.cards"))
+        case None => demoBankTables(spark, whDir)
+      }
     }
 
     // --- fraud mart rebuild over the full fact (main.py:574-576)
@@ -142,19 +153,15 @@ object EtlPipeline {
     */
   def demoBankTables(spark: SparkSession, whDir: String): (DataFrame, DataFrame, DataFrame) = {
     val tx = spark.read.parquet(s"$whDir/dwh_fact_transactions")
-    val cardsSeen = tx.select(trim(col("card_num")).as("card_num")).distinct()
-      .orderBy("card_num")
-      .withColumn("cid", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy("card_num")).cast("long"))
+    val cardsSeen = withDenseId(
+      tx.select(trim(col("card_num")).as("card_num")).distinct(), "card_num", "cid")
     val cards = cardsSeen.select(col("card_num"), concat(lit("ACC"), col("cid")).as("account"))
     val accounts = cardsSeen.select(
       concat(lit("ACC"), col("cid")).as("account"),
       to_date(lit("2030-01-01")).as("valid_to"),
       col("cid").as("client"))
-    val bl = spark.read.parquet(s"$whDir/dwh_fact_pssprt_blcklst")
-      .orderBy("passport_num")
-      .withColumn("bid", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy("passport_num")).cast("long"))
+    val bl = withDenseId(
+      spark.read.parquet(s"$whDir/dwh_fact_pssprt_blcklst"), "passport_num", "bid")
     val clients = cardsSeen
       .join(bl.select(col("bid").as("cid"), col("passport_num").as("bl_passport")),
         Seq("cid"), "left")
@@ -167,5 +174,18 @@ object EtlPipeline {
         to_date(lit("2030-01-01")).as("passport_valid_to"),
         concat(lit("+7 900 "), col("cid")).as("phone"))
     (clients, accounts, cards)
+  }
+
+  /** Dense 1-based id by sort order of `keyCol`, partition-parallel: the
+    * sort range-partitions, zipWithIndex adds one count-per-partition job —
+    * unlike a global-Window row_number(), no single-partition funnel.
+    */
+  private def withDenseId(df: DataFrame, keyCol: String, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val indexed = df.orderBy(keyCol).rdd.zipWithIndex().map { case (row, idx) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (idx + 1L))
+    }
+    spark.createDataFrame(indexed,
+      df.schema.add(idCol, org.apache.spark.sql.types.LongType, nullable = false))
   }
 }

@@ -65,6 +65,10 @@ object QueriesAdvanced {
     }),
 
     // Exact percentiles via percentile_cont over integral-valued doubles.
+    // Exact `percentile` buffers each group sorted in memory — right for
+    // oracle parity at test SF; the 100 TB production variant is
+    // approx_percentile (t-digest sketch, bounded memory, map-side
+    // combinable) — equivalence is asserted in QueriesSmokeSpec.
     "agg_percentiles" -> ((s, d) =>
       lineitem(s, d)
         .groupBy("l_returnflag")
@@ -72,6 +76,37 @@ object QueriesAdvanced {
              expr("percentile(l_quantity, 0.9)").as("p90_qty"),
              min("l_quantity").as("min_qty"),
              max("l_quantity").as("max_qty"))),
+
+    // Point-in-time (as-of) join via Scd.asOfJoin: each lineitem picks the
+    // supplier *version* active at its ship time. The SCD2-shaped dim is
+    // synthesized deterministically (3 disjoint validity intervals per
+    // supplier, attribute varying per version) so DuckDB can replay the
+    // same interval join. Scale: hash join on the key with an interval
+    // residual — each fact row matches ≤1 version (intervals disjoint).
+    "join_asof" -> ((s, d) => {
+      val dim = supplier(s, d)
+        .select(col("s_suppkey"), col("s_acctbal"),
+          explode(expr(
+            """array(
+                 named_struct('effective_from', timestamp'1992-01-01 00:00:00',
+                              'effective_to',   timestamp'1994-12-31 23:59:59', 'ver', 1),
+                 named_struct('effective_from', timestamp'1995-01-01 00:00:00',
+                              'effective_to',   timestamp'1996-12-31 23:59:59', 'ver', 2),
+                 named_struct('effective_from', timestamp'1997-01-01 00:00:00',
+                              'effective_to',   timestamp'2999-12-31 23:59:59', 'ver', 3))"""))
+            .as("v"))
+        .select(col("s_suppkey").as("l_suppkey"),
+                col("v.effective_from").as("effective_from"),
+                col("v.effective_to").as("effective_to"),
+                col("v.ver").as("ver"),
+                (col("s_acctbal") * col("v.ver")).as("acctbal_ver"),
+                lit(0).as("deleted_flg"))
+      val fact = lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"), col("l_shipdate"))
+      graft.operators.Scd.asOfJoin(fact, dim, "l_suppkey", "l_shipdate")
+        .select("l_orderkey", "l_linenumber", "l_suppkey", "ver", "acctbal_ver",
+                "effective_from")
+    }),
 
     // SQL API end-to-end (TPC-H Q3 shape) through GraftSession.attach —
     // the spark.sql path exercises the same Catalyst plans as the
@@ -129,6 +164,19 @@ object QueriesAdvanced {
           MIN(l_quantity) AS min_qty,
           MAX(l_quantity) AS max_qty
         FROM lineitem GROUP BY 1""",
+
+    "join_asof" ->
+      """WITH dim AS (
+          SELECT s_suppkey AS l_suppkey, v.ef AS effective_from, v.et AS effective_to,
+                 v.ver AS ver, s_acctbal * v.ver AS acctbal_ver
+          FROM supplier CROSS JOIN (VALUES
+            (TIMESTAMP '1992-01-01 00:00:00', TIMESTAMP '1994-12-31 23:59:59', 1),
+            (TIMESTAMP '1995-01-01 00:00:00', TIMESTAMP '1996-12-31 23:59:59', 2),
+            (TIMESTAMP '1997-01-01 00:00:00', TIMESTAMP '2999-12-31 23:59:59', 3)) v(ef, et, ver))
+        SELECT l.l_orderkey, l.l_linenumber, l.l_suppkey, d.ver, d.acctbal_ver, d.effective_from
+        FROM lineitem l JOIN dim d
+          ON l.l_suppkey = d.l_suppkey
+         AND l.l_shipdate BETWEEN d.effective_from AND d.effective_to""",
 
     "sql_shipping_priority" ->
       """SELECT o_orderkey,

@@ -54,11 +54,14 @@ object QueriesBreadth {
         .groupBy("word")
         .agg(count(lit(1)).as("n"))),
 
-    // collect + sort: deterministic array-valued aggregation.
+    // collect + sort: deterministic array-valued aggregation. Joined to a
+    // string so the result is hashable by engines that can't sort on
+    // array-typed cells (the sorted array itself is covered in specs).
     "agg_collect_sorted" -> ((s, d) =>
       orders(s, d)
         .groupBy("o_orderstatus")
-        .agg(array_sort(collect_set(col("o_orderpriority"))).as("priorities"),
+        .agg(array_join(array_sort(collect_set(col("o_orderpriority"))), ",")
+               .as("priorities"),
              count(lit(1)).as("n"))),
 
     // conditional aggregation (FILTER / count_if).
@@ -86,6 +89,14 @@ object QueriesBreadth {
         percent_rank().over(w).as("prank"),
         cume_dist().over(w).as("cdist"))
     }),
+
+    // date-interval RANGE frame (trailing 30 days per customer) — the
+    // time-based window-frame surface beyond numeric RANGE offsets.
+    "win_range_interval" -> ((s, d) =>
+      orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        expr("""COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                RANGE BETWEEN INTERVAL '30' DAY PRECEDING AND CURRENT ROW)""")
+          .as("n_orders_30d"))),
 
     // multiset set ops (bag semantics — duplicates preserved/subtracted).
     "set_intersect_all" -> ((s, d) =>
@@ -117,6 +128,15 @@ object QueriesBreadth {
           expr("size(filter(arr, x -> x % 2 = 0))").cast(LongType).as("n_even"),
           expr("aggregate(transform(arr, x -> x * x), 0L, (acc, x) -> acc + x)")
             .as("sum_squares"))),
+
+    // Feed-ingest parity: the reference's quirkiest parser (main.py:316-335,
+    // 370 — `;` separator, whitespace-dirty rows, decimal-comma amounts)
+    // under the hash gate. Reads the reference's own .txt feeds (path is
+    // feed-relative, not SF-relative); amt → double for cross-engine dtype
+    // parity.
+    "feed_transactions_typed" -> ((s, _) =>
+      graft.sources.BankFeeds.transactions(s, "/root/reference/transactions_*.txt")
+        .withColumn("amt", col("amt").cast(DoubleType))),
 
     // null-handling scalars (nullif introduces the nulls; testdata has none).
     "fn_null_handling" -> ((s, d) =>
@@ -160,7 +180,7 @@ object QueriesBreadth {
 
     "agg_collect_sorted" ->
       """SELECT o_orderstatus,
-          list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+          array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS priorities,
           COUNT(*) AS n
         FROM orders GROUP BY 1""",
 
@@ -183,6 +203,12 @@ object QueriesBreadth {
           CUME_DIST() OVER w AS cdist
         FROM supplier
         WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)""",
+
+    "win_range_interval" ->
+      """SELECT o_orderkey, o_custkey,
+          COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+            RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW) AS n_orders_30d
+        FROM orders""",
 
     "set_intersect_all" ->
       """SELECT k, COUNT(*) AS n FROM (
@@ -208,6 +234,19 @@ object QueriesBreadth {
           CAST(len(list_filter(range(1, l_linenumber + 1), x -> x % 2 = 0)) AS BIGINT) AS n_even,
           CAST(list_sum(list_transform(range(1, l_linenumber + 1), x -> x * x)) AS BIGINT) AS sum_squares
         FROM lineitem WHERE l_linenumber >= 1""",
+
+    "feed_transactions_typed" ->
+      """SELECT
+          trim(transaction_id) AS trans_id,
+          strptime(trim(transaction_date), '%Y-%m-%d %H:%M:%S') AS trans_date,
+          CAST(CAST(replace(trim(amount), ',', '.') AS DECIMAL(20,2)) AS DOUBLE) AS amt,
+          trim(card_num) AS card_num,
+          trim(oper_type) AS oper_type,
+          trim(oper_result) AS oper_result,
+          trim(terminal) AS terminal
+        FROM read_csv('/root/reference/transactions_*.txt', delim=';', header=true,
+          columns={'transaction_id':'VARCHAR','transaction_date':'VARCHAR','amount':'VARCHAR',
+                   'card_num':'VARCHAR','oper_type':'VARCHAR','oper_result':'VARCHAR','terminal':'VARCHAR'})""",
 
     "fn_null_handling" ->
       """SELECT l_orderkey, l_linenumber,

@@ -116,11 +116,13 @@ object QueriesText {
     "dedup_minhash_lsh" -> ((s, d) =>
       graft.operators.DedupOps.minhashNearDups(documents(s, d), "doc_id", "text", 0.5)),
 
-    // SimHash 64-bit sketch + 4×16-bit banding, Hamming-verified. Sketch
-    // values are engine-hash-specific → no SQL oracle (rows-only check);
-    // cross-validated against minhash/jaccard in DedupSpec.
+    // SimHash 64-bit sketch + 4×16-bit banding, Hamming-verified. The
+    // portable (md5-token-hash) variant is bit-identical to the SQL
+    // reimplementation over md5_number_lower → full hash oracle; the faster
+    // engine-native xxh64 variant is cross-validated in DedupSpec.
     "dedup_simhash" -> ((s, d) =>
-      graft.operators.DedupOps.simhashNearDups(documents(s, d), "doc_id", "text", 8)),
+      graft.operators.DedupOps.simhashNearDups(documents(s, d), "doc_id", "text", 8,
+        portable = true)),
 
     // Multimodal plumbing: opaque binary payload + typed metadata. The
     // payload here is the utf-8 encoding of text (a deterministic stand-in
@@ -225,6 +227,34 @@ object QueriesText {
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
             / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5""",
+
+    // Reimplements the portable SimHash bit-for-bit: token hash =
+    // md5_number_lower (last 8 md5 bytes, LE), per-bit ±1 vote, bit_or of
+    // winning bits, 4×16-bit band self-join, Hamming ≤ 8 verify.
+    "dedup_simhash" ->
+      """WITH toks AS (
+          SELECT doc_id,
+                 unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+          FROM documents),
+        bits AS (
+          SELECT doc_id, b.j,
+                 SUM(CASE WHEN (md5_number_lower(tok) >> b.j) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+          FROM toks CROSS JOIN range(64) b(j)
+          GROUP BY doc_id, b.j),
+        sig AS (
+          SELECT doc_id,
+                 bit_or(CASE WHEN acc > 0 THEN 1::UBIGINT << j ELSE 0::UBIGINT END) AS sig
+          FROM bits GROUP BY doc_id),
+        banded AS (
+          SELECT doc_id, sig, b.i AS band_idx, (sig >> (16 * b.i)) & 65535 AS band_val
+          FROM sig CROSS JOIN range(4) b(i)),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS a_id, b2.doc_id AS b_id,
+                 CAST(bit_count(xor(a.sig, b2.sig)) AS BIGINT) AS hamming
+          FROM banded a JOIN banded b2
+            ON a.band_idx = b2.band_idx AND a.band_val = b2.band_val
+           AND a.doc_id < b2.doc_id)
+        SELECT a_id, b_id, hamming FROM pairs WHERE hamming <= 8""",
 
     "multimodal_hash" ->
       """SELECT doc_id, md5(text) AS content_hash,

@@ -34,6 +34,25 @@ object TextHashExpressions {
     org.apache.spark.sql.catalyst.expressions.XXH64
       .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Portable token hash: last 8 bytes of md5(token), little-endian —
+    * bit-identical to DuckDB's `md5_number_lower(token)`, so sketches built
+    * on it are reproducible outside the JVM (the SQL-oracle path). Slower
+    * than [[tokenHash]] (a real digest per token); use xxh64 when
+    * cross-engine parity isn't needed.
+    */
+  def md5TokenHash(s: UTF8String): Long = {
+    val md = md5Local.get(); md.reset()
+    val d = md.digest(s.getBytes)
+    var out = 0L; var i = 15
+    while (i >= 8) { out = (out << 8) | (d(i) & 0xffL); i -= 1 }
+    out
+  }
+
   /** MinHash signature: array of `numHashes` longs; element i is
     * min over tokens of mix64(xxh64(token) ^ mix64(i)).
     */
@@ -85,9 +104,14 @@ object TextHashExpressions {
 
   /** 64-bit SimHash over a token array: bit j of the result is set iff the
     * count of tokens whose hash has bit j set exceeds the count that do not.
+    *
+    * @param portable use [[md5TokenHash]] (reproducible in any engine with
+    *   md5 — the oracle-checkable path) instead of the faster engine-native
+    *   xxh64 [[tokenHash]].
     */
-  case class SimHash64(child: Expression)
+  case class SimHash64(child: Expression, portable: Boolean = false)
       extends UnaryExpression with ExpectsInputTypes {
+    private val hashFn: String = if (portable) "md5TokenHash" else "tokenHash"
     override def dataType: DataType = LongType
     override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
     override def nullSafeEval(a: Any): Any = {
@@ -96,7 +120,8 @@ object TextHashExpressions {
       var t = 0
       while (t < arr.numElements()) {
         if (!arr.isNullAt(t)) {
-          val h = tokenHash(arr.getUTF8String(t))
+          val h = if (portable) md5TokenHash(arr.getUTF8String(t))
+                  else tokenHash(arr.getUTF8String(t))
           var j = 0
           while (j < 64) {
             if (((h >>> j) & 1L) == 1L) acc(j) += 1 else acc(j) -= 1
@@ -118,7 +143,7 @@ object TextHashExpressions {
         int[] $acc = new int[64];
         for (int $t = 0; $t < $a.numElements(); $t++) {
           if (!$a.isNullAt($t)) {
-            long $h = $G.tokenHash($a.getUTF8String($t));
+            long $h = $G.$hashFn($a.getUTF8String($t));
             for (int $j = 0; $j < 64; $j++) {
               if ((($h >>> $j) & 1L) == 1L) $acc[$j]++; else $acc[$j]--;
             }
@@ -136,4 +161,8 @@ object TextHashExpressions {
     ExpressionUtils.column(MinHashSignature(ExpressionUtils.expression(tokens), numHashes))
   def simhash64(tokens: Column): Column =
     ExpressionUtils.column(SimHash64(ExpressionUtils.expression(tokens)))
+  /** md5-based SimHash — bit-identical to a SQL reimplementation over
+    * md5_number_lower; the oracle-checkable variant of [[simhash64]]. */
+  def simhash64_portable(tokens: Column): Column =
+    ExpressionUtils.column(SimHash64(ExpressionUtils.expression(tokens), portable = true))
 }

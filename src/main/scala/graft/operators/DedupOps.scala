@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.TextHashExpressions.{minhash_signature, simhash64}
+import org.apache.spark.sql.graft.TextHashExpressions.{minhash_signature, simhash64, simhash64_portable}
 
 /** Distributed near-duplicate detection pipelines (north-star §2.9).
   *
@@ -75,11 +75,16 @@ object DedupOps {
 
   /** SimHash near-dup: 64-bit sketch per doc, 4×16-bit LSH bands, verified
     * by Hamming distance ≤ maxHamming. Output: (a_id, b_id, hamming).
+    *
+    * @param portable derive token hashes from md5 (bit-identical to
+    *   `md5_number_lower` in SQL engines → oracle-checkable) instead of the
+    *   faster engine-native xxh64.
     */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
-                      maxHamming: Int): DataFrame = {
+                      maxHamming: Int, portable: Boolean = false): DataFrame = {
+    val sim = if (portable) simhash64_portable _ else simhash64 _
     val sigs = docs.select(col(idCol), tokens(col(textCol)).as("toks"))
-      .select(col(idCol), simhash64(col("toks")).as("sig"))
+      .select(col(idCol), sim(col("toks")).as("sig"))
     val banded = sigs.select(col(idCol), col("sig"),
       posexplode(expr(
         "transform(sequence(0, 3), b -> shiftright(sig, b * 16) & 65535)"))
@@ -91,7 +96,7 @@ object DedupOps {
     a.join(b, Seq("band_idx", "band_val"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
-              expr("bit_count(a_sig ^ b_sig)").as("hamming"))
+              expr("bit_count(a_sig ^ b_sig)").cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

@@ -43,15 +43,18 @@ object FraudDetection {
     val tx0 = if (currentDayOnly)
       transactions.filter(to_date(col("create_date")) === to_date(lit(asOf)))
     else transactions
-    // fact → dims; dims are broadcastable (clients/accounts/cards are
-    // bounded; terminals ≈150 rows)
+    // fact → dims. Only the terminal dim (≈150 rows, bounded by physical
+    // ATM fleet) gets an explicit broadcast hint; clients/accounts/cards
+    // grow with the customer base, so their join strategy is left to
+    // autoBroadcastJoinThreshold/AQE — at 100 TB they shuffle-hash-join on
+    // their keys instead of OOMing every executor with a forced broadcast.
     tx0
-      .join(broadcast(cards.withColumn("card_num_key", trim(col("card_num")))
-              .select(col("card_num_key"), col("account"))),
+      .join(cards.withColumn("card_num_key", trim(col("card_num")))
+              .select(col("card_num_key"), col("account")),
             trim(col("card_num")) === col("card_num_key"), "inner")
-      .join(broadcast(accounts.select(col("account"), col("valid_to"), col("client"))),
+      .join(accounts.select(col("account"), col("valid_to"), col("client")),
             Seq("account"), "inner")
-      .join(broadcast(clients), col("client") === col("client_id"), "inner")
+      .join(clients, col("client") === col("client_id"), "inner")
       .join(broadcast(term), col("terminal") === col("terminal_id"), "inner")
       .select(
         concat_ws(" ", col("last_name"), col("first_name"), col("patronymic")).as("fio"),

@@ -21,7 +21,10 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * original was a nested loop.
   *
   * Applied only when a branch contains an equality — otherwise the rewrite
-  * doubles a scan that was going to nested-loop anyway.
+  * doubles a scan that was going to nested-loop anyway — and only when both
+  * disjuncts are deterministic: c₁ is evaluated in both branches, so a
+  * non-deterministic c₁ (rand() etc.) could disagree across branches and
+  * duplicate or drop rows relative to the original join.
   *
   * Register via `.withExtensions(OrJoinDecomposition.install)` or
   * spark.sql.extensions=graft.plans.GraftExtensions.
@@ -35,7 +38,8 @@ object OrJoinDecomposition extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case j @ Join(left, right, Inner, Some(Or(c1, c2)), hint)
-        if j.resolved && (hasEquality(c1) || hasEquality(c2)) =>
+        if j.resolved && (hasEquality(c1) || hasEquality(c2)) &&
+          c1.deterministic && c2.deterministic =>
       val b1 = Join(left, right, Inner, Some(c1), hint)
       val notC1 = Not(Coalesce(Seq(c1, Literal(false)))) // true iff c1 false/null
       val b2 = Join(left, right, Inner, Some(And(notC1, c2)), JoinHint.NONE)

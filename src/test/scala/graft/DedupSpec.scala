@@ -6,6 +6,25 @@ import org.apache.spark.sql.functions._
 class DedupSpec extends SparkSpec {
   import spark.implicits._
 
+  test("portable token hash equals DuckDB md5_number_lower (pinned vector)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // DuckDB 1.0: SELECT md5_number_lower('hello') → 10575884659879408057
+    // (last 8 md5 bytes, little-endian). This pin is what makes the
+    // dedup_simhash SQL oracle bit-exact.
+    assert(org.apache.spark.sql.graft.TextHashExpressions
+      .md5TokenHash(UTF8String.fromString("hello")) ===
+      java.lang.Long.parseUnsignedLong("10575884659879408057"))
+  }
+
+  test("portable simhash variant is deterministic and near-dup-consistent") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val nearDup = ((1 to 58).map(i => s"tok$i") ++ Seq("x", "y")).mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup)).toDF("doc_id", "text")
+    val pairs = DedupOps.simhashNearDups(docs, "doc_id", "text", 12, portable = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
   test("LSH finds planted near-identical docs and skips unrelated ones") {
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
     val nearDup = ((1 to 58).map(i => s"tok$i") ++ Seq("x", "y")).mkString(" ")
@@ -36,9 +55,9 @@ class DedupSpec extends SparkSpec {
   test("simhash near-dups: deterministic across two runs") {
     val docs = Tables.documents(spark, sf0001)
     val r1 = DedupOps.simhashNearDups(docs, "doc_id", "text", 8)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     val r2 = DedupOps.simhashNearDups(docs, "doc_id", "text", 8)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(r1 === r2)
   }
 

@@ -100,6 +100,28 @@ class FraudSpec extends SparkSpec {
     assert(faithful.exceptAll(rewrite).count() === 0)
   }
 
+  test("only the terminal dim carries a broadcast hint; big dims follow the threshold") {
+    // With auto-broadcast off, only the explicit broadcast(term) hint may
+    // survive — clients/accounts/cards must not be force-broadcast (they
+    // scale with the customer base; ADVICE r1). AQE is disabled so the
+    // plan prints once (no Initial/Final duplication), and the asOf differs
+    // from the suite's cached view so the CacheManager can't substitute the
+    // broadcast-era cached plan.
+    val prevBr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val v = FraudDetection.dataView(clients, accounts, cards, transactions,
+        terminalsHist, ts("2021-03-03 12:34:56"))
+      val p = v.queryExecution.executedPlan.toString
+      assert("BroadcastHashJoin".r.findAllIn(p).size === 1, p)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBr)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("city hop outside one hour is not flagged") {
     val slow = transactions
       .withColumn("trans_date",

@@ -4,7 +4,7 @@ package graft
   * declare oracle SQL or be a documented rows-only sketch query. */
 class QueriesSmokeSpec extends SparkSpec {
 
-  private val rowsOnlyOk = Set("dedup_simhash") // hash-specific sketch output
+  private val rowsOnlyOk = Set.empty[String] // every query is oracle-checked since r2
 
   test("entry() returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
@@ -22,6 +22,20 @@ class QueriesSmokeSpec extends SparkSpec {
       val df = fn(spark, sf0001)
       assert(df.columns.nonEmpty)
       assert(df.count() >= 0)
+    }
+  }
+
+  test("approx_percentile (the 100 TB production variant) tracks exact percentile") {
+    // agg_percentiles uses exact percentile for oracle parity; production at
+    // scale swaps in the t-digest sketch. l_quantity is integral 1..50, so
+    // with accuracy 10000 the sketch must land within 1.0 of exact.
+    import org.apache.spark.sql.functions._
+    val df = Tables.lineitem(spark, sf0001)
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_quantity, 0.5)").as("exact"),
+           expr("approx_percentile(l_quantity, 0.5, 10000)").as("approx"))
+    df.collect().foreach { r =>
+      assert(math.abs(r.getDouble(1) - r.getDouble(2)) <= 1.0, r.toString)
     }
   }
 }

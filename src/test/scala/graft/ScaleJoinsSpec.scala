@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.ScaleJoins
+import org.apache.spark.sql.functions._
+
+/** The scale contracts of bucketed and salted joins, asserted at the plan
+  * level (the data is tiny; the plan is what survives a 100× scale-up).
+  */
+class ScaleJoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("same-bucketed tables join with zero Exchange (shuffle-free)") {
+    val facts = Tables.lineitem(spark, sf0001)
+      .select("l_orderkey", "l_quantity")
+    val dims = Tables.orders(spark, sf0001)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+    ScaleJoins.writeBucketed(facts, "bkt_lineitem", "l_orderkey", 8)
+    ScaleJoins.writeBucketed(dims, "bkt_orders", "l_orderkey", 8)
+
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = ScaleJoins.bucketedJoin(
+        spark.table("bkt_lineitem"), spark.table("bkt_orders"), "l_orderkey")
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("Exchange"), s"bucketed join must not shuffle:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+      spark.sql("DROP TABLE IF EXISTS bkt_orders")
+    }
+  }
+
+  test("salted join equals the plain join on a 90%-skewed fixture") {
+    // one hot key carries 900 of 1000 fact rows
+    val fact = spark.range(1000)
+      .select(when(col("id") < 900, lit(1L)).otherwise(col("id")).as("k"),
+              col("id").as("payload"))
+    val dim = Seq((1L, "hot"), (950L, "cold"), (999L, "cold2"))
+      .toDF("k", "label")
+    val plain = fact.join(dim, Seq("k"))
+    val salted = ScaleJoins.saltedJoin(fact, dim, "k", salt = 8)
+    assert(salted.columns.toSeq === plain.columns.toSeq)
+    assert(plain.exceptAll(salted).count() === 0)
+    assert(salted.exceptAll(plain).count() === 0)
+    assert(salted.count() === 902) // 900 hot + 2 cold
+  }
+
+  test("salt reaches the shuffle keys (hot key spreads across reducers)") {
+    val fact = spark.range(1000)
+      .select(lit(1L).as("k"), col("id").as("payload"))
+    val dim = Seq((1L, "hot")).toDF("k", "label")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val salted = ScaleJoins.saltedJoin(fact, dim, "k", salt = 8)
+      salted.collect()
+      val p = salted.queryExecution.executedPlan.toString
+      assert(p.contains("__salt"), s"salt column must participate in the join:\n$p")
+      assert("hashpartitioning\\([^)]*__salt".r.findFirstIn(p).isDefined,
+        s"shuffle must partition by (key, salt):\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
