@@ -108,6 +108,53 @@ object QueriesAdvanced {
                 "effective_from")
     }),
 
+    // Distributed statistics with DETERMINISTIC results: corr / covar /
+    // stddev computed from exact decimal moment sums (sx, sxx, sxy, …) and
+    // converted to double only in the final closed-form expression. Native
+    // corr()/stddev() accumulate doubles in partition order → different
+    // last bits per run/engine; exact moments make the statistics
+    // hash-reproducible AND map-side combinable (each moment is a plain
+    // decimal SUM — partial aggregation still applies).
+    "agg_stats_moments" -> ((s, d) => {
+      val x = dec(col("l_quantity"))
+      val y = dec(col("l_discount"))
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+             sum(x).as("sx"), sum(y).as("sy"),
+             sum(x * x).as("sxx"), sum(y * y).as("syy"),
+             sum(x * y).as("sxy"))
+        .select(col("l_returnflag"), col("n"),
+          ((col("sxy").cast(DoubleType) -
+            col("sx").cast(DoubleType) * col("sy").cast(DoubleType) / col("n").cast(DoubleType)) /
+            col("n").cast(DoubleType)).as("covar_pop"),
+          ((col("n").cast(DoubleType) * col("sxy").cast(DoubleType) -
+            col("sx").cast(DoubleType) * col("sy").cast(DoubleType)) /
+           (sqrt(col("n").cast(DoubleType) * col("sxx").cast(DoubleType) -
+                 col("sx").cast(DoubleType) * col("sx").cast(DoubleType)) *
+            sqrt(col("n").cast(DoubleType) * col("syy").cast(DoubleType) -
+                 col("sy").cast(DoubleType) * col("sy").cast(DoubleType)))).as("corr_xy"),
+          sqrt((col("sxx").cast(DoubleType) -
+                col("sx").cast(DoubleType) * col("sx").cast(DoubleType) / col("n").cast(DoubleType)) /
+               col("n").cast(DoubleType)).as("stddev_pop_x"))
+    }),
+
+    // Recursive CTE (Spark ≥4.0 WITH RECURSIVE): a recursive generator —
+    // doubling quantity thresholds 1,2,4,…,64 — joined against the fact.
+    // Same SQL runs verbatim in DuckDB; exercises the UnionLoop iterative
+    // evaluation path the DataFrame API can't express.
+    "sql_recursive_cte" -> ((s, d) => {
+      GraftSession.attach(s, d)
+      s.sql("""
+        WITH RECURSIVE lvl(k, thr) AS (
+          SELECT 0, 1
+          UNION ALL
+          SELECT k + 1, thr * 2 FROM lvl WHERE k < 6)
+        SELECT l.k, l.thr, COUNT(*) AS n_below
+        FROM lvl l JOIN lineitem ON l_quantity <= l.thr
+        GROUP BY l.k, l.thr""")
+    }),
+
     // SQL API end-to-end (TPC-H Q3 shape) through GraftSession.attach —
     // the spark.sql path exercises the same Catalyst plans as the
     // DataFrame API.
@@ -177,6 +224,34 @@ object QueriesAdvanced {
         FROM lineitem l JOIN dim d
           ON l.l_suppkey = d.l_suppkey
          AND l.l_shipdate BETWEEN d.effective_from AND d.effective_to""",
+
+    "agg_stats_moments" ->
+      """WITH m AS (
+          SELECT l_returnflag, COUNT(*) AS n,
+            SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+            SUM(CAST(l_discount AS DECIMAL(18,2))) AS sy,
+            SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+            SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS syy,
+            SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS sxy
+          FROM lineitem GROUP BY 1)
+        SELECT l_returnflag, n,
+          (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+            / CAST(n AS DOUBLE) AS covar_pop,
+          (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_xy,
+          sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+            / CAST(n AS DOUBLE)) AS stddev_pop_x
+        FROM m""",
+
+    "sql_recursive_cte" ->
+      """WITH RECURSIVE lvl(k, thr) AS (
+          SELECT 0, 1
+          UNION ALL
+          SELECT k + 1, thr * 2 FROM lvl WHERE k < 6)
+        SELECT l.k, l.thr, COUNT(*) AS n_below
+        FROM lvl l JOIN lineitem ON l_quantity <= l.thr
+        GROUP BY l.k, l.thr""",
 
     "sql_shipping_priority" ->
       """SELECT o_orderkey,

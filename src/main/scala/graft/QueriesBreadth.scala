@@ -54,6 +54,30 @@ object QueriesBreadth {
         .groupBy("word")
         .agg(count(lit(1)).as("n"))),
 
+    // generator with ordinality: position-preserving unnest (posexplode).
+    "fn_posexplode" -> ((s, d) =>
+      part(s, d).filter(col("p_partkey") <= 100)
+        .select(col("p_partkey"),
+                posexplode(split(col("p_name"), " ")).as(Seq("pos", "word")))
+        .withColumn("pos", col("pos").cast(LongType))),
+
+    // time-series gap filling: one row per (customer, calendar day) over
+    // each customer's active span, zero-filled — the densify step before
+    // any trailing-window feature at scale. sequence+explode is linear in
+    // output days; the join is hash-partitioned on (custkey, day).
+    "evt_gapfill_days" -> ((s, d) => {
+      val o = orders(s, d).filter(col("o_custkey") <= 20)
+        .select(col("o_custkey"), to_date(col("o_orderdate")).as("day"))
+      val days = o.groupBy("o_custkey")
+        .agg(min("day").as("d0"), max("day").as("d1"))
+        .select(col("o_custkey"),
+                explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      val counts = o.groupBy("o_custkey", "day").agg(count(lit(1)).as("n"))
+      days.join(counts, Seq("o_custkey", "day"), "left")
+        .select(col("o_custkey"), col("day"),
+                coalesce(col("n"), lit(0L)).as("n_orders"))
+    }),
+
     // collect + sort: deterministic array-valued aggregation. Joined to a
     // string so the result is hashable by engines that can't sort on
     // array-typed cells (the sorted array itself is covered in specs).
@@ -177,6 +201,28 @@ object QueriesBreadth {
       """SELECT word, COUNT(*) AS n FROM (
           SELECT unnest(string_split(p_name, ' ')) AS word FROM part) t
         GROUP BY 1""",
+
+    "fn_posexplode" ->
+      """WITH t AS (
+          SELECT p_partkey, string_split(p_name, ' ') AS toks
+          FROM part WHERE p_partkey <= 100)
+        SELECT p_partkey,
+          CAST(unnest(range(len(toks))) AS BIGINT) AS pos,
+          unnest(toks) AS word
+        FROM t""",
+
+    "evt_gapfill_days" ->
+      """WITH o AS (
+          SELECT o_custkey, CAST(o_orderdate AS DATE) AS day
+          FROM orders WHERE o_custkey <= 20),
+        span AS (SELECT o_custkey, MIN(day) AS d0, MAX(day) AS d1 FROM o GROUP BY 1),
+        days AS (
+          SELECT o_custkey,
+                 CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+          FROM span),
+        counts AS (SELECT o_custkey, day, COUNT(*) AS n FROM o GROUP BY 1, 2)
+        SELECT d.o_custkey, d.day, COALESCE(c.n, 0) AS n_orders
+        FROM days d LEFT JOIN counts c USING (o_custkey, day)""",
 
     "agg_collect_sorted" ->
       """SELECT o_orderstatus,

@@ -124,6 +124,19 @@ object QueriesText {
       graft.operators.DedupOps.simhashNearDups(documents(s, d), "doc_id", "text", 8,
         portable = true)),
 
+    // Near-dup pairs → dedup CLUSTERS: connected components by alternating
+    // large-star/small-star (DedupClusters) over the MinHash pair list;
+    // every doc gets cluster_id = min doc_id of its component (singletons
+    // label themselves). O(log n) rounds of pure (src,dst) shuffles; the
+    // DuckDB oracle replays it as a recursive-CTE transitive closure.
+    "dedup_clusters" -> ((s, d) => {
+      val docs = documents(s, d)
+      val pairs = graft.operators.DedupOps
+        .minhashNearDups(docs, "doc_id", "text", 0.5)
+        .select("a_id", "b_id")
+      graft.operators.DedupClusters.clusterLabels(docs, "doc_id", pairs)
+    }),
+
     // Multimodal plumbing: opaque binary payload + typed metadata. The
     // payload here is the utf-8 encoding of text (a deterministic stand-in
     // for image/audio bytes); content-hash dedup + size audit are the real
@@ -227,6 +240,31 @@ object QueriesText {
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
             / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5""",
+
+    "dedup_clusters" ->
+      """WITH RECURSIVE t AS (
+          SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+          FROM documents),
+        sh AS (
+          SELECT doc_id, list_distinct(list_transform(range(len(toks) - 2),
+            i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS shingles
+          FROM t WHERE len(toks) >= 3),
+        pairs AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5),
+        edges AS (
+          SELECT a_id AS u, b_id AS v FROM pairs
+          UNION SELECT b_id, a_id FROM pairs),
+        walk(u, v) AS (
+          SELECT u, v FROM edges
+          UNION
+          SELECT w.u, e.v FROM walk w JOIN edges e ON w.v = e.u),
+        comp AS (
+          SELECT u AS id, LEAST(MIN(v), u) AS cluster_id FROM walk GROUP BY u)
+        SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.id""",
 
     // Reimplements the portable SimHash bit-for-bit: token hash =
     // md5_number_lower (last 8 md5 bytes, LE), per-bit ±1 vote, bit_or of

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over a pair list — the step that turns pairwise
+  * near-duplicate hits (MinHash/SimHash output) into dedup CLUSTERS, so a
+  * training-data pipeline can keep one canonical document per cluster
+  * instead of dropping both ends of every pair.
+  *
+  * Algorithm: alternating large-star / small-star rounds (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC '14). Each round
+  * is two hash-partitioned aggregations + a join — no driver-side graph
+  * state, no per-node adjacency arrays (the min-label is computed with a
+  * plain `min` aggregate and joined back, so a celebrity node with 10⁸
+  * neighbors never materializes a list). Converges in O(log n) rounds even
+  * on path graphs, where naive label propagation needs O(n).
+  *
+  * At 100 TB: every step shuffles `(src, dst)` longs only; rounds
+  * `localCheckpoint` to keep the plan flat (same discipline as
+  * [[Scd.scd2Apply]] chaining).
+  */
+object DedupClusters {
+
+  private def sym(e: DataFrame): DataFrame =
+    e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+
+  private def selfEdges(e: DataFrame): DataFrame =
+    sym(e).select(col("src")).distinct().select(col("src"), col("src").as("dst"))
+
+  /** Large-star: every node links its LARGER neighbors to the minimum of
+    * its neighborhood (incl. itself). */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val s = sym(e)
+    val mins = s.union(selfEdges(e)).groupBy("src").agg(min("dst").as("m"))
+    s.join(mins, "src")
+      .filter(col("dst") > col("src"))
+      .select(col("dst").as("src"), col("m").as("dst"))
+      .distinct()
+  }
+
+  /** Small-star: orient edges toward the larger endpoint; every node links
+    * its smaller neighbors (and itself) to the neighborhood minimum. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val oriented = e
+      .select(greatest(col("src"), col("dst")).as("src"),
+              least(col("src"), col("dst")).as("dst"))
+    val withSelf = oriented.union(selfEdges(e))
+    val mins = withSelf.groupBy("src").agg(min("dst").as("m"))
+    withSelf.join(mins, "src")
+      .select(col("dst").as("src"), col("m").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** Component label (= minimum member id) for every node that appears in
+    * `edges`. Input columns: (src, dst) — any numeric/orderable id type;
+    * output: (id, component).
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    var e = edges.select(col(edges.columns(0)).as("src"),
+                         col(edges.columns(1)).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      // star graphs are fixpoints of both steps → stable edge set = done
+      converged = next.exceptAll(e).isEmpty && e.exceptAll(next).isEmpty
+      e = next
+      i += 1
+    }
+    // final edge set is a union of stars: child → root; roots label themselves
+    val members = e.select(col("src").as("id"), col("dst").as("component"))
+    val roots = e.select(col("dst")).distinct()
+      .select(col("dst").as("id"), col("dst").as("component"))
+    members.union(roots).distinct()
+  }
+
+  /** Cluster labels for a document near-dup pair list: every document in
+    * `docs` gets a cluster_id (= min doc id of its near-dup component;
+    * singletons label themselves). */
+  def clusterLabels(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val comp = connectedComponents(pairs)
+    docs.select(col(idCol))
+      .join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("component"), col(idCol)).as("cluster_id"))
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.DedupClusters
+import org.apache.spark.sql.functions._
+
+class DedupClustersSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def labels(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    DedupClusters.connectedComponents(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("two disjoint components label by their minima") {
+    val l = labels(Seq((1L, 2L), (2L, 3L), (10L, 11L)))
+    assert(l === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("a 64-node path collapses to one component (log-round convergence)") {
+    // the adversarial case for naive label propagation: diameter 63
+    val edges = (0L until 63L).map(i => (i, i + 1))
+    val l = labels(edges)
+    assert(l.size === 64)
+    assert(l.values.toSet === Set(0L))
+  }
+
+  test("duplicate / reversed / self edges are harmless") {
+    val l = labels(Seq((2L, 1L), (1L, 2L), (2L, 2L), (2L, 3L), (3L, 2L)))
+    assert(l === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("matches driver-side union-find on a pseudo-random graph") {
+    val rnd = new scala.util.Random(42)
+    val n = 200
+    val edges = Seq.fill(120)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    // reference: plain union-find
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(id => id -> {
+        // min member of the component = repeatedly-compressed root
+        var r = find(id.toInt); r.toLong
+      }).toMap
+    assert(labels(edges) === want)
+  }
+
+  test("clusterLabels keeps singletons labeled by themselves") {
+    val docs = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
+    val pairs = Seq((2L, 4L)).toDF("a_id", "b_id")
+    val l = DedupClusters.clusterLabels(docs, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(l === Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 2L))
+  }
+}
