@@ -67,8 +67,11 @@ object DedupClusters {
     var i = 0
     while (!converged && i < maxIter) {
       val next = smallStar(largeStar(e)).localCheckpoint()
-      // star graphs are fixpoints of both steps → stable edge set = done
-      converged = next.exceptAll(e).isEmpty && e.exceptAll(next).isEmpty
+      // star graphs are fixpoints of both steps → stable edge set = done.
+      // Both sets are distinct, so equal counts + one-sided inclusion ⇒
+      // equality (count first: it's a cheap short-circuit on the common
+      // not-yet-converged rounds).
+      converged = next.count() == e.count() && next.exceptAll(e).isEmpty
       e = next
       i += 1
     }

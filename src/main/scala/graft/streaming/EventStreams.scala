@@ -49,6 +49,27 @@ object EventStreams {
       .withWatermark("ts", "30 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Watermarked stream-stream interval join: each left-side event pairs
+    * with right-side events of the same user that follow it within one
+    * hour (the streaming form of the `join_interval_self` batch query and
+    * the fraud rule-3 correlation). Both sides carry watermarks and the
+    * join condition bounds r_ts relative to l_ts, so Spark can evict join
+    * state once the interval is closed — state stays bounded by
+    * (watermark + 1 h) per side instead of growing with the stream.
+    */
+  def intervalJoinWithinHour(left: DataFrame, right: DataFrame): DataFrame = {
+    val l = left.withWatermark("ts", "30 minutes")
+      .select(col("user_id"), col("ts").as("l_ts"), col("event_type").as("l_type"))
+    val r = right.withWatermark("ts", "2 hours")
+      .select(col("user_id").as("r_user"), col("ts").as("r_ts"),
+              col("event_type").as("r_type"))
+    l.join(r,
+        col("user_id") === col("r_user") &&
+          col("r_ts") > col("l_ts") &&
+          col("r_ts") <= col("l_ts") + expr("INTERVAL 1 HOUR"))
+      .select("user_id", "l_ts", "l_type", "r_ts", "r_type")
+  }
+
   // --- stateful SCD2-style tracking ------------------------------------
 
   case class KeyedAttr(key: String, ts: Timestamp, attr: String)

@@ -67,6 +67,21 @@ class StreamingSpec extends SparkSpec {
       === Array(10L, 11L))
   }
 
+  test("stream-stream interval join pairs events within the hour only") {
+    val clicks = MemoryStream[Ev](spark)
+    val buys = MemoryStream[Ev](spark)
+    clicks.addData(Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 0))
+    buys.addData(
+      Ev(2, ts("2024-01-01 10:30:00"), 1, "buy", 0),  // within the hour → match
+      Ev(3, ts("2024-01-01 12:00:00"), 1, "buy", 0),  // too late → no match
+      Ev(4, ts("2024-01-01 10:20:00"), 2, "buy", 0))  // other user → no match
+    runToMemory(EventStreams.intervalJoinWithinHour(clicks.toDF(), buys.toDF()),
+      "ssjoin")
+    val rows = spark.table("ssjoin").collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[Timestamp]("r_ts") === ts("2024-01-01 10:30:00"))
+  }
+
   test("stateful SCD2 tracking closes versions on attribute change") {
     implicit val s = spark
     val in = MemoryStream[EventStreams.KeyedAttr](spark)
