@@ -22,6 +22,7 @@ object GraftSession {
         Tables.table(spark, sfDir, t).createOrReplaceTempView(t)
     }
     org.apache.spark.sql.graft.VectorExpressions.register(spark)
+    org.apache.spark.sql.graft.TextHashExpressions.register(spark)
     spark
   }
 }

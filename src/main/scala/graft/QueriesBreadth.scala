@@ -162,6 +162,25 @@ object QueriesBreadth {
       graft.sources.BankFeeds.transactions(s, "/root/reference/transactions_*.txt")
         .withColumn("amt", col("amt").cast(DoubleType))),
 
+    // bitwise scalar surface (&, |, ^, shifts) — exact integer ops.
+    "fn_bitwise" -> ((s, d) =>
+      lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        expr("l_orderkey & 255").as("and_k"),
+        expr("l_orderkey | 15").as("or_k"),
+        expr("l_orderkey ^ l_linenumber").as("xor_k"),
+        expr("shiftleft(l_linenumber, 3)").cast(LongType).as("shl"),
+        expr("shiftright(l_orderkey, 2)").as("shr"))),
+
+    // conditional scalar extras: greatest/least, nvl, nvl2.
+    "fn_conditional_extras" -> ((s, d) =>
+      supplier(s, d).select(
+        col("s_suppkey"),
+        greatest(col("s_acctbal"), lit(0.0)).as("bal_floor"),
+        least(col("s_acctbal"), lit(1000.0)).as("bal_cap"),
+        expr("nvl(nullif(s_nationkey, 0), -1)").cast(LongType).as("nation_nvl"),
+        expr("nvl2(nullif(s_nationkey, 0), 'set', 'zero')").as("nation_flag"))),
+
     // null-handling scalars (nullif introduces the nulls; testdata has none).
     "fn_null_handling" -> ((s, d) =>
       lineitem(s, d).select(
@@ -293,6 +312,23 @@ object QueriesBreadth {
         FROM read_csv('/root/reference/transactions_*.txt', delim=';', header=true,
           columns={'transaction_id':'VARCHAR','transaction_date':'VARCHAR','amount':'VARCHAR',
                    'card_num':'VARCHAR','oper_type':'VARCHAR','oper_result':'VARCHAR','terminal':'VARCHAR'})""",
+
+    "fn_bitwise" ->
+      """SELECT l_orderkey, l_linenumber,
+          l_orderkey & 255 AS and_k,
+          l_orderkey | 15 AS or_k,
+          xor(l_orderkey, CAST(l_linenumber AS BIGINT)) AS xor_k,
+          CAST(l_linenumber << 3 AS BIGINT) AS shl,
+          l_orderkey >> 2 AS shr
+        FROM lineitem""",
+
+    "fn_conditional_extras" ->
+      """SELECT s_suppkey,
+          greatest(s_acctbal, 0.0) AS bal_floor,
+          least(s_acctbal, 1000.0) AS bal_cap,
+          CAST(coalesce(nullif(s_nationkey, 0), -1) AS BIGINT) AS nation_nvl,
+          CASE WHEN nullif(s_nationkey, 0) IS NOT NULL THEN 'set' ELSE 'zero' END AS nation_flag
+        FROM supplier""",
 
     "fn_null_handling" ->
       """SELECT l_orderkey, l_linenumber,

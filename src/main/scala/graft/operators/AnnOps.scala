@@ -52,6 +52,56 @@ object AnnOps {
       .filter(col("rn") <= k)
   }
 
+  /** Trained-quantizer IVF: k-means centroids form the coarse quantizer,
+    * each corpus vector is assigned to its nearest centroid (the inverted
+    * file), and a query searches only its `nProbe` closest cells — the
+    * standard FAISS-style IVF layout, Spark-native: training is one ML
+    * job, assignment is a map, search shuffles only (cell) keys.
+    *
+    * At 100 TB: train on a sample (`fit` here uses the full corpus because
+    * test corpora are small), persist `cell` with the corpus so assignment
+    * is a one-time cost, and bucket the corpus files by cell so a probe
+    * reads only its cells' files. With `nProbe = nCells` the search is
+    * exhaustive and exactly equals [[bruteForceTopK]] (AnnSpec asserts it).
+    */
+  def kmeansIvfTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
+                    nCells: Int, nProbe: Int, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = emb.sparkSession
+    import spark.implicits._
+
+    val withVec = emb.withColumn("fv", array_to_vector(col("embedding")))
+    val model = new KMeans().setK(nCells).setSeed(seed).setFeaturesCol("fv")
+      .fit(withVec)
+    val assigned = model.transform(withVec)
+      .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
+
+    val cents = model.clusterCenters.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
+      .toDF("cell", "c_emb")
+
+    val q = assigned.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val wProbe = Window.partitionBy("q_id").orderBy(col("cdist"), col("cell"))
+    val probes = q.crossJoin(broadcast(cents))
+      .select(col("q_id"), col("q_emb"), col("cell"),
+              (lit(1.0) - vec_cosine(col("q_emb"), col("c_emb"))).as("cdist"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nProbe)
+      .select("q_id", "q_emb", "cell")
+
+    val corpus = assigned.select(col("vec_id").as("n_id"),
+      col("embedding").as("n_emb"), col("cell"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    corpus.join(probes, Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+              vec_cosine(col("q_emb"), col("n_emb")).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
   /** Exact brute-force top-k (ground truth for recall measurement). */
   def bruteForceTopK(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
     val q = emb.filter(col("vec_id").isInCollection(queryIds))

@@ -53,6 +53,26 @@ class AnnSpec extends SparkSpec {
     assert(multi > 0.0) // finds at least some true neighbors on random data
   }
 
+  test("k-means IVF with nProbe = nCells equals brute force exactly") {
+    def toSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "n_id", "rn").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val ivfAll = AnnOps.kmeansIvfTopK(emb, queries, k = 5, nCells = 8, nProbe = 8)
+    val truth = AnnOps.bruteForceTopK(emb, queries, k = 5)
+    assert(toSet(ivfAll) === toSet(truth))
+  }
+
+  test("k-means IVF probe-1 search stays within probed cells and finds neighbors") {
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "n_id").collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val truth = toMap(AnnOps.bruteForceTopK(emb, queries, 5))
+    val approx = toMap(AnnOps.kmeansIvfTopK(emb, queries, 5, nCells = 8, nProbe = 2))
+    val hits = truth.map { case (q, t) => (approx.getOrElse(q, Set.empty) & t).size }.sum
+    val recall = hits.toDouble / truth.values.map(_.size).sum
+    assert(recall > 0.3, s"IVF nProbe=2/8 recall $recall") // loose: random data
+  }
+
   test("srp_signature agrees between codegen and interpreted eval") {
     val df = emb.limit(100).select(col("vec_id"), srp_signature(col("embedding"), 16).as("s"))
     val viaCodegen = df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
