@@ -124,6 +124,13 @@ object QueriesText {
       graft.operators.DedupOps.simhashNearDups(documents(s, d), "doc_id", "text", 8,
         portable = true)),
 
+    // Reproducible train/val/test split (90/5/5): membership is a pure
+    // function of md5(doc_id) — identical on every run, every engine, any
+    // parallelism (rand()-based splits are none of these). Map-only.
+    "text_train_test_split" -> ((s, d) =>
+      graft.operators.Sampling.trainValTestSplit(
+        documents(s, d).select("doc_id"), "doc_id")),
+
     // Near-dup pairs → dedup CLUSTERS: connected components by alternating
     // large-star/small-star (DedupClusters) over the MinHash pair list;
     // every doc gets cluster_id = min doc_id of its component (singletons
@@ -240,6 +247,17 @@ object QueriesText {
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
             / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5""",
+
+    "text_train_test_split" ->
+      """WITH b AS (
+          SELECT doc_id,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+          FROM documents)
+        SELECT doc_id, bucket,
+          CASE WHEN bucket < 90 THEN 'train'
+               WHEN bucket < 95 THEN 'val'
+               ELSE 'test' END AS split
+        FROM b""",
 
     "dedup_clusters" ->
       """WITH RECURSIVE t AS (

@@ -35,6 +35,29 @@ object ScaleJoins {
   def bucketedJoin(left: DataFrame, right: DataFrame, key: String): DataFrame =
     left.join(right, Seq(key))
 
+  /** Compact a parquet directory to approximately `targetMB`-sized files.
+    * Long-running ingestion (like the daily-append transactions fact)
+    * accumulates small files; at 100 TB the resulting task-per-tiny-file
+    * scheduling and NameNode/listing pressure dominate scan cost. This
+    * reads the table, repartitions to ceil(bytes / target), and rewrites
+    * atomically (localCheckpoint breaks lineage from the files being
+    * replaced — the EtlPipeline snapshot-rewrite discipline).
+    * Returns the new partition count.
+    */
+  def compactParquet(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     targetMB: Int = 128): Int = {
+    val bytes = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) f.length() else 0L
+      walk(new java.io.File(dir))
+    }
+    val parts = math.max(1, math.ceil(bytes / (targetMB * 1024.0 * 1024.0)).toInt)
+    val df = spark.read.parquet(dir).repartition(parts).localCheckpoint()
+    df.write.mode(SaveMode.Overwrite).parquet(dir)
+    parts
+  }
+
   /** Salted inner equi-join for skewed keys. A hot key (one city, one
     * null-ish default, one power user) sends all its rows to one reducer
     * and the stage runs at the speed of that straggler. Salting scatters

@@ -57,4 +57,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") || p.contains("SortMergeJoin")
       || p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin"), p)
   }
+
+  test("as-of join extracts the equi key (interval stays residual, not BNL)") {
+    val p = plan("join_asof")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("deterministic split is map-only: no shuffle in the plan") {
+    val p = plan("text_train_test_split")
+    assert(!p.contains("Exchange"), p)
+  }
 }

@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.Sampling
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sf0001).select("doc_id").cache()
+
+  test("split is exhaustive, disjoint, and stable across runs") {
+    val s1 = Sampling.trainValTestSplit(docs, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val s2 = Sampling.trainValTestSplit(docs, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(s1 === s2)
+    assert(s1.size === docs.count())
+    assert(s1.values.toSet.subsetOf(Set("train", "val", "test")))
+  }
+
+  test("split proportions land near 90/5/5") {
+    val counts = Sampling.trainValTestSplit(docs, "doc_id")
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = docs.count().toDouble
+    assert(counts("train") / n > 0.8 && counts("train") / n < 0.97, counts.toString)
+    assert(counts.getOrElse("val", 0L) + counts.getOrElse("test", 0L) > 0)
+  }
+
+  test("deterministic sample keeps a key-stable subset of the right size") {
+    val a = Sampling.sampleDeterministic(docs, "doc_id", 0.3)
+      .collect().map(_.getLong(0)).toSet
+    val b = Sampling.sampleDeterministic(docs, "doc_id", 0.3)
+      .collect().map(_.getLong(0)).toSet
+    assert(a === b)
+    val frac = a.size / docs.count().toDouble
+    assert(frac > 0.2 && frac < 0.4, s"got $frac")
+    // monotone: a smaller fraction is a subset of a larger one
+    val smaller = Sampling.sampleDeterministic(docs, "doc_id", 0.1)
+      .collect().map(_.getLong(0)).toSet
+    assert(smaller.subsetOf(a))
+  }
+
+  test("stratified sampling honors per-stratum rates") {
+    val d = Tables.documents(spark, sf0001).select("doc_id", "lang")
+    val out = Sampling.stratifiedSample(d, "lang", "doc_id",
+      Map("en" -> 1.0, "de" -> 0.0))
+    val langs = out.select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(langs.contains("en") && !langs.contains("de"))
+    // en fully kept
+    val enTotal = d.filter(col("lang") === "en").count()
+    assert(out.filter(col("lang") === "en").count() === enTotal)
+  }
+}

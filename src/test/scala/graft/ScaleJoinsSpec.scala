@@ -33,6 +33,22 @@ class ScaleJoinsSpec extends SparkSpec {
     }
   }
 
+  test("compaction merges small files and preserves content") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_").toString
+    val data = Tables.lineitem(spark, sf0001).select("l_orderkey", "l_quantity")
+    data.repartition(40).write.mode("overwrite").parquet(dir)
+    def nFiles = new java.io.File(dir).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    val before = nFiles
+    assert(before >= 30, s"fixture should be fragmented, got $before files")
+    val sumBefore = spark.read.parquet(dir).agg(sum("l_quantity")).head().getDouble(0)
+    ScaleJoins.compactParquet(spark, dir, targetMB = 128)
+    assert(nFiles < before / 10, s"expected big reduction, got $nFiles files")
+    val sumAfter = spark.read.parquet(dir).agg(sum("l_quantity")).head().getDouble(0)
+    assert(sumAfter === sumBefore)
+    assert(spark.read.parquet(dir).count() === data.count())
+  }
+
   test("salted join equals the plain join on a 90%-skewed fixture") {
     // one hot key carries 900 of 1000 fact rows
     val fact = spark.range(1000)
