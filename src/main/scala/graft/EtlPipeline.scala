@@ -139,7 +139,14 @@ object EtlPipeline {
     val view = FraudDetection.dataView(clients, accounts, cards, tx, hist, asOf)
       .cache()
     val rep = FraudDetection.repFraud(view, bl, new Date(System.currentTimeMillis()))
-    overwrite(rep, "rep_fraud")
+    // Dynamic partition overwrite: only the report days present in this
+    // run's output are replaced — historical mart partitions survive a
+    // daily rebuild untouched (the scalable form of the reference's
+    // per-day delete+insert; a full-table overwrite would rewrite the
+    // whole mart history every night).
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    rep.localCheckpoint().write.mode(SaveMode.Overwrite)
+      .partitionBy("report_dt").parquet(tablePath("rep_fraud"))
 
     val histN = spark.read.parquet(tablePath("dwh_dim_terminals_hist")).count()
     val txN = tx.count()

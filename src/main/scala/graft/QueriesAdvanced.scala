@@ -139,6 +139,44 @@ object QueriesAdvanced {
                col("n").cast(DoubleType)).as("stddev_pop_x"))
     }),
 
+    // UNPIVOT (melt): the inverse of agg_pivot — wide per-status sums fold
+    // back into (key, status, value) rows. Both engines drop NULL cells.
+    "agg_unpivot" -> ((s, d) => {
+      GraftSession.attach(s, d)
+      s.sql("""
+        WITH wide AS (
+          SELECT l_returnflag,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_f,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS qty_o
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, st, qty FROM wide UNPIVOT (qty FOR st IN (qty_f, qty_o))""")
+    }),
+
+    // Correlated LATERAL join with per-row LIMIT: top-2 suppliers per
+    // nation — the lateral form of win_topk_per_group (Catalyst rewrites
+    // the correlated limit into a partitioned window, not N subqueries).
+    "sql_lateral_topk" -> ((s, d) => {
+      GraftSession.attach(s, d)
+      s.sql("""
+        SELECT n.n_name, t.s_suppkey, t.s_acctbal
+        FROM nation n JOIN LATERAL (
+          SELECT s_suppkey, s_acctbal FROM supplier
+          WHERE s_nationkey = n.n_nationkey
+          ORDER BY s_acctbal DESC, s_suppkey LIMIT 2) t""")
+    }),
+
+    // GROUPING() markers distinguish data NULLs from subtotal rows in
+    // rollups — the standard cube-consumer contract.
+    "agg_grouping_id" -> ((s, d) => {
+      GraftSession.attach(s, d)
+      s.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+               CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""")
+    }),
+
     // Recursive CTE (Spark ≥4.0 WITH RECURSIVE): a recursive generator —
     // doubling quantity thresholds 1,2,4,…,64 — joined against the fact.
     // Same SQL runs verbatim in DuckDB; exercises the UnionLoop iterative
@@ -243,6 +281,28 @@ object QueriesAdvanced {
           sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
             / CAST(n AS DOUBLE)) AS stddev_pop_x
         FROM m""",
+
+    "agg_unpivot" ->
+      """WITH wide AS (
+          SELECT l_returnflag,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_f,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS qty_o
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, st, qty FROM wide UNPIVOT (qty FOR st IN (qty_f, qty_o))""",
+
+    "sql_lateral_topk" ->
+      """SELECT n.n_name, t.s_suppkey, t.s_acctbal
+        FROM nation n JOIN LATERAL (
+          SELECT s_suppkey, s_acctbal FROM supplier
+          WHERE s_nationkey = n.n_nationkey
+          ORDER BY s_acctbal DESC, s_suppkey LIMIT 2) t ON TRUE""",
+
+    "agg_grouping_id" ->
+      """SELECT l_returnflag, l_linestatus,
+          CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+          CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+          COUNT(*) AS n
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
 
     "sql_recursive_cte" ->
       """WITH RECURSIVE lvl(k, thr) AS (

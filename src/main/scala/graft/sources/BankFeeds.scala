@@ -57,6 +57,37 @@ object BankFeeds {
         trim(col("oper_result")).as("oper_result"),
         trim(col("terminal")).as("terminal"))
 
+  /** Quarantining variant of [[transactions]]: structurally malformed
+    * lines (wrong column count → PERMISSIVE `_corrupt`) and semantically
+    * bad rows (unparseable timestamp/amount via try_to_timestamp/try_cast)
+    * are split off instead of failing the load — the reference's row-wise
+    * `executemany` aborts the whole day on one bad line (main.py:331-333).
+    * Returns (typed good rows, quarantined rows with their raw fields).
+    */
+  def transactionsQuarantine(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
+    val raw = spark.read
+      .option("sep", ";").option("header", true)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .schema(StructType(txStagingSchema.fields :+ StructField("_corrupt", StringType)))
+      .csv(path)
+    val typed = raw.select(
+      col("_corrupt"),
+      trim(col("transaction_id")).as("trans_id"),
+      expr("try_to_timestamp(trim(transaction_date), 'yyyy-MM-dd HH:mm:ss')").as("trans_date"),
+      expr("try_cast(replace(trim(amount), ',', '.') AS DECIMAL(20,2))").as("amt"),
+      trim(col("card_num")).as("card_num"),
+      trim(col("oper_type")).as("oper_type"),
+      trim(col("oper_result")).as("oper_result"),
+      trim(col("terminal")).as("terminal"))
+    // short rows parse with trailing NULLs rather than a _corrupt marker,
+    // so completeness is part of validity: every business field must be set
+    val ok = col("_corrupt").isNull &&
+      Seq("trans_id", "trans_date", "amt", "card_num", "oper_type",
+          "oper_result", "terminal").map(col(_).isNotNull).reduce(_ && _)
+    (typed.filter(ok).drop("_corrupt"), typed.filter(!ok))
+  }
+
   /** Append-ready fact rows with the audit column the reference defaults
     * via `create_date default sysdate` (main.py:349). */
   def transactionsFact(spark: SparkSession, path: String): DataFrame =

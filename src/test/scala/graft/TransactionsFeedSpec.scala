@@ -39,4 +39,29 @@ class TransactionsFeedSpec extends SparkSpec {
     val days = df.select(to_date(col("trans_date"))).distinct().collect()
     assert(days.map(_.get(0).toString).toSeq === Seq("2021-03-03"))
   }
+
+  test("quarantine splits malformed lines instead of failing the load") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_feed_")
+    val f = dir.resolve("transactions_bad.txt")
+    java.nio.file.Files.writeString(f,
+      """transaction_id;transaction_date;amount;card_num;oper_type;oper_result;terminal
+        |1;2021-03-01 10:00:00;100,50;1111 2222 3333 4444;PAYMENT;SUCCESS;P1
+        |2;NOT_A_DATE;200,00;1111 2222 3333 4444;PAYMENT;SUCCESS;P1
+        |3;2021-03-01 11:00:00;NOT_AN_AMOUNT;1111 2222 3333 4444;PAYMENT;SUCCESS;P1
+        |4;2021-03-01 12:00:00;300,00
+        |""".stripMargin)
+    val (good, bad) = BankFeeds.transactionsQuarantine(spark, f.toString)
+    assert(good.count() === 1)
+    assert(good.head().getString(0) === "1")
+    assert(bad.count() === 3)
+    // quarantined rows keep their raw identity for triage
+    assert(bad.filter(col("trans_id") === "2").count() === 1)
+  }
+
+  test("quarantine on the real feeds quarantines nothing") {
+    val (good, bad) = BankFeeds.transactionsQuarantine(
+      spark, s"$refDir/transactions_01032021.txt")
+    assert(bad.count() === 0)
+    assert(good.count() === 15650)
+  }
 }
