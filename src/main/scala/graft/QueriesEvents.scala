@@ -55,6 +55,25 @@ object QueriesEvents {
              countDistinct(col("event_type")).as("n_types"))
     }),
 
+    // Funnel analysis: per user, did the first 'view' convert to a
+    // 'purchase' within one hour? Two keyed aggregations + one equi join —
+    // no interval self-join, no state explosion at 100 TB.
+    "evt_funnel" -> ((s, d) => {
+      val e = events(s, d).select(col("user_id"), tsUs.as("us"), col("event_type"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("us").as("first_view_us"))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("us").as("p_us"))
+      val conv = v.join(p, Seq("user_id"))
+        .filter(col("p_us") > col("first_view_us"))
+        .groupBy("user_id").agg(min("p_us").as("first_purchase_us"))
+      v.join(conv, Seq("user_id"), "left")
+        .select(col("user_id"), col("first_view_us"),
+          when(col("first_purchase_us").isNotNull &&
+               col("first_purchase_us") - col("first_view_us") <= 3600L * 1000000L, 1)
+            .otherwise(0).cast(IntegerType).as("converted_1h"))
+    }),
+
     // Event-time dedup idiom: latest event per (user, type) — the batch
     // twin of dropDuplicatesWithinWatermark.
     "evt_latest_per_key" -> ((s, d) => {
@@ -92,6 +111,20 @@ object QueriesEvents {
           MAX(tus) - MIN(tus) AS duration_us,
           COUNT(DISTINCT event_type) AS n_types
         FROM sessions GROUP BY 1, 2""",
+
+    "evt_funnel" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+        v AS (SELECT user_id, MIN(us) AS first_view_us FROM e
+              WHERE event_type = 'view' GROUP BY 1),
+        c AS (SELECT v.user_id, MIN(p.us) AS first_purchase_us
+              FROM v JOIN e p ON p.user_id = v.user_id
+               AND p.event_type = 'purchase' AND p.us > v.first_view_us
+              GROUP BY 1)
+        SELECT v.user_id, v.first_view_us,
+          CAST(CASE WHEN c.first_purchase_us IS NOT NULL
+                     AND c.first_purchase_us - v.first_view_us <= 3600000000
+                    THEN 1 ELSE 0 END AS INT) AS converted_1h
+        FROM v LEFT JOIN c ON v.user_id = c.user_id""",
 
     "evt_latest_per_key" ->
       """SELECT user_id, event_type, event_id, ts_us FROM (

@@ -124,6 +124,34 @@ object QueriesText {
       graft.operators.DedupOps.simhashNearDups(documents(s, d), "doc_id", "text", 8,
         portable = true)),
 
+    // Gopher-style repetition/shape signals: duplicate-3-gram ratio, mean
+    // word length, symbol ratio — the filters large text-corpus curation
+    // actually runs (repetitive docs are boilerplate/spam). Map-only.
+    "text_gopher_signals" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), normText(col("text")).as("norm"))
+        .select(col("doc_id"), col("norm"), split(col("norm"), " ").as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"),
+          size(col("toks")).cast(LongType).as("n_words"),
+          (length(regexp_replace(col("norm"), " ", "")).cast(DoubleType) /
+            size(col("toks"))).as("mean_word_len"),
+          (expr("regexp_count(norm, '[^a-z0-9 ]')").cast(DoubleType) /
+            length(col("norm"))).as("symbol_ratio"),
+          expr("""1.0 - CAST(size(array_distinct(transform(sequence(1, size(toks) - 2),
+                    i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1])))) AS DOUBLE)
+                  / (size(toks) - 2)""").as("dup_3gram_ratio"))),
+
+    // PII scrubbing: emails and long digit runs replaced by placeholder
+    // tokens — the redaction pass of a training-data pipeline. Patterns are
+    // portable across Java regex and RE2.
+    "text_redact_pii" -> ((s, d) =>
+      documents(s, d).select(col("doc_id"),
+        regexp_replace(
+          regexp_replace(col("text"),
+            "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+          "[0-9]{7,}", "<NUM>").as("redacted"))),
+
     // Reproducible train/val/test split (90/5/5): membership is a pure
     // function of md5(doc_id) — identical on every run, every engine, any
     // parallelism (rand()-based splits are none of these). Map-only.
@@ -247,6 +275,29 @@ object QueriesText {
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
             / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5""",
+
+    "text_gopher_signals" ->
+      """WITH t AS (
+          SELECT doc_id,
+                 trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm,
+                 string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+          FROM documents)
+        SELECT doc_id,
+          CAST(len(toks) AS BIGINT) AS n_words,
+          CAST(length(replace(norm, ' ', '')) AS DOUBLE) / len(toks) AS mean_word_len,
+          CAST(len(regexp_extract_all(norm, '[^a-z0-9 ]')) AS DOUBLE) / length(norm) AS symbol_ratio,
+          1.0 - CAST(len(list_distinct(list_transform(range(len(toks) - 2),
+                  i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS DOUBLE)
+                / (len(toks) - 2) AS dup_3gram_ratio
+        FROM t WHERE len(toks) >= 3""",
+
+    "text_redact_pii" ->
+      """SELECT doc_id,
+          regexp_replace(
+            regexp_replace(text,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '[0-9]{7,}', '<NUM>', 'g') AS redacted
+        FROM documents""",
 
     "text_train_test_split" ->
       """WITH b AS (
