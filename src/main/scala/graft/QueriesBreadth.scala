@@ -162,6 +162,31 @@ object QueriesBreadth {
       graft.sources.BankFeeds.transactions(s, "/root/reference/transactions_*.txt")
         .withColumn("amt", col("amt").cast(DoubleType))),
 
+    // COUNT(DISTINCT) OVER — Spark rejects distinct aggregates in windows;
+    // the standard rewrite is max(dense_rank) per partition: rank the
+    // values, the max rank IS the distinct count, broadcast to every row.
+    // The oracle runs the same rewrite so both engines share semantics.
+    "win_count_distinct" -> ((s, d) => {
+      val rk = Window.partitionBy("l_returnflag").orderBy("l_suppkey")
+      val pt = Window.partitionBy("l_returnflag")
+      lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+                dense_rank().over(rk).as("dr"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+                max("dr").over(pt).cast(LongType).as("n_distinct_supp"))
+    }),
+
+    // string-distance + padding/translation scalar breadth.
+    "fn_strings_distance" -> ((s, d) =>
+      customer(s, d).filter(col("c_custkey") <= 200).select(
+        col("c_custkey"),
+        levenshtein(col("c_name"), lit("Customer#000000001")).cast(LongType).as("lev"),
+        lpad(col("c_mktsegment"), 12, ".").as("seg_lpad"),
+        rpad(col("c_mktsegment"), 12, ".").as("seg_rpad"),
+        reverse(col("c_name")).as("name_rev"),
+        translate(col("c_name"), "#0", "_x").as("name_tr"),
+        repeat(col("c_mktsegment"), 2).as("seg_twice"))),
+
     // bitwise scalar surface (&, |, ^, shifts) — exact integer ops.
     "fn_bitwise" -> ((s, d) =>
       lineitem(s, d).select(
@@ -312,6 +337,25 @@ object QueriesBreadth {
         FROM read_csv('/root/reference/transactions_*.txt', delim=';', header=true,
           columns={'transaction_id':'VARCHAR','transaction_date':'VARCHAR','amount':'VARCHAR',
                    'card_num':'VARCHAR','oper_type':'VARCHAR','oper_result':'VARCHAR','terminal':'VARCHAR'})""",
+
+    "win_count_distinct" ->
+      """WITH r AS (
+          SELECT l_orderkey, l_linenumber, l_returnflag,
+                 DENSE_RANK() OVER (PARTITION BY l_returnflag ORDER BY l_suppkey) AS dr
+          FROM lineitem)
+        SELECT l_orderkey, l_linenumber, l_returnflag,
+               MAX(dr) OVER (PARTITION BY l_returnflag) AS n_distinct_supp
+        FROM r""",
+
+    "fn_strings_distance" ->
+      """SELECT c_custkey,
+          CAST(levenshtein(c_name, 'Customer#000000001') AS BIGINT) AS lev,
+          lpad(c_mktsegment, 12, '.') AS seg_lpad,
+          rpad(c_mktsegment, 12, '.') AS seg_rpad,
+          reverse(c_name) AS name_rev,
+          translate(c_name, '#0', '_x') AS name_tr,
+          repeat(c_mktsegment, 2) AS seg_twice
+        FROM customer WHERE c_custkey <= 200""",
 
     "fn_bitwise" ->
       """SELECT l_orderkey, l_linenumber,

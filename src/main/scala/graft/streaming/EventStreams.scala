@@ -107,6 +107,31 @@ object EventStreams {
       }
   }
 
+  /** Streaming upsert sink: every micro-batch merges into a keyed parquet
+    * state through [[graft.operators.Scd.scd1Apply]] (snapshot rewrite) —
+    * the streaming form of the reference's SCD1 blacklist maintenance.
+    * Because scd1Apply is a fixpoint for an already-applied snapshot, a
+    * batch re-delivered after checkpoint recovery converges to the same
+    * state — the practical exactly-once story for a file-based sink.
+    * Returns a writer; caller sets checkpointLocation (which scopes each
+    * batch to NEW offsets) and trigger, then starts it. Updates should be
+    * unique per key within a batch (e.g. latest-per-key upstream) — with
+    * multiple versions of a key in one batch, all survive the merge.
+    */
+  def upsertSink(updates: DataFrame, statePath: String, key: String,
+                 attrs: Seq[String]): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    updates.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val spark = batch.sparkSession
+      val dir = new java.io.File(statePath)
+      val existing =
+        if (dir.isDirectory && dir.list().exists(f => !f.startsWith("_") && !f.startsWith(".")))
+          Some(spark.read.parquet(statePath))
+        else None
+      graft.operators.Scd.scd1Apply(existing, batch, key, attrs)
+        .localCheckpoint()
+        .write.mode("overwrite").parquet(statePath)
+    }
+
   /** File-source incremental load: the streaming replacement for the
     * reference's cron + glob + archive loop. `Trigger.AvailableNow`
     * processes everything present, checkpoints, and stops — exactly the

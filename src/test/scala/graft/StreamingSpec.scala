@@ -98,6 +98,27 @@ class StreamingSpec extends SparkSpec {
     assert(v.getAs[Timestamp]("effective_to") === ts("2021-03-02 23:59:59"))
   }
 
+  test("foreachBatch upsert sink maintains SCD1 state across triggers") {
+    val base = java.nio.file.Files.createTempDirectory("graft_upsert_").toString
+    val state = s"$base/kv"
+    val in = MemoryStream[(String, String)](spark)
+    def drain(): Unit = {
+      // the checkpoint carries offsets across triggers — without it a new
+      // query replays the whole MemoryStream into one batch
+      val q = EventStreams.upsertSink(in.toDF().toDF("k", "v"), state, "k", Seq("v"))
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    in.addData(("K1", "a"), ("K2", "b"))
+    drain()
+    in.addData(("K1", "a2"), ("K3", "c")) // K1 overwritten, K3 new
+    drain()
+    val got = spark.read.parquet(state).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got === Map("K1" -> "a2", "K2" -> "b", "K3" -> "c"))
+  }
+
   test("file stream with AvailableNow drains the events table incrementally") {
     import org.apache.spark.sql.types._
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_").toString
