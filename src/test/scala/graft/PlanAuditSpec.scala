@@ -69,4 +69,16 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("text_train_test_split")
     assert(!p.contains("Exchange"), p)
   }
+
+  test("stacked same-partition windows share one shuffle") {
+    // dense_rank + max windows both partition by l_returnflag — the
+    // partitioning must be reused, not re-shuffled per window
+    val p = plan("win_count_distinct")
+    assert("Exchange".r.findAllIn(p).size === 1, p)
+  }
+
+  test("funnel plans as keyed joins, never a nested loop") {
+    val p = plan("evt_funnel")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
