@@ -124,6 +124,26 @@ object QueriesText {
       graft.operators.DedupOps.simhashNearDups(documents(s, d), "doc_id", "text", 8,
         portable = true)),
 
+    // Group-level signatures via the custom ElementwiseMinAgg aggregate:
+    // min-over-rows of a MinHash-style signature IS the signature of the
+    // union of the underlying sets, so one keyed aggregation produces
+    // per-group sketches (hierarchical dedup's building block). Signature
+    // values here derive from md5 so DuckDB can replay the whole thing;
+    // emitted as CSV so the driver can hash it (arrays don't sort in its
+    // checker).
+    "agg_elementwise_min" -> ((s, d) =>
+      documents(s, d)
+        .select(col("lang"), expr(
+          """transform(sequence(0, 7), i ->
+               pmod(cast(conv(substr(md5(concat(cast(doc_id as string), ':', cast(i as string))), 1, 15), 16, 10) as bigint), 1000000))""")
+          .as("sig"))
+        .groupBy("lang")
+        .agg(org.apache.spark.sql.graft.AggExpressions.elementwise_min(col("sig"))
+               .as("min_sig"))
+        .select(col("lang"),
+          expr("array_join(transform(min_sig, x -> cast(x as string)), ',')")
+            .as("min_sig_csv"))),
+
     // Gopher-style repetition/shape signals: duplicate-3-gram ratio, mean
     // word length, symbol ratio — the filters large text-corpus curation
     // actually runs (repetitive docs are boilerplate/spam). Map-only.
@@ -275,6 +295,17 @@ object QueriesText {
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
             / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5""",
+
+    "agg_elementwise_min" ->
+      """WITH s AS (
+          SELECT lang, doc_id,
+            list_transform(range(8), i ->
+              CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000) AS sig
+          FROM documents),
+        u AS (SELECT lang, unnest(range(8)) AS pos, unnest(sig) AS v FROM s),
+        m AS (SELECT lang, pos, MIN(v) AS mv FROM u GROUP BY 1, 2)
+        SELECT lang, string_agg(CAST(mv AS VARCHAR), ',' ORDER BY pos) AS min_sig_csv
+        FROM m GROUP BY lang""",
 
     "text_gopher_signals" ->
       """WITH t AS (

@@ -53,8 +53,21 @@ object ScaleJoins {
       walk(new java.io.File(dir))
     }
     val parts = math.max(1, math.ceil(bytes / (targetMB * 1024.0 * 1024.0)).toInt)
-    val df = spark.read.parquet(dir).repartition(parts).localCheckpoint()
-    df.write.mode(SaveMode.Overwrite).parquet(dir)
+    // write-to-sibling-then-swap: the table streams straight from old
+    // files to new files (no checkpoint materialization of the whole
+    // table), and readers see either the old or the new layout, never a
+    // half-written directory. On HDFS/S3 the rename is the FileSystem
+    // API's; this local form uses java.io.
+    val tmp = new java.io.File(dir + ".compact_tmp")
+    spark.read.parquet(dir).repartition(parts)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val target = new java.io.File(dir)
+    def rmRf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmRf)
+      f.delete(); ()
+    }
+    rmRf(target)
+    require(tmp.renameTo(target), s"swap failed: $tmp -> $target")
     parts
   }
 
