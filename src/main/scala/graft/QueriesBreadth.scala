@@ -162,6 +162,28 @@ object QueriesBreadth {
       graft.sources.BankFeeds.transactions(s, "/root/reference/transactions_*.txt")
         .withColumn("amt", col("amt").cast(DoubleType))),
 
+    // TPC-H Q13 shape: order-count distribution — a double aggregation
+    // (per-customer count, then histogram of counts). The outer agg input
+    // is already small (one row per customer) — the expensive join/agg
+    // happens once, the distribution is nearly free.
+    "sql_order_dist" -> ((s, d) =>
+      customer(s, d)
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .groupBy("n_orders")
+        .agg(count(lit(1)).as("n_custs"))),
+
+    // NULLS FIRST/LAST ordering in windows — nulls injected via nullif
+    // (testdata has none), ordered explicitly so both engines agree.
+    "win_null_ordering" -> ((s, d) => {
+      val w = Window.partitionBy("s_nationkey")
+        .orderBy(expr("nullif(s_acctbal, 0.0)").asc_nulls_last, col("s_suppkey").asc)
+      supplier(s, d).select(
+        col("s_suppkey"),
+        row_number().over(w).cast(LongType).as("rn_nulls_last"))
+    }),
+
     // COUNT(DISTINCT) OVER — Spark rejects distinct aggregates in windows;
     // the standard rewrite is max(dense_rank) per partition: rank the
     // values, the max rank IS the distinct count, broadcast to every row.
@@ -337,6 +359,19 @@ object QueriesBreadth {
         FROM read_csv('/root/reference/transactions_*.txt', delim=';', header=true,
           columns={'transaction_id':'VARCHAR','transaction_date':'VARCHAR','amount':'VARCHAR',
                    'card_num':'VARCHAR','oper_type':'VARCHAR','oper_result':'VARCHAR','terminal':'VARCHAR'})""",
+
+    "sql_order_dist" ->
+      """SELECT n_orders, COUNT(*) AS n_custs FROM (
+          SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+          GROUP BY c_custkey) t
+        GROUP BY 1""",
+
+    "win_null_ordering" ->
+      """SELECT s_suppkey,
+          ROW_NUMBER() OVER (PARTITION BY s_nationkey
+            ORDER BY nullif(s_acctbal, 0.0) ASC NULLS LAST, s_suppkey ASC) AS rn_nulls_last
+        FROM supplier""",
 
     "win_count_distinct" ->
       """WITH r AS (

@@ -50,6 +50,25 @@ object Multimodal {
       .groupBy("content_hash")
       .agg(count(lit(1)).as("n_copies"), min("media_id").as("canonical_id"))
 
+  /** REAL (non-stub) metadata extraction: PNG dimensions parsed straight
+    * from the IHDR header with built-in functions. A PNG starts with the
+    * fixed 8-byte signature, a 4-byte chunk length, the 4 bytes "IHDR",
+    * then big-endian 4-byte width and height — so bytes 17-20/21-24
+    * (1-indexed) ARE the dimensions. substring+hex+conv keeps the whole
+    * thing codegen'd, and only the first 24 bytes of each payload are
+    * touched — no codec, no UDF, column-pruning-friendly.
+    * Adds is_png / png_width / png_height (null dims for non-PNGs).
+    */
+  def withPngDims(media: DataFrame, payloadCol: String = "payload"): DataFrame = {
+    val isPng = hex(expr(s"substring($payloadCol, 1, 8)")) === "89504E470D0A1A0A"
+    def be4(pos: Int) =
+      conv(hex(expr(s"substring($payloadCol, $pos, 4)")), 16, 10).cast(LongType)
+    media
+      .withColumn("is_png", isPng.cast(IntegerType))
+      .withColumn("png_width", when(isPng, be4(17)))
+      .withColumn("png_height", when(isPng, be4(21)))
+  }
+
   case class MediaFeatures(media_id: Long, n_bytes: Int, width: Int,
                            height: Int, mean_luma: Double)
 

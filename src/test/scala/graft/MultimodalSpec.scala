@@ -25,6 +25,26 @@ class MultimodalSpec extends SparkSpec {
     assert(d.filter(col("n_copies") > 1).count() === 0)
   }
 
+  test("PNG dimensions parse from a real IHDR header; non-PNGs stay null") {
+    import spark.implicits._
+    // hand-built valid PNG prefix: signature + IHDR chunk, 640×480
+    def be4(v: Int) = Array[Byte](
+      (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    val png: Array[Byte] =
+      Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A) ++
+        be4(13) ++ "IHDR".getBytes("US-ASCII") ++ be4(640) ++ be4(480) ++
+        Array[Byte](8, 6, 0, 0, 0)
+    val notPng = "just some text bytes".getBytes("UTF-8")
+    val df = Seq((1L, png), (2L, notPng)).toDF("media_id", "payload")
+    val out = Multimodal.withPngDims(df).collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(r.fieldIndex("is_png")),
+         Option(r.get(r.fieldIndex("png_width"))),
+         Option(r.get(r.fieldIndex("png_height"))))).toMap
+    assert(out(1L) === ((1, Some(640L), Some(480L))))
+    assert(out(2L) === ((0, None, None)))
+  }
+
   test("content dedup collapses byte-identical payloads") {
     val doubled = media.union(media)
     val d = Multimodal.dedupByContent(doubled)
