@@ -162,6 +162,25 @@ object QueriesBreadth {
       graft.sources.BankFeeds.transactions(s, "/root/reference/transactions_*.txt")
         .withColumn("amt", col("amt").cast(DoubleType))),
 
+    // Range join with NO equi key: orders falling inside overlapping
+    // 60-day windows (one per nation, 30-day offsets). The naive non-equi
+    // join nested-loops; ScaleJoins.pointInIntervalJoin bucketizes to a
+    // hash join (each pair meets exactly once). Oracle runs the naive
+    // form — results must be identical.
+    "join_point_in_interval" -> ((s, d) => {
+      val day = 86400L * 1000000L
+      val base = 788918400L * 1000000L // 1995-01-01 00:00:00 UTC, µs
+      val iv = nation(s, d).select(col("n_nationkey"),
+        (lit(base) + col("n_nationkey") * (30 * day)).as("lo"),
+        (lit(base) + col("n_nationkey") * (30 * day) + (60 * day)).as("hi"))
+      // o_orderdate reads as TIMESTAMP_NTZ; session TZ is UTC, so the
+      // cast to TIMESTAMP is identity and unix_micros matches epoch_us
+      val f = orders(s, d)
+        .select(unix_micros(col("o_orderdate").cast("timestamp")).as("p"))
+      graft.operators.ScaleJoins.pointInIntervalJoin(f, "p", iv, "lo", "hi", 30 * day)
+        .groupBy("n_nationkey").agg(count(lit(1)).as("n_orders"))
+    }),
+
     // TPC-H Q13 shape: order-count distribution — a double aggregation
     // (per-customer count, then histogram of counts). The outer agg input
     // is already small (one row per customer) — the expensive join/agg
@@ -359,6 +378,17 @@ object QueriesBreadth {
         FROM read_csv('/root/reference/transactions_*.txt', delim=';', header=true,
           columns={'transaction_id':'VARCHAR','transaction_date':'VARCHAR','amount':'VARCHAR',
                    'card_num':'VARCHAR','oper_type':'VARCHAR','oper_result':'VARCHAR','terminal':'VARCHAR'})""",
+
+    "join_point_in_interval" ->
+      """WITH iv AS (
+          SELECT n_nationkey,
+                 788918400000000 + n_nationkey * 2592000000000 AS lo,
+                 788918400000000 + n_nationkey * 2592000000000 + 5184000000000 AS hi
+          FROM nation),
+        f AS (SELECT epoch_us(o_orderdate) AS p FROM orders)
+        SELECT n_nationkey, COUNT(*) AS n_orders
+        FROM iv JOIN f ON f.p >= iv.lo AND f.p < iv.hi
+        GROUP BY 1""",
 
     "sql_order_dist" ->
       """SELECT n_orders, COUNT(*) AS n_custs FROM (

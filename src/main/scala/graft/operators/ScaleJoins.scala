@@ -71,6 +71,31 @@ object ScaleJoins {
     parts
   }
 
+  /** Point-in-interval (range) join WITHOUT an equi key: `facts.p ∈
+    * [intervals.lo, intervals.hi)`. Spark plans a raw non-equi join as a
+    * BroadcastNestedLoopJoin — O(|facts|·|intervals|). Bucketizing both
+    * sides by `width` manufactures an equi key: a fact belongs to exactly
+    * ONE bucket, an interval explodes to every bucket it covers, so each
+    * matching pair meets exactly once (no dedup needed) and Catalyst gets
+    * a plain hash join on the bucket. Residual containment filters within
+    * the bucket. Pick `width` near the typical interval length: cost is
+    * |intervals|·(len/width) replicated rows vs per-bucket fan-in.
+    *
+    * Point and bounds are non-negative numerics (epoch-µs timestamps,
+    * day numbers) — `DIV` bucketing is floor division only for ≥ 0.
+    */
+  def pointInIntervalJoin(facts: DataFrame, pCol: String,
+                          intervals: DataFrame, loCol: String, hiCol: String,
+                          width: Long): DataFrame = {
+    require(width > 0)
+    val f = facts.withColumn("__bkt", expr(s"$pCol DIV ${width}L"))
+    val iv = intervals.withColumn("__bkt",
+      explode(expr(s"sequence($loCol DIV ${width}L, ($hiCol - 1) DIV ${width}L)")))
+    f.join(iv, Seq("__bkt"))
+      .filter(col(pCol) >= col(loCol) && col(pCol) < col(hiCol))
+      .drop("__bkt")
+  }
+
   /** Salted inner equi-join for skewed keys. A hot key (one city, one
     * null-ish default, one power user) sends all its rows to one reducer
     * and the stage runs at the speed of that straggler. Salting scatters

@@ -49,6 +49,35 @@ class ScaleJoinsSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() === data.count())
   }
 
+  test("point-in-interval join equals the naive non-equi join, incl. overlaps") {
+    val facts = spark.range(0L, 500L).selectExpr("id * 7 AS p")
+    val intervals = Seq((1L, 0L, 100L), (2L, 50L, 150L), (3L, 140L, 141L),
+                        (4L, 3000L, 3500L), (5L, 0L, 3500L))
+      .toDF("iv_id", "lo", "hi")
+    val naive = facts.crossJoin(intervals)
+      .filter(col("p") >= col("lo") && col("p") < col("hi"))
+      .select("p", "iv_id")
+    val bucketed = ScaleJoins.pointInIntervalJoin(facts, "p", intervals, "lo", "hi", 64L)
+      .select("p", "iv_id")
+    assert(naive.exceptAll(bucketed).count() === 0)
+    assert(bucketed.exceptAll(naive).count() === 0)
+  }
+
+  test("point-in-interval join plans as a hash join on the bucket, not BNL") {
+    val facts = spark.range(0L, 1000L).selectExpr("id AS p")
+    val intervals = spark.range(0L, 50L)
+      .selectExpr("id AS iv_id", "id * 20 AS lo", "id * 20 + 40 AS hi")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = ScaleJoins.pointInIntervalJoin(facts, "p", intervals, "lo", "hi", 32L)
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("salted join equals the plain join on a 90%-skewed fixture") {
     // one hot key carries 900 of 1000 fact rows
     val fact = spark.range(1000)
