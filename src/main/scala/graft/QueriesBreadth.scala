@@ -162,6 +162,13 @@ object QueriesBreadth {
       graft.sources.BankFeeds.transactions(s, "/root/reference/transactions_*.txt")
         .withColumn("amt", col("amt").cast(DoubleType))),
 
+    // Single-scan data profiling: every column's completeness, exact
+    // distinct count, and min/max in ONE aggregation (Quality.profile) —
+    // the publish-gate metrics pass.
+    "quality_profile" -> ((s, d) =>
+      graft.operators.Quality.profile(supplier(s, d),
+        Seq("s_suppkey", "s_name", "s_nationkey"))),
+
     // Range join with NO equi key: orders falling inside overlapping
     // 60-day windows (one per nation, 30-day offsets). The naive non-equi
     // join nested-loops; ScaleJoins.pointInIntervalJoin bucketizes to a
@@ -378,6 +385,18 @@ object QueriesBreadth {
         FROM read_csv('/root/reference/transactions_*.txt', delim=';', header=true,
           columns={'transaction_id':'VARCHAR','transaction_date':'VARCHAR','amount':'VARCHAR',
                    'card_num':'VARCHAR','oper_type':'VARCHAR','oper_result':'VARCHAR','terminal':'VARCHAR'})""",
+
+    "quality_profile" ->
+      """SELECT 's_suppkey' AS col_name, COUNT(s_suppkey) AS n_nonnull,
+          COUNT(DISTINCT s_suppkey) AS n_distinct,
+          CAST(MIN(s_suppkey) AS VARCHAR) AS min_str,
+          CAST(MAX(s_suppkey) AS VARCHAR) AS max_str FROM supplier
+        UNION ALL
+        SELECT 's_name', COUNT(s_name), COUNT(DISTINCT s_name),
+          CAST(MIN(s_name) AS VARCHAR), CAST(MAX(s_name) AS VARCHAR) FROM supplier
+        UNION ALL
+        SELECT 's_nationkey', COUNT(s_nationkey), COUNT(DISTINCT s_nationkey),
+          CAST(MIN(s_nationkey) AS VARCHAR), CAST(MAX(s_nationkey) AS VARCHAR) FROM supplier""",
 
     "join_point_in_interval" ->
       """WITH iv AS (

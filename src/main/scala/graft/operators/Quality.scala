@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data-quality checks and profiling — the validation pass a pipeline
+  * runs before publishing a table.
+  *
+  * Scale shape: [[profile]] computes every column's metrics in ONE
+  * aggregation over ONE scan (multiple exact count-distincts plan through
+  * Catalyst's Expand — row multiplication ×columns, still a single pass;
+  * swap in approx_count_distinct for very wide tables). [[checkUnique]] is
+  * one keyed aggregation; [[orphans]] is one anti join. Nothing collects
+  * to the driver.
+  */
+object Quality {
+
+  /** Per-column profile: non-null count, exact distinct count, min/max
+    * (stringified so heterogeneous column types share one schema).
+    * Output: (col_name, n_nonnull, n_distinct, min_str, max_str).
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"${c}__n"),
+          countDistinct(col(c)).as(s"${c}__nd"),
+          min(col(c)).cast("string").as(s"${c}__min"),
+          max(col(c)).cast("string").as(s"${c}__max"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val entries = cols.map { c =>
+      struct(lit(c).as("col_name"),
+             col(s"${c}__n").as("n_nonnull"),
+             col(s"${c}__nd").as("n_distinct"),
+             col(s"${c}__min").as("min_str"),
+             col(s"${c}__max").as("max_str"))
+    }
+    one.select(explode(array(entries: _*)).as("p"))
+      .select("p.col_name", "p.n_nonnull", "p.n_distinct", "p.min_str", "p.max_str")
+  }
+
+  /** Key combinations that violate uniqueness, with their multiplicity.
+    * Empty result = the key is unique. */
+  def duplicateKeys(df: DataFrame, keyCols: Seq[String]): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"))
+      .filter(col("n_rows") > 1)
+
+  def checkUnique(df: DataFrame, keyCols: Seq[String]): Boolean =
+    duplicateKeys(df, keyCols).isEmpty
+
+  /** Child rows whose foreign key has no parent (referential-integrity
+    * violations) — one anti join, shuffled on the key. */
+  def orphans(child: DataFrame, childKey: String,
+              parent: DataFrame, parentKey: String): DataFrame =
+    child.join(parent.select(col(parentKey).as(childKey)).distinct(),
+               Seq(childKey), "left_anti")
+}

@@ -1,0 +1,43 @@
+package graft
+
+import graft.operators.Quality
+import org.apache.spark.sql.functions._
+
+class QualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("profile computes per-column metrics in one pass") {
+    val df = Seq((1L, Some("a")), (2L, Some("b")), (3L, None), (3L, Some("b")))
+      .toDF("id", "v")
+    val p = Quality.profile(df, Seq("id", "v")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))
+      .toMap
+    assert(p("id") === ((4L, 3L, "1", "3")))
+    assert(p("v") === ((3L, 2L, "a", "b"))) // null ignored by count/distinct/min/max
+  }
+
+  test("profile runs as a single scan (one logical aggregate)") {
+    val df = Tables.supplier(spark, sf0001)
+    val plan = Quality.profile(df, Seq("s_suppkey", "s_name"))
+      .queryExecution.optimizedPlan.toString
+    // one scan of the source, not one per column
+    assert("Relation".r.findAllIn(plan).size === 1, plan)
+  }
+
+  test("uniqueness check flags duplicated keys with multiplicity") {
+    val df = Seq((1, "x"), (2, "y"), (1, "z")).toDF("k", "v")
+    assert(!Quality.checkUnique(df, Seq("k")))
+    val dups = Quality.duplicateKeys(df, Seq("k")).collect()
+    assert(dups.length === 1 && dups.head.getInt(0) === 1 && dups.head.getLong(1) === 2L)
+    assert(Quality.checkUnique(df, Seq("k", "v")))
+  }
+
+  test("referential integrity: lineitem orderkeys all resolve to orders") {
+    val li = Tables.lineitem(spark, sf0001)
+    val o = Tables.orders(spark, sf0001)
+    assert(Quality.orphans(li, "l_orderkey", o, "o_orderkey").isEmpty)
+    // and a violation is caught when parents are withheld
+    val truncated = o.filter(col("o_orderkey") < 100)
+    assert(Quality.orphans(li, "l_orderkey", truncated, "o_orderkey").count() > 0)
+  }
+}
