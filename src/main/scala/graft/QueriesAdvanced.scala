@@ -193,6 +193,25 @@ object QueriesAdvanced {
         GROUP BY l.k, l.thr""")
     }),
 
+    // Discrete percentiles via WITHIN GROUP ordered-set syntax: returns an
+    // actual data value (no interpolation) — deterministic by definition.
+    "agg_percentile_disc" -> ((s, d) => {
+      GraftSession.attach(s, d)
+      s.sql("""
+        SELECT l_returnflag,
+               percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity) AS median_disc,
+               percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity) AS p90_disc
+        FROM lineitem GROUP BY l_returnflag""")
+    }),
+
+    // Regexp group extraction, self-validating: the numeric id parsed out
+    // of c_name must equal c_custkey.
+    "fn_regexp_extract" -> ((s, d) =>
+      customer(s, d).select(
+        col("c_custkey"),
+        regexp_extract(col("c_name"), "Customer#(\\d+)", 1).cast(LongType).as("parsed_id"))
+        .withColumn("id_match", (col("parsed_id") === col("c_custkey")).cast(IntegerType))),
+
     // SQL API end-to-end (TPC-H Q3 shape) through GraftSession.attach —
     // the spark.sql path exercises the same Catalyst plans as the
     // DataFrame API.
@@ -303,6 +322,18 @@ object QueriesAdvanced {
           CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
           COUNT(*) AS n
         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+
+    "agg_percentile_disc" ->
+      """SELECT l_returnflag,
+          quantile_disc(l_quantity, 0.5) AS median_disc,
+          quantile_disc(l_quantity, 0.9) AS p90_disc
+        FROM lineitem GROUP BY 1""",
+
+    "fn_regexp_extract" ->
+      """SELECT c_custkey,
+          CAST(regexp_extract(c_name, 'Customer#(\d+)', 1) AS BIGINT) AS parsed_id,
+          CAST(CAST(regexp_extract(c_name, 'Customer#(\d+)', 1) AS BIGINT) = c_custkey AS INT) AS id_match
+        FROM customer""",
 
     "sql_recursive_cte" ->
       """WITH RECURSIVE lvl(k, thr) AS (

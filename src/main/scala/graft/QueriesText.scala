@@ -124,6 +124,20 @@ object QueriesText {
       graft.operators.DedupOps.simhashNearDups(documents(s, d), "doc_id", "text", 8,
         portable = true)),
 
+    // Corpus bigram frequencies: word-2-gram explode + count, top 20 with
+    // a total order (count desc, bigram asc) for determinism. The explode
+    // is a narrow flatMap; the count is one shuffle on the bigram.
+    "text_bigram_freq" -> ((s, d) =>
+      documents(s, d)
+        .select(split(normText(col("text")), " ").as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(1, size(toks) - 1),
+               i -> concat_ws(' ', toks[i-1], toks[i]))""")).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram"))
+        .limit(20)),
+
     // Group-level signatures via the custom ElementwiseMinAgg aggregate:
     // min-over-rows of a MinHash-style signature IS the signature of the
     // union of the underlying sets, so one keyed aggregation produces
@@ -295,6 +309,17 @@ object QueriesText {
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
             / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5""",
+
+    "text_bigram_freq" ->
+      """WITH t AS (
+          SELECT string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+          FROM documents),
+        b AS (
+          SELECT unnest(list_transform(range(len(toks) - 1),
+                   i -> toks[i+1] || ' ' || toks[i+2])) AS bigram
+          FROM t WHERE len(toks) >= 2)
+        SELECT bigram, COUNT(*) AS n FROM b
+        GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20""",
 
     "agg_elementwise_min" ->
       """WITH s AS (
