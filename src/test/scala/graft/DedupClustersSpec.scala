@@ -28,6 +28,26 @@ class DedupClustersSpec extends SparkSpec {
     assert(l === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("matches driver-side union-find across many random graphs") {
+    // light property sweep: several seeds, smaller graphs than the fixed
+    // case below, so structural variety (forests, cycles, stars) is hit
+    for (seed <- Seq(1, 7, 13, 99)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 40
+      val edges = Seq.fill(30)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(id => id -> find(id.toInt).toLong).toMap
+      assert(labels(edges) === want, s"seed=$seed")
+    }
+  }
+
   test("matches driver-side union-find on a pseudo-random graph") {
     val rnd = new scala.util.Random(42)
     val n = 200
