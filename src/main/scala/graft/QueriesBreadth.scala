@@ -162,6 +162,23 @@ object QueriesBreadth {
       graft.sources.BankFeeds.transactions(s, "/root/reference/transactions_*.txt")
         .withColumn("amt", col("amt").cast(DoubleType))),
 
+    // arg-min/arg-max aggregates (min_by/max_by) with a unique ordering
+    // key (chars*100000+id) so ties can't make the answer nondeterministic.
+    "agg_min_max_by" -> ((s, d) =>
+      documents(s, d)
+        .groupBy("lang")
+        .agg(expr("max_by(doc_id, n_chars * 100000 + doc_id)").as("longest_doc"),
+             expr("min_by(doc_id, n_chars * 100000 + doc_id)").as("shortest_doc"),
+             max("n_chars").cast(LongType).as("max_chars"))),
+
+    // boolean aggregates: every/any/count_if.
+    "agg_bool" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(expr("every(l_quantity > 0)").cast(IntegerType).as("all_pos_qty"),
+             expr("any(l_discount > 0.09)").cast(IntegerType).as("any_high_disc"),
+             expr("count_if(l_tax = 0.0)").as("n_zero_tax"))),
+
     // Single-scan data profiling: every column's completeness, exact
     // distinct count, and min/max in ONE aggregation (Quality.profile) —
     // the publish-gate metrics pass.
@@ -385,6 +402,20 @@ object QueriesBreadth {
         FROM read_csv('/root/reference/transactions_*.txt', delim=';', header=true,
           columns={'transaction_id':'VARCHAR','transaction_date':'VARCHAR','amount':'VARCHAR',
                    'card_num':'VARCHAR','oper_type':'VARCHAR','oper_result':'VARCHAR','terminal':'VARCHAR'})""",
+
+    "agg_min_max_by" ->
+      """SELECT lang,
+          arg_max(doc_id, n_chars * 100000 + doc_id) AS longest_doc,
+          arg_min(doc_id, n_chars * 100000 + doc_id) AS shortest_doc,
+          CAST(MAX(n_chars) AS BIGINT) AS max_chars
+        FROM documents GROUP BY 1""",
+
+    "agg_bool" ->
+      """SELECT l_returnflag,
+          CAST(bool_and(l_quantity > 0) AS INT) AS all_pos_qty,
+          CAST(bool_or(l_discount > 0.09) AS INT) AS any_high_disc,
+          COUNT(*) FILTER (WHERE l_tax = 0.0) AS n_zero_tax
+        FROM lineitem GROUP BY 1""",
 
     "quality_profile" ->
       """SELECT 's_suppkey' AS col_name, COUNT(s_suppkey) AS n_nonnull,
