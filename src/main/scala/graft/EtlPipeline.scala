@@ -4,7 +4,7 @@ import java.sql.{Date, Timestamp}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.{FraudDetection, Scd}
-import graft.sources.BankFeeds
+import graft.sources.{BankFeeds, WarehouseFs}
 
 /** End-to-end replacement for the reference's daily cron run
   * (main.py:544-580): discover feed files by pattern, load them in
@@ -51,24 +51,25 @@ object EtlPipeline {
 
   def run(spark: SparkSession, feedDir: String, whDir: String,
           bankDir: Option[String]): Unit = {
-    val files = new java.io.File(feedDir).list().toSeq.sorted
+    // all warehouse/feed paths go through the Hadoop FileSystem API so the
+    // same pipeline runs against file://, hdfs:// or s3a:// unchanged
+    val files = WarehouseFs.listNames(spark, feedDir)
     def feed(prefix: String): Seq[(String, String)] = // (day, path) in day order
       files.filter(_.startsWith(prefix)).map(f => (dayOf(f), s"$feedDir/$f")).sortBy(_._1)
 
     def tablePath(name: String) = s"$whDir/$name"
-    def readIf(name: String): Option[DataFrame] = {
+    def readIf(name: String): Option[DataFrame] =
       // partitioned tables keep their data under key=value subdirs, so
-      // don't look for top-level *.parquet — attempt the read and let an
-      // empty/absent path mean "first load"
-      val p = new java.io.File(tablePath(name))
-      if (p.isDirectory && p.list().exists(f => !f.startsWith("_") && !f.startsWith(".")))
+      // don't look for top-level *.parquet — "has any data entry" means loaded
+      if (WarehouseFs.hasData(spark, tablePath(name)))
         Some(spark.read.parquet(tablePath(name)))
       else None
-    }
-    // snapshot-rewrite: localCheckpoint breaks lineage before overwriting
-    // the same path we read from (and resets SCD lineage growth per load)
+    // snapshot-rewrite with atomic publish: the new state streams into
+    // <table>.tmp while the live table (which the plan may be reading)
+    // stays untouched, then two metadata renames swap it in — a reader
+    // sees the complete old or complete new table, never a partial write
     def overwrite(df: DataFrame, name: String): Unit =
-      df.localCheckpoint().write.mode(SaveMode.Overwrite).parquet(tablePath(name))
+      WarehouseFs.publish(df, tablePath(name))
 
     val termAttrs = Seq("terminal_type", "terminal_city", "terminal_address")
 
@@ -96,11 +97,9 @@ object EtlPipeline {
     // day for partition pruning (the scalable form of main.py:417's
     // current-day filter). Loaded days come from the partition directory
     // names (pure filesystem metadata) — no fact scan, no collect.
-    val factDir = new java.io.File(tablePath("dwh_fact_transactions"))
     val existingDays: Set[String] =
-      if (factDir.isDirectory)
-        factDir.list().filter(_.startsWith("day=")).map(_.stripPrefix("day=")).toSet
-      else Set.empty
+      WarehouseFs.listNames(spark, tablePath("dwh_fact_transactions"))
+        .filter(_.startsWith("day=")).map(_.stripPrefix("day=")).toSet
     for ((day, path) <- feed("transactions") if !existingDays.contains(day)) {
       BankFeeds.transactionsFact(spark, path)
         .withColumn("day", to_date(col("trans_date")))

@@ -39,35 +39,19 @@ object ScaleJoins {
     * Long-running ingestion (like the daily-append transactions fact)
     * accumulates small files; at 100 TB the resulting task-per-tiny-file
     * scheduling and NameNode/listing pressure dominate scan cost. This
-    * reads the table, repartitions to ceil(bytes / target), and rewrites
-    * atomically (localCheckpoint breaks lineage from the files being
-    * replaced — the EtlPipeline snapshot-rewrite discipline).
+    * sizes via FileSystem metadata (one recursive listing, no scan),
+    * repartitions to ceil(bytes / target), and publishes atomically
+    * through [[graft.sources.WarehouseFs.publish]]: the table streams
+    * straight from old files to new files into `<dir>.tmp`, then two
+    * metadata renames swap it in — readers see either the old or the new
+    * layout, never a half-written directory, on local FS and HDFS/S3 alike.
     * Returns the new partition count.
     */
   def compactParquet(spark: org.apache.spark.sql.SparkSession, dir: String,
                      targetMB: Int = 128): Int = {
-    val bytes = {
-      def walk(f: java.io.File): Long =
-        if (f.isDirectory) f.listFiles().map(walk).sum
-        else if (f.getName.endsWith(".parquet")) f.length() else 0L
-      walk(new java.io.File(dir))
-    }
+    val bytes = graft.sources.WarehouseFs.parquetBytes(spark, dir)
     val parts = math.max(1, math.ceil(bytes / (targetMB * 1024.0 * 1024.0)).toInt)
-    // write-to-sibling-then-swap: the table streams straight from old
-    // files to new files (no checkpoint materialization of the whole
-    // table), and readers see either the old or the new layout, never a
-    // half-written directory. On HDFS/S3 the rename is the FileSystem
-    // API's; this local form uses java.io.
-    val tmp = new java.io.File(dir + ".compact_tmp")
-    spark.read.parquet(dir).repartition(parts)
-      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    val target = new java.io.File(dir)
-    def rmRf(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rmRf)
-      f.delete(); ()
-    }
-    rmRf(target)
-    require(tmp.renameTo(target), s"swap failed: $tmp -> $target")
+    graft.sources.WarehouseFs.publish(spark.read.parquet(dir).repartition(parts), dir)
     parts
   }
 

@@ -122,14 +122,15 @@ object EventStreams {
                  attrs: Seq[String]): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     updates.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       val spark = batch.sparkSession
-      val dir = new java.io.File(statePath)
       val existing =
-        if (dir.isDirectory && dir.list().exists(f => !f.startsWith("_") && !f.startsWith(".")))
+        if (graft.sources.WarehouseFs.hasData(spark, statePath))
           Some(spark.read.parquet(statePath))
         else None
-      graft.operators.Scd.scd1Apply(existing, batch, key, attrs)
-        .localCheckpoint()
-        .write.mode("overwrite").parquet(statePath)
+      // atomic publish: the merge streams old state + batch into
+      // <state>.tmp, then renames swap it in — concurrent readers of the
+      // state table never observe a partial overwrite (FS-portable, too)
+      graft.sources.WarehouseFs.publish(
+        graft.operators.Scd.scd1Apply(existing, batch, key, attrs), statePath)
     }
 
   /** File-source incremental load: the streaming replacement for the

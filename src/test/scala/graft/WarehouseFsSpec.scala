@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.WarehouseFs
+
+/** Contract tests for the Hadoop-FileSystem warehouse layer: metadata
+  * probes, and the atomic publish discipline — a live table is never
+  * observable in a half-written state, a failed publish leaves the old
+  * state fully intact, and a table may be rewritten from a plan that
+  * reads the table itself (snapshot rewrite without localCheckpoint).
+  */
+class WarehouseFsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir() =
+    java.nio.file.Files.createTempDirectory("graft_whfs_").toString
+
+  test("listNames / hasData / parquetBytes on absent, marker-only and real tables") {
+    val base = tmpDir()
+    val t = s"$base/t"
+    assert(WarehouseFs.listNames(spark, t) === Seq.empty)
+    assert(!WarehouseFs.hasData(spark, t))
+    assert(WarehouseFs.parquetBytes(spark, t) === 0L)
+
+    // marker/hidden files alone don't count as data
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(t))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$t/_SUCCESS"), Array.empty[Byte])
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$t/.hidden"), Array.empty[Byte])
+    assert(!WarehouseFs.hasData(spark, t))
+
+    (1 to 100).toDF("id").write.mode("overwrite").parquet(t)
+    assert(WarehouseFs.hasData(spark, t))
+    assert(WarehouseFs.listNames(spark, t).exists(_.endsWith(".parquet")))
+    assert(WarehouseFs.parquetBytes(spark, t) > 0L)
+  }
+
+  test("publish creates, then atomically replaces, a table — no tmp/old leftovers") {
+    val t = s"${tmpDir()}/tbl"
+    WarehouseFs.publish((1 to 10).toDF("id"), t)
+    assert(spark.read.parquet(t).count() === 10)
+    WarehouseFs.publish((1 to 25).toDF("id"), t)
+    assert(spark.read.parquet(t).as[Int].collect().sorted === (1 to 25).toArray)
+    val leftovers = WarehouseFs.listNames(spark, t.split('/').dropRight(1).mkString("/"))
+    assert(leftovers === Seq("tbl"), s"unexpected siblings: $leftovers")
+  }
+
+  test("failed publish leaves the live table untouched (reader never sees partial state)") {
+    val t = s"${tmpDir()}/tbl"
+    WarehouseFs.publish(spark.range(100).toDF("id"), t)
+    val before = spark.read.parquet(t).as[Long].collect().sorted
+
+    // a plan that fails mid-write: raise_error fires on a late row, after
+    // some tasks have already written output files into the tmp dir
+    val boom = spark.range(100).toDF("id").withColumn("id",
+      when(col("id") < lit(90), col("id"))
+        .otherwise(raise_error(lit("simulated task failure"))))
+    intercept[Exception] { WarehouseFs.publish(boom, t) }
+
+    // the live table is byte-for-byte the old state and fully readable
+    assert(spark.read.parquet(t).as[Long].collect().sorted === before)
+    // and a subsequent good publish recovers, clearing crash leftovers
+    WarehouseFs.publish(spark.range(7).toDF("id"), t)
+    assert(spark.read.parquet(t).count() === 7)
+    val siblings = WarehouseFs.listNames(spark, t.split('/').dropRight(1).mkString("/"))
+    assert(siblings === Seq("tbl"))
+  }
+
+  test("snapshot rewrite: publish a plan that reads the target table itself") {
+    val t = s"${tmpDir()}/tbl"
+    WarehouseFs.publish((1 to 5).toDF("id"), t)
+    // classic SCD shape: new state = old state union increment
+    val next = spark.read.parquet(t).union(Seq(6, 7).toDF("id"))
+    WarehouseFs.publish(next, t)
+    assert(spark.read.parquet(t).as[Int].collect().sorted === (1 to 7).toArray)
+  }
+
+  test("publish with partitionBy keeps the key=value layout") {
+    val t = s"${tmpDir()}/tbl"
+    val df = Seq((1, "a"), (2, "a"), (3, "b")).toDF("id", "part")
+    WarehouseFs.publish(df, t, partitionBy = Seq("part"))
+    assert(WarehouseFs.listNames(spark, t).filter(_.startsWith("part=")).sorted
+      === Seq("part=a", "part=b"))
+    assert(spark.read.parquet(t).count() === 3)
+  }
+}
