@@ -43,10 +43,17 @@ object Bench {
     }
     val ok = results.collect { case (k, Some(v)) => k -> v }
     val errors = results.collect { case (k, None) => k }
-    val qs = ok.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def r(v: Double) = math.rint(v * 1e4) / 1e4 // 0.1 ms precision keeps the line short
+    val qs = ok.map { case (k, v) => s"\"" + k + "\":" + r(v) }.mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = ok.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"reps":$reps,"sf":"$sfDir"}""")
+    val total = r(ok.map(_._2).sum)
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"reps":$reps,"sf":"$sfDir"}"""
+    println(json)
+    // stdout log-tail capture can front-truncate a 100-query JSON line;
+    // the file copy is always complete and parseable
+    val out = sys.env.getOrElse("BENCH_OUT", "bench_out.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (json + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

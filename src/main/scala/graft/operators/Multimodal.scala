@@ -69,6 +69,72 @@ object Multimodal {
       .withColumn("png_height", when(isPng, be4(21)))
   }
 
+  /** JPEG SOF segment walk as a single SQL expression: JPEG dimensions
+    * live in the frame header (SOF0-SOF3 marker), at a variable offset
+    * behind APPn/DQT/COM segments, so unlike PNG/GIF a fixed substring
+    * can't reach them. Each segment is `FF <type> <be16 length> ...`, so
+    * the walk is: start after the 2-byte SOI, read the marker type, either
+    * record dims (SOFn: height at +5, width at +7), stop (SOS — entropy
+    * data follows), or hop `2 + length` forward. `aggregate` over a
+    * 32-step sequence bounds the walk (real headers have ~10 segments);
+    * state is (offset, w, h, stop). Only header bytes are touched —
+    * substring reads at most ~9 bytes per step.
+    */
+  private def jpegSofScanSql(payloadCol: String): String = {
+    def byteAt(off: String) =
+      s"CAST(conv(hex(substring($payloadCol, CAST(($off) AS INT), 1)), 16, 10) AS BIGINT)"
+    def be2(off: String) =
+      s"CAST(conv(hex(substring($payloadCol, CAST(($off) AS INT), 2)), 16, 10) AS BIGINT)"
+    s"""aggregate(
+      sequence(1, 32),
+      named_struct('off', CAST(3 AS BIGINT), 'w', CAST(NULL AS BIGINT),
+                   'h', CAST(NULL AS BIGINT), 'stop', false),
+      (st, i) -> IF(st.stop, st,
+        IF(${byteAt("st.off")} <> 255 OR st.off + 9 > octet_length($payloadCol),
+          named_struct('off', st.off, 'w', st.w, 'h', st.h, 'stop', true),
+          IF(${byteAt("st.off + 1")} IN (192, 193, 194, 195),
+            named_struct('off', st.off, 'w', ${be2("st.off + 7")},
+                         'h', ${be2("st.off + 5")}, 'stop', true),
+            IF(${byteAt("st.off + 1")} = 218,
+              named_struct('off', st.off, 'w', st.w, 'h', st.h, 'stop', true),
+              named_struct('off', st.off + 2 + ${be2("st.off + 2")},
+                           'w', st.w, 'h', st.h, 'stop', false))))),
+      st -> named_struct('w', st.w, 'h', st.h))"""
+  }
+
+  /** Header-only dimension extraction for the three dominant image
+    * formats — no codec, no UDF, payloads pruned to their first bytes:
+    *   - PNG: big-endian 4-byte width/height at fixed IHDR offsets 17/21;
+    *   - GIF: little-endian 2-byte logical-screen size at offsets 7/9
+    *     (byte-swap via concat of 1-byte substrings, then hex→conv);
+    *   - JPEG: [[jpegSofScanSql]] segment walk to the SOFn frame header
+    *     (the walk is a higher-order `aggregate` — JVM-native expression
+    *     evaluation; the PNG/GIF arithmetic stays whole-stage-codegen'd).
+    * Adds image_format ('png'/'jpeg'/'gif', null otherwise) and
+    * img_width / img_height (null when not one of the three or header
+    * truncated). Unknown formats cost only the magic-byte probes.
+    */
+  def withImageDims(media: DataFrame, payloadCol: String = "payload"): DataFrame = {
+    val isPng = hex(expr(s"substring($payloadCol, 1, 8)")) === "89504E470D0A1A0A"
+    val isGif = hex(expr(s"substring($payloadCol, 1, 4)")).isin("47494638") // "GIF8"
+    val isJpeg = hex(expr(s"substring($payloadCol, 1, 2)")) === "FFD8"
+    def be4(pos: Int) =
+      conv(hex(expr(s"substring($payloadCol, $pos, 4)")), 16, 10).cast(LongType)
+    def le2(pos: Int) = // little-endian: swap the two bytes before conv
+      conv(hex(expr(
+        s"concat(substring($payloadCol, ${pos + 1}, 1), substring($payloadCol, $pos, 1))")),
+        16, 10).cast(LongType)
+    media
+      .withColumn("__jpeg_sof", when(isJpeg, expr(jpegSofScanSql(payloadCol))))
+      .withColumn("image_format",
+        when(isPng, "png").when(isJpeg, "jpeg").when(isGif, "gif"))
+      .withColumn("img_width",
+        when(isPng, be4(17)).when(isJpeg, col("__jpeg_sof.w")).when(isGif, le2(7)))
+      .withColumn("img_height",
+        when(isPng, be4(21)).when(isJpeg, col("__jpeg_sof.h")).when(isGif, le2(9)))
+      .drop("__jpeg_sof")
+  }
+
   case class MediaFeatures(media_id: Long, n_bytes: Int, width: Int,
                            height: Int, mean_luma: Double)
 

@@ -15,14 +15,23 @@ import org.apache.spark.sql.functions._
   */
 object Quality {
 
-  /** Per-column profile: non-null count, exact distinct count, min/max
+  /** Per-column profile: non-null count, distinct count, min/max
     * (stringified so heterogeneous column types share one schema).
     * Output: (col_name, n_nonnull, n_distinct, min_str, max_str).
+    *
+    * `exact = true` uses `countDistinct`, which Catalyst plans through an
+    * Expand — one extra row per distinct-agg per input row. Fine for a
+    * handful of columns; on a wide table at 100 TB that ×N row
+    * multiplication dominates the scan, so `exact = false` swaps in
+    * `approx_count_distinct` (HyperLogLog++, ~2% relative error, fixed
+    * 2^`rsd` sketch per column): no Expand, still one pass, constant
+    * memory per column regardless of cardinality.
     */
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def profile(df: DataFrame, cols: Seq[String], exact: Boolean = true): DataFrame = {
     val aggs = cols.flatMap { c =>
+      val nd = if (exact) countDistinct(col(c)) else approx_count_distinct(col(c))
       Seq(count(col(c)).as(s"${c}__n"),
-          countDistinct(col(c)).as(s"${c}__nd"),
+          nd.as(s"${c}__nd"),
           min(col(c)).cast("string").as(s"${c}__min"),
           max(col(c)).cast("string").as(s"${c}__max"))
     }

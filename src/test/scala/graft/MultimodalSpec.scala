@@ -45,6 +45,52 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2L) === ((0, None, None)))
   }
 
+  test("image dims parse from hand-built PNG, JPEG (SOF behind APP0/DQT) and GIF headers") {
+    import spark.implicits._
+    def be4(v: Int) = Array[Byte](
+      (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def be2(v: Int) = Array[Byte]((v >>> 8).toByte, v.toByte)
+    def le2(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte)
+
+    val png: Array[Byte] =
+      Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A) ++
+        be4(13) ++ "IHDR".getBytes("US-ASCII") ++ be4(640) ++ be4(480) ++
+        Array[Byte](8, 6, 0, 0, 0)
+
+    // JPEG: SOI, APP0/JFIF (len 16), DQT (len 67), SOF0 (len 17) with
+    // 1024×768, then SOS — dims sit two variable-length segments deep
+    def seg(marker: Int, body: Array[Byte]): Array[Byte] =
+      Array[Byte](0xFF.toByte, marker.toByte) ++ be2(body.length + 2) ++ body
+    val jpeg: Array[Byte] =
+      Array[Byte](0xFF.toByte, 0xD8.toByte) ++
+        seg(0xE0, "JFIF".getBytes("US-ASCII") ++ Array.fill[Byte](10)(0)) ++
+        seg(0xDB, Array.fill[Byte](65)(1)) ++
+        seg(0xC0, Array[Byte](8) ++ be2(768) ++ be2(1024) ++ Array.fill[Byte](10)(3)) ++
+        seg(0xDA, Array.fill[Byte](5)(0)) ++ Array.fill[Byte](40)(0x55)
+
+    val gif: Array[Byte] =
+      "GIF89a".getBytes("US-ASCII") ++ le2(320) ++ le2(200) ++ Array.fill[Byte](5)(0)
+
+    // a JPEG whose header truncates before any SOF: dims must stay null
+    val jpegTrunc: Array[Byte] =
+      Array[Byte](0xFF.toByte, 0xD8.toByte) ++
+        seg(0xE0, "JFIF".getBytes("US-ASCII") ++ Array.fill[Byte](10)(0))
+
+    val other = "just some text bytes".getBytes("UTF-8")
+    val df = Seq((1L, png), (2L, jpeg), (3L, gif), (4L, other), (5L, jpegTrunc))
+      .toDF("media_id", "payload")
+    val out = Multimodal.withImageDims(df).collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.get(r.fieldIndex("image_format"))),
+         Option(r.get(r.fieldIndex("img_width"))),
+         Option(r.get(r.fieldIndex("img_height"))))).toMap
+    assert(out(1L) === ((Some("png"), Some(640L), Some(480L))))
+    assert(out(2L) === ((Some("jpeg"), Some(1024L), Some(768L))))
+    assert(out(3L) === ((Some("gif"), Some(320L), Some(200L))))
+    assert(out(4L) === ((None, None, None)))
+    assert(out(5L) === ((Some("jpeg"), None, None)))
+  }
+
   test("content dedup collapses byte-identical payloads") {
     val doubled = media.union(media)
     val d = Multimodal.dedupByContent(doubled)

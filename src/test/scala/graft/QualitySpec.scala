@@ -24,6 +24,33 @@ class QualitySpec extends SparkSpec {
     assert("Relation".r.findAllIn(plan).size === 1, plan)
   }
 
+  test("profile(exact = false) matches exact metrics except n_distinct within HLL error") {
+    val df = Tables.orders(spark, sf0001)
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val exact = Quality.profile(df, cols).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val approx = Quality.profile(df, cols, exact = false).collect()
+      .map(r => r.getString(0) -> r).toMap
+    for (c <- cols) {
+      val (e, a) = (exact(c), approx(c))
+      assert(a.getLong(1) === e.getLong(1)) // n_nonnull identical
+      assert(a.getString(3) === e.getString(3) && a.getString(4) === e.getString(4))
+      val (end, and) = (e.getLong(2).toDouble, a.getLong(2).toDouble)
+      assert(math.abs(and - end) / end < 0.1, s"$c: approx $and vs exact $end")
+    }
+  }
+
+  test("profile(exact = false) plans without Expand (no xN row multiplication)") {
+    val df = Tables.orders(spark, sf0001)
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val exactPlan = Quality.profile(df, cols)
+      .queryExecution.executedPlan.toString
+    val approxPlan = Quality.profile(df, cols, exact = false)
+      .queryExecution.executedPlan.toString
+    assert(exactPlan.contains("Expand")) // the cost exact=false removes
+    assert(!approxPlan.contains("Expand"), approxPlan)
+  }
+
   test("uniqueness check flags duplicated keys with multiplicity") {
     val df = Seq((1, "x"), (2, "y"), (1, "z")).toDF("k", "v")
     assert(!Quality.checkUnique(df, Seq("k")))
