@@ -102,6 +102,15 @@ object AnnOps {
       .filter(col("rn") <= k)
   }
 
+  /** Recall of `approx` against exact `truth` (both (q_id, n_id) top-k
+    * tables): |approx ∩ truth| / |truth|. One semi join + two counts —
+    * no driver-side set arithmetic, so it scales to any query batch. */
+  def recallAt(approx: DataFrame, truth: DataFrame): Double = {
+    val total = truth.count()
+    if (total == 0) 1.0
+    else truth.join(approx, Seq("q_id", "n_id"), "left_semi").count().toDouble / total
+  }
+
   /** Exact brute-force top-k (ground truth for recall measurement). */
   def bruteForceTopK(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
     val q = emb.filter(col("vec_id").isInCollection(queryIds))

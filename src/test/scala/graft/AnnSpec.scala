@@ -73,6 +73,17 @@ class AnnSpec extends SparkSpec {
     assert(recall > 0.3, s"IVF nProbe=2/8 recall $recall") // loose: random data
   }
 
+  test("IVF recall is monotone in nProbe and reaches 1.0 at nProbe = nCells") {
+    val truth = AnnOps.bruteForceTopK(emb, queries, 5).cache()
+    // adding probed cells only grows the candidate set, and a true top-k
+    // neighbor always outranks a false positive — so recall is monotone
+    val recs = Seq(1, 2, 4, 8).map { p =>
+      AnnOps.recallAt(AnnOps.kmeansIvfTopK(emb, queries, 5, nCells = 8, nProbe = p), truth)
+    }
+    assert(recs.zip(recs.tail).forall { case (a, b) => a <= b }, recs.toString)
+    assert(recs.last === 1.0)
+  }
+
   test("srp_signature agrees between codegen and interpreted eval") {
     val df = emb.limit(100).select(col("vec_id"), srp_signature(col("embedding"), 16).as("s"))
     val viaCodegen = df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
