@@ -81,4 +81,46 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("evt_funnel")
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("AQE splits a skewed sort-merge join at runtime (unknown-skew defense)") {
+    // saltedJoin covers KNOWN skew; for skew discovered only at runtime the
+    // defense is AQE's OptimizeSkewedJoin. Thresholds are scaled down so a
+    // test-sized fixture crosses them; the assertion — the executed plan
+    // carries a skew=true sort-merge join — is scale-independent.
+    import org.apache.spark.sql.functions.{col, lpad, when}
+    val keys = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+
+      // 90% of the fact lands on key 0 → one shuffle partition dwarfs the rest
+      val fact = spark.range(0, 50000)
+        .select(when(col("id") % 10 === 0, col("id")).otherwise(0L).as("k"),
+                lpad(col("id").cast("string"), 64, "x").as("pad"))
+      val dim = spark.range(0, 50000).select(col("id").as("k"),
+        (col("id") * 2).as("v"))
+      val joined = fact.join(dim, Seq("k"))
+      joined.collect() // AQE finalizes the plan only on execution
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), p)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }

@@ -119,6 +119,47 @@ class StreamingSpec extends SparkSpec {
     assert(got === Map("K1" -> "a2", "K2" -> "b", "K3" -> "c"))
   }
 
+  test("checkpoint recovery: a replayed batch converges to the clean-run state") {
+    import org.apache.spark.sql.types._
+    val base = java.nio.file.Files.createTempDirectory("graft_recover_").toString
+    val input = s"$base/in"
+    val state = s"$base/kv"
+    val ckpt = s"$base/ckpt"
+    val schema = StructType(Seq(
+      StructField("k", StringType), StructField("v", StringType)))
+    def addFile(rows: (String, String)*): Unit =
+      rows.toSeq.toDF("k", "v").coalesce(1).write.mode("append").parquet(input)
+    def drain(): Unit = {
+      val q = EventStreams.upsertSink(
+          EventStreams.fileStream(spark, schema, input), state, "k", Seq("v"))
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    addFile("K1" -> "a", "K2" -> "b")
+    drain()
+    // crash simulation: batch 0's state is fully written but the commit
+    // marker is not — the exact window between the foreachBatch upsert and
+    // the checkpoint commit. On restart Spark must replay batch 0.
+    val last = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(f => !f.getName.startsWith(".")).maxBy(_.getName.toInt)
+    java.nio.file.Files.delete(last.toPath)
+    // also the local-FS checksum sibling, else the replayed commit's
+    // rewrite trips over the orphaned crc
+    val crc = new java.io.File(last.getParent, s".${last.getName}.crc")
+    if (crc.exists()) java.nio.file.Files.delete(crc.toPath)
+
+    addFile("K1" -> "a2", "K3" -> "c")
+    drain() // replays batch 0 over already-applied state, then the new file
+
+    val got = spark.read.parquet(state).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // identical to a clean never-crashed run: scd1Apply is a fixpoint for
+    // an already-applied snapshot, so the replay is absorbed
+    assert(got === Map("K1" -> "a2", "K2" -> "b", "K3" -> "c"))
+  }
+
   test("file stream with AvailableNow drains the events table incrementally") {
     import org.apache.spark.sql.types._
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_").toString
