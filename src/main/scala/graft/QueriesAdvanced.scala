@@ -77,6 +77,19 @@ object QueriesAdvanced {
              min("l_quantity").as("min_qty"),
              max("l_quantity").as("max_qty"))),
 
+    // The 100 TB production percentile: approx_percentile's quantile
+    // sketch is fixed-memory and map-side combinable (a mergeable summary
+    // per partition), where exact `percentile` buffers whole groups. With
+    // accuracy ≫ group size the sketch retains every sample, so the result
+    // is the exact discrete quantile — which is what makes this gateable
+    // against DuckDB's quantile_disc at test SF while remaining the
+    // bounded-memory operator at any SF.
+    "agg_percentile_approx" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(expr("approx_percentile(l_quantity, 0.5, 1000000)").as("median_approx"),
+             expr("approx_percentile(l_quantity, 0.9, 1000000)").as("p90_approx"))),
+
     // Point-in-time (as-of) join via Scd.asOfJoin: each lineitem picks the
     // supplier *version* active at its ship time. The SCD2-shaped dim is
     // synthesized deterministically (3 disjoint validity intervals per
@@ -267,6 +280,12 @@ object QueriesAdvanced {
           quantile_cont(l_quantity, 0.9) AS p90_qty,
           MIN(l_quantity) AS min_qty,
           MAX(l_quantity) AS max_qty
+        FROM lineitem GROUP BY 1""",
+
+    "agg_percentile_approx" ->
+      """SELECT l_returnflag,
+          quantile_disc(l_quantity, 0.5) AS median_approx,
+          quantile_disc(l_quantity, 0.9) AS p90_approx
         FROM lineitem GROUP BY 1""",
 
     "join_asof" ->

@@ -80,6 +80,37 @@ object ScaleJoins {
       .drop("__bkt")
   }
 
+  /** Interval self-join with a power-user guard. The J9 shape — equi on a
+    * key with a ±window residual — is quadratic PER KEY: a key with n rows
+    * in the window produces O(n²) pairs, so one bot/power user can turn a
+    * healthy stage into a single straggler task emitting billions of rows.
+    * The guard splits by activity first (one cheap keyed count):
+    * keys with ≤ `maxPerKey` rows take the pairwise join (work bounded by
+    * |keys|·cap²); hotter keys are EXCLUDED from the pairwise path and
+    * returned as a side output (key, n_rows) for the caller to route to a
+    * linear rewrite (sessionize-style lag/lead), a sample, or a block.
+    *
+    * Returns (pairs, hotKeys). Pair columns are the input's, prefixed
+    * `a_`/`b_`; pairs are ordered (a_<tsCol> ≤ b_<tsCol>, ties broken by
+    * requiring distinct rows via strict ts or unequal id is the caller's
+    * filter). The hot-key relation is at most |rows|/cap keys, so it
+    * broadcasts back into the anti-join instead of reshuffling the fact.
+    */
+  def intervalSelfJoinCapped(df: DataFrame, keyCol: String, tsCol: String,
+                             window: Long, maxPerKey: Int): (DataFrame, DataFrame) = {
+    require(window >= 0 && maxPerKey > 0)
+    val hot = df.groupBy(keyCol).agg(count(lit(1)).as("n_rows"))
+      .filter(col("n_rows") > maxPerKey)
+    val cold = df.join(broadcast(hot.select(keyCol)), Seq(keyCol), "left_anti")
+    def side(p: String) =
+      cold.select(cold.columns.map(c => col(c).as(s"${p}_$c")).toSeq: _*)
+    val pairs = side("a").join(side("b"),
+      col(s"a_$keyCol") === col(s"b_$keyCol") &&
+        col(s"b_$tsCol") >= col(s"a_$tsCol") &&
+        col(s"b_$tsCol") <= col(s"a_$tsCol") + window)
+    (pairs, hot)
+  }
+
   /** Salted inner equi-join for skewed keys. A hot key (one city, one
     * null-ish default, one power user) sends all its rows to one reducer
     * and the stage runs at the speed of that straggler. Salting scatters

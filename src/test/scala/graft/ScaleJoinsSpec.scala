@@ -49,6 +49,31 @@ class ScaleJoinsSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() === data.count())
   }
 
+  test("capped interval self-join: cold keys match naive join, hot keys side-routed") {
+    // user 99 is the power user (60 rows → 60² naive pairs); others ≤ 5
+    val rows = (0 until 60).map(i => (99L, i.toLong * 10, 1000L + i)) ++
+      (0 until 5).flatMap(u => (0 until u + 1).map(i => (u.toLong, i.toLong * 100, 2000L + u * 10 + i)))
+    val df = rows.toDF("user_id", "ts", "row_id")
+    val (pairs, hot) = ScaleJoins.intervalSelfJoinCapped(df, "user_id", "ts",
+      window = 250L, maxPerKey = 10)
+
+    val hotKeys = hot.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hotKeys === Map(99L -> 60L))
+
+    val cold = df.filter(col("user_id") =!= 99L)
+    val naive = cold.alias("a").join(cold.alias("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("b.ts") >= col("a.ts") && col("b.ts") <= col("a.ts") + 250L)
+      .select(col("a.row_id"), col("b.row_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = pairs.select(col("a_row_id"), col("b_row_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === naive)
+    assert(capped.nonEmpty)
+    // and no pair involves the hot key
+    assert(pairs.filter(col("a_user_id") === 99L).count() === 0)
+  }
+
   test("point-in-interval join equals the naive non-equi join, incl. overlaps") {
     val facts = spark.range(0L, 500L).selectExpr("id * 7 AS p")
     val intervals = Seq((1L, 0L, 100L), (2L, 50L, 150L), (3L, 140L, 141L),
