@@ -16,11 +16,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     QueriesRelational.queries ++ QueriesText.queries ++ QueriesEvents.queries ++
-      QueriesSimilarity.queries ++ QueriesAdvanced.queries ++ QueriesBreadth.queries
+      QueriesSimilarity.queries ++ QueriesAdvanced.queries ++ QueriesBreadth.queries ++
+      QueriesTpch.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     QueriesRelational.oracleSql ++ QueriesText.oracleSql ++ QueriesEvents.oracleSql ++
-      QueriesSimilarity.oracleSql ++ QueriesAdvanced.oracleSql ++ QueriesBreadth.oracleSql
+      QueriesSimilarity.oracleSql ++ QueriesAdvanced.oracleSql ++ QueriesBreadth.oracleSql ++
+      QueriesTpch.oracleSql
 }
