@@ -7,8 +7,9 @@ import graft.operators.AnnOps
   * path against exact brute force, over the embeddings table.
   *
   * Reports SRP-LSH at bits ∈ {8, 12, 16} with and without Hamming-1
-  * multi-probe, and k-means IVF at nProbe ∈ {1, 2, 4} of 16 cells — the
-  * two latency knobs a user actually turns. Recall is computed with the
+  * multi-probe, k-means IVF at nProbe ∈ {1, 2, 4} of 16 cells, and PQ
+  * (m=8, k=16 — 32× compression) at rerank ∈ {1, 4, 16} — the latency
+  * and memory knobs a user actually turns. Recall is computed with the
   * distributed [[AnnOps.recallAt]] semi join (no driver-side sets).
   * Output: one JSON line on stdout plus `ann_recall.json` (or $ANN_OUT).
   *
@@ -59,7 +60,13 @@ object AnnRecall {
       (s"ivf_cells${nCells}_probe$nProbe", r4(rec))
     }
 
-    val all = srp ++ ivf
+    val pqModel = AnnOps.pqTrain(emb, m = 8, k = 16)
+    val pq = Seq(1, 4, 16).map { r =>
+      val rec = AnnOps.recallAt(AnnOps.pqTopK(emb, queryIds, k, pqModel, r), truth)
+      (s"pq_m8_k16_rerank$r", r4(rec))
+    }
+
+    val all = srp ++ ivf ++ pq
     val entries = all.map { case (n, v) => s"\"$n\":$v" }.mkString(",")
     val json =
       s"""{"metric":"ann_recall_at_$k","queries":${queryIds.size},"corpus":${emb.count()},"sf":"$sfDir","recall":{$entries}}"""

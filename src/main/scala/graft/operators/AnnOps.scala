@@ -102,6 +102,119 @@ object AnnOps {
       .filter(col("rn") <= k)
   }
 
+  /** Product quantization: trained per-subspace codebooks. `centroids` is
+    * the flattened [m·k] table (index mi·k + j), each entry a subDim-long
+    * centroid of the NORMALIZED corpus' mi-th slice. */
+  case class PqModel(m: Int, k: Int, subDim: Int,
+                     centroids: Seq[Seq[Float]])
+
+  /** L2-normalize the embedding column in place (cosine on raw vectors ==
+    * dot on normalized ones — the trick that makes inner-product ADC rank
+    * by cosine). */
+  private def normalized(emb: DataFrame): DataFrame =
+    emb.withColumn("embedding", expr(
+      """transform(embedding, x -> CAST(x / sqrt(
+           aggregate(embedding, 0D, (a, y) -> a + CAST(y AS DOUBLE) * y)) AS FLOAT))"""))
+
+  /** Train PQ codebooks: m independent k-means fits, one per subspace
+    * slice of the normalized corpus. At 100 TB: fit on a sample (the
+    * codebook needs thousands of rows, not billions) and persist the
+    * model; training cost is m small ML jobs, independent of corpus size.
+    */
+  def pqTrain(emb: DataFrame, m: Int, k: Int, seed: Long = 42L): PqModel = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    val norm = normalized(emb).cache()
+    val cents = (0 until m).flatMap { mi =>
+      val sliced = norm.select(
+        array_to_vector(expr(s"slice(embedding, ${mi * sub + 1}, $sub)")).as("fv"))
+      new KMeans().setK(k).setSeed(seed + mi).setFeaturesCol("fv")
+        .fit(sliced).clusterCenters.toSeq
+        .map(_.toArray.map(_.toFloat).toSeq)
+    }
+    norm.unpersist()
+    PqModel(m, k, sub, cents)
+  }
+
+  /** Encode the corpus: each vector becomes m small codes (nearest
+    * centroid per subspace) — m·log2(k) bits instead of dim·32. The
+    * argmin runs as built-in array HOFs over the broadcast codebook
+    * literal; one narrow map, encoded once, reused by every query batch.
+    */
+  def pqEncode(emb: DataFrame, model: PqModel): DataFrame = {
+    val withCents = normalized(emb)
+      .withColumn("__cent", typedlit(model.centroids))
+    val codesSql =
+      s"""transform(sequence(0, ${model.m - 1}, 1), mi ->
+            array_position(
+              transform(slice(__cent, mi * ${model.k} + 1, ${model.k}), c ->
+                aggregate(
+                  zip_with(slice(embedding, mi * ${model.subDim} + 1, ${model.subDim}), c,
+                           (a, b) -> CAST(a - b AS DOUBLE) * (a - b)),
+                  0D, (acc, x) -> acc + x)),
+              array_min(
+                transform(slice(__cent, mi * ${model.k} + 1, ${model.k}), c ->
+                  aggregate(
+                    zip_with(slice(embedding, mi * ${model.subDim} + 1, ${model.subDim}), c,
+                             (a, b) -> CAST(a - b AS DOUBLE) * (a - b)),
+                    0D, (acc, x) -> acc + x)))) - 1)"""
+    withCents
+      .withColumn("codes", expr(codesSql).cast("array<int>"))
+      .drop("__cent")
+      .select(col("vec_id"), col("codes"))
+  }
+
+  /** PQ top-k with asymmetric distance computation (ADC) + exact rerank —
+    * the FAISS-style memory-scale path. The corpus is scanned as codes
+    * only (m bytes/vector, a 32× compression at m=8 over 64 f32 dims):
+    * each query precomputes an m·k inner-product table against the
+    * codebook, the approximate score of a corpus vector is m table
+    * lookups, the top rerank·k ADC candidates are joined back to the raw
+    * vectors for exact cosine, and the final top-k is exact over that
+    * pool. rerank·k = |corpus| degenerates to brute force (spec-proven);
+    * small rerank keeps the exact pass a few-hundred-row join per query.
+    */
+  def pqTopK(emb: DataFrame, queryIds: Seq[Long], k: Int, model: PqModel,
+             rerank: Int = 4): DataFrame = {
+    require(rerank >= 1)
+    val codes = pqEncode(emb, model)
+    val q = normalized(emb.filter(col("vec_id").isInCollection(queryIds)))
+      .withColumn("__cent", typedlit(model.centroids))
+      .withColumn("qtab", expr(
+        s"""flatten(transform(sequence(0, ${model.m - 1}, 1), mi ->
+              transform(slice(__cent, mi * ${model.k} + 1, ${model.k}), c ->
+                aggregate(
+                  zip_with(slice(embedding, mi * ${model.subDim} + 1, ${model.subDim}), c,
+                           (a, b) -> CAST(a AS DOUBLE) * b),
+                  0D, (acc, x) -> acc + x))))"""))
+      .select(col("vec_id").as("q_id"), col("qtab"))
+    val adc = codes.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        expr(s"""aggregate(sequence(0, ${model.m - 1}, 1), 0D, (acc, mi) ->
+                   acc + element_at(qtab, mi * ${model.k} + element_at(codes, mi + 1) + 1))""")
+          .as("adc_score"))
+    val wAdc = Window.partitionBy("q_id").orderBy(col("adc_score").desc, col("n_id"))
+    val candidates = adc.withColumn("rn", row_number().over(wAdc))
+      .filter(col("rn") <= k * rerank)
+      .select("q_id", "n_id")
+    // exact rerank: candidates join back to raw vectors, true cosine
+    val qv = emb.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    candidates
+      .join(emb.select(col("vec_id").as("n_id"), col("embedding").as("n_emb")), Seq("n_id"))
+      .join(broadcast(qv), Seq("q_id"))
+      .select(col("q_id"), col("n_id"),
+              org.apache.spark.sql.graft.VectorExpressions.vec_cosine(
+                col("q_emb"), col("n_emb")).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
   /** Recall of `approx` against exact `truth` (both (q_id, n_id) top-k
     * tables): |approx ∩ truth| / |truth|. One semi join + two counts —
     * no driver-side set arithmetic, so it scales to any query batch. */

@@ -84,6 +84,36 @@ class AnnSpec extends SparkSpec {
     assert(recs.last === 1.0)
   }
 
+  test("PQ codes are bounded by the codebook and deterministic") {
+    val model = AnnOps.pqTrain(emb, m = 8, k = 16)
+    assert(model.subDim === 8 && model.centroids.size === 8 * 16)
+    val codes = AnnOps.pqEncode(emb, model).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes.size === 500)
+    assert(codes.values.forall(c => c.length == 8 && c.forall(x => x >= 0 && x < 16)))
+    val again = AnnOps.pqEncode(emb, model).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes === again)
+  }
+
+  test("PQ with rerank covering the corpus equals brute force; recall monotone in rerank") {
+    val model = AnnOps.pqTrain(emb, m = 8, k = 16)
+    val truth = AnnOps.bruteForceTopK(emb, queries, 5).cache()
+    // rerank pool = whole corpus → the exact rerank IS brute force
+    def toSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "n_id", "rn").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val full = AnnOps.pqTopK(emb, queries, 5, model, rerank = 100)
+    assert(toSet(full) === toSet(truth))
+    // the ADC top-N candidate pool grows with rerank (fixed deterministic
+    // order), so recall is monotone
+    val recs = Seq(1, 4, 16).map { r =>
+      AnnOps.recallAt(AnnOps.pqTopK(emb, queries, 5, model, rerank = r), truth)
+    }
+    assert(recs.zip(recs.tail).forall { case (a, b) => a <= b }, recs.toString)
+    assert(recs.last > 0.5, recs.toString)
+  }
+
   test("srp_signature agrees between codegen and interpreted eval") {
     val df = emb.limit(100).select(col("vec_id"), srp_signature(col("embedding"), 16).as("s"))
     val viaCodegen = df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
