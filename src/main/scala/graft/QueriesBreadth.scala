@@ -186,6 +186,38 @@ object QueriesBreadth {
       graft.operators.Quality.profile(supplier(s, d),
         Seq("s_suppkey", "s_name", "s_nationkey"))),
 
+    // Declarative expectations: N rules, ONE scan, one row of violation
+    // counts (Quality.expectations). The publish gate a pipeline runs
+    // before swapping a table live.
+    "quality_expectations" -> ((s, d) =>
+      graft.operators.Quality.expectations(lineitem(s, d), Seq(
+        "qty_positive" -> (col("l_quantity") > 0),
+        "discount_unit_range" -> (col("l_discount") >= 0 && col("l_discount") <= 1),
+        "returnflag_domain" -> col("l_returnflag").isin("A", "N", "R"),
+        "ship_after_1994" -> (col("l_shipdate") >= lit("1995-01-01").cast(TimestampType))))),
+
+    // Equal-width histogram by pure arithmetic (floor((x-lo)/w)): engine-
+    // portable bucketing, one aggregation; the plotting/distribution pass
+    // over a money column. Bucket ids clamp into [0, 20).
+    "agg_histogram" -> ((s, d) =>
+      orders(s, d)
+        .select(least(greatest(floor((col("o_totalprice") - 0.0) / 30000.0), lit(0.0)),
+                      lit(19.0)).cast(LongType).as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"))),
+
+    // Calendar function breadth: truncation, field extraction (with the
+    // day-of-week convention aligned cross-engine), month boundaries.
+    "fn_datetime_extras" -> ((s, d) =>
+      orders(s, d).filter(col("o_orderkey") <= 1000)
+        .select(col("o_orderkey"),
+          date_trunc("month", col("o_orderdate")).as("month_start"),
+          quarter(col("o_orderdate")).cast(LongType).as("qtr"),
+          (dayofweek(col("o_orderdate")) - 1).cast(LongType).as("dow_sun0"),
+          last_day(col("o_orderdate")).cast(TimestampType).as("month_end"),
+          datediff(lit("2002-01-01").cast(DateType), col("o_orderdate"))
+            .cast(LongType).as("days_to_2002"))),
+
     // Range join with NO equi key: orders falling inside overlapping
     // 60-day windows (one per nation, 30-day offsets). The naive non-equi
     // join nested-loops; ScaleJoins.pointInIntervalJoin bucketizes to a
@@ -428,6 +460,28 @@ object QueriesBreadth {
         UNION ALL
         SELECT 's_nationkey', COUNT(s_nationkey), COUNT(DISTINCT s_nationkey),
           CAST(MIN(s_nationkey) AS VARCHAR), CAST(MAX(s_nationkey) AS VARCHAR) FROM supplier""",
+
+    "quality_expectations" ->
+      """SELECT
+          COUNT(*) FILTER (WHERE NOT COALESCE(l_quantity > 0, FALSE)) AS viol_qty_positive,
+          COUNT(*) FILTER (WHERE NOT COALESCE(l_discount >= 0 AND l_discount <= 1, FALSE)) AS viol_discount_unit_range,
+          COUNT(*) FILTER (WHERE NOT COALESCE(l_returnflag IN ('A','N','R'), FALSE)) AS viol_returnflag_domain,
+          COUNT(*) FILTER (WHERE NOT COALESCE(l_shipdate >= TIMESTAMP '1995-01-01', FALSE)) AS viol_ship_after_1994
+        FROM lineitem""",
+
+    "agg_histogram" ->
+      """SELECT CAST(LEAST(GREATEST(FLOOR((o_totalprice - 0.0) / 30000.0), 0), 19) AS BIGINT) AS bucket,
+          COUNT(*) AS n
+        FROM orders GROUP BY 1""",
+
+    "fn_datetime_extras" ->
+      """SELECT o_orderkey,
+          date_trunc('month', o_orderdate) AS month_start,
+          CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+          CAST(dayofweek(o_orderdate) AS BIGINT) AS dow_sun0,
+          CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end,
+          CAST(datediff('day', o_orderdate, TIMESTAMP '2002-01-01') AS BIGINT) AS days_to_2002
+        FROM orders WHERE o_orderkey <= 1000""",
 
     "join_point_in_interval" ->
       """WITH iv AS (

@@ -47,6 +47,22 @@ object Quality {
       .select("p.col_name", "p.n_nonnull", "p.n_distinct", "p.min_str", "p.max_str")
   }
 
+  /** Declarative expectations (dbt-test style): each rule is a boolean
+    * Column that every row must satisfy; the result is ONE row of
+    * violation counts, all rules evaluated in a single scan + single
+    * aggregate (no per-rule passes — at 100 TB the table is read once
+    * regardless of how many rules are attached). A rule referencing
+    * another table (referential integrity) belongs in [[orphans]], which
+    * is join-shaped by nature.
+    */
+  def expectations(df: DataFrame, rules: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    require(rules.nonEmpty)
+    val aggs = rules.map { case (name, rule) =>
+      count_if(!coalesce(rule, lit(false))).as(s"viol_$name")
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Key combinations that violate uniqueness, with their multiplicity.
     * Empty result = the key is unique. */
   def duplicateKeys(df: DataFrame, keyCols: Seq[String]): DataFrame =

@@ -119,6 +119,31 @@ class StreamingSpec extends SparkSpec {
     assert(got === Map("K1" -> "a2", "K2" -> "b", "K3" -> "c"))
   }
 
+  test("stateful aggregation runs on the RocksDB state store (off-heap state path)") {
+    // the default HDFS-backed store keeps state on the executor heap; at
+    // 100 TB-scale key cardinality the production config is RocksDB
+    // (off-heap, spillable, incremental checkpoints). Same query, same
+    // results — the provider is a config, not a code change.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Ev](spark)
+      in.addData(
+        Ev(1, ts("2024-01-01 00:01:00"), 1, "click", 1.0),
+        Ev(2, ts("2024-01-01 00:05:00"), 1, "click", 2.0),
+        Ev(3, ts("2024-01-01 00:11:00"), 1, "click", 4.0))
+      completeToMemory(EventStreams.tumblingCounts(in.toDF()), "tumble_rocks")
+      val rows = spark.table("tumble_rocks").orderBy("win_start").collect()
+      assert(rows.map(_.getAs[Long]("n")).toSeq === Seq(2L, 1L))
+      assert(rows.head.getAs[Double]("sum_value") === 3.0)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("checkpoint recovery: a replayed batch converges to the clean-run state") {
     import org.apache.spark.sql.types._
     val base = java.nio.file.Files.createTempDirectory("graft_recover_").toString
