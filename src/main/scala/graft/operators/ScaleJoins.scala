@@ -51,7 +51,17 @@ object ScaleJoins {
                      targetMB: Int = 128): Int = {
     val bytes = graft.sources.WarehouseFs.parquetBytes(spark, dir)
     val parts = math.max(1, math.ceil(bytes / (targetMB * 1024.0 * 1024.0)).toInt)
-    graft.sources.WarehouseFs.publish(spark.read.parquet(dir).repartition(parts), dir)
+    // a Hive-layout table (key=value subdirs) must keep its layout — and
+    // its partition pruning — through compaction: detect partition columns
+    // from directory names and re-write partitioned, clustering rows by
+    // partition key so each output file stays within one partition
+    val partCols = graft.sources.WarehouseFs.listNames(spark, dir)
+      .filter(_.contains("=")).map(_.takeWhile(_ != '=')).distinct
+    val df = spark.read.parquet(dir)
+    val compacted =
+      if (partCols.isEmpty) df.repartition(parts)
+      else df.repartition(parts, partCols.map(col): _*)
+    graft.sources.WarehouseFs.publish(compacted, dir, partitionBy = partCols)
     parts
   }
 

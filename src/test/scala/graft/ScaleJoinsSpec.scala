@@ -49,6 +49,25 @@ class ScaleJoinsSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() === data.count())
   }
 
+  test("compaction preserves Hive partition layout (pruning survives)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_p_").toString
+    val data = Tables.orders(spark, sf0001)
+      .withColumn("status", col("o_orderstatus"))
+    data.repartition(20).write.mode("overwrite").partitionBy("status").parquet(dir)
+    val before = spark.read.parquet(dir)
+    val cntBefore = before.count()
+    ScaleJoins.compactParquet(spark, dir, targetMB = 128)
+    // layout intact: key=value dirs still present, no flattening
+    val subdirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(subdirs.forall(_.startsWith("status=")), subdirs.mkString(","))
+    assert(subdirs.length >= 2)
+    val after = spark.read.parquet(dir)
+    assert(after.count() === cntBefore)
+    // partition pruning still works on the compacted table
+    val p = after.filter(col("status") === "O").queryExecution.executedPlan.toString
+    assert(!p.toLowerCase.contains("status=f"), p)
+  }
+
   test("capped interval self-join: cold keys match naive join, hot keys side-routed") {
     // user 99 is the power user (60 rows → 60² naive pairs); others ≤ 5
     val rows = (0 until 60).map(i => (99L, i.toLong * 10, 1000L + i)) ++
