@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Incremental maintenance of a cumulative aggregate table — the scalable
+  * form of the reference's nightly full-mart rebuild (main.py:574-576
+  * recomputes over the whole fact each run). At 100 TB rescanning history
+  * every night is the dominant cost; the right shape is: aggregate ONLY
+  * the new increment (one partial agg over one day's partition), then
+  * merge partials into the running state (one agg over |keys| rows + the
+  * day's groups). History is never re-read.
+  *
+  * Works for DECOMPOSABLE aggregates — those with an associative merge:
+  * sum/count merge by sum, min/max by min/max. Non-decomposable metrics
+  * ride on decomposable carriers: avg = merged sum ÷ merged count
+  * ([[withDerivedAvg]]); distinct counts need a sketch carrier (see
+  * `agg_elementwise_min`'s MinHash union for the same idea on signatures).
+  *
+  * Replay safety: merging the same increment twice DOUBLE-COUNTS sums —
+  * unlike SCD1 this is not a fixpoint. Callers get idempotence the same
+  * way the transactions fact does (EtlPipeline): gate each increment on
+  * its day partition not yet being present in the state's ledger column,
+  * or publish state keyed by (day watermark) via WarehouseFs.publish.
+  */
+object IncrementalAgg {
+
+  /** Supported merge functions per aggregate column: the per-increment
+    * partial and the state↔state merge for each. */
+  private val partialFns: Map[String, Column => Column] = Map(
+    "sum" -> (c => sum(c)), "count" -> (c => count(c)),
+    "min" -> (c => min(c)), "max" -> (c => max(c)))
+  private val mergeFns: Map[String, Column => Column] = Map(
+    "sum" -> (c => sum(c)), "count" -> (c => sum(c)), // counts merge by summing
+    "min" -> (c => min(c)), "max" -> (c => max(c)))
+
+  private def outName(c: String, fn: String) = s"${fn}_$c"
+
+  /** Partial-aggregate one increment: groupBy keys, one agg per
+    * (column, fn) pair. `aggs` is (inputColumn, fn) with fn ∈
+    * sum|count|min|max. */
+  def partial(increment: DataFrame, keys: Seq[String],
+              aggs: Seq[(String, String)]): DataFrame = {
+    val cols = aggs.map { case (c, fn) =>
+      partialFns(fn)(col(c)).as(outName(c, fn)) }
+    increment.groupBy(keys.map(col): _*).agg(cols.head, cols.tail: _*)
+  }
+
+  /** Merge an increment's partials into the cumulative state. Both sides
+    * carry the [[partial]] schema; the result does too, so merging is
+    * closed under composition (fold any number of increments). */
+  def merge(state: Option[DataFrame], increment: DataFrame, keys: Seq[String],
+            aggs: Seq[(String, String)]): DataFrame = {
+    val inc = partial(increment, keys, aggs)
+    state match {
+      case None => inc
+      case Some(s) =>
+        val cols = aggs.map { case (c, fn) =>
+          val n = outName(c, fn)
+          mergeFns(fn)(col(n)).as(n)
+        }
+        s.unionByName(inc).groupBy(keys.map(col): _*).agg(cols.head, cols.tail: _*)
+    }
+  }
+
+  /** Derive an average column from merged sum/count carriers (both must be
+    * in `aggs`). */
+  def withDerivedAvg(state: DataFrame, c: String, as: String): DataFrame =
+    state.withColumn(as, col(outName(c, "sum")) / col(outName(c, "count")))
+}
