@@ -24,6 +24,7 @@ object GraftSession {
     org.apache.spark.sql.graft.VectorExpressions.register(spark)
     org.apache.spark.sql.graft.TextHashExpressions.register(spark)
     org.apache.spark.sql.graft.AggExpressions.register(spark)
+    org.apache.spark.sql.graft.ZOrderExpressions.register(spark)
     spark
   }
 }

@@ -90,6 +90,38 @@ object ScaleJoins {
       .drop("__bkt")
   }
 
+  /** Write `df` clustered along a 2-D Z-order curve over two numeric
+    * columns: each column is min/max-scaled into 16 bits, the bits are
+    * interleaved (codegen'd [[org.apache.spark.sql.graft.ZOrderExpressions.ZOrder2]]),
+    * and rows are range-partitioned + sorted by the Morton code into
+    * `files` output files. Each file then covers a small RECTANGLE of the
+    * (a, b) space, so parquet min/max stats prune the scan on filters
+    * against EITHER column — single-column sorting gives that for one
+    * dimension only. The min/max pre-pass is one tiny agg; at 100 TB use
+    * known static bounds or a sampled quantile sketch instead (the scale
+    * mapping only needs to be monotone, not exact).
+    */
+  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+                    files: Int): Unit = {
+    import org.apache.spark.sql.graft.ZOrderExpressions.z_order2
+    require(files > 0)
+    val mm = df.agg(min(col(colA)).cast("double").as("a0"),
+                    max(col(colA)).cast("double").as("a1"),
+                    min(col(colB)).cast("double").as("b0"),
+                    max(col(colB)).cast("double").as("b1")).head()
+    def scale(c: String, lo: Double, hi: Double) = {
+      val w = if (hi > lo) hi - lo else 1.0
+      least(((col(c).cast("double") - lo) / w * 65535.0).cast("long"), lit(65535L))
+    }
+    df.withColumn("__z", z_order2(
+        scale(colA, mm.getDouble(0), mm.getDouble(1)),
+        scale(colB, mm.getDouble(2), mm.getDouble(3))))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** Interval self-join with a power-user guard. The J9 shape — equi on a
     * key with a ±window residual — is quadratic PER KEY: a key with n rows
     * in the window produces O(n²) pairs, so one bot/power user can turn a
