@@ -67,4 +67,35 @@ object IncrementalAgg {
     * in `aggs`). */
   def withDerivedAvg(state: DataFrame, c: String, as: String): DataFrame =
     state.withColumn(as, col(outName(c, "sum")) / col(outName(c, "count")))
+
+  // --- distinct counts (non-decomposable) ride on HLL sketch carriers ----
+
+  /** Partial for incremental DISTINCT counting: a DataSketches HLL sketch
+    * per group (`hll_sketch_agg`, a few KB regardless of cardinality).
+    * Sketches union with SET semantics (`hll_union_agg`): re-merging the
+    * same increment is a no-op — so unlike sum/count carriers, replays
+    * are absorbed (spec-proven). The union may reorganize the sketch's
+    * internal representation, so a folded estimate can differ from a
+    * one-pass estimate by a hair — both stay within the sketch's
+    * published error of the exact count. */
+  def distinctPartial(increment: DataFrame, keys: Seq[String],
+                      c: String): DataFrame =
+    increment.groupBy(keys.map(col): _*)
+      .agg(hll_sketch_agg(col(c)).as(s"hll_$c"))
+
+  /** Merge distinct-sketch states (both carrying [[distinctPartial]]'s
+    * schema). */
+  def distinctMerge(state: Option[DataFrame], increment: DataFrame,
+                    keys: Seq[String], c: String): DataFrame = {
+    val inc = distinctPartial(increment, keys, c)
+    state match {
+      case None => inc
+      case Some(s) => s.unionByName(inc).groupBy(keys.map(col): _*)
+        .agg(hll_union_agg(col(s"hll_$c")).as(s"hll_$c"))
+    }
+  }
+
+  /** Read the estimate off a sketch state. */
+  def withDistinctEstimate(state: DataFrame, c: String, as: String): DataFrame =
+    state.withColumn(as, hll_sketch_estimate(col(s"hll_$c")))
 }

@@ -43,6 +43,42 @@ class IncrementalAggSpec extends SparkSpec {
     for ((k, v) <- want) assert(math.abs(got(k) - v) < 1e-9, s"$k: ${got(k)} vs $v")
   }
 
+  test("HLL sketch fold absorbs replays; estimates within HLL error of exact") {
+    val li = Tables.lineitem(spark, sf0001)
+      .withColumn("day", dayofmonth(col("l_shipdate")) % 4)
+    val days = (0 until 4).map(d => li.filter(col("day") === d).drop("day"))
+
+    def fold(incs: Seq[org.apache.spark.sql.DataFrame]): Map[String, Long] = {
+      val st = incs.foldLeft(Option.empty[org.apache.spark.sql.DataFrame]) {
+        (s, inc) => Some(IncrementalAgg.distinctMerge(s, inc, Seq("l_returnflag"), "l_orderkey"))
+      }.get
+      IncrementalAgg.withDistinctEstimate(st, "l_orderkey", "nd")
+        .select("l_returnflag", "nd").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+
+    // set semantics: re-merging an already-merged increment is a no-op —
+    // the property sum/count carriers do NOT have
+    val clean = fold(days)
+    val replayed = fold(days :+ days.head)
+    assert(clean === replayed)
+
+    // and both the folded and the one-pass estimate sit within HLL error
+    // of the exact distinct count
+    val onePass = IncrementalAgg.withDistinctEstimate(
+      IncrementalAgg.distinctPartial(li.drop("day"), Seq("l_returnflag"), "l_orderkey"),
+      "l_orderkey", "nd")
+      .select("l_returnflag", "nd").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = li.groupBy("l_returnflag")
+      .agg(countDistinct("l_orderkey").as("nd")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((k, e) <- exact) {
+      assert(math.abs(clean(k).toDouble - e) / e < 0.05, s"$k: fold ${clean(k)} vs exact $e")
+      assert(math.abs(onePass(k).toDouble - e) / e < 0.05, s"$k: one-pass ${onePass(k)} vs exact $e")
+    }
+  }
+
   test("merge plans touch only state + increment (no history rescan)") {
     val li = Tables.lineitem(spark, sf0001)
     val state = IncrementalAgg.partial(li, Seq("l_returnflag"), aggs)
