@@ -144,12 +144,17 @@ object EtlPipeline {
     // per-day delete+insert; a full-table overwrite would rewrite the
     // whole mart history every night).
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    rep.localCheckpoint().write.mode(SaveMode.Overwrite)
+    // observe() piggybacks the row count on the write job itself — the
+    // end-of-run counters below cost zero extra table scans (the r2 form
+    // re-read every published table just to log its size)
+    val repObs = new org.apache.spark.sql.Observation("rep_fraud_metrics")
+    rep.localCheckpoint().observe(repObs, count(lit(1)).as("n"))
+      .write.mode(SaveMode.Overwrite)
       .partitionBy("report_dt").parquet(tablePath("rep_fraud"))
 
     val histN = spark.read.parquet(tablePath("dwh_dim_terminals_hist")).count()
     val txN = tx.count()
-    val repN = spark.read.parquet(tablePath("rep_fraud")).count()
+    val repN = repObs.get("n")
     println(s"[etl] terminals_hist=$histN transactions=$txN blacklist=${bl.count()} rep_fraud=$repN")
   }
 

@@ -55,6 +55,8 @@ object OrJoinDecomposition extends Rule[LogicalPlan] {
 
 /** spark.sql.extensions entry point. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     OrJoinDecomposition.install(e)
+    org.apache.spark.sql.graft.TopKPerGroupOp.install(e)
+  }
 }

@@ -49,6 +49,24 @@ object EventStreams {
       .withWatermark("ts", "30 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming NEAR-dup suppression: the streaming form of the batch
+    * SimHash near-dup path. Each document is sketched to a 64-bit SimHash
+    * (codegen'd, the same expression as the batch `dedup_simhash`), and
+    * the stream deduplicates on the sketch within the watermark — textually
+    * near-identical documents collapse to one survivor. State is one
+    * (sketch, ts) entry per distinct sketch inside the watermark window,
+    * evicted by event time; the batch twin's band-join verification stage
+    * is the offline complement (this is the cheap online gate).
+    * Input needs (ts: Timestamp, doc_id, text). */
+  def nearDupSuppress(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("__sketch",
+        org.apache.spark.sql.graft.TextHashExpressions.simhash64(
+          split(lower(col(textCol)), "\\s+")))
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("__sketch")
+      .drop("__sketch")
+
   /** Watermarked stream-stream interval join: each left-side event pairs
     * with right-side events of the same user that follow it within one
     * hour (the streaming form of the `join_interval_self` batch query and

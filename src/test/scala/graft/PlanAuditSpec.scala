@@ -82,6 +82,35 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("large-volume top-k (Q18 shape) plans as TakeOrdered, not a full sort") {
+    val p = plan("sql_top_customers_by_qty")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("correlated EXISTS (Q4 shape) plans as one semi join") {
+    val p = plan("sql_order_priority_late")
+    assert(p.contains("LeftSemi"), p)
+  }
+
+  test("scalar-max selection (Q15 shape) broadcasts the 1-row max") {
+    val p = plan("sql_top_supplier")
+    assert(p.contains("Broadcast"), p)
+  }
+
+  test("join strategy hints are honored (merge / shuffle_hash / broadcast)") {
+    import org.apache.spark.sql.functions.col
+    val li = Tables.lineitem(spark, sf0001).select("l_orderkey", "l_quantity")
+    val o = Tables.orders(spark, sf0001).select("o_orderkey", "o_orderstatus")
+    def planOf(hint: String): String = {
+      val j = li.join(o.hint(hint), col("l_orderkey") === col("o_orderkey"))
+      j.collect()
+      j.queryExecution.executedPlan.toString
+    }
+    assert(planOf("merge").contains("SortMergeJoin"), "merge hint")
+    assert(planOf("shuffle_hash").contains("ShuffledHashJoin"), "shuffle_hash hint")
+    assert(planOf("broadcast").contains("BroadcastHashJoin"), "broadcast hint")
+  }
+
   test("AQE splits a skewed sort-merge join at runtime (unknown-skew defense)") {
     // saltedJoin covers KNOWN skew; for skew discovered only at runtime the
     // defense is AQE's OptimizeSkewedJoin. Thresholds are scaled down so a

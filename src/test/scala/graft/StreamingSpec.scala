@@ -119,6 +119,21 @@ class StreamingSpec extends SparkSpec {
     assert(got === Map("K1" -> "a2", "K2" -> "b", "K3" -> "c"))
   }
 
+  test("streaming near-dup suppression collapses sketch-identical documents") {
+    val in = MemoryStream[(java.sql.Timestamp, Long, String)](spark)
+    in.addData(
+      (ts("2024-01-01 00:00:00"), 1L, "The quick brown fox jumps over the lazy dog"),
+      // case/whitespace variant: same normalized token stream → same sketch
+      (ts("2024-01-01 00:01:00"), 2L, "the QUICK brown   fox jumps over the LAZY dog"),
+      (ts("2024-01-01 00:02:00"), 3L, "a completely different document about spark joins"))
+    runToMemory(EventStreams.nearDupSuppress(
+      in.toDF().toDF("ts", "doc_id", "text")), "neardup")
+    val survivors = spark.table("neardup").select("doc_id").collect()
+      .map(_.getLong(0)).sorted
+    assert(survivors.length === 2)
+    assert(survivors.contains(3L))
+  }
+
   test("stateful aggregation runs on the RocksDB state store (off-heap state path)") {
     // the default HDFS-backed store keeps state on the executor heap; at
     // 100 TB-scale key cardinality the production config is RocksDB

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.TopKPerGroupOp
+
+/** The custom heap-based per-group top-k physical operator must agree
+  * with the window row_number idiom while planning without a sort.
+  */
+class TopKPerGroupSpec extends SparkSpec {
+
+  test("heap top-k equals the window row_number idiom (unique order col)") {
+    val orders = Tables.orders(spark, sf0001)
+    val got = TopKPerGroupOp.topKPerGroup(orders, Seq("o_custkey"), "o_orderkey", 3)
+      .select("o_custkey", "o_orderkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderkey").desc)
+    val want = orders.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want)
+  }
+
+  test("k larger than every group degenerates to the full (non-null) input") {
+    val orders = Tables.orders(spark, sf0001)
+    val got = TopKPerGroupOp.topKPerGroup(orders, Seq("o_custkey"), "o_totalprice", 1000)
+    assert(got.count() === orders.filter(col("o_totalprice").isNotNull).count())
+  }
+
+  test("plan contains the custom exec, one Exchange, and NO sort") {
+    val orders = Tables.orders(spark, sf0001)
+    val df = TopKPerGroupOp.topKPerGroup(orders, Seq("o_custkey"), "o_orderkey", 3)
+    df.collect()
+    // under AQE the plan string prints Final + Initial plans; count
+    // shuffles only in the final (executed) portion
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("TopKPerGroup"), p)
+    assert("Exchange".r.findAllIn(p).size === 1, p)
+    assert(!p.contains("Sort "), p) // the whole point vs WindowExec
+    // and the window idiom DOES sort — the cost the operator removes
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderkey").desc)
+    val wp = orders.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .queryExecution.executedPlan.toString
+    assert(wp.contains("Sort "), wp)
+  }
+
+  test("string group keys and double order values work (interpreted ordering)") {
+    import spark.implicits._
+    val df = Seq(("a", 1.0), ("a", 3.0), ("a", 2.0), ("b", 5.0), ("b", 4.0))
+      .toDF("g", "v")
+    val got = TopKPerGroupOp.topKPerGroup(df, Seq("g"), "v", 2)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(got === Set(("a", 3.0), ("a", 2.0), ("b", 5.0), ("b", 4.0)))
+  }
+}
