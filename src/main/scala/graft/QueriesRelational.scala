@@ -187,6 +187,16 @@ object QueriesRelational {
         .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
     }),
 
+    // Same answer as win_topk_per_group but through the custom heap-based
+    // physical operator (plans/TopKPerGroup.scala): one shuffle, NO sort —
+    // O(n log k) instead of WindowExec's per-partition O(n log n). The
+    // unique o_orderkey order column makes the top-3 set tie-free, so the
+    // heap result is deterministic and the row_number oracle agrees.
+    "win_topk_heap" -> ((s, d) =>
+      org.apache.spark.sql.graft.TopKPerGroupOp.topKPerGroup(
+          orders(s, d), Seq("o_custkey"), "o_orderkey", 3)
+        .select("o_custkey", "o_orderkey")),
+
     "win_lead_lag" -> ((s, d) => {
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("o_orderdate"), col("o_orderkey"))
@@ -408,6 +418,13 @@ object QueriesRelational {
           SELECT o_custkey, o_orderkey, o_totalprice,
                  ROW_NUMBER() OVER (PARTITION BY o_custkey
                                     ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders) t WHERE rn <= 3""",
+
+    "win_topk_heap" ->
+      """SELECT o_custkey, o_orderkey FROM (
+          SELECT o_custkey, o_orderkey,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderkey DESC) AS rn
           FROM orders) t WHERE rn <= 3""",
 
     "win_lead_lag" ->

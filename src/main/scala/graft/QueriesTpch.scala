@@ -88,6 +88,142 @@ object QueriesTpch {
         .limit(100)
     }),
 
+    // Q7 shape: bilateral shipping volume between two nations, by year.
+    // The two ~25-row nation dims broadcast; filtering them BEFORE the
+    // join means only lines touching the two nations survive the fact
+    // joins. Both fact joins shuffle on the same l_orderkey/o_orderkey
+    // key family; the group-by is on tiny post-filter output.
+    "sql_nation_volume" -> ((s, d) => {
+      val sn = nation(s, d).select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+        .filter(col("supp_nation").isin("NATION_1", "NATION_2"))
+      val cn = nation(s, d).select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+        .filter(col("cust_nation").isin("NATION_1", "NATION_2"))
+      lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+                col("l_shipdate") < lit("1998-01-01").cast(TimestampType))
+        .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(sn), col("s_nationkey") === col("s_nk"))
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(cn), col("c_nationkey") === col("c_nk"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+                 year(col("l_shipdate")).as("l_year"))
+        .agg(sum(revenue).cast(DoubleType).as("volume"))
+    }),
+
+    // Q8 shape: market share of one supplier nation inside one customer
+    // region, by order year. The share is a conditional sum over the same
+    // rows as the total — one aggregation, no second scan; region/nation
+    // dims broadcast into the fact pipeline.
+    "sql_market_share" -> ((s, d) => {
+      val asiaNations = nation(s, d)
+        .join(region(s, d).filter(col("r_name") === "ASIA"),
+              col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("c_nk"))
+      val sn = nation(s, d)
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      lineitem(s, d)
+        .join(orders(s, d)
+                .filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
+                        col("o_orderdate") < lit("1998-01-01").cast(TimestampType)),
+              col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(asiaNations), col("c_nationkey") === col("c_nk"))
+        .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(sn), col("s_nationkey") === col("s_nk"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_3", revenue)
+            .otherwise(lit(0).cast(DecimalType(18, 2)))).cast(DoubleType).as("nation_revenue"),
+          sum(revenue).cast(DoubleType).as("total_revenue"))
+        .select(col("o_year"), col("nation_revenue"), col("total_revenue"),
+          (col("nation_revenue") / col("total_revenue")).as("mkt_share"))
+    }),
+
+    // Q10 shape: customers who returned the most revenue in one quarter.
+    // The returnflag + date filters cut the fact before any join; top-20
+    // runs as TakeOrdered with a unique c_custkey tiebreak (deterministic
+    // without a global sort).
+    "sql_returned_top_customers" -> ((s, d) =>
+      lineitem(s, d)
+        .filter(col("l_returnflag") === "R")
+        .join(orders(s, d)
+                .filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
+                        col("o_orderdate") < lit("1996-04-01").cast(TimestampType)),
+              col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .agg(sum(revenue).cast(DoubleType).as("returned_revenue"))
+        .orderBy(col("returned_revenue").desc, col("c_custkey"))
+        .limit(20)),
+
+    // Q17 shape: revenue that would disappear if sub-20%-of-average
+    // quantity orders for one brand stopped. The per-part average is a
+    // keyed aggregation joined back on p_partkey — NOT a correlated
+    // subquery per row; the brand filter shrinks both sides first. The
+    // threshold divides an exact decimal sum by an exact count in double
+    // (deterministic under any partitioning).
+    "sql_small_qty_parts" -> ((s, d) => {
+      val brandLines = lineitem(s, d)
+        .join(part(s, d).filter(col("p_brand") === "Brand#1"),
+              col("l_partkey") === col("p_partkey"))
+      val avgQty = brandLines.groupBy(col("p_partkey").as("aq_partkey"))
+        .agg((sum(dec(col("l_quantity"))).cast(DoubleType) /
+              count(lit(1))).as("avg_qty"))
+      brandLines
+        .join(avgQty, col("l_partkey") === col("aq_partkey"))
+        .filter(col("l_quantity") < col("avg_qty") * 0.2)
+        .agg((sum(dec(col("l_extendedprice"))).cast(DoubleType) / 7.0)
+          .as("avg_yearly"))
+    }),
+
+    // Q19 shape: disjunctive brand/size/quantity predicate — one
+    // equi-join on l_partkey with the OR residual evaluated post-join.
+    // Catalyst extracts the common p_size >= 1 / l_quantity >= 1 bounds
+    // as pushable conjuncts; the single equi-join means one shuffle
+    // regardless of how many disjuncts the pricing rule carries.
+    "sql_disjunctive_part_revenue" -> ((s, d) =>
+      lineitem(s, d)
+        .join(part(s, d), col("l_partkey") === col("p_partkey") && (
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+           col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(1, 20) &&
+           col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 25) &&
+           col("l_quantity").between(20, 30))))
+        .agg(sum(revenue).cast(DoubleType).as("revenue"))),
+
+    // Q21 shape (adapted to this schema's columns: "late" = shipped more
+    // than 60 days after the order date): suppliers from one nation who
+    // were the ONLY late supplier on a finished multi-supplier order.
+    // Both the "some other supplier exists" (semi) and "no other supplier
+    // was late" (anti) conditions are equi-joins on l_orderkey with a
+    // suppkey-inequality residual — the whole query re-uses one hash
+    // partitioning on the order key; nothing is correlated per-row.
+    "sql_waiting_suppliers" -> ((s, d) => {
+      val fOrders = orders(s, d).filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val lines = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      val late = lines.join(fOrders, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .select(col("l_orderkey"), col("l_suppkey"), col("o_orderdate"))
+      val l1 = late
+        .join(lines.select(col("l_orderkey").as("o2_okey"), col("l_suppkey").as("o2_skey")),
+              col("l_orderkey") === col("o2_okey") && col("l_suppkey") =!= col("o2_skey"),
+              "left_semi")
+        .join(late.select(col("l_orderkey").as("l3_okey"), col("l_suppkey").as("l3_skey")),
+              col("l_orderkey") === col("l3_okey") && col("l_suppkey") =!= col("l3_skey"),
+              "left_anti")
+      l1.join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nation(s, d).filter(col("n_name") === "NATION_1")),
+              col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("s_suppkey"), col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_suppkey"))
+        .limit(20)
+    }),
+
     // Q22 shape: rich-but-dormant customers — above the positive-balance
     // average, no order since 2000. Scalar subquery broadcasts as one row;
     // the NOT EXISTS is an anti join against the pre-filtered (small)
@@ -156,6 +292,109 @@ object QueriesTpch {
         JOIN customer ON o_custkey = c_custkey
         ORDER BY o_totalprice DESC, o_orderkey
         LIMIT 100""",
+
+    "sql_nation_volume" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INT) AS l_year,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS volume
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+          AND cn.n_name IN ('NATION_1', 'NATION_2')
+          AND sn.n_name <> cn.n_name
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1, 2, 3""",
+
+    "sql_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+               CAST(SUM(CASE WHEN sn.n_name = 'NATION_3'
+                 THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      (1 - CAST(l_discount AS DECIMAL(18,2)))
+                 ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS nation_revenue,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue,
+               CAST(SUM(CASE WHEN sn.n_name = 'NATION_3'
+                 THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      (1 - CAST(l_discount AS DECIMAL(18,2)))
+                 ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) /
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS mkt_share
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN region ON cn.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1""",
+
+    "sql_returned_top_customers" ->
+      """SELECT c_custkey, c_name, c_mktsegment,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS returned_revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-04-01'
+        GROUP BY 1, 2, 3
+        ORDER BY returned_revenue DESC, c_custkey
+        LIMIT 20""",
+
+    "sql_small_qty_parts" ->
+      """WITH brand_lines AS (
+          SELECT l_partkey, l_quantity, l_extendedprice
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_brand = 'Brand#1'),
+        aq AS (
+          SELECT l_partkey AS aq_partkey,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty
+          FROM brand_lines GROUP BY 1)
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+        FROM brand_lines JOIN aq ON l_partkey = aq_partkey
+        WHERE l_quantity < avg_qty * 0.2""",
+
+    "sql_disjunctive_part_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 25
+               AND l_quantity BETWEEN 20 AND 30)""",
+
+    "sql_waiting_suppliers" ->
+      """WITH late AS (
+          SELECT l_orderkey, l_suppkey
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderstatus = 'F'
+            AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        SELECT s_suppkey, s_name, count(*) AS numwait
+        FROM late l1
+        JOIN supplier ON l1.l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_1'
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM late l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey)
+        GROUP BY 1, 2
+        ORDER BY numwait DESC, s_suppkey
+        LIMIT 20""",
 
     "sql_dormant_rich_customers" ->
       """SELECT c_mktsegment, count(*) AS n_cust,
