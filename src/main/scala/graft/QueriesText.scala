@@ -206,6 +206,53 @@ object QueriesText {
       graft.operators.DedupClusters.clusterLabels(docs, "doc_id", pairs)
     }),
 
+    // Cross-document repeated-passage detection (the corpus-level
+    // complement of the WITHIN-doc gopher repetition signals): for each
+    // doc, the fraction of its word 8-gram shingles that also occur in at
+    // least one OTHER document. Shingle generation is a map-only HOF
+    // (sequence→transform→slice, codegen'd, no UDF); then one distinct on
+    // (doc_id, shingle), one count keyed by shingle, a shingle-keyed join
+    // back (both sides already hash-partitioned on shingle — AQE reuses
+    // the exchange), and a final doc_id rollup. At 100 TB the shingle
+    // string is replaced by xxhash64(shingle) — 8 bytes through every
+    // shuffle instead of ~50 — with the same plan shape; the string form
+    // here is what the cross-engine oracle can check.
+    "text_crossdoc_dup" -> ((s, d) => {
+      val words = split(col("text"), " ")
+      val shingles = documents(s, d).select(
+        col("doc_id"),
+        explode(when(size(words) >= 8,
+            transform(sequence(lit(1), size(words) - lit(7)),
+              i => array_join(slice(words, i, lit(8)), " ")))
+          .otherwise(array())).as("shingle"))
+      val ds = shingles.distinct()
+      val freq = ds.groupBy("shingle").agg(count(lit(1)).as("ndocs"))
+      ds.join(freq, "shingle")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+             count(when(col("ndocs") >= 2, 1)).as("n_dup"),
+             (count(when(col("ndocs") >= 2, 1)).cast(DoubleType) /
+              count(lit(1))).as("dup_frac"))
+    }),
+
+    // Heavy-hitter word frequencies through the count-min sketch
+    // aggregate (functions/SketchExpressions.scala): one 4×4096 counter
+    // matrix summarizes the whole corpus — the shuffle carries ONE 128 KiB
+    // array instead of one row per distinct term, and the per-term probe
+    // is a broadcast of that single row. At this vocabulary the geometry
+    // is collision-free so estimates EQUAL exact counts and the DuckDB
+    // exact-count oracle hash-checks the sketch path end-to-end (CmsSpec
+    // proves the one-sided >= property under forced collisions).
+    "agg_cms_word_freq" -> ((s, d) => {
+      import org.apache.spark.sql.graft.SketchExpressions
+      val words = documents(s, d).select(explode(split(col("text"), " ")).as("word"))
+      val sk = words.agg(SketchExpressions.cms_sketch(col("word")).as("sk"))
+      words.distinct()
+        .crossJoin(broadcast(sk))
+        .select(col("word"),
+          SketchExpressions.cms_estimate(col("sk"), col("word")).as("est_count"))
+    }),
+
     // Multimodal plumbing: opaque binary payload + typed metadata. The
     // payload here is the utf-8 encoding of text (a deterministic stand-in
     // for image/audio bytes); content-hash dedup + size audit are the real
@@ -418,6 +465,25 @@ object QueriesText {
             ON a.band_idx = b2.band_idx AND a.band_val = b2.band_val
            AND a.doc_id < b2.doc_id)
         SELECT a_id, b_id, hamming FROM pairs WHERE hamming <= 8""",
+
+    "text_crossdoc_dup" ->
+      """WITH sh AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(string_split(text, ' ')) - 6),
+                        i -> array_to_string(string_split(text, ' ')[i:i+7], ' '))) AS shingle
+          FROM documents),
+        ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+        freq AS (SELECT shingle, count(*) AS ndocs FROM ds GROUP BY 1)
+        SELECT doc_id, count(*) AS n_shingles,
+               count(CASE WHEN ndocs >= 2 THEN 1 END) AS n_dup,
+               CAST(count(CASE WHEN ndocs >= 2 THEN 1 END) AS DOUBLE)/count(*) AS dup_frac
+        FROM ds JOIN freq USING (shingle)
+        GROUP BY 1""",
+
+    "agg_cms_word_freq" ->
+      """SELECT word, count(*) AS est_count
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        GROUP BY 1""",
 
     "multimodal_hash" ->
       """SELECT doc_id, md5(text) AS content_hash,
