@@ -25,6 +25,7 @@ object GraftSession {
     org.apache.spark.sql.graft.TextHashExpressions.register(spark)
     org.apache.spark.sql.graft.AggExpressions.register(spark)
     org.apache.spark.sql.graft.ZOrderExpressions.register(spark)
+    org.apache.spark.sql.graft.SketchExpressions.register(spark)
     spark
   }
 }

@@ -111,6 +111,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(planOf("broadcast").contains("BroadcastHashJoin"), "broadcast hint")
   }
 
+  test("runtime bloom filter prunes the fact side of a selectively-filtered join") {
+    // At 100 TB the win is shuffling only fact rows whose join key MIGHT
+    // match the filtered dim — Spark's runtime row-level filtering injects
+    // a bloom_filter_might_contain predicate on the fact scan side.
+    // Thresholds are production-sized defaults; scaled here so the sf0.001
+    // fixture qualifies.
+    withConf(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      import org.apache.spark.sql.functions.col
+      val li = Tables.lineitem(spark, sf0001)
+      val p = Tables.part(spark, sf0001).filter(col("p_brand") === "Brand#1")
+      val j = li.join(p, col("l_partkey") === col("p_partkey"))
+      val planStr = j.queryExecution.optimizedPlan.toString
+      assert(planStr.contains("might_contain") || planStr.contains("bloom"),
+        s"expected a runtime bloom filter on the fact side:\n$planStr")
+    }
+  }
+
   test("AQE splits a skewed sort-merge join at runtime (unknown-skew defense)") {
     // saltedJoin covers KNOWN skew; for skew discovered only at runtime the
     // defense is AQE's OptimizeSkewedJoin. Thresholds are scaled down so a
