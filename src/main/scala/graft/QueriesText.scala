@@ -235,6 +235,22 @@ object QueriesText {
               count(lit(1))).as("dup_frac"))
     }),
 
+    // Per-source document cap — the standard anti-domination guard in
+    // web-corpus curation (no single domain/source may exceed k docs).
+    // "Uniformly at random but deterministic" = keep the k largest md5
+    // ranks: a pure function of doc_id, so replays/backfills keep the
+    // same survivors. Runs on the custom heap top-k physical operator
+    // (one shuffle on source, NO sort — O(n log k) per partition); the
+    // oracle replays it as the row_number window idiom over the same
+    // md5 rank.
+    "text_cap_per_source" -> ((s, d) => {
+      val ranked = documents(s, d)
+        .withColumn("__rk", md5(col("doc_id").cast(StringType)))
+      org.apache.spark.sql.graft.TopKPerGroupOp
+        .topKPerGroup(ranked, Seq("source"), "__rk", 10)
+        .select("source", "doc_id")
+    }),
+
     // Heavy-hitter word frequencies through the count-min sketch
     // aggregate (functions/SketchExpressions.scala): one 4×4096 counter
     // matrix summarizes the whole corpus — the shuffle carries ONE 128 KiB
@@ -479,6 +495,13 @@ object QueriesText {
                CAST(count(CASE WHEN ndocs >= 2 THEN 1 END) AS DOUBLE)/count(*) AS dup_frac
         FROM ds JOIN freq USING (shingle)
         GROUP BY 1""",
+
+    "text_cap_per_source" ->
+      """SELECT source, doc_id FROM (
+          SELECT source, doc_id,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY md5(CAST(doc_id AS VARCHAR)) DESC) AS rn
+          FROM documents) t WHERE rn <= 10""",
 
     "agg_cms_word_freq" ->
       """SELECT word, count(*) AS est_count

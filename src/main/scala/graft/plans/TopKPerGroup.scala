@@ -74,9 +74,18 @@ case class TopKPerGroupExec(group: Seq[Expression], order: Expression, k: Int,
             heap = new java.util.PriorityQueue[(Any, InternalRow)](kk, cmp)
             heaps.put(key.copy(), heap)
           }
-          if (heap.size < kk) heap.add((v, row.copy()))
-          else if (ordering.compare(v, heap.peek()._1) > 0) {
-            heap.poll(); heap.add((v, row.copy())); ()
+          // Buffer-backed order values (UTF8String, arrays, …) returned by
+          // eval(row) point into the iterator's REUSED row buffer — they
+          // go stale on iter.next(). Re-evaluate against the stable copied
+          // row before storing; the transient `v` is only safe for the
+          // immediate comparison above/below.
+          if (heap.size < kk) {
+            val stable = row.copy()
+            heap.add((ordExpr.eval(stable), stable)); ()
+          } else if (ordering.compare(v, heap.peek()._1) > 0) {
+            heap.poll()
+            val stable = row.copy()
+            heap.add((ordExpr.eval(stable), stable)); ()
           }
         }
       }

@@ -44,6 +44,23 @@ class TopKPerGroupSpec extends SparkSpec {
     assert(wp.contains("Sort "), wp)
   }
 
+  test("STRING order values survive row-buffer reuse (md5 rank ≡ window idiom)") {
+    // eval(row) on a string column returns a UTF8String into the reused
+    // row buffer — the heap must re-evaluate against its copied row or
+    // stored keys go stale (regression: text_cap_per_source VALS diff).
+    import org.apache.spark.sql.functions.md5
+    val docs = Tables.documents(spark, sf0001)
+      .withColumn("__rk", md5(col("doc_id").cast("string")))
+    val got = TopKPerGroupOp.topKPerGroup(docs, Seq("source"), "__rk", 2)
+      .select("source", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val w = Window.partitionBy("source").orderBy(col("__rk").desc)
+    val want = docs.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+      .select("source", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got === want)
+  }
+
   test("string group keys and double order values work (interpreted ordering)") {
     import spark.implicits._
     val df = Seq(("a", 1.0), ("a", 3.0), ("a", 2.0), ("b", 5.0), ("b", 4.0))
