@@ -49,8 +49,11 @@ object EtlPipeline {
     spark.stop()
   }
 
+  /** @param asOf logical "run time" (defaults to now) — drives the SCD2
+    *   as-of snapshot and report_dt; injectable so tests can replay one
+    *   nightly run per feed day deterministically. */
   def run(spark: SparkSession, feedDir: String, whDir: String,
-          bankDir: Option[String]): Unit = {
+          bankDir: Option[String], asOf: Option[Timestamp] = None): Unit = {
     // all warehouse/feed paths go through the Hadoop FileSystem API so the
     // same pipeline runs against file://, hdfs:// or s3a:// unchanged
     val files = WarehouseFs.listNames(spark, feedDir)
@@ -100,12 +103,14 @@ object EtlPipeline {
     val existingDays: Set[String] =
       WarehouseFs.listNames(spark, tablePath("dwh_fact_transactions"))
         .filter(_.startsWith("day=")).map(_.stripPrefix("day=")).toSet
-    for ((day, path) <- feed("transactions") if !existingDays.contains(day)) {
-      BankFeeds.transactionsFact(spark, path)
-        .withColumn("day", to_date(col("trans_date")))
-        .write.mode(SaveMode.Append).partitionBy("day")
-        .parquet(tablePath("dwh_fact_transactions"))
-    }
+    val loadedDays = for ((day, path) <- feed("transactions") if !existingDays.contains(day))
+      yield {
+        BankFeeds.transactionsFact(spark, path)
+          .withColumn("day", to_date(col("trans_date")))
+          .write.mode(SaveMode.Append).partitionBy("day")
+          .parquet(tablePath("dwh_fact_transactions"))
+        day
+      }
 
     if (readIf("dwh_fact_transactions").isEmpty || readIf("dwh_dim_terminals_hist").isEmpty) {
       println("[etl] no transactions/terminals loaded — skipping fraud mart")
@@ -130,14 +135,34 @@ object EtlPipeline {
       }
     }
 
-    // --- fraud mart rebuild over the full fact (main.py:574-576)
-    val tx = spark.read.parquet(tablePath("dwh_fact_transactions"))
+    // --- fraud mart rebuild, INCREMENTAL over the days this run loaded
+    // (the scalable form of main.py:574-576: the reference itself only
+    // touches the current day, main.py:417). The fact is day-partitioned,
+    // so the [window.from - 1 lookback, window.to] slice is partition
+    // PRUNING — the nightly run reads O(days loaded), never O(history).
+    // The 1-day lookback feeds rule 3's ±1 h window across the midnight
+    // boundary; lookback-day events already reported by the previous run
+    // are cut back out by the event_dt >= window.from filter below. A run
+    // that loaded nothing new keeps the mart as-is (idempotent re-run);
+    // with no mart yet it falls back to a full-history rebuild (backfill).
+    val martExists = WarehouseFs.hasData(spark, tablePath("rep_fraud"))
+    if (loadedDays.isEmpty && martExists) {
+      println("[etl] no new transaction days — fraud mart unchanged")
+      return
+    }
+    val allDays = WarehouseFs.listNames(spark, tablePath("dwh_fact_transactions"))
+      .filter(_.startsWith("day=")).map(_.stripPrefix("day=")).sorted
+    val scopeDays = if (loadedDays.nonEmpty) loadedDays.sorted else allDays
+    val (dayFrom, dayTo) = (Date.valueOf(scopeDays.head), Date.valueOf(scopeDays.last))
+    val lookbackFrom = Date.valueOf(dayFrom.toLocalDate.minusDays(1))
+    val tx = factSlice(spark, tablePath("dwh_fact_transactions"), lookbackFrom, dayTo)
     val hist = spark.read.parquet(tablePath("dwh_dim_terminals_hist"))
     val bl = spark.read.parquet(tablePath("dwh_fact_pssprt_blcklst"))
-    val asOf = new Timestamp(System.currentTimeMillis())
-    val view = FraudDetection.dataView(clients, accounts, cards, tx, hist, asOf)
+    val asOfTs = asOf.getOrElse(new Timestamp(System.currentTimeMillis()))
+    val view = FraudDetection.dataView(clients, accounts, cards, tx, hist, asOfTs)
       .cache()
-    val rep = FraudDetection.repFraud(view, bl, new Date(System.currentTimeMillis()))
+    val rep = FraudDetection.repFraud(view, bl, new Date(asOfTs.getTime))
+      .filter(to_date(col("event_dt")) >= lit(dayFrom))
     // Dynamic partition overwrite: only the report days present in this
     // run's output are replaced — historical mart partitions survive a
     // daily rebuild untouched (the scalable form of the reference's
@@ -153,10 +178,21 @@ object EtlPipeline {
       .partitionBy("report_dt").parquet(tablePath("rep_fraud"))
 
     val histN = spark.read.parquet(tablePath("dwh_dim_terminals_hist")).count()
-    val txN = tx.count()
+    val txN = spark.read.parquet(tablePath("dwh_fact_transactions")).count()
     val repN = repObs.get("n")
-    println(s"[etl] terminals_hist=$histN transactions=$txN blacklist=${bl.count()} rep_fraud=$repN")
+    println(s"[etl] terminals_hist=$histN transactions=$txN blacklist=${bl.count()} " +
+      s"rep_fraud+=$repN (days ${scopeDays.head}..${scopeDays.last})")
   }
+
+  /** Day-window slice of the day-partitioned transactions fact. The
+    * filter lands on the `day` PARTITION column, so the scan's
+    * PartitionFilters prune to the window's directories — file listing
+    * and bytes read are O(window), not O(history). EtlPipelineSpec
+    * asserts the pruned file count against the scan metrics. */
+  def factSlice(spark: SparkSession, factPath: String,
+                from: Date, to: Date): DataFrame =
+    spark.read.parquet(factPath)
+      .filter(col("day").between(lit(from), lit(to)))
 
   /** Deterministic demo bank.* fixtures derived from the cards seen in the
     * fact — DEMO ONLY: real deployments pass bankDir. First 5 clients'

@@ -31,18 +31,30 @@ object FraudDetection {
 
   /** The s_20_stg_data_view equivalent (main.py:392-421).
     *
-    * @param currentDayOnly keep the reference's
-    *   `trunc(create_date) = trunc(sysdate)` predicate (main.py:417);
-    *   false processes the full fact (useful for backfills/tests).
+    * @param dayWindow inclusive [from, to] restriction on the transaction
+    *   day — the generalization of the reference's
+    *   `trunc(create_date) = trunc(sysdate)` predicate (main.py:417):
+    *   the nightly run passes (yesterday, today) so rule 3's ±1 h window
+    *   survives the midnight boundary, a backfill passes the full range,
+    *   and `None` processes the whole fact. When the input carries the
+    *   warehouse's `day` partition column the filter lands on it, so on the
+    *   day-partitioned fact this predicate is partition PRUNING, not a
+    *   scan-then-drop — the property that keeps the nightly mart O(1 day)
+    *   instead of O(history) at 100 TB.
     */
   def dataView(clients: DataFrame, accounts: DataFrame, cards: DataFrame,
                transactions: DataFrame, terminalsHist: DataFrame,
-               asOf: java.sql.Timestamp, currentDayOnly: Boolean = false): DataFrame = {
+               asOf: java.sql.Timestamp,
+               dayWindow: Option[(java.sql.Date, java.sql.Date)] = None): DataFrame = {
     val term = Scd.activeAt(terminalsHist, asOf)
       .select("terminal_id", "terminal_type", "terminal_city")
-    val tx0 = if (currentDayOnly)
-      transactions.filter(to_date(col("create_date")) === to_date(lit(asOf)))
-    else transactions
+    val tx0 = dayWindow match {
+      case Some((from, to)) =>
+        val dayCol = if (transactions.columns.contains("day")) col("day")
+                     else to_date(col("trans_date"))
+        transactions.filter(dayCol.between(lit(from), lit(to)))
+      case None => transactions
+    }
     // fact → dims. Only the terminal dim (≈150 rows, bounded by physical
     // ATM fleet) gets an explicit broadcast hint; clients/accounts/cards
     // grow with the customer base, so their join strategy is left to

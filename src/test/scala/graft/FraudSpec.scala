@@ -122,6 +122,17 @@ class FraudSpec extends SparkSpec {
     }
   }
 
+  test("day window: covering window equals no window; disjoint window is empty") {
+    val covering = FraudDetection.dataView(clients, accounts, cards, transactions,
+      terminalsHist, ts("2021-03-02 23:30:00"),
+      Some((dt("2021-03-01"), dt("2021-03-03"))))
+    assert(covering.collect().toSet === view.collect().toSet)
+    val disjoint = FraudDetection.dataView(clients, accounts, cards, transactions,
+      terminalsHist, ts("2021-03-02 23:30:00"),
+      Some((dt("2021-03-03"), dt("2021-03-03"))))
+    assert(disjoint.count() === 0)
+  }
+
   test("city hop outside one hour is not flagged") {
     val slow = transactions
       .withColumn("trans_date",
