@@ -3,6 +3,7 @@
 // out-of-tree physical operators. Source location: graft/plans/.
 package org.apache.spark.sql.graft
 
+import org.apache.spark.TaskContext
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.InternalRow
@@ -11,6 +12,8 @@ import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
+import org.apache.spark.util.collection.ExternalSorter
 
 /** Whole-operator extension (SURVEY §7.2 tier c): per-group top-k as a
   * first-class physical operator.
@@ -36,9 +39,24 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * size the two agree whenever non-null rows ≥ k). Ties at the k
   * boundary keep an arbitrary valid choice — pass a unique tiebreak
   * column (e.g. a struct of value + id) for full determinism.
+  *
+  * Memory safety: the heap map is O(groups-per-partition · k). That is
+  * the operator's whole advantage when groups are plentiful but bounded;
+  * on a pathological high-cardinality group column it would grow without
+  * limit — the exact failure mode WindowExec avoids by sorting (and
+  * spilling). So the exec carries a budget (`maxBufferedRows`, conf
+  * `spark.graft.topk.maxBufferedRows`): if the buffered rows across all
+  * heaps in a partition exceed it, the partition FALLS BACK to the
+  * sort-based path — buffered rows plus the remaining input drain into
+  * Spark's [[ExternalSorter]] (the same spill-capable machinery
+  * WindowExec sits on), sorted by (group, order desc), and the first k
+  * rows of each group run are emitted. Results are identical; the
+  * `sortFallbackCount` SQLMetric records which partitions degraded.
   */
 case class TopKPerGroup(group: Seq[Expression], order: Expression, k: Int,
-                        child: LogicalPlan) extends UnaryNode {
+                        child: LogicalPlan,
+                        maxBufferedRows: Long = TopKPerGroupOp.DefaultMaxBufferedRows)
+    extends UnaryNode {
   require(k > 0)
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroup =
@@ -46,15 +64,26 @@ case class TopKPerGroup(group: Seq[Expression], order: Expression, k: Int,
 }
 
 case class TopKPerGroupExec(group: Seq[Expression], order: Expression, k: Int,
-                            child: SparkPlan) extends UnaryExecNode {
+                            child: SparkPlan,
+                            maxBufferedRows: Long = TopKPerGroupOp.DefaultMaxBufferedRows)
+    extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(group) :: Nil
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
     copy(child = newChild)
 
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numGroups" -> SQLMetrics.createMetric(sparkContext, "number of groups"),
+    "sortFallbackCount" -> SQLMetrics.createMetric(sparkContext,
+      "partitions that fell back to the sort-based path"))
+
   override protected def doExecute(): RDD[InternalRow] = {
-    val (grp, ord, kk, schema) = (group, order, k, child.output)
+    val (grp, ord, kk, schema, budget) = (group, order, k, child.output, maxBufferedRows)
+    val numOutputRows = longMetric("numOutputRows")
+    val numGroups = longMetric("numGroups")
+    val sortFallbackCount = longMetric("sortFallbackCount")
     child.execute().mapPartitionsInternal { iter =>
       val groupProj = UnsafeProjection.create(grp, schema)
       val ordExpr = BindReferences.bindReference(ord, schema)
@@ -64,7 +93,9 @@ case class TopKPerGroupExec(group: Seq[Expression], order: Expression, k: Int,
           ordering.compare(a._1, b._1) // min-heap: current k-th best at head
       }
       val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[(Any, InternalRow)]]()
-      while (iter.hasNext) {
+      var buffered = 0L // rows currently held across all heaps
+      var overflow = false
+      while (!overflow && iter.hasNext) {
         val row = iter.next()
         val v = ordExpr.eval(row)
         if (v != null) {
@@ -81,7 +112,9 @@ case class TopKPerGroupExec(group: Seq[Expression], order: Expression, k: Int,
           // immediate comparison above/below.
           if (heap.size < kk) {
             val stable = row.copy()
-            heap.add((ordExpr.eval(stable), stable)); ()
+            heap.add((ordExpr.eval(stable), stable))
+            buffered += 1
+            if (buffered > budget) overflow = true
           } else if (ordering.compare(v, heap.peek()._1) > 0) {
             heap.poll()
             val stable = row.copy()
@@ -90,20 +123,71 @@ case class TopKPerGroupExec(group: Seq[Expression], order: Expression, k: Int,
         }
       }
       import scala.jdk.CollectionConverters._
-      heaps.values().asScala.iterator.flatMap { h =>
-        val arr = h.toArray(Array.empty[(Any, InternalRow)])
-        java.util.Arrays.sort(arr, cmp.reversed()) // emit best-first
-        arr.iterator.map(_._2)
+      val out: Iterator[InternalRow] = if (!overflow) {
+        numGroups += heaps.size
+        heaps.values().asScala.iterator.flatMap { h =>
+          val arr = h.toArray(Array.empty[(Any, InternalRow)])
+          java.util.Arrays.sort(arr, cmp.reversed()) // emit best-first
+          arr.iterator.map(_._2)
+        }
+      } else {
+        // Sort-based fallback: (group-key bytes, order value) keys over
+        // the spill-capable external sorter; equal group keys come out
+        // adjacent with order values descending, so top-k per group is a
+        // single stateful scan of the sorted run.
+        sortFallbackCount += 1
+        type K = (Array[Byte], Any)
+        val keyOrd = new Ordering[K] {
+          override def compare(a: K, b: K): Int = {
+            val c = java.util.Arrays.compareUnsigned(a._1, b._1)
+            if (c != 0) c else ordering.compare(b._2, a._2) // order DESC in-group
+          }
+        }
+        val sorter = new ExternalSorter[K, InternalRow, InternalRow](
+          TaskContext.get(), aggregator = None, partitioner = None,
+          ordering = Some(keyOrd))
+        def keyBytes(row: InternalRow): Array[Byte] = {
+          val k = groupProj(row)
+          java.util.Arrays.copyOf(k.getBytes, k.getSizeInBytes)
+        }
+        val fromHeaps = heaps.values().asScala.iterator.flatMap(_.asScala.iterator)
+          .map { case (v, stable) => ((keyBytes(stable), v), stable) }
+        val fromInput = iter.flatMap { row =>
+          val stable = row.copy()
+          val v = ordExpr.eval(stable)
+          if (v == null) Iterator.empty
+          else Iterator.single(((keyBytes(stable), v), stable))
+        }
+        sorter.insertAll(fromHeaps ++ fromInput)
+        heaps.clear()
+        Option(TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => sorter.stop()))
+        var prevKey: Array[Byte] = null
+        var emitted = 0
+        sorter.iterator.filter { kv =>
+          val g = kv._1._1
+          if (prevKey == null || !java.util.Arrays.equals(prevKey, g)) {
+            prevKey = g; emitted = 1; numGroups += 1; true
+          } else { emitted += 1; emitted <= kk }
+        }.map(_._2)
       }
+      out.map { r => numOutputRows += 1; r }
     }
   }
 }
 
 object TopKPerGroupOp {
+  /** Default per-partition heap budget (rows). 4M (Any, row) entries is a
+    * few hundred MB worst-case — comfortably inside an executor core's
+    * share while still letting virtually every realistic workload take
+    * the heap path. Override per-session with
+    * `spark.graft.topk.maxBufferedRows`. */
+  val DefaultMaxBufferedRows: Long = 4L << 20
+
   object Strategy extends SparkStrategy {
     override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-      case TopKPerGroup(g, o, k, child) =>
-        TopKPerGroupExec(g, o, k, planLater(child)) :: Nil
+      case TopKPerGroup(g, o, k, child, budget) =>
+        TopKPerGroupExec(g, o, k, planLater(child), budget) :: Nil
       case _ => Nil
     }
   }
@@ -120,11 +204,13 @@ object TopKPerGroupOp {
     if (!spark.experimental.extraStrategies.contains(Strategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ Strategy
+    val budget = spark.conf.getOption("spark.graft.topk.maxBufferedRows")
+      .map(_.toLong).getOrElse(DefaultMaxBufferedRows)
     val lp = df.queryExecution.analyzed
     def attr(n: String): Attribute = lp.output.find(_.name == n).getOrElse(
       throw new IllegalArgumentException(s"column $n not in ${lp.output.map(_.name)}"))
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
-      TopKPerGroup(groupCols.map(attr), attr(orderCol), k, lp))
+      TopKPerGroup(groupCols.map(attr), attr(orderCol), k, lp, budget))
   }
 }

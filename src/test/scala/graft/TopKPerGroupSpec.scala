@@ -61,6 +61,54 @@ class TopKPerGroupSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("forced tiny budget: sort fallback fires and results are identical") {
+    import org.apache.spark.sql.graft.TopKPerGroupExec
+    val orders = Tables.orders(spark, sf0001)
+    def run(budget: Option[String]): (Set[(Long, Long)], Long) =
+      withConf(budget.map("spark.graft.topk.maxBufferedRows" -> _).toSeq: _*) {
+        // collect() the operator's own DataFrame (a projection would be a
+        // separate query execution whose metrics never touch this plan)
+        val df = TopKPerGroupOp.topKPerGroup(
+          orders.select("o_custkey", "o_orderkey"), Seq("o_custkey"), "o_orderkey", 3)
+        val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        // AQE wraps the final plan in leaf nodes (AdaptiveSparkPlanExec,
+        // ResultQueryStageExec) that collectFirst can't see through —
+        // recurse into both to reach the physical operator that ran.
+        import org.apache.spark.sql.execution.SparkPlan
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        def find(p: SparkPlan): Option[TopKPerGroupExec] = p match {
+          case e: TopKPerGroupExec => Some(e)
+          case a: AdaptiveSparkPlanExec => find(a.executedPlan)
+          case q: QueryStageExec => find(q.plan)
+          case other => other.children.iterator.flatMap(find).nextOption()
+        }
+        val fallbacks = find(df.queryExecution.executedPlan).get
+          .metrics("sortFallbackCount").value
+        (got, fallbacks)
+      }
+    val (heapRes, heapFb) = run(None)
+    val (sortRes, sortFb) = run(Some("10")) // every partition blows a 10-row budget
+    assert(heapFb === 0L, "default budget must keep the heap path")
+    assert(sortFb > 0L, "tiny budget must trigger the sort fallback")
+    assert(sortRes === heapRes, "fallback path must return identical rows")
+  }
+
+  test("fallback with string order values equals the window idiom") {
+    import org.apache.spark.sql.functions.md5
+    val docs = Tables.documents(spark, sf0001)
+      .withColumn("__rk", md5(col("doc_id").cast("string")))
+    val got = withConf("spark.graft.topk.maxBufferedRows" -> "5") {
+      TopKPerGroupOp.topKPerGroup(docs, Seq("source"), "__rk", 2)
+        .select("source", "doc_id").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+    }
+    val w = Window.partitionBy("source").orderBy(col("__rk").desc)
+    val want = docs.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+      .select("source", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got === want)
+  }
+
   test("string group keys and double order values work (interpreted ordering)") {
     import spark.implicits._
     val df = Seq(("a", 1.0), ("a", 3.0), ("a", 2.0), ("b", 5.0), ("b", 4.0))
