@@ -52,6 +52,79 @@ object AnnOps {
       .filter(col("rn") <= k)
   }
 
+  /** Independent hyperplane-set seed for table `t`. SrpSignature mixes
+    * `seed ^ (bit << 32) ^ dim`, so *additive* table seeds would give
+    * structurally correlated hyperplanes (seed⊕1 is seed with dimension
+    * pairs swapped); a full splitmix64 mix over a golden-ratio stride
+    * decorrelates the tables. */
+  private def tableSeed(seed: Long, t: Int): Long =
+    org.apache.spark.sql.graft.TextHashExpressions.mix64(
+      seed + 0x9E3779B97F4A7C15L * (t + 1))
+
+  /** Candidate pairs (q_id, n_id) from the union of `tables` independent
+    * SRP signature tables — the OR-construction that amplifies LSH
+    * recall: a true neighbor that collides with the query in ANY table
+    * becomes a candidate, so candidate recall compounds as
+    * 1 − (1 − p^bits)^L while each table keeps the selectivity of `bits`
+    * bits. Scale shape: ONE narrow pass computes all L signatures
+    * (posexplode over an array of signature columns), the candidate join
+    * shuffles only (table, bucket) keys — never payload vectors crossed
+    * with everything — and the distinct dedups the union before any
+    * exact work. */
+  def srpMultiCandidates(emb: DataFrame, queryIds: Seq[Long], bits: Int,
+                         tables: Int, multiProbe: Boolean = false,
+                         seed: Long = 42L): DataFrame = {
+    require(tables >= 1)
+    val sigs = (0 until tables).map(t =>
+      srp_signature(col("embedding"), bits, tableSeed(seed, t)))
+    val tagged = emb.select(col("vec_id"),
+      posexplode(array(sigs: _*)).as(Seq("tbl", "bucket")))
+    val corpus = tagged.select(col("vec_id").as("n_id"), col("tbl"), col("bucket"))
+    val q0 = tagged.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("q_id"), col("tbl"), col("bucket"))
+    val probes =
+      if (!multiProbe) q0
+      else q0.withColumn("flip", explode(array((-1 +: (0 until bits)).map(lit): _*)))
+        .withColumn("bucket",
+          when(col("flip") === -1, col("bucket"))
+            .otherwise(expr("bucket ^ (1L << flip)")))
+        .drop("flip")
+    corpus.join(probes, Seq("tbl", "bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select("q_id", "n_id").distinct()
+  }
+
+  /** Exact-cosine top-k over an explicit (q_id, n_id) candidate table —
+    * the rerank stage shared by every candidate-generating ANN path.
+    * Cost is |candidates| exact scores, never |corpus| × |queries|. */
+  def rerankExact(emb: DataFrame, queryIds: Seq[Long], k: Int,
+                  candidates: DataFrame): DataFrame = {
+    val qv = emb.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    candidates
+      .join(emb.select(col("vec_id").as("n_id"), col("embedding").as("n_emb")), Seq("n_id"))
+      .join(broadcast(qv), Seq("q_id"))
+      .select(col("q_id"), col("n_id"),
+              vec_cosine(col("q_emb"), col("n_emb")).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
+  /** Multi-table (OR-amplified) SRP-LSH top-k: candidate union across L
+    * independent tables, then exact rerank. This is THE production SRP
+    * operating mode — single-table SRP ([[srpTopK]]) cannot reach high
+    * recall at useful selectivity, while recall here is tunable to any
+    * target via L at fixed per-table cost. Candidates grow with `tables`
+    * monotonically (table t's buckets are independent of t' < t), so
+    * recall is monotone in L — AnnSpec asserts it, and asserts dominance
+    * over single-table at equal total bits. */
+  def srpMultiTopK(emb: DataFrame, queryIds: Seq[Long], k: Int, bits: Int,
+                   tables: Int, multiProbe: Boolean = false,
+                   seed: Long = 42L): DataFrame =
+    rerankExact(emb, queryIds, k,
+      srpMultiCandidates(emb, queryIds, bits, tables, multiProbe, seed))
+
   /** Trained-quantizer IVF: k-means centroids form the coarse quantizer,
     * each corpus vector is assigned to its nearest centroid (the inverted
     * file), and a query searches only its `nProbe` closest cells — the

@@ -53,6 +53,50 @@ class AnnSpec extends SparkSpec {
     assert(multi > 0.0) // finds at least some true neighbors on random data
   }
 
+  test("multi-table SRP candidates are monotone in table count (recall can only grow)") {
+    // tables 0..L-1 are a prefix of tables 0..L'-1 under the same seed, so
+    // the candidate union grows with L — the OR-construction's guarantee
+    def pairs(tables: Int): Set[(Long, Long)] =
+      AnnOps.srpMultiCandidates(emb, queries, bits = 4, tables = tables)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p1 = pairs(1); val p2 = pairs(2); val p4 = pairs(4)
+    assert(p1.subsetOf(p2) && p2.subsetOf(p4))
+    val truth = AnnOps.bruteForceTopK(emb, queries, 3).cache()
+    val recs = Seq(1, 2, 4, 8).map { l =>
+      AnnOps.recallAt(AnnOps.srpMultiTopK(emb, queries, 3, bits = 4, tables = l), truth)
+    }
+    assert(recs.zip(recs.tail).forall { case (a, b) => a <= b }, recs.toString)
+  }
+
+  test("multi-table SRP strictly dominates single-table at equal total bits") {
+    // 16 total signature bits each way: one 16-bit table demands agreement
+    // on all 16 planes (vanishing collision probability); four 4-bit
+    // tables need agreement on any one 4-plane set — recall compounds as
+    // 1-(1-p^4)^4 vs p^16
+    val truth = AnnOps.bruteForceTopK(emb, queries, 3).cache()
+    val single = AnnOps.recallAt(AnnOps.srpTopK(emb, queries, 3, bits = 16), truth)
+    val multi = AnnOps.recallAt(
+      AnnOps.srpMultiTopK(emb, queries, 3, bits = 4, tables = 4), truth)
+    assert(multi > single, s"multi=$multi single=$single")
+    assert(multi > 0.2, s"multi-table recall $multi") // loose: random data
+  }
+
+  test("multi-table SRP neighbors share a bucket with the query in at least one table") {
+    val res = AnnOps.srpMultiTopK(emb, queries, k = 3, bits = 4, tables = 4)
+    // recompute each table's buckets and check membership
+    val perTable = (0 until 4).map { t =>
+      // same derivation as AnnOps.tableSeed
+      val seed = org.apache.spark.sql.graft.TextHashExpressions.mix64(
+        42L + 0x9E3779B97F4A7C15L * (t + 1))
+      emb.select(col("vec_id"), srp_signature(col("embedding"), 4, seed).as("b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val violations = res.select("q_id", "n_id").collect().filterNot { r =>
+      perTable.exists(b => b(r.getLong(0)) == b(r.getLong(1)))
+    }
+    assert(violations.isEmpty)
+  }
+
   test("k-means IVF with nProbe = nCells equals brute force exactly") {
     def toSet(df: org.apache.spark.sql.DataFrame) =
       df.select("q_id", "n_id", "rn").collect()
