@@ -89,12 +89,34 @@ object EtlPipeline {
       }
     }
 
-    // --- blacklist: cumulative feed → SCD1 fact (main.py:566-570)
-    for ((_, path) <- feed("passport")) {
+    // --- blacklist: cumulative feed → SCD1 fact (main.py:566-570).
+    // The pre-feed state is materialized (localCheckpoint) so the
+    // added-entry delta below survives the publish swapping the directory
+    // out from under a lazy reader. The blacklist is a small dim — this is
+    // a tiny job, not a fact scan.
+    val passportFeeds = feed("passport")
+    val blBefore =
+      if (passportFeeds.isEmpty) None
+      else readIf("dwh_fact_pssprt_blcklst").map(_.localCheckpoint())
+    for ((_, path) <- passportFeeds) {
       val snap = BankFeeds.blacklist(spark, path)
       overwrite(Scd.scd1Apply(readIf("dwh_fact_pssprt_blcklst"), snap,
         "passport_num", Seq("entry_dt")), "dwh_fact_pssprt_blcklst")
     }
+    // Entries added by this run whose entry_dt reaches back to an
+    // already-loaded fact day are RETROACTIVE: rule 1 would have flagged
+    // those past transactions had the entry existed — the mart pass below
+    // re-derives exactly the affected days (a full rebuild would too, but
+    // at O(history) every night).
+    val blAddedMinEntry: Option[Date] =
+      if (passportFeeds.isEmpty) None
+      else readIf("dwh_fact_pssprt_blcklst").flatMap { after =>
+        val added = blBefore match {
+          case Some(before) => after.exceptAll(before)
+          case None => after
+        }
+        Option(added.agg(min(col("entry_dt"))).head().getDate(0))
+      }
 
     // --- transactions: daily increments → append-only fact, partitioned by
     // day for partition pruning (the scalable form of main.py:417's
@@ -138,50 +160,136 @@ object EtlPipeline {
     // --- fraud mart rebuild, INCREMENTAL over the days this run loaded
     // (the scalable form of main.py:574-576: the reference itself only
     // touches the current day, main.py:417). The fact is day-partitioned,
-    // so the [window.from - 1 lookback, window.to] slice is partition
-    // PRUNING — the nightly run reads O(days loaded), never O(history).
-    // The 1-day lookback feeds rule 3's ±1 h window across the midnight
-    // boundary; lookback-day events already reported by the previous run
-    // are cut back out by the event_dt >= window.from filter below. A run
-    // that loaded nothing new keeps the mart as-is (idempotent re-run);
-    // with no mart yet it falls back to a full-history rebuild (backfill).
-    val martExists = WarehouseFs.hasData(spark, tablePath("rep_fraud"))
-    if (loadedDays.isEmpty && martExists) {
-      println("[etl] no new transaction days — fraud mart unchanged")
+    // so every slice below is partition PRUNING — the nightly run reads
+    // O(days loaded), never O(history).
+    //
+    // Each CONTIGUOUS run of newly loaded days becomes its own window
+    // [a, b]: the a-1 lookback day feeds rule 3's ±1 h window across the
+    // midnight boundary (its own already-reported events are cut back out
+    // by the event-day >= a filter), and when day b+1 was loaded by an
+    // EARLIER run (a backfilled middle day), the window extends right to
+    // re-derive b→b+1 midnight-crossing pairs that could not exist when
+    // b+1 originally ran. Days re-derived this way (and days re-examined
+    // for a retroactive blacklist entry) are deduplicated by anti-joining
+    // the existing mart on the full event row — only genuinely new events
+    // are appended, so event rows never duplicate across report_dt
+    // partitions. The anti-join relies on the derivation being
+    // deterministic for unchanged inputs (it is: every rule is a pure
+    // transformation); it only runs on out-of-order or retroactive runs,
+    // never on the in-order nightly hot path.
+    //
+    // A run that loaded nothing new and added no retroactive blacklist
+    // entry keeps the mart as-is (idempotent re-run); with no mart yet it
+    // falls back to a full-history rebuild (backfill). Terminal-attribute
+    // changes do NOT trigger re-derivation: the view joins the terminal
+    // history as-of run time, exactly like the reference (main.py:417) —
+    // past mart rows keep the dims they were derived with.
+    val factPath = tablePath("dwh_fact_transactions")
+    val martPath = tablePath("rep_fraud")
+    val martExists = WarehouseFs.hasData(spark, martPath)
+    val allDays = WarehouseFs.listNames(spark, factPath)
+      .filter(_.startsWith("day=")).map(_.stripPrefix("day=")).sorted
+    def nextDay(d: String) = java.time.LocalDate.parse(d).plusDays(1).toString
+    def prevDay(d: String) = java.time.LocalDate.parse(d).minusDays(1).toString
+    // contiguous [a, b] runs of the newly loaded days; one all-covering
+    // window when there is no mart yet (backfill rebuilds everything)
+    val windows: Seq[(String, String)] =
+      if (!martExists) { if (allDays.isEmpty) Nil else Seq((allDays.head, allDays.last)) }
+      else loadedDays.sorted.foldLeft(Vector.empty[(String, String)]) {
+        case (acc :+ ((a, b)), d) if nextDay(b) == d => acc :+ (a -> d)
+        case (acc, d) => acc :+ (d -> d)
+      }
+    // right-edge extension: day b+1 exists from an earlier run → re-derive
+    // its rows (anti-joined below) to recover b→b+1 crossing pairs
+    val extended: Seq[(String, String, Option[String])] = windows.map { case (a, b) =>
+      (a, b, Some(nextDay(b)).filter(d => martExists && existingDays.contains(d)))
+    }
+    // retroactive blacklist scope: previously loaded days on/after the
+    // earliest added entry_dt, minus days this run already (re-)derives
+    val covered = extended.flatMap { case (a, b, ext) =>
+      Iterator.iterate(a)(nextDay).takeWhile(_ <= b) ++ ext
+    }.toSet
+    val retroDays: Seq[String] =
+      if (!martExists) Nil
+      else blAddedMinEntry.toSeq.flatMap { minEntry =>
+        existingDays.toSeq.filter(d => d >= minEntry.toString && !covered(d))
+      }.sorted
+    if (windows.isEmpty && retroDays.isEmpty) {
+      println("[etl] no new transaction days, no retroactive blacklist — fraud mart unchanged")
       return
     }
-    val allDays = WarehouseFs.listNames(spark, tablePath("dwh_fact_transactions"))
-      .filter(_.startsWith("day=")).map(_.stripPrefix("day=")).sorted
-    val scopeDays = if (loadedDays.nonEmpty) loadedDays.sorted else allDays
-    val (dayFrom, dayTo) = (Date.valueOf(scopeDays.head), Date.valueOf(scopeDays.last))
-    val lookbackFrom = Date.valueOf(dayFrom.toLocalDate.minusDays(1))
-    val tx = factSlice(spark, tablePath("dwh_fact_transactions"), lookbackFrom, dayTo)
+
     val hist = spark.read.parquet(tablePath("dwh_dim_terminals_hist"))
     val bl = spark.read.parquet(tablePath("dwh_fact_pssprt_blcklst"))
     val asOfTs = asOf.getOrElse(new Timestamp(System.currentTimeMillis()))
-    val view = FraudDetection.dataView(clients, accounts, cards, tx, hist, asOfTs)
-      .cache()
-    val rep = FraudDetection.repFraud(view, bl, new Date(asOfTs.getTime))
-      .filter(to_date(col("event_dt")) >= lit(dayFrom))
+    val reportDt = new Date(asOfTs.getTime)
+    val evCols = Seq("event_dt", "passport", "fio", "phone", "event_type")
+    // full event rows already in the mart — the dedup side of the
+    // anti-joins; only read when an extension/retro pass actually runs
+    lazy val martRows = spark.read.parquet(martPath)
+      .select(evCols.map(col): _*)
+    def derive(from: String, to: String): DataFrame = {
+      val tx = factSlice(spark, factPath, Date.valueOf(from), Date.valueOf(to))
+      val view = FraudDetection.dataView(clients, accounts, cards, tx, hist, asOfTs)
+      FraudDetection.repFraud(view, bl, reportDt)
+    }
+
+    val windowEvs = extended.map { case (a, b, ext) =>
+      val ev = derive(prevDay(a), ext.getOrElse(b))
+        .filter(to_date(col("event_dt")) >= lit(Date.valueOf(a)))
+      ext match {
+        case None => ev
+        case Some(e) =>
+          // [a, b] days are new — nothing to deduplicate; the re-derived
+          // extension day keeps only events absent from the mart
+          val inWin = ev.filter(to_date(col("event_dt")) <= lit(Date.valueOf(b)))
+          val extNew = ev.filter(to_date(col("event_dt")) === lit(Date.valueOf(e)))
+            .join(martRows, evCols, "left_anti")
+          inWin.unionByName(extNew.select(ev.columns.map(col).toSeq: _*))
+      }
+    }
+    // retro pass: re-derive the affected days with the updated blacklist;
+    // everything previously reported anti-joins away, leaving exactly the
+    // new rule-1 events. No lookback: rule 1 is per-transaction, and any
+    // rule-3 row here is already in the mart.
+    val retroEvs = retroDays match {
+      case Nil => Nil
+      case ds =>
+        val ev = derive(ds.head, ds.last)
+          .filter(to_date(col("event_dt")).isInCollection(ds.map(Date.valueOf)))
+          .join(martRows, evCols, "left_anti")
+        Seq(ev)
+    }
+    val newEvents = (windowEvs ++ retroEvs)
+      .map(_.select(evCols.map(col) :+ col("report_dt"): _*))
+      .reduce(_ unionByName _)
+    // a second run under the SAME report_dt (late feed batch on the same
+    // calendar day) must not drop what the first run wrote: dynamic
+    // overwrite replaces the whole partition, so merge it back in
+    val rep = (if (martExists)
+        newEvents.unionByName(
+          spark.read.parquet(martPath).filter(col("report_dt") === lit(reportDt))
+            .select(evCols.map(col) :+ col("report_dt"): _*)).distinct()
+      else newEvents)
     // Dynamic partition overwrite: only the report days present in this
     // run's output are replaced — historical mart partitions survive a
     // daily rebuild untouched (the scalable form of the reference's
     // per-day delete+insert; a full-table overwrite would rewrite the
     // whole mart history every night).
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    // observe() piggybacks the row count on the write job itself — the
-    // end-of-run counters below cost zero extra table scans (the r2 form
-    // re-read every published table just to log its size)
+    // localCheckpoint materializes the result BEFORE the write truncates
+    // the partition it may be reading (mart merge/anti-join read the same
+    // path); observe() piggybacks the row count on the write job — the
+    // end-of-run log costs zero extra table scans (no O(history) counts)
     val repObs = new org.apache.spark.sql.Observation("rep_fraud_metrics")
     rep.localCheckpoint().observe(repObs, count(lit(1)).as("n"))
       .write.mode(SaveMode.Overwrite)
-      .partitionBy("report_dt").parquet(tablePath("rep_fraud"))
+      .partitionBy("report_dt").parquet(martPath)
 
-    val histN = spark.read.parquet(tablePath("dwh_dim_terminals_hist")).count()
-    val txN = spark.read.parquet(tablePath("dwh_fact_transactions")).count()
-    val repN = repObs.get("n")
-    println(s"[etl] terminals_hist=$histN transactions=$txN blacklist=${bl.count()} " +
-      s"rep_fraud+=$repN (days ${scopeDays.head}..${scopeDays.last})")
+    val winStr = extended.map { case (a, b, ext) =>
+      s"$a..$b${ext.map("+" + _).getOrElse("")}" }.mkString(",")
+    println(s"[etl] fact_days=${allDays.size} loaded=${loadedDays.size} " +
+      s"windows=$winStr retro=${retroDays.size} rep_fraud~=${repObs.get("n")}")
   }
 
   /** Day-window slice of the day-partitioned transactions fact. The

@@ -61,32 +61,136 @@ class EtlPipelineSpec extends SparkSpec {
     assert(slice.select("day").distinct().count() === 2)
   }
 
-  test("three incremental nightly runs equal one full rebuild (mart parity)") {
-    firstRun
-    val tmp = java.nio.file.Files.createTempDirectory("graft_inc_").toString
-    val whFull = s"$tmp/wh_full"; val whInc = s"$tmp/wh_inc"; val bank = s"$tmp/bank"
-    val days = Seq("01032021", "02032021", "03032021")
-    for ((d, i) <- days.zipWithIndex) {
-      val fd = new java.io.File(s"$tmp/feeds_${i + 1}"); fd.mkdirs()
-      for (f <- new java.io.File(refDir).listFiles() if f.getName.contains(d))
-        java.nio.file.Files.copy(f.toPath, fd.toPath.resolve(f.getName))
-    }
-    def asOf(i: Int) = java.sql.Timestamp.valueOf(s"2021-03-0$i 23:59:00")
-    // full rebuild: all three days in one run; its demo bank fixture
-    // (deterministic over the complete fact) is exported so the
-    // incremental warehouse sees the IDENTICAL dimension rows
-    EtlPipeline.run(spark, refDir, whFull, None, Some(asOf(3)))
+  /** Stage a feed dir holding exactly `files` (reference file names). */
+  private def stageFeeds(dir: String, files: Seq[String]): String = {
+    val fd = new java.io.File(dir); fd.mkdirs()
+    for (n <- files)
+      java.nio.file.Files.copy(new java.io.File(refDir, n).toPath, fd.toPath.resolve(n))
+    dir
+  }
+  private def asOf(i: Int) = java.sql.Timestamp.valueOf(s"2021-03-0$i 23:59:00")
+  private def exportBank(whFull: String, bank: String): Unit = {
     val (cl, ac, cd) = EtlPipeline.demoBankTables(spark, whFull)
     cl.write.parquet(s"$bank/clients.parquet")
     ac.write.parquet(s"$bank/accounts.parquet")
     cd.write.parquet(s"$bank/cards.parquet")
-    // one nightly run per feed day
-    for (i <- 1 to 3)
-      EtlPipeline.run(spark, s"$tmp/feeds_$i", whInc, Some(bank), Some(asOf(i)))
+  }
+  private def assertMartParity(whInc: String, whFull: String): Unit = {
     val full = spark.read.parquet(s"$whFull/rep_fraud").drop("report_dt")
     val inc = spark.read.parquet(s"$whInc/rep_fraud").drop("report_dt")
     assert(inc.count() === full.count())
     assert(inc.exceptAll(full).count() === 0)
     assert(full.exceptAll(inc).count() === 0)
+  }
+  private def txFile(d: Int) = f"transactions_0${d}032021.txt"
+  private def termFile(d: Int) = f"terminals_0${d}032021.xlsx"
+  private def blFile(d: Int) = f"passport_blacklist_0${d}032021.xlsx"
+
+  test("three incremental nightly runs equal one full rebuild (mart parity)") {
+    firstRun
+    val tmp = java.nio.file.Files.createTempDirectory("graft_inc_").toString
+    val whFull = s"$tmp/wh_full"; val whInc = s"$tmp/wh_inc"; val bank = s"$tmp/bank"
+    for (i <- 1 to 3)
+      stageFeeds(s"$tmp/feeds_$i", Seq(txFile(i), termFile(i), blFile(i)))
+    // full rebuild: all three days in one run; its demo bank fixture
+    // (deterministic over the complete fact) is exported so the
+    // incremental warehouse sees the IDENTICAL dimension rows
+    EtlPipeline.run(spark, refDir, whFull, None, Some(asOf(3)))
+    exportBank(whFull, bank)
+    // one nightly run per feed day
+    for (i <- 1 to 3)
+      EtlPipeline.run(spark, s"$tmp/feeds_$i", whInc, Some(bank), Some(asOf(i)))
+    assertMartParity(whInc, whFull)
+  }
+
+  test("backfilling a day after its successor equals the full rebuild (crossing pairs recovered)") {
+    // day 1's transactions arrive LAST (a late batch): day 2's original run
+    // could not pair day1→day2 midnight-crossing city hops (the reference
+    // data has 4 such pairs; day2→day3 has none), so the backfill run must
+    // re-derive day 2 (right-edge extension) and anti-join the mart so
+    // only the recovered pairs are appended
+    firstRun
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ooo_").toString
+    val whFull = s"$tmp/wh_full"; val whInc = s"$tmp/wh_inc"; val bank = s"$tmp/bank"
+    // dims (terminals/passport) arrive on days 2 and 3 in BOTH warehouses —
+    // only the transactions feed is late, so dim state matches exactly
+    val fullFeeds = stageFeeds(s"$tmp/feeds_full",
+      Seq(termFile(2), termFile(3), blFile(2), blFile(3), txFile(1), txFile(2), txFile(3)))
+    EtlPipeline.run(spark, fullFeeds, whFull, None, Some(asOf(3)))
+    exportBank(whFull, bank)
+    stageFeeds(s"$tmp/feeds_2", Seq(termFile(2), blFile(2), txFile(2)))
+    stageFeeds(s"$tmp/feeds_3", Seq(termFile(3), blFile(3), txFile(3)))
+    stageFeeds(s"$tmp/feeds_1late", Seq(txFile(1)))
+    EtlPipeline.run(spark, s"$tmp/feeds_2", whInc, Some(bank), Some(asOf(2)))
+    EtlPipeline.run(spark, s"$tmp/feeds_3", whInc, Some(bank), Some(asOf(3)))
+    val day2Before = spark.read.parquet(s"$whInc/rep_fraud")
+      .filter(to_date(col("event_dt")) === lit(java.sql.Date.valueOf("2021-03-02"))).count()
+    EtlPipeline.run(spark, s"$tmp/feeds_1late", whInc, Some(bank), Some(asOf(4)))
+    val day2After = spark.read.parquet(s"$whInc/rep_fraud")
+      .filter(to_date(col("event_dt")) === lit(java.sql.Date.valueOf("2021-03-02"))).count()
+    // the extension actually recovered crossing pairs (the data has them)
+    assert(day2After > day2Before, s"no day-2 events recovered ($day2Before)")
+    assertMartParity(whInc, whFull)
+  }
+
+  test("loading day1+day3 with day2 already present equals the full rebuild (no dup events)") {
+    firstRun
+    val tmp = java.nio.file.Files.createTempDirectory("graft_gap_").toString
+    val whFull = s"$tmp/wh_full"; val whInc = s"$tmp/wh_inc"; val bank = s"$tmp/bank"
+    val fullFeeds = stageFeeds(s"$tmp/feeds_full",
+      Seq(termFile(2), blFile(2), txFile(1), txFile(2), txFile(3)))
+    EtlPipeline.run(spark, fullFeeds, whFull, None, Some(asOf(3)))
+    exportBank(whFull, bank)
+    stageFeeds(s"$tmp/feeds_2", Seq(termFile(2), blFile(2), txFile(2)))
+    stageFeeds(s"$tmp/feeds_13", Seq(txFile(1), txFile(3)))
+    EtlPipeline.run(spark, s"$tmp/feeds_2", whInc, Some(bank), Some(asOf(2)))
+    // one run loading two non-contiguous days around the existing one:
+    // two windows; day2 must not be re-reported (anti-join), day1→day2
+    // crossings must be recovered via the first window's extension
+    EtlPipeline.run(spark, s"$tmp/feeds_13", whInc, Some(bank), Some(asOf(3)))
+    assertMartParity(whInc, whFull)
+  }
+
+  test("a second run under the same report_dt keeps the first run's mart rows") {
+    firstRun
+    val tmp = java.nio.file.Files.createTempDirectory("graft_same_").toString
+    val whInc = s"$tmp/wh_inc"; val bank = s"$tmp/bank"
+    EtlPipeline.run(spark, refDir, s"$tmp/wh_seed", None, Some(asOf(3)))
+    exportBank(s"$tmp/wh_seed", bank)
+    stageFeeds(s"$tmp/feeds_1", Seq(termFile(1), blFile(1), txFile(1)))
+    stageFeeds(s"$tmp/feeds_2", Seq(txFile(2)))
+    // both batches land on the same calendar day → same report_dt partition
+    EtlPipeline.run(spark, s"$tmp/feeds_1", whInc, Some(bank), Some(asOf(2)))
+    val afterFirst = spark.read.parquet(s"$whInc/rep_fraud").collect().toSet
+    assert(afterFirst.nonEmpty)
+    EtlPipeline.run(spark, s"$tmp/feeds_2", whInc, Some(bank),
+      Some(java.sql.Timestamp.valueOf("2021-03-02 23:59:30")))
+    val afterSecond = spark.read.parquet(s"$whInc/rep_fraud").collect().toSet
+    assert(afterFirst.subsetOf(afterSecond),
+      s"${afterFirst.size - (afterFirst & afterSecond).size} rows lost by dynamic overwrite")
+    assert(afterSecond.size > afterFirst.size) // day 2 events arrived
+  }
+
+  test("a retroactive blacklist entry re-derives only the affected days (parity with rebuild)") {
+    firstRun
+    val tmp = java.nio.file.Files.createTempDirectory("graft_retro_").toString
+    val whFull = s"$tmp/wh_full"; val whInc = s"$tmp/wh_inc"; val bank = s"$tmp/bank"
+    val fullFeeds = stageFeeds(s"$tmp/feeds_full",
+      Seq(termFile(1), termFile(2), termFile(3), blFile(1), blFile(3),
+          txFile(1), txFile(2), txFile(3)))
+    EtlPipeline.run(spark, fullFeeds, whFull, None, Some(asOf(3)))
+    exportBank(whFull, bank)
+    // all three transaction days with only day 1's blacklist…
+    stageFeeds(s"$tmp/feeds_main", Seq(termFile(1), termFile(2), termFile(3),
+      blFile(1), txFile(1), txFile(2), txFile(3)))
+    EtlPipeline.run(spark, s"$tmp/feeds_main", whInc, Some(bank), Some(asOf(3)))
+    val before = spark.read.parquet(s"$whInc/rep_fraud").count()
+    // …then day 3's cumulative blacklist arrives with NO new transactions:
+    // its entries with entry_dt on days 2-3 are retroactive
+    stageFeeds(s"$tmp/feeds_bl3", Seq(blFile(3)))
+    EtlPipeline.run(spark, s"$tmp/feeds_bl3", whInc, Some(bank), Some(asOf(4)))
+    val after = spark.read.parquet(s"$whInc/rep_fraud").count()
+    assert(after > before, "retroactive entries produced no new rule-1 events")
+    assertMartParity(whInc, whFull)
   }
 }
