@@ -61,18 +61,22 @@ object EtlPipeline {
       files.filter(_.startsWith(prefix)).map(f => (dayOf(f), s"$feedDir/$f")).sortBy(_._1)
 
     def tablePath(name: String) = s"$whDir/$name"
+    // reads resolve either publish flavor: manifest-committed current
+    // version when the table has one, else the plain directory
     def readIf(name: String): Option[DataFrame] =
-      // partitioned tables keep their data under key=value subdirs, so
-      // don't look for top-level *.parquet — "has any data entry" means loaded
-      if (WarehouseFs.hasData(spark, tablePath(name)))
-        Some(spark.read.parquet(tablePath(name)))
-      else None
-    // snapshot-rewrite with atomic publish: the new state streams into
-    // <table>.tmp while the live table (which the plan may be reading)
-    // stays untouched, then two metadata renames swap it in — a reader
-    // sees the complete old or complete new table, never a partial write
+      WarehouseFs.readTable(spark, tablePath(name))
+    // snapshot-rewrite with atomic publish. Default: the new state streams
+    // into <table>.tmp while the live table (which the plan may be
+    // reading) stays untouched, then two metadata renames swap it in — a
+    // reader sees the complete old or complete new table, never a partial
+    // write. On object stores (where a directory rename is a copy), set
+    // spark.graft.etl.manifestPublish=true to commit through the
+    // versioned-dir + pointer-file layout instead (no directory rename).
+    val useManifest = spark.conf.getOption("spark.graft.etl.manifestPublish")
+      .exists(_.toBoolean)
     def overwrite(df: DataFrame, name: String): Unit =
-      WarehouseFs.publish(df, tablePath(name))
+      if (useManifest) WarehouseFs.publishVersioned(df, tablePath(name))
+      else WarehouseFs.publish(df, tablePath(name))
 
     val termAttrs = Seq("terminal_type", "terminal_city", "terminal_address")
 
@@ -219,8 +223,8 @@ object EtlPipeline {
       return
     }
 
-    val hist = spark.read.parquet(tablePath("dwh_dim_terminals_hist"))
-    val bl = spark.read.parquet(tablePath("dwh_fact_pssprt_blcklst"))
+    val hist = readIf("dwh_dim_terminals_hist").get
+    val bl = readIf("dwh_fact_pssprt_blcklst").get
     val asOfTs = asOf.getOrElse(new Timestamp(System.currentTimeMillis()))
     val reportDt = new Date(asOfTs.getTime)
     val evCols = Seq("event_dt", "passport", "fio", "phone", "event_type")
@@ -316,7 +320,8 @@ object EtlPipeline {
       to_date(lit("2030-01-01")).as("valid_to"),
       col("cid").as("client"))
     val bl = withDenseId(
-      spark.read.parquet(s"$whDir/dwh_fact_pssprt_blcklst"), "passport_num", "bid")
+      WarehouseFs.readTable(spark, s"$whDir/dwh_fact_pssprt_blcklst").get,
+      "passport_num", "bid")
     val clients = cardsSeen
       .join(bl.select(col("bid").as("cid"), col("passport_num").as("bl_passport")),
         Seq("cid"), "left")

@@ -49,19 +49,28 @@ object ScaleJoins {
     */
   def compactParquet(spark: org.apache.spark.sql.SparkSession, dir: String,
                      targetMB: Int = 128): Int = {
-    val bytes = graft.sources.WarehouseFs.parquetBytes(spark, dir)
+    // follow the table's publish flavor: a manifest-committed table
+    // compacts its CURRENT version dir and commits a new version (no
+    // directory rename — the object-store-safe path); a plain table goes
+    // through the rename-swap publish
+    val current = graft.sources.WarehouseFs.currentVersion(spark, dir)
+    val dataDir = current.map(_._2).getOrElse(dir)
+    val bytes = graft.sources.WarehouseFs.parquetBytes(spark, dataDir)
     val parts = math.max(1, math.ceil(bytes / (targetMB * 1024.0 * 1024.0)).toInt)
     // a Hive-layout table (key=value subdirs) must keep its layout — and
     // its partition pruning — through compaction: detect partition columns
     // from directory names and re-write partitioned, clustering rows by
     // partition key so each output file stays within one partition
-    val partCols = graft.sources.WarehouseFs.listNames(spark, dir)
+    val partCols = graft.sources.WarehouseFs.listNames(spark, dataDir)
       .filter(_.contains("=")).map(_.takeWhile(_ != '=')).distinct
-    val df = spark.read.parquet(dir)
+    val df = spark.read.parquet(dataDir)
     val compacted =
       if (partCols.isEmpty) df.repartition(parts)
       else df.repartition(parts, partCols.map(col): _*)
-    graft.sources.WarehouseFs.publish(compacted, dir, partitionBy = partCols)
+    if (current.isDefined)
+      graft.sources.WarehouseFs.publishVersioned(compacted, dir, partitionBy = partCols)
+    else
+      graft.sources.WarehouseFs.publish(compacted, dir, partitionBy = partCols)
     parts
   }
 

@@ -108,4 +108,104 @@ object WarehouseFs {
     if (fs.exists(old)) fs.delete(old, true)
     ()
   }
+
+  // ---- manifest-committed (pointer-file) publish ----------------------
+  //
+  // [[publish]] assumes a directory rename is a metadata operation. True
+  // on HDFS and local filesystems; FALSE on S3A, where "rename" is a
+  // client-side copy+delete of every object — O(data), non-atomic, and a
+  // concurrent reader can observe the half-copied directory. The manifest
+  // layout never renames data at all:
+  //
+  //   table/
+  //     _versions/00000001    <- manifest file, content = data dir name
+  //     _versions/00000002
+  //     v00000001/part-*.parquet     <- immutable version dirs
+  //     v00000002/part-*.parquet
+  //
+  // A writer streams the new state into a FRESH version dir, then commits
+  // by materializing one new small manifest file (written to a dot-tmp
+  // name and renamed — a single-object rename, atomic on HDFS/local and
+  // an atomic PUT on S3 with strong consistency; never an overwrite of an
+  // existing object). Readers list `_versions` (one RPC), take the
+  // highest committed name, and read the version dir it names. A crash
+  // before the manifest rename leaves only orphans readers never look at
+  // — the pointer can never reference incomplete data — and the next
+  // publish reuses/garbage-collects them. Two concurrent publishers race
+  // on the same manifest name; the loser's single-file rename fails
+  // loudly instead of silently clobbering (optimistic concurrency, the
+  // same discipline as a transaction-log commit).
+
+  private def versionsDir(table: Path) = new Path(table, "_versions")
+  private def vname(n: Long) = f"$n%08d"
+  private val ManifestName = "^\\d{8}$".r
+
+  /** Highest committed (version, dataPath) of a manifest table, if any.
+    * One `listStatus` + one small-file read — no data I/O. */
+  def currentVersion(spark: SparkSession, table: String): Option[(Long, String)] = {
+    val (fs, t) = fsFor(spark, table)
+    val vd = versionsDir(t)
+    if (!fs.exists(vd)) return None
+    val committed = fs.listStatus(vd).map(_.getPath.getName)
+      .filter(n => ManifestName.matches(n))
+    if (committed.isEmpty) return None
+    val latest = committed.max
+    val in = fs.open(new Path(vd, latest))
+    val dataName = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+                   finally in.close()
+    Some((latest.toLong, s"$table/$dataName"))
+  }
+
+  /** Read a table written by either publish flavor: the manifest-committed
+    * current version when `_versions` exists, else the plain directory
+    * (None if absent/empty either way). */
+  def readTable(spark: SparkSession, table: String): Option[DataFrame] =
+    currentVersion(spark, table) match {
+      case Some((_, dataPath)) => Some(spark.read.parquet(dataPath))
+      case None => if (hasData(spark, table)) Some(spark.read.parquet(table)) else None
+    }
+
+  /** Atomically publish `df` as the new current version of a
+    * manifest-committed `table` (layout above). Safe on object stores —
+    * no directory rename anywhere. `keepVersions` old versions survive
+    * for in-flight readers (time travel for free); older data dirs and
+    * manifests, plus orphans from crashed writes, are garbage-collected
+    * after the commit. */
+  def publishVersioned(df: DataFrame, table: String,
+                       partitionBy: Seq[String] = Nil,
+                       keepVersions: Int = 2): Unit = {
+    require(keepVersions >= 1)
+    val spark = df.sparkSession
+    val (fs, t) = fsFor(spark, table)
+    val next = currentVersion(spark, table).map(_._1).getOrElse(0L) + 1L
+    val dataName = s"v${vname(next)}"
+    // phase 1 (long): write the full new state to the fresh version dir.
+    // Overwrite mode clears a same-numbered orphan from a crashed attempt.
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(new Path(t, dataName).toString)
+    // phase 2 (commit): materialize the manifest under its final name
+    val vd = versionsDir(t)
+    fs.mkdirs(vd)
+    val tmp = new Path(vd, s".tmp-${vname(next)}")
+    val out = fs.create(tmp, true)
+    try out.write(dataName.getBytes("UTF-8")) finally out.close()
+    require(fs.rename(tmp, new Path(vd, vname(next))),
+      s"publishVersioned: commit of version $next lost a concurrent race on $table")
+    // phase 3 (GC): drop manifests beyond keepVersions, then every data
+    // dir no surviving manifest references (old versions AND orphans)
+    val manifests = fs.listStatus(vd).map(_.getPath.getName)
+      .filter(n => ManifestName.matches(n)).sorted
+    val (expired, kept) = manifests.splitAt(math.max(0, manifests.length - keepVersions))
+    expired.foreach(n => fs.delete(new Path(vd, n), false))
+    val referenced = kept.map { n =>
+      val in = fs.open(new Path(vd, n))
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim finally in.close()
+    }.toSet
+    fs.listStatus(t).map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && ManifestName.matches(n.stripPrefix("v")) &&
+                   !referenced.contains(n))
+      .foreach(n => fs.delete(new Path(t, n), true))
+    ()
+  }
 }

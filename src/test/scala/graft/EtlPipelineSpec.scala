@@ -171,6 +171,23 @@ class EtlPipelineSpec extends SparkSpec {
     assert(afterSecond.size > afterFirst.size) // day 2 events arrived
   }
 
+  test("manifest-publish mode: full pipeline runs on the pointer-file layout") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh_mf_").toString
+    spark.conf.set("spark.graft.etl.manifestPublish", "true")
+    try {
+      EtlPipeline.run(spark, refDir, wh, None, Some(asOf(3)))
+      // SCD tables live under versioned dirs with a pointer, not a flat dir
+      import graft.sources.WarehouseFs
+      assert(WarehouseFs.currentVersion(spark, s"$wh/dwh_dim_terminals_hist").isDefined)
+      assert(WarehouseFs.readTable(spark, s"$wh/dwh_dim_terminals_hist").get.count() === 155)
+      assert(WarehouseFs.readTable(spark, s"$wh/dwh_fact_pssprt_blcklst").get.count() === 24)
+      assert(spark.read.parquet(s"$wh/rep_fraud").count() > 0)
+      // idempotent re-run, same as the rename-swap layout
+      EtlPipeline.run(spark, refDir, wh, None, Some(asOf(3)))
+      assert(WarehouseFs.readTable(spark, s"$wh/dwh_dim_terminals_hist").get.count() === 155)
+    } finally spark.conf.unset("spark.graft.etl.manifestPublish")
+  }
+
   test("a retroactive blacklist entry re-derives only the affected days (parity with rebuild)") {
     firstRun
     val tmp = java.nio.file.Files.createTempDirectory("graft_retro_").toString

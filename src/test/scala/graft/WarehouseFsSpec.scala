@@ -82,4 +82,71 @@ class WarehouseFsSpec extends SparkSpec {
       === Seq("part=a", "part=b"))
     assert(spark.read.parquet(t).count() === 3)
   }
+
+  // ---- manifest-committed (pointer-file) publish ----
+
+  test("publishVersioned commits versions; readers resolve the latest; GC keeps a window") {
+    val t = s"${tmpDir()}/tbl"
+    WarehouseFs.publishVersioned((1 to 10).toDF("id"), t)
+    assert(WarehouseFs.currentVersion(spark, t).map(_._1) === Some(1L))
+    assert(WarehouseFs.readTable(spark, t).get.count() === 10)
+    WarehouseFs.publishVersioned((1 to 25).toDF("id"), t)
+    assert(WarehouseFs.currentVersion(spark, t).map(_._1) === Some(2L))
+    assert(WarehouseFs.readTable(spark, t).get.as[Int].collect().sorted === (1 to 25).toArray)
+    // keepVersions=2: v1 still on disk for in-flight readers…
+    assert(WarehouseFs.listNames(spark, t).contains("v00000001"))
+    // …until the third publish garbage-collects it
+    WarehouseFs.publishVersioned((1 to 7).toDF("id"), t)
+    val entries = WarehouseFs.listNames(spark, t)
+    assert(!entries.contains("v00000001"), entries.toString)
+    assert(entries.contains("v00000002") && entries.contains("v00000003"))
+    assert(WarehouseFs.readTable(spark, t).get.count() === 7)
+  }
+
+  test("a crashed versioned write never moves the pointer; the next publish recovers") {
+    val t = s"${tmpDir()}/tbl"
+    WarehouseFs.publishVersioned(spark.range(100).toDF("id"), t)
+    val boom = spark.range(100).toDF("id").withColumn("id",
+      when(col("id") < lit(90), col("id"))
+        .otherwise(raise_error(lit("simulated task failure"))))
+    intercept[Exception] { WarehouseFs.publishVersioned(boom, t) }
+    // pointer still at v1; the orphan data dir (if any) is invisible to readers
+    assert(WarehouseFs.currentVersion(spark, t).map(_._1) === Some(1L))
+    assert(WarehouseFs.readTable(spark, t).get.count() === 100)
+    // recovery publish reuses the orphan's number and commits cleanly
+    WarehouseFs.publishVersioned(spark.range(5).toDF("id"), t)
+    assert(WarehouseFs.currentVersion(spark, t).map(_._1) === Some(2L))
+    assert(WarehouseFs.readTable(spark, t).get.count() === 5)
+  }
+
+  test("a torn pointer write (stray tmp manifest) is invisible to readers") {
+    val t = s"${tmpDir()}/tbl"
+    WarehouseFs.publishVersioned((1 to 3).toDF("id"), t)
+    // simulate a writer that died between creating the tmp manifest and
+    // renaming it to its committed name
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$t/_versions/.tmp-00000002"),
+      "v00000002".getBytes("UTF-8"))
+    assert(WarehouseFs.currentVersion(spark, t).map(_._1) === Some(1L))
+    assert(WarehouseFs.readTable(spark, t).get.count() === 3)
+  }
+
+  test("readTable resolves both publish flavors") {
+    val base = tmpDir()
+    WarehouseFs.publish((1 to 4).toDF("id"), s"$base/plain")
+    WarehouseFs.publishVersioned((1 to 9).toDF("id"), s"$base/versioned")
+    assert(WarehouseFs.readTable(spark, s"$base/plain").get.count() === 4)
+    assert(WarehouseFs.readTable(spark, s"$base/versioned").get.count() === 9)
+    assert(WarehouseFs.readTable(spark, s"$base/absent").isEmpty)
+  }
+
+  test("publishVersioned with partitionBy keeps the key=value layout inside the version dir") {
+    val t = s"${tmpDir()}/tbl"
+    val df = Seq((1, "a"), (2, "a"), (3, "b")).toDF("id", "part")
+    WarehouseFs.publishVersioned(df, t, partitionBy = Seq("part"))
+    val (_, dataPath) = WarehouseFs.currentVersion(spark, t).get
+    assert(WarehouseFs.listNames(spark, dataPath).filter(_.startsWith("part=")).sorted
+      === Seq("part=a", "part=b"))
+    assert(WarehouseFs.readTable(spark, t).get.count() === 3)
+  }
 }
