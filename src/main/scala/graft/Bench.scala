@@ -33,21 +33,35 @@ object Bench {
     // same binary). A failed query is reported in `errors`, never as a
     // plausible-looking wall time.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // self-diagnosis: system load around the run plus per-rep raw times —
+    // a contaminated run (other tenants burning the cores) is visible in
+    // the artifact itself instead of needing a rerun to adjudicate
+    val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val loadBefore = os.getSystemLoadAverage
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
         catch { case _: Throwable => None }
       }
-      name -> (if (times.isEmpty) None else Some(times.min))
+      name -> times
     }
-    val ok = results.collect { case (k, Some(v)) => k -> v }
-    val errors = results.collect { case (k, None) => k }
+    val loadAfter = os.getSystemLoadAverage
+    val ok = results.collect { case (k, ts) if ts.nonEmpty => k -> ts }
+    val errors = results.collect { case (k, ts) if ts.isEmpty => k }
+    // reps of one query should agree; a >3× min-to-max spread means some
+    // rep was starved — its min is still reported, but the query is named
+    // so a slow total can be traced to contention, not code
+    val suspect = ok.collect {
+      case (k, ts) if ts.max > ts.min * 3 && ts.max - ts.min > 0.5 => k }
     def r(v: Double) = math.rint(v * 1e4) / 1e4 // 0.1 ms precision keeps the line short
-    val qs = ok.map { case (k, v) => s"\"" + k + "\":" + r(v) }.mkString("{", ",", "}")
+    val qs = ok.map { case (k, ts) => s"\"" + k + "\":" + r(ts.min) }.mkString("{", ",", "}")
+    val raws = ok.map { case (k, ts) =>
+      s"\"" + k + "\":" + ts.map(r).mkString("[", ",", "]") }.mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = r(ok.map(_._2).sum)
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"reps":$reps,"sf":"$sfDir"}"""
+    val susp = suspect.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = r(ok.map(_._2.min).sum)
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"raw":$raws,"errors":$errs,"suspect":$susp,"load_avg":{"before":${r(loadBefore)},"after":${r(loadAfter)},"cpus":${Runtime.getRuntime.availableProcessors}},"reps":$reps,"sf":"$sfDir"}"""
     println(json)
     // stdout log-tail capture can front-truncate a 100-query JSON line;
     // the file copy is always complete and parseable

@@ -138,6 +138,15 @@ object EtlPipeline {
         day
       }
 
+    // --- layout compaction of the freshly loaded day partitions: rows
+    // recluster along a Z-order curve over (time of day, terminal), so a
+    // terminal-scoped investigation prunes most row groups via the pushed
+    // parquet min/max filter while intra-day time slices stay clustered.
+    // Same rows, atomic per-partition swap; O(new days), never O(history).
+    if (loadedDays.nonEmpty &&
+        spark.conf.getOption("spark.graft.etl.zorderFact").forall(_.toBoolean))
+      zOrderFactDays(spark, tablePath("dwh_fact_transactions"), loadedDays)
+
     if (readIf("dwh_fact_transactions").isEmpty || readIf("dwh_dim_terminals_hist").isEmpty) {
       println("[etl] no transactions/terminals loaded — skipping fraud mart")
       return
@@ -295,6 +304,35 @@ object EtlPipeline {
     println(s"[etl] fact_days=${allDays.size} loaded=${loadedDays.size} " +
       s"windows=$winStr retro=${retroDays.size} rep_fraud~=${repObs.get("n")}")
   }
+
+  /** Z-order-compact the named day partitions of the transactions fact in
+    * place. Within a day partition the two query dimensions left are the
+    * terminal and the time of day; clustering along the Morton curve over
+    * both keeps parquet min/max stats tight on each, so a pushed
+    * `terminal = X` (or a time-slice) filter skips most row groups
+    * (EtlPipelineSpec asserts it via scan metrics). The terminal id
+    * (letter + digits) maps to an ORDER-PRESERVING numeric key — hash
+    * keys would cluster equal terminals but leave the string column's
+    * min/max wide, defeating stats pruning — and sits second in the curve
+    * (the dominant interleaved bit) because point-terminal scoping is the
+    * hotter access path. The rewrite is the same rows in a new order,
+    * published atomically per partition dir; nightly cost is O(days
+    * loaded). File count follows the ~`targetMB` compaction sizing unless
+    * `filesPerDay` overrides it. */
+  def zOrderFactDays(spark: SparkSession, factPath: String, days: Seq[String],
+                     filesPerDay: Option[Int] = None, targetMB: Int = 128): Unit =
+    for (day <- days) {
+      val dir = s"$factPath/day=$day"
+      val files = filesPerDay.getOrElse {
+        val bytes = WarehouseFs.parquetBytes(spark, dir)
+        math.max(1, math.ceil(bytes / (targetMB * 1024.0 * 1024.0)).toInt)
+      }
+      val termKey = ascii(substring(col("terminal"), 1, 1)).cast("long") * 10000000L +
+        coalesce(expr("try_cast(substring(terminal, 2, 10) AS LONG)"), lit(0L))
+      val clustered = graft.operators.ScaleJoins.zOrderCluster(
+        spark.read.parquet(dir), unix_timestamp(col("trans_date")), termKey, files)
+      WarehouseFs.publish(clustered, dir)
+    }
 
   /** Day-window slice of the day-partitioned transactions fact. The
     * filter lands on the `day` PARTITION column, so the scan's

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 
 /** Join strategies whose whole point is the 100 TB case: bucketed
@@ -111,24 +111,35 @@ object ScaleJoins {
     * mapping only needs to be monotone, not exact).
     */
   def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
-                    files: Int): Unit = {
+                    files: Int): Unit =
+    zOrderCluster(df, col(colA), col(colB), files)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** The layout core of [[writeZOrdered]], usable with arbitrary numeric
+    * key EXPRESSIONS and any writer: returns `df` clustered along the
+    * Morton curve (range-partitioned into `files` partitions, sorted
+    * within each), with the helper columns dropped. EtlPipeline publishes
+    * the result atomically over the source directory (in-place
+    * recluster); writeZOrdered writes it to a fresh path. Note the second
+    * key owns the top interleaved bit, so it dominates file ranges
+    * slightly — put the more selective / more queried key second. */
+  def zOrderCluster(df: DataFrame, a: Column, b: Column, files: Int): DataFrame = {
     import org.apache.spark.sql.graft.ZOrderExpressions.z_order2
     require(files > 0)
-    val mm = df.agg(min(col(colA)).cast("double").as("a0"),
-                    max(col(colA)).cast("double").as("a1"),
-                    min(col(colB)).cast("double").as("b0"),
-                    max(col(colB)).cast("double").as("b1")).head()
+    val tagged = df.withColumn("__za", a.cast("double"))
+      .withColumn("__zb", b.cast("double"))
+    val mm = tagged.agg(min(col("__za")), max(col("__za")),
+                        min(col("__zb")), max(col("__zb"))).head()
     def scale(c: String, lo: Double, hi: Double) = {
       val w = if (hi > lo) hi - lo else 1.0
-      least(((col(c).cast("double") - lo) / w * 65535.0).cast("long"), lit(65535L))
+      least(((col(c) - lo) / w * 65535.0).cast("long"), lit(65535L))
     }
-    df.withColumn("__z", z_order2(
-        scale(colA, mm.getDouble(0), mm.getDouble(1)),
-        scale(colB, mm.getDouble(2), mm.getDouble(3))))
+    tagged.withColumn("__z", z_order2(
+        scale("__za", mm.getDouble(0), mm.getDouble(1)),
+        scale("__zb", mm.getDouble(2), mm.getDouble(3))))
       .repartitionByRange(files, col("__z"))
       .sortWithinPartitions("__z")
-      .drop("__z")
-      .write.mode(SaveMode.Overwrite).parquet(path)
+      .drop("__z", "__za", "__zb")
   }
 
   /** Interval self-join with a power-user guard. The J9 shape — equi on a

@@ -55,7 +55,8 @@ import org.apache.spark.util.collection.ExternalSorter
   */
 case class TopKPerGroup(group: Seq[Expression], order: Expression, k: Int,
                         child: LogicalPlan,
-                        maxBufferedRows: Long = TopKPerGroupOp.DefaultMaxBufferedRows)
+                        maxBufferedRows: Long = TopKPerGroupOp.DefaultMaxBufferedRows,
+                        maxBufferedBytes: Long = TopKPerGroupOp.DefaultMaxBufferedBytes)
     extends UnaryNode {
   require(k > 0)
   override def output: Seq[Attribute] = child.output
@@ -65,7 +66,8 @@ case class TopKPerGroup(group: Seq[Expression], order: Expression, k: Int,
 
 case class TopKPerGroupExec(group: Seq[Expression], order: Expression, k: Int,
                             child: SparkPlan,
-                            maxBufferedRows: Long = TopKPerGroupOp.DefaultMaxBufferedRows)
+                            maxBufferedRows: Long = TopKPerGroupOp.DefaultMaxBufferedRows,
+                            maxBufferedBytes: Long = TopKPerGroupOp.DefaultMaxBufferedBytes)
     extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
   override def requiredChildDistribution: Seq[Distribution] =
@@ -80,7 +82,8 @@ case class TopKPerGroupExec(group: Seq[Expression], order: Expression, k: Int,
       "partitions that fell back to the sort-based path"))
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val (grp, ord, kk, schema, budget) = (group, order, k, child.output, maxBufferedRows)
+    val (grp, ord, kk, schema) = (group, order, k, child.output)
+    val (budget, byteBudget) = (maxBufferedRows, maxBufferedBytes)
     val numOutputRows = longMetric("numOutputRows")
     val numGroups = longMetric("numGroups")
     val sortFallbackCount = longMetric("sortFallbackCount")
@@ -94,6 +97,14 @@ case class TopKPerGroupExec(group: Seq[Expression], order: Expression, k: Int,
       }
       val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[(Any, InternalRow)]]()
       var buffered = 0L // rows currently held across all heaps
+      // …and their actual bytes: a row-count budget alone under-protects
+      // against wide rows (large strings/arrays blow memory long before
+      // 4M rows), so either trigger flips to the sort path
+      var bufferedBytes = 0L
+      def rowBytes(r: InternalRow): Long = r match {
+        case u: UnsafeRow => u.getSizeInBytes.toLong
+        case _ => 64L // non-unsafe child output: coarse floor keeps the trigger sane
+      }
       var overflow = false
       while (!overflow && iter.hasNext) {
         val row = iter.next()
@@ -114,11 +125,15 @@ case class TopKPerGroupExec(group: Seq[Expression], order: Expression, k: Int,
             val stable = row.copy()
             heap.add((ordExpr.eval(stable), stable))
             buffered += 1
-            if (buffered > budget) overflow = true
+            bufferedBytes += rowBytes(stable)
+            if (buffered > budget || bufferedBytes > byteBudget) overflow = true
           } else if (ordering.compare(v, heap.peek()._1) > 0) {
-            heap.poll()
+            val evicted = heap.poll()
+            bufferedBytes -= rowBytes(evicted._2)
             val stable = row.copy()
-            heap.add((ordExpr.eval(stable), stable)); ()
+            heap.add((ordExpr.eval(stable), stable))
+            bufferedBytes += rowBytes(stable)
+            if (bufferedBytes > byteBudget) overflow = true
           }
         }
       }
@@ -146,6 +161,11 @@ case class TopKPerGroupExec(group: Seq[Expression], order: Expression, k: Int,
         val sorter = new ExternalSorter[K, InternalRow, InternalRow](
           TaskContext.get(), aggregator = None, partitioner = None,
           ordering = Some(keyOrd))
+        // register cleanup BEFORE feeding the sorter: if insertAll throws
+        // (spill I/O failure, eval exception), the spill files and
+        // acquired execution memory must still be released via stop()
+        Option(TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => sorter.stop()))
         def keyBytes(row: InternalRow): Array[Byte] = {
           val k = groupProj(row)
           java.util.Arrays.copyOf(k.getBytes, k.getSizeInBytes)
@@ -160,8 +180,6 @@ case class TopKPerGroupExec(group: Seq[Expression], order: Expression, k: Int,
         }
         sorter.insertAll(fromHeaps ++ fromInput)
         heaps.clear()
-        Option(TaskContext.get()).foreach(
-          _.addTaskCompletionListener[Unit](_ => sorter.stop()))
         var prevKey: Array[Byte] = null
         var emitted = 0
         sorter.iterator.filter { kv =>
@@ -184,10 +202,17 @@ object TopKPerGroupOp {
     * `spark.graft.topk.maxBufferedRows`. */
   val DefaultMaxBufferedRows: Long = 4L << 20
 
+  /** Default per-partition heap budget in ACTUAL row bytes
+    * (`UnsafeRow.getSizeInBytes`, accumulated at insert) — the guard the
+    * row count can't give: 4M rows of 1 KB strings is 4 GB. 256 MB keeps
+    * the worst case inside an executor core's share. Override with
+    * `spark.graft.topk.maxBufferedBytes`. */
+  val DefaultMaxBufferedBytes: Long = 256L << 20
+
   object Strategy extends SparkStrategy {
     override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-      case TopKPerGroup(g, o, k, child, budget) =>
-        TopKPerGroupExec(g, o, k, planLater(child), budget) :: Nil
+      case TopKPerGroup(g, o, k, child, budget, byteBudget) =>
+        TopKPerGroupExec(g, o, k, planLater(child), budget, byteBudget) :: Nil
       case _ => Nil
     }
   }
@@ -206,11 +231,13 @@ object TopKPerGroupOp {
         spark.experimental.extraStrategies :+ Strategy
     val budget = spark.conf.getOption("spark.graft.topk.maxBufferedRows")
       .map(_.toLong).getOrElse(DefaultMaxBufferedRows)
+    val byteBudget = spark.conf.getOption("spark.graft.topk.maxBufferedBytes")
+      .map(_.toLong).getOrElse(DefaultMaxBufferedBytes)
     val lp = df.queryExecution.analyzed
     def attr(n: String): Attribute = lp.output.find(_.name == n).getOrElse(
       throw new IllegalArgumentException(s"column $n not in ${lp.output.map(_.name)}"))
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
-      TopKPerGroup(groupCols.map(attr), attr(orderCol), k, lp, budget))
+      TopKPerGroup(groupCols.map(attr), attr(orderCol), k, lp, budget, byteBudget))
   }
 }

@@ -171,6 +171,31 @@ class EtlPipelineSpec extends SparkSpec {
     assert(afterSecond.size > afterFirst.size) // day 2 events arrived
   }
 
+  test("z-ordered fact day: terminal-scoped query skips most row groups") {
+    firstRun
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val factPath = s"$wh/dwh_fact_transactions"
+    // recluster one day into 8 files so the pruner has row groups to skip
+    // (the nightly path sizes by bytes — tiny test data would give 1 file)
+    EtlPipeline.zOrderFactDays(spark, factPath, Seq("2021-03-01"), filesPerDay = Some(16))
+    val day = java.sql.Date.valueOf("2021-03-01")
+    val fact = spark.read.parquet(factPath)
+    val dayRows = fact.filter(col("day") === lit(day)).count()
+    val term = fact.filter(col("day") === lit(day)).select("terminal").head().getString(0)
+    val q = fact.filter(col("day") === lit(day) && col("terminal") === lit(term))
+    val hits = q.count()
+    assert(hits > 0)
+    q.collect()
+    val scan = q.queryExecution.executedPlan
+      .collectFirst { case f: FileSourceScanExec => f }.get
+    assert(scan.metrics("numFiles").value === 16, "partition pruning to the one day")
+    // pushed terminal filter skips row groups whose min/max exclude it:
+    // the scan materializes only surviving groups, a fraction of the day
+    val materialized = scan.metrics("numOutputRows").value
+    assert(materialized < dayRows / 2,
+      s"row-group pruning materialized $materialized of $dayRows day rows")
+  }
+
   test("manifest-publish mode: full pipeline runs on the pointer-file layout") {
     val wh = java.nio.file.Files.createTempDirectory("graft_wh_mf_").toString
     spark.conf.set("spark.graft.etl.manifestPublish", "true")

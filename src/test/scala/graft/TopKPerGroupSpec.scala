@@ -109,6 +109,36 @@ class TopKPerGroupSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("wide rows blow the BYTE budget at a low row count (results identical)") {
+    import spark.implicits._
+    // 200 rows × ~10 KB strings ≈ 2 MB buffered if k retained them all —
+    // far under the 4M-row budget, far over a 64 KB byte budget
+    val wide = spark.range(200).select(
+      (col("id") % 2).cast("string").as("g"),
+      col("id").as("v"))
+      .withColumn("pad", concat_ws("", (1 to 320).map(i => md5(concat_ws("-", col("v"), lit(i)))): _*))
+    def run(conf: Seq[(String, String)]): (Set[(String, Long)], Long) =
+      withConf(conf: _*) {
+        val df = TopKPerGroupOp.topKPerGroup(wide, Seq("g"), "v", 50)
+        val got = df.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+        import org.apache.spark.sql.execution.SparkPlan
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        import org.apache.spark.sql.graft.TopKPerGroupExec
+        def find(p: SparkPlan): Option[TopKPerGroupExec] = p match {
+          case e: TopKPerGroupExec => Some(e)
+          case a: AdaptiveSparkPlanExec => find(a.executedPlan)
+          case q: QueryStageExec => find(q.plan)
+          case other => other.children.iterator.flatMap(find).nextOption()
+        }
+        (got, find(df.queryExecution.executedPlan).get.metrics("sortFallbackCount").value)
+      }
+    val (heapRes, heapFb) = run(Nil)
+    val (byteRes, byteFb) = run(Seq("spark.graft.topk.maxBufferedBytes" -> (64L * 1024).toString))
+    assert(heapFb === 0L, "default budgets must keep the heap path")
+    assert(byteFb > 0L, "64 KB byte budget must trigger the sort fallback on 10 KB rows")
+    assert(byteRes === heapRes, "byte-budget fallback must return identical rows")
+  }
+
   test("string group keys and double order values work (interpreted ordering)") {
     import spark.implicits._
     val df = Seq(("a", 1.0), ("a", 3.0), ("a", 2.0), ("b", 5.0), ("b", 4.0))
