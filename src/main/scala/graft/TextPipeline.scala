@@ -49,6 +49,32 @@ object TextPipeline {
   def curate(docs: DataFrame): DataFrame =
     Sampling.trainValTestSplit(dedupCanonical(qualityFilter(docs)), "doc_id")
 
+  /** Streaming curation — the online form of [[curate]] for documents
+    * arriving continuously (schema: ts Timestamp, doc_id, text, …):
+    *
+    *   1. the same map-only quality gate (stateless, pushdown-friendly);
+    *   2. near-dup suppression via the SimHash sketch within the
+    *      watermark ([[graft.streaming.EventStreams.nearDupSuppress]]) —
+    *      the cheap ONLINE gate whose state is one (sketch, ts) entry per
+    *      distinct surviving sketch, watermark-evicted; the batch
+    *      MinHash-LSH + connected-components pass in [[curate]] remains
+    *      the offline compaction that catches what a sketch equality
+    *      can't;
+    *   3. the deterministic md5-bucket split — a pure function of doc_id,
+    *      so it adds no state and no shuffle, and a document lands in the
+    *      SAME split whether it flowed through this stream or the batch
+    *      pipeline (replay-stable, engine-portable).
+    *
+    * Run it with `Trigger.AvailableNow` for the nightly-batch form or a
+    * continuous trigger for true streaming; at scale pair with the
+    * RocksDB state store (key cardinality = distinct sketches in the
+    * watermark). TextPipelineSpec drives it end-to-end on RocksDB with
+    * AvailableNow and checks batch/stream split agreement.
+    */
+  def curateStream(docs: DataFrame): DataFrame =
+    Sampling.trainValTestSplit(
+      graft.streaming.EventStreams.nearDupSuppress(qualityFilter(docs)), "doc_id")
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.01")
     val outDir = args.lift(1).getOrElse("/tmp/graft_curated")

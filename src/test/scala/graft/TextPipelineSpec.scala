@@ -37,4 +37,49 @@ class TextPipelineSpec extends SparkSpec {
     assert(a.nonEmpty)
     assert(a.values.toSet.subsetOf(Set("train", "val", "test")))
   }
+
+  test("streaming curation end-to-end: quality gate + online near-dup + split (RocksDB, AvailableNow)") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    def ts(s: String) = Timestamp.valueOf(s)
+    val goodText = ("the quick brown fox jumps over the lazy dog and keeps " +
+      "running through the quiet field while the morning light settles " +
+      "softly on the hills").trim
+    val otherText = ("the measured throughput of the cluster improves when " +
+      "the shuffle stays small and the partitions remain balanced across " +
+      "all the executors during the run").trim
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[(Timestamp, Long, String)](spark)
+      in.addData(
+        (ts("2024-01-01 00:00:00"), 1L, goodText),
+        (ts("2024-01-01 00:00:10"), 2L, goodText),   // near-identical → suppressed
+        (ts("2024-01-01 00:01:00"), 3L, "too short to pass"), // quality-gated out
+        (ts("2024-01-01 00:02:00"), 4L, otherText))
+      val stream = TextPipeline.curateStream(
+        in.toDF().toDF("ts", "doc_id", "text"))
+      val q = stream.writeStream.format("memory").queryName("curated_stream")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val out = spark.table("curated_stream")
+        .select("doc_id", "split").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      // doc 2 (same sketch as 1) and doc 3 (fails the gate) are gone
+      assert(out.keySet === Set(1L, 4L), out.toString)
+      // split labels equal the BATCH pipeline's for the same keys — the
+      // md5-bucket split is a pure function of doc_id, stream or batch
+      val batchSplit = graft.operators.Sampling.trainValTestSplit(
+        Seq(1L, 4L).toDF("doc_id"), "doc_id")
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+      assert(out === batchSplit)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
