@@ -23,8 +23,10 @@ import graft.operators.AnnOps
   * near-orthogonal — the worst case for any locality-sensitive scheme
   * (there is barely any locality to be sensitive to), so the candidate
   * cost a config pays for a given recall here is an UPPER bound on real
-  * embedding manifolds (measured ≥0.9 points: srp_multi_bits4_t16 at
-  * 0.65 cost, ivf probe12/16 at 0.75, pq rerank64 at 0.32). The trends
+  * embedding manifolds (measured ≥0.9 points: srp_multi bits8×16tables
+  * with multi-probe at 0.45 cost — the best SRP frontier point — or
+  * bits4×16tables at 0.65; ivf probe12/16 at 0.75; pq rerank64 at 0.32).
+  * The trends
   * the spec asserts: multi-probe strictly helps SRP at every bit width,
   * multi-table recall is monotone in L and dominates single-table at
   * equal total bits, and IVF recall climbs with nProbe toward the proven
@@ -69,14 +71,20 @@ object AnnRecall {
     // NOTE these embeddings are i.i.d. random (near-orthogonal — the
     // worst case for LSH), so the candidate cost needed for a given
     // recall here is an upper bound on real embedding manifolds.
+    // …and multi-probe COMBINED with multi-table: more bits per table
+    // (cheaper buckets) with Hamming-1 probes recovering per-table recall
+    // — the better cost/recall frontier on this corpus
     val srpMulti = for {
-      (bits, tables) <- Seq((4, 4), (4, 8), (4, 16), (4, 24), (6, 16), (6, 32))
+      (bits, tables, mp) <- Seq(
+        (4, 4, false), (4, 8, false), (4, 16, false), (4, 24, false),
+        (6, 16, false), (6, 32, false), (8, 16, true), (8, 24, true))
     } yield {
-      val cand = AnnOps.srpMultiCandidates(emb, queryIds, bits, tables).cache()
+      val cand = AnnOps.srpMultiCandidates(emb, queryIds, bits, tables, mp).cache()
       val rec = AnnOps.recallAt(AnnOps.rerankExact(emb, queryIds, k, cand), truth)
       val cost = cand.count() / exactPairs
       cand.unpersist()
-      (s"srp_multi_bits${bits}_t$tables", r4(rec), Some(r4(cost)))
+      (s"srp_multi_bits${bits}_t$tables${if (mp) "_multiprobe" else ""}",
+        r4(rec), Some(r4(cost)))
     }
     val nCells = 16
     val ivf = Seq(1, 2, 4, 8, 12).map { nProbe =>

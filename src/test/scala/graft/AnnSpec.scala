@@ -81,6 +81,15 @@ class AnnSpec extends SparkSpec {
     assert(multi > 0.2, s"multi-table recall $multi") // loose: random data
   }
 
+  test("multi-probe widens each table's candidates (multi-table union is a superset)") {
+    def pairs(mp: Boolean): Set[(Long, Long)] =
+      AnnOps.srpMultiCandidates(emb, queries, bits = 6, tables = 4, multiProbe = mp)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = pairs(mp = false); val probed = pairs(mp = true)
+    assert(single.subsetOf(probed))
+    assert(probed.size > single.size) // Hamming-1 probes genuinely add candidates
+  }
+
   test("multi-table SRP neighbors share a bucket with the query in at least one table") {
     val res = AnnOps.srpMultiTopK(emb, queries, k = 3, bits = 4, tables = 4)
     // recompute each table's buckets and check membership
