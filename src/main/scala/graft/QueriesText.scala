@@ -193,6 +193,63 @@ object QueriesText {
       graft.operators.Sampling.trainValTestSplit(
         documents(s, d).select("doc_id"), "doc_id")),
 
+    // Per-language mixture rebalancing: each stratum keeps its own
+    // deterministic fraction (md5-bucket membership — replays, backfills
+    // and the oracle agree row-for-row). The rates ride a broadcast join,
+    // so the corpus scan stays map-only at any stratum cardinality.
+    "text_sample_stratified" -> ((s, d) =>
+      graft.operators.Sampling.stratifiedSample(
+        documents(s, d).select("lang", "doc_id", "source"), "lang", "doc_id",
+        Map("en" -> 0.5, "de" -> 1.0, "fr" -> 0.8, "es" -> 0.8, "zh" -> 0.2))),
+
+    // Benchmark decontamination: drop/flag training docs sharing any word
+    // 8-gram with the eval split (deterministic md5 holdout ~1/16 of the
+    // corpus). The eval shingle set is tiny relative to the corpus —
+    // benchmark suites are millions of shingles, not billions — so it
+    // BROADCASTS and the corpus-side probe is a map-only semi-join: the
+    // 100 TB train corpus never shuffles. Per-doc distinct shingles keep
+    // n_hits well-defined (number of distinct contaminated 8-grams).
+    "text_decontaminate" -> ((s, d) => {
+      val docs = documents(s, d)
+      val isEval = substring(md5(col("doc_id").cast(StringType)), 1, 1) === "0"
+      val words = split(col("text"), " ")
+      def shingles(df: DataFrame) = df.select(
+        col("doc_id"),
+        explode(when(size(words) >= 8,
+            transform(sequence(lit(1), size(words) - lit(7)),
+              i => array_join(slice(words, i, lit(8)), " ")))
+          .otherwise(array())).as("shingle")).distinct()
+      val evalSh = shingles(docs.filter(isEval)).select("shingle").distinct()
+      val hits = shingles(docs.filter(!isEval))
+        .join(broadcast(evalSh), Seq("shingle"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      docs.filter(!isEval).select("doc_id", "source")
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)) > 0).cast(IntegerType).as("contaminated"))
+    }),
+
+    // Token-budget mixture weights: per-source sampling weight to hit a
+    // uniform-across-sources token mixture at half the corpus's total
+    // token budget — the "how much of each source do I keep" step after
+    // quality filtering. One groupBy + a 1-row broadcast of the totals;
+    // weight arithmetic mirrors the oracle operation-for-operation so the
+    // doubles are bit-equal.
+    "text_mixture_weights" -> ((s, d) => {
+      val per = documents(s, d)
+        .select(col("source"), size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+      val tot = per.agg(sum("n_tokens").as("total_tokens"),
+                        count(lit(1)).as("n_sources"))
+      per.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          least(lit(1.0),
+            col("total_tokens") / col("n_sources") / lit(2.0) / col("n_tokens"))
+            .as("weight"))
+    }),
+
     // Near-dup pairs → dedup CLUSTERS: connected components by alternating
     // large-star/small-star (DedupClusters) over the MinHash pair list;
     // every doc gets cluster_id = min doc_id of its component (singletons
@@ -428,6 +485,50 @@ object QueriesText {
                WHEN bucket < 95 THEN 'val'
                ELSE 'test' END AS split
         FROM b""",
+
+    "text_sample_stratified" ->
+      """WITH b AS (
+          SELECT lang, doc_id, source,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 AS bkt
+          FROM documents)
+        SELECT lang, doc_id, source FROM b
+        WHERE bkt < CASE lang WHEN 'de' THEN 10000 WHEN 'en' THEN 5000
+                              WHEN 'fr' THEN 8000 WHEN 'es' THEN 8000
+                              WHEN 'zh' THEN 2000 ELSE 0 END""",
+
+    "text_decontaminate" ->
+      """WITH sh AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(string_split(text, ' ')) - 6),
+                        i -> array_to_string(string_split(text, ' ')[i:i+7], ' '))) AS shingle
+          FROM documents),
+        ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+        ev AS (SELECT DISTINCT shingle FROM ds
+               WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'),
+        hits AS (
+          SELECT doc_id, count(*) AS n_hits FROM ds
+          WHERE shingle IN (SELECT shingle FROM ev)
+            AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> '0'
+          GROUP BY 1)
+        SELECT d.doc_id, d.source,
+               COALESCE(h.n_hits, 0) AS n_hits,
+               CASE WHEN COALESCE(h.n_hits, 0) > 0 THEN 1 ELSE 0 END AS contaminated
+        FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1) <> '0'""",
+
+    "text_mixture_weights" ->
+      """WITH tok AS (
+          SELECT source, len(string_split(text, ' ')) AS n_tok FROM documents),
+        per AS (
+          SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+          FROM tok GROUP BY 1),
+        tot AS (
+          SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                 count(*) AS n_sources
+          FROM per)
+        SELECT source, n_docs, n_tokens,
+               LEAST(1.0, total_tokens / n_sources / 2.0 / n_tokens) AS weight
+        FROM per CROSS JOIN tot""",
 
     "dedup_clusters" ->
       """WITH RECURSIVE t AS (
