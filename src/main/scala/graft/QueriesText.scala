@@ -207,8 +207,11 @@ object QueriesText {
     // corpus). The eval shingle set is tiny relative to the corpus —
     // benchmark suites are millions of shingles, not billions — so it
     // BROADCASTS and the corpus-side probe is a map-only semi-join: the
-    // 100 TB train corpus never shuffles. Per-doc distinct shingles keep
-    // n_hits well-defined (number of distinct contaminated 8-grams).
+    // 100 TB train corpus reaches the probe without shuffling — the
+    // (doc_id, shingle) distinct that keeps n_hits well-defined (number
+    // of distinct contaminated 8-grams) runs AFTER the semi-join, so its
+    // exchange carries only the rare contaminated rows (the semi-join is
+    // a per-shingle membership filter, so it commutes with the distinct).
     "text_decontaminate" -> ((s, d) => {
       val docs = documents(s, d)
       val isEval = substring(md5(col("doc_id").cast(StringType)), 1, 1) === "0"
@@ -218,10 +221,11 @@ object QueriesText {
         explode(when(size(words) >= 8,
             transform(sequence(lit(1), size(words) - lit(7)),
               i => array_join(slice(words, i, lit(8)), " ")))
-          .otherwise(array())).as("shingle")).distinct()
+          .otherwise(array())).as("shingle"))
       val evalSh = shingles(docs.filter(isEval)).select("shingle").distinct()
       val hits = shingles(docs.filter(!isEval))
         .join(broadcast(evalSh), Seq("shingle"), "left_semi")
+        .distinct()
         .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
       docs.filter(!isEval).select("doc_id", "source")
         .join(hits, Seq("doc_id"), "left")
@@ -248,6 +252,20 @@ object QueriesText {
           least(lit(1.0),
             col("total_tokens") / col("n_sources") / lit(2.0) / col("n_tokens"))
             .as("weight"))
+    }),
+
+    // Append-only incremental dedup: the nightly batch (odd doc ids here)
+    // pairs against the signature STORE of everything already ingested
+    // (even ids) — each run costs O(batch), never regenerating the
+    // corpus's own pairwise space. Union with historical pairs ≡ the full
+    // minhashNearDups run (DedupSpec); the oracle is the brute-force
+    // jaccard restricted to batch-touching pairs.
+    "dedup_incremental" -> ((s, d) => {
+      val docs = documents(s, d)
+      val storeSigs = graft.operators.DedupOps.signatures(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+      graft.operators.DedupOps.incrementalNearDups(
+        storeSigs, docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", 0.5)
     }),
 
     // Near-dup pairs → dedup CLUSTERS: connected components by alternating
@@ -428,6 +446,24 @@ object QueriesText {
             / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jac
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5""",
+
+    "dedup_incremental" ->
+      """WITH t AS (
+          SELECT doc_id,
+                 string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(range(len(toks) - 2),
+                   i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS shingles
+          FROM t WHERE len(toks) >= 3)
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jac
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE (a.doc_id % 2 = 1 OR b.doc_id % 2 = 1)
+          AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
             / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5""",
 
     "text_bigram_freq" ->

@@ -40,18 +40,23 @@ object DedupOps {
       .select(col(idCol), col("shingles"),
               minhash_signature(col("shingles"), NumHashes).as("sig"))
 
+  /** (id, band_idx, band_hash) rows for LSH bucketing — one row per band
+    * per doc; signature arrays never leave the map side. */
+  private def banded(sigs: DataFrame, idCol: String): DataFrame =
+    sigs.select(
+      col(idCol),
+      posexplode(expr(
+        s"transform(sequence(0, ${Bands - 1}), b -> xxhash64(slice(sig, b * $RowsPerBand + 1, $RowsPerBand)))"))
+        .as(Seq("band_idx", "band_hash")))
+
   /** Candidate pairs from LSH banding: docs sharing ≥1 band bucket.
     * Output: (a_id, b_id) distinct, a < b. Only (id, band) tuples are
     * shuffled — signature arrays and shingle sets never explode.
     */
   def lshCandidates(sigs: DataFrame, idCol: String): DataFrame = {
-    val banded = sigs.select(
-        col(idCol),
-        posexplode(expr(
-          s"transform(sequence(0, ${Bands - 1}), b -> xxhash64(slice(sig, b * $RowsPerBand + 1, $RowsPerBand)))"))
-          .as(Seq("band_idx", "band_hash")))
-    val a = banded.select(col(idCol).as("a_id"), col("band_idx"), col("band_hash"))
-    val b = banded.select(col(idCol).as("b_id"), col("band_idx"), col("band_hash"))
+    val bd = banded(sigs, idCol)
+    val a = bd.select(col(idCol).as("a_id"), col("band_idx"), col("band_hash"))
+    val b = bd.select(col(idCol).as("b_id"), col("band_idx"), col("band_hash"))
     a.join(b, Seq("band_idx", "band_hash"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
@@ -66,6 +71,49 @@ object DedupOps {
     val cands = lshCandidates(sigs, idCol)
     val sa = sigs.select(col(idCol).as("a_id"), col("shingles").as("a_sh"))
     val sb = sigs.select(col(idCol).as("b_id"), col("shingles").as("b_sh"))
+    cands.join(sa, "a_id").join(sb, "b_id")
+      .select(col("a_id"), col("b_id"),
+        (size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+         size(array_union(col("a_sh"), col("b_sh")))).as("jac"))
+      .filter(col("jac") >= threshold)
+  }
+
+  /** Incremental near-dup for append-only corpora: pair a NEW batch of
+    * documents against an existing signature store (plus the batch itself)
+    * WITHOUT regenerating the store's own pairwise space — the nightly
+    * complement of [[minhashNearDups]].
+    *
+    * `storeSigs` is the persisted output of [[signatures]] over everything
+    * ingested so far (append `signatures(batch)` to it after each run —
+    * the store grows O(corpus), each run costs O(batch)). Every emitted
+    * pair has at least one endpoint in `batch` and is reported once with
+    * a_id < b_id (the [[minhashNearDups]] convention). Union with the
+    * store's historical pairs ≡ a full [[minhashNearDups]] over
+    * store ∪ batch (proven in DedupOpsSpec).
+    *
+    * Scale: the band join is hash-partitioned on (band_idx, band_hash)
+    * with the BATCH side — one day of ingest, orders of magnitude smaller
+    * than the corpus — on the build side; AQE broadcasts it when it fits.
+    * The 100 TB store streams through as (id, band) longs; its shingle
+    * sets are only fetched for the candidate ids in the verify join.
+    */
+  def incrementalNearDups(storeSigs: DataFrame, batch: DataFrame, idCol: String,
+                          textCol: String, threshold: Double): DataFrame = {
+    val batchSigs = signatures(batch, idCol, textCol).cache()
+    val allSigs = storeSigs.select(idCol, "shingles", "sig")
+      .unionByName(batchSigs)
+    val a = banded(allSigs, idCol)
+      .select(col(idCol).as("a_id"), col("band_idx"), col("band_hash"))
+    val b = banded(batchSigs, idCol)
+      .select(col(idCol).as("b_id"), col("band_idx"), col("band_hash"))
+    val cands = a.join(b, Seq("band_idx", "band_hash"))
+      .filter(col("a_id") =!= col("b_id"))
+      // batch-internal pairs show up in both orientations — normalize
+      .select(least(col("a_id"), col("b_id")).as("a_id"),
+              greatest(col("a_id"), col("b_id")).as("b_id"))
+      .distinct()
+    val sa = allSigs.select(col(idCol).as("a_id"), col("shingles").as("a_sh"))
+    val sb = allSigs.select(col(idCol).as("b_id"), col("shingles").as("b_sh"))
     cands.join(sa, "a_id").join(sb, "b_id")
       .select(col("a_id"), col("b_id"),
         (size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /

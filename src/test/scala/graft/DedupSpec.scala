@@ -61,6 +61,24 @@ class DedupSpec extends SparkSpec {
     assert(r1 === r2)
   }
 
+  test("incremental batch dedup ∪ historical pairs equals the full run") {
+    val docs = Tables.documents(spark, sf0001)
+    val store = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val storeSigs = DedupOps.signatures(store, "doc_id", "text")
+    val inc = pairSet(DedupOps.incrementalNearDups(storeSigs, batch, "doc_id", "text", 0.5))
+    val hist = pairSet(DedupOps.minhashNearDups(store, "doc_id", "text", 0.5))
+    val full = pairSet(DedupOps.minhashNearDups(docs, "doc_id", "text", 0.5))
+    // every incremental pair touches the batch; none re-reports store-only pairs
+    assert(inc.forall { case (a, b) => a % 2 == 1 || b % 2 == 1 })
+    assert(inc.intersect(hist).isEmpty)
+    // the append-only decomposition loses nothing vs recomputing from scratch
+    assert(hist ++ inc === full)
+    assert(inc.nonEmpty)
+  }
+
   test("simhash recalls most minhash-confirmed near-dups (cross-validation)") {
     // SimHash is a lossy 64-bit sketch: a jaccard≈0.8 pair can land above
     // any fixed Hamming radius, so assert a recall bound, not containment.

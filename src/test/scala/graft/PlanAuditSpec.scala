@@ -173,4 +173,16 @@ class PlanAuditSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("decontamination probes the corpus with a broadcast semi-join") {
+    // the eval shingle set broadcasts; the (100 TB) train side must reach
+    // the semi-join without an Exchange of its own
+    val p = plan("text_decontaminate")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+    val semiIdx = p.indexOf("LeftSemi")
+    val gen = p.indexOf("Generate") // the train-side shingle explode
+    assert(gen > semiIdx, s"corpus shingles should feed the semi-join " +
+      s"directly (no exchange between explode and probe)\n$p")
+    assert(!p.substring(semiIdx, gen).contains("Exchange"), p)
+  }
 }
