@@ -91,4 +91,28 @@ object DedupClusters {
       .join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .select(col(idCol), coalesce(col("component"), col(idCol)).as("cluster_id"))
   }
+
+  /** Fold a NEW batch of near-dup pairs into existing cluster labels
+    * without re-clustering the corpus — the label side of nightly
+    * incremental dedup (pairs from [[DedupOps.incrementalNearDups]]).
+    *
+    * The old state enters as its star edges (id → cluster_id), so the
+    * iteration's input is O(corpus) already-contracted 2-hop stars plus
+    * O(batch) new pairs: components the new pairs don't touch are
+    * fixpoints of both star steps and converge immediately; only bridged
+    * components do real work. Labels stay = min member id (each old
+    * cluster_id IS its component's minimum and participates as a node),
+    * so `updateClusterLabels(docs, id, clusterLabels(docs, id, old), new)`
+    * ≡ `clusterLabels(docs, id, old ∪ new)` — proven in
+    * DedupClustersSpec against re-clustering from scratch.
+    */
+  def updateClusterLabels(docs: DataFrame, idCol: String,
+                          oldLabels: DataFrame, newPairs: DataFrame): DataFrame = {
+    val stars = oldLabels
+      .select(col(idCol).as("src"), col("cluster_id").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val np = newPairs.select(col(newPairs.columns(0)).as("src"),
+                             col(newPairs.columns(1)).as("dst"))
+    clusterLabels(docs, idCol, stars.union(np))
+  }
 }

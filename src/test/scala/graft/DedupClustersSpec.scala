@@ -48,6 +48,24 @@ class DedupClustersSpec extends SparkSpec {
     }
   }
 
+  test("incremental label update equals re-clustering from scratch") {
+    for (seed <- Seq(3, 21, 77)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 60
+      val all = Seq.fill(50)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val (oldE, newE) = all.splitAt(all.size / 2)
+      val docs = (0L until n).toDF("doc_id")
+      def toMapL(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val oldLabels = DedupClusters.clusterLabels(docs, "doc_id", oldE.toDF("src", "dst"))
+      val updated = toMapL(DedupClusters.updateClusterLabels(
+        docs, "doc_id", oldLabels, newE.toDF("src", "dst")))
+      val full = toMapL(DedupClusters.clusterLabels(docs, "doc_id", all.toDF("src", "dst")))
+      assert(updated === full, s"seed=$seed")
+    }
+  }
+
   test("matches driver-side union-find on a pseudo-random graph") {
     val rnd = new scala.util.Random(42)
     val n = 200
