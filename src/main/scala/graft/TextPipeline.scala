@@ -49,6 +49,54 @@ object TextPipeline {
   def curate(docs: DataFrame): DataFrame =
     Sampling.trainValTestSplit(dedupCanonical(qualityFilter(docs)), "doc_id")
 
+  /** State carried between nightly incremental curation runs — two plain
+    * parquet-persistable tables: the MinHash signature store over every
+    * quality-gated doc ingested so far, and its cluster labels. Persist
+    * both after each [[curateIncrement]]; each run then costs O(batch)
+    * pairwise work, never O(corpus).
+    */
+  final case class CurationState(sigs: DataFrame, labels: DataFrame)
+
+  def emptyState(spark: SparkSession): CurationState = {
+    import spark.implicits._
+    val none = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    CurationState(DedupOps.signatures(none, "doc_id", "text"),
+                  none.select(col("doc_id"), col("doc_id").as("cluster_id")))
+  }
+
+  /** Nightly incremental form of [[curate]]: fold one new batch into the
+    * state without re-deduplicating the corpus. The batch is quality-
+    * gated, paired only against the signature store
+    * ([[DedupOps.incrementalNearDups]]), and the new pairs fold into the
+    * existing labels ([[DedupClusters.updateClusterLabels]]) — both steps
+    * proven equal to their from-scratch counterparts, so folding batches
+    * through this function and reading [[curatedFromState]] matches the
+    * batch [[curate]] over the whole corpus exactly (TextPipelineSpec).
+    */
+  def curateIncrement(state: CurationState, batch: DataFrame,
+                      jaccard: Double = 0.5): CurationState = {
+    val gated = qualityFilter(batch)
+    val newPairs = DedupOps
+      .incrementalNearDups(state.sigs, gated, "doc_id", "text", jaccard)
+      .select("a_id", "b_id")
+    val allIds = state.labels.select("doc_id")
+      .unionByName(gated.select("doc_id"))
+    CurationState(
+      state.sigs.unionByName(DedupOps.signatures(gated, "doc_id", "text")),
+      DedupClusters.updateClusterLabels(allIds, "doc_id", state.labels, newPairs))
+  }
+
+  /** Canonical survivors + split over everything ingested so far. A new
+    * doc can retroactively merge two clusters, so survivorship is always
+    * re-read from the labels — a map-only semi-join, no pairwise work.
+    * `allDocs` = the union of raw batches (the gate re-applies). */
+  def curatedFromState(state: CurationState, allDocs: DataFrame): DataFrame =
+    Sampling.trainValTestSplit(
+      qualityFilter(allDocs).join(
+        state.labels.filter(col("doc_id") === col("cluster_id")).select("doc_id"),
+        Seq("doc_id"), "left_semi"),
+      "doc_id")
+
   /** Streaming curation — the online form of [[curate]] for documents
     * arriving continuously (schema: ts Timestamp, doc_id, text, …):
     *

@@ -38,6 +38,22 @@ class TextPipelineSpec extends SparkSpec {
     assert(a.values.toSet.subsetOf(Set("train", "val", "test")))
   }
 
+  test("incremental curation over three nightly batches equals the batch pipeline") {
+    val docs = Tables.documents(spark, sf0001)
+    var st = TextPipeline.emptyState(spark)
+    (0 to 2).foreach { i =>
+      st = TextPipeline.curateIncrement(
+        st, docs.filter(pmod(col("doc_id"), lit(3)) === i))
+    }
+    def keep(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "split").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val inc = keep(TextPipeline.curatedFromState(st, docs))
+    val full = keep(TextPipeline.curate(docs))
+    assert(inc === full)
+    assert(inc.nonEmpty)
+  }
+
   test("streaming curation end-to-end: quality gate + online near-dup + split (RocksDB, AvailableNow)") {
     import java.sql.Timestamp
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
