@@ -254,6 +254,43 @@ object QueriesText {
             .as("weight"))
     }),
 
+    // Cluster-representative selection: each near-dup cluster keeps its
+    // HIGHEST-quality member (tie → smallest id) — what curation actually
+    // ships, rather than the min-id canonical. One map-side-combinable
+    // max_by aggregation per cluster + a semi-join back (no window, no
+    // per-cluster sort); the oracle replays it as arg_max over the
+    // transitive-closure clusters.
+    "dedup_keep_best" -> ((s, d) => {
+      val docs = documents(s, d)
+      val scored = docs.select(col("doc_id"),
+        (when(size(split(col("text"), "\\s+")).between(20, 1000), 1).otherwise(0) +
+         when((length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", ""))) * 10 <
+              size(split(col("text"), "\\s+")), 1).otherwise(0) +
+         when(expr("regexp_count(text, '\\\\bthe\\\\b')") > 0, 1).otherwise(0))
+          .as("quality_score"))
+      val pairs = graft.operators.DedupOps.minhashNearDups(docs, "doc_id", "text", 0.5)
+        .select("a_id", "b_id")
+      val labels = graft.operators.DedupClusters.clusterLabels(docs, "doc_id", pairs)
+      graft.operators.DedupClusters.keepBestPerCluster(
+        scored, "doc_id", labels, "quality_score")
+    }),
+
+    // Greedy sequence packing for training-batch assembly: per-source
+    // prefix token counts assign each doc the pack whose budget window
+    // its PREVIOUS cumulative total falls in — deterministic (unique
+    // doc_id order), one window shuffle on source; a 100 TB run
+    // sub-buckets giant sources (e.g. by ingest day) to keep the
+    // per-partition sequential scan bounded.
+    "text_pack_sequences" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      documents(s, d)
+        .select(col("source"), col("doc_id"),
+          size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+        .withColumn("pack_id",
+          floor((sum(col("n_tok")).over(w) - col("n_tok")) / lit(256.0)).cast(LongType))
+    }),
+
     // Append-only incremental dedup: the nightly batch (odd doc ids here)
     // pairs against the signature STORE of everything already ingested
     // (even ids) — each run costs O(batch), never regenerating the
@@ -447,6 +484,53 @@ object QueriesText {
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
             / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5""",
+
+    "dedup_keep_best" ->
+      """WITH RECURSIVE t AS (
+          SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+          FROM documents),
+        sh AS (
+          SELECT doc_id, list_distinct(list_transform(range(len(toks) - 2),
+            i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS shingles
+          FROM t WHERE len(toks) >= 3),
+        pairs AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5),
+        edges AS (
+          SELECT a_id AS u, b_id AS v FROM pairs
+          UNION SELECT b_id, a_id FROM pairs),
+        walk(u, v) AS (
+          SELECT u, v FROM edges
+          UNION
+          SELECT w.u, e.v FROM walk w JOIN edges e ON w.v = e.u),
+        comp AS (
+          SELECT u AS id, LEAST(MIN(v), u) AS cluster_id FROM walk GROUP BY u),
+        lab AS (
+          SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+          FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+        q AS (
+          SELECT doc_id,
+            (CASE WHEN len(regexp_split_to_array(text, '\s+')) BETWEEN 20 AND 1000 THEN 1 ELSE 0 END +
+             CASE WHEN (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) * 10
+                       < len(regexp_split_to_array(text, '\s+')) THEN 1 ELSE 0 END +
+             CASE WHEN len(regexp_extract_all(text, '\bthe\b')) > 0 THEN 1 ELSE 0 END) AS quality_score
+          FROM documents),
+        win AS (
+          SELECT l.cluster_id,
+                 arg_max(q.doc_id, q.quality_score * 10000000 - q.doc_id) AS doc_id
+          FROM q JOIN lab l ON q.doc_id = l.doc_id
+          GROUP BY 1)
+        SELECT q.doc_id, q.quality_score FROM q JOIN win ON q.doc_id = win.doc_id""",
+
+    "text_pack_sequences" ->
+      """WITH tok AS (
+          SELECT source, doc_id, len(string_split(text, ' ')) AS n_tok FROM documents)
+        SELECT source, doc_id, n_tok,
+          CAST(floor((CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT)
+                      - n_tok) / 256.0) AS BIGINT) AS pack_id
+        FROM tok""",
 
     "dedup_incremental" ->
       """WITH t AS (

@@ -115,4 +115,19 @@ object DedupClusters {
                              col(newPairs.columns(1)).as("dst"))
     clusterLabels(docs, idCol, stars.union(np))
   }
+
+  /** The rows of `scored` that survive dedup when each cluster keeps its
+    * HIGHEST-`scoreCol` member (ties → smallest id) — what curation
+    * actually wants: the best representative, not the smallest id. One
+    * `max_by` aggregation on cluster_id (map-side combinable: the shuffle
+    * carries one candidate per cluster per partition) + a semi-join back;
+    * no window, no per-cluster sort. */
+  def keepBestPerCluster(scored: DataFrame, idCol: String, labels: DataFrame,
+                         scoreCol: String): DataFrame = {
+    val winners = scored.join(labels, Seq(idCol))
+      .groupBy("cluster_id")
+      .agg(expr(s"max_by($idCol, struct($scoreCol, -$idCol))").as(idCol))
+      .select(idCol)
+    scored.join(winners, Seq(idCol), "left_semi")
+  }
 }

@@ -66,6 +66,16 @@ class DedupClustersSpec extends SparkSpec {
     }
   }
 
+  test("keepBestPerCluster keeps the highest score, tie-break smallest id") {
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L), (20L, 20L))
+      .toDF("doc_id", "cluster_id")
+    val scored = Seq((1L, 1), (2L, 5), (3L, 5), (10L, 2), (11L, 2), (20L, 0))
+      .toDF("doc_id", "score")
+    val kept = DedupClusters.keepBestPerCluster(scored, "doc_id", labels, "score")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L, 10L, 20L))
+  }
+
   test("matches driver-side union-find on a pseudo-random graph") {
     val rnd = new scala.util.Random(42)
     val n = 200
