@@ -36,18 +36,27 @@ object TextPipeline {
       .drop("n_tokens", "n_punct", "n_the")
 
   /** Near-dup removal: cluster by MinHash-LSH + connected components and
-    * keep each cluster's canonical (minimum-id) document. */
-  def dedupCanonical(docs: DataFrame, jaccard: Double = 0.5): DataFrame = {
+    * keep one document per cluster — the minimum-id canonical by default,
+    * or (keepBest, requires a `quality_score` column such as
+    * [[qualityFilter]]'s) the highest-quality member, ties to min id. */
+  def dedupCanonical(docs: DataFrame, jaccard: Double = 0.5,
+                     keepBest: Boolean = false): DataFrame = {
     val pairs = DedupOps.minhashNearDups(docs, "doc_id", "text", jaccard)
       .select("a_id", "b_id")
     val labels = DedupClusters.clusterLabels(docs, "doc_id", pairs)
-    docs.join(labels.filter(col("doc_id") === col("cluster_id"))
-                .select("doc_id"), Seq("doc_id"), "left_semi")
+    if (keepBest)
+      DedupClusters.keepBestPerCluster(docs, "doc_id", labels, "quality_score")
+    else
+      docs.join(labels.filter(col("doc_id") === col("cluster_id"))
+                  .select("doc_id"), Seq("doc_id"), "left_semi")
   }
 
-  /** Full curation: quality gate → canonical dedup → split column. */
-  def curate(docs: DataFrame): DataFrame =
-    Sampling.trainValTestSplit(dedupCanonical(qualityFilter(docs)), "doc_id")
+  /** Full curation: quality gate → one-per-cluster dedup → split column.
+    * keepBest ships each cluster's best-scoring doc instead of the
+    * smallest-id one. */
+  def curate(docs: DataFrame, keepBest: Boolean = false): DataFrame =
+    Sampling.trainValTestSplit(
+      dedupCanonical(qualityFilter(docs), keepBest = keepBest), "doc_id")
 
   /** State carried between nightly incremental curation runs — two plain
     * parquet-persistable tables: the MinHash signature store over every

@@ -28,6 +28,28 @@ class TextPipelineSpec extends SparkSpec {
     assert(intact === 0)
   }
 
+  test("keepBest curation ships each cluster's top-scoring doc") {
+    val gated = TextPipeline.qualityFilter(docs)
+    val best = TextPipeline.dedupCanonical(gated, keepBest = true)
+    val minId = TextPipeline.dedupCanonical(gated)
+    // same clusters either way → same number of survivors
+    assert(best.count() === minId.count())
+    // every keepBest survivor scores >= every doc in its cluster
+    val pairs = graft.operators.DedupOps
+      .minhashNearDups(gated, "doc_id", "text", 0.5).select("a_id", "b_id")
+    val labels = graft.operators.DedupClusters.clusterLabels(gated, "doc_id", pairs)
+    val byCluster = gated.join(labels, "doc_id")
+      .select("cluster_id", "doc_id", "quality_score").collect()
+      .groupBy(_.getLong(0))
+    val bestIds = best.select("doc_id").as[Long].collect().toSet
+    byCluster.values.foreach { rows =>
+      val maxScore = rows.map(_.getInt(2)).max
+      val winner = rows.filter(r => bestIds(r.getLong(1)))
+      assert(winner.length === 1)
+      assert(winner.head.getInt(2) === maxScore)
+    }
+  }
+
   test("curate output carries a split and is deterministic") {
     val a = TextPipeline.curate(docs).select("doc_id", "split")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
