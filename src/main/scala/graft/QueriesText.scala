@@ -237,20 +237,24 @@ object QueriesText {
     // Token-budget mixture weights: per-source sampling weight to hit a
     // uniform-across-sources token mixture at half the corpus's total
     // token budget — the "how much of each source do I keep" step after
-    // quality filtering. One groupBy + a 1-row broadcast of the totals;
-    // weight arithmetic mirrors the oracle operation-for-operation so the
-    // doubles are bit-equal.
+    // quality filtering. ONE corpus scan: the totals come from an
+    // unpartitioned window over the already-aggregated per-source rows
+    // (rows = #sources, bounded), not from a second aggregation branch —
+    // a totals-via-self-join would re-scan the corpus because column
+    // pruning makes the two aggregate subtrees non-reusable (asserted in
+    // PlanAuditSpec). Weight arithmetic mirrors the oracle
+    // operation-for-operation so the doubles are bit-equal.
     "text_mixture_weights" -> ((s, d) => {
-      val per = documents(s, d)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      documents(s, d)
         .select(col("source"), size(split(col("text"), " ")).cast(LongType).as("n_tok"))
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
-      val tot = per.agg(sum("n_tokens").as("total_tokens"),
-                        count(lit(1)).as("n_sources"))
-      per.crossJoin(broadcast(tot))
         .select(col("source"), col("n_docs"), col("n_tokens"),
           least(lit(1.0),
-            col("total_tokens") / col("n_sources") / lit(2.0) / col("n_tokens"))
+            sum(col("n_tokens")).over(w) / count(lit(1)).over(w) / lit(2.0)
+              / col("n_tokens"))
             .as("weight"))
     }),
 

@@ -174,6 +174,18 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("sequence packing shuffles once — the per-source window") {
+    val p = plan("text_pack_sequences")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("mixture weights scan the corpus once (totals via window, not self-join)") {
+    val p = plan("text_mixture_weights")
+    assert("Scan parquet".r.findAllIn(p).size === 1, p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+  }
+
   test("decontamination probes the corpus with a broadcast semi-join") {
     // the eval shingle set broadcasts; the (100 TB) train side must reach
     // the semi-join without an Exchange of its own
