@@ -95,16 +95,24 @@ object TextPipeline {
       DedupClusters.updateClusterLabels(allIds, "doc_id", state.labels, newPairs))
   }
 
-  /** Canonical survivors + split over everything ingested so far. A new
-    * doc can retroactively merge two clusters, so survivorship is always
-    * re-read from the labels — a map-only semi-join, no pairwise work.
-    * `allDocs` = the union of raw batches (the gate re-applies). */
-  def curatedFromState(state: CurationState, allDocs: DataFrame): DataFrame =
-    Sampling.trainValTestSplit(
-      qualityFilter(allDocs).join(
-        state.labels.filter(col("doc_id") === col("cluster_id")).select("doc_id"),
-        Seq("doc_id"), "left_semi"),
-      "doc_id")
+  /** Survivors + split over everything ingested so far. A new doc can
+    * retroactively merge two clusters, so survivorship is always re-read
+    * from the labels — a semi-join (or one max_by pass for keepBest), no
+    * pairwise work. `allDocs` = the union of raw batches (the gate
+    * re-applies); both policies match their batch [[curate]] counterpart
+    * exactly (TextPipelineSpec). */
+  def curatedFromState(state: CurationState, allDocs: DataFrame,
+                       keepBest: Boolean = false): DataFrame = {
+    val gated = qualityFilter(allDocs)
+    val kept =
+      if (keepBest)
+        DedupClusters.keepBestPerCluster(gated, "doc_id", state.labels, "quality_score")
+      else
+        gated.join(
+          state.labels.filter(col("doc_id") === col("cluster_id")).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+    Sampling.trainValTestSplit(kept, "doc_id")
+  }
 
   /** Streaming curation — the online form of [[curate]] for documents
     * arriving continuously (schema: ts Timestamp, doc_id, text, …):

@@ -74,6 +74,10 @@ class TextPipelineSpec extends SparkSpec {
     val full = keep(TextPipeline.curate(docs))
     assert(inc === full)
     assert(inc.nonEmpty)
+    // the best-representative policy folds identically
+    val incBest = keep(TextPipeline.curatedFromState(st, docs, keepBest = true))
+    val fullBest = keep(TextPipeline.curate(docs, keepBest = true))
+    assert(incBest === fullBest)
   }
 
   test("streaming curation end-to-end: quality gate + online near-dup + split (RocksDB, AvailableNow)") {
