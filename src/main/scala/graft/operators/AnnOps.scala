@@ -153,7 +153,74 @@ object AnnOps {
     val cents = model.clusterCenters.zipWithIndex.toSeq
       .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
       .toDF("cell", "c_emb")
+    ivfSearch(assigned, cents, queryIds, k, nProbe)
+  }
 
+  /** Trained IVF coarse quantizer as a value — the index lifecycle the
+    * inline [[kmeansIvfTopK]] hides: train ONCE (on a sample at 100 TB),
+    * persist the centroid table, [[ivfAssign]] the corpus once at write
+    * time (and bucket its files by `cell`), then every query pays only
+    * the probe. Round-trips through a plain 2-column parquet table. */
+  final case class IvfModel(centroids: Seq[(Int, Seq[Float])])
+
+  def ivfTrain(emb: DataFrame, nCells: Int, seed: Long = 42L): IvfModel = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val withVec = emb.withColumn("fv", array_to_vector(col("embedding")))
+    val model = new KMeans().setK(nCells).setSeed(seed).setFeaturesCol("fv")
+      .fit(withVec)
+    IvfModel(model.clusterCenters.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat).toSeq) })
+  }
+
+  def ivfSave(model: IvfModel, path: String,
+              spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    model.centroids.toDF("cell", "c_emb")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def ivfLoad(spark: org.apache.spark.sql.SparkSession, path: String): IvfModel =
+    IvfModel(spark.read.parquet(path).select("cell", "c_emb").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1).toSeq)
+
+  /** Nearest-centroid (squared-euclidean) cell per vector — MAP-ONLY:
+    * the centroid table rides as a literal, the argmin is a fold over
+    * it (x·x is constant per row, so comparing c·c − 2·x·c suffices);
+    * no join, no shuffle — a 100 TB corpus assigns in the write pass.
+    * Ties resolve to the lowest cell id (MLlib's convention). */
+  def ivfAssign(emb: DataFrame, model: IvfModel): DataFrame = {
+    val n = model.centroids.size
+    val score = (j: org.apache.spark.sql.Column) => {
+      val c = element_at(col("__cents"), j + 1)
+      vec_dot(c, c) - lit(2.0) * vec_dot(col("embedding"), c)
+    }
+    emb.withColumn("__cents", typedlit(model.centroids.map(_._2)))
+      .withColumn("cell",
+        aggregate(sequence(lit(0), lit(n - 1)),
+          struct(lit(-1).as("i"), lit(Double.PositiveInfinity).as("d")),
+          (acc, j) => when(score(j) < acc.getField("d"),
+                           struct(j.cast("int").as("i"), score(j).as("d")))
+                        .otherwise(acc),
+          acc => acc.getField("i")))
+      .drop("__cents")
+  }
+
+  /** IVF search against a trained/persisted model: assignment is the
+    * map-only [[ivfAssign]] (in production, read back with the corpus),
+    * then the same probe plan as [[kmeansIvfTopK]]. */
+  def ivfTopK(emb: DataFrame, model: IvfModel, queryIds: Seq[Long],
+              k: Int, nProbe: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val assigned = ivfAssign(emb, model)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    val cents = model.centroids.toDF("cell", "c_emb")
+    ivfSearch(assigned, cents, queryIds, k, nProbe)
+  }
+
+  private def ivfSearch(assigned: DataFrame, cents: DataFrame,
+                        queryIds: Seq[Long], k: Int, nProbe: Int): DataFrame = {
     val q = assigned.filter(col("vec_id").isInCollection(queryIds))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val wProbe = Window.partitionBy("q_id").orderBy(col("cdist"), col("cell"))

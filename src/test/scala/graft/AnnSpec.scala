@@ -167,6 +167,22 @@ class AnnSpec extends SparkSpec {
     assert(recs.last > 0.5, recs.toString)
   }
 
+  test("persisted IVF model: save/load round-trip and map-only assignment reproduce the inline search") {
+    val model = AnnOps.ivfTrain(emb, nCells = 8)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_model").toString
+    AnnOps.ivfSave(model, s"$dir/centroids", spark)
+    val loaded = AnnOps.ivfLoad(spark, s"$dir/centroids")
+    assert(loaded === model)
+    // the map-only argmin assignment agrees with MLlib's transform
+    // (same centers, same squared-euclidean argmin, same tie order)
+    def resultSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "n_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inline = resultSet(AnnOps.kmeansIvfTopK(emb, queries, k = 5, nCells = 8, nProbe = 3))
+    val viaModel = resultSet(AnnOps.ivfTopK(emb, loaded, queries, k = 5, nProbe = 3))
+    assert(viaModel === inline)
+  }
+
   test("srp_signature agrees between codegen and interpreted eval") {
     val df = emb.limit(100).select(col("vec_id"), srp_signature(col("embedding"), 16).as("s"))
     val viaCodegen = df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
