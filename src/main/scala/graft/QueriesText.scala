@@ -521,10 +521,14 @@ object QueriesText {
                        < len(regexp_split_to_array(text, '\s+')) THEN 1 ELSE 0 END +
              CASE WHEN len(regexp_extract_all(text, '\bthe\b')) > 0 THEN 1 ELSE 0 END) AS quality_score
           FROM documents),
-        win AS (
-          SELECT l.cluster_id,
-                 arg_max(q.doc_id, q.quality_score * 10000000 - q.doc_id) AS doc_id
+        best AS (
+          SELECT l.cluster_id, max(q.quality_score) AS best_score
           FROM q JOIN lab l ON q.doc_id = l.doc_id
+          GROUP BY 1),
+        win AS (
+          SELECT l.cluster_id, min(q.doc_id) AS doc_id
+          FROM q JOIN lab l ON q.doc_id = l.doc_id
+          JOIN best b ON b.cluster_id = l.cluster_id AND q.quality_score = b.best_score
           GROUP BY 1)
         SELECT q.doc_id, q.quality_score FROM q JOIN win ON q.doc_id = win.doc_id""",
 

@@ -124,9 +124,13 @@ object DedupClusters {
     * no window, no per-cluster sort. */
   def keepBestPerCluster(scored: DataFrame, idCol: String, labels: DataFrame,
                          scoreCol: String): DataFrame = {
+    // min_by over (-score, id): highest score wins, ties to the SMALLEST
+    // id. Only the (numeric) score is negated — the id rides unmodified,
+    // so string/UUID ids order correctly too (max_by over (score, -id)
+    // would silently mis-pick on non-numeric ids).
     val winners = scored.join(labels, Seq(idCol))
       .groupBy("cluster_id")
-      .agg(expr(s"max_by($idCol, struct($scoreCol, -$idCol))").as(idCol))
+      .agg(expr(s"min_by($idCol, struct(-$scoreCol, $idCol))").as(idCol))
       .select(idCol)
     scored.join(winners, Seq(idCol), "left_semi")
   }

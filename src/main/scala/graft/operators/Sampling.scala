@@ -38,10 +38,12 @@ object Sampling {
   }
 
   /** Deterministic `fraction` sample (resolution 1/10000): keeps a row iff
-    * its key's bucket falls below fraction — stable across runs/engines. */
+    * its key's bucket falls below fraction — stable across runs/engines.
+    * The threshold ROUNDS (0.29 → 2900, not a truncated 2899 from the
+    * binary-float product 2899.999…) so any oracle that rounds agrees. */
   def sampleDeterministic(df: DataFrame, keyCol: String, fraction: Double): DataFrame = {
     require(fraction >= 0 && fraction <= 1)
-    df.filter(hashBucket(col(keyCol), 10000) < (fraction * 10000).toLong)
+    df.filter(hashBucket(col(keyCol), 10000) < math.round(fraction * 10000))
   }
 
   /** Per-stratum deterministic sampling: each stratum value keeps its own
@@ -53,7 +55,8 @@ object Sampling {
     import spark.implicits._
     val rates = fractions.toSeq.toDF(strataCol, "__rate")
     df.join(broadcast(rates), Seq(strataCol))
-      .filter(hashBucket(col(keyCol), 10000) < (col("__rate") * 10000).cast(LongType))
+      // round, don't truncate: 0.29 * 10000 is 2899.999… in binary floats
+      .filter(hashBucket(col(keyCol), 10000) < round(col("__rate") * 10000).cast(LongType))
       .drop("__rate")
   }
 }

@@ -76,6 +76,18 @@ class DedupClustersSpec extends SparkSpec {
     assert(kept === Set(2L, 10L, 20L))
   }
 
+  test("keepBestPerCluster orders string ids correctly (no id negation)") {
+    // "b10" < "b9" lexicographically — a negate-the-id tie-break would
+    // either fail to resolve or silently pick by numeric luck; the
+    // min_by(-score, id) form must keep the lexicographically smallest
+    val labels = Seq(("b9", "b10"), ("b10", "b10"), ("c1", "c1"))
+      .toDF("doc_id", "cluster_id")
+    val scored = Seq(("b9", 5), ("b10", 5), ("c1", 1)).toDF("doc_id", "score")
+    val kept = DedupClusters.keepBestPerCluster(scored, "doc_id", labels, "score")
+      .collect().map(_.getString(0)).toSet
+    assert(kept === Set("b10", "c1"))
+  }
+
   test("matches driver-side union-find on a pseudo-random graph") {
     val rnd = new scala.util.Random(42)
     val n = 200

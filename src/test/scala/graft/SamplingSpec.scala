@@ -41,6 +41,24 @@ class SamplingSpec extends SparkSpec {
     assert(smaller.subsetOf(a))
   }
 
+  test("non-exact rates round the bucket threshold instead of truncating") {
+    // 0.29 * 10000 = 2899.999… in binary floats; a truncating cast keeps
+    // one bucket too few and diverges from any oracle that rounds
+    val withBucket = docs.withColumn("b", Sampling.hashBucket(col("doc_id"), 10000))
+    val want = withBucket.filter(col("b") < 2900).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val direct = Sampling.sampleDeterministic(docs, "doc_id", 0.29)
+      .collect().map(_.getLong(0)).toSet
+    assert(direct === want)
+    val d = Tables.documents(spark, sf0001).select("doc_id", "lang")
+    val strat = Sampling.stratifiedSample(d, "lang", "doc_id",
+      d.select("lang").distinct().collect().map(r => r.getString(0) -> 0.29).toMap)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val wantStrat = d.withColumn("b", Sampling.hashBucket(col("doc_id"), 10000))
+      .filter(col("b") < 2900).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(strat === wantStrat)
+  }
+
   test("stratified sampling honors per-stratum rates") {
     val d = Tables.documents(spark, sf0001).select("doc_id", "lang")
     val out = Sampling.stratifiedSample(d, "lang", "doc_id",
