@@ -58,20 +58,42 @@ object TextPipeline {
     Sampling.trainValTestSplit(
       dedupCanonical(qualityFilter(docs), keepBest = keepBest), "doc_id")
 
-  /** State carried between nightly incremental curation runs — two plain
-    * parquet-persistable tables: the MinHash signature store over every
-    * quality-gated doc ingested so far, and its cluster labels. Persist
-    * both after each [[curateIncrement]]; each run then costs O(batch)
-    * pairwise work, never O(corpus).
+  /** State carried between nightly incremental curation runs — three
+    * plain parquet-persistable tables: the MinHash signature store over
+    * every quality-gated doc ingested so far, its pre-banded
+    * (id, band_idx, band_hash) LSH relation, and the cluster labels.
+    * Persist all three after each [[curateIncrement]]; each run then
+    * costs O(batch) pairwise work and re-hashes NOTHING — the band rows
+    * are derived once when a batch is appended, and the store's `sig`
+    * column is never read again (proven by a scan-schema assertion in
+    * DedupSpec).
     */
-  final case class CurationState(sigs: DataFrame, labels: DataFrame)
+  final case class CurationState(sigs: DataFrame, bands: DataFrame,
+                                 labels: DataFrame)
 
   def emptyState(spark: SparkSession): CurationState = {
     import spark.implicits._
     val none = Seq.empty[(Long, String)].toDF("doc_id", "text")
-    CurationState(DedupOps.signatures(none, "doc_id", "text"),
+    val sigs = DedupOps.signatures(none, "doc_id", "text")
+    CurationState(sigs, DedupOps.banded(sigs, "doc_id"),
                   none.select(col("doc_id"), col("doc_id").as("cluster_id")))
   }
+
+  /** Persist the state tables under `dir`. NOTE a nightly job whose new
+    * state READS from `dir` (the usual fold) must write to a fresh
+    * directory or use [[graft.sources.WarehouseFs.publishVersioned]] —
+    * overwriting an input mid-read is the classic self-join corruption. */
+  def saveState(state: CurationState, dir: String): Unit = {
+    state.sigs.write.mode(SaveMode.Overwrite).parquet(s"$dir/sigs")
+    state.bands.write.mode(SaveMode.Overwrite).parquet(s"$dir/bands")
+    state.labels.write.mode(SaveMode.Overwrite).parquet(s"$dir/labels")
+  }
+
+  def loadState(spark: SparkSession, dir: String): CurationState =
+    CurationState(
+      spark.read.parquet(s"$dir/sigs"),
+      spark.read.parquet(s"$dir/bands"),
+      spark.read.parquet(s"$dir/labels"))
 
   /** Nightly incremental form of [[curate]]: fold one new batch into the
     * state without re-deduplicating the corpus. The batch is quality-
@@ -85,13 +107,19 @@ object TextPipeline {
   def curateIncrement(state: CurationState, batch: DataFrame,
                       jaccard: Double = 0.5): CurationState = {
     val gated = qualityFilter(batch)
+    // ONE signature pass over the batch, reused for pairing, the store
+    // append, and the band append (the r5 form computed it twice and
+    // stranded a cache per nightly run)
+    val batchSigs = DedupOps.signatures(gated, "doc_id", "text")
     val newPairs = DedupOps
-      .incrementalNearDups(state.sigs, gated, "doc_id", "text", jaccard)
+      .incrementalNearDupsBanded(state.sigs.select("doc_id", "shingles"),
+        state.bands, batchSigs, "doc_id", jaccard)
       .select("a_id", "b_id")
     val allIds = state.labels.select("doc_id")
       .unionByName(gated.select("doc_id"))
     CurationState(
-      state.sigs.unionByName(DedupOps.signatures(gated, "doc_id", "text")),
+      state.sigs.unionByName(batchSigs),
+      state.bands.unionByName(DedupOps.banded(batchSigs, "doc_id")),
       DedupClusters.updateClusterLabels(allIds, "doc_id", state.labels, newPairs))
   }
 

@@ -138,30 +138,21 @@ object AnnOps {
     * exhaustive and exactly equals [[bruteForceTopK]] (AnnSpec asserts it).
     */
   def kmeansIvfTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
-                    nCells: Int, nProbe: Int, seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val spark = emb.sparkSession
-    import spark.implicits._
-
-    val withVec = emb.withColumn("fv", array_to_vector(col("embedding")))
-    val model = new KMeans().setK(nCells).setSeed(seed).setFeaturesCol("fv")
-      .fit(withVec)
-    val assigned = model.transform(withVec)
-      .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
-
-    val cents = model.clusterCenters.zipWithIndex.toSeq
-      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
-      .toDF("cell", "c_emb")
-    ivfSearch(assigned, cents, queryIds, k, nProbe)
-  }
+                    nCells: Int, nProbe: Int, seed: Long = 42L): DataFrame =
+    // one code path: train then search via the model — the inline and
+    // persisted forms cannot diverge because they ARE the same arithmetic
+    ivfTopK(emb, ivfTrain(emb, nCells, seed), queryIds, k, nProbe)
 
   /** Trained IVF coarse quantizer as a value — the index lifecycle the
     * inline [[kmeansIvfTopK]] hides: train ONCE (on a sample at 100 TB),
     * persist the centroid table, [[ivfAssign]] the corpus once at write
     * time (and bucket its files by `cell`), then every query pays only
-    * the probe. Round-trips through a plain 2-column parquet table. */
-  final case class IvfModel(centroids: Seq[(Int, Seq[Float])])
+    * the probe. Round-trips through a plain 2-column parquet table.
+    *
+    * Centroids stay DOUBLE end-to-end (MLlib trains in double; float
+    * truncation here would flip cell assignment for vectors near Voronoi
+    * boundaries, so a persisted index could disagree with a fresh one). */
+  final case class IvfModel(centroids: Seq[(Int, Seq[Double])])
 
   def ivfTrain(emb: DataFrame, nCells: Int, seed: Long = 42L): IvfModel = {
     import org.apache.spark.ml.clustering.KMeans
@@ -170,7 +161,7 @@ object AnnOps {
     val model = new KMeans().setK(nCells).setSeed(seed).setFeaturesCol("fv")
       .fit(withVec)
     IvfModel(model.clusterCenters.zipWithIndex.toSeq
-      .map { case (c, i) => (i, c.toArray.map(_.toFloat).toSeq) })
+      .map { case (c, i) => (i, c.toArray.toSeq) })
   }
 
   def ivfSave(model: IvfModel, path: String,
@@ -182,40 +173,56 @@ object AnnOps {
 
   def ivfLoad(spark: org.apache.spark.sql.SparkSession, path: String): IvfModel =
     IvfModel(spark.read.parquet(path).select("cell", "c_emb").collect()
-      .map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1).toSeq)
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq)
 
   /** Nearest-centroid (squared-euclidean) cell per vector — MAP-ONLY:
-    * the centroid table rides as a literal, the argmin is a fold over
-    * it (x·x is constant per row, so comparing c·c − 2·x·c suffices);
+    * the centroid table rides as a literal, scores come from one
+    * `transform` pass over it (x·x is constant per row, so comparing
+    * c·c − 2·x·c suffices — and each c·c is a driver-side constant
+    * baked into the literal), then one argmin fold over the scores;
     * no join, no shuffle — a 100 TB corpus assigns in the write pass.
-    * Ties resolve to the lowest cell id (MLlib's convention). */
+    * All arithmetic is double precision (matching training); ties
+    * resolve to the lowest cell id (MLlib's convention). */
   def ivfAssign(emb: DataFrame, model: IvfModel): DataFrame = {
     val n = model.centroids.size
-    val score = (j: org.apache.spark.sql.Column) => {
-      val c = element_at(col("__cents"), j + 1)
-      vec_dot(c, c) - lit(2.0) * vec_dot(col("embedding"), c)
-    }
+    val cc = model.centroids.map { case (_, c) => c.map(x => x * x).sum }
+    val dot = (j: org.apache.spark.sql.Column) =>
+      aggregate(
+        zip_with(col("embedding"), element_at(col("__cents"), j + 1),
+                 (a, b) => a.cast("double") * b),
+        lit(0.0d), (acc, x) => acc + x)
+    val score = (j: org.apache.spark.sql.Column) =>
+      element_at(col("__cc"), j + 1) - lit(2.0d) * dot(j)
     emb.withColumn("__cents", typedlit(model.centroids.map(_._2)))
+      .withColumn("__cc", typedlit(cc))
+      .withColumn("__scores",
+        transform(sequence(lit(0), lit(n - 1)), j => score(j)))
       .withColumn("cell",
         aggregate(sequence(lit(0), lit(n - 1)),
           struct(lit(-1).as("i"), lit(Double.PositiveInfinity).as("d")),
-          (acc, j) => when(score(j) < acc.getField("d"),
-                           struct(j.cast("int").as("i"), score(j).as("d")))
-                        .otherwise(acc),
+          (acc, j) => {
+            val s = element_at(col("__scores"), j + 1)
+            when(s < acc.getField("d"),
+                 struct(j.cast("int").as("i"), s.as("d"))).otherwise(acc)
+          },
           acc => acc.getField("i")))
-      .drop("__cents")
+      .drop("__cents", "__cc", "__scores")
   }
 
   /** IVF search against a trained/persisted model: assignment is the
     * map-only [[ivfAssign]] (in production, read back with the corpus),
-    * then the same probe plan as [[kmeansIvfTopK]]. */
+    * then cell-probe + exact rerank. The probe-ranking centroid table is
+    * float (it only ORDERS cells by query-centroid cosine — an
+    * approximation knob — while assignment, which defines the index,
+    * stays double). */
   def ivfTopK(emb: DataFrame, model: IvfModel, queryIds: Seq[Long],
               k: Int, nProbe: Int): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val assigned = ivfAssign(emb, model)
       .select(col("vec_id"), col("embedding"), col("cell"))
-    val cents = model.centroids.toDF("cell", "c_emb")
+    val cents = model.centroids
+      .map { case (i, c) => (i, c.map(_.toFloat)) }.toDF("cell", "c_emb")
     ivfSearch(assigned, cents, queryIds, k, nProbe)
   }
 
@@ -277,6 +284,31 @@ object AnnOps {
     }
     norm.unpersist()
     PqModel(m, k, sub, cents)
+  }
+
+  /** Persist PQ codebooks as one flattened parquet table (row idx =
+    * mi·k + j, matching [[PqModel.centroids]]); m/k/subDim ride along as
+    * columns so the load needs no sidecar. The float entries are the
+    * model — PQ is a deliberately quantized code, unlike the IVF coarse
+    * quantizer whose doubles define cell boundaries — so the round-trip
+    * is bit-exact and a 100 TB corpus trains its codebooks once instead
+    * of per run. */
+  def pqSave(model: PqModel, path: String,
+             spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    model.centroids.zipWithIndex
+      .map { case (c, i) => (i, model.m, model.k, model.subDim, c) }
+      .toDF("idx", "m", "k", "sub_dim", "c_emb")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def pqLoad(spark: org.apache.spark.sql.SparkSession, path: String): PqModel = {
+    val rows = spark.read.parquet(path)
+      .select("idx", "m", "k", "sub_dim", "c_emb").collect()
+    require(rows.nonEmpty, s"pqLoad: no codebook rows at $path")
+    val head = rows.head
+    PqModel(head.getInt(1), head.getInt(2), head.getInt(3),
+      rows.sortBy(_.getInt(0)).map(_.getSeq[Float](4)).toSeq)
   }
 
   /** Encode the corpus: each vector becomes m small codes (nearest

@@ -41,8 +41,14 @@ object DedupOps {
               minhash_signature(col("shingles"), NumHashes).as("sig"))
 
   /** (id, band_idx, band_hash) rows for LSH bucketing — one row per band
-    * per doc; signature arrays never leave the map side. */
-  private def banded(sigs: DataFrame, idCol: String): DataFrame =
+    * per doc; signature arrays never leave the map side.
+    *
+    * Public because this relation is PERSISTABLE: it is derivable once at
+    * append time (it's a pure function of the signature), so an
+    * append-only corpus can keep it as a store alongside the signatures
+    * and hand it to [[incrementalNearDupsBanded]] — the nightly job then
+    * re-hashes nothing. */
+  def banded(sigs: DataFrame, idCol: String): DataFrame =
     sigs.select(
       col(idCol),
       posexplode(expr(
@@ -99,12 +105,38 @@ object DedupOps {
     */
   def incrementalNearDups(storeSigs: DataFrame, batch: DataFrame, idCol: String,
                           textCol: String, threshold: Double): DataFrame = {
+    // one-shot form: re-bands the store from its signatures. The nightly
+    // loop should persist banded() alongside the store and call
+    // [[incrementalNearDupsBanded]] with caller-managed signature caching
+    // instead — this cache is per-query-scoped and LRU-evicted.
     val batchSigs = signatures(batch, idCol, textCol).cache()
-    val allSigs = storeSigs.select(idCol, "shingles", "sig")
-      .unionByName(batchSigs)
-    val a = banded(allSigs, idCol)
+    incrementalNearDupsBanded(
+      storeSigs.select(idCol, "shingles"),
+      banded(storeSigs.select(col(idCol), col("sig")), idCol),
+      batchSigs, idCol, threshold)
+  }
+
+  /** [[incrementalNearDups]] against a PRE-BANDED store — the zero-rehash
+    * nightly form. `storeBands` is the persisted [[banded]] relation over
+    * every signature ingested so far (append `banded(batchSigs)` after
+    * each run, exactly like the signature store itself); `storeShingles`
+    * needs only (id, shingles) — the store's `sig` column is never read,
+    * and with both relations in parquet the night's plan touches: the
+    * band store as (id, band) longs, the batch's own signature pass, and
+    * shingle fetches for candidate ids only.
+    *
+    * `batchSigs` = [[signatures]] over the batch, computed ONCE by the
+    * caller (who should cache/persist it around the run — it is also the
+    * night's append to the signature store, so computing it here would
+    * double the work and strand the cache).
+    */
+  def incrementalNearDupsBanded(storeShingles: DataFrame, storeBands: DataFrame,
+                                batchSigs: DataFrame, idCol: String,
+                                threshold: Double): DataFrame = {
+    val batchBands = banded(batchSigs, idCol)
+    val a = storeBands.unionByName(batchBands)
       .select(col(idCol).as("a_id"), col("band_idx"), col("band_hash"))
-    val b = banded(batchSigs, idCol)
+    val b = batchBands
       .select(col(idCol).as("b_id"), col("band_idx"), col("band_hash"))
     val cands = a.join(b, Seq("band_idx", "band_hash"))
       .filter(col("a_id") =!= col("b_id"))
@@ -112,8 +144,10 @@ object DedupOps {
       .select(least(col("a_id"), col("b_id")).as("a_id"),
               greatest(col("a_id"), col("b_id")).as("b_id"))
       .distinct()
-    val sa = allSigs.select(col(idCol).as("a_id"), col("shingles").as("a_sh"))
-    val sb = allSigs.select(col(idCol).as("b_id"), col("shingles").as("b_sh"))
+    val sh = storeShingles.select(col(idCol), col("shingles"))
+      .unionByName(batchSigs.select(col(idCol), col("shingles")))
+    val sa = sh.select(col(idCol).as("a_id"), col("shingles").as("a_sh"))
+    val sb = sh.select(col(idCol).as("b_id"), col("shingles").as("b_sh"))
     cands.join(sa, "a_id").join(sb, "b_id")
       .select(col("a_id"), col("b_id"),
         (size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /

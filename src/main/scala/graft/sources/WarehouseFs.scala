@@ -165,6 +165,37 @@ object WarehouseFs {
       case None => if (hasData(spark, table)) Some(spark.read.parquet(table)) else None
     }
 
+  /** Committed versions of a manifest table still readable (ascending) —
+    * the retained window [[publishVersioned]]'s `keepVersions` left
+    * behind. One `listStatus`. */
+  def listVersions(spark: SparkSession, table: String): Seq[Long] = {
+    val (fs, t) = fsFor(spark, table)
+    val vd = versionsDir(t)
+    if (!fs.exists(vd)) Seq.empty
+    else fs.listStatus(vd).map(_.getPath.getName)
+      .filter(n => ManifestName.matches(n)).sorted.map(_.toLong).toSeq
+  }
+
+  /** Time-travel read: the table as of committed version `version`
+    * (None if that manifest has been GC'd past `keepVersions` or never
+    * existed). Version dirs are immutable once committed, so the read is
+    * exactly as consistent as a current-version read — this is what the
+    * retention window is FOR: an in-flight reader pinned to N-1 while a
+    * publisher commits N, an audit replaying yesterday's snapshot, a
+    * dry-run diffing two versions. */
+  def readTableVersion(spark: SparkSession, table: String,
+                       version: Long): Option[DataFrame] = {
+    val (fs, t) = fsFor(spark, table)
+    val manifest = new Path(versionsDir(t), vname(version))
+    if (!fs.exists(manifest)) None
+    else {
+      val in = fs.open(manifest)
+      val dataName = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+                     finally in.close()
+      Some(spark.read.parquet(s"$table/$dataName"))
+    }
+  }
+
   /** Atomically publish `df` as the new current version of a
     * manifest-committed `table` (layout above). Safe on object stores —
     * no directory rename anywhere. `keepVersions` old versions survive

@@ -172,15 +172,46 @@ class AnnSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("ivf_model").toString
     AnnOps.ivfSave(model, s"$dir/centroids", spark)
     val loaded = AnnOps.ivfLoad(spark, s"$dir/centroids")
+    // double centroids round-trip parquet bit-exactly — no quantization
     assert(loaded === model)
-    // the map-only argmin assignment agrees with MLlib's transform
-    // (same centers, same squared-euclidean argmin, same tie order)
     def resultSet(df: org.apache.spark.sql.DataFrame) =
       df.select("q_id", "n_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
     val inline = resultSet(AnnOps.kmeansIvfTopK(emb, queries, k = 5, nCells = 8, nProbe = 3))
     val viaModel = resultSet(AnnOps.ivfTopK(emb, loaded, queries, k = 5, nProbe = 3))
     assert(viaModel === inline)
+  }
+
+  test("double-precision ivfAssign agrees with MLlib transform (statistical, not bit-exact)") {
+    // both sides compute squared-euclidean argmin over the same double
+    // centers; only summation ORDER differs, so a disagreement needs two
+    // centroids within ~1e-13 of each other — possible in principle,
+    // vanishing in practice. Assert ≥99% agreement instead of equality
+    // so the suite isn't hostage to one boundary tie on a new corpus.
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val withVec = emb.withColumn("fv", array_to_vector(col("embedding")))
+    val ml = new KMeans().setK(8).setSeed(42L).setFeaturesCol("fv").fit(withVec)
+    val viaMl = ml.transform(withVec).select(col("vec_id"), col("prediction"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val model = AnnOps.ivfTrain(emb, nCells = 8, seed = 42L)
+    val viaAssign = AnnOps.ivfAssign(emb, model).select("vec_id", "cell")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val agree = viaMl.count { case (id, c) => viaAssign(id) == c }
+    assert(agree >= (viaMl.size * 0.99).toInt, s"$agree/${viaMl.size} agree")
+  }
+
+  test("persisted PQ model: save/load round-trip reproduces pqTopK exactly") {
+    val model = AnnOps.pqTrain(emb, m = 8, k = 16)
+    val dir = java.nio.file.Files.createTempDirectory("pq_model").toString
+    AnnOps.pqSave(model, s"$dir/codebooks", spark)
+    val loaded = AnnOps.pqLoad(spark, s"$dir/codebooks")
+    assert(loaded === model) // float codebooks round-trip bit-exactly
+    def toSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "n_id", "rn").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(toSet(AnnOps.pqTopK(emb, queries, 5, loaded, rerank = 4)) ===
+           toSet(AnnOps.pqTopK(emb, queries, 5, model, rerank = 4)))
   }
 
   test("srp_signature agrees between codegen and interpreted eval") {

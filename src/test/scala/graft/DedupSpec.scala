@@ -79,6 +79,42 @@ class DedupSpec extends SparkSpec {
     assert(inc.nonEmpty)
   }
 
+  test("pre-banded store path: equals full recompute, store sig column never read") {
+    val docs = Tables.documents(spark, sf0001)
+    val store = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // persist the store exactly as the nightly job would: signatures +
+    // the banded relation, derived ONCE at append time
+    val dir = java.nio.file.Files.createTempDirectory("graft_banded_store").toString
+    val storeSigs = DedupOps.signatures(store, "doc_id", "text")
+    storeSigs.write.parquet(s"$dir/sigs")
+    DedupOps.banded(storeSigs, "doc_id").write.parquet(s"$dir/bands")
+    val sigStore = spark.read.parquet(s"$dir/sigs")
+    val bandStore = spark.read.parquet(s"$dir/bands")
+
+    val batchSigs = DedupOps.signatures(batch, "doc_id", "text").cache()
+    try {
+      val inc = DedupOps.incrementalNearDupsBanded(
+        sigStore.select("doc_id", "shingles"), bandStore, batchSigs, "doc_id", 0.5)
+      // zero re-hash proof: no parquet scan in the plan materializes the
+      // store's `sig` column (bands come from the persisted relation)
+      val schemas = """ReadSchema: struct<[^>]*>""".r
+        .findAllIn(inc.queryExecution.executedPlan.toString).toSeq
+      assert(schemas.nonEmpty)
+      assert(!schemas.exists(s => s.contains("<sig:") || s.contains(",sig:")),
+        schemas.mkString("\n"))
+      // decomposition proof, now over the persisted pre-banded store
+      val hist = pairSet(DedupOps.minhashNearDups(store, "doc_id", "text", 0.5))
+      val full = pairSet(DedupOps.minhashNearDups(docs, "doc_id", "text", 0.5))
+      val incPairs = pairSet(inc)
+      assert(incPairs.nonEmpty)
+      assert(incPairs.intersect(hist).isEmpty)
+      assert(hist ++ incPairs === full)
+    } finally { batchSigs.unpersist(); () }
+  }
+
   test("simhash recalls most minhash-confirmed near-dups (cross-validation)") {
     // SimHash is a lossy 64-bit sketch: a jaccard≈0.8 pair can land above
     // any fixed Hamming radius, so assert a recall bound, not containment.

@@ -62,10 +62,16 @@ class TextPipelineSpec extends SparkSpec {
 
   test("incremental curation over three nightly batches equals the batch pipeline") {
     val docs = Tables.documents(spark, sf0001)
+    // each night persists the state (sigs + pre-banded + labels) and the
+    // next night reads it back — the actual production loop, so schema
+    // drift or a state table that only works in-memory fails here
+    val root = java.nio.file.Files.createTempDirectory("graft_curation_state").toString
     var st = TextPipeline.emptyState(spark)
     (0 to 2).foreach { i =>
       st = TextPipeline.curateIncrement(
         st, docs.filter(pmod(col("doc_id"), lit(3)) === i))
+      TextPipeline.saveState(st, s"$root/night$i")
+      st = TextPipeline.loadState(spark, s"$root/night$i")
     }
     def keep(df: org.apache.spark.sql.DataFrame) =
       df.select("doc_id", "split").collect()

@@ -131,6 +131,26 @@ class WarehouseFsSpec extends SparkSpec {
     assert(WarehouseFs.readTable(spark, t).get.count() === 3)
   }
 
+  test("time-travel read resolves any retained version; GC'd versions return None") {
+    val t = s"${tmpDir()}/tbl"
+    WarehouseFs.publishVersioned((1 to 10).toDF("id"), t)
+    WarehouseFs.publishVersioned((1 to 25).toDF("id"), t)
+    // current reads v2 while a pinned reader still sees v1's exact rows
+    assert(WarehouseFs.readTable(spark, t).get.count() === 25)
+    assert(WarehouseFs.readTableVersion(spark, t, 1L).get
+      .as[Int].collect().sorted === (1 to 10).toArray)
+    assert(WarehouseFs.readTableVersion(spark, t, 2L).get.count() === 25)
+    assert(WarehouseFs.listVersions(spark, t) === Seq(1L, 2L))
+    // the third publish GCs v1 (keepVersions=2): time travel degrades
+    // to None, never to a missing-path read error
+    WarehouseFs.publishVersioned((1 to 7).toDF("id"), t)
+    assert(WarehouseFs.listVersions(spark, t) === Seq(2L, 3L))
+    assert(WarehouseFs.readTableVersion(spark, t, 1L).isEmpty)
+    assert(WarehouseFs.readTableVersion(spark, t, 3L).get.count() === 7)
+    assert(WarehouseFs.readTableVersion(spark, t, 99L).isEmpty)
+    assert(WarehouseFs.readTableVersion(spark, s"${tmpDir()}/absent", 1L).isEmpty)
+  }
+
   test("readTable resolves both publish flavors") {
     val base = tmpDir()
     WarehouseFs.publish((1 to 4).toDF("id"), s"$base/plain")
