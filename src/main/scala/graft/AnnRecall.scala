@@ -13,7 +13,8 @@ import graft.operators.AnnOps
   *     multi-probe) — kept to show WHY single-table SRP is not a
   *     production mode — plus multi-table OR-amplified SRP
   *     ([[AnnOps.srpMultiTopK]]) at (bits, L) up to (4, 24);
-  *   - k-means IVF at nProbe ∈ {1 … 12} of 16 cells;
+  *   - k-means IVF at cells ∈ {16, 64 (≈√n), 256}, nProbe scaled per
+  *     cell count, probing a ONCE-assigned inverted file per model;
   *   - PQ (m=8, k=16 — 32× compression) at rerank ∈ {1 … 64}.
   * Recall is computed with the distributed [[AnnOps.recallAt]] semi join
   * (no driver-side sets). Output: one JSON line on stdout plus
@@ -23,10 +24,16 @@ import graft.operators.AnnOps
   * near-orthogonal — the worst case for any locality-sensitive scheme
   * (there is barely any locality to be sensitive to), so the candidate
   * cost a config pays for a given recall here is an UPPER bound on real
-  * embedding manifolds (measured ≥0.9 points: srp_multi bits8×16tables
-  * with multi-probe at 0.45 cost — the best SRP frontier point — or
-  * bits4×16tables at 0.65; ivf probe12/16 at 0.75; pq rerank64 at 0.32).
-  * The trends
+  * embedding manifolds. Measured r6 frontier: **PQ-ADC is the cheap
+  * high-recall family on this corpus — rerank64 reaches 0.982 at 0.32
+  * cost** (rerank32: 0.87 at 0.16); the best ≥0.9 SRP point stays
+  * bits8×16tables multi-probe at 0.45, and IVF needs probe12/16 = 0.75.
+  * The √n-cell sweep is deliberately reported even though it does NOT
+  * help here: with no cluster structure, k-means cells tile the sphere
+  * arbitrarily and IVF recall tracks cost ≈ linearly at every cell count
+  * (cells64 probe32: 0.872 at 0.50; cells256 probe64: 0.798 at 0.25) —
+  * on a real manifold the same sweep is where the win appears, and the
+  * harness measures rather than assumes it. The trends
   * the spec asserts: multi-probe strictly helps SRP at every bit width,
   * multi-table recall is monotone in L and dominates single-table at
   * equal total bits, and IVF recall climbs with nProbe toward the proven
@@ -49,7 +56,9 @@ object AnnRecall {
     spark.sparkContext.setLogLevel("WARN")
 
     val k = 10
-    val emb = Tables.embeddings(spark, sfDir).cache()
+    // the parquet table is one file → one partition; spread it or every
+    // sweep below serializes on a single core
+    val emb = Tables.embeddings(spark, sfDir).repartition(cpus.toInt).cache()
     val queryIds = emb.select("vec_id").orderBy("vec_id").limit(50)
       .collect().map(_.getLong(0)).toSeq
     val truth = AnnOps.bruteForceTopK(emb, queryIds, k).cache()
@@ -86,15 +95,30 @@ object AnnRecall {
       (s"srp_multi_bits${bits}_t$tables${if (mp) "_multiprobe" else ""}",
         r4(rec), Some(r4(cost)))
     }
-    val nCells = 16
-    val ivf = Seq(1, 2, 4, 8, 12).map { nProbe =>
-      val rec = AnnOps.recallAt(
-        AnnOps.kmeansIvfTopK(emb, queryIds, k, nCells, nProbe), truth)
-      (s"ivf_cells${nCells}_probe$nProbe", r4(rec), Some(r4(nProbe.toDouble / nCells)))
+    // IVF frontier at several cell counts: 16 (the r5 point, kept for
+    // continuity), ~√n (what a production index would pick — cost per
+    // probe shrinks as 1/cells while the probe count needed for a given
+    // recall grows slower), and an over-split 256 to show the knee.
+    // Train ONCE per cell count, sweep nProbe against the same model.
+    val ivf = Seq(
+      16 -> Seq(1, 2, 4, 8, 12),
+      64 -> Seq(2, 4, 8, 16, 24, 32),
+      256 -> Seq(8, 16, 32, 64)).flatMap { case (nCells, probes) =>
+      val model = AnnOps.ivfTrain(emb, nCells)
+      // assign ONCE per model (the production shape: the inverted file is
+      // persisted with the corpus); the probe sweep reuses it
+      val assigned = AnnOps.ivfAssign(emb, model).cache()
+      val points = probes.map { nProbe =>
+        val rec = AnnOps.recallAt(
+          AnnOps.ivfTopKAssigned(assigned, model, queryIds, k, nProbe), truth)
+        (s"ivf_cells${nCells}_probe$nProbe", r4(rec), Some(r4(nProbe.toDouble / nCells)))
+      }
+      assigned.unpersist()
+      points
     }
 
     val pqModel = AnnOps.pqTrain(emb, m = 8, k = 16)
-    val pq = Seq(1, 4, 16, 32, 64).map { r =>
+    val pq = Seq(1, 4, 16, 32, 48, 64).map { r =>
       val rec = AnnOps.recallAt(AnnOps.pqTopK(emb, queryIds, k, pqModel, r), truth)
       (s"pq_m8_k16_rerank$r", r4(rec), Some(r4(math.min(1.0, r.toDouble * k / corpusN))))
     }

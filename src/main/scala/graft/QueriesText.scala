@@ -309,6 +309,23 @@ object QueriesText {
         storeSigs, docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", 0.5)
     }),
 
+    // The zero-rehash nightly form: the store arrives PRE-BANDED — its
+    // (id, band_idx, band_hash) relation was derived once at append time
+    // and persisted, so tonight's job never touches the store's sig
+    // column (DedupSpec proves the scan schema). Same semantics as
+    // dedup_incremental, hence the same oracle.
+    "dedup_incremental_banded" -> ((s, d) => {
+      val docs = documents(s, d)
+      val storeSigs = graft.operators.DedupOps.signatures(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+      val batchSigs = graft.operators.DedupOps.signatures(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+      graft.operators.DedupOps.incrementalNearDupsBanded(
+        storeSigs.select("doc_id", "shingles"),
+        graft.operators.DedupOps.banded(storeSigs, "doc_id"),
+        batchSigs, "doc_id", 0.5)
+    }),
+
     // Near-dup pairs → dedup CLUSTERS: connected components by alternating
     // large-star/small-star (DedupClusters) over the MinHash pair list;
     // every doc gets cluster_id = min doc_id of its component (singletons
@@ -541,6 +558,24 @@ object QueriesText {
         FROM tok""",
 
     "dedup_incremental" ->
+      """WITH t AS (
+          SELECT doc_id,
+                 string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(range(len(toks) - 2),
+                   i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS shingles
+          FROM t WHERE len(toks) >= 3)
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jac
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE (a.doc_id % 2 = 1 OR b.doc_id % 2 = 1)
+          AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5""",
+
+    "dedup_incremental_banded" ->
       """WITH t AS (
           SELECT doc_id,
                  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks

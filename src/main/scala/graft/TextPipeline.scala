@@ -168,6 +168,55 @@ object TextPipeline {
     Sampling.trainValTestSplit(
       graft.streaming.EventStreams.nearDupSuppress(qualityFilter(docs)), "doc_id")
 
+  /** The latest persisted [[CurationState]] under `root` (written by
+    * [[curateIncrementStream]]'s batch-keyed layout), if any. */
+  def loadLatestState(spark: SparkSession, root: String): Option[CurationState] =
+    latestStateDir(spark, root, before = Long.MaxValue)
+      .map(loadState(spark, _))
+
+  private def latestStateDir(spark: SparkSession, root: String,
+                             before: Long): Option[String] = {
+    val ids = graft.sources.WarehouseFs.listNames(spark, root)
+      .filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch=").toLong).filter(_ < before)
+    if (ids.isEmpty) None else Some(s"$root/batch=${ids.max}")
+  }
+
+  /** Nightly driver: fold a STREAM of document batches through
+    * [[curateIncrement]], persisting the state per micro-batch. This is
+    * the composition [[curateStream]] (the cheap online gate) feeds at
+    * scale: the stream delivers batches, each fold costs O(batch)
+    * pairwise work against the pre-banded store, and the offline
+    * MinHash+CC state stays exact.
+    *
+    * Crash-safety: foreachBatch is at-least-once — a batch can be
+    * re-delivered after a restart — so state for batch N is written to a
+    * batch-KEYED directory computed deterministically from state N−1. A
+    * re-run of batch N overwrites the same directory with identical
+    * content instead of double-folding (the idempotent-sink contract).
+    * Superseded state dirs older than N−1 are dropped after each commit;
+    * N−1 survives because only the latest batch can be re-delivered.
+    *
+    * Start with `.option("checkpointLocation", …).start()`; read results
+    * any time via [[loadLatestState]] + [[curatedFromState]].
+    */
+  def curateIncrementStream(docs: DataFrame, stateRoot: String,
+                            jaccard: Double = 0.5)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      val prev = latestStateDir(spark, stateRoot, before = batchId)
+      val st = prev.map(loadState(spark, _)).getOrElse(emptyState(spark))
+      val next = curateIncrement(st, batch, jaccard)
+      saveState(next, s"$stateRoot/batch=$batchId")
+      graft.sources.WarehouseFs.listNames(spark, stateRoot)
+        .filter(_.startsWith("batch="))
+        .filter(_.stripPrefix("batch=").toLong < batchId - 1)
+        .foreach(n => graft.sources.WarehouseFs
+          .deleteIfExists(spark, s"$stateRoot/$n"))
+      ()
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.01")
     val outDir = args.lift(1).getOrElse("/tmp/graft_curated")

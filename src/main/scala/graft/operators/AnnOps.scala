@@ -216,14 +216,21 @@ object AnnOps {
     * approximation knob — while assignment, which defines the index,
     * stays double). */
   def ivfTopK(emb: DataFrame, model: IvfModel, queryIds: Seq[Long],
-              k: Int, nProbe: Int): DataFrame = {
-    val spark = emb.sparkSession
+              k: Int, nProbe: Int): DataFrame =
+    ivfTopKAssigned(ivfAssign(emb, model), model, queryIds, k, nProbe)
+
+  /** IVF search over an ALREADY-ASSIGNED corpus (vec_id, embedding,
+    * cell) — the production read path: assignment happened once at write
+    * time and was persisted with the corpus, so a query (or a probe
+    * sweep) pays only the cell probe, never a re-assignment. */
+  def ivfTopKAssigned(assigned: DataFrame, model: IvfModel,
+                      queryIds: Seq[Long], k: Int, nProbe: Int): DataFrame = {
+    val spark = assigned.sparkSession
     import spark.implicits._
-    val assigned = ivfAssign(emb, model)
-      .select(col("vec_id"), col("embedding"), col("cell"))
     val cents = model.centroids
       .map { case (i, c) => (i, c.map(_.toFloat)) }.toDF("cell", "c_emb")
-    ivfSearch(assigned, cents, queryIds, k, nProbe)
+    ivfSearch(assigned.select(col("vec_id"), col("embedding"), col("cell")),
+      cents, queryIds, k, nProbe)
   }
 
   private def ivfSearch(assigned: DataFrame, cents: DataFrame,

@@ -86,6 +86,42 @@ class TextPipelineSpec extends SparkSpec {
     assert(incBest === fullBest)
   }
 
+  test("foreachBatch nightly curation: stream fold + checkpoint restart equals the batch pipeline") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val docs = Tables.documents(spark, sf0001)
+    val parts = (0 to 2).map(i =>
+      docs.filter(pmod(col("doc_id"), lit(3)) === i)
+        .select("doc_id", "text").as[(Long, String)].collect().toSeq)
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_curation").toString
+    val stateRoot = s"$root/state"
+    val in = MemoryStream[(Long, String)](spark)
+    def start() = TextPipeline
+      .curateIncrementStream(in.toDF().toDF("doc_id", "text"), stateRoot)
+      .option("checkpointLocation", s"$root/ckpt").start()
+    // nights 1 and 2 under one query…
+    val q1 = start()
+    in.addData(parts(0)); q1.processAllAvailable()
+    in.addData(parts(1)); q1.processAllAvailable()
+    q1.stop()
+    // …then a restart from the checkpoint picks up night 3 — the fold
+    // must resume from persisted state, not from scratch
+    val q2 = start()
+    in.addData(parts(2)); q2.processAllAvailable()
+    q2.stop()
+    val st = TextPipeline.loadLatestState(spark, stateRoot).get
+    def keep(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "split").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val streamed = keep(TextPipeline.curatedFromState(st, docs))
+    val full = keep(TextPipeline.curate(docs))
+    assert(streamed === full)
+    assert(streamed.nonEmpty)
+    // superseded state dirs are GC'd: only N-1 and N survive
+    val dirs = graft.sources.WarehouseFs.listNames(spark, stateRoot)
+      .filter(_.startsWith("batch="))
+    assert(dirs.length <= 2, dirs.toString)
+  }
+
   test("streaming curation end-to-end: quality gate + online near-dup + split (RocksDB, AvailableNow)") {
     import java.sql.Timestamp
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
