@@ -233,6 +233,16 @@ object AnnOps {
       cents, queryIds, k, nProbe)
   }
 
+  /** Persist the assigned corpus PARTITIONED BY CELL — the inverted-file
+    * layout on disk. Reading it back and probing ([[ivfTopKAssigned]])
+    * lets dynamic partition pruning drop every non-probed cell's files
+    * at the scan (AnnSpec asserts the pruning is in the plan): at 100 TB
+    * a probe-4-of-1024 query reads ~0.4% of the corpus bytes instead of
+    * filtering after a full scan. */
+  def ivfWriteIndex(emb: DataFrame, model: IvfModel, path: String): Unit =
+    ivfAssign(emb, model).write.partitionBy("cell")
+      .mode("overwrite").parquet(path)
+
   private def ivfSearch(assigned: DataFrame, cents: DataFrame,
                         queryIds: Seq[Long], k: Int, nProbe: Int): DataFrame = {
     val q = assigned.filter(col("vec_id").isInCollection(queryIds))
@@ -275,21 +285,29 @@ object AnnOps {
     * codebook needs thousands of rows, not billions) and persist the
     * model; training cost is m small ML jobs, independent of corpus size.
     */
-  def pqTrain(emb: DataFrame, m: Int, k: Int, seed: Long = 42L): PqModel = {
+  def pqTrain(emb: DataFrame, m: Int, k: Int, seed: Long = 42L): PqModel =
+    pqTrainOn(normalized(emb), m, k, seed)
+
+  /** [[pqTrain]] over an already-prepared vector column (no
+    * normalization) — the entry point residual encoding needs: IVF
+    * residuals must NOT be re-normalized or the reconstruction
+    * q·c + q·r stops telescoping to q·x. */
+  private[operators] def pqTrainOn(prepared: DataFrame, m: Int, k: Int,
+                                   seed: Long): PqModel = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val dim = prepared.select(size(col("embedding"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
-    val norm = normalized(emb).cache()
+    val prep = prepared.cache()
     val cents = (0 until m).flatMap { mi =>
-      val sliced = norm.select(
+      val sliced = prep.select(
         array_to_vector(expr(s"slice(embedding, ${mi * sub + 1}, $sub)")).as("fv"))
       new KMeans().setK(k).setSeed(seed + mi).setFeaturesCol("fv")
         .fit(sliced).clusterCenters.toSeq
         .map(_.toArray.map(_.toFloat).toSeq)
     }
-    norm.unpersist()
+    prep.unpersist()
     PqModel(m, k, sub, cents)
   }
 
@@ -323,8 +341,12 @@ object AnnOps {
     * argmin runs as built-in array HOFs over the broadcast codebook
     * literal; one narrow map, encoded once, reused by every query batch.
     */
-  def pqEncode(emb: DataFrame, model: PqModel): DataFrame = {
-    val withCents = normalized(emb)
+  def pqEncode(emb: DataFrame, model: PqModel): DataFrame =
+    pqEncodeOn(normalized(emb), model)
+
+  /** [[pqEncode]] over an already-prepared vector column (residuals). */
+  private[operators] def pqEncodeOn(prepared: DataFrame, model: PqModel): DataFrame = {
+    val withCents = prepared
       .withColumn("__cent", typedlit(model.centroids))
     val codesSql =
       s"""transform(sequence(0, ${model.m - 1}, 1), mi ->
@@ -356,42 +378,130 @@ object AnnOps {
     * pool. rerank·k = |corpus| degenerates to brute force (spec-proven);
     * small rerank keeps the exact pass a few-hundred-row join per query.
     */
+  /** Per-query ADC lookup table: inner product of each query subvector
+    * (from the `embedding` column) against every codebook entry (from the
+    * `__cent` literal) — one flat [m·k] double array per query row. */
+  private def qtabExpr(model: PqModel): org.apache.spark.sql.Column = expr(
+    s"""flatten(transform(sequence(0, ${model.m - 1}, 1), mi ->
+          transform(slice(__cent, mi * ${model.k} + 1, ${model.k}), c ->
+            aggregate(
+              zip_with(slice(embedding, mi * ${model.subDim} + 1, ${model.subDim}), c,
+                       (a, b) -> CAST(a AS DOUBLE) * b),
+              0D, (acc, x) -> acc + x))))""")
+
+  /** ADC score of a `codes` row against a `qtab` row: m table lookups. */
+  private def adcLookupExpr(model: PqModel): org.apache.spark.sql.Column = expr(
+    s"""aggregate(sequence(0, ${model.m - 1}, 1), 0D, (acc, mi) ->
+          acc + element_at(qtab, mi * ${model.k} + element_at(codes, mi + 1) + 1))""")
+
   def pqTopK(emb: DataFrame, queryIds: Seq[Long], k: Int, model: PqModel,
              rerank: Int = 4): DataFrame = {
     require(rerank >= 1)
     val codes = pqEncode(emb, model)
     val q = normalized(emb.filter(col("vec_id").isInCollection(queryIds)))
       .withColumn("__cent", typedlit(model.centroids))
-      .withColumn("qtab", expr(
-        s"""flatten(transform(sequence(0, ${model.m - 1}, 1), mi ->
-              transform(slice(__cent, mi * ${model.k} + 1, ${model.k}), c ->
-                aggregate(
-                  zip_with(slice(embedding, mi * ${model.subDim} + 1, ${model.subDim}), c,
-                           (a, b) -> CAST(a AS DOUBLE) * b),
-                  0D, (acc, x) -> acc + x))))"""))
+      .withColumn("qtab", qtabExpr(model))
       .select(col("vec_id").as("q_id"), col("qtab"))
     val adc = codes.crossJoin(broadcast(q))
       .filter(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
-        expr(s"""aggregate(sequence(0, ${model.m - 1}, 1), 0D, (acc, mi) ->
-                   acc + element_at(qtab, mi * ${model.k} + element_at(codes, mi + 1) + 1))""")
-          .as("adc_score"))
+        adcLookupExpr(model).as("adc_score"))
     val wAdc = Window.partitionBy("q_id").orderBy(col("adc_score").desc, col("n_id"))
     val candidates = adc.withColumn("rn", row_number().over(wAdc))
       .filter(col("rn") <= k * rerank)
       .select("q_id", "n_id")
-    // exact rerank: candidates join back to raw vectors, true cosine
-    val qv = emb.filter(col("vec_id").isInCollection(queryIds))
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
-    candidates
-      .join(emb.select(col("vec_id").as("n_id"), col("embedding").as("n_emb")), Seq("n_id"))
-      .join(broadcast(qv), Seq("q_id"))
+    rerankExact(emb, queryIds, k, candidates)
+  }
+
+  // ---- IVF-PQ (residual ADC inside probed cells) ----------------------
+  //
+  // The FAISS-style composition that makes PQ work at 100 TB: plain
+  // [[pqTopK]] still ADC-scans the WHOLE corpus per query (cheap per row,
+  // but O(corpus) rows touched); IVF-PQ stores each vector as its cell +
+  // a PQ code of its RESIDUAL from the cell centroid, so a query scans
+  // only its nProbe cells' code files and scores them as
+  //   q̂·x̂ ≈ q̂·c  +  Σ_mi qtab[mi][code_mi]        (q̂·(c + r) telescopes)
+  // with q̂·c computed once per (query, probed cell). Residual encoding
+  // matters: residual variance is far below raw variance on clustered
+  // data, so the same m·k codebook quantizes much finer.
+
+  final case class IvfPqModel(ivf: IvfModel, pq: PqModel)
+
+  /** Residual column for an assigned, NORMALIZED corpus: x̂ − c(x̂),
+    * kept float (the codebooks are float anyway). */
+  private def residualCol(ivf: IvfModel): org.apache.spark.sql.Column =
+    zip_with(col("embedding"),
+      element_at(typedlit(ivf.centroids.map(_._2)), col("cell") + lit(1)),
+      (a, b) => (a.cast("double") - b).cast("float"))
+
+  /** Train the coarse quantizer on the normalized corpus, then PQ
+    * codebooks on the residuals. At 100 TB both fits run on a sample. */
+  def ivfPqTrain(emb: DataFrame, nCells: Int, m: Int, k: Int,
+                 seed: Long = 42L): IvfPqModel = {
+    val norm = normalized(emb).cache()
+    val ivf = ivfTrain(norm, nCells, seed)
+    val resid = ivfAssign(norm, ivf)
+      .select(col("vec_id"), residualCol(ivf).as("embedding"))
+    val pq = pqTrainOn(resid, m, k, seed)
+    norm.unpersist()
+    IvfPqModel(ivf, pq)
+  }
+
+  def ivfPqSave(model: IvfPqModel, path: String,
+                spark: org.apache.spark.sql.SparkSession): Unit = {
+    ivfSave(model.ivf, s"$path/ivf", spark)
+    pqSave(model.pq, s"$path/pq", spark)
+  }
+
+  def ivfPqLoad(spark: org.apache.spark.sql.SparkSession, path: String): IvfPqModel =
+    IvfPqModel(ivfLoad(spark, s"$path/ivf"), pqLoad(spark, s"$path/pq"))
+
+  /** Encode the corpus for IVF-PQ serving: (vec_id, cell, codes) — the
+    * persistable inverted file. Partition the output files by `cell`
+    * ([[ivfWriteIndex]]) and a probe reads only its cells' files. */
+  def ivfPqEncode(emb: DataFrame, model: IvfPqModel): DataFrame = {
+    val assigned = ivfAssign(normalized(emb), model.ivf)
+    pqEncodeOn(
+      assigned.select(col("vec_id"), col("cell"), residualCol(model.ivf).as("embedding")),
+      model.pq)
+      .select("vec_id", "cell", "codes")
+  }
+
+  /** IVF-PQ top-k: probe the query's nProbe best cells (by q̂·c), ADC-score
+    * only those cells' codes, exact-rerank the top rerank·k. With
+    * nProbe = nCells and rerank covering the corpus this degenerates to
+    * brute force (spec-proven). `codes` defaults to encoding in-flight;
+    * pass a persisted [[ivfPqEncode]] table in production. */
+  def ivfPqTopK(emb: DataFrame, model: IvfPqModel, queryIds: Seq[Long],
+                k: Int, nProbe: Int, rerank: Int = 4,
+                codes: Option[DataFrame] = None): DataFrame = {
+    require(nProbe >= 1 && rerank >= 1)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val corpus = codes.getOrElse(ivfPqEncode(emb, model))
+      .select(col("vec_id").as("n_id"), col("cell"), col("codes"))
+    val q = normalized(emb.filter(col("vec_id").isInCollection(queryIds)))
+      .withColumn("__cent", typedlit(model.pq.centroids))
+      .withColumn("qtab", qtabExpr(model.pq))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("qtab"))
+    val cents = model.ivf.centroids.toDF("cell", "c_emb")
+    val wProbe = Window.partitionBy("q_id").orderBy(col("qc").desc, col("cell"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("qc",
+        aggregate(zip_with(col("q_emb"), col("c_emb"), (a, b) => a.cast("double") * b),
+                  lit(0.0d), (acc, x) => acc + x))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nProbe)
+      .select("q_id", "qtab", "cell", "qc")
+    val wAdc = Window.partitionBy("q_id").orderBy(col("adc_score").desc, col("n_id"))
+    val candidates = corpus.join(probes, Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
-              org.apache.spark.sql.graft.VectorExpressions.vec_cosine(
-                col("q_emb"), col("n_emb")).as("cos"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
+        (col("qc") + adcLookupExpr(model.pq)).as("adc_score"))
+      .withColumn("rn", row_number().over(wAdc))
+      .filter(col("rn") <= k * rerank)
+      .select("q_id", "n_id")
+    rerankExact(emb, queryIds, k, candidates)
   }
 
   /** Recall of `approx` against exact `truth` (both (q_id, n_id) top-k

@@ -214,6 +214,63 @@ class AnnSpec extends SparkSpec {
            toSet(AnnOps.pqTopK(emb, queries, 5, model, rerank = 4)))
   }
 
+  test("IVF-PQ with full probes and corpus-covering rerank equals brute force") {
+    val model = AnnOps.ivfPqTrain(emb, nCells = 8, m = 8, k = 16)
+    def toSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "n_id", "rn").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val truth = AnnOps.bruteForceTopK(emb, queries, k = 5)
+    val all = AnnOps.ivfPqTopK(emb, model, queries, k = 5, nProbe = 8, rerank = 100)
+    assert(toSet(all) === toSet(truth))
+  }
+
+  test("IVF-PQ recall is monotone in nProbe (pool-covering rerank); save/load reproduces results") {
+    val model = AnnOps.ivfPqTrain(emb, nCells = 8, m = 8, k = 16)
+    val truth = AnnOps.bruteForceTopK(emb, queries, 5).cache()
+    // rerank large enough to cover every probed candidate → recall is the
+    // probed-cell coverage, which grows with nProbe (a small fixed rerank
+    // would NOT be monotone: a larger pool can push a true neighbor out
+    // of the ADC top-rerank·k)
+    val recs = Seq(1, 2, 4, 8).map { p =>
+      AnnOps.recallAt(AnnOps.ivfPqTopK(emb, model, queries, 5, p, rerank = 100), truth)
+    }
+    assert(recs.zip(recs.tail).forall { case (a, b) => a <= b }, recs.toString)
+    assert(recs.last === 1.0)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_model").toString
+    AnnOps.ivfPqSave(model, dir, spark)
+    val loaded = AnnOps.ivfPqLoad(spark, dir)
+    assert(loaded === model)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(AnnOps.ivfPqTopK(emb, loaded, queries, 5, 3, 8)) ===
+           pairs(AnnOps.ivfPqTopK(emb, model, queries, 5, 3, 8)))
+  }
+
+  test("IVF-PQ serves from a persisted code table identically to in-flight encoding") {
+    val model = AnnOps.ivfPqTrain(emb, nCells = 8, m = 8, k = 16)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_codes").toString
+    AnnOps.ivfPqEncode(emb, model).write.partitionBy("cell").parquet(dir)
+    val persisted = spark.read.parquet(dir)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(AnnOps.ivfPqTopK(emb, model, queries, 5, 3, 8, codes = Some(persisted))) ===
+           pairs(AnnOps.ivfPqTopK(emb, model, queries, 5, 3, 8)))
+  }
+
+  test("cell-partitioned IVF index: probe join prunes partitions dynamically; results match") {
+    val model = AnnOps.ivfTrain(emb, nCells = 8)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_index").toString + "/idx"
+    AnnOps.ivfWriteIndex(emb, model, dir)
+    val assigned = spark.read.parquet(dir)
+    val res = AnnOps.ivfTopKAssigned(assigned, model, queries, k = 5, nProbe = 2)
+    res.collect() // DPP shows up in the executed plan
+    val p = res.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruning"), p)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(res) === pairs(AnnOps.ivfTopK(emb, model, queries, 5, 2)))
+  }
+
   test("srp_signature agrees between codegen and interpreted eval") {
     val df = emb.limit(100).select(col("vec_id"), srp_signature(col("embedding"), 16).as("s"))
     val viaCodegen = df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap

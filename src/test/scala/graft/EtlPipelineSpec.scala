@@ -181,7 +181,12 @@ class EtlPipelineSpec extends SparkSpec {
     val day = java.sql.Date.valueOf("2021-03-01")
     val fact = spark.read.parquet(factPath)
     val dayRows = fact.filter(col("day") === lit(day)).count()
-    val term = fact.filter(col("day") === lit(day)).select("terminal").head().getString(0)
+    // deterministic terminal choice: an arbitrary head() picks whatever
+    // partition answers first, and terminals whose z-range straddles more
+    // row-group boundaries materialize more — the suite-order-dependent
+    // flake r6 hit (57% materialized in-suite, <50% isolated)
+    val term = fact.filter(col("day") === lit(day)).select("terminal")
+      .orderBy("terminal").head().getString(0)
     val q = fact.filter(col("day") === lit(day) && col("terminal") === lit(term))
     val hits = q.count()
     assert(hits > 0)
