@@ -342,7 +342,7 @@ object AnnOps {
     * literal; one narrow map, encoded once, reused by every query batch.
     */
   def pqEncode(emb: DataFrame, model: PqModel): DataFrame =
-    pqEncodeOn(normalized(emb), model)
+    pqEncodeOn(normalized(emb), model).select(col("vec_id"), col("codes"))
 
   /** [[pqEncode]] over an already-prepared vector column (residuals). */
   private[operators] def pqEncodeOn(prepared: DataFrame, model: PqModel): DataFrame = {
@@ -362,10 +362,10 @@ object AnnOps {
                     zip_with(slice(embedding, mi * ${model.subDim} + 1, ${model.subDim}), c,
                              (a, b) -> CAST(a - b AS DOUBLE) * (a - b)),
                     0D, (acc, x) -> acc + x)))) - 1)"""
+    // keeps the input's other columns (IVF-PQ threads `cell` through)
     withCents
       .withColumn("codes", expr(codesSql).cast("array<int>"))
-      .drop("__cent")
-      .select(col("vec_id"), col("codes"))
+      .drop("__cent", "embedding")
   }
 
   /** PQ top-k with asymmetric distance computation (ADC) + exact rerank —

@@ -248,7 +248,7 @@ class AnnSpec extends SparkSpec {
 
   test("IVF-PQ serves from a persisted code table identically to in-flight encoding") {
     val model = AnnOps.ivfPqTrain(emb, nCells = 8, m = 8, k = 16)
-    val dir = java.nio.file.Files.createTempDirectory("ivfpq_codes").toString
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_codes").toString + "/codes"
     AnnOps.ivfPqEncode(emb, model).write.partitionBy("cell").parquet(dir)
     val persisted = spark.read.parquet(dir)
     def pairs(df: org.apache.spark.sql.DataFrame) =
