@@ -26,6 +26,7 @@ object GraftSession {
     org.apache.spark.sql.graft.AggExpressions.register(spark)
     org.apache.spark.sql.graft.ZOrderExpressions.register(spark)
     org.apache.spark.sql.graft.SketchExpressions.register(spark)
+    org.apache.spark.sql.graft.BloomExpressions.register(spark)
     spark
   }
 }

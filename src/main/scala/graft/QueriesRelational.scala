@@ -176,6 +176,18 @@ object QueriesRelational {
         .groupBy("p_brand")
         .agg(sumd(col("l_extendedprice")).as("sum_price"), count(lit(1)).as("n"))),
 
+    // Skew-salted equi-join surfaced through the oracle gate: the fact
+    // spreads each key over `salt` deterministic sub-keys and the dim
+    // replicates salt× (ScaleJoins.saltedJoin), so one hot key occupies
+    // `salt` reducers instead of one — the manual fix when AQE's
+    // skew-split can't help (pre-shuffle-agg skew, non-sort-merge plans).
+    // Result is EXACTLY the plain join, which is what the oracle runs.
+    "join_salted_skew" -> ((s, d) =>
+      graft.operators.ScaleJoins.saltedJoin(
+        orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        customer(s, d).select(col("c_custkey").as("o_custkey"), col("c_name")),
+        "o_custkey", salt = 8)),
+
     // ---- W: window functions (SURVEY §2.5 + declared breadth) ------------
 
     "win_topk_per_group" -> ((s, d) => {
@@ -412,6 +424,10 @@ object QueriesRelational {
       s"""SELECT p_brand, ${SUMD.format("l_extendedprice")} AS sum_price, COUNT(*) AS n
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY 1""",
+
+    "join_salted_skew" ->
+      """SELECT o.o_custkey, o.o_orderkey, c.c_name
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey""",
 
     "win_topk_per_group" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (

@@ -234,6 +234,60 @@ object QueriesText {
           (coalesce(col("n_hits"), lit(0L)) > 0).cast(IntegerType).as("contaminated"))
     }),
 
+    // Bloom-prefiltered decontamination: same contract as
+    // `text_decontaminate`, but the corpus probes a broadcast BLOOM of the
+    // eval shingle set before the exact membership join. Why: at 100 TB
+    // the eval suite can reach hundreds of millions of distinct 8-grams —
+    // gigabytes as broadcast strings, ~180 MB as a 1%-FP bloom — and the
+    // bloom keeps the corpus-side scan map-only while the exact confirm
+    // join (which removes the false positives) sees only bloom-positive
+    // rows: true hits + a ~1% trickle. One-sided error means the result is
+    // EXACTLY the unfiltered pipeline's — the oracle is the same SQL.
+    "text_decontaminate_bloom" -> ((s, d) => {
+      import org.apache.spark.sql.graft.BloomExpressions.{bloom_build, bloom_might_contain}
+      val docs = documents(s, d)
+      val isEval = substring(md5(col("doc_id").cast(StringType)), 1, 1) === "0"
+      val words = split(col("text"), " ")
+      def shingles(df: DataFrame) = df.select(
+        col("doc_id"),
+        explode(when(size(words) >= 8,
+            transform(sequence(lit(1), size(words) - lit(7)),
+              i => array_join(slice(words, i, lit(8)), " ")))
+          .otherwise(array())).as("shingle"))
+      val evalSh = shingles(docs.filter(isEval)).select("shingle").distinct()
+      val bf = evalSh.agg(bloom_build(col("shingle"), numBits = 1 << 17).as("__bf"))
+      val hits = shingles(docs.filter(!isEval))
+        .crossJoin(broadcast(bf))
+        .filter(bloom_might_contain(col("__bf"), col("shingle")))
+        .drop("__bf")
+        .join(broadcast(evalSh), Seq("shingle"), "left_semi") // FP removal
+        .distinct()
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      docs.filter(!isEval).select("doc_id", "source")
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)) > 0).cast(IntegerType).as("contaminated"))
+    }),
+
+    // DSIR-style importance sampling (hashed unigram features): score each
+    // doc by the fraction of its tokens landing in target-enriched md5
+    // hash buckets (target = English slice), keep docs scoring ≥ 0.5.
+    // Enrichment compares exact integer cross-products and the score is a
+    // ratio of two exact counts — no log/ratio summation whose float
+    // ordering could diverge from the oracle. Two corpus scans (fit +
+    // score, the DSIR minimum); the fit collapses to ≤256 bucket rows
+    // map-side and the enriched set broadcasts (see
+    // [[graft.operators.Sampling.importanceWeights]]).
+    "text_importance_sample" -> ((s, d) => {
+      val scored = graft.operators.Sampling.importanceWeights(
+        documents(s, d).select("doc_id", "lang", "text"),
+        "text", "doc_id", col("lang") === "en")
+      scored.select(col("doc_id"), col("n_words"), col("n_enriched"),
+          round(col("n_enriched").cast(DoubleType) / col("n_words"), 6).as("imp_r"))
+        .withColumn("kept", (col("imp_r") >= 0.5).cast(IntegerType))
+    }),
+
     // Token-budget mixture weights: per-source sampling weight to hit a
     // uniform-across-sources token mixture at half the corpus's total
     // token budget — the "how much of each source do I keep" step after
@@ -678,6 +732,52 @@ object QueriesText {
                CASE WHEN COALESCE(h.n_hits, 0) > 0 THEN 1 ELSE 0 END AS contaminated
         FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
         WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1) <> '0'""",
+
+    // The bloom prefilter is exact-after-confirm, so the oracle is the
+    // same SQL as text_decontaminate.
+    "text_decontaminate_bloom" ->
+      """WITH sh AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(string_split(text, ' ')) - 6),
+                        i -> array_to_string(string_split(text, ' ')[i:i+7], ' '))) AS shingle
+          FROM documents),
+        ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+        ev AS (SELECT DISTINCT shingle FROM ds
+               WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'),
+        hits AS (
+          SELECT doc_id, count(*) AS n_hits FROM ds
+          WHERE shingle IN (SELECT shingle FROM ev)
+            AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> '0'
+          GROUP BY 1)
+        SELECT d.doc_id, d.source,
+               COALESCE(h.n_hits, 0) AS n_hits,
+               CASE WHEN COALESCE(h.n_hits, 0) > 0 THEN 1 ELSE 0 END AS contaminated
+        FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1) <> '0'""",
+
+    "text_importance_sample" ->
+      """WITH bw AS (
+          SELECT doc_id, lang = 'en' AS tgt,
+                 CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % 256 AS bucket
+          FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+                FROM documents)),
+        dist AS (
+          SELECT bucket, count(*) AS n_all, count(*) FILTER (tgt) AS n_tgt
+          FROM bw GROUP BY 1),
+        tot AS (
+          SELECT CAST(sum(n_all) AS BIGINT) AS tot_all,
+                 CAST(sum(n_tgt) AS BIGINT) AS tot_tgt
+          FROM dist),
+        enr AS (
+          SELECT bucket FROM dist CROSS JOIN tot
+          WHERE n_tgt * tot_all > n_all * tot_tgt)
+        SELECT doc_id, count(*) AS n_words,
+               count(e.bucket) AS n_enriched,
+               round(CAST(count(e.bucket) AS DOUBLE) / count(*), 6) AS imp_r,
+               CASE WHEN round(CAST(count(e.bucket) AS DOUBLE) / count(*), 6) >= 0.5
+                    THEN 1 ELSE 0 END AS kept
+        FROM bw LEFT JOIN enr e ON bw.bucket = e.bucket
+        GROUP BY doc_id""",
 
     "text_mixture_weights" ->
       """WITH tok AS (

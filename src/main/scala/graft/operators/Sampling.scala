@@ -59,4 +59,44 @@ object Sampling {
       .filter(hashBucket(col(keyCol), 10000) < round(col("__rate") * 10000).cast(LongType))
       .drop("__rate")
   }
+
+  /** DSIR-inspired importance scoring over hashed token features
+    * (Xie et al. 2023, "Data Selection for Language Models via Importance
+    * Resampling" — the hashed-n-gram flavor, unigram features here).
+    *
+    * Fit: every token maps to one of `buckets` md5 hash buckets; a bucket
+    * is TARGET-ENRICHED when its token share in the target slice exceeds
+    * its share overall — compared as an exact integer cross-product
+    * (`n_tgt·total_all > n_all·total_tgt`), so there is no ratio/log
+    * arithmetic whose summation order could diverge between engines.
+    * Score: a document's importance is the fraction of its tokens landing
+    * in enriched buckets — a ratio of two exact counts.
+    *
+    * Scale shape: two corpus scans (fit + score), the DSIR minimum. The
+    * fit aggregates to ≤ `buckets` rows (map-side combine does nearly all
+    * the work; totals ride an unpartitioned window over those bounded
+    * rows, not a second corpus scan); the enriched set broadcasts, so the
+    * scoring pass is one map-only probe + a doc-keyed aggregation.
+    *
+    * Returns one row per `idCol`: (id, n_words, n_enriched).
+    */
+  def importanceWeights(docs: DataFrame, textCol: String, idCol: String,
+                        isTarget: Column, buckets: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    def words = docs.select(col(idCol), isTarget.as("__tgt"),
+        explode(split(col(textCol), " ")).as("__w"))
+      .withColumn("__bucket", hashBucket(col("__w"), buckets))
+    val dist = words.groupBy("__bucket")
+      .agg(count(lit(1)).as("__n_all"), count(when(col("__tgt"), 1)).as("__n_tgt"))
+    val enriched = dist
+      .select(col("__bucket"), col("__n_all"), col("__n_tgt"),
+              sum("__n_all").over(w).as("__tot_all"),
+              sum("__n_tgt").over(w).as("__tot_tgt"))
+      .filter(col("__n_tgt") * col("__tot_all") > col("__n_all") * col("__tot_tgt"))
+      .select(col("__bucket"), lit(1).as("__e"))
+    words.join(broadcast(enriched), Seq("__bucket"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), count(col("__e")).as("n_enriched"))
+  }
 }

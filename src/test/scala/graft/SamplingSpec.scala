@@ -69,4 +69,39 @@ class SamplingSpec extends SparkSpec {
     val enTotal = d.filter(col("lang") === "en").count()
     assert(out.filter(col("lang") === "en").count() === enTotal)
   }
+
+  test("importance weights separate a disjoint-vocabulary target perfectly") {
+    // Target docs draw from vocab A, the rest from vocab B: every A-bucket
+    // is target-enriched (and no B-bucket is), so target docs must score
+    // n_enriched = n_words and background docs 0 — modulo md5 bucket
+    // collisions between the two vocabs, which we rule out by checking.
+    def bucketOf(w: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16) % 256
+    }
+    // pick words greedily so no bucket is shared within or across vocabs
+    val picked = scala.collection.mutable.LinkedHashMap[String, Long]()
+    val seen = scala.collection.mutable.Set[Long]()
+    for (w <- (1 to 400).iterator.flatMap(i => Seq(s"alpha$i", s"beta$i")) if picked.size < 40) {
+      val bkt = bucketOf(w)
+      if (!seen(bkt)) { seen += bkt; picked(w) = bkt }
+    }
+    val (a, b) = picked.keys.toSeq.splitAt(20)
+    val docsDf = ((1 to 30).map(i => (i.toLong, "tgt", a((i * 7) % 20) + " " + a((i * 3) % 20) + " " + a(i % 20))) ++
+      (31 to 60).map(i => (i.toLong, "bg", b((i * 7) % 20) + " " + b((i * 3) % 20) + " " + b(i % 20))))
+      .toDF("id", "grp", "text")
+    val got = Sampling.importanceWeights(docsDf, "text", "id", col("grp") === "tgt")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    (1 to 30).foreach { i => val (n, e) = got(i.toLong); assert(e === n, s"target doc $i") }
+    (31 to 60).foreach { i => val (_, e) = got(i.toLong); assert(e === 0L, s"background doc $i") }
+  }
+
+  test("importance weights are deterministic under repartitioning") {
+    val d = Tables.documents(spark, sf0001).select("doc_id", "lang", "text")
+    def run(parts: Int) =
+      Sampling.importanceWeights(d.repartition(parts), "text", "doc_id", col("lang") === "en")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(run(2) === run(11))
+  }
 }
