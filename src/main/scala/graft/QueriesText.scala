@@ -235,14 +235,22 @@ object QueriesText {
     }),
 
     // Bloom-prefiltered decontamination: same contract as
-    // `text_decontaminate`, but the corpus probes a broadcast BLOOM of the
-    // eval shingle set before the exact membership join. Why: at 100 TB
-    // the eval suite can reach hundreds of millions of distinct 8-grams —
+    // `text_decontaminate`, but the corpus probes a BLOOM of the eval
+    // shingle set before the exact membership join. Why: at 100 TB the
+    // eval suite can reach hundreds of millions of distinct 8-grams —
     // gigabytes as broadcast strings, ~180 MB as a 1%-FP bloom — and the
     // bloom keeps the corpus-side scan map-only while the exact confirm
     // join (which removes the false positives) sees only bloom-positive
     // rows: true hits + a ~1% trickle. One-sided error means the result is
     // EXACTLY the unfiltered pipeline's — the oracle is the same SQL.
+    //
+    // The bloom reaches the probe as a SCALAR SUBQUERY inside a plain
+    // Filter (the same shape Spark's InjectRuntimeFilter emits) rather
+    // than a crossJoin(broadcast(...)): a cross-join probe is a join node,
+    // and PushDownLeftSemiAntiJoin rewrites semi ⋈ cross so the exact
+    // confirm runs BELOW the bloom — correct, but the prefilter then
+    // guards nothing. No pushdown rule crosses a Filter, so the subquery
+    // form pins probe-before-confirm (asserted in PlanAuditSpec).
     "text_decontaminate_bloom" -> ((s, d) => {
       import org.apache.spark.sql.graft.BloomExpressions.{bloom_build, bloom_might_contain}
       val docs = documents(s, d)
@@ -255,11 +263,9 @@ object QueriesText {
               i => array_join(slice(words, i, lit(8)), " ")))
           .otherwise(array())).as("shingle"))
       val evalSh = shingles(docs.filter(isEval)).select("shingle").distinct()
-      val bf = evalSh.agg(bloom_build(col("shingle"), numBits = 1 << 17).as("__bf"))
+      val bf = evalSh.agg(bloom_build(col("shingle"), numBits = 1 << 17).as("__bf")).scalar()
       val hits = shingles(docs.filter(!isEval))
-        .crossJoin(broadcast(bf))
-        .filter(bloom_might_contain(col("__bf"), col("shingle")))
-        .drop("__bf")
+        .filter(bloom_might_contain(bf, col("shingle")))
         .join(broadcast(evalSh), Seq("shingle"), "left_semi") // FP removal
         .distinct()
         .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
@@ -310,6 +316,34 @@ object QueriesText {
             sum(col("n_tokens")).over(w) / count(lit(1)).over(w) / lit(2.0)
               / col("n_tokens"))
             .as("weight"))
+    }),
+
+    // Budget → sampled corpus, end-to-end: the mixture weights above
+    // APPLIED as per-source deterministic sampling rates (md5-bucket
+    // membership, the `stratifiedSample` mechanism) — the full "token
+    // budget in, curated subset out" step as ONE pipeline. The weight
+    // table is #sources rows and broadcasts; the corpus-side filter is
+    // map-only, so the 100 TB scan shuffles nothing. Weight arithmetic
+    // mirrors `text_mixture_weights` op-for-op and the bucket threshold
+    // rounds (not truncates), so membership is engine-exact.
+    "text_mixture_apply" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val docs = documents(s, d)
+      val weights = docs
+        .select(col("source"), size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+        .groupBy("source")
+        .agg(sum("n_tok").as("n_tokens"))
+        .select(col("source"),
+          least(lit(1.0),
+            sum(col("n_tokens")).over(w) / count(lit(1)).over(w) / lit(2.0)
+              / col("n_tokens"))
+            .as("__w"))
+      docs.select("doc_id", "source")
+        .join(broadcast(weights), Seq("source"))
+        .filter(graft.operators.Sampling.hashBucket(col("doc_id"), 10000) <
+                round(col("__w") * 10000).cast(LongType))
+        .select("doc_id", "source")
     }),
 
     // Cluster-representative selection: each near-dup cluster keeps its
@@ -792,6 +826,22 @@ object QueriesText {
         SELECT source, n_docs, n_tokens,
                LEAST(1.0, total_tokens / n_sources / 2.0 / n_tokens) AS weight
         FROM per CROSS JOIN tot""",
+
+    "text_mixture_apply" ->
+      """WITH per AS (
+          SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY 1),
+        tot AS (
+          SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                 count(*) AS n_sources
+          FROM per),
+        w AS (
+          SELECT source, LEAST(1.0, total_tokens / n_sources / 2.0 / n_tokens) AS wt
+          FROM per CROSS JOIN tot)
+        SELECT d.doc_id, d.source
+        FROM documents d JOIN w ON d.source = w.source
+        WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000
+              < round(wt * 10000)""",
 
     "dedup_clusters" ->
       """WITH RECURSIVE t AS (

@@ -197,4 +197,34 @@ class PlanAuditSpec extends SparkSpec {
       s"directly (no exchange between explode and probe)\n$p")
     assert(!p.substring(semiIdx, gen).contains("Exchange"), p)
   }
+
+  test("bloom decontamination probes the bitset before the exact confirm") {
+    val p = plan("text_decontaminate_bloom")
+    // the bloom probe is a plain Filter on the corpus side…
+    assert(p.contains("bloom_might_contain"), p)
+    // …upstream of the exact-confirm broadcast semi-join that removes FPs
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+    val probeIdx = p.indexOf("bloom_might_contain")
+    val semiIdx = p.indexOf("LeftSemi")
+    assert(probeIdx > semiIdx, // executedPlan prints consumers above producers
+      s"bloom probe must sit below (feed) the exact semi-join\n$p")
+  }
+
+  test("importance sampling broadcasts the enriched-bucket set (map-only probe)") {
+    val p = plan("text_importance_sample")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // fit + score are separate aggregations over the exploded words
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("salted join carries the salt through the shuffle keys") {
+    val p = plan("join_salted_skew")
+    assert(p.contains("__salt"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("mixture apply is a broadcast-rate, map-only corpus filter") {
+    val p = plan("text_mixture_apply")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }
