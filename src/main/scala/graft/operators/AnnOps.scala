@@ -243,6 +243,46 @@ object AnnOps {
     ivfAssign(emb, model).write.partitionBy("cell")
       .mode("overwrite").parquet(path)
 
+  /** Within-cell near-duplicate pairs by exact cosine — the pairing step
+    * of [[semanticDedup]]. Input must carry (vec_id, embedding, cell);
+    * output is (a_id, b_id, cos) with a_id < b_id. Pairing is bounded
+    * per cell (both sides hash-partition on `cell`), never
+    * corpus-quadratic — the SemDeDup trade: duplicates whose embeddings
+    * straddle a Voronoi boundary are missed, bounded by cluster quality. */
+  def semanticDupPairs(assigned: DataFrame, threshold: Double): DataFrame = {
+    def side(p: String) = assigned.select(
+      col("cell"), col("vec_id").as(s"${p}_id"), col("embedding").as(s"${p}_emb"))
+    side("a").join(side("b"), Seq("cell"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        vec_cosine(col("a_emb"), col("b_emb")).cast("double").as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC
+    * deduplication — drop documents that say the same thing, not just
+    * share n-grams. Cluster the embedding space with the IVF coarse
+    * quantizer, compare only within-cell pairs by exact cosine, connect
+    * pairs ≥ `threshold` into semantic groups, and keep ONE
+    * representative per group (the smallest vec_id — the same canonical
+    * choice as the MinHash cluster path; feed
+    * [[DedupClusters.keepBestPerCluster]] for a quality-based pick).
+    *
+    * Scale: the quantizer trains on a sample ([[ivfTrain]]); corpus
+    * assignment is the map-only [[ivfAssign]] (or comes back persisted
+    * from [[ivfWriteIndex]]); within-cell pairing is bounded per cell
+    * (~n²/nCells pairs at √n cells); components converge in O(log n)
+    * rounds ([[DedupClusters.connectedComponents]]). Returns the kept
+    * rows of `emb` (one representative per group + all unique vectors).
+    */
+  def semanticDedup(emb: DataFrame, model: IvfModel, threshold: Double): DataFrame = {
+    val pairs = semanticDupPairs(ivfAssign(emb, model), threshold)
+      .select("a_id", "b_id")
+    val labels = DedupClusters.clusterLabels(emb.select(col("vec_id")), "vec_id", pairs)
+    emb.join(labels.filter(col("vec_id") =!= col("cluster_id")).select("vec_id"),
+             Seq("vec_id"), "left_anti")
+  }
+
   private def ivfSearch(assigned: DataFrame, cents: DataFrame,
                         queryIds: Seq[Long], k: Int, nProbe: Int): DataFrame = {
     val q = assigned.filter(col("vec_id").isInCollection(queryIds))
