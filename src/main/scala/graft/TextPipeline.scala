@@ -163,10 +163,55 @@ object TextPipeline {
     * RocksDB state store (key cardinality = distinct sketches in the
     * watermark). TextPipelineSpec drives it end-to-end on RocksDB with
     * AvailableNow and checks batch/stream split agreement.
+    *
+    * `evalBloom` (from [[evalShingleBloom]]) adds the stateless
+    * decontamination gate in front: benchmark-contaminated docs never
+    * enter the curated stream.
     */
-  def curateStream(docs: DataFrame): DataFrame =
+  def curateStream(docs: DataFrame,
+                   evalBloom: Option[Array[Long]] = None): DataFrame = {
+    val decon = evalBloom.map(decontaminateGate(docs, _)).getOrElse(docs)
     Sampling.trainValTestSplit(
-      graft.streaming.EventStreams.nearDupSuppress(qualityFilter(docs)), "doc_id")
+      graft.streaming.EventStreams.nearDupSuppress(qualityFilter(decon)), "doc_id")
+  }
+
+  /** Decontamination bloom over an eval corpus's word `nGram`-grams —
+    * build once per benchmark-suite release, then gate any stream or
+    * batch with [[decontaminateGate]]. Eval suites are bounded (millions
+    * of shingles), so the driver-side array stays small (`numBits`/8
+    * bytes); the aggregation itself is distributed and deterministic. */
+  def evalShingleBloom(evalDocs: DataFrame, numBits: Int = 1 << 20,
+                       nGram: Int = 8): Array[Long] = {
+    import org.apache.spark.sql.graft.BloomExpressions.bloom_build
+    evalDocs.select(explode(shingleArray(nGram)).as("shingle"))
+      .agg(bloom_build(col("shingle"), numBits).as("bf"))
+      .collect()(0).getSeq[Long](0).toArray
+  }
+
+  /** Stateless decontamination gate: drop any doc sharing a word
+    * `nGram`-gram with the bloomed eval set. MAP-ONLY — an `exists` fold
+    * over the doc's own shingle array against the bloom literal: no
+    * join, no explode, no state, so it composes into a streaming plan as
+    * a plain filter. Error is one-sided the SAFE way round: contaminated
+    * docs can never pass (no false negatives); a ~(FP rate ×
+    * shingles/doc) sliver of clean docs is over-dropped — the right
+    * trade for an online gate, with the exact offline
+    * `text_decontaminate` pass remaining authoritative. */
+  def decontaminateGate(docs: DataFrame, bloom: Array[Long],
+                        nGram: Int = 8): DataFrame = {
+    import org.apache.spark.sql.graft.BloomExpressions.bloom_might_contain
+    docs.filter(!exists(shingleArray(nGram),
+      s => bloom_might_contain(typedlit(bloom.toSeq), s)))
+  }
+
+  /** Word `n`-gram array of `text` (empty when the doc is shorter). */
+  private def shingleArray(n: Int): org.apache.spark.sql.Column = {
+    val words = split(col("text"), " ")
+    when(size(words) >= n,
+        transform(sequence(lit(1), size(words) - lit(n - 1)),
+          i => array_join(slice(words, i, lit(n)), " ")))
+      .otherwise(array())
+  }
 
   /** The latest persisted [[CurationState]] under `root` (written by
     * [[curateIncrementStream]]'s batch-keyed layout), if any. */

@@ -166,4 +166,47 @@ class TextPipelineSpec extends SparkSpec {
       }
     }
   }
+
+  test("streaming decontamination gate drops benchmark-contaminated docs online") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    def ts(s: String) = Timestamp.valueOf(s)
+    val evalDocs = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa mu nu"))
+      .toDF("doc_id", "text")
+    val bloom = TextPipeline.evalShingleBloom(evalDocs, numBits = 1 << 14)
+    // both pass the quality gate; only one embeds an eval 8-gram
+    val contaminated = "the data pipeline speaks alpha beta gamma delta " +
+      "epsilon zeta eta theta while the remaining tokens keep the sentence " +
+      "long enough for the quality gate to pass"
+    val clean = "the measured throughput of the cluster improves when the " +
+      "shuffle stays small and the partitions remain balanced across all " +
+      "the executors during the run"
+    val in = MemoryStream[(Timestamp, Long, String)](spark)
+    in.addData(
+      (ts("2024-01-01 00:00:00"), 1L, contaminated),
+      (ts("2024-01-01 00:01:00"), 2L, clean))
+    val q = TextPipeline.curateStream(in.toDF().toDF("ts", "doc_id", "text"),
+        evalBloom = Some(bloom))
+      .writeStream.format("memory").queryName("decon_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = spark.table("decon_stream").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(out === Set(2L), s"contaminated doc must be gated out, got $out")
+    // and without the bloom both flow through (the gate, not the quality
+    // filter, is what dropped doc 1)
+    val in2 = MemoryStream[(Timestamp, Long, String)](spark)
+    in2.addData(
+      (ts("2024-01-01 00:00:00"), 1L, contaminated),
+      (ts("2024-01-01 00:01:00"), 2L, clean))
+    val q2 = TextPipeline.curateStream(in2.toDF().toDF("ts", "doc_id", "text"))
+      .writeStream.format("memory").queryName("decon_stream_off")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    val out2 = spark.table("decon_stream_off").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(out2 === Set(1L, 2L), out2.toString)
+  }
 }
