@@ -15,7 +15,10 @@ import graft.operators.AnnOps
   *     ([[AnnOps.srpMultiTopK]]) at (bits, L) up to (4, 24);
   *   - k-means IVF at cells ∈ {16, 64 (≈√n), 256}, nProbe scaled per
   *     cell count, probing a ONCE-assigned inverted file per model;
-  *   - PQ (m=8, k=16 — 32× compression) at rerank ∈ {1 … 64}.
+  *   - PQ (m=8, k=16 — 32× compression) at rerank ∈ {1 … 64};
+  *   - IVF-PQ composite (cells=16, m=8, k=16) over a once-encoded code
+  *     table, sweeping (nProbe, rerank) — the probed-IVF recall ceiling
+  *     times the ADC retention, at a fraction of either family's scan.
   * Recall is computed with the distributed [[AnnOps.recallAt]] semi join
   * (no driver-side sets). Output: one JSON line on stdout plus
   * `ann_recall.json` (or $ANN_OUT).
@@ -28,6 +31,10 @@ import graft.operators.AnnOps
   * high-recall family on this corpus — rerank64 reaches 0.982 at 0.32
   * cost** (rerank32: 0.87 at 0.16); the best ≥0.9 SRP point stays
   * bits8×16tables multi-probe at 0.45, and IVF needs probe12/16 = 0.75.
+  * The IVF-PQ composite lands probe12×rerank64 = 0.944 at the same 0.32
+  * exact cost as flat PQ but scanning only 12/16 of the (32×-compressed)
+  * code table — the gap to flat PQ's 0.982 is the IVF probe ceiling
+  * (0.952 at probe12), which real clustered manifolds lift.
   * The √n-cell sweep is deliberately reported even though it does NOT
   * help here: with no cluster structure, k-means cells tile the sphere
   * arbitrarily and IVF recall tracks cost ≈ linearly at every cell count
@@ -123,7 +130,24 @@ object AnnRecall {
       (s"pq_m8_k16_rerank$r", r4(rec), Some(r4(math.min(1.0, r.toDouble * k / corpusN))))
     }
 
-    val all = srp ++ srpMulti ++ ivf ++ pq
+    // IVF-PQ composite: encode ONCE (the persisted inverted file of PQ
+    // codes), sweep (nProbe, rerank) against the same code table. The
+    // reported cost_frac is the exact-rerank fraction (comparable to the
+    // PQ rows); the ADC scan additionally touches ~nProbe/nCells of the
+    // 32×-compressed codes — bytes, not exact scores.
+    val ivfPqModel = AnnOps.ivfPqTrain(emb, nCells = 16, m = 8, k = 16)
+    val ivfPqCodes = AnnOps.ivfPqEncode(emb, ivfPqModel).cache()
+    val ivfpq = Seq((2, 8), (4, 8), (4, 16), (8, 16), (8, 32), (12, 32), (12, 64))
+      .map { case (nProbe, rr) =>
+        val rec = AnnOps.recallAt(
+          AnnOps.ivfPqTopK(emb, ivfPqModel, queryIds, k, nProbe, rr, Some(ivfPqCodes)),
+          truth)
+        (s"ivfpq_cells16_probe${nProbe}_rerank$rr", r4(rec),
+          Some(r4(math.min(1.0, rr.toDouble * k / corpusN))))
+      }
+    ivfPqCodes.unpersist()
+
+    val all = srp ++ srpMulti ++ ivf ++ pq ++ ivfpq
     val entries = all.map { case (n, v, _) => s"\"$n\":$v" }.mkString(",")
     val costs = all.collect { case (n, _, Some(c)) => s"\"$n\":$c" }.mkString(",")
     val json =

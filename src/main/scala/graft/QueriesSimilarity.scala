@@ -79,7 +79,29 @@ object QueriesSimilarity {
         col("vec_id"),
         round(vec_norm(col("embedding")), 6).as("norm_r"),
         round(vec_dot(col("embedding"), col("embedding")), 4).as("self_dot_r"),
-        size(col("embedding")).cast("long").as("dim")))
+        size(col("embedding")).cast("long").as("dim"))),
+
+    // SemDeDup through the oracle gate: cell-blocked cosine pairs →
+    // connected components → one representative (min id) per semantic
+    // group. `label` stands in for the trained IVF cell (the
+    // oracle-checkable surrogate, as in sim_ivf_label_topk); the trained
+    // form is AnnOps.semanticDedup (SemanticDedupSpec). Cosine rounds to
+    // 6 decimals BEFORE the threshold so pair membership is
+    // engine-portable by construction.
+    "dedup_semantic" -> ((s, d) => {
+      val e = embeddings(s, d)
+      def side(p: String) = e.select(
+        col("label"), col("vec_id").as(s"${p}_id"), col("embedding").as(s"${p}_emb"))
+      val pairs = side("a").join(side("b"), Seq("label"))
+        .filter(col("a_id") < col("b_id"))
+        .filter(round(vec_cosine(col("a_emb"), col("b_emb")), 6) >= 0.4)
+        .select("a_id", "b_id")
+      val labels = graft.operators.DedupClusters
+        .clusterLabels(e.select(col("vec_id")), "vec_id", pairs)
+      e.select("vec_id", "label")
+        .join(labels.filter(col("vec_id") =!= col("cluster_id")).select("vec_id"),
+              Seq("vec_id"), "left_anti")
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -118,6 +140,25 @@ object QueriesSimilarity {
           round(CAST(CAST(sqrt(CAST(list_dot_product(embedding, embedding) AS DOUBLE)) AS FLOAT) AS DOUBLE), 6) AS norm_r,
           round(CAST(list_dot_product(embedding, embedding) AS DOUBLE), 4) AS self_dot_r,
           len(embedding) AS dim
-        FROM embeddings"""
+        FROM embeddings""",
+
+    "dedup_semantic" ->
+      """WITH RECURSIVE pairs AS (
+          SELECT a.vec_id AS a_id, b.vec_id AS b_id
+          FROM embeddings a JOIN embeddings b
+            ON a.label = b.label AND a.vec_id < b.vec_id
+          WHERE round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 6) >= 0.4),
+        edges AS (
+          SELECT a_id AS u, b_id AS v FROM pairs
+          UNION SELECT b_id, a_id FROM pairs),
+        walk(u, v) AS (
+          SELECT u, v FROM edges
+          UNION
+          SELECT w.u, e.v FROM walk w JOIN edges e ON w.v = e.u),
+        comp AS (
+          SELECT u AS id, LEAST(MIN(v), u) AS cluster_id FROM walk GROUP BY u)
+        SELECT e.vec_id, e.label FROM embeddings e
+        LEFT JOIN comp c ON e.vec_id = c.id
+        WHERE COALESCE(c.cluster_id, e.vec_id) = e.vec_id"""
   )
 }
