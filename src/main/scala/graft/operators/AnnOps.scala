@@ -248,11 +248,41 @@ object AnnOps {
     * output is (a_id, b_id, cos) with a_id < b_id. Pairing is bounded
     * per cell (both sides hash-partition on `cell`), never
     * corpus-quadratic — the SemDeDup trade: duplicates whose embeddings
-    * straddle a Voronoi boundary are missed, bounded by cluster quality. */
-  def semanticDupPairs(assigned: DataFrame, threshold: Double): DataFrame = {
-    def side(p: String) = assigned.select(
-      col("cell"), col("vec_id").as(s"${p}_id"), col("embedding").as(s"${p}_emb"))
-    side("a").join(side("b"), Seq("cell"))
+    * straddle a Voronoi boundary are missed, bounded by cluster quality.
+    *
+    * `maxCellSize` is the skew defense: k-means offers no balance
+    * guarantee, and one runaway cell makes its reducer quadratic. Cells
+    * over the cap sub-split by an SRP signature (just enough bits to
+    * bring the LARGEST cell under the cap — the bit count derives from a
+    * 2-row aggregate, the same bounded driver-side lookup as the Z-order
+    * min/max). Pairs across sub-buckets are forgone — the same trade the
+    * cell boundary already makes, and EXACT duplicates are never lost:
+    * identical vectors have identical sign patterns, so they land in the
+    * same sub-bucket at any bit width. */
+  def semanticDupPairs(assigned: DataFrame, threshold: Double,
+                       maxCellSize: Int = Int.MaxValue): DataFrame = {
+    val sized =
+      if (maxCellSize == Int.MaxValue) assigned.withColumn("__sub", lit(0L))
+      else {
+        val sizes = assigned.groupBy("cell").agg(count(lit(1)).as("__n")).cache()
+        val maxN = sizes.agg(max("__n")).first().getLong(0)
+        if (maxN <= maxCellSize) assigned.withColumn("__sub", lit(0L))
+        else {
+          val bits = math.max(1, math.ceil(
+            math.log(maxN.toDouble / maxCellSize) / math.log(2)).toInt)
+          val big = sizes.filter(col("__n") > maxCellSize)
+            .select(col("cell"), lit(1).as("__big"))
+          assigned.join(broadcast(big), Seq("cell"), "left")
+            .withColumn("__sub",
+              when(col("__big") === 1, srp_signature(col("embedding"), bits))
+                .otherwise(lit(0L)))
+            .drop("__big")
+        }
+      }
+    def side(p: String) = sized.select(
+      col("cell"), col("__sub"),
+      col("vec_id").as(s"${p}_id"), col("embedding").as(s"${p}_emb"))
+    side("a").join(side("b"), Seq("cell", "__sub"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         vec_cosine(col("a_emb"), col("b_emb")).cast("double").as("cos"))
@@ -275,8 +305,9 @@ object AnnOps {
     * rounds ([[DedupClusters.connectedComponents]]). Returns the kept
     * rows of `emb` (one representative per group + all unique vectors).
     */
-  def semanticDedup(emb: DataFrame, model: IvfModel, threshold: Double): DataFrame = {
-    val pairs = semanticDupPairs(ivfAssign(emb, model), threshold)
+  def semanticDedup(emb: DataFrame, model: IvfModel, threshold: Double,
+                    maxCellSize: Int = Int.MaxValue): DataFrame = {
+    val pairs = semanticDupPairs(ivfAssign(emb, model), threshold, maxCellSize)
       .select("a_id", "b_id")
     val labels = DedupClusters.clusterLabels(emb.select(col("vec_id")), "vec_id", pairs)
     emb.join(labels.filter(col("vec_id") =!= col("cluster_id")).select("vec_id"),

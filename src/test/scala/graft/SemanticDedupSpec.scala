@@ -61,4 +61,41 @@ class SemanticDedupSpec extends SparkSpec {
         .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(run(2) === run(17))
   }
+
+  test("a cell-size cap above every cell size changes nothing") {
+    val model = AnnOps.ivfTrain(emb, nCells = 8)
+    val uncapped = AnnOps.semanticDedup(emb, model, threshold = 0.6)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val capped = AnnOps.semanticDedup(emb, model, threshold = 0.6,
+        maxCellSize = 1000000)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(capped === uncapped)
+  }
+
+  test("skew cap sub-splits a giant cell but never separates exact duplicates") {
+    // adversarial skew: EVERY vector in one cell (single-centroid model)
+    val base = emb.limit(400)
+    val copies = base.select((col("vec_id") + 100000L).as("vec_id"),
+      col("embedding"), col("label"))
+    val dim = base.select(size(col("embedding"))).first().getInt(0)
+    val one = AnnOps.IvfModel(Seq((0, Seq.fill(dim)(0.0))))
+    val assigned = AnnOps.ivfAssign(base.unionByName(copies), one)
+    // the cap forces SRP sub-splitting (800 rows in one cell, cap 100)…
+    val pairs = AnnOps.semanticDupPairs(assigned, threshold = 0.9999,
+        maxCellSize = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // …yet every (original, copy) exact-dup pair survives: identical
+    // vectors have identical SRP signs at any bit width
+    val ids = base.select("vec_id").collect().map(_.getLong(0))
+    ids.foreach { id =>
+      assert(pairs.contains((id, id + 100000L)),
+        s"exact-dup pair for $id lost by the skew sub-split") }
+    // and the sub-split actually bounded the pairing: the all-pairs count
+    // for an unsplit 800-row cell would be 319600; SRP buckets cut the
+    // candidate space well below that
+    val candidateCount = AnnOps.semanticDupPairs(assigned, threshold = -1.0,
+        maxCellSize = 100).count()
+    assert(candidateCount < 319600L / 2,
+      s"sub-split did not reduce pairing work: $candidateCount")
+  }
 }
