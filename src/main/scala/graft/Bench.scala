@@ -30,6 +30,25 @@ object Bench {
   val RegressFactor = 3.0
   val RegressAbsFloor = 0.5
 
+  /** max > SpreadFactor × min AND max − min > SpreadAbsFloor ⇒ some rep
+    * of the query was starved (one slow rep among quiet ones). Shared by
+    * the artifact's `suspect` list and the retry trigger so the two can
+    * never desynchronize. */
+  val SpreadFactor = 3.0
+  val SpreadAbsFloor = 0.5
+
+  def spreadSuspects(ok: Seq[(String, Seq[Double])]): Seq[String] =
+    ok.collect {
+      case (k, ts) if ts.max > ts.min * SpreadFactor &&
+                      ts.max - ts.min > SpreadAbsFloor => k }
+
+  /** The `"sf"` field of an artifact line, if present. Prior artifacts
+    * from a DIFFERENT scale factor must not feed [[priorBest]]: a tiny-sf
+    * prior mass-flags every query as regressed; a huge-sf prior masks
+    * real regressions. */
+  def sfOf(text: String): Option[String] =
+    """"sf":\s*"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(text).map(_.group(1))
+
   /** `"queries":{...}` object of a bench artifact line as a name → seconds
     * map (empty on malformed/absent input — a broken prior artifact must
     * never fail the bench). */
@@ -81,12 +100,10 @@ object Bench {
     * no spread, every rep slow). */
   def retryCandidates(ok: Seq[(String, Seq[Double])],
                       prior: Map[String, Double]): Seq[String] = {
-    val spread = ok.collect {
-      case (k, ts) if ts.max > ts.min * 3 && ts.max - ts.min > 0.5 => k }
     val regressed = ok.collect {
       case (k, ts) if prior.get(k).exists(p =>
         ts.min > p * RegressFactor && ts.min - p > RegressAbsFloor) => k }
-    (spread ++ regressed).distinct
+    (spreadSuspects(ok) ++ regressed).distinct
   }
 
   def main(args: Array[String]): Unit = {
@@ -133,11 +150,10 @@ object Bench {
     val loadAfter = os.getSystemLoadAverage
     val ok = results.collect { case (k, ts) if ts.nonEmpty => k -> ts }
     val errors = results.collect { case (k, ts) if ts.isEmpty => k }
-    // reps of one query should agree; a >3× min-to-max spread means some
+    // reps of one query should agree; a big min-to-max spread means some
     // rep was starved — its min is still reported, but the query is named
     // so a slow total can be traced to contention, not code
-    val suspect = ok.collect {
-      case (k, ts) if ts.max > ts.min * 3 && ts.max - ts.min > 0.5 => k }
+    val suspect = spreadSuspects(ok)
 
     // ---- load-aware verification pass (defense 3) ----------------------
     val historyPath = sys.env.getOrElse("BENCH_HISTORY", "bench_history.jsonl")
@@ -145,11 +161,13 @@ object Bench {
       try Some(new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(n)), "UTF-8")) catch { case _: Throwable => None }
     val prior = priorBest(
-      Option(new java.io.File(".").list()).map(_.toSeq).getOrElse(Seq.empty)
+      (Option(new java.io.File(".").list()).map(_.toSeq).getOrElse(Seq.empty)
         .filter(_.matches("BENCH_r\\d+\\.json"))
         .flatMap(readIfThere)
         ++ readIfThere("bench_out.json").toSeq
         ++ readIfThere(historyPath).toSeq.flatMap(_.linesIterator))
+        // only same-scale-factor priors are a valid regression baseline
+        .filter(t => sfOf(t).contains(sfDir)))
     val toRetry = retryCandidates(ok, prior)
     val cooldownMs = sys.env.getOrElse("SPARK_GRAFT_BENCH_COOLDOWN_MS", "20000").toLong
     val retried: Map[String, (Double, Option[Double])] =

@@ -345,9 +345,13 @@ object EtlPipeline {
         .withColumn("__tk", org.apache.spark.sql.functions.row_number()
           .over(org.apache.spark.sql.expressions.Window.orderBy("terminal"))
           .cast("long"))
+      // LEFT join + coalesce: a NULL terminal never equi-joins, and this
+      // is a rewrite-in-place — an inner join would silently DELETE such
+      // rows (the repo's own loader gates them out, but the API must hold
+      // "same rows, new order" for any input)
       val clustered = graft.operators.ScaleJoins.zOrderCluster(
-        df.join(broadcast(ranks), Seq("terminal")),
-        unix_timestamp(col("trans_date")), col("__tk"), files)
+        df.join(broadcast(ranks), Seq("terminal"), "left"),
+        unix_timestamp(col("trans_date")), coalesce(col("__tk"), lit(0L)), files)
         .select(df.columns.map(col): _*) // join reordered columns; restore
       WarehouseFs.publish(clustered, dir)
     }

@@ -264,9 +264,13 @@ object QueriesText {
           .otherwise(array())).as("shingle"))
       val evalSh = shingles(docs.filter(isEval)).select("shingle").distinct()
       val bf = evalSh.agg(bloom_build(col("shingle"), numBits = 1 << 17).as("__bf")).scalar()
+      // the confirm join carries NO broadcast hint: this variant exists
+      // for the regime where the eval set is too big to broadcast as
+      // strings, so the confirm is a shuffle semi-join of the tiny
+      // bloom-positive trickle (AQE still broadcasts when it does fit)
       val hits = shingles(docs.filter(!isEval))
         .filter(bloom_might_contain(bf, col("shingle")))
-        .join(broadcast(evalSh), Seq("shingle"), "left_semi") // FP removal
+        .join(evalSh, Seq("shingle"), "left_semi") // FP removal
         .distinct()
         .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
       docs.filter(!isEval).select("doc_id", "source")
@@ -804,7 +808,7 @@ object QueriesText {
           FROM dist),
         enr AS (
           SELECT bucket FROM dist CROSS JOIN tot
-          WHERE n_tgt * tot_all > n_all * tot_tgt)
+          WHERE CAST(n_tgt AS HUGEINT) * tot_all > CAST(n_all AS HUGEINT) * tot_tgt)
         SELECT doc_id, count(*) AS n_words,
                count(e.bucket) AS n_enriched,
                round(CAST(count(e.bucket) AS DOUBLE) / count(*), 6) AS imp_r,

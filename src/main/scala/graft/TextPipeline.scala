@@ -83,10 +83,23 @@ object TextPipeline {
     * state READS from `dir` (the usual fold) must write to a fresh
     * directory or use [[graft.sources.WarehouseFs.publishVersioned]] —
     * overwriting an input mid-read is the classic self-join corruption. */
+  /** Persist all three state tables, committed by a SINGLE directory
+    * rename: a crash mid-save leaves only a `_tmp_`-prefixed sibling
+    * (invisible to [[loadLatestState]], whose listing matches `batch=`
+    * names only, and cleaned by the next save of the same batch) — a
+    * reader can never observe a torn mix of old and new tables. */
   def saveState(state: CurationState, dir: String): Unit = {
-    state.sigs.write.mode(SaveMode.Overwrite).parquet(s"$dir/sigs")
-    state.bands.write.mode(SaveMode.Overwrite).parquet(s"$dir/bands")
-    state.labels.write.mode(SaveMode.Overwrite).parquet(s"$dir/labels")
+    val spark = state.sigs.sparkSession
+    val slash = dir.lastIndexOf('/')
+    val tmp = dir.substring(0, slash + 1) + "_tmp_" + dir.substring(slash + 1)
+    graft.sources.WarehouseFs.deleteIfExists(spark, tmp)
+    state.sigs.write.mode(SaveMode.Overwrite).parquet(s"$tmp/sigs")
+    state.bands.write.mode(SaveMode.Overwrite).parquet(s"$tmp/bands")
+    state.labels.write.mode(SaveMode.Overwrite).parquet(s"$tmp/labels")
+    graft.sources.WarehouseFs.deleteIfExists(spark, dir)
+    val (fs, target) = graft.sources.WarehouseFs.fsFor(spark, dir)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), target))
+      throw new java.io.IOException(s"saveState: rename $tmp -> $dir failed")
   }
 
   def loadState(spark: SparkSession, dir: String): CurationState =

@@ -172,7 +172,12 @@ object AnnOps {
   }
 
   def ivfLoad(spark: org.apache.spark.sql.SparkSession, path: String): IvfModel =
-    IvfModel(spark.read.parquet(path).select("cell", "c_emb").collect()
+    // the cast makes the read format-tolerant: a centroid table persisted
+    // by the earlier float layout would otherwise surface boxed Floats
+    // through getSeq[Double] and throw on first arithmetic use
+    IvfModel(spark.read.parquet(path)
+      .select(col("cell"), col("c_emb").cast("array<double>").as("c_emb"))
+      .collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq)
 
   /** Nearest-centroid (squared-euclidean) cell per vector — MAP-ONLY:
@@ -253,30 +258,31 @@ object AnnOps {
     * `maxCellSize` is the skew defense: k-means offers no balance
     * guarantee, and one runaway cell makes its reducer quadratic. Cells
     * over the cap sub-split by an SRP signature (just enough bits to
-    * bring the LARGEST cell under the cap — the bit count derives from a
-    * 2-row aggregate, the same bounded driver-side lookup as the Z-order
-    * min/max). Pairs across sub-buckets are forgone — the same trade the
-    * cell boundary already makes, and EXACT duplicates are never lost:
-    * identical vectors have identical sign patterns, so they land in the
-    * same sub-bucket at any bit width. */
+    * bring the LARGEST cell under the cap — cell sizes come from one
+    * aggregation collected driver-side, bounded by the model's cell
+    * count like the centroid table itself). Pairs across sub-buckets are
+    * forgone — the same trade the cell boundary already makes, and EXACT
+    * duplicates are never lost: identical vectors have identical sign
+    * patterns, so they land in the same sub-bucket at any bit width. */
   def semanticDupPairs(assigned: DataFrame, threshold: Double,
                        maxCellSize: Int = Int.MaxValue): DataFrame = {
     val sized =
       if (maxCellSize == Int.MaxValue) assigned.withColumn("__sub", lit(0L))
       else {
-        val sizes = assigned.groupBy("cell").agg(count(lit(1)).as("__n")).cache()
-        val maxN = sizes.agg(max("__n")).first().getLong(0)
+        // one aggregation, collected: the relation is bounded by the
+        // model's cell count (thousands), like the centroid table itself
+        val sizes = assigned.groupBy("cell").agg(count(lit(1)).as("__n"))
+          .collect().map(r => (r.getInt(0), r.getLong(1)))
+        val maxN = if (sizes.isEmpty) 0L else sizes.map(_._2).max
         if (maxN <= maxCellSize) assigned.withColumn("__sub", lit(0L))
         else {
           val bits = math.max(1, math.ceil(
             math.log(maxN.toDouble / maxCellSize) / math.log(2)).toInt)
-          val big = sizes.filter(col("__n") > maxCellSize)
-            .select(col("cell"), lit(1).as("__big"))
-          assigned.join(broadcast(big), Seq("cell"), "left")
-            .withColumn("__sub",
-              when(col("__big") === 1, srp_signature(col("embedding"), bits))
-                .otherwise(lit(0L)))
-            .drop("__big")
+          val big = sizes.collect { case (c, n) if n > maxCellSize => c }.toSeq
+          assigned.withColumn("__sub",
+            when(col("cell").isInCollection(big),
+                 srp_signature(col("embedding"), bits))
+              .otherwise(lit(0L)))
         }
       }
     def side(p: String) = sized.select(

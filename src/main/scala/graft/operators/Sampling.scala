@@ -89,11 +89,16 @@ object Sampling {
       .withColumn("__bucket", hashBucket(col("__w"), buckets))
     val dist = words.groupBy("__bucket")
       .agg(count(lit(1)).as("__n_all"), count(when(col("__tgt"), 1)).as("__n_tgt"))
+    // decimal(38,0) cross-products: count × total-count exceeds Long
+    // around a few hundred GB of text (T·T_tgt > 9.2e18) — decimal
+    // comparison stays exact to 1e38, far past 100 TB token counts
+    def d38(c: Column) = c.cast("decimal(38,0)")
     val enriched = dist
       .select(col("__bucket"), col("__n_all"), col("__n_tgt"),
               sum("__n_all").over(w).as("__tot_all"),
               sum("__n_tgt").over(w).as("__tot_tgt"))
-      .filter(col("__n_tgt") * col("__tot_all") > col("__n_all") * col("__tot_tgt"))
+      .filter(d38(col("__n_tgt")) * d38(col("__tot_all")) >
+              d38(col("__n_all")) * d38(col("__tot_tgt")))
       .select(col("__bucket"), lit(1).as("__e"))
     words.join(broadcast(enriched), Seq("__bucket"), "left")
       .groupBy(col(idCol))
