@@ -309,7 +309,40 @@ object QueriesBreadth {
         col("l_orderkey"), col("l_linenumber"),
         nullif(col("l_discount"), lit(0.0)).as("disc_or_null"),
         coalesce(nullif(col("l_discount"), lit(0.0)), lit(-1.0)).as("disc_coalesced"),
-        (col("l_discount") === 0.0).cast(IntegerType).as("is_zero")))
+        (col("l_discount") === 0.0).cast(IntegerType).as("is_zero"))),
+
+    // RFM customer segmentation (recency / frequency / monetary quintiles)
+    // — the behavioral-scoring workhorse. One hash agg collapses orders to
+    // |customers| rows FIRST, so the three global ntiles run over the
+    // small per-customer relation, not the fact table. Monetary folds to
+    // exact integer cents (round(sum·100): the true sum IS a whole number
+    // of cents, so the double error ~1e-7 never crosses a rounding
+    // boundary and every downstream compare is integer-exact). Each ntile
+    // orders by (metric, custkey) — a total order, so bucket assignment is
+    // deterministic on any engine. At 100 TB the per-customer relation is
+    // still million-scale; the exact single-partition ntile would become
+    // the approx_percentile cut-point variant (same 1–5 scores, sketch
+    // boundaries) — the agg-first shape is what survives.
+    "rfm_customer_segments" -> ((s, d) => {
+      val o = orders(s, d)
+      val maxDate = o.agg(max(col("o_orderdate")).as("global_max_dt"))
+      val base = o.groupBy("o_custkey")
+        .agg(max(col("o_orderdate")).as("last_dt"),
+          count(lit(1)).as("frequency"),
+          round(sum(col("o_totalprice")) * 100).cast(LongType).as("monetary_cents"))
+        .crossJoin(broadcast(maxDate))
+        .select(col("o_custkey"),
+          datediff(col("global_max_dt"), col("last_dt")).cast(LongType).as("recency_days"),
+          col("frequency"), col("monetary_cents"))
+      val byR = Window.orderBy(col("recency_days"), col("o_custkey"))
+      val byF = Window.orderBy(col("frequency").desc, col("o_custkey"))
+      val byM = Window.orderBy(col("monetary_cents").desc, col("o_custkey"))
+      base.select(col("o_custkey"), col("recency_days"), col("frequency"),
+        col("monetary_cents"),
+        ntile(5).over(byR).cast(LongType).as("r_score"),
+        ntile(5).over(byF).cast(LongType).as("f_score"),
+        ntile(5).over(byM).cast(LongType).as("m_score"))
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -548,6 +581,20 @@ object QueriesBreadth {
           nullif(l_discount, 0.0) AS disc_or_null,
           coalesce(nullif(l_discount, 0.0), -1.0) AS disc_coalesced,
           CAST(l_discount = 0.0 AS INT) AS is_zero
-        FROM lineitem"""
+        FROM lineitem""",
+
+    "rfm_customer_segments" ->
+      """WITH agg AS (
+          SELECT o_custkey,
+            date_diff('day', CAST(max(o_orderdate) AS DATE),
+                      (SELECT CAST(max(o_orderdate) AS DATE) FROM orders)) AS recency_days,
+            COUNT(*) AS frequency,
+            CAST(round(SUM(o_totalprice) * 100) AS BIGINT) AS monetary_cents
+          FROM orders GROUP BY o_custkey)
+        SELECT o_custkey, recency_days, frequency, monetary_cents,
+          ntile(5) OVER (ORDER BY recency_days, o_custkey) AS r_score,
+          ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+          ntile(5) OVER (ORDER BY monetary_cents DESC, o_custkey) AS m_score
+        FROM agg"""
   )
 }

@@ -101,7 +101,28 @@ object QueriesSimilarity {
       e.select("vec_id", "label")
         .join(labels.filter(col("vec_id") =!= col("cluster_id")).select("vec_id"),
               Seq("vec_id"), "left_anti")
-    })
+    }),
+
+    // Int8 symmetric quantization of the embedding column — the storage
+    // path for a 100 TB vector corpus (4× smaller than f32, 8× smaller
+    // than f64; ADC-style scoring reads the codes, the f32 originals stay
+    // cold). Per-vector absmax scale, code = floor(x/scale·127) — every
+    // step is pure double IEEE arithmetic, so Spark and DuckDB agree
+    // bit-for-bit and the gate hashes exact integers (scale exported as
+    // floor-micro units for the same reason). Map-only: zero shuffles,
+    // codegen'd HOF over the array column.
+    "sim_quantize_int8" -> ((s, d) =>
+      embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          expr("aggregate(embedding, CAST(0.0 AS DOUBLE), " +
+               "(acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE))))").as("sc"))
+        .select(col("vec_id"),
+          floor(col("sc") * 1000000).cast("long").as("scale_micro"),
+          when(col("sc") === 0.0, lit(""))
+            .otherwise(expr(
+              "array_join(transform(embedding, x -> CAST(CAST(" +
+              "floor(CAST(x AS DOUBLE) / sc * 127.0) AS BIGINT) AS STRING)), ',')"))
+            .as("codes")))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -159,6 +180,19 @@ object QueriesSimilarity {
           SELECT u AS id, LEAST(MIN(v), u) AS cluster_id FROM walk GROUP BY u)
         SELECT e.vec_id, e.label FROM embeddings e
         LEFT JOIN comp c ON e.vec_id = c.id
-        WHERE COALESCE(c.cluster_id, e.vec_id) = e.vec_id"""
+        WHERE COALESCE(c.cluster_id, e.vec_id) = e.vec_id""",
+
+    "sim_quantize_int8" ->
+      """WITH m AS (
+          SELECT vec_id, embedding,
+                 list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS sc
+          FROM embeddings)
+        SELECT vec_id,
+          CAST(floor(sc * 1000000) AS BIGINT) AS scale_micro,
+          CASE WHEN sc = 0 THEN ''
+               ELSE array_to_string(list_transform(embedding, x ->
+                      CAST(CAST(floor(CAST(x AS DOUBLE) / sc * 127.0) AS BIGINT) AS VARCHAR)), ',')
+          END AS codes
+        FROM m"""
   )
 }

@@ -25,7 +25,10 @@ object QueriesText {
   private def normText(c: Column): Column =
     trim(regexp_replace(lower(c), "\\s+", " "))
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    baseQueries ++ indexingQueries
+
+  private lazy val baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token / char / punctuation / stopword statistics — quality-scoring
     // raw signals for a training-data pipeline.
     "text_stats" -> ((s, d) =>
@@ -509,6 +512,74 @@ object QueriesText {
                 col("source")))
   )
 
+  /** Offline indexing / context-window-prep operators (separate map only
+    * to keep the main literal under scalac's method-size comfort zone).
+    */
+  private lazy val indexingQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Inverted-index build: word → document frequency + sorted postings.
+    // One explode + distinct + hash-partitioned agg — the textbook
+    // offline-search shape. At 100 TB the partitioning unit is the TERM
+    // (each reducer owns a vocabulary slice), and the two degenerate tails
+    // are handled structurally: a df floor drops hapax noise (kept here at
+    // 3, the IR default), and stop-word postings — the only lists that
+    // grow with the corpus instead of the topic — would be doc-sharded
+    // into segment-local lists by the same groupBy keyed on
+    // (word, doc_id mod S). collect_list buffers one posting list per
+    // term, bounded by that sharding, never by corpus size.
+    "text_inverted_index" -> ((s, d) => {
+      val pairs = documents(s, d)
+        .select(col("doc_id"),
+          explode(split(normText(col("text")), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .distinct()
+      pairs.groupBy("word")
+        .agg(count(lit(1)).as("df"),
+          array_join(transform(array_sort(collect_list(col("doc_id"))),
+            x => x.cast(StringType)), ",").as("postings"))
+        .filter(col("df") >= 3)
+    }),
+
+    // Context-window chunking: fixed 200-char windows on a 150-char
+    // stride (50-char overlap so no boundary sentence is lost) — the prep
+    // step that turns documents into training/RAG-sized pieces. Map-only:
+    // sequence + explode + substring, zero shuffles, and chunk count is
+    // derived arithmetic so the plan is one narrow projection over the
+    // scan at any corpus size. Token-budgeted chunking swaps length() for
+    // the BPE-ish regexp_count used by `text_token_count`.
+    "text_chunk_overlap" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0L),
+            greatest(lit(0L),
+              floor((length(col("text")) - 1) / lit(150.0)).cast(LongType))))
+            .as("chunk_idx"))
+        .select(col("doc_id"), col("chunk_idx"),
+          expr("substring(text, CAST(chunk_idx * 150 + 1 AS INT), 200)")
+            .as("chunk"))),
+
+    // Rarity scoring: per-document profile of how rare its vocabulary is
+    // globally (min document-frequency + count of near-hapax terms) — the
+    // complement of `text_gopher_signals`' within-doc shape checks and a
+    // cheap OOD/garbage detector (gibberish → every "word" is rare).
+    // Two hash-partitioned aggs on the word key plus one join that
+    // re-uses the same partitioning; exact integer outputs end-to-end.
+    // At 100 TB the df table is Zipf-small relative to the corpus and the
+    // join stays shuffle-on-word with map-side combine on both inputs.
+    "text_rarity_score" -> ((s, d) => {
+      val words = documents(s, d)
+        .select(col("doc_id"),
+          explode(split(normText(col("text")), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .distinct()
+      val dfreq = words.groupBy("word").agg(count(lit(1)).as("df"))
+      words.join(dfreq, "word")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_distinct_words"),
+          min(col("df")).as("min_df"),
+          sum(when(col("df") <= 2, 1L).otherwise(0L)).as("n_rare"))
+    })
+  )
+
   val oracleSql: Map[String, String] = Map(
     "text_stats" ->
       """SELECT doc_id,
@@ -929,6 +1000,36 @@ object QueriesText {
     "multimodal_hash" ->
       """SELECT doc_id, md5(text) AS content_hash,
           octet_length(encode(text)) AS n_bytes, source
-        FROM documents"""
+        FROM documents""",
+
+    "text_inverted_index" ->
+      """WITH e AS (
+          SELECT doc_id,
+                 unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS word
+          FROM documents),
+        w AS (SELECT DISTINCT doc_id, word FROM e WHERE word <> '')
+        SELECT word, COUNT(*) AS df,
+               string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+        FROM w GROUP BY word HAVING COUNT(*) >= 3""",
+
+    "text_chunk_overlap" ->
+      """WITH n AS (
+          SELECT doc_id, text,
+                 unnest(range(greatest(0, CAST(floor((length(text) - 1) / 150.0) AS BIGINT)) + 1)) AS chunk_idx
+          FROM documents)
+        SELECT doc_id, chunk_idx,
+               substring(text, CAST(chunk_idx * 150 + 1 AS INT), 200) AS chunk
+        FROM n""",
+
+    "text_rarity_score" ->
+      """WITH e AS (
+          SELECT doc_id,
+                 unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS word
+          FROM documents),
+        w AS (SELECT DISTINCT doc_id, word FROM e WHERE word <> ''),
+        f AS (SELECT word, COUNT(*) AS df FROM w GROUP BY 1)
+        SELECT w.doc_id, COUNT(*) AS n_distinct_words, MIN(f.df) AS min_df,
+               CAST(SUM(CASE WHEN f.df <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+        FROM w JOIN f USING (word) GROUP BY 1"""
   )
 }
