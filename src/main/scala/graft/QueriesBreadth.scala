@@ -196,6 +196,14 @@ object QueriesBreadth {
         "returnflag_domain" -> col("l_returnflag").isin("A", "N", "R"),
         "ship_after_1994" -> (col("l_shipdate") >= lit("1995-01-01").cast(TimestampType))))),
 
+    // Tukey-fence (1.5·IQR) outlier screen per group: percentile_disc
+    // quartiles → broadcast fence table → map-only count
+    // (Quality.iqrOutliers). The numeric anomaly pass of a publish gate;
+    // fences are actual data values so both engines derive them exactly.
+    "quality_iqr_outliers" -> ((s, d) =>
+      graft.operators.Quality.iqrOutliers(
+        orders(s, d), "o_orderpriority", "o_totalprice")),
+
     // Equal-width histogram by pure arithmetic (floor((x-lo)/w)): engine-
     // portable bucketing, one aggregation; the plotting/distribution pass
     // over a money column. Bucket ids clamp into [0, 20).
@@ -501,6 +509,20 @@ object QueriesBreadth {
           COUNT(*) FILTER (WHERE NOT COALESCE(l_returnflag IN ('A','N','R'), FALSE)) AS viol_returnflag_domain,
           COUNT(*) FILTER (WHERE NOT COALESCE(l_shipdate >= TIMESTAMP '1995-01-01', FALSE)) AS viol_ship_after_1994
         FROM lineitem""",
+
+    "quality_iqr_outliers" ->
+      """WITH f AS (
+          SELECT o_orderpriority,
+            quantile_disc(o_totalprice, 0.25) AS q1,
+            quantile_disc(o_totalprice, 0.75) AS q3
+          FROM orders GROUP BY 1)
+        SELECT o.o_orderpriority, COUNT(*) AS n_rows,
+          COUNT(*) FILTER (WHERE o.o_totalprice < q1 - (q3 - q1) * 1.5
+                              OR o.o_totalprice > q3 + (q3 - q1) * 1.5) AS n_outliers,
+          MIN(q1 - (q3 - q1) * 1.5) AS fence_lo,
+          MIN(q3 + (q3 - q1) * 1.5) AS fence_hi
+        FROM orders o JOIN f USING (o_orderpriority)
+        GROUP BY 1""",
 
     "agg_histogram" ->
       """SELECT CAST(LEAST(GREATEST(FLOOR((o_totalprice - 0.0) / 30000.0), 0), 19) AS BIGINT) AS bucket,

@@ -146,12 +146,154 @@ object SketchExpressions {
     ExpressionUtils.column(CmsEstimate(
       ExpressionUtils.expression(sketch), ExpressionUtils.expression(item), depth, width))
 
-  /** SQL registration: cms_sketch(col) / cms_estimate(sketch, item) with
-    * the default 4×4096 geometry. Idempotent. */
+  // -------------------------------------------------------------------
+  // KMV (k-minimum-values / bottom-k theta) distinct-count sketch —
+  // the third leg of the sketch family (CMS = frequency, Bloom =
+  // membership, KMV = cardinality).
+  //
+  // The buffer keeps the k smallest DISTINCT 64-bit hashes seen. Updates
+  // are O(log k) only while the value would enter the bottom-k (a no-op
+  // for ~all rows once the buffer saturates); the merge is set-union +
+  // truncate. Both are order- and partitioning-independent — same rows in
+  // any layout give bit-identical sketches — so results are reproducible
+  // and replayable like the CMS. The estimator is the classic unbiased
+  // bottom-k form (Bar-Yossef et al. 2002; DataSketches theta): with
+  // U = unsigned value of the k-th smallest hash,
+  //   n < k  → the buffer holds every distinct hash → estimate is EXACT;
+  //   n ≥ k  → estimate = (k-1) · 2^64 / (U+1), RSE ≈ 1/√(k−2).
+  // The exact regime is what the oracle gate exercises (like the CMS's
+  // collision-free geometry); the approx regime is spec-bounded.
+  //
+  // At 100 TB: exact COUNT(DISTINCT) shuffles every distinct value;
+  // approx_count_distinct (HLL) is Spark's built-in answer, but a KMV
+  // sketch additionally supports set EXPRESSIONS over sketches
+  // (intersection/union cardinality from the same bottom-k samples),
+  // which HLL cannot, and its shuffle payload is k longs per group.
+  // -------------------------------------------------------------------
+
+  /** Transformed hash: xxh64 XOR'd so SIGNED ordering == unsigned hash
+    * ordering (TreeSet/array natural order is the estimator's order). */
+  def kmvHash(item: UTF8String): Long =
+    TextHashExpressions.tokenHash(item) ^ java.lang.Long.MIN_VALUE
+
+  /** Estimate from an ascending transformed-hash array (eval output). */
+  def kmvEstimate(sketch: ArrayData, k: Int): Long = {
+    val n = sketch.numElements()
+    if (n < k) n.toLong
+    else {
+      // U+1 where U = unsigned value of the k-th min = t + 2^63.
+      val t = sketch.getLong(k - 1)
+      val uPlus1 = t.toDouble + 9.223372036854776e18 + 1.0
+      Math.round((k - 1).toDouble * 1.8446744073709552e19 / uPlus1)
+    }
+  }
+
+  /** `kmv_sketch(stringCol, k)`: aggregate to the ascending array of the
+    * k smallest distinct transformed hashes. NULLs are skipped; an
+    * all-NULL / empty group yields the empty sketch (estimate 0).
+    */
+  case class KmvAgg(
+      child: Expression,
+      k: Int = 4096,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+    with ExpectsInputTypes
+    with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+    require(k > 1)
+
+    override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = false
+    override def prettyName: String = "kmv_sketch"
+
+    override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+      new java.util.TreeSet[java.lang.Long]()
+
+    override def update(buf: java.util.TreeSet[java.lang.Long],
+                        input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+      val v = child.eval(input)
+      if (v != null) {
+        val t = kmvHash(v.asInstanceOf[UTF8String])
+        if (buf.size < k) buf.add(t)
+        else if (t < buf.last) { if (buf.add(t)) buf.pollLast() }
+      }
+      buf
+    }
+
+    override def merge(b1: java.util.TreeSet[java.lang.Long],
+                       b2: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+      b1.addAll(b2)
+      while (b1.size > k) b1.pollLast()
+      b1
+    }
+
+    override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+      val out = new Array[Long](buf.size)
+      val it = buf.iterator()
+      var i = 0
+      while (it.hasNext) { out(i) = it.next(); i += 1 }
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+    }
+
+    override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 * buf.size)
+      val it = buf.iterator()
+      while (it.hasNext) bb.putLong(it.next())
+      bb.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      val s = new java.util.TreeSet[java.lang.Long]()
+      while (bb.hasRemaining) s.add(bb.getLong)
+      s
+    }
+
+    override def withNewMutableAggBufferOffset(o: Int): KmvAgg =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): KmvAgg =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildInternal(c: Expression): KmvAgg =
+      copy(child = c)
+  }
+
+  /** `kmv_estimate(sketch)`: distinct-count estimate — exact below k,
+    * bottom-k estimator at or above. Codegen'd (static call, no UDF). */
+  case class KmvEstimate(child: Expression, k: Int = 4096)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+      with ExpectsInputTypes {
+    override def dataType: DataType = LongType
+    override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+    override def prettyName: String = "kmv_estimate"
+
+    override def nullSafeEval(sketch: Any): Any =
+      SketchExpressions.kmvEstimate(sketch.asInstanceOf[ArrayData], k)
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, s =>
+        s"org.apache.spark.sql.graft.SketchExpressions.kmvEstimate($s, $k)")
+
+    override protected def withNewChildInternal(c: Expression): KmvEstimate =
+      copy(child = c)
+  }
+
+  def kmv_sketch(c: Column, k: Int = 4096): Column =
+    ExpressionUtils.column(
+      KmvAgg(ExpressionUtils.expression(c), k).toAggregateExpression())
+
+  def kmv_estimate(sketch: Column, k: Int = 4096): Column =
+    ExpressionUtils.column(KmvEstimate(ExpressionUtils.expression(sketch), k))
+
+  /** SQL registration: cms_sketch(col) / cms_estimate(sketch, item) /
+    * kmv_sketch(col) / kmv_estimate(sketch) with default geometries.
+    * Idempotent. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("cms_sketch", es => CountMinAgg(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("cms_estimate",
       es => CmsEstimate(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("kmv_sketch", es => KmvAgg(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("kmv_estimate", es => KmvEstimate(es.head), "scala_udf")
   }
 }

@@ -79,4 +79,33 @@ object Quality {
               parent: DataFrame, parentKey: String): DataFrame =
     child.join(parent.select(col(parentKey).as(childKey)).distinct(),
                Seq(childKey), "left_anti")
+
+  /** Tukey-fence outlier screen: per group, count rows outside
+    * [q1 − 1.5·IQR, q3 + 1.5·IQR] with percentile_disc quartiles — the
+    * numeric-column anomaly pass of a publish gate. percentile_disc
+    * returns ACTUAL data values (engine-portable, unlike interpolating
+    * percentile_cont on arbitrary doubles), so the fences are exact
+    * doubles both engines derive identically.
+    *
+    * Scale: one group-keyed quartile aggregation (exact percentile sorts
+    * per group — at 100 TB swap in approx_percentile for sketch
+    * boundaries, same shape), the tiny fence table broadcasts back, and
+    * the screen itself is a map-only count. The fact table is scanned
+    * twice but never shuffled on the second pass.
+    */
+  def iqrOutliers(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val fences = df.groupBy(groupCol)
+      .agg(expr(s"percentile_disc(0.25) WITHIN GROUP (ORDER BY $valueCol)").as("q1"),
+           expr(s"percentile_disc(0.75) WITHIN GROUP (ORDER BY $valueCol)").as("q3"))
+      .select(col(groupCol), col("q1"), col("q3"),
+        (col("q1") - (col("q3") - col("q1")) * 1.5).as("lo"),
+        (col("q3") + (col("q3") - col("q1")) * 1.5).as("hi"))
+    df.join(broadcast(fences), groupCol)
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_rows"),
+           count_if(col(valueCol) < col("lo") || col(valueCol) > col("hi"))
+             .as("n_outliers"),
+           first(col("lo")).as("fence_lo"),
+           first(col("hi")).as("fence_hi"))
+  }
 }
