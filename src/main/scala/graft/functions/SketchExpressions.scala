@@ -278,12 +278,111 @@ object SketchExpressions {
       copy(child = c)
   }
 
+  /** θ threshold of a sketch in TRANSFORMED space: the k-th smallest
+    * hash if saturated, +∞ (Long.MaxValue) if the sketch still holds
+    * every distinct hash. */
+  private def kmvTheta(sk: ArrayData, k: Int): Long =
+    if (sk.numElements() < k) Long.MaxValue else sk.getLong(k - 1)
+
+  /** Union cardinality from two sketches: merge the (sorted) bottom-k
+    * arrays, dedup, re-truncate to k, estimate. Exact while
+    * |A ∪ B| < k — the sketch of the union IS the union of sketches
+    * truncated, so this equals aggregating the concatenated inputs. */
+  def kmvUnionEstimate(a: ArrayData, b: ArrayData, k: Int): Long = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var n = 0
+    var last = 0L; var hasLast = false
+    val merged = new Array[Long](math.min(na + nb, k))
+    while (n < k && (i < na || j < nb)) {
+      val v =
+        if (j >= nb || (i < na && a.getLong(i) <= b.getLong(j))) { val x = a.getLong(i); i += 1; x }
+        else { val x = b.getLong(j); j += 1; x }
+      if (!hasLast || v != last) { merged(n) = v; n += 1; last = v; hasLast = true }
+    }
+    // a merged prefix below BOTH thetas is a valid bottom-n of the union
+    if (n < k && i >= na && j >= nb) n.toLong
+    else {
+      val t = merged(k - 1)
+      val uPlus1 = t.toDouble + 9.223372036854776e18 + 1.0
+      Math.round((k - 1).toDouble * 1.8446744073709552e19 / uPlus1)
+    }
+  }
+
+  /** Intersection cardinality from two sketches (theta-sketch form):
+    * θ = min(θ_A, θ_B); count common hashes below θ; scale by 2^64/θ.
+    * While both sketches are unsaturated θ = +∞ and the count is EXACT
+    * — each sketch holds its side's complete distinct-hash set. */
+  def kmvIntersectEstimate(a: ArrayData, b: ArrayData, k: Int): Long = {
+    val theta = math.min(kmvTheta(a, k), kmvTheta(b, k))
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0L
+    var done = false
+    while (!done && i < na && j < nb) {
+      val av = a.getLong(i); val bv = b.getLong(j)
+      if ((av >= theta || bv >= theta) && theta != Long.MaxValue) done = true
+      else if (av == bv) { c += 1; i += 1; j += 1 }
+      else if (av < bv) i += 1
+      else j += 1
+    }
+    if (theta == Long.MaxValue) c
+    else {
+      val thetaU = theta.toDouble + 9.223372036854776e18
+      Math.round(c.toDouble * 1.8446744073709552e19 / thetaU)
+    }
+  }
+
+  /** `kmv_union_est(skA, skB)` — see [[kmvUnionEstimate]]. */
+  case class KmvUnionEstimate(left: Expression, right: Expression, k: Int = 4096)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def dataType: DataType = LongType
+    override def inputTypes: Seq[AbstractDataType] =
+      Seq(ArrayType(LongType), ArrayType(LongType))
+    override def prettyName: String = "kmv_union_est"
+    override def nullSafeEval(a: Any, b: Any): Any =
+      SketchExpressions.kmvUnionEstimate(
+        a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], k)
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val G = "org.apache.spark.sql.graft.SketchExpressions"
+        s"${ev.value} = $G.kmvUnionEstimate($a, $b, $k);"
+      })
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): KmvUnionEstimate =
+      copy(left = l, right = r)
+  }
+
+  /** `kmv_intersect_est(skA, skB)` — see [[kmvIntersectEstimate]]. */
+  case class KmvIntersectEstimate(left: Expression, right: Expression, k: Int = 4096)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def dataType: DataType = LongType
+    override def inputTypes: Seq[AbstractDataType] =
+      Seq(ArrayType(LongType), ArrayType(LongType))
+    override def prettyName: String = "kmv_intersect_est"
+    override def nullSafeEval(a: Any, b: Any): Any =
+      SketchExpressions.kmvIntersectEstimate(
+        a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], k)
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val G = "org.apache.spark.sql.graft.SketchExpressions"
+        s"${ev.value} = $G.kmvIntersectEstimate($a, $b, $k);"
+      })
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): KmvIntersectEstimate =
+      copy(left = l, right = r)
+  }
+
   def kmv_sketch(c: Column, k: Int = 4096): Column =
     ExpressionUtils.column(
       KmvAgg(ExpressionUtils.expression(c), k).toAggregateExpression())
 
   def kmv_estimate(sketch: Column, k: Int = 4096): Column =
     ExpressionUtils.column(KmvEstimate(ExpressionUtils.expression(sketch), k))
+
+  def kmv_union_est(a: Column, b: Column, k: Int = 4096): Column =
+    ExpressionUtils.column(KmvUnionEstimate(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b), k))
+
+  def kmv_intersect_est(a: Column, b: Column, k: Int = 4096): Column =
+    ExpressionUtils.column(KmvIntersectEstimate(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b), k))
 
   /** SQL registration: cms_sketch(col) / cms_estimate(sketch, item) /
     * kmv_sketch(col) / kmv_estimate(sketch) with default geometries.
@@ -295,5 +394,9 @@ object SketchExpressions {
       es => CmsEstimate(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("kmv_sketch", es => KmvAgg(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("kmv_estimate", es => KmvEstimate(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("kmv_union_est",
+      es => KmvUnionEstimate(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("kmv_intersect_est",
+      es => KmvIntersectEstimate(es(0), es(1)), "scala_udf")
   }
 }

@@ -125,6 +125,44 @@ object EventStreams {
       }
   }
 
+  // --- stateful decayed-engagement tracking ----------------------------
+
+  case class DayCount(user_id: Long, epoch_day: Long, n: Long)
+  case class DecayScore(user_id: Long, as_of_day: Long, score_x524288: Long)
+  case class DecayState(days: Map[Long, Long])
+
+  /** Streaming twin of the batch `evt_decay_score`: per-user one-day-
+    * half-life engagement score over a 20-day horizon, maintained as
+    * mapGroupsWithState over (user, day, count) rollup rows (the same
+    * upstream shape as the nightly mart). The state is the user's last
+    * ≤ 20 active-day counts — a ring the anchor day prunes — so the
+    * score is recomputed EXACTLY (Σ n_d << (19−gap), pure integers)
+    * rather than shift-decayed (a rolling `score >> gap` leaks truncated
+    * remnants of expired days and diverges from the hard 20-day cut).
+    *
+    * Day counts REPLACE (not add to) state for their day: the upstream
+    * rollup emits complete per-day counts, so micro-batch re-delivery
+    * after checkpoint recovery is idempotent. Emission is per update
+    * with the user's own latest day as anchor (the batch gate anchors at
+    * the global max day; parity under per-user anchoring is spec-proven).
+    * State is hash-partitioned by user and bounded at 20 longs per user.
+    */
+  def decayScoreTrack(counts: Dataset[DayCount])
+                     (implicit spark: SparkSession): Dataset[DecayScore] = {
+    import spark.implicits._
+    counts.groupByKey(_.user_id)
+      .mapGroupsWithState[DecayState, DecayScore](GroupStateTimeout.NoTimeout) {
+        (uid, rows, state: GroupState[DecayState]) =>
+          val merged = state.getOption.map(_.days).getOrElse(Map.empty[Long, Long]) ++
+            rows.map(r => r.epoch_day -> r.n)
+          val anchor = merged.keysIterator.max
+          val kept = merged.filter { case (d, _) => anchor - d <= 19L }
+          state.update(DecayState(kept))
+          DecayScore(uid, anchor,
+            kept.iterator.map { case (d, n) => n << (19L - (anchor - d)).toInt }.sum)
+      }
+  }
+
   /** Streaming upsert sink: every micro-batch merges into a keyed parquet
     * state through [[graft.operators.Scd.scd1Apply]] (snapshot rewrite) —
     * the streaming form of the reference's SCD1 blacklist maintenance.

@@ -66,6 +66,65 @@ class KmvSpec extends SparkSpec {
     assert(got === Map("g1" -> 2L, "g2" -> 1L))
   }
 
+  test("set expressions, unsaturated regime: union and intersection exact") {
+    // A = 1..400, B = 200..600 → |A∩B| = 201, |A∪B| = 600, both < k
+    val df = ((1 to 400).map(i => ("a", s"u_$i")) ++
+              (200 to 600).map(i => ("b", s"u_$i"))).toDF("g", "u")
+    val sk = df.groupBy("g")
+      .agg(SketchExpressions.kmv_sketch(col("u"), k = 1024).as("sk"))
+    val row = sk.filter(col("g") === "a").select(col("sk").as("sk_a"))
+      .crossJoin(sk.filter(col("g") === "b").select(col("sk").as("sk_b")))
+      .select(
+        SketchExpressions.kmv_intersect_est(col("sk_a"), col("sk_b"), k = 1024).as("i"),
+        SketchExpressions.kmv_union_est(col("sk_a"), col("sk_b"), k = 1024).as("un"))
+      .collect()(0)
+    assert(row.getLong(0) === 201L)
+    assert(row.getLong(1) === 600L)
+  }
+
+  test("set expressions, saturated regime: bounded relative error") {
+    // A = 1..30000, B = 15001..45000 → |A∩B| = 15000, |A∪B| = 45000, k = 1024
+    val k = 1024
+    val df = ((1 to 30000).map(i => ("a", s"u_$i")) ++
+              (15001 to 45000).map(i => ("b", s"u_$i"))).toDF("g", "u")
+    val sk = df.groupBy("g")
+      .agg(SketchExpressions.kmv_sketch(col("u"), k = k).as("sk"))
+    val row = sk.filter(col("g") === "a").select(col("sk").as("sk_a"))
+      .crossJoin(sk.filter(col("g") === "b").select(col("sk").as("sk_b")))
+      .select(
+        SketchExpressions.kmv_intersect_est(col("sk_a"), col("sk_b"), k = k).as("i"),
+        SketchExpressions.kmv_union_est(col("sk_a"), col("sk_b"), k = k).as("un"))
+      .collect()(0)
+    // union RSE ~ 1/sqrt(k); intersection error scales by union/intersection
+    assert(math.abs(row.getLong(1).toDouble - 45000) / 45000 < 5.0 / math.sqrt(k.toDouble),
+      s"union est ${row.getLong(1)}")
+    assert(math.abs(row.getLong(0).toDouble - 15000) / 15000 < 15.0 / math.sqrt(k.toDouble),
+      s"intersect est ${row.getLong(0)}")
+  }
+
+  test("union estimate equals the estimate of an aggregated union") {
+    // merging sketches then estimating == sketching the concatenation
+    val k = 128
+    val left = (1 to 5000).map(i => s"x_$i")
+    val right = (2500 to 9000).map(i => s"x_$i")
+    val skL = left.toDF("u")
+      .agg(SketchExpressions.kmv_sketch(col("u"), k = k).as("sk")).collect()(0).getSeq[Long](0)
+    val skR = right.toDF("u")
+      .agg(SketchExpressions.kmv_sketch(col("u"), k = k).as("sk")).collect()(0).getSeq[Long](0)
+    val both = (left ++ right).toDF("u")
+      .agg(SketchExpressions.kmv_estimate(
+        SketchExpressions.kmv_sketch(col("u"), k = k), k = k).as("e"))
+      .collect()(0).getLong(0)
+    val viaSets = left.toDF("u")
+      .agg(SketchExpressions.kmv_sketch(col("u"), k = k).as("sk_a"))
+      .crossJoin(right.toDF("u")
+        .agg(SketchExpressions.kmv_sketch(col("u"), k = k).as("sk_b")))
+      .select(SketchExpressions.kmv_union_est(col("sk_a"), col("sk_b"), k = k).as("e"))
+      .collect()(0).getLong(0)
+    assert(viaSets === both,
+      s"sketch-space union $viaSets != aggregate-of-union $both (skL=${skL.size}, skR=${skR.size})")
+  }
+
   test("SQL registration: kmv_sketch / kmv_estimate callable from spark.sql") {
     SketchExpressions.register(spark)
     Seq("x", "y", "x").toDF("u").createOrReplaceTempView("kmv_in")
