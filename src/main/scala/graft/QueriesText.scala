@@ -577,7 +577,42 @@ object QueriesText {
         .agg(count(lit(1)).as("n_distinct_words"),
           min(col("df")).as("min_df"),
           sum(when(col("df") <= 2, 1L).otherwise(0L)).as("n_rare"))
-    })
+    }),
+
+    // Unigram-LM commonness score: per document, the corpus-frequency
+    // mass of its tokens — Σ tf(w)·c(w,doc) and its per-token mean. The
+    // integer-exact complement of a perplexity filter (CCNet-style): LOW
+    // mean_tf = rare/garbled vocabulary, HIGH = boilerplate-common. All
+    // sums are integers (order-independent, engine-exact); the single
+    // double division per doc is IEEE-exact in both engines. Shape: the
+    // term-frequency table is Zipf-small, both aggs are map-side
+    // combinable, and the join re-uses the word-hash partitioning — at
+    // 100 TB this is two corpus scans' work on one shuffle key.
+    "text_commonness_score" -> ((s, d) => {
+      val perDoc = documents(s, d)
+        .select(col("doc_id"),
+          explode(split(normText(col("text")), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+      val tf = perDoc.groupBy("word").agg(sum(col("c")).as("tf"))
+      perDoc.join(tf, "word")
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("n_tokens"),
+          sum(col("c") * col("tf")).as("tf_mass"),
+          (sum(col("c") * col("tf")).cast(DoubleType) / sum(col("c")))
+            .as("mean_tf"))
+    }),
+
+    // Length-proportional document sampling: keep with probability
+    // min(n_chars, 400)/400 — a fixed row budget spends itself on token
+    // MASS instead of document count (short fragments are mostly noise;
+    // long docs carry the training signal). Exact integer membership
+    // test, map-only, pushdown-friendly; replays and the oracle agree
+    // row-for-row at any parallelism.
+    "text_sample_weighted" -> ((s, d) =>
+      graft.operators.Sampling.weightedSample(
+        documents(s, d).select("doc_id", "source", "n_chars"),
+        "doc_id", "n_chars", cap = 400L))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1030,6 +1065,25 @@ object QueriesText {
         f AS (SELECT word, COUNT(*) AS df FROM w GROUP BY 1)
         SELECT w.doc_id, COUNT(*) AS n_distinct_words, MIN(f.df) AS min_df,
                CAST(SUM(CASE WHEN f.df <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
-        FROM w JOIN f USING (word) GROUP BY 1"""
+        FROM w JOIN f USING (word) GROUP BY 1""",
+
+    "text_commonness_score" ->
+      """WITH e AS (
+          SELECT doc_id,
+                 unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS word
+          FROM documents),
+        pd AS (SELECT doc_id, word, COUNT(*) AS c FROM e WHERE word <> '' GROUP BY 1, 2),
+        tf AS (SELECT word, CAST(SUM(c) AS BIGINT) AS tf FROM pd GROUP BY 1)
+        SELECT pd.doc_id,
+               CAST(SUM(pd.c) AS BIGINT) AS n_tokens,
+               CAST(SUM(pd.c * tf.tf) AS BIGINT) AS tf_mass,
+               CAST(CAST(SUM(pd.c * tf.tf) AS BIGINT) AS DOUBLE)
+                 / CAST(SUM(pd.c) AS BIGINT) AS mean_tf
+        FROM pd JOIN tf USING (word) GROUP BY 1""",
+
+    "text_sample_weighted" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        WHERE (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000) * 400
+              < LEAST(n_chars, 400) * 10000"""
   )
 }

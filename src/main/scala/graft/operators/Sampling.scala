@@ -60,6 +60,23 @@ object Sampling {
       .drop("__rate")
   }
 
+  /** Weight-proportional Bernoulli sample: a row is kept with probability
+    * `min(weight, cap) / cap` — the deterministic form of size-weighted
+    * sampling (e.g. sample documents proportional to length so a fixed
+    * row budget favors token mass). The keep test is the exact integer
+    * cross-product `bucket · cap < min(weight, cap) · 10000` — no
+    * float ratio whose rounding could differ between engines, so the
+    * DuckDB oracle reproduces membership row-for-row. Map-only: the
+    * filter is a pure function of (key, weight), pushes down, and never
+    * shuffles. Rows at or above `cap` are always kept.
+    */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+                     cap: Long): DataFrame = {
+    require(cap > 0)
+    df.filter(hashBucket(col(keyCol), 10000) * lit(cap) <
+      least(col(weightCol).cast(LongType), lit(cap)) * lit(10000L))
+  }
+
   /** DSIR-inspired importance scoring over hashed token features
     * (Xie et al. 2023, "Data Selection for Language Models via Importance
     * Resampling" — the hashed-n-gram flavor, unigram features here).

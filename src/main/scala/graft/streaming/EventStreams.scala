@@ -163,6 +163,19 @@ object EventStreams {
       }
   }
 
+  /** Stream-static enrichment: left-join the stream against a broadcast
+    * dimension (the streaming twin of the reference's dim lookups inside
+    * its 5-way view). The static side is re-resolved per micro-batch, so
+    * a dim refreshed on disk is picked up without restarting the query;
+    * `broadcast` keeps the join map-only — no stream-side shuffle and no
+    * state, which is what makes it safe at any stream rate. Rows with no
+    * dim match pass through with nulls (left join): an enrichment gap
+    * must not drop events.
+    */
+  def enrichStream(events: DataFrame, dim: DataFrame,
+                   key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** Streaming upsert sink: every micro-batch merges into a keyed parquet
     * state through [[graft.operators.Scd.scd1Apply]] (snapshot rewrite) —
     * the streaming form of the reference's SCD1 blacklist maintenance.

@@ -59,6 +59,26 @@ class SamplingSpec extends SparkSpec {
     assert(strat === wantStrat)
   }
 
+  test("weighted sample keeps rows proportionally to capped weight") {
+    // weight w in a 10000-key universe: expect ~ w/cap of each weight level
+    val df = (1L to 10000L).map(i => (i, (i % 4 + 1) * 100L)).toDF("k", "w")
+    val kept = Sampling.weightedSample(df, "k", "w", cap = 400L)
+      .groupBy("w").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // each weight level has 2500 keys; P(keep) = w/400
+    Seq(100L, 200L, 300L, 400L).foreach { w =>
+      val expect = 2500.0 * w / 400.0
+      assert(math.abs(kept(w) - expect) < 150, s"w=$w kept=${kept(w)} expect=$expect")
+    }
+    // weights at/above the cap are always kept
+    assert(kept(400L) === 2500L)
+    // deterministic: the same call yields the same membership
+    val again = Sampling.weightedSample(df, "k", "w", cap = 400L)
+      .agg(sum("k")).collect()(0).getLong(0)
+    val first = Sampling.weightedSample(df, "k", "w", cap = 400L)
+      .agg(sum("k")).collect()(0).getLong(0)
+    assert(again === first)
+  }
+
   test("stratified sampling honors per-stratum rates") {
     val d = Tables.documents(spark, sf0001).select("doc_id", "lang")
     val out = Sampling.stratifiedSample(d, "lang", "doc_id",

@@ -44,6 +44,18 @@ class StreamingSpec extends SparkSpec {
     assert(rows.head.getAs[Double]("sum_value") === 3.0)
   }
 
+  test("stream-static broadcast enrichment keeps unmatched events (left join)") {
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val in = MemoryStream[Ev](spark)
+    in.addData(
+      Ev(1, ts("2024-01-01 00:01:00"), 1, "click", 1.0),
+      Ev(2, ts("2024-01-01 00:02:00"), 3, "view", 2.0)) // no dim row
+    runToMemory(EventStreams.enrichStream(in.toDF(), dim, "user_id"), "enrich")
+    val rows = spark.table("enrich").orderBy("event_id").collect()
+    assert(rows.map(_.getAs[String]("tier")).toSeq === Seq("gold", null))
+    assert(rows.length === 2) // the unmatched event is not dropped
+  }
+
   test("session window closes after a 30-minute gap") {
     val in = MemoryStream[Ev](spark)
     in.addData(
