@@ -217,6 +217,32 @@ object QueriesAdvanced {
         FROM lineitem GROUP BY l_returnflag""")
     }),
 
+    // Winsorized aggregation: clip each group's prices to its own
+    // [p05, p95] fences before summing — the robust-statistics transform
+    // companion to `quality_iqr_outliers`' counts. The fences are ACTUAL
+    // data values (percentile_disc), so both engines clip at identical
+    // doubles; the clipped sum runs through DECIMAL(18,2) (exact,
+    // order-independent). Two scans: a 3-row fence agg that BROADCASTS
+    // back onto the fact table — the fact side is never shuffled for the
+    // screen pass.
+    "agg_winsorized" -> ((s, d) => {
+      GraftSession.attach(s, d)
+      s.sql("""
+        WITH f AS (
+          SELECT l_returnflag,
+            percentile_disc(0.05) WITHIN GROUP (ORDER BY l_extendedprice) AS lo,
+            percentile_disc(0.95) WITHIN GROUP (ORDER BY l_extendedprice) AS hi
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT /*+ BROADCAST(f) */ l.l_returnflag,
+          COUNT(*) AS n,
+          CAST(SUM(CAST(LEAST(GREATEST(l.l_extendedprice, f.lo), f.hi)
+                        AS DECIMAL(18,2))) AS DOUBLE) AS winsorized_sum,
+          SUM(CASE WHEN l.l_extendedprice < f.lo OR l.l_extendedprice > f.hi
+                   THEN 1 ELSE 0 END) AS n_clipped
+        FROM lineitem l JOIN f ON l.l_returnflag = f.l_returnflag
+        GROUP BY l.l_returnflag""")
+    }),
+
     // Regexp group extraction, self-validating: the numeric id parsed out
     // of c_name must equal c_custkey.
     "fn_regexp_extract" -> ((s, d) =>
@@ -347,6 +373,21 @@ object QueriesAdvanced {
           quantile_disc(l_quantity, 0.5) AS median_disc,
           quantile_disc(l_quantity, 0.9) AS p90_disc
         FROM lineitem GROUP BY 1""",
+
+    "agg_winsorized" ->
+      """WITH f AS (
+          SELECT l_returnflag,
+            quantile_disc(l_extendedprice, 0.05) AS lo,
+            quantile_disc(l_extendedprice, 0.95) AS hi
+          FROM lineitem GROUP BY 1)
+        SELECT l.l_returnflag,
+          COUNT(*) AS n,
+          CAST(SUM(CAST(LEAST(GREATEST(l.l_extendedprice, f.lo), f.hi)
+                        AS DECIMAL(18,2))) AS DOUBLE) AS winsorized_sum,
+          CAST(SUM(CASE WHEN l.l_extendedprice < f.lo OR l.l_extendedprice > f.hi
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+        FROM lineitem l JOIN f ON l.l_returnflag = f.l_returnflag
+        GROUP BY l.l_returnflag""",
 
     "fn_regexp_extract" ->
       """SELECT c_custkey,

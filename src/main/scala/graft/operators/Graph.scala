@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph analytics beyond connected components
+  * ([[DedupClusters]] owns those): weighted PageRank in integer
+  * fixed-point arithmetic.
+  *
+  * Why fixed-point: float PageRank sums contributions in partition order,
+  * so two runs (or two engines) disagree in the last ulps and no exact
+  * oracle can gate it. Here every rank is a Long in units of
+  * `1/scale`-ths: per-edge contribution `(r(src) · w) DIV wout(src)` and
+  * the damping fold are pure integer ops — order-independent,
+  * engine-exact, reproducible at any parallelism. DuckDB replays the same
+  * iteration as a recursive CTE and matches bit-for-bit.
+  *
+  * Scale shape: each iteration is one join of the edge table against the
+  * ≤|V|-row rank table (broadcastable when V is small — Catalyst/AQE
+  * picks that up from size estimates) plus one dst-keyed aggregation with
+  * map-side combine; `localCheckpoint` keeps the plan flat across
+  * iterations (same discipline as [[DedupClusters]]). Nothing ever
+  * collects to the driver except the node count (one metadata-sized agg,
+  * like a k-means `k`). Overflow bound: callers must keep
+  * `scale · max(w) < 2^63` — at the default 1e12 scale that allows
+  * per-edge weights up to ~9.2e6; renormalize heavier edge tables first.
+  */
+object Graph {
+
+  /** Weighted PageRank over `edges(src, dst, w)` in fixed-point integer
+    * arithmetic. Returns (node, r) where r ≈ rank · scale; ranks of a
+    * damping-factor-d walk with `iters` synchronous sweeps. Nodes with no
+    * inbound edges settle at the teleport floor `(scale·(1−d)) DIV N`.
+    */
+  def pageRankInt(edges: DataFrame, iters: Int = 10,
+                  scale: Long = 1000000000000L,
+                  dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
+    require(iters >= 0 && dampNum >= 0 && dampNum <= dampDen)
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint()
+    val n = nodes.count() // bounded metadata, not data: |V| rows
+    require(n > 0, "pageRankInt: empty edge table")
+    val outW = edges.groupBy("src").agg(sum("w").as("wout"))
+    val e = edges.join(outW, "src").localCheckpoint()
+    val teleport = (scale * (dampDen - dampNum) / dampDen) / n
+    var rank = nodes.withColumn("r", lit(scale / n))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(rank, e("src") === rank("node"))
+        .select(col("dst").as("node"), expr("(r * w) DIV wout").as("t"))
+        .groupBy("node").agg(sum("t").as("c"))
+      rank = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (expr(s"($dampNum * coalesce(c, 0L)) DIV $dampDen") + lit(teleport))
+            .as("r"))
+        .localCheckpoint()
+    }
+    rank
+  }
+}
