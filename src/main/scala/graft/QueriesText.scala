@@ -612,7 +612,25 @@ object QueriesText {
     "text_sample_weighted" -> ((s, d) =>
       graft.operators.Sampling.weightedSample(
         documents(s, d).select("doc_id", "source", "n_chars"),
-        "doc_id", "n_chars", cap = 400L))
+        "doc_id", "n_chars", cap = 400L)),
+
+    // Per-source vocabulary statistics (Heaps'-law corpus QA): token
+    // volume, distinct vocabulary, and hapax count per source — a source
+    // whose hapax share balloons is OCR noise/gibberish; one whose
+    // vocabulary flatlines is template spam. One (source, word) agg (map-
+    // side combinable; vocabulary is Zipf-small per source) + a source-
+    // keyed rollup. Exact integers end-to-end.
+    "text_vocab_stats" -> ((s, d) => {
+      val wf = documents(s, d)
+        .select(col("source"),
+          explode(split(normText(col("text")), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("source", "word").agg(count(lit(1)).as("c"))
+      wf.groupBy("source").agg(
+        sum("c").as("n_tokens"),
+        count(lit(1)).as("n_distinct_words"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1084,6 +1102,18 @@ object QueriesText {
     "text_sample_weighted" ->
       """SELECT doc_id, source, n_chars FROM documents
         WHERE (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000) * 400
-              < LEAST(n_chars, 400) * 10000"""
+              < LEAST(n_chars, 400) * 10000""",
+
+    "text_vocab_stats" ->
+      """WITH e AS (
+          SELECT source,
+                 unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS word
+          FROM documents),
+        wf AS (SELECT source, word, COUNT(*) AS c FROM e WHERE word <> '' GROUP BY 1, 2)
+        SELECT source,
+               CAST(SUM(c) AS BIGINT) AS n_tokens,
+               COUNT(*) AS n_distinct_words,
+               CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+        FROM wf GROUP BY 1"""
   )
 }

@@ -88,6 +88,30 @@ object EventStreams {
       .select("user_id", "l_ts", "l_type", "r_ts", "r_type")
   }
 
+  /** Left-outer stream-stream interval join: like
+    * [[intervalJoinWithinHour]], but left rows with NO match inside the
+    * hour are still emitted (right columns null) once the watermark
+    * passes their join window — the "every click, matched to a purchase
+    * if one followed" shape. Outer emission requires both watermarks plus
+    * the time-range condition so Spark can bound the state and know when
+    * an unmatched row is final; state stays keyed by user and evicted at
+    * the watermark.
+    */
+  def intervalJoinLeftOuter(left: DataFrame, right: DataFrame): DataFrame = {
+    val l = left.withWatermark("ts", "30 minutes")
+      .select(col("user_id"), col("ts").as("l_ts"), col("event_type").as("l_type"))
+    val r = right.withWatermark("ts", "2 hours")
+      .select(col("user_id").as("r_user"), col("ts").as("r_ts"),
+              col("event_type").as("r_type"))
+    l.join(r,
+        col("user_id") === col("r_user") &&
+          col("r_ts") > col("l_ts") &&
+          col("r_ts") <= col("l_ts") + expr("INTERVAL 1 HOUR"),
+        "leftOuter")
+      .select(col("user_id"), col("l_ts"), col("l_type"),
+        col("r_ts"), col("r_type"))
+  }
+
   // --- stateful SCD2-style tracking ------------------------------------
 
   case class KeyedAttr(key: String, ts: Timestamp, attr: String)

@@ -94,6 +94,33 @@ class StreamingSpec extends SparkSpec {
     assert(rows.head.getAs[Timestamp]("r_ts") === ts("2024-01-01 10:30:00"))
   }
 
+  test("left-outer interval join emits unmatched rows once the watermark passes") {
+    val clicks = MemoryStream[Ev](spark)
+    val buys = MemoryStream[Ev](spark)
+    val q = EventStreams.intervalJoinLeftOuter(clicks.toDF(), buys.toDF())
+      .writeStream.format("memory").queryName("ssleft")
+      .outputMode("append").start()
+    clicks.addData(
+      Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 0),  // will match
+      Ev(2, ts("2024-01-01 10:05:00"), 2, "click", 0))  // never matches
+    buys.addData(Ev(3, ts("2024-01-01 10:30:00"), 1, "buy", 0))
+    q.processAllAvailable()
+    // push both watermarks far past user 2's one-hour join window
+    clicks.addData(Ev(8, ts("2024-01-02 00:00:00"), 9, "click", 0))
+    buys.addData(Ev(9, ts("2024-01-02 00:00:00"), 9, "buy", 0))
+    q.processAllAvailable()
+    clicks.addData(Ev(10, ts("2024-01-02 06:00:00"), 9, "click", 0))
+    buys.addData(Ev(11, ts("2024-01-02 06:00:00"), 9, "buy", 0))
+    q.processAllAvailable()
+    q.stop()
+    val byUser = spark.table("ssleft").collect()
+      .groupBy(_.getAs[Long]("user_id"))
+    assert(byUser(1L).head.getAs[Timestamp]("r_ts") === ts("2024-01-01 10:30:00"))
+    // the unmatched click surfaced with null right columns
+    assert(byUser(2L).head.getAs[Timestamp]("r_ts") === null)
+    assert(byUser(2L).head.getAs[String]("r_type") === null)
+  }
+
   test("stateful SCD2 tracking closes versions on attribute change") {
     implicit val s = spark
     val in = MemoryStream[EventStreams.KeyedAttr](spark)
