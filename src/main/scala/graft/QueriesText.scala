@@ -630,6 +630,28 @@ object QueriesText {
         sum("c").as("n_tokens"),
         count(lit(1)).as("n_distinct_words"),
         sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+    }),
+
+    // Heavy hitters per language via the SpaceSaving sketch: top-10
+    // words WITHOUT an unbounded word-keyed groupBy — the shuffle
+    // carries one ≤512-entry summary per language, whatever the
+    // vocabulary size. This corpus' vocabulary sits far under capacity,
+    // so the sketch is in its EXACT regime (no eviction, plain count
+    // merge — deterministic) and the oracle checks true counts; above
+    // capacity only the spec-proven SpaceSaving bounds hold.
+    "agg_topk_words" -> ((s, d) => {
+      import org.apache.spark.sql.graft.TopKSketch
+      documents(s, d)
+        .select(col("lang"),
+          explode(split(normText(col("text")), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("lang")
+        .agg(TopKSketch.topk_sketch(col("word"), 512).as("sk"))
+        .select(col("lang"), posexplode(col("sk")))
+        .filter(col("pos") < 10)
+        .select(col("lang"), col("col.item").as("word"),
+          col("col.est").as("cnt"),
+          (col("pos") + 1).cast(LongType).as("rnk"))
     })
   )
 
@@ -1114,6 +1136,17 @@ object QueriesText {
                CAST(SUM(c) AS BIGINT) AS n_tokens,
                COUNT(*) AS n_distinct_words,
                CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
-        FROM wf GROUP BY 1"""
+        FROM wf GROUP BY 1""",
+
+    "agg_topk_words" ->
+      """WITH e AS (
+          SELECT lang,
+                 unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS word
+          FROM documents),
+        c AS (SELECT lang, word, COUNT(*) AS cnt FROM e WHERE word <> '' GROUP BY 1, 2),
+        r AS (SELECT lang, word, cnt,
+                     row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, word) AS rnk
+              FROM c)
+        SELECT lang, word, cnt, rnk FROM r WHERE rnk <= 10"""
   )
 }
