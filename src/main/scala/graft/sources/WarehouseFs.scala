@@ -239,4 +239,127 @@ object WarehouseFs {
       .foreach(n => fs.delete(new Path(t, n), true))
     ()
   }
+
+  // ---- multi-table atomic commit --------------------------------------
+  //
+  // [[publishVersioned]] makes ONE table flip atomically; a pipeline that
+  // publishes a mart AND the blacklist it was derived from needs both to
+  // flip TOGETHER — a reader joining mart v(N) against blacklist v(N−1)
+  // silently produces cross-version garbage. The commit-set layout lifts
+  // the pointer file one level up:
+  //
+  //   warehouse/
+  //     _commits/00000001          <- one file, lines "table=c00000001"
+  //     mart/c00000001/part-*.parquet
+  //     blacklist/c00000001/part-*.parquet
+  //
+  // All tables' new states are written first (long phase, nothing live
+  // touched); the commit is still ONE single-file rename, so readers
+  // resolving any table through the latest commit see a mutually
+  // consistent set — there is no instant at which half the tables have
+  // flipped. Crashes leave orphan data dirs no commit references (GC'd
+  // later); concurrent committers race on the commit name and the loser
+  // fails loudly.
+
+  private def commitsDir(w: Path) = new Path(w, "_commits")
+
+  /** Latest commit of a commit-set warehouse: (commit number,
+    * table → data path). One `listStatus` + one small-file read. */
+  def currentCommit(spark: SparkSession,
+                    warehouse: String): Option[(Long, Map[String, String])] = {
+    val (fs, w) = fsFor(spark, warehouse)
+    commitAt(fs, w, warehouse, None)
+  }
+
+  /** A specific commit if its file is still retained (time travel across
+    * the whole SET — every table resolves to the same point in time). */
+  def commitVersion(spark: SparkSession, warehouse: String,
+                    commit: Long): Option[(Long, Map[String, String])] = {
+    val (fs, w) = fsFor(spark, warehouse)
+    commitAt(fs, w, warehouse, Some(commit))
+  }
+
+  private def commitAt(fs: FileSystem, w: Path, warehouse: String,
+                       commit: Option[Long]): Option[(Long, Map[String, String])] = {
+    val cd = commitsDir(w)
+    if (!fs.exists(cd)) return None
+    val committed = fs.listStatus(cd).map(_.getPath.getName)
+      .filter(n => ManifestName.matches(n))
+    val chosen = commit match {
+      case Some(c) => Some(vname(c)).filter(committed.contains)
+      case None => if (committed.isEmpty) None else Some(committed.max)
+    }
+    chosen.map { name =>
+      val in = fs.open(new Path(cd, name))
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                 finally in.close()
+      val tables = text.linesIterator.filter(_.contains("=")).map { line =>
+        val Array(t, d) = line.trim.split("=", 2)
+        t -> s"$warehouse/$t/$d"
+      }.toMap
+      (name.toLong, tables)
+    }
+  }
+
+  /** One table out of the latest (or a pinned) commit set. */
+  def readCommitted(spark: SparkSession, warehouse: String, table: String,
+                    commit: Option[Long] = None): Option[DataFrame] = {
+    val resolved = commit match {
+      case Some(c) => commitVersion(spark, warehouse, c)
+      case None => currentCommit(spark, warehouse)
+    }
+    resolved.flatMap(_._2.get(table)).map(spark.read.parquet(_))
+  }
+
+  /** Atomically publish ALL of `dfs` as one commit: readers observe every
+    * table from the same commit or every table from the previous one,
+    * never a mixture. `keepCommits` old commit sets survive for in-flight
+    * readers; unreferenced data dirs (expired versions and crash orphans)
+    * are garbage-collected after the commit. Returns the commit number. */
+  def publishAtomicAll(dfs: Map[String, DataFrame], warehouse: String,
+                       keepCommits: Int = 2): Long = {
+    require(dfs.nonEmpty, "publishAtomicAll: empty table set")
+    require(keepCommits >= 1)
+    val spark = dfs.head._2.sparkSession
+    val (fs, w) = fsFor(spark, warehouse)
+    val next = currentCommit(spark, warehouse).map(_._1).getOrElse(0L) + 1L
+    val dataName = s"c${vname(next)}"
+    // phase 1 (long): every table's full new state into fresh dirs
+    dfs.foreach { case (table, df) =>
+      df.write.mode(SaveMode.Overwrite)
+        .parquet(new Path(w, s"$table/$dataName").toString)
+    }
+    // phase 2 (commit): ONE single-file rename spanning all tables
+    val cd = commitsDir(w)
+    fs.mkdirs(cd)
+    val body = dfs.keys.toSeq.sorted.map(t => s"$t=$dataName").mkString("\n")
+    val tmp = new Path(cd, s".tmp-${vname(next)}")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    require(fs.rename(tmp, new Path(cd, vname(next))),
+      s"publishAtomicAll: commit $next lost a concurrent race on $warehouse")
+    // phase 3 (GC): expire old commits, then data dirs nothing references
+    val commits = fs.listStatus(cd).map(_.getPath.getName)
+      .filter(n => ManifestName.matches(n)).sorted
+    val (expired, kept) = commits.splitAt(math.max(0, commits.length - keepCommits))
+    expired.foreach(n => fs.delete(new Path(cd, n), false))
+    val referenced: Set[(String, String)] = kept.flatMap { n =>
+      val in = fs.open(new Path(cd, n))
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                 finally in.close()
+      text.linesIterator.filter(_.contains("=")).map { line =>
+        val Array(t, d) = line.trim.split("=", 2); (t, d)
+      }
+    }.toSet
+    val tables = referenced.map(_._1) ++ dfs.keys
+    tables.foreach { t =>
+      val td = new Path(w, t)
+      if (fs.exists(td))
+        fs.listStatus(td).map(_.getPath.getName)
+          .filter(n => n.startsWith("c") && ManifestName.matches(n.stripPrefix("c")) &&
+                       !referenced.contains((t, n)))
+          .foreach(n => fs.delete(new Path(td, n), true))
+    }
+    next
+  }
 }

@@ -151,6 +151,56 @@ class WarehouseFsSpec extends SparkSpec {
     assert(WarehouseFs.readTableVersion(spark, s"${tmpDir()}/absent", 1L).isEmpty)
   }
 
+  test("publishAtomicAll flips every table in one commit; sets stay consistent") {
+    val w = tmpDir()
+    val c1 = WarehouseFs.publishAtomicAll(Map(
+      "mart" -> Seq((1, "a")).toDF("id", "v"),
+      "blacklist" -> Seq(1).toDF("id")), w)
+    val c2 = WarehouseFs.publishAtomicAll(Map(
+      "mart" -> Seq((2, "b")).toDF("id", "v"),
+      "blacklist" -> Seq(2).toDF("id")), w)
+    assert(Seq(c1, c2) === Seq(1L, 2L))
+    // latest resolves the NEW pair
+    assert(WarehouseFs.readCommitted(spark, w, "mart").get
+      .select("v").collect().map(_.getString(0)).toSeq === Seq("b"))
+    assert(WarehouseFs.readCommitted(spark, w, "blacklist").get
+      .collect().map(_.getInt(0)).toSeq === Seq(2))
+    // a reader pinned to commit 1 sees the OLD pair — both tables, same time
+    assert(WarehouseFs.readCommitted(spark, w, "mart", Some(c1)).get
+      .select("v").collect().map(_.getString(0)).toSeq === Seq("a"))
+    assert(WarehouseFs.readCommitted(spark, w, "blacklist", Some(c1)).get
+      .collect().map(_.getInt(0)).toSeq === Seq(1))
+  }
+
+  test("publishAtomicAll GC keeps the retained window and drops crash orphans") {
+    val w = tmpDir()
+    WarehouseFs.publishAtomicAll(Map("t" -> Seq(1).toDF("id")), w, keepCommits = 2)
+    // simulate a crashed attempt: a data dir with no commit referencing it
+    Seq(99).toDF("id").write.parquet(s"$w/t/c00000099")
+    WarehouseFs.publishAtomicAll(Map("t" -> Seq(2).toDF("id")), w, keepCommits = 2)
+    WarehouseFs.publishAtomicAll(Map("t" -> Seq(3).toDF("id")), w, keepCommits = 2)
+    // window of 2: commit 1 expired, orphan GC'd, 2 and 3 retained
+    assert(WarehouseFs.commitVersion(spark, w, 1L) === None)
+    assert(!new java.io.File(s"$w/t/c00000099").exists())
+    assert(!new java.io.File(s"$w/t/c00000001").exists())
+    assert(WarehouseFs.readCommitted(spark, w, "t", Some(2L)).get
+      .collect().map(_.getInt(0)).toSeq === Seq(2))
+    assert(WarehouseFs.readCommitted(spark, w, "t").get
+      .collect().map(_.getInt(0)).toSeq === Seq(3))
+  }
+
+  test("a torn commit write (stray tmp commit file) is invisible to readers") {
+    val w = tmpDir()
+    WarehouseFs.publishAtomicAll(Map("t" -> Seq(1).toDF("id")), w)
+    // a writer that died between create and rename leaves only a dot-tmp
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$w/_commits/.tmp-00000002"),
+      "t=c00000002".getBytes("UTF-8"))
+    assert(WarehouseFs.currentCommit(spark, w).get._1 === 1L)
+    assert(WarehouseFs.readCommitted(spark, w, "t").get
+      .collect().map(_.getInt(0)).toSeq === Seq(1))
+  }
+
   test("readTable resolves both publish flavors") {
     val base = tmpDir()
     WarehouseFs.publish((1 to 4).toDF("id"), s"$base/plain")
