@@ -229,4 +229,32 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("text_mixture_apply")
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("weighted sampling is map-only: no shuffle in the plan") {
+    val p = plan("text_sample_weighted")
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("commonness score reuses the (doc, word) aggregation exchange") {
+    // perDoc feeds both the tf rollup and the join probe — one shuffle,
+    // materialized once
+    val df = SparkEntry.queries("text_commonness_score")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange") || p.contains("ReusedSubquery") ||
+      "Exchange hashpartitioning\\(doc_id".r.findAllIn(p).size <= 1, p)
+  }
+
+  test("relational division plans as one agg + broadcast scalar, no correlated loop") {
+    val p = plan("sub_division_forall")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("rolling actives join the day spine by broadcast after the explode") {
+    val p = plan("evt_rolling_actives")
+    assert(p.contains("Generate explode"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
 }
