@@ -129,6 +129,27 @@ object QueriesRelational {
               col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")),
 
+    // Market-basket pair mining: brand pairs co-purchased in the same
+    // order, kept above a support threshold — the association-rules
+    // co-occurrence primitive. The self-join runs on the DEDUPED
+    // (order, brand) table keyed by order (pair fan-out bounded by order
+    // width², never lineitem²), and both sides are the same aggregate so
+    // the exchange is computed once and reused. At 100 TB the support
+    // filter is what keeps the output bounded; the shuffle key is the
+    // order id throughout.
+    "join_basket_pairs" -> ((s, d) => {
+      val ob = lineitem(s, d)
+        .join(part(s, d), col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("okey"), col("p_brand"))
+        .distinct()
+      val a = ob.select(col("okey"), col("p_brand").as("brand_a"))
+      val b = ob.select(col("okey"), col("p_brand").as("brand_b"))
+      a.join(b, Seq("okey"))
+        .filter(col("brand_a") < col("brand_b"))
+        .groupBy("brand_a", "brand_b").agg(count(lit(1)).as("n_orders"))
+        .filter(col("n_orders") >= 330)
+    }),
+
     // J3/J5: equi key + non-equi residual (hash join + filter, NOT BNL).
     "join_theta_residual" -> ((s, d) =>
       supplier(s, d)
@@ -391,6 +412,15 @@ object QueriesRelational {
       """SELECT c_custkey, COUNT(o_orderkey) AS n_orders
         FROM customer LEFT JOIN orders ON o_custkey = c_custkey
         GROUP BY 1""",
+
+    "join_basket_pairs" ->
+      """WITH ob AS (
+          SELECT DISTINCT l.l_orderkey AS okey, p.p_brand
+          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey)
+        SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+               COUNT(*) AS n_orders
+        FROM ob a JOIN ob b ON a.okey = b.okey AND a.p_brand < b.p_brand
+        GROUP BY 1, 2 HAVING COUNT(*) >= 330""",
 
     "join_semi" ->
       """SELECT c_custkey, c_name FROM customer
