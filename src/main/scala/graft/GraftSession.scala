@@ -27,6 +27,7 @@ object GraftSession {
     org.apache.spark.sql.graft.ZOrderExpressions.register(spark)
     org.apache.spark.sql.graft.SketchExpressions.register(spark)
     org.apache.spark.sql.graft.BloomExpressions.register(spark)
+    org.apache.spark.sql.graft.TopKSketch.register(spark)
     spark
   }
 }

@@ -108,4 +108,36 @@ object Quality {
            first(col("lo")).as("fence_lo"),
            first(col("hi")).as("fence_hi"))
   }
+
+  /** Cross-load drift gate: compare today's per-column profile against
+    * the previous load's and flag columns whose volume or cardinality
+    * moved more than `tolPct` percent — the "schema is fine but the DATA
+    * changed shape" failure (a feed silently dropping a segment, an
+    * upstream join going one-to-many) that row-count checks miss.
+    *
+    * The inputs are [[profile]] outputs (one bounded row per column), so
+    * the comparison is a join of two column-sized tables — no data scan
+    * beyond the profiles themselves. The percentage test is the exact
+    * integer cross-product `|cur−prev|·100 > prev·tolPct` — no float
+    * division. Columns missing from either side surface as drifted
+    * (`n_nonnull` null on one side), never silently dropped.
+    */
+  def driftCheck(current: DataFrame, previous: DataFrame,
+                 tolPct: Long = 20L): DataFrame = {
+    require(tolPct >= 0)
+    def side(df: DataFrame, p: String) = df.select(
+      col("col_name"),
+      col("n_nonnull").as(s"${p}_nonnull"),
+      col("n_distinct").as(s"${p}_distinct"))
+    def moved(cur: org.apache.spark.sql.Column, prev: org.apache.spark.sql.Column) =
+      cur.isNull || prev.isNull ||
+        abs(cur - prev) * lit(100L) > prev * lit(tolPct)
+    side(current, "cur").join(side(previous, "prev"), Seq("col_name"), "full_outer")
+      .select(col("col_name"),
+        col("cur_nonnull"), col("prev_nonnull"),
+        col("cur_distinct"), col("prev_distinct"),
+        moved(col("cur_nonnull"), col("prev_nonnull")).as("volume_drift"),
+        moved(col("cur_distinct"), col("prev_distinct")).as("cardinality_drift"))
+      .withColumn("drifted", col("volume_drift") || col("cardinality_drift"))
+  }
 }

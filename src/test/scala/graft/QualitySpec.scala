@@ -51,6 +51,27 @@ class QualitySpec extends SparkSpec {
     assert(!approxPlan.contains("Expand"), approxPlan)
   }
 
+  test("drift gate flags moved volume/cardinality and missing columns only") {
+    val prev = Quality.profile(
+      (1 to 100).map(i => (i, i % 10)).toDF("id", "seg"), Seq("id", "seg"))
+    // same shape -> no drift
+    val same = Quality.driftCheck(prev, prev)
+      .filter(col("drifted")).collect()
+    assert(same.isEmpty, same.mkString(","))
+    // volume halves (>20%), cardinality of seg collapses, id column vanishes
+    val cur = Quality.profile(
+      (1 to 50).map(i => (i, 0)).toDF("key", "seg").withColumnRenamed("key", "uid"),
+      Seq("uid", "seg"))
+    val flagged = Quality.driftCheck(cur, prev)
+      .filter(col("drifted")).collect()
+      .map(_.getString(0)).toSet
+    assert(flagged === Set("uid", "id", "seg")) // new col, gone col, moved col
+    // within-tolerance movement stays quiet
+    val near = Quality.profile(
+      (1 to 110).map(i => (i, i % 10)).toDF("id", "seg"), Seq("id", "seg"))
+    assert(Quality.driftCheck(near, prev).filter(col("drifted")).count() === 0)
+  }
+
   test("uniqueness check flags duplicated keys with multiplicity") {
     val df = Seq((1, "x"), (2, "y"), (1, "z")).toDF("k", "v")
     assert(!Quality.checkUnique(df, Seq("k")))

@@ -37,6 +37,31 @@ class TopKSketchSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("streaming heavy hitters: the sketch aggregates across micro-batches") {
+    // TypedImperativeAggregate composes with streaming aggregation —
+    // partials merge across micro-batches in the state store
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val in = MemoryStream[String](spark)
+    in.addData(Seq.fill(5)("a") ++ Seq.fill(2)("b"): _*)
+    in.addData(Seq.fill(4)("b") ++ Seq.fill(1)("c"): _*)
+    val q = in.toDF().toDF("w")
+      .agg(TopKSketch.topk_sketch(col("w"), 16).as("sk"))
+      .writeStream.format("memory").queryName("topkstream")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = entries(spark.table("topkstream"))
+    assert(got.map(e => e._1 -> e._2).toMap === Map("a" -> 5L, "b" -> 6L, "c" -> 1L))
+  }
+
+  test("SQL registration: topk_sketch callable from spark.sql") {
+    org.apache.spark.sql.graft.TopKSketch.register(spark)
+    Seq("x", "y", "x").toDF("w").createOrReplaceTempView("topk_in")
+    val sk = spark.sql(
+      "SELECT topk_sketch(w) AS sk FROM topk_in")
+    assert(entries(sk).map(e => e._1 -> e._2).toMap === Map("x" -> 2L, "y" -> 1L))
+  }
+
   test("saturated regime: overestimate-only, bounded error, heavy hitters present") {
     // 2000 distinct keys over capacity 64; one key takes >n/8 of the stream
     val cap = 64
