@@ -19,9 +19,10 @@ import org.apache.spark.sql.functions._
   * ≤|V|-row rank table (broadcastable when V is small — Catalyst/AQE
   * picks that up from size estimates) plus one dst-keyed aggregation with
   * map-side combine; `localCheckpoint` keeps the plan flat across
-  * iterations (same discipline as [[DedupClusters]]). Nothing ever
-  * collects to the driver except the node count (one metadata-sized agg,
-  * like a k-means `k`). Overflow bound: callers must keep
+  * iterations (same discipline as [[DedupClusters]]). Driver-side data is
+  * bounded metadata only: the node count plus one dangling-mass scalar
+  * per sweep (a single-row agg over the already-checkpointed rank table).
+  * Overflow bound: callers must keep
   * `scale · max(w) < 2^63` — at the default 1e12 scale that allows
   * per-edge weights up to ~9.2e6; renormalize heavier edge tables first.
   */
@@ -31,6 +32,14 @@ object Graph {
     * arithmetic. Returns (node, r) where r ≈ rank · scale; ranks of a
     * damping-factor-d walk with `iters` synchronous sweeps. Nodes with no
     * inbound edges settle at the teleport floor `(scale·(1−d)) DIV N`.
+    * DANGLING nodes (no outbound edges) follow the standard correction:
+    * their mass is redistributed uniformly over all nodes each sweep
+    * (`share = D DIV N` added to every node's contribution before
+    * damping), so total mass is conserved up to integer floor loss
+    * instead of contracting — GraphSpec pins a sink-node graph to the
+    * independently computed fixed point and asserts conservation. The
+    * dangling node SET is static (one anti-join up front); only its mass
+    * is re-aggregated per sweep.
     */
   def pageRankInt(edges: DataFrame, iters: Int = 10,
                   scale: Long = 1000000000000L,
@@ -44,15 +53,23 @@ object Graph {
     require(n > 0, "pageRankInt: empty edge table")
     val outW = edges.groupBy("src").agg(sum("w").as("wout"))
     val e = edges.join(outW, "src").localCheckpoint()
+    val danglingNodes = nodes
+      .join(edges.select(col("src").as("node")), Seq("node"), "left_anti")
+      .localCheckpoint()
     val teleport = (scale * (dampDen - dampNum) / dampDen) / n
     var rank = nodes.withColumn("r", lit(scale / n))
     for (_ <- 1 to iters) {
+      // dangling mass this sweep: one single-row agg over the ≤|V|-row
+      // checkpointed rank table — bounded metadata, like the node count
+      val dMass = rank.join(danglingNodes, Seq("node"), "left_semi")
+        .agg(coalesce(sum("r"), lit(0L))).head().getLong(0)
+      val share = dMass / n
       val contrib = e.join(rank, e("src") === rank("node"))
         .select(col("dst").as("node"), expr("(r * w) DIV wout").as("t"))
         .groupBy("node").agg(sum("t").as("c"))
       rank = nodes.join(contrib, Seq("node"), "left")
         .select(col("node"),
-          (expr(s"($dampNum * coalesce(c, 0L)) DIV $dampDen") + lit(teleport))
+          (expr(s"($dampNum * (coalesce(c, 0L) + $share)) DIV $dampDen") + lit(teleport))
             .as("r"))
         .localCheckpoint()
     }

@@ -24,11 +24,27 @@ class GraphSpec extends SparkSpec {
     assert(got.values.sum > 990000000000L)
   }
 
-  test("a node with no inbound edges settles at the teleport floor") {
+  test("dangling mass redistributes: a->b two-node chain conserves mass") {
+    // b is a SINK (no outbound): its mass redistributes uniformly each
+    // sweep instead of vanishing. Constants recomputed outside Spark with
+    // the same integer recurrence incl. share = D DIV n.
     val edges = Seq(("a", "b", 1L)).toDF("src", "dst", "w")
     val got = Graph.pageRankInt(edges).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(got === Map("a" -> 75000000000L, "b" -> 138750000000L))
+    assert(got === Map("a" -> 350905863355L, "b" -> 649094136638L))
+    assert(got.values.sum > 999999999900L && got.values.sum <= 1000000000000L)
+  }
+
+  test("sink node in a 3-node graph: pinned fixed point, mass conserved") {
+    // c receives from a but has no outbound edges — the classic sink
+    // shape. Expected values from the independent integer reference.
+    val edges = Seq(("a", "b", 1L), ("a", "c", 1L), ("b", "a", 1L))
+      .toDF("src", "dst", "w")
+    val got = Graph.pageRankInt(edges).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("a" -> 393411206530L, "b" -> 303294396729L,
+      "c" -> 303294396729L))
+    assert(got.values.sum > 999999999900L && got.values.sum <= 1000000000000L)
   }
 
   test("ranks are identical under forced repartitioning") {
