@@ -103,6 +103,26 @@ object QueriesSimilarity {
               Seq("vec_id"), "left_anti")
     }),
 
+    // SemDeDup composed INTO the curation pipeline — the full
+    // TextPipeline.curate fold with the semantic stage on: quality gate
+    // → MinHash-LSH lexical pairs ∪ cell-blocked cosine pairs → ONE
+    // connected-components clustering over the union edge set →
+    // best-quality representative per cluster → deterministic md5
+    // split. `label` stands in for the trained IVF cell (the
+    // oracle-checkable surrogate, as in `dedup_semantic`); the
+    // trained-quantizer form of the SAME fold — including the
+    // incremental state round-trip — is proven in TextPipelineSpec.
+    // Single-clustering matters: a chain "A lexdup B semdup C" keeps
+    // one doc here, where sequential stages would keep two.
+    "curate_semantic" -> ((s, d) => {
+      val docs = documents(s, d)
+      val e = embeddings(s, d)
+        .select(col("vec_id").as("doc_id"), col("embedding"), col("label"))
+      TextPipeline.curate(docs.join(e, Seq("doc_id")), keepBest = true,
+          semantic = Some(TextPipeline.SemanticStage.byColumn("label", 0.4)))
+        .select(col("doc_id"), col("quality_score"), col("split"))
+    }),
+
     // Int8 symmetric quantization of the embedding column — the storage
     // path for a 100 TB vector corpus (4× smaller than f32, 8× smaller
     // than f64; ADC-style scoring reads the codes, the f32 originals stay
@@ -181,6 +201,58 @@ object QueriesSimilarity {
         SELECT e.vec_id, e.label FROM embeddings e
         LEFT JOIN comp c ON e.vec_id = c.id
         WHERE COALESCE(c.cluster_id, e.vec_id) = e.vec_id""",
+
+    "curate_semantic" ->
+      """WITH RECURSIVE j AS (
+          SELECT d.doc_id, d.text, e.embedding, e.label
+          FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+        q AS (
+          SELECT doc_id, text, embedding, label,
+            (CASE WHEN len(regexp_split_to_array(text, '\s+')) BETWEEN 20 AND 1000 THEN 1 ELSE 0 END +
+             CASE WHEN (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) * 10
+                       < len(regexp_split_to_array(text, '\s+')) THEN 1 ELSE 0 END +
+             CASE WHEN len(regexp_extract_all(text, '\bthe\b')) > 0 THEN 1 ELSE 0 END) AS quality_score
+          FROM j),
+        g AS (SELECT * FROM q WHERE quality_score >= 2),
+        t AS (
+          SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+          FROM g),
+        sh AS (
+          SELECT doc_id, list_distinct(list_transform(range(len(toks) - 2),
+            i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS shingles
+          FROM t WHERE len(toks) >= 3),
+        lex AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5),
+        sem AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM g a JOIN g b ON a.label = b.label AND a.doc_id < b.doc_id
+          WHERE round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 6) >= 0.4),
+        pairs AS (SELECT a_id, b_id FROM lex UNION SELECT a_id, b_id FROM sem),
+        edges AS (
+          SELECT a_id AS u, b_id AS v FROM pairs
+          UNION SELECT b_id, a_id FROM pairs),
+        walk(u, v) AS (
+          SELECT u, v FROM edges
+          UNION
+          SELECT w.u, e.v FROM walk w JOIN edges e ON w.v = e.u),
+        comp AS (SELECT u AS id, LEAST(MIN(v), u) AS cluster_id FROM walk GROUP BY u),
+        lab AS (
+          SELECT g.doc_id, g.quality_score, COALESCE(c.cluster_id, g.doc_id) AS cluster_id
+          FROM g LEFT JOIN comp c ON g.doc_id = c.id),
+        best AS (SELECT cluster_id, max(quality_score) AS best_score FROM lab GROUP BY 1),
+        win AS (
+          SELECT l.cluster_id, min(l.doc_id) AS doc_id
+          FROM lab l JOIN best b
+            ON b.cluster_id = l.cluster_id AND l.quality_score = b.best_score
+          GROUP BY 1)
+        SELECT l.doc_id, l.quality_score,
+          CASE WHEN CAST(('0x' || substr(md5(CAST(l.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90 THEN 'train'
+               WHEN CAST(('0x' || substr(md5(CAST(l.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 95 THEN 'val'
+               ELSE 'test' END AS split
+        FROM lab l JOIN win w ON l.doc_id = w.doc_id""",
 
     "sim_quantize_int8" ->
       """WITH m AS (

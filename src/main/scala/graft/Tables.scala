@@ -23,15 +23,29 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects; read it as a long of epoch-nanoseconds instead
-    * (spark.sql.legacy.parquet.nanosAsLong). This is also the deterministic
-    * choice for the DuckDB oracle: DuckDB keeps ns precision (epoch_ns),
-    * while converting to Spark's µs TimestampType would truncate.
+  /** events.ts normalizes to a BIGINT of epoch-NANOSECONDS at the source —
+    * the representation every downstream query derives windows/sessions
+    * from with exact integer arithmetic, and the one the DuckDB oracle
+    * (which reads the same file as TIMESTAMP and converts with
+    * epoch_us/epoch_ns) agrees with deterministically.
+    *
+    * Generator vintages differ: TIMESTAMP(NANOS) parquet arrives as ns
+    * longs via spark.sql.legacy.parquet.nanosAsLong; TIMESTAMP(MICROS)
+    * arrives as TimestampNTZ and is converted here (the session is pinned
+    * UTC, so the NTZ→LTZ cast under unix_micros is value-preserving).
+    * Scale note: `ts` becomes a derived column, so a raw min/max filter
+    * on it no longer reaches the parquet scan — day-granularity pruning
+    * belongs on a partition column at 100 TB anyway (EtlPipeline's mart
+    * layout), and every query here filters on derived day/window keys.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => raw
+      case _ => raw.withColumn("ts",
+        org.apache.spark.sql.functions.expr("unix_micros(cast(ts AS timestamp)) * 1000"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

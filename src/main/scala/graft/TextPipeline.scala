@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{DedupClusters, DedupOps, Sampling}
+import graft.operators.{AnnOps, DedupClusters, DedupOps, Sampling}
 
 /** End-to-end training-data curation over a `documents` corpus — the
   * composition the individual §2.9 operators exist for:
@@ -35,14 +35,61 @@ object TextPipeline {
       .filter(col("quality_score") >= minScore)
       .drop("n_tokens", "n_punct", "n_the")
 
+  /** The optional SEMANTIC stage of [[curate]]/[[curateIncrement]] —
+    * SemDeDup composed into the curation fold (docs that say the same
+    * thing, not just share n-grams, collapse into one cluster).
+    * `assignCell` adds the coarse-quantizer `cell` column to a
+    * (vec_id, embedding, …) relation:
+    *
+    *   - [[SemanticStage.ivf]] — the trained k-means quantizer
+    *     ([[AnnOps.ivfAssign]], map-only). Train ONCE (on a sample at
+    *     100 TB), persist with [[AnnOps.ivfSave]], and pass the SAME
+    *     model to every batch/incremental run: a fold's parity with the
+    *     batch pipeline (TextPipelineSpec) holds only under a fixed
+    *     quantizer, exactly like the persisted-index ANN serving path.
+    *   - [[SemanticStage.byColumn]] — a pre-existing cell column (the
+    *     oracle-checkable surrogate, as in `dedup_semantic`), with
+    *     cosine rounded to 6 dp before thresholding so pair membership
+    *     is engine-portable.
+    */
+  final case class SemanticStage(assignCell: DataFrame => DataFrame,
+                                 threshold: Double,
+                                 maxCellSize: Int = Int.MaxValue,
+                                 roundDp: Option[Int] = None)
+
+  object SemanticStage {
+    def ivf(model: AnnOps.IvfModel, threshold: Double,
+            maxCellSize: Int = Int.MaxValue): SemanticStage =
+      SemanticStage(df => AnnOps.ivfAssign(df, model), threshold, maxCellSize)
+
+    def byColumn(cellCol: String, threshold: Double): SemanticStage =
+      SemanticStage(df => df.withColumn("cell", col(cellCol)), threshold,
+        roundDp = Some(6))
+  }
+
   /** Near-dup removal: cluster by MinHash-LSH + connected components and
     * keep one document per cluster — the minimum-id canonical by default,
     * or (keepBest, requires a `quality_score` column such as
-    * [[qualityFilter]]'s) the highest-quality member, ties to min id. */
+    * [[qualityFilter]]'s) the highest-quality member, ties to min id.
+    *
+    * `semantic` composes SemDeDup into the SAME clustering: lexical
+    * (MinHash) and semantic (within-cell cosine) near-dup pairs union
+    * into one edge set before connected components, so a chain
+    * "A lexdup B semdup C" correctly collapses to one representative —
+    * running the stages sequentially would keep two. Docs without an
+    * `embedding` (null) participate in the lexical stage only. */
   def dedupCanonical(docs: DataFrame, jaccard: Double = 0.5,
-                     keepBest: Boolean = false): DataFrame = {
-    val pairs = DedupOps.minhashNearDups(docs, "doc_id", "text", jaccard)
+                     keepBest: Boolean = false,
+                     semantic: Option[SemanticStage] = None): DataFrame = {
+    val lexPairs = DedupOps.minhashNearDups(docs, "doc_id", "text", jaccard)
       .select("a_id", "b_id")
+    val pairs = semantic.fold(lexPairs) { st =>
+      val vecs = st.assignCell(docs.filter(col("embedding").isNotNull)
+        .withColumnRenamed("doc_id", "vec_id"))
+      lexPairs.unionByName(
+        AnnOps.semanticDupPairs(vecs, st.threshold, st.maxCellSize, st.roundDp)
+          .select("a_id", "b_id"))
+    }
     val labels = DedupClusters.clusterLabels(docs, "doc_id", pairs)
     if (keepBest)
       DedupClusters.keepBestPerCluster(docs, "doc_id", labels, "quality_score")
@@ -51,12 +98,15 @@ object TextPipeline {
                   .select("doc_id"), Seq("doc_id"), "left_semi")
   }
 
-  /** Full curation: quality gate → one-per-cluster dedup → split column.
-    * keepBest ships each cluster's best-scoring doc instead of the
-    * smallest-id one. */
-  def curate(docs: DataFrame, keepBest: Boolean = false): DataFrame =
+  /** Full curation: quality gate → one-per-cluster dedup (lexical ∪
+    * optional semantic edges, ONE clustering) → split column. keepBest
+    * ships each cluster's best-scoring doc instead of the smallest-id
+    * one. */
+  def curate(docs: DataFrame, keepBest: Boolean = false,
+             semantic: Option[SemanticStage] = None): DataFrame =
     Sampling.trainValTestSplit(
-      dedupCanonical(qualityFilter(docs), keepBest = keepBest), "doc_id")
+      dedupCanonical(qualityFilter(docs), keepBest = keepBest,
+        semantic = semantic), "doc_id")
 
   /** State carried between nightly incremental curation runs — three
     * plain parquet-persistable tables: the MinHash signature store over
@@ -67,9 +117,16 @@ object TextPipeline {
     * are derived once when a batch is appended, and the store's `sig`
     * column is never read again (proven by a scan-schema assertion in
     * DedupSpec).
-    */
+    *
+    * `vecs` (present when the fold runs a [[SemanticStage]]) is the
+    * assigned-embedding store — (vec_id, embedding, cell) for every
+    * gated doc so far, the persisted inverted file a new batch pairs
+    * against ([[AnnOps.semanticDupPairsIncrement]]). At 100 TB persist
+    * it partitioned by `cell` ([[AnnOps.ivfWriteIndex]] layout) so the
+    * nightly cross-pairing reads only the cells the batch lands in. */
   final case class CurationState(sigs: DataFrame, bands: DataFrame,
-                                 labels: DataFrame)
+                                 labels: DataFrame,
+                                 vecs: Option[DataFrame] = None)
 
   def emptyState(spark: SparkSession): CurationState = {
     import spark.implicits._
@@ -77,6 +134,11 @@ object TextPipeline {
     val sigs = DedupOps.signatures(none, "doc_id", "text")
     CurationState(sigs, DedupOps.banded(sigs, "doc_id"),
                   none.select(col("doc_id"), col("doc_id").as("cluster_id")))
+  }
+
+  private def emptyVecs(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Long, Array[Float], Int)].toDF("vec_id", "embedding", "cell")
   }
 
   /** Persist the state tables under `dir`. NOTE a nightly job whose new
@@ -96,6 +158,10 @@ object TextPipeline {
     state.sigs.write.mode(SaveMode.Overwrite).parquet(s"$tmp/sigs")
     state.bands.write.mode(SaveMode.Overwrite).parquet(s"$tmp/bands")
     state.labels.write.mode(SaveMode.Overwrite).parquet(s"$tmp/labels")
+    // cell-partitioned like ivfWriteIndex: the nightly cross-pairing
+    // prunes to the batch's cells at the scan
+    state.vecs.foreach(_.write.partitionBy("cell")
+      .mode(SaveMode.Overwrite).parquet(s"$tmp/vecs"))
     graft.sources.WarehouseFs.deleteIfExists(spark, dir)
     val (fs, target) = graft.sources.WarehouseFs.fsFor(spark, dir)
     if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), target))
@@ -106,7 +172,12 @@ object TextPipeline {
     CurationState(
       spark.read.parquet(s"$dir/sigs"),
       spark.read.parquet(s"$dir/bands"),
-      spark.read.parquet(s"$dir/labels"))
+      spark.read.parquet(s"$dir/labels"),
+      vecs = if (graft.sources.WarehouseFs.listNames(spark, dir).contains("vecs"))
+               Some(spark.read.parquet(s"$dir/vecs")
+                 .select(col("vec_id"), col("embedding"),
+                   col("cell").cast("int").as("cell")))
+             else None)
 
   /** Nightly incremental form of [[curate]]: fold one new batch into the
     * state without re-deduplicating the corpus. The batch is quality-
@@ -116,24 +187,48 @@ object TextPipeline {
     * proven equal to their from-scratch counterparts, so folding batches
     * through this function and reading [[curatedFromState]] matches the
     * batch [[curate]] over the whole corpus exactly (TextPipelineSpec).
+    *
+    * With a [[SemanticStage]] (pass the SAME stage every fold — a fixed,
+    * persisted quantizer), each batch additionally pairs semantically
+    * against the `vecs` store and the parity extends to
+    * `curate(all, semantic = Some(st))` — TextPipelineSpec proves the
+    * three-batch fold incl. a state save/load round-trip.
     */
   def curateIncrement(state: CurationState, batch: DataFrame,
-                      jaccard: Double = 0.5): CurationState = {
+                      jaccard: Double = 0.5,
+                      semantic: Option[SemanticStage] = None): CurationState = {
     val gated = qualityFilter(batch)
     // ONE signature pass over the batch, reused for pairing, the store
     // append, and the band append (the r5 form computed it twice and
     // stranded a cache per nightly run)
     val batchSigs = DedupOps.signatures(gated, "doc_id", "text")
-    val newPairs = DedupOps
+    val lexPairs = DedupOps
       .incrementalNearDupsBanded(state.sigs.select("doc_id", "shingles"),
         state.bands, batchSigs, "doc_id", jaccard)
       .select("a_id", "b_id")
+    // semantic stage: assign the batch's embeddings under the FIXED
+    // quantizer, pair against the persisted vec store + within-batch,
+    // and fold BOTH edge kinds into the one label table — the same
+    // single-clustering semantics as the batch dedupCanonical
+    val (newPairs, nextVecs) = semantic match {
+      case None => (lexPairs, state.vecs)
+      case Some(st) =>
+        val batchVecs = st.assignCell(gated.filter(col("embedding").isNotNull)
+            .withColumnRenamed("doc_id", "vec_id"))
+          .select("vec_id", "embedding", "cell")
+        val oldVecs = state.vecs.getOrElse(emptyVecs(batch.sparkSession))
+        val semPairs = AnnOps.semanticDupPairsIncrement(
+            oldVecs, batchVecs, st.threshold, st.roundDp)
+          .select("a_id", "b_id")
+        (lexPairs.unionByName(semPairs), Some(oldVecs.unionByName(batchVecs)))
+    }
     val allIds = state.labels.select("doc_id")
       .unionByName(gated.select("doc_id"))
     CurationState(
       state.sigs.unionByName(batchSigs),
       state.bands.unionByName(DedupOps.banded(batchSigs, "doc_id")),
-      DedupClusters.updateClusterLabels(allIds, "doc_id", state.labels, newPairs))
+      DedupClusters.updateClusterLabels(allIds, "doc_id", state.labels, newPairs),
+      nextVecs)
   }
 
   /** Survivors + split over everything ingested so far. A new doc can
@@ -259,13 +354,14 @@ object TextPipeline {
     * any time via [[loadLatestState]] + [[curatedFromState]].
     */
   def curateIncrementStream(docs: DataFrame, stateRoot: String,
-                            jaccard: Double = 0.5)
+                            jaccard: Double = 0.5,
+                            semantic: Option[SemanticStage] = None)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
       val prev = latestStateDir(spark, stateRoot, before = batchId)
       val st = prev.map(loadState(spark, _)).getOrElse(emptyState(spark))
-      val next = curateIncrement(st, batch, jaccard)
+      val next = curateIncrement(st, batch, jaccard, semantic)
       saveState(next, s"$stateRoot/batch=$batchId")
       graft.sources.WarehouseFs.listNames(spark, stateRoot)
         .filter(_.startsWith("batch="))

@@ -265,7 +265,8 @@ object AnnOps {
     * duplicates are never lost: identical vectors have identical sign
     * patterns, so they land in the same sub-bucket at any bit width. */
   def semanticDupPairs(assigned: DataFrame, threshold: Double,
-                       maxCellSize: Int = Int.MaxValue): DataFrame = {
+                       maxCellSize: Int = Int.MaxValue,
+                       roundDp: Option[Int] = None): DataFrame = {
     val sized =
       if (maxCellSize == Int.MaxValue) assigned.withColumn("__sub", lit(0L))
       else {
@@ -288,11 +289,48 @@ object AnnOps {
     def side(p: String) = sized.select(
       col("cell"), col("__sub"),
       col("vec_id").as(s"${p}_id"), col("embedding").as(s"${p}_emb"))
-    side("a").join(side("b"), Seq("cell", "__sub"))
+    val raw = side("a").join(side("b"), Seq("cell", "__sub"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         vec_cosine(col("a_emb"), col("b_emb")).cast("double").as("cos"))
+    // roundDp: round the score BEFORE thresholding so pair membership is
+    // engine-portable by construction (the oracle-gated composition path)
+    roundDp.fold(raw)(dp => raw.withColumn("cos", round(col("cos"), dp)))
       .filter(col("cos") >= threshold)
+  }
+
+  /** Incremental form of [[semanticDupPairs]]: the NEW pairs contributed
+    * by a fresh batch against an already-assigned history — (batch ×
+    * history) within shared cells plus (batch × batch) — under the SAME
+    * fixed coarse quantizer. Ids must be disjoint across batches (the
+    * nightly-ingest contract); pair ids normalize to a_id < b_id, so
+    * folding batches and unioning the outputs reproduces the batch
+    * [[semanticDupPairs]] over the final corpus exactly: within-cell
+    * pairs of (old ∪ new) = within-old ∪ old×new ∪ within-new, and the
+    * first term is what previous folds already emitted
+    * (TextPipelineSpec proves the composed fold end-to-end).
+    *
+    * Scale: the history side arrives cell-partitioned (persisted with
+    * the corpus, [[ivfWriteIndex]]); the batch side is small, so the
+    * cross term is a broadcast-ish join on `cell` touching only cells
+    * the batch lands in — per-night cost is O(batch × avg cell), never
+    * O(corpus²). */
+  def semanticDupPairsIncrement(oldAssigned: DataFrame, newAssigned: DataFrame,
+                                threshold: Double,
+                                roundDp: Option[Int] = None): DataFrame = {
+    val oldSide = oldAssigned.select(col("cell"),
+      col("vec_id").as("o_id"), col("embedding").as("o_emb"))
+    val newSide = newAssigned.select(col("cell"),
+      col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    val crossRaw = newSide.join(oldSide, Seq("cell"))
+      .select(least(col("n_id"), col("o_id")).as("a_id"),
+        greatest(col("n_id"), col("o_id")).as("b_id"),
+        vec_cosine(col("n_emb"), col("o_emb")).cast("double").as("cos"))
+    val cross = roundDp.fold(crossRaw)(dp =>
+        crossRaw.withColumn("cos", round(col("cos"), dp)))
+      .filter(col("cos") >= threshold)
+    cross.unionByName(semanticDupPairs(newAssigned, threshold,
+      roundDp = roundDp))
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC

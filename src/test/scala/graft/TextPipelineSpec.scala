@@ -86,6 +86,58 @@ class TextPipelineSpec extends SparkSpec {
     assert(incBest === fullBest)
   }
 
+  test("semantic stage composes into curate; 3-batch fold with state round-trip matches") {
+    // fixture: doc 1 LEXdup doc 2 (one token changed), doc 2 SEMdup
+    // doc 3 (near-identical embeddings, disjoint vocabulary) — the
+    // chain only a SINGLE clustering over the union edge set collapses
+    // to one representative; sequential lexical-then-semantic stages
+    // would ship two. Docs 4-7 are singletons on orthogonal axes;
+    // doc 8 fails the quality gate.
+    def words(tag: String) = (1 to 30).map(i => s"$tag$i").mkString(" ")
+    def qtext(tag: String) = s"the start ${words(tag)} the end"
+    val baseA = qtext("alpha")
+    def axis(i: Int, eps: Float = 0f) =
+      Array.tabulate(8)(j => (if (j == i) 1f else 0f) + (if (j == 7) eps else 0f))
+    val rows = Seq(
+      (1L, baseA, axis(0)),
+      (2L, baseA.replace("alpha7 ", "alpha7x "), axis(1)),
+      (3L, qtext("gamma"), axis(1, eps = 1e-3f)),
+      (4L, qtext("delta"), axis(2)),
+      (5L, qtext("epsil"), axis(3)),
+      (6L, qtext("zeta"), axis(4)),
+      (7L, qtext("eta"), axis(5)),
+      (8L, "too short", axis(6)))
+    val all = rows.toDF("doc_id", "text", "embedding").cache()
+    // the quantizer is trained ONCE and the same stage drives the batch
+    // pipeline and every fold — the persisted-index contract
+    val model = graft.operators.AnnOps.ivfTrain(
+      all.select(col("doc_id").as("vec_id"), col("embedding")), nCells = 2)
+    val stage = TextPipeline.SemanticStage.ivf(model, threshold = 0.9)
+    def keep(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "split").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val full = keep(TextPipeline.curate(all, semantic = Some(stage)))
+    // chain {1,2,3} collapses to min-id 1; singletons 4-7 survive; 8 gated
+    assert(full.keySet === Set(1L, 4L, 5L, 6L, 7L))
+    // without the semantic stage doc 3 (lexically unique) would survive
+    val lexOnly = keep(TextPipeline.curate(all))
+    assert(lexOnly.keySet === Set(1L, 3L, 4L, 5L, 6L, 7L))
+    // three nightly folds, persisting state (incl. the cell-partitioned
+    // vec store) each night and reading it back
+    val root = java.nio.file.Files.createTempDirectory("graft_sem_state").toString
+    var st = TextPipeline.emptyState(spark)
+    (0 to 2).foreach { i =>
+      st = TextPipeline.curateIncrement(
+        st, all.filter(pmod(col("doc_id"), lit(3)) === i), semantic = Some(stage))
+      TextPipeline.saveState(st, s"$root/night$i")
+      st = TextPipeline.loadState(spark, s"$root/night$i")
+    }
+    assert(keep(TextPipeline.curatedFromState(st, all)) === full)
+    // the best-representative policy folds identically too
+    assert(keep(TextPipeline.curatedFromState(st, all, keepBest = true)) ===
+      keep(TextPipeline.curate(all, keepBest = true, semantic = Some(stage))))
+  }
+
   test("foreachBatch nightly curation: stream fold + checkpoint restart equals the batch pipeline") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val docs = Tables.documents(spark, sf0001)
