@@ -315,24 +315,48 @@ object WarehouseFs {
     * table from the same commit or every table from the previous one,
     * never a mixture. `keepCommits` old commit sets survive for in-flight
     * readers; unreferenced data dirs (expired versions and crash orphans)
-    * are garbage-collected after the commit. Returns the commit number. */
+    * are garbage-collected after the commit. Returns the commit number.
+    *
+    * `partitionBy` names partition columns per table (the data dir is
+    * written partitioned; readers get ordinary partition discovery +
+    * pruning). `carryForward` tables REUSE their current commit's data
+    * dir in the new commit — one body line, zero data I/O — the scalable
+    * path for tables a run did not change: a nightly that only touched
+    * the blacklist re-lists the mart's existing dir instead of copying
+    * O(history) bytes, and GC keeps any dir a retained commit still
+    * references. */
   def publishAtomicAll(dfs: Map[String, DataFrame], warehouse: String,
-                       keepCommits: Int = 2): Long = {
+                       keepCommits: Int = 2,
+                       partitionBy: Map[String, Seq[String]] = Map.empty,
+                       carryForward: Set[String] = Set.empty): Long = {
     require(dfs.nonEmpty, "publishAtomicAll: empty table set")
     require(keepCommits >= 1)
+    require(carryForward.intersect(dfs.keySet).isEmpty,
+      "publishAtomicAll: a table cannot be both written and carried forward")
     val spark = dfs.head._2.sparkSession
     val (fs, w) = fsFor(spark, warehouse)
-    val next = currentCommit(spark, warehouse).map(_._1).getOrElse(0L) + 1L
+    val current = currentCommit(spark, warehouse)
+    val next = current.map(_._1).getOrElse(0L) + 1L
     val dataName = s"c${vname(next)}"
+    // carried tables resolve to their CURRENT data dir names; absent ones
+    // fail loudly (a silent drop would make the next reader lose a table)
+    val carried: Map[String, String] = carryForward.map { t =>
+      val dir = current.flatMap(_._2.get(t)).getOrElse(throw new IllegalArgumentException(
+        s"publishAtomicAll: carryForward table $t has no current commit on $warehouse"))
+      t -> dir.substring(dir.lastIndexOf('/') + 1)
+    }.toMap
     // phase 1 (long): every table's full new state into fresh dirs
     dfs.foreach { case (table, df) =>
-      df.write.mode(SaveMode.Overwrite)
+      val writer = df.write.mode(SaveMode.Overwrite)
+      partitionBy.get(table).filter(_.nonEmpty)
+        .fold(writer)(cols => writer.partitionBy(cols: _*))
         .parquet(new Path(w, s"$table/$dataName").toString)
     }
     // phase 2 (commit): ONE single-file rename spanning all tables
     val cd = commitsDir(w)
     fs.mkdirs(cd)
-    val body = dfs.keys.toSeq.sorted.map(t => s"$t=$dataName").mkString("\n")
+    val body = (dfs.keys.map(_ -> dataName) ++ carried).toSeq.sorted
+      .map { case (t, d) => s"$t=$d" }.mkString("\n")
     val tmp = new Path(cd, s".tmp-${vname(next)}")
     val out = fs.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
