@@ -54,13 +54,20 @@ object TextPipeline {
     */
   final case class SemanticStage(assignCell: DataFrame => DataFrame,
                                  threshold: Double,
-                                 maxCellSize: Int = Int.MaxValue,
+                                 subBits: Int = 0,
                                  roundDp: Option[Int] = None)
 
   object SemanticStage {
+    /** `subBits` is the skew defense: a fixed-width SRP sub-split of every
+      * cell, applied as a pure per-vector function so the batch and
+      * incremental pipelines produce the SAME edge set (the adaptive
+      * `maxCellSize` cap of [[AnnOps.semanticDupPairs]] cannot offer that
+      * — sub-bucketing driven by observed cell sizes diverges between a
+      * prefix fold and the final corpus, silently breaking fold parity —
+      * so the stage deliberately does not expose it). */
     def ivf(model: AnnOps.IvfModel, threshold: Double,
-            maxCellSize: Int = Int.MaxValue): SemanticStage =
-      SemanticStage(df => AnnOps.ivfAssign(df, model), threshold, maxCellSize)
+            subBits: Int = 0): SemanticStage =
+      SemanticStage(df => AnnOps.ivfAssign(df, model), threshold, subBits)
 
     def byColumn(cellCol: String, threshold: Double): SemanticStage =
       SemanticStage(df => df.withColumn("cell", col(cellCol)), threshold,
@@ -87,7 +94,8 @@ object TextPipeline {
       val vecs = st.assignCell(docs.filter(col("embedding").isNotNull)
         .withColumnRenamed("doc_id", "vec_id"))
       lexPairs.unionByName(
-        AnnOps.semanticDupPairs(vecs, st.threshold, st.maxCellSize, st.roundDp)
+        AnnOps.semanticDupPairs(vecs, st.threshold, roundDp = st.roundDp,
+            subBits = st.subBits)
           .select("a_id", "b_id"))
     }
     val labels = DedupClusters.clusterLabels(docs, "doc_id", pairs)
@@ -159,14 +167,43 @@ object TextPipeline {
     state.bands.write.mode(SaveMode.Overwrite).parquet(s"$tmp/bands")
     state.labels.write.mode(SaveMode.Overwrite).parquet(s"$tmp/labels")
     // cell-partitioned like ivfWriteIndex: the nightly cross-pairing
-    // prunes to the batch's cells at the scan
-    state.vecs.foreach(_.write.partitionBy("cell")
-      .mode(SaveMode.Overwrite).parquet(s"$tmp/vecs"))
+    // prunes to the batch's cells at the scan. The store's on-disk
+    // contract is VecsSchema: `cell` must arrive integral — a string
+    // category from a byColumn stage would silently round-trip to null
+    // cells and drop every history-side pair, so it fails loudly here —
+    // and the load reads back with the explicit schema, which also makes
+    // a zero-row save harmless (a dynamically-partitioned empty write
+    // emits no part files, so schema inference would throw on reload).
+    state.vecs.foreach { v =>
+      val cellType = v.schema("cell").dataType
+      require(Seq[org.apache.spark.sql.types.DataType](
+          org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+          org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+          .contains(cellType),
+        s"saveState: vecs.cell must be an integral type, got $cellType — " +
+          "a non-numeric cell would silently become null on reload and drop all history pairs")
+      v.select(col("vec_id").cast("long"),
+          col("embedding").cast("array<float>"), col("cell").cast("int"))
+        .write.partitionBy("cell")
+        .mode(SaveMode.Overwrite).parquet(s"$tmp/vecs")
+    }
     graft.sources.WarehouseFs.deleteIfExists(spark, dir)
     val (fs, target) = graft.sources.WarehouseFs.fsFor(spark, dir)
     if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), target))
       throw new java.io.IOException(s"saveState: rename $tmp -> $dir failed")
   }
+
+  /** On-disk schema of the vecs store — read back explicitly so a
+    * zero-row save (no part files to infer from) still loads, and the
+    * partition-discovered `cell` comes back as the int it was written
+    * as (saveState validates integrality before writing). */
+  private val VecsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("vec_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("embedding",
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+    org.apache.spark.sql.types.StructField("cell",
+      org.apache.spark.sql.types.IntegerType)))
 
   def loadState(spark: SparkSession, dir: String): CurationState =
     CurationState(
@@ -174,9 +211,8 @@ object TextPipeline {
       spark.read.parquet(s"$dir/bands"),
       spark.read.parquet(s"$dir/labels"),
       vecs = if (graft.sources.WarehouseFs.listNames(spark, dir).contains("vecs"))
-               Some(spark.read.parquet(s"$dir/vecs")
-                 .select(col("vec_id"), col("embedding"),
-                   col("cell").cast("int").as("cell")))
+               Some(spark.read.schema(VecsSchema).parquet(s"$dir/vecs")
+                 .select("vec_id", "embedding", "cell"))
              else None)
 
   /** Nightly incremental form of [[curate]]: fold one new batch into the
@@ -218,7 +254,7 @@ object TextPipeline {
           .select("vec_id", "embedding", "cell")
         val oldVecs = state.vecs.getOrElse(emptyVecs(batch.sparkSession))
         val semPairs = AnnOps.semanticDupPairsIncrement(
-            oldVecs, batchVecs, st.threshold, st.roundDp)
+            oldVecs, batchVecs, st.threshold, st.roundDp, st.subBits)
           .select("a_id", "b_id")
         (lexPairs.unionByName(semPairs), Some(oldVecs.unionByName(batchVecs)))
     }

@@ -263,12 +263,24 @@ object AnnOps {
     * count like the centroid table itself). Pairs across sub-buckets are
     * forgone — the same trade the cell boundary already makes, and EXACT
     * duplicates are never lost: identical vectors have identical sign
-    * patterns, so they land in the same sub-bucket at any bit width. */
+    * patterns, so they land in the same sub-bucket at any bit width.
+    *
+    * `subBits` is the PARITY-SAFE alternative skew defense for the
+    * incremental fold ([[semanticDupPairsIncrement]]): a fixed-width SRP
+    * sub-split applied to EVERY cell as a pure per-vector function — no
+    * observed-size dependence, so batch and incremental pairings agree by
+    * construction (the dynamic cap cannot: a cell small in early folds
+    * but over-cap in the final corpus would emit pairs the batch form
+    * drops). Mutually exclusive with a finite `maxCellSize`. */
   def semanticDupPairs(assigned: DataFrame, threshold: Double,
                        maxCellSize: Int = Int.MaxValue,
-                       roundDp: Option[Int] = None): DataFrame = {
+                       roundDp: Option[Int] = None,
+                       subBits: Int = 0): DataFrame = {
+    require(subBits == 0 || maxCellSize == Int.MaxValue,
+      "semanticDupPairs: subBits (deterministic) and maxCellSize (adaptive) are mutually exclusive skew defenses")
     val sized =
-      if (maxCellSize == Int.MaxValue) assigned.withColumn("__sub", lit(0L))
+      if (subBits > 0) assigned.withColumn("__sub", subSplitCol(subBits))
+      else if (maxCellSize == Int.MaxValue) assigned.withColumn("__sub", lit(0L))
       else {
         // one aggregation, collected: the relation is bounded by the
         // model's cell count (thousands), like the centroid table itself
@@ -299,6 +311,12 @@ object AnnOps {
       .filter(col("cos") >= threshold)
   }
 
+  /** Fixed-width SRP sub-bucket — a pure per-vector function (identical
+    * vectors share every sign bit, so exact dups always co-bucket), the
+    * deterministic skew defense batch/incremental parity requires. */
+  private def subSplitCol(subBits: Int): org.apache.spark.sql.Column =
+    if (subBits <= 0) lit(0L) else srp_signature(col("embedding"), subBits)
+
   /** Incremental form of [[semanticDupPairs]]: the NEW pairs contributed
     * by a fresh batch against an already-assigned history — (batch ×
     * history) within shared cells plus (batch × batch) — under the SAME
@@ -310,6 +328,10 @@ object AnnOps {
     * first term is what previous folds already emitted
     * (TextPipelineSpec proves the composed fold end-to-end).
     *
+    * `subBits` must match the batch side's: the sub-split is a pure
+    * per-vector function, so the same value on both paths preserves the
+    * parity argument verbatim (the (cell, __sub) key replaces cell).
+    *
     * Scale: the history side arrives cell-partitioned (persisted with
     * the corpus, [[ivfWriteIndex]]); the batch side is small, so the
     * cross term is a broadcast-ish join on `cell` touching only cells
@@ -317,12 +339,15 @@ object AnnOps {
     * O(corpus²). */
   def semanticDupPairsIncrement(oldAssigned: DataFrame, newAssigned: DataFrame,
                                 threshold: Double,
-                                roundDp: Option[Int] = None): DataFrame = {
-    val oldSide = oldAssigned.select(col("cell"),
-      col("vec_id").as("o_id"), col("embedding").as("o_emb"))
-    val newSide = newAssigned.select(col("cell"),
-      col("vec_id").as("n_id"), col("embedding").as("n_emb"))
-    val crossRaw = newSide.join(oldSide, Seq("cell"))
+                                roundDp: Option[Int] = None,
+                                subBits: Int = 0): DataFrame = {
+    val oldSide = oldAssigned.withColumn("__sub", subSplitCol(subBits))
+      .select(col("cell"), col("__sub"),
+        col("vec_id").as("o_id"), col("embedding").as("o_emb"))
+    val newSide = newAssigned.withColumn("__sub", subSplitCol(subBits))
+      .select(col("cell"), col("__sub"),
+        col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    val crossRaw = newSide.join(oldSide, Seq("cell", "__sub"))
       .select(least(col("n_id"), col("o_id")).as("a_id"),
         greatest(col("n_id"), col("o_id")).as("b_id"),
         vec_cosine(col("n_emb"), col("o_emb")).cast("double").as("cos"))
@@ -330,7 +355,7 @@ object AnnOps {
         crossRaw.withColumn("cos", round(col("cos"), dp)))
       .filter(col("cos") >= threshold)
     cross.unionByName(semanticDupPairs(newAssigned, threshold,
-      roundDp = roundDp))
+      roundDp = roundDp, subBits = subBits))
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC

@@ -20,8 +20,11 @@ import org.apache.spark.sql.functions._
   * picks that up from size estimates) plus one dst-keyed aggregation with
   * map-side combine; `localCheckpoint` keeps the plan flat across
   * iterations (same discipline as [[DedupClusters]]). Driver-side data is
-  * bounded metadata only: the node count plus one dangling-mass scalar
-  * per sweep (a single-row agg over the already-checkpointed rank table).
+  * bounded metadata only: the node count. The per-sweep dangling mass
+  * stays LAZY — a single-row aggregate cross-joined (broadcast-scalar
+  * pattern, as in `sub_scalar_avg`) into the same sweep's rank plan, so
+  * each sweep is exactly ONE job (the eager `localCheckpoint`), never a
+  * separate driver-synced action.
   * Overflow bound: callers must keep
   * `scale · max(w) < 2^63` — at the default 1e12 scale that allows
   * per-edge weights up to ~9.2e6; renormalize heavier edge tables first.
@@ -59,17 +62,19 @@ object Graph {
     val teleport = (scale * (dampDen - dampNum) / dampDen) / n
     var rank = nodes.withColumn("r", lit(scale / n))
     for (_ <- 1 to iters) {
-      // dangling mass this sweep: one single-row agg over the ≤|V|-row
-      // checkpointed rank table — bounded metadata, like the node count
-      val dMass = rank.join(danglingNodes, Seq("node"), "left_semi")
-        .agg(coalesce(sum("r"), lit(0L))).head().getLong(0)
-      val share = dMass / n
+      // dangling share this sweep: a 1-row aggregate over the ≤|V|-row
+      // checkpointed rank table, kept LAZY and cross-joined into the rank
+      // update (broadcast-scalar pattern) — it evaluates inside the same
+      // job as the checkpoint below instead of forcing its own action
+      val shareDf = rank.join(danglingNodes, Seq("node"), "left_semi")
+        .agg(expr(s"coalesce(sum(r), 0L) DIV $n").as("__share"))
       val contrib = e.join(rank, e("src") === rank("node"))
         .select(col("dst").as("node"), expr("(r * w) DIV wout").as("t"))
         .groupBy("node").agg(sum("t").as("c"))
       rank = nodes.join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(shareDf))
         .select(col("node"),
-          (expr(s"($dampNum * (coalesce(c, 0L) + $share)) DIV $dampDen") + lit(teleport))
+          (expr(s"($dampNum * (coalesce(c, 0L) + __share)) DIV $dampDen") + lit(teleport))
             .as("r"))
         .localCheckpoint()
     }

@@ -138,6 +138,97 @@ class TextPipelineSpec extends SparkSpec {
       keep(TextPipeline.curate(all, keepBest = true, semantic = Some(stage))))
   }
 
+  test("subBits skew defense: deterministic sub-split keeps batch/incremental parity") {
+    def words(tag: String) = (1 to 30).map(i => s"$tag$i").mkString(" ")
+    def qtext(tag: String) = s"the start ${words(tag)} the end"
+    def axis(i: Int, eps: Float = 0f) =
+      Array.tabulate(8)(j => (if (j == i) 1f else 0f) + (if (j == 7) eps else 0f))
+    val rows = Seq(
+      (1L, qtext("alpha"), axis(0)),
+      (2L, qtext("beta"), axis(0)),            // semdup of 1
+      (3L, qtext("gamma"), axis(1, eps = 1e-3f)),
+      (4L, qtext("delta"), axis(1)),           // semdup of 3
+      (5L, qtext("epsil"), axis(2)),
+      (6L, qtext("zeta"), axis(3)),
+      (7L, qtext("eta"), axis(4)))
+    val all = rows.toDF("doc_id", "text", "embedding").cache()
+    val model = graft.operators.AnnOps.ivfTrain(
+      all.select(col("doc_id").as("vec_id"), col("embedding")), nCells = 2)
+    // the sub-split is a pure per-vector function, so the batch pipeline
+    // and the nightly fold agree on the SAME (possibly reduced) edge set
+    val stage = TextPipeline.SemanticStage.ivf(model, threshold = 0.9, subBits = 2)
+    def keep(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "split").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val full = keep(TextPipeline.curate(all, semantic = Some(stage)))
+    assert(full.nonEmpty)
+    val root = java.nio.file.Files.createTempDirectory("graft_subbits_state").toString
+    var st = TextPipeline.emptyState(spark)
+    (0 to 2).foreach { i =>
+      st = TextPipeline.curateIncrement(
+        st, all.filter(pmod(col("doc_id"), lit(3)) === i), semantic = Some(stage))
+      TextPipeline.saveState(st, s"$root/night$i")
+      st = TextPipeline.loadState(spark, s"$root/night$i")
+    }
+    assert(keep(TextPipeline.curatedFromState(st, all)) === full)
+    // the capped edge set is a subset of the uncapped one (sub-bucketing
+    // only ever drops pairs, never invents them); exact dups survive it
+    val assigned = graft.operators.AnnOps.ivfAssign(
+      all.select(col("doc_id").as("vec_id"), col("embedding")), model)
+    def pairSet(p: org.apache.spark.sql.DataFrame) =
+      p.select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = pairSet(graft.operators.AnnOps.semanticDupPairs(assigned, 0.9, subBits = 2))
+    val uncapped = pairSet(graft.operators.AnnOps.semanticDupPairs(assigned, 0.9))
+    assert(capped.subsetOf(uncapped))
+    assert(capped.contains((1L, 2L)), "identical vectors must co-bucket at any bit width")
+  }
+
+  test("semantic fold survives a first batch with zero embeddings (empty vecs store round-trip)") {
+    def words(tag: String) = (1 to 30).map(i => s"$tag$i").mkString(" ")
+    def qtext(tag: String) = s"the start ${words(tag)} the end"
+    def axis(i: Int) = Array.tabulate(8)(j => if (j == i) 1f else 0f)
+    val rows = Seq(
+      (1L, qtext("alpha"), None),
+      (2L, qtext("beta"), None),
+      (3L, qtext("gamma"), Some(axis(1))),
+      (4L, qtext("delta"), Some(axis(1))),     // semdup of 3
+      (5L, qtext("epsil"), Some(axis(2))))
+    val all = rows.toDF("doc_id", "text", "embedding").cache()
+    val model = graft.operators.AnnOps.ivfTrain(
+      all.filter(col("embedding").isNotNull)
+        .select(col("doc_id").as("vec_id"), col("embedding")), nCells = 2)
+    val stage = TextPipeline.SemanticStage.ivf(model, threshold = 0.9)
+    val root = java.nio.file.Files.createTempDirectory("graft_emptyvecs").toString
+    // night 0: only null-embedding docs → the vecs store has ZERO rows; a
+    // dynamically-partitioned empty write emits no part files, so the
+    // reload must come from the explicit schema, not inference
+    var st = TextPipeline.curateIncrement(TextPipeline.emptyState(spark),
+      all.filter(col("doc_id") <= 2), semantic = Some(stage))
+    TextPipeline.saveState(st, s"$root/night0")
+    st = TextPipeline.loadState(spark, s"$root/night0")
+    st = TextPipeline.curateIncrement(st,
+      all.filter(col("doc_id") > 2), semantic = Some(stage))
+    TextPipeline.saveState(st, s"$root/night1")
+    st = TextPipeline.loadState(spark, s"$root/night1")
+    def keep(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "split").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val inc = keep(TextPipeline.curatedFromState(st, all))
+    assert(inc === keep(TextPipeline.curate(all, semantic = Some(stage))))
+    assert(inc.nonEmpty)
+  }
+
+  test("saveState rejects a non-integral vecs cell column loudly") {
+    val badVecs = Seq((1L, Array(1f, 0f), "catA"), (2L, Array(0f, 1f), "catB"))
+      .toDF("vec_id", "embedding", "cell")
+    val st = TextPipeline.emptyState(spark).copy(vecs = Some(badVecs))
+    val root = java.nio.file.Files.createTempDirectory("graft_badcell").toString
+    val e = intercept[IllegalArgumentException] {
+      TextPipeline.saveState(st, s"$root/night0")
+    }
+    assert(e.getMessage.contains("integral"), e.getMessage)
+  }
+
   test("foreachBatch nightly curation: stream fold + checkpoint restart equals the batch pipeline") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val docs = Tables.documents(spark, sf0001)
