@@ -61,10 +61,6 @@ object EtlPipeline {
       files.filter(_.startsWith(prefix)).map(f => (dayOf(f), s"$feedDir/$f")).sortBy(_._1)
 
     def tablePath(name: String) = s"$whDir/$name"
-    // reads resolve either publish flavor: manifest-committed current
-    // version when the table has one, else the plain directory
-    def readIf(name: String): Option[DataFrame] =
-      WarehouseFs.readTable(spark, tablePath(name))
     // snapshot-rewrite with atomic publish. Default: the new state streams
     // into <table>.tmp while the live table (which the plan may be
     // reading) stays untouched, then two metadata renames swap it in — a
@@ -74,9 +70,57 @@ object EtlPipeline {
     // versioned-dir + pointer-file layout instead (no directory rename).
     val useManifest = spark.conf.getOption("spark.graft.etl.manifestPublish")
       .exists(_.toBoolean)
+    // spark.graft.etl.atomicCommit=true lifts the publish one level up:
+    // every SERVED table (terminal history, blacklist, fraud mart) flips
+    // in ONE commit-set commit ([[WarehouseFs.publishAtomicAll]]) at the
+    // end of the run, so a reader resolving through the latest commit can
+    // never join mart(vN) against blacklist(vN−1) — the cross-version
+    // mixture the per-table publishes permit. During the run the pipeline
+    // stages its intermediate states under `_work/` (private to the run);
+    // tables this run did not touch carry forward into the new commit
+    // with zero data I/O. The append-only transactions fact deliberately
+    // stays OUTSIDE the commit set: its day partitions are immutable once
+    // written (new days only append), so there is no version mixture to
+    // protect against, and re-committing O(history) fact bytes nightly is
+    // exactly what carryForward exists to avoid. The mart itself is
+    // flagged events — orders of magnitude smaller than the fact — so its
+    // full-state commit write stays O(mart), acceptable nightly.
+    val useAtomic = spark.conf.getOption("spark.graft.etl.atomicCommit")
+      .exists(_.toBoolean)
+    val workDir = s"$whDir/_work"
+    val committedTables: Map[String, String] =
+      if (useAtomic) WarehouseFs.currentCommit(spark, whDir).map(_._2).getOrElse(Map.empty)
+      else Map.empty
+    val workWritten = scala.collection.mutable.LinkedHashSet.empty[String]
+    // reads resolve, in order: this run's own staged state, the latest
+    // commit set (atomic mode), a manifest-committed current version, the
+    // plain directory (also the migration path into atomic mode)
+    def readIf(name: String): Option[DataFrame] =
+      if (useAtomic) {
+        if (workWritten(name)) Some(spark.read.parquet(s"$workDir/$name"))
+        else committedTables.get(name).map(spark.read.parquet(_))
+          .orElse(WarehouseFs.readTable(spark, tablePath(name)))
+      } else WarehouseFs.readTable(spark, tablePath(name))
     def overwrite(df: DataFrame, name: String): Unit =
-      if (useManifest) WarehouseFs.publishVersioned(df, tablePath(name))
+      if (useAtomic) {
+        WarehouseFs.publish(df, s"$workDir/$name"); workWritten += name
+      }
+      else if (useManifest) WarehouseFs.publishVersioned(df, tablePath(name))
       else WarehouseFs.publish(df, tablePath(name))
+    // one commit spanning everything this run changed (mart passed
+    // explicitly — it never stages under _work); unchanged committed
+    // tables ride along by reference. No-op when nothing changed.
+    def commitAtomic(mart: Option[DataFrame]): Unit = if (useAtomic) {
+      val changed: Map[String, DataFrame] =
+        workWritten.toSeq.map(n => n -> spark.read.parquet(s"$workDir/$n")).toMap ++
+          mart.map("rep_fraud" -> _).toMap
+      if (changed.nonEmpty) {
+        WarehouseFs.publishAtomicAll(changed, whDir,
+          partitionBy = Map("rep_fraud" -> Seq("report_dt")),
+          carryForward = committedTables.keySet -- changed.keySet)
+        WarehouseFs.deleteIfExists(spark, workDir)
+      }
+    }
 
     val termAttrs = Seq("terminal_type", "terminal_city", "terminal_address")
 
@@ -149,6 +193,7 @@ object EtlPipeline {
 
     if (readIf("dwh_fact_transactions").isEmpty || readIf("dwh_dim_terminals_hist").isEmpty) {
       println("[etl] no transactions/terminals loaded — skipping fraud mart")
+      commitAtomic(None) // dims/blacklist staged so far still flip together
       return
     }
 
@@ -166,7 +211,8 @@ object EtlPipeline {
           (graft.sources.BankJdbc.readTable(spark, cfg, "bank.clients"),
            graft.sources.BankJdbc.readTable(spark, cfg, "bank.accounts"),
            graft.sources.BankJdbc.readTable(spark, cfg, "bank.cards"))
-        case None => demoBankTables(spark, whDir)
+        case None => demoBankTables(spark, whDir,
+          blacklist = readIf("dwh_fact_pssprt_blcklst"))
       }
     }
 
@@ -199,7 +245,16 @@ object EtlPipeline {
     // past mart rows keep the dims they were derived with.
     val factPath = tablePath("dwh_fact_transactions")
     val martPath = tablePath("rep_fraud")
-    val martExists = WarehouseFs.hasData(spark, martPath)
+    // the mart resolves like every served table: latest commit in atomic
+    // mode (plain dir as the migration fallback), plain dir otherwise
+    def readMart(): Option[DataFrame] =
+      if (useAtomic)
+        committedTables.get("rep_fraud").map(spark.read.parquet(_))
+          .orElse(if (WarehouseFs.hasData(spark, martPath))
+                    Some(spark.read.parquet(martPath)) else None)
+      else if (WarehouseFs.hasData(spark, martPath)) Some(spark.read.parquet(martPath))
+      else None
+    val martExists = readMart().isDefined
     val allDays = WarehouseFs.listNames(spark, factPath)
       .filter(_.startsWith("day=")).map(_.stripPrefix("day=")).sorted
     def nextDay(d: String) = java.time.LocalDate.parse(d).plusDays(1).toString
@@ -229,6 +284,7 @@ object EtlPipeline {
       }.sorted
     if (windows.isEmpty && retroDays.isEmpty) {
       println("[etl] no new transaction days, no retroactive blacklist — fraud mart unchanged")
+      commitAtomic(None) // dims/blacklist staged so far still flip together
       return
     }
 
@@ -239,7 +295,7 @@ object EtlPipeline {
     val evCols = Seq("event_dt", "passport", "fio", "phone", "event_type")
     // full event rows already in the mart — the dedup side of the
     // anti-joins; only read when an extension/retro pass actually runs
-    lazy val martRows = spark.read.parquet(martPath)
+    lazy val martRows = readMart().get
       .select(evCols.map(col): _*)
     def derive(from: String, to: String): DataFrame = {
       val tx = factSlice(spark, factPath, Date.valueOf(from), Date.valueOf(to))
@@ -281,28 +337,48 @@ object EtlPipeline {
     // overwrite replaces the whole partition, so merge it back in
     val rep = (if (martExists)
         newEvents.unionByName(
-          spark.read.parquet(martPath).filter(col("report_dt") === lit(reportDt))
+          readMart().get.filter(col("report_dt") === lit(reportDt))
             .select(evCols.map(col) :+ col("report_dt"): _*)).distinct()
       else newEvents)
-    // Dynamic partition overwrite: only the report days present in this
-    // run's output are replaced — historical mart partitions survive a
-    // daily rebuild untouched (the scalable form of the reference's
-    // per-day delete+insert; a full-table overwrite would rewrite the
-    // whole mart history every night).
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    // localCheckpoint materializes the result BEFORE the write truncates
-    // the partition it may be reading (mart merge/anti-join read the same
-    // path); observe() piggybacks the row count on the write job — the
-    // end-of-run log costs zero extra table scans (no O(history) counts)
-    val repObs = new org.apache.spark.sql.Observation("rep_fraud_metrics")
-    rep.localCheckpoint().observe(repObs, count(lit(1)).as("n"))
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy("report_dt").parquet(martPath)
+    val repCount: Any =
+      if (useAtomic) {
+        // commit-set mode: the new mart state = untouched report days +
+        // this run's (merged) report day, committed in ONE commit with
+        // every other table the run changed. rep is bounded (the run's
+        // windows), so the checkpoint is O(new events); the union against
+        // the immutable current version dir needs no materialization.
+        val repFinal = rep.localCheckpoint()
+        val martFinal = readMart() match {
+          case Some(old) =>
+            old.filter(col("report_dt") =!= lit(reportDt))
+              .select(repFinal.columns.map(col).toSeq: _*)
+              .unionByName(repFinal)
+          case None => repFinal
+        }
+        commitAtomic(Some(martFinal))
+        repFinal.count()
+      } else {
+        // Dynamic partition overwrite: only the report days present in this
+        // run's output are replaced — historical mart partitions survive a
+        // daily rebuild untouched (the scalable form of the reference's
+        // per-day delete+insert; a full-table overwrite would rewrite the
+        // whole mart history every night).
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        // localCheckpoint materializes the result BEFORE the write truncates
+        // the partition it may be reading (mart merge/anti-join read the same
+        // path); observe() piggybacks the row count on the write job — the
+        // end-of-run log costs zero extra table scans (no O(history) counts)
+        val repObs = new org.apache.spark.sql.Observation("rep_fraud_metrics")
+        rep.localCheckpoint().observe(repObs, count(lit(1)).as("n"))
+          .write.mode(SaveMode.Overwrite)
+          .partitionBy("report_dt").parquet(martPath)
+        repObs.get("n")
+      }
 
     val winStr = extended.map { case (a, b, ext) =>
       s"$a..$b${ext.map("+" + _).getOrElse("")}" }.mkString(",")
     println(s"[etl] fact_days=${allDays.size} loaded=${loadedDays.size} " +
-      s"windows=$winStr retro=${retroDays.size} rep_fraud~=${repObs.get("n")}")
+      s"windows=$winStr retro=${retroDays.size} rep_fraud~=$repCount")
   }
 
   /** Z-order-compact the named day partitions of the transactions fact in
@@ -370,7 +446,8 @@ object EtlPipeline {
     * fact — DEMO ONLY: real deployments pass bankDir. First 5 clients'
     * passports are wired to blacklist entries so rule 1 has positives.
     */
-  def demoBankTables(spark: SparkSession, whDir: String): (DataFrame, DataFrame, DataFrame) = {
+  def demoBankTables(spark: SparkSession, whDir: String,
+                     blacklist: Option[DataFrame] = None): (DataFrame, DataFrame, DataFrame) = {
     val tx = spark.read.parquet(s"$whDir/dwh_fact_transactions")
     val cardsSeen = withDenseId(
       tx.select(trim(col("card_num")).as("card_num")).distinct(), "card_num", "cid")
@@ -380,7 +457,8 @@ object EtlPipeline {
       to_date(lit("2030-01-01")).as("valid_to"),
       col("cid").as("client"))
     val bl = withDenseId(
-      WarehouseFs.readTable(spark, s"$whDir/dwh_fact_pssprt_blcklst").get,
+      blacklist.getOrElse(
+        WarehouseFs.readTable(spark, s"$whDir/dwh_fact_pssprt_blcklst").get),
       "passport_num", "bid")
     val clients = cardsSeen
       .join(bl.select(col("bid").as("cid"), col("passport_num").as("bl_passport")),

@@ -218,6 +218,54 @@ class EtlPipelineSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.etl.manifestPublish")
   }
 
+  test("atomic-commit mode: served tables flip in ONE commit; mid-publish state invisible; carry-forward by reference") {
+    firstRun // non-atomic baseline mart in `wh` for content parity
+    import graft.sources.WarehouseFs
+    val tmp = java.nio.file.Files.createTempDirectory("graft_wh_ac_").toString
+    val whA = s"$tmp/wh"
+    spark.conf.set("spark.graft.etl.atomicCommit", "true")
+    try {
+      EtlPipeline.run(spark, refDir, whA, None, Some(asOf(3)))
+      val (c1, t1) = WarehouseFs.currentCommit(spark, whA).get
+      assert(t1.keySet === Set("dwh_dim_terminals_hist", "dwh_fact_pssprt_blcklst", "rep_fraud"))
+      assert(WarehouseFs.readCommitted(spark, whA, "dwh_dim_terminals_hist").get.count() === 155)
+      assert(WarehouseFs.readCommitted(spark, whA, "dwh_fact_pssprt_blcklst").get.count() === 24)
+      // mart content parity with the per-table-publish pipeline
+      val aMart = WarehouseFs.readCommitted(spark, whA, "rep_fraud").get.drop("report_dt")
+      val bMart = spark.read.parquet(s"$wh/rep_fraud").drop("report_dt")
+      assert(aMart.exceptAll(bMart).count() === 0)
+      assert(bMart.exceptAll(aMart).count() === 0)
+      // the run's private staging area is gone after the commit
+      assert(!WarehouseFs.hasData(spark, s"$whA/_work"))
+
+      // simulated crash MID-publish: a phase-1 data dir exists but no
+      // commit file references it — a reader still resolves EVERY table
+      // through commit c1; the half-published state is invisible (this is
+      // the "mart(vN) ⋈ blacklist(vN−1)" anomaly the commit set prevents:
+      // tables can only flip when the single commit file lands)
+      val orphan = new java.io.File(s"$whA/dwh_fact_pssprt_blcklst/c99999998")
+      orphan.mkdirs()
+      java.nio.file.Files.write(orphan.toPath.resolve("part-orphan.parquet"),
+        Array[Byte](1, 2, 3))
+      assert(WarehouseFs.currentCommit(spark, whA).get === ((c1, t1)))
+
+      // idempotent re-run: only the blacklist re-applies → commit c1+1;
+      // the untouched mart and terminal history carry forward BY
+      // REFERENCE — same data dir name, zero data I/O
+      EtlPipeline.run(spark, refDir, whA, None, Some(asOf(3)))
+      val (c2, t2) = WarehouseFs.currentCommit(spark, whA).get
+      assert(c2 === c1 + 1)
+      assert(t2("rep_fraud") === t1("rep_fraud"))
+      assert(t2("dwh_dim_terminals_hist") === t1("dwh_dim_terminals_hist"))
+      assert(WarehouseFs.readCommitted(spark, whA, "dwh_fact_pssprt_blcklst").get.count() === 24)
+      assert(WarehouseFs.readCommitted(spark, whA, "rep_fraud").get.count() > 0)
+      // a reader pinned to c1 still sees the mutually consistent OLD set
+      assert(WarehouseFs.commitVersion(spark, whA, c1).get._2 === t1)
+      // the orphan from the simulated crash was garbage-collected
+      assert(!orphan.exists())
+    } finally spark.conf.unset("spark.graft.etl.atomicCommit")
+  }
+
   test("a retroactive blacklist entry re-derives only the affected days (parity with rebuild)") {
     firstRun
     val tmp = java.nio.file.Files.createTempDirectory("graft_retro_").toString
