@@ -27,20 +27,21 @@ import graft.operators.AnnOps
   * near-orthogonal — the worst case for any locality-sensitive scheme
   * (there is barely any locality to be sensitive to), so the candidate
   * cost a config pays for a given recall here is an UPPER bound on real
-  * embedding manifolds. Measured r6 frontier: **PQ-ADC is the cheap
-  * high-recall family on this corpus — rerank64 reaches 0.982 at 0.32
-  * cost** (rerank32: 0.87 at 0.16); the best ≥0.9 SRP point stays
-  * bits8×16tables multi-probe at 0.45, and IVF needs probe12/16 = 0.75.
-  * The IVF-PQ composite lands probe12×rerank64 = 0.944 at the same 0.32
-  * exact cost as flat PQ but scanning only 12/16 of the (32×-compressed)
-  * code table — the gap to flat PQ's 0.982 is the IVF probe ceiling
-  * (0.952 at probe12), which real clustered manifolds lift.
-  * The √n-cell sweep is deliberately reported even though it does NOT
-  * help here: with no cluster structure, k-means cells tile the sphere
-  * arbitrarily and IVF recall tracks cost ≈ linearly at every cell count
-  * (cells64 probe32: 0.872 at 0.50; cells256 probe64: 0.798 at 0.25) —
-  * on a real manifold the same sweep is where the win appears, and the
-  * harness measures rather than assumes it. The trends
+  * embedding manifolds. Measured r8 frontier (regenerated with the
+  * cells64/256 IVF-PQ sweep): **the production ≥0.9-recall operating
+  * points at REALISTIC cell counts now exist measured** —
+  * ivfpq_cells64_probe40_rerank64 = 0.928 and probe48 = 0.970, both at
+  * 0.32 exact cost while ADC-scanning 0.625/0.75 of the 32×-compressed
+  * code table; at cells256, probe128×rerank64 = 0.952 at the same 0.32
+  * cost touching only half the codes. Flat PQ rerank64 reaches 0.966 at
+  * 0.32 but ADC-scans the WHOLE corpus per query — the composite matches
+  * its recall at a fraction of the scan, which is the point of IVF-PQ.
+  * The best ≥0.9 SRP point stays bits8×16tables multi-probe at 0.45.
+  * Plain IVF needs probed_frac ≈ 0.6 for ≥0.9 here (cells64 probe40:
+  * 0.930; cells256 probe96: 0.906) because the i.i.d. corpus has no
+  * cluster structure for the quantizer to exploit — on a real manifold
+  * the same sweep is where the win appears, and the harness measures
+  * rather than assumes it. The trends
   * the spec asserts: multi-probe strictly helps SRP at every bit width,
   * multi-table recall is monotone in L and dominates single-table at
   * equal total bits, and IVF recall climbs with nProbe toward the proven
