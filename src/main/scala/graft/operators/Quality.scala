@@ -27,16 +27,37 @@ object Quality {
     * 2^`rsd` sketch per column): no Expand, still one pass, constant
     * memory per column regardless of cardinality.
     */
-  def profile(df: DataFrame, cols: Seq[String], exact: Boolean = true): DataFrame = {
+  def profile(df: DataFrame, cols: Seq[String], exact: Boolean = true): DataFrame =
+    profileImpl(df, cols, exact, withCount = false)
+
+  /** [[profile]] plus the exact table row count from the SAME single
+    * scan, emitted as a leading `col_name = "*"` row (n_nonnull = row
+    * count, the other fields null). This is the persistable statistics
+    * form manifest commits attach to a published table
+    * ([[graft.sources.WarehouseFs.publishVersioned]]): one scan buys the
+    * row count AND every column's NDV/min/max. */
+  def profileWithCount(df: DataFrame, cols: Seq[String],
+                       exact: Boolean = true): DataFrame =
+    profileImpl(df, cols, exact, withCount = true)
+
+  private def profileImpl(df: DataFrame, cols: Seq[String], exact: Boolean,
+                          withCount: Boolean): DataFrame = {
     val aggs = cols.flatMap { c =>
       val nd = if (exact) countDistinct(col(c)) else approx_count_distinct(col(c))
       Seq(count(col(c)).as(s"${c}__n"),
           nd.as(s"${c}__nd"),
           min(col(c)).cast("string").as(s"${c}__min"),
           max(col(c)).cast("string").as(s"${c}__max"))
-    }
+    } ++ (if (withCount) Seq(count(lit(1)).as("__rows")) else Nil)
     val one = df.agg(aggs.head, aggs.tail: _*)
-    val entries = cols.map { c =>
+    val countRow =
+      if (!withCount) Nil
+      else Seq(struct(lit("*").as("col_name"),
+                      col("__rows").as("n_nonnull"),
+                      lit(null).cast("long").as("n_distinct"),
+                      lit(null).cast("string").as("min_str"),
+                      lit(null).cast("string").as("max_str")))
+    val entries = countRow ++ cols.map { c =>
       struct(lit(c).as("col_name"),
              col(s"${c}__n").as("n_nonnull"),
              col(s"${c}__nd").as("n_distinct"),

@@ -184,27 +184,28 @@ object WarehouseFs {
     * publisher commits N, an audit replaying yesterday's snapshot, a
     * dry-run diffing two versions. */
   def readTableVersion(spark: SparkSession, table: String,
-                       version: Long): Option[DataFrame] = {
-    val (fs, t) = fsFor(spark, table)
-    val manifest = new Path(versionsDir(t), vname(version))
-    if (!fs.exists(manifest)) None
-    else {
-      val in = fs.open(manifest)
-      val dataName = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-                     finally in.close()
-      Some(spark.read.parquet(s"$table/$dataName"))
-    }
-  }
+                       version: Long): Option[DataFrame] =
+    readTableVersionPath(spark, table, version).map(spark.read.parquet(_))
 
   /** Atomically publish `df` as the new current version of a
     * manifest-committed `table` (layout above). Safe on object stores —
     * no directory rename anywhere. `keepVersions` old versions survive
     * for in-flight readers (time travel for free); older data dirs and
     * manifests, plus orphans from crashed writes, are garbage-collected
-    * after the commit. */
+    * after the commit.
+    *
+    * `collectStats` persists table statistics (exact row count +
+    * per-column approx-NDV/min/max, ONE scan of the just-written version
+    * files via [[graft.operators.Quality.profileWithCount]]) under
+    * `_stats/<dataName>` BEFORE the manifest commit, so a committed
+    * version either has its stats or was published without them — never
+    * a torn half. Readers pick them up through [[readStats]] /
+    * [[readTableStatsHinted]]; stats of expired versions GC with their
+    * data dirs. */
   def publishVersioned(df: DataFrame, table: String,
                        partitionBy: Seq[String] = Nil,
-                       keepVersions: Int = 2): Unit = {
+                       keepVersions: Int = 2,
+                       collectStats: Boolean = false): Unit = {
     require(keepVersions >= 1)
     val spark = df.sparkSession
     val (fs, t) = fsFor(spark, table)
@@ -215,6 +216,16 @@ object WarehouseFs {
     val w = df.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(new Path(t, dataName).toString)
+    // phase 1b (stats): profile the version's OWN committed files — the
+    // stats describe exactly the bytes the manifest will reference, and
+    // approx NDV keeps the pass free of countDistinct's Expand blowup
+    if (collectStats) {
+      val committed = spark.read.parquet(new Path(t, dataName).toString)
+      graft.operators.Quality
+        .profileWithCount(committed, committed.columns.toSeq, exact = false)
+        .coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(new Path(statsDir(t), dataName).toString)
+    }
     // phase 2 (commit): materialize the manifest under its final name
     val vd = versionsDir(t)
     fs.mkdirs(vd)
@@ -237,8 +248,83 @@ object WarehouseFs {
       .filter(n => n.startsWith("v") && ManifestName.matches(n.stripPrefix("v")) &&
                    !referenced.contains(n))
       .foreach(n => fs.delete(new Path(t, n), true))
+    val sd = statsDir(t)
+    if (fs.exists(sd))
+      fs.listStatus(sd).map(_.getPath.getName)
+        .filter(n => !n.startsWith(".") && !referenced.contains(n))
+        .foreach(n => fs.delete(new Path(sd, n), true))
     ()
   }
+
+  // ---- committed table statistics --------------------------------------
+  //
+  // Join planning at 100 TB rests on row counts and NDVs, not file sizes:
+  // a snappy-compressed dim or a 2-column projection of a wide table fools
+  // byte-based broadcast estimates in BOTH directions. Persisting one
+  // profile row per column beside the manifest makes the committed truth
+  // available to every reader for the price of one scan at publish time.
+
+  final case class ColumnStats(name: String, nNonNull: Long,
+                               nDistinct: Option[Long],
+                               minStr: Option[String], maxStr: Option[String])
+  final case class TableStats(rowCount: Long, columns: Seq[ColumnStats]) {
+    def column(name: String): Option[ColumnStats] = columns.find(_.name == name)
+  }
+
+  private def statsDir(table: Path) = new Path(table, "_stats")
+
+  /** Statistics persisted with a committed version (current by default;
+    * pass `version` for a retained older one). None when that version was
+    * published without `collectStats` — readers degrade to size
+    * estimates, never fail. One small-file read, no data I/O. */
+  def readStats(spark: SparkSession, table: String,
+                version: Option[Long] = None): Option[TableStats] = {
+    val (fs, t) = fsFor(spark, table)
+    val dataPath = version match {
+      case Some(v) => readTableVersionPath(spark, table, v)
+      case None => currentVersion(spark, table).map(_._2)
+    }
+    dataPath.map(p => p.substring(p.lastIndexOf('/') + 1)).flatMap { dn =>
+      val p = new Path(statsDir(t), dn)
+      if (!fs.exists(p)) None
+      else {
+        val rows = spark.read.parquet(p.toString).collect()
+        val cols = rows.filter(_.getString(0) != "*").map(r => ColumnStats(
+          r.getString(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          Option(r.getString(3)), Option(r.getString(4)))).toSeq
+        rows.find(_.getString(0) == "*").map(r => TableStats(r.getLong(1), cols))
+      }
+    }
+  }
+
+  private def readTableVersionPath(spark: SparkSession, table: String,
+                                   version: Long): Option[String] = {
+    val (fs, t) = fsFor(spark, table)
+    val manifest = new Path(versionsDir(t), vname(version))
+    if (!fs.exists(manifest)) None
+    else {
+      val in = fs.open(manifest)
+      val dataName = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+                     finally in.close()
+      Some(s"$table/$dataName")
+    }
+  }
+
+  /** Read the current committed version with a broadcast hint applied
+    * when its persisted row count is at most `broadcastMaxRows` — the
+    * stats-informed join-planning surface: the decision comes from the
+    * COMMITTED row count, not from byte-size guesses over compressed
+    * files. Falls back to the plain read when no stats were collected. */
+  def readTableStatsHinted(spark: SparkSession, table: String,
+                           broadcastMaxRows: Long = 4000000L): Option[DataFrame] =
+    readTable(spark, table).map { df =>
+      readStats(spark, table) match {
+        case Some(st) if st.rowCount <= broadcastMaxRows =>
+          org.apache.spark.sql.functions.broadcast(df)
+        case _ => df
+      }
+    }
 
   // ---- multi-table atomic commit --------------------------------------
   //

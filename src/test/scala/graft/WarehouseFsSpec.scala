@@ -219,4 +219,54 @@ class WarehouseFsSpec extends SparkSpec {
       === Seq("part=a", "part=b"))
     assert(WarehouseFs.readTable(spark, t).get.count() === 3)
   }
+
+  test("collectStats persists row count + per-column NDV/min/max per version; GC drops expired stats") {
+    val t = s"${tmpDir()}/tbl"
+    val v1 = Seq((1, "a", 10), (2, "b", 20), (3, "b", 30)).toDF("id", "k", "v")
+    WarehouseFs.publishVersioned(v1, t, collectStats = true)
+    val s1 = WarehouseFs.readStats(spark, t).get
+    assert(s1.rowCount === 3)
+    assert(s1.column("k").get.nNonNull === 3)
+    assert(s1.column("k").get.nDistinct.get === 2)
+    assert(s1.column("v").get.minStr.get === "10")
+    assert(s1.column("v").get.maxStr.get === "30")
+    // second version: current stats follow the pointer; the retained old
+    // version keeps ITS stats (time travel resolves matching statistics)
+    val v2 = Seq((1, "a", 10), (4, "c", 40)).toDF("id", "k", "v")
+    WarehouseFs.publishVersioned(v2, t, collectStats = true)
+    assert(WarehouseFs.readStats(spark, t).get.rowCount === 2)
+    assert(WarehouseFs.readStats(spark, t, version = Some(1L)).get.rowCount === 3)
+    // a version published WITHOUT stats degrades to None, never fails
+    WarehouseFs.publishVersioned(v1, t)
+    assert(WarehouseFs.readStats(spark, t).isEmpty)
+    // keepVersions=2 window: version 1's stats dir was GC'd with its data
+    assert(WarehouseFs.readStats(spark, t, version = Some(1L)).isEmpty)
+    val statsDirs = WarehouseFs.listNames(spark, s"$t/_stats")
+    assert(statsDirs === Seq("v00000002"), statsDirs.toString)
+  }
+
+  test("stats-informed read broadcasts a committed dim the size estimate alone would not") {
+    val t = s"${tmpDir()}/dim"
+    val dim = (1 to 50).map(i => (i, s"name_$i")).toDF("k", "name")
+    WarehouseFs.publishVersioned(dim, t, collectStats = true)
+    val big = spark.range(10000).toDF("k")
+    // auto-broadcast off: any BroadcastHashJoin in the plan can only come
+    // from the stats-informed hint, not from Spark's size estimate
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def hasBroadcastJoin(df: org.apache.spark.sql.DataFrame): Boolean = {
+        df.collect()
+        df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin")
+      }
+      val hinted = WarehouseFs.readTableStatsHinted(spark, t).get
+      assert(hasBroadcastJoin(big.join(hinted, "k")),
+        "committed row count under the threshold must hint a broadcast")
+      // row count over the threshold → no hint → shuffle join
+      val unhinted = WarehouseFs.readTableStatsHinted(spark, t,
+        broadcastMaxRows = 10L).get
+      assert(!hasBroadcastJoin(big.join(unhinted, "k")),
+        "stats above the threshold must not force a broadcast")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
