@@ -41,43 +41,51 @@ object Graph {
     * damping), so total mass is conserved up to integer floor loss
     * instead of contracting — GraphSpec pins a sink-node graph to the
     * independently computed fixed point and asserts conservation. The
-    * dangling node SET is static (one anti-join up front); only its mass
-    * is re-aggregated per sweep.
+    * dangling node SET is static — derived once up front and carried as a
+    * boolean flag on the node/rank table — so the per-sweep mass is a
+    * join-free conditional aggregate folded lazily into the sweep's plan.
     */
   def pageRankInt(edges: DataFrame, iters: Int = 10,
                   scale: Long = 1000000000000L,
                   dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
     require(iters >= 0 && dampNum >= 0 && dampNum <= dampDen)
-    val nodes = edges.select(col("src").as("node"))
+    val bare = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node")))
       .distinct()
+    // the static dangling SET rides as a boolean ON the node table (one
+    // up-front left join), so the per-sweep mass needs no join at all —
+    // just a conditional aggregate over the rank table it already carries
+    val nodes = bare
+      .join(edges.select(col("src").as("node")).distinct()
+          .withColumn("__out", lit(true)),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("__out"), lit(false)).as("__out"))
       .localCheckpoint()
     val n = nodes.count() // bounded metadata, not data: |V| rows
     require(n > 0, "pageRankInt: empty edge table")
     val outW = edges.groupBy("src").agg(sum("w").as("wout"))
     val e = edges.join(outW, "src").localCheckpoint()
-    val danglingNodes = nodes
-      .join(edges.select(col("src").as("node")), Seq("node"), "left_anti")
-      .localCheckpoint()
     val teleport = (scale * (dampDen - dampNum) / dampDen) / n
     var rank = nodes.withColumn("r", lit(scale / n))
     for (_ <- 1 to iters) {
-      // dangling share this sweep: a 1-row aggregate over the ≤|V|-row
-      // checkpointed rank table, kept LAZY and cross-joined into the rank
-      // update (broadcast-scalar pattern) — it evaluates inside the same
-      // job as the checkpoint below instead of forcing its own action
-      val shareDf = rank.join(danglingNodes, Seq("node"), "left_semi")
-        .agg(expr(s"coalesce(sum(r), 0L) DIV $n").as("__share"))
+      // dangling share this sweep: a 1-row conditional aggregate over the
+      // ≤|V|-row checkpointed rank table (its __out flag marks the static
+      // dangling set), kept LAZY and cross-joined into the rank update
+      // (broadcast-scalar pattern) — no join, no separate action; it
+      // evaluates inside the same job as the checkpoint below
+      val shareDf = rank
+        .agg(expr(s"coalesce(sum(CASE WHEN NOT __out THEN r END), 0L) DIV $n")
+          .as("__share"))
       val contrib = e.join(rank, e("src") === rank("node"))
         .select(col("dst").as("node"), expr("(r * w) DIV wout").as("t"))
         .groupBy("node").agg(sum("t").as("c"))
       rank = nodes.join(contrib, Seq("node"), "left")
         .crossJoin(broadcast(shareDf))
-        .select(col("node"),
+        .select(col("node"), col("__out"),
           (expr(s"($dampNum * (coalesce(c, 0L) + __share)) DIV $dampDen") + lit(teleport))
             .as("r"))
         .localCheckpoint()
     }
-    rank
+    rank.select("node", "r")
   }
 }

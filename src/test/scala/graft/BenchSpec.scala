@@ -52,7 +52,7 @@ class BenchSpec extends AnyFunSuite {
 
   test("genuine growth under the factor, new queries, and fast queries don't flag") {
     val ok = Seq(
-      "grew_2x" -> Seq(0.8, 0.82, 0.85),    // 2× prior: legitimate growth
+      "grew_2x" -> Seq(0.8, 0.82, 0.85),    // exactly 2× prior: at, not over, the trigger
       "brand_new" -> Seq(5.0, 5.1, 5.2),    // no prior entry
       "tiny" -> Seq(0.09, 0.09, 0.1))       // 9× prior but under the 0.5 s floor
     val prior = Map("grew_2x" -> 0.4, "tiny" -> 0.01)
