@@ -115,9 +115,13 @@ object EtlPipeline {
         workWritten.toSeq.map(n => n -> spark.read.parquet(s"$workDir/$n")).toMap ++
           mart.map("rep_fraud" -> _).toMap
       if (changed.nonEmpty) {
+        // stats ride with every commit: served tables are dims/mart-sized
+        // (never the fact), so the one profiling scan per changed table is
+        // cheap, and readers get committed row counts for join planning
         WarehouseFs.publishAtomicAll(changed, whDir,
           partitionBy = Map("rep_fraud" -> Seq("report_dt")),
-          carryForward = committedTables.keySet -- changed.keySet)
+          carryForward = committedTables.keySet -- changed.keySet,
+          collectStats = true)
         WarehouseFs.deleteIfExists(spark, workDir)
       }
     }

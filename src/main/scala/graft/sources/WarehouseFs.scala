@@ -284,18 +284,19 @@ object WarehouseFs {
       case Some(v) => readTableVersionPath(spark, table, v)
       case None => currentVersion(spark, table).map(_._2)
     }
-    dataPath.map(p => p.substring(p.lastIndexOf('/') + 1)).flatMap { dn =>
-      val p = new Path(statsDir(t), dn)
-      if (!fs.exists(p)) None
-      else {
-        val rows = spark.read.parquet(p.toString).collect()
-        val cols = rows.filter(_.getString(0) != "*").map(r => ColumnStats(
-          r.getString(0), r.getLong(1),
-          if (r.isNullAt(2)) None else Some(r.getLong(2)),
-          Option(r.getString(3)), Option(r.getString(4)))).toSeq
-        rows.find(_.getString(0) == "*").map(r => TableStats(r.getLong(1), cols))
-      }
-    }
+    dataPath.map(p => p.substring(p.lastIndexOf('/') + 1))
+      .flatMap(dn => parseStats(spark, fs, new Path(statsDir(t), dn)))
+  }
+
+  private def parseStats(spark: SparkSession, fs: FileSystem,
+                         p: Path): Option[TableStats] = {
+    if (!fs.exists(p)) return None
+    val rows = spark.read.parquet(p.toString).collect()
+    val cols = rows.filter(_.getString(0) != "*").map(r => ColumnStats(
+      r.getString(0), r.getLong(1),
+      if (r.isNullAt(2)) None else Some(r.getLong(2)),
+      Option(r.getString(3)), Option(r.getString(4)))).toSeq
+    rows.find(_.getString(0) == "*").map(r => TableStats(r.getLong(1), cols))
   }
 
   private def readTableVersionPath(spark: SparkSession, table: String,
@@ -414,7 +415,8 @@ object WarehouseFs {
   def publishAtomicAll(dfs: Map[String, DataFrame], warehouse: String,
                        keepCommits: Int = 2,
                        partitionBy: Map[String, Seq[String]] = Map.empty,
-                       carryForward: Set[String] = Set.empty): Long = {
+                       carryForward: Set[String] = Set.empty,
+                       collectStats: Boolean = false): Long = {
     require(dfs.nonEmpty, "publishAtomicAll: empty table set")
     require(keepCommits >= 1)
     require(carryForward.intersect(dfs.keySet).isEmpty,
@@ -431,12 +433,22 @@ object WarehouseFs {
         s"publishAtomicAll: carryForward table $t has no current commit on $warehouse"))
       t -> dir.substring(dir.lastIndexOf('/') + 1)
     }.toMap
-    // phase 1 (long): every table's full new state into fresh dirs
+    // phase 1 (long): every table's full new state into fresh dirs.
+    // collectStats profiles each table's OWN committed files (one scan,
+    // [[publishVersioned]] discipline) before the commit lands; carried
+    // tables keep the stats of the data dir they re-reference.
     dfs.foreach { case (table, df) =>
       val writer = df.write.mode(SaveMode.Overwrite)
       partitionBy.get(table).filter(_.nonEmpty)
         .fold(writer)(cols => writer.partitionBy(cols: _*))
         .parquet(new Path(w, s"$table/$dataName").toString)
+      if (collectStats) {
+        val committed = spark.read.parquet(new Path(w, s"$table/$dataName").toString)
+        graft.operators.Quality
+          .profileWithCount(committed, committed.columns.toSeq, exact = false)
+          .coalesce(1).write.mode(SaveMode.Overwrite)
+          .parquet(new Path(w, s"$table/_stats/$dataName").toString)
+      }
     }
     // phase 2 (commit): ONE single-file rename spanning all tables
     val cd = commitsDir(w)
@@ -469,7 +481,31 @@ object WarehouseFs {
           .filter(n => n.startsWith("c") && ManifestName.matches(n.stripPrefix("c")) &&
                        !referenced.contains((t, n)))
           .foreach(n => fs.delete(new Path(td, n), true))
+      val sd = new Path(td, "_stats")
+      if (fs.exists(sd))
+        fs.listStatus(sd).map(_.getPath.getName)
+          .filter(n => !n.startsWith(".") && !referenced.contains((t, n)))
+          .foreach(n => fs.delete(new Path(sd, n), true))
     }
     next
+  }
+
+  /** Statistics persisted with a table of a commit set (latest commit by
+    * default; pass `commit` for a retained older one) — the commit-set
+    * counterpart of [[readStats]]. Carried-forward tables resolve to the
+    * stats of the data dir their commit line re-references. None when
+    * that table's state was committed without `collectStats`. */
+  def readCommittedStats(spark: SparkSession, warehouse: String, table: String,
+                         commit: Option[Long] = None): Option[TableStats] = {
+    val resolved = commit match {
+      case Some(c) => commitVersion(spark, warehouse, c)
+      case None => currentCommit(spark, warehouse)
+    }
+    resolved.flatMap(_._2.get(table)).flatMap { dataPath =>
+      val dn = dataPath.substring(dataPath.lastIndexOf('/') + 1)
+      val (fs, _) = fsFor(spark, warehouse)
+      parseStats(spark, fs,
+        new Path(new Path(new Path(warehouse), table), s"_stats/$dn"))
+    }
   }
 }

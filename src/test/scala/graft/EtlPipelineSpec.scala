@@ -263,6 +263,15 @@ class EtlPipelineSpec extends SparkSpec {
       assert(WarehouseFs.commitVersion(spark, whA, c1).get._2 === t1)
       // the orphan from the simulated crash was garbage-collected
       assert(!orphan.exists())
+      // committed statistics ride with the commit set: changed tables get
+      // fresh stats, carried tables resolve the stats of the data dir
+      // their commit line re-references
+      val blStats = WarehouseFs.readCommittedStats(spark, whA, "dwh_fact_pssprt_blcklst").get
+      assert(blStats.rowCount === 24)
+      assert(blStats.column("passport_num").get.nNonNull === 24)
+      val martStats = WarehouseFs.readCommittedStats(spark, whA, "rep_fraud").get
+      assert(martStats.rowCount ===
+        WarehouseFs.readCommitted(spark, whA, "rep_fraud").get.count())
     } finally spark.conf.unset("spark.graft.etl.atomicCommit")
   }
 

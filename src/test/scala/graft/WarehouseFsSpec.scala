@@ -245,6 +245,31 @@ class WarehouseFsSpec extends SparkSpec {
     assert(statsDirs === Seq("v00000002"), statsDirs.toString)
   }
 
+  test("commit-set stats: collected per changed table, resolved through carry-forward, GC'd with dirs") {
+    val wh = tmpDir()
+    val a1 = Seq((1, "x"), (2, "y"), (3, "y")).toDF("id", "k")
+    val b1 = (1 to 7).toDF("id")
+    WarehouseFs.publishAtomicAll(Map("ta" -> a1, "tb" -> b1), wh, collectStats = true)
+    val sa = WarehouseFs.readCommittedStats(spark, wh, "ta").get
+    assert(sa.rowCount === 3 && sa.column("k").get.nDistinct.get === 2)
+    assert(WarehouseFs.readCommittedStats(spark, wh, "tb").get.rowCount === 7)
+    // commit 2 changes only tb; ta carries forward and still resolves the
+    // SAME stats (its commit line re-references the same data dir)
+    WarehouseFs.publishAtomicAll(Map("tb" -> (1 to 9).toDF("id")), wh,
+      carryForward = Set("ta"), collectStats = true)
+    assert(WarehouseFs.readCommittedStats(spark, wh, "ta").get.rowCount === 3)
+    assert(WarehouseFs.readCommittedStats(spark, wh, "tb").get.rowCount === 9)
+    // a pinned commit resolves ITS stats
+    assert(WarehouseFs.readCommittedStats(spark, wh, "tb", commit = Some(1L))
+      .get.rowCount === 7)
+    // a commit published without stats degrades to None
+    WarehouseFs.publishAtomicAll(Map("tb" -> (1 to 2).toDF("id")), wh,
+      carryForward = Set("ta"))
+    assert(WarehouseFs.readCommittedStats(spark, wh, "tb").isEmpty)
+    // keepCommits=2 GC'd commit 1's tb data dir AND its stats
+    assert(WarehouseFs.listNames(spark, s"$wh/tb/_stats") === Seq("c00000002"))
+  }
+
   test("stats-informed read broadcasts a committed dim the size estimate alone would not") {
     val t = s"${tmpDir()}/dim"
     val dim = (1 to 50).map(i => (i, s"name_$i")).toDF("k", "name")
