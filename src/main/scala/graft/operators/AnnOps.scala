@@ -248,6 +248,20 @@ object AnnOps {
     ivfAssign(emb, model).write.partitionBy("cell")
       .mode("overwrite").parquet(path)
 
+  /** Append a batch to a persisted inverted file ([[ivfWriteIndex]]
+    * layout) under the SAME fixed model — the nightly embedding-ingest
+    * path. The batch assigns map-only and its files land ONLY in the
+    * cells it occupies (partitioned append); history files are never
+    * read or rewritten, so the nightly cost is O(batch) regardless of
+    * index size. Ids must be disjoint from the store (the same
+    * nightly-ingest contract as [[semanticDupPairsIncrement]]); with a
+    * fixed model, appends compose — ingest ∘ ingest ≡ one
+    * [[ivfWriteIndex]] of the union (AnnSpec proves set and search
+    * equality). */
+  def ivfAppendIndex(emb: DataFrame, model: IvfModel, path: String): Unit =
+    ivfAssign(emb, model).write.partitionBy("cell")
+      .mode("append").parquet(path)
+
   /** Within-cell near-duplicate pairs by exact cosine — the pairing step
     * of [[semanticDedup]]. Input must carry (vec_id, embedding, cell);
     * output is (a_id, b_id, cos) with a_id < b_id. Pairing is bounded
