@@ -49,12 +49,17 @@ object Scaling {
   val SuperLinearSlack = 1.5
 
   /** The registry's most expensive queries by cross-round history (best
-    * quiet minutes) — the ones whose scaling behavior matters. */
+    * quiet minutes), plus one representative per shuffle-heavy operator
+    * family (window, aggregation, as-of join, sessionization, gap fill,
+    * sequence packing) so the curve covers every plan shape the engine
+    * leans on — not just the dedup compositions that top the cost list. */
   val TopQueries: Seq[String] = Seq(
     "curate_semantic", "dedup_keep_best", "text_crossdoc_dup",
     "dedup_clusters", "dedup_semantic", "graph_pagerank_types",
     "join_basket_pairs", "sql_shipping_priority", "sql_recursive_cte",
-    "dedup_simhash")
+    "dedup_simhash",
+    "join_asof", "win_count_distinct", "agg_pricing_summary",
+    "evt_sessionize", "evt_gapfill_days", "text_pack_sequences")
 
   /** Write a `factor`× distribution-preserving replica of `src` into
     * `dst` (layout-compatible: same parquet file names, so every
