@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import graft.sources.WarehouseFs
 
 /** SQL entry point: registers the testdata tables as temp views and the
   * engine's custom functions (cosine_f32 / dot_f32 / l2norm_f32), so the
@@ -30,4 +31,30 @@ object GraftSession {
     org.apache.spark.sql.graft.TopKSketch.register(spark)
     spark
   }
+
+  /** Register every table of a commit-set warehouse as a temp view — SQL
+    * over the SERVED warehouse (the reference's users query exactly this
+    * surface). The commit is resolved ONCE and every view reads that
+    * commit's data dir: a publish landing mid-attach cannot produce the
+    * mart(vN) ⋈ blacklist(vN−1) mixture (resolving per-table would).
+    * Tables whose committed row count is at most `broadcastMaxRows` get
+    * a broadcast hint — join planning from committed statistics, not
+    * file-size guesses. Returns the (commit, view names) attached; None
+    * when the warehouse has no commit yet. */
+  def attachWarehouse(spark: SparkSession, warehouse: String,
+                      broadcastMaxRows: Long = 4000000L): Option[(Long, Seq[String])] =
+    WarehouseFs.currentCommit(spark, warehouse).map { case (commit, tables) =>
+      val names = tables.toSeq.sortBy(_._1).map { case (t, dataPath) =>
+        val df = spark.read.parquet(dataPath)
+        val hinted = WarehouseFs
+          .readCommittedStats(spark, warehouse, t, commit = Some(commit)) match {
+          case Some(st) if st.rowCount <= broadcastMaxRows =>
+            org.apache.spark.sql.functions.broadcast(df)
+          case _ => df
+        }
+        hinted.createOrReplaceTempView(t)
+        t
+      }
+      (commit, names)
+    }
 }

@@ -272,6 +272,16 @@ class EtlPipelineSpec extends SparkSpec {
       val martStats = WarehouseFs.readCommittedStats(spark, whA, "rep_fraud").get
       assert(martStats.rowCount ===
         WarehouseFs.readCommitted(spark, whA, "rep_fraud").get.count())
+      // SQL over the served warehouse: one attach = one commit snapshot,
+      // every view consistent, committed stats hinting broadcasts
+      val (attachedCommit, views) = GraftSession.attachWarehouse(spark, whA).get
+      assert(attachedCommit === c2)
+      assert(views.toSet === t2.keySet)
+      val joined = spark.sql(
+        """SELECT count(*) AS n FROM rep_fraud r
+           JOIN dwh_fact_pssprt_blcklst b ON r.passport = b.passport_num""")
+      joined.collect()
+      assert(joined.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
     } finally spark.conf.unset("spark.graft.etl.atomicCommit")
   }
 
