@@ -132,9 +132,17 @@ object TextPipeline {
     * against ([[AnnOps.semanticDupPairsIncrement]]). At 100 TB persist
     * it partitioned by `cell` ([[AnnOps.ivfWriteIndex]] layout) so the
     * nightly cross-pairing reads only the cells the batch lands in. */
+  /** A fold's OWN contributions (batch signatures / band rows / assigned
+    * vectors) — what [[saveStateDelta]] persists so a nightly fold
+    * writes O(batch) state, not O(corpus). Carried on the state by
+    * [[curateIncrement]]; absent on loaded or empty states. */
+  final case class StateDelta(sigs: DataFrame, bands: DataFrame,
+                              vecs: Option[DataFrame])
+
   final case class CurationState(sigs: DataFrame, bands: DataFrame,
                                  labels: DataFrame,
-                                 vecs: Option[DataFrame] = None)
+                                 vecs: Option[DataFrame] = None,
+                                 delta: Option[StateDelta] = None)
 
   def emptyState(spark: SparkSession): CurationState = {
     import spark.implicits._
@@ -174,19 +182,31 @@ object TextPipeline {
     // and the load reads back with the explicit schema, which also makes
     // a zero-row save harmless (a dynamically-partitioned empty write
     // emits no part files, so schema inference would throw on reload).
-    state.vecs.foreach { v =>
-      val cellType = v.schema("cell").dataType
-      require(Seq[org.apache.spark.sql.types.DataType](
-          org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
-          org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
-          .contains(cellType),
-        s"saveState: vecs.cell must be an integral type, got $cellType — " +
-          "a non-numeric cell would silently become null on reload and drop all history pairs")
-      v.select(col("vec_id").cast("long"),
-          col("embedding").cast("array<float>"), col("cell").cast("int"))
-        .write.partitionBy("cell")
-        .mode(SaveMode.Overwrite).parquet(s"$tmp/vecs")
-    }
+    state.vecs.foreach(writeVecs(_, s"$tmp/vecs"))
+    renameInto(spark, tmp, dir)
+  }
+
+  /** Cell-partitioned vecs write under the VecsSchema contract: `cell`
+    * must arrive integral — a string category would silently round-trip
+    * to null cells and drop every history-side pair, so it fails loudly
+    * here — and readers come back through the explicit schema, which
+    * also makes a zero-row write harmless (a dynamically-partitioned
+    * empty write emits no part files for inference to work from). */
+  private def writeVecs(v: DataFrame, dir: String): Unit = {
+    val cellType = v.schema("cell").dataType
+    require(Seq[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+        .contains(cellType),
+      s"saveState: vecs.cell must be an integral type, got $cellType — " +
+        "a non-numeric cell would silently become null on reload and drop all history pairs")
+    v.select(col("vec_id").cast("long"),
+        col("embedding").cast("array<float>"), col("cell").cast("int"))
+      .write.partitionBy("cell")
+      .mode(SaveMode.Overwrite).parquet(dir)
+  }
+
+  private def renameInto(spark: SparkSession, tmp: String, dir: String): Unit = {
     graft.sources.WarehouseFs.deleteIfExists(spark, dir)
     val (fs, target) = graft.sources.WarehouseFs.fsFor(spark, dir)
     if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), target))
@@ -214,6 +234,96 @@ object TextPipeline {
                Some(spark.read.schema(VecsSchema).parquet(s"$dir/vecs")
                  .select("vec_id", "embedding", "cell"))
              else None)
+
+  // explicit delta-store schemas: a fold with zero gated docs writes an
+  // empty (part-file-less) delta, so reads can never rely on inference
+  private val SigsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("shingles",
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)),
+    org.apache.spark.sql.types.StructField("sig",
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType))))
+  private val BandsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("band_idx",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("band_hash",
+      org.apache.spark.sql.types.LongType)))
+  private val LabelsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("cluster_id",
+      org.apache.spark.sql.types.LongType)))
+
+  /** Persist a fold's state in the DELTA layout — the form whose write
+    * cost is O(batch), not O(corpus). [[saveState]] rewrites the whole
+    * signature/band/vec store every fold: crash-simple, but at 100 TB
+    * each nightly fold becomes a corpus-sized WRITE even though the
+    * fold's compute is O(batch). The delta layout splits the state:
+    *
+    *   - `root/delta=K/{sigs,bands[,vecs]}` — batch K's OWN
+    *     contributions ([[CurationState.delta]]), append-only: written
+    *     once, never rewritten, never GC'd — their union IS the store;
+    *   - `root/batch=N/labels` — the full label table, rewritten per
+    *     fold (a new batch can retroactively merge ANY two clusters, so
+    *     labels cannot be append-only; at 2 longs per doc they are the
+    *     narrow column, so the rewrite is corpus-rows but tiny bytes),
+    *     committed by the same single-rename discipline as [[saveState]].
+    *
+    * Commit protocol: delta=N lands first; the batch=N marker rename is
+    * the commit point. A crash in between leaves the latest marker at
+    * N−1 and readers ignore deltas beyond the marker; the at-least-once
+    * re-delivery then overwrites delta=N with identical content (a pure
+    * function of state N−1 and batch N) before re-committing. A state
+    * root uses ONE layout — [[loadLatestState]] dispatches on the marker
+    * dir's children, so legacy full-state roots keep loading, but do not
+    * mix layouts under one root. */
+  def saveStateDelta(state: CurationState, root: String, batchId: Long): Unit = {
+    val spark = state.sigs.sparkSession
+    val d = state.delta.getOrElse(throw new IllegalArgumentException(
+      "saveStateDelta: state carries no delta — only curateIncrement outputs are delta-persistable"))
+    val deltaDir = s"$root/delta=$batchId"
+    d.sigs.write.mode(SaveMode.Overwrite).parquet(s"$deltaDir/sigs")
+    d.bands.write.mode(SaveMode.Overwrite).parquet(s"$deltaDir/bands")
+    d.vecs.foreach(writeVecs(_, s"$deltaDir/vecs"))
+    val tmp = s"$root/_tmp_batch=$batchId"
+    graft.sources.WarehouseFs.deleteIfExists(spark, tmp)
+    state.labels.write.mode(SaveMode.Overwrite).parquet(s"$tmp/labels")
+    renameInto(spark, tmp, s"$root/batch=$batchId")
+  }
+
+  /** Latest committed state under `root` strictly before `before`:
+    * delta-layout roots union every committed delta under the marker's
+    * labels; legacy full-state roots (marker dir contains `sigs`) load
+    * as before. */
+  private def loadStateBefore(spark: SparkSession, root: String,
+                              before: Long): Option[CurationState] = {
+    val names = graft.sources.WarehouseFs.listNames(spark, root)
+    val markers = names.filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch=").toLong).filter(_ < before)
+    if (markers.isEmpty) return None
+    val n = markers.max
+    val markerDir = s"$root/batch=$n"
+    if (graft.sources.WarehouseFs.listNames(spark, markerDir).contains("sigs"))
+      return Some(loadState(spark, markerDir)) // legacy full-state layout
+    val deltas = names.filter(_.startsWith("delta="))
+      .map(_.stripPrefix("delta=").toLong).filter(_ <= n).sorted
+    require(deltas.nonEmpty, s"loadState: marker batch=$n but no deltas under $root")
+    def paths(sub: String) = deltas.map(k => s"$root/delta=$k/$sub")
+    val vecDirs = deltas
+      .filter(k => graft.sources.WarehouseFs
+        .listNames(spark, s"$root/delta=$k").contains("vecs"))
+      .map(k => s"$root/delta=$k/vecs")
+    Some(CurationState(
+      spark.read.schema(SigsSchema).parquet(paths("sigs"): _*),
+      spark.read.schema(BandsSchema).parquet(paths("bands"): _*),
+      spark.read.schema(LabelsSchema).parquet(s"$markerDir/labels"),
+      vecs = if (vecDirs.isEmpty) None
+             else Some(spark.read.schema(VecsSchema).parquet(vecDirs: _*)
+               .select("vec_id", "embedding", "cell"))))
+  }
 
   /** Nightly incremental form of [[curate]]: fold one new batch into the
     * state without re-deduplicating the corpus. The batch is quality-
@@ -246,8 +356,8 @@ object TextPipeline {
     // quantizer, pair against the persisted vec store + within-batch,
     // and fold BOTH edge kinds into the one label table — the same
     // single-clustering semantics as the batch dedupCanonical
-    val (newPairs, nextVecs) = semantic match {
-      case None => (lexPairs, state.vecs)
+    val (newPairs, nextVecs, batchVecsDelta) = semantic match {
+      case None => (lexPairs, state.vecs, None)
       case Some(st) =>
         val batchVecs = st.assignCell(gated.filter(col("embedding").isNotNull)
             .withColumnRenamed("doc_id", "vec_id"))
@@ -256,15 +366,18 @@ object TextPipeline {
         val semPairs = AnnOps.semanticDupPairsIncrement(
             oldVecs, batchVecs, st.threshold, st.roundDp, st.subBits)
           .select("a_id", "b_id")
-        (lexPairs.unionByName(semPairs), Some(oldVecs.unionByName(batchVecs)))
+        (lexPairs.unionByName(semPairs), Some(oldVecs.unionByName(batchVecs)),
+          Some(batchVecs))
     }
     val allIds = state.labels.select("doc_id")
       .unionByName(gated.select("doc_id"))
+    val batchBands = DedupOps.banded(batchSigs, "doc_id")
     CurationState(
       state.sigs.unionByName(batchSigs),
-      state.bands.unionByName(DedupOps.banded(batchSigs, "doc_id")),
+      state.bands.unionByName(batchBands),
       DedupClusters.updateClusterLabels(allIds, "doc_id", state.labels, newPairs),
-      nextVecs)
+      nextVecs,
+      delta = Some(StateDelta(batchSigs, batchBands, batchVecsDelta)))
   }
 
   /** Survivors + split over everything ingested so far. A new doc can
@@ -357,19 +470,11 @@ object TextPipeline {
       .otherwise(array())
   }
 
-  /** The latest persisted [[CurationState]] under `root` (written by
-    * [[curateIncrementStream]]'s batch-keyed layout), if any. */
+  /** The latest persisted [[CurationState]] under `root` (either
+    * layout: [[curateIncrementStream]]'s delta layout, or a legacy
+    * full-state batch dir), if any. */
   def loadLatestState(spark: SparkSession, root: String): Option[CurationState] =
-    latestStateDir(spark, root, before = Long.MaxValue)
-      .map(loadState(spark, _))
-
-  private def latestStateDir(spark: SparkSession, root: String,
-                             before: Long): Option[String] = {
-    val ids = graft.sources.WarehouseFs.listNames(spark, root)
-      .filter(_.startsWith("batch="))
-      .map(_.stripPrefix("batch=").toLong).filter(_ < before)
-    if (ids.isEmpty) None else Some(s"$root/batch=${ids.max}")
-  }
+    loadStateBefore(spark, root, before = Long.MaxValue)
 
   /** Nightly driver: fold a STREAM of document batches through
     * [[curateIncrement]], persisting the state per micro-batch. This is
@@ -379,12 +484,15 @@ object TextPipeline {
     * MinHash+CC state stays exact.
     *
     * Crash-safety: foreachBatch is at-least-once — a batch can be
-    * re-delivered after a restart — so state for batch N is written to a
-    * batch-KEYED directory computed deterministically from state N−1. A
-    * re-run of batch N overwrites the same directory with identical
-    * content instead of double-folding (the idempotent-sink contract).
-    * Superseded state dirs older than N−1 are dropped after each commit;
-    * N−1 survives because only the latest batch can be re-delivered.
+    * re-delivered after a restart — so state for batch N persists through
+    * [[saveStateDelta]]'s two-phase layout: the batch's own delta lands
+    * first (idempotently overwritten on re-delivery — it is a pure
+    * function of state N−1 and batch N), then the batch=N labels marker
+    * rename commits the fold. Each night WRITES O(batch) delta bytes
+    * plus the narrow label table — never the O(corpus) signature store.
+    * Superseded label markers older than N−1 are dropped after each
+    * commit (N−1 survives because only the latest batch can be
+    * re-delivered); delta dirs are the store itself and are never GC'd.
     *
     * Start with `.option("checkpointLocation", …).start()`; read results
     * any time via [[loadLatestState]] + [[curatedFromState]].
@@ -395,10 +503,10 @@ object TextPipeline {
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
-      val prev = latestStateDir(spark, stateRoot, before = batchId)
-      val st = prev.map(loadState(spark, _)).getOrElse(emptyState(spark))
+      val st = loadStateBefore(spark, stateRoot, before = batchId)
+        .getOrElse(emptyState(spark))
       val next = curateIncrement(st, batch, jaccard, semantic)
-      saveState(next, s"$stateRoot/batch=$batchId")
+      saveStateDelta(next, stateRoot, batchId)
       graft.sources.WarehouseFs.listNames(spark, stateRoot)
         .filter(_.startsWith("batch="))
         .filter(_.stripPrefix("batch=").toLong < batchId - 1)

@@ -259,10 +259,48 @@ class TextPipelineSpec extends SparkSpec {
     val full = keep(TextPipeline.curate(docs))
     assert(streamed === full)
     assert(streamed.nonEmpty)
-    // superseded state dirs are GC'd: only N-1 and N survive
+    // superseded label markers are GC'd: only N-1 and N survive…
     val dirs = graft.sources.WarehouseFs.listNames(spark, stateRoot)
       .filter(_.startsWith("batch="))
     assert(dirs.length <= 2, dirs.toString)
+    // …while every batch's delta persists (the append-only store): the
+    // nightly write cost is O(batch) + the narrow labels, never the
+    // O(corpus) signature store
+    val deltas = graft.sources.WarehouseFs.listNames(spark, stateRoot)
+      .filter(_.startsWith("delta="))
+    assert(deltas.length === 3, deltas.toString)
+  }
+
+  test("delta-layout state: 3 folds write O(batch) deltas; parity holds; uncommitted delta invisible") {
+    val docs = Tables.documents(spark, sf0001)
+    val root = java.nio.file.Files.createTempDirectory("graft_delta_state").toString
+    var st = TextPipeline.emptyState(spark)
+    (0 to 2).foreach { i =>
+      st = TextPipeline.curateIncrement(
+        st, docs.filter(pmod(col("doc_id"), lit(3)) === i))
+      TextPipeline.saveStateDelta(st, root, i.toLong)
+      st = TextPipeline.loadLatestState(spark, root).get
+    }
+    def keep(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "split").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(keep(TextPipeline.curatedFromState(st, docs)) ===
+      keep(TextPipeline.curate(docs)))
+    // crash simulation: a delta landed but its marker never committed —
+    // readers must resolve the previous fold, ignoring the orphan delta
+    val stBefore = TextPipeline.loadLatestState(spark, root).get
+    val sigsBefore = stBefore.sigs.count()
+    val orphan = TextPipeline.curateIncrement(stBefore,
+      docs.limit(0)) // an empty batch still writes a (zero-row) delta
+    val d = orphan.delta.get
+    d.sigs.write.parquet(s"$root/delta=9/sigs")
+    d.bands.write.parquet(s"$root/delta=9/bands")
+    val reread = TextPipeline.loadLatestState(spark, root).get
+    assert(reread.sigs.count() === sigsBefore) // delta=9 not referenced by any marker
+    // re-delivery then overwrites the orphan and commits — fold resumes
+    val redelivered = TextPipeline.curateIncrement(reread, docs.limit(0))
+    TextPipeline.saveStateDelta(redelivered, root, 9L)
+    assert(TextPipeline.loadLatestState(spark, root).get.sigs.count() === sigsBefore)
   }
 
   test("streaming curation end-to-end: quality gate + online near-dup + split (RocksDB, AvailableNow)") {
