@@ -99,13 +99,25 @@ object DedupQuality {
     def truthAt(t: Double) = truthAll.filter(col("jac") >= t)
 
     // MinHash recall sweep: candidates are fixed (banding is threshold-
-    // independent), so ONE candidate table serves every threshold point
+    // independent), so ONE candidate table — verified by exact Jaccard
+    // ONCE — serves every threshold point as a filter (re-calling
+    // minhashNearDups per threshold would redo the signature pass and
+    // verify join 6× and strand 6 caches)
     val sigs = DedupOps.signatures(docs, "doc_id", "text").cache()
     val cands = DedupOps.lshCandidates(sigs, "doc_id").cache()
     val nCands = cands.count()
+    val shingleCols = sigs.select(col("doc_id"), col("shingles"))
+    val verified = cands
+      .join(shingleCols.select(col("doc_id").as("a_id"), col("shingles").as("a_sh")), "a_id")
+      .join(shingleCols.select(col("doc_id").as("b_id"), col("shingles").as("b_sh")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        (size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+         size(array_union(col("a_sh"), col("b_sh")))).as("jac"))
+      .cache()
+    verified.count()
     val thresholds = Seq(0.3, 0.4, 0.5, 0.6, 0.7, 0.8)
     val minhash = thresholds.map { t =>
-      val pr = pairPR(DedupOps.minhashNearDups(docs, "doc_id", "text", t), truthAt(t))
+      val pr = pairPR(verified.filter(col("jac") >= t), truthAt(t))
       // candidate-level: how many true pairs did banding even surface,
       // and what fraction of the verify join's input survives
       val candHit = truthAt(t).join(cands, Seq("a_id", "b_id"), "left_semi").count()

@@ -46,8 +46,9 @@ object GraftSession {
     WarehouseFs.currentCommit(spark, warehouse).map { case (commit, tables) =>
       val names = tables.toSeq.sortBy(_._1).map { case (t, dataPath) =>
         val df = spark.read.parquet(dataPath)
-        val hinted = WarehouseFs
-          .readCommittedStats(spark, warehouse, t, commit = Some(commit)) match {
+        // stats resolve from the dataPath already in hand — the commit
+        // file was read ONCE above, never once-per-table
+        val hinted = WarehouseFs.statsForDataPath(spark, warehouse, t, dataPath) match {
           case Some(st) if st.rowCount <= broadcastMaxRows =>
             org.apache.spark.sql.functions.broadcast(df)
           case _ => df

@@ -66,8 +66,15 @@ object Scaling {
     * `SparkEntry.queries` entry runs against it unchanged). */
   def buildReplica(spark: SparkSession, src: String, dst: String,
                    factor: Int): Unit = {
-    require(factor >= 1 && factor <= 64, "rotation needs factor <= embedding dim")
     def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
+    // rotation by k ∈ [1, factor-1] must never be the identity (k = dim
+    // would make a replica an exact vector-level copy of replica 0 —
+    // cross-replica semantic dups, the self-inflicted skew the replica
+    // exists to avoid) nor run past the array (k > dim) — so the bound
+    // is the ACTUAL embedding dimension, read from the data
+    val dim = read("embeddings").select(size(col("embedding"))).head().getInt(0)
+    require(factor >= 1 && factor <= dim,
+      s"buildReplica: factor $factor must be <= embedding dim $dim (dimension rotation)")
     def write(df: DataFrame, t: String) =
       df.write.mode(SaveMode.Overwrite).parquet(s"$dst/$t.parquet")
     def shiftCols(df: DataFrame, k: Int, cols: Seq[String]): DataFrame =
@@ -114,11 +121,20 @@ object Scaling {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val marker = new java.io.File(s"$scaledDir/_REPLICA_OF_${factor}x")
-    if (!marker.exists()) {
+    // the marker's CONTENT (base + factor) is validated, not just its
+    // existence: a replica built from a different base or factor is
+    // rebuilt, never silently reused (stale reuse would mis-scale every
+    // ratio while the artifact claims the requested factor)
+    val marker = new java.io.File(s"$scaledDir/_REPLICA_MARKER")
+    val stamp = s"base=$baseDir factor=$factor"
+    val current = if (marker.exists())
+      Some(new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8"))
+    else None
+    if (!current.contains(stamp)) {
       println(s"[scaling] building ${factor}x replica of $baseDir at $scaledDir")
+      if (marker.exists()) marker.delete()
       buildReplica(spark, baseDir, scaledDir, factor)
-      java.nio.file.Files.write(marker.toPath, baseDir.getBytes("UTF-8"))
+      java.nio.file.Files.write(marker.toPath, stamp.getBytes("UTF-8"))
     }
 
     val queries = TopQueries.flatMap(q => SparkEntry.queries.get(q).map(q -> _))

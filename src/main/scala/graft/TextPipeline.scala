@@ -142,7 +142,14 @@ object TextPipeline {
   final case class CurationState(sigs: DataFrame, bands: DataFrame,
                                  labels: DataFrame,
                                  vecs: Option[DataFrame] = None,
-                                 delta: Option[StateDelta] = None)
+                                 delta: Option[StateDelta] = None) {
+    /** The whole store as one delta — the legacy→delta migration step:
+      * load the legacy root, then
+      * `saveStateDelta(st.asFullDelta, freshRoot, 0)` and fold on under
+      * the fresh root. */
+    def asFullDelta: CurationState =
+      copy(delta = Some(StateDelta(sigs, bands, vecs)))
+  }
 
   def emptyState(spark: SparkSession): CurationState = {
     import spark.implicits._
@@ -284,6 +291,19 @@ object TextPipeline {
     val spark = state.sigs.sparkSession
     val d = state.delta.getOrElse(throw new IllegalArgumentException(
       "saveStateDelta: state carries no delta — only curateIncrement outputs are delta-persistable"))
+    // layout-mixture guard: a legacy full-state marker under this root
+    // means earlier folds' sigs/bands/vecs live ONLY inside marker dirs —
+    // writing a delta marker here would make the next load union the
+    // (empty-prefix) deltas, silently dropping the whole historical store,
+    // and the marker GC would then delete the only full copy. Fail loudly;
+    // migration = one legacy load + a full-delta rewrite under a new root.
+    graft.sources.WarehouseFs.listNames(spark, root)
+      .filter(_.startsWith("batch=")).foreach { m =>
+        require(!graft.sources.WarehouseFs.listNames(spark, s"$root/$m").contains("sigs"),
+          s"saveStateDelta: $root/$m is a LEGACY full-state dir — mixing layouts would " +
+            "silently discard the pre-delta store; migrate by loading the legacy state and " +
+            "re-persisting it as delta 0 under a fresh root")
+      }
     val deltaDir = s"$root/delta=$batchId"
     d.sigs.write.mode(SaveMode.Overwrite).parquet(s"$deltaDir/sigs")
     d.bands.write.mode(SaveMode.Overwrite).parquet(s"$deltaDir/bands")

@@ -248,19 +248,26 @@ object AnnOps {
     ivfAssign(emb, model).write.partitionBy("cell")
       .mode("overwrite").parquet(path)
 
-  /** Append a batch to a persisted inverted file ([[ivfWriteIndex]]
-    * layout) under the SAME fixed model — the nightly embedding-ingest
-    * path. The batch assigns map-only and its files land ONLY in the
-    * cells it occupies (partitioned append); history files are never
-    * read or rewritten, so the nightly cost is O(batch) regardless of
-    * index size. Ids must be disjoint from the store (the same
-    * nightly-ingest contract as [[semanticDupPairsIncrement]]); with a
-    * fixed model, appends compose — ingest ∘ ingest ≡ one
-    * [[ivfWriteIndex]] of the union (AnnSpec proves set and search
-    * equality). */
-  def ivfAppendIndex(emb: DataFrame, model: IvfModel, path: String): Unit =
+  /** Append a batch to a persisted IVF index under the SAME fixed
+    * model — the nightly embedding-ingest path. The index root uses an
+    * ingest-keyed layout (`path/ingest=K/cell=C/...`): each batch
+    * OVERWRITES its own `ingest=$batchId` subtree, so a retried or
+    * re-delivered nightly job rewrites identical content instead of
+    * appending duplicate rows (a plain parquet append would corrupt the
+    * index on the first retry — the same at-least-once contract as
+    * [[graft.TextPipeline.saveStateDelta]]). History subtrees are never
+    * read or rewritten: nightly cost is O(batch) regardless of index
+    * size. Readers `spark.read.parquet(path)` the root — partition
+    * discovery yields both `ingest` and `cell` columns and cell pruning
+    * works unchanged (assert via the probe plan, AnnSpec). Build the
+    * initial index as ingest 0 through this same entry point; with a
+    * fixed model, ingests compose — the union equals one
+    * [[ivfWriteIndex]] of everything (AnnSpec proves set and search
+    * equality, plus retry idempotency). */
+  def ivfAppendIndex(emb: DataFrame, model: IvfModel, path: String,
+                     batchId: Long): Unit =
     ivfAssign(emb, model).write.partitionBy("cell")
-      .mode("append").parquet(path)
+      .mode("overwrite").parquet(s"$path/ingest=$batchId")
 
   /** Within-cell near-duplicate pairs by exact cosine — the pairing step
     * of [[semanticDedup]]. Input must carry (vec_id, embedding, cell);

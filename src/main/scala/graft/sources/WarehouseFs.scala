@@ -501,11 +501,19 @@ object WarehouseFs {
       case Some(c) => commitVersion(spark, warehouse, c)
       case None => currentCommit(spark, warehouse)
     }
-    resolved.flatMap(_._2.get(table)).flatMap { dataPath =>
-      val dn = dataPath.substring(dataPath.lastIndexOf('/') + 1)
-      val (fs, _) = fsFor(spark, warehouse)
-      parseStats(spark, fs,
-        new Path(new Path(new Path(warehouse), table), s"_stats/$dn"))
-    }
+    resolved.flatMap(_._2.get(table))
+      .flatMap(statsForDataPath(spark, warehouse, table, _))
+  }
+
+  /** Stats for an already-resolved commit-set data path — for callers
+    * that hold a whole table → dataPath map from ONE commit read
+    * (e.g. a multi-table SQL attach) and must not re-read the commit
+    * file per table. */
+  def statsForDataPath(spark: SparkSession, warehouse: String, table: String,
+                       dataPath: String): Option[TableStats] = {
+    val dn = dataPath.substring(dataPath.lastIndexOf('/') + 1)
+    val (fs, _) = fsFor(spark, warehouse)
+    parseStats(spark, fs,
+      new Path(new Path(new Path(warehouse), table), s"_stats/$dn"))
   }
 }

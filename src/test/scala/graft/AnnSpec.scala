@@ -271,22 +271,28 @@ class AnnSpec extends SparkSpec {
     assert(pairs(res) === pairs(AnnOps.ivfTopK(emb, model, queries, 5, 2)))
   }
 
-  test("ivfAppendIndex: nightly appends compose to one full index write; search identical") {
+  test("ivfAppendIndex: nightly ingests compose to one full index; retry idempotent; search identical") {
     val model = AnnOps.ivfTrain(emb, nCells = 4)
     val dir = java.nio.file.Files.createTempDirectory("ivf_append").toString + "/idx"
-    // initial build from odd ids, then a "nightly" batch of even ids
-    AnnOps.ivfWriteIndex(emb.filter(col("vec_id") % 2 === 1), model, dir)
-    AnnOps.ivfAppendIndex(emb.filter(col("vec_id") % 2 === 0), model, dir)
-    val readBack = spark.read.parquet(dir)
+    // initial build as ingest 0, then a "nightly" batch as ingest 1
+    AnnOps.ivfAppendIndex(emb.filter(col("vec_id") % 2 === 1), model, dir, batchId = 0)
+    AnnOps.ivfAppendIndex(emb.filter(col("vec_id") % 2 === 0), model, dir, batchId = 1)
+    def readBack() = spark.read.parquet(dir)
       .select(col("vec_id"), col("embedding"), col("cell").cast("int").as("cell"))
-    // the appended index holds exactly the full assignment (same cells)
+    // the ingested index holds exactly the full assignment (same cells)
     def cells(df: org.apache.spark.sql.DataFrame) =
       df.select("vec_id", "cell").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
-    assert(cells(readBack) === cells(AnnOps.ivfAssign(emb, model)))
+    val full = cells(AnnOps.ivfAssign(emb, model))
+    assert(cells(readBack()) === full)
+    // a RETRIED nightly ingest (at-least-once delivery) rewrites its own
+    // subtree with identical content — no duplicate rows, same index
+    AnnOps.ivfAppendIndex(emb.filter(col("vec_id") % 2 === 0), model, dir, batchId = 1)
+    assert(readBack().count() === full.size)
+    assert(cells(readBack()) === full)
     // and serves probes identically to an index written in one shot
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(pairs(AnnOps.ivfTopKAssigned(readBack, model, queries, k = 5, nProbe = 2))
+    assert(pairs(AnnOps.ivfTopKAssigned(readBack(), model, queries, k = 5, nProbe = 2))
       === pairs(AnnOps.ivfTopK(emb, model, queries, 5, 2)))
   }
 

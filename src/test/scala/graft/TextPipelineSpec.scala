@@ -303,6 +303,39 @@ class TextPipelineSpec extends SparkSpec {
     assert(TextPipeline.loadLatestState(spark, root).get.sigs.count() === sigsBefore)
   }
 
+  test("delta save refuses a legacy full-state root; asFullDelta migrates it losslessly") {
+    val docs = Tables.documents(spark, sf0001)
+    val legacyRoot = java.nio.file.Files.createTempDirectory("graft_legacy_root").toString
+    val st1 = TextPipeline.curateIncrement(TextPipeline.emptyState(spark),
+      docs.filter(pmod(col("doc_id"), lit(3)) === 0))
+    TextPipeline.saveState(st1, s"$legacyRoot/batch=0") // pre-delta layout
+    // folding ON with the delta layout under the same root would union
+    // empty-prefix deltas and GC the only full store copy — must refuse
+    val next = TextPipeline.curateIncrement(
+      TextPipeline.loadLatestState(spark, legacyRoot).get,
+      docs.filter(pmod(col("doc_id"), lit(3)) === 1))
+    val e = intercept[IllegalArgumentException] {
+      TextPipeline.saveStateDelta(next, legacyRoot, 1L)
+    }
+    assert(e.getMessage.contains("LEGACY"), e.getMessage)
+    // migration: legacy state re-persists as delta 0 under a FRESH root,
+    // and the fold continues there with full parity
+    val freshRoot = java.nio.file.Files.createTempDirectory("graft_migrated_root").toString
+    TextPipeline.saveStateDelta(
+      TextPipeline.loadLatestState(spark, legacyRoot).get.asFullDelta, freshRoot, 0L)
+    var st = TextPipeline.loadLatestState(spark, freshRoot).get
+    (1 to 2).foreach { i =>
+      st = TextPipeline.curateIncrement(st, docs.filter(pmod(col("doc_id"), lit(3)) === i))
+      TextPipeline.saveStateDelta(st, freshRoot, i.toLong)
+      st = TextPipeline.loadLatestState(spark, freshRoot).get
+    }
+    def keep(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "split").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(keep(TextPipeline.curatedFromState(st, docs)) ===
+      keep(TextPipeline.curate(docs)))
+  }
+
   test("streaming curation end-to-end: quality gate + online near-dup + split (RocksDB, AvailableNow)") {
     import java.sql.Timestamp
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
