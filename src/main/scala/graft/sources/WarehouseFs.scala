@@ -205,7 +205,8 @@ object WarehouseFs {
   def publishVersioned(df: DataFrame, table: String,
                        partitionBy: Seq[String] = Nil,
                        keepVersions: Int = 2,
-                       collectStats: Boolean = false): Unit = {
+                       collectStats: Boolean = false,
+                       bloomIndexCols: Seq[String] = Nil): Unit = {
     require(keepVersions >= 1)
     val spark = df.sparkSession
     val (fs, t) = fsFor(spark, table)
@@ -226,6 +227,12 @@ object WarehouseFs {
         .coalesce(1).write.mode(SaveMode.Overwrite)
         .parquet(new Path(statsDir(t), dataName).toString)
     }
+    // phase 1c (bloom file index): same pre-commit discipline as stats —
+    // a committed version either has its index or was published without
+    // one, never a torn half. One scan of the version files builds every
+    // indexed column's per-file bitset.
+    if (bloomIndexCols.nonEmpty)
+      buildBloomIndex(spark, t, dataName, bloomIndexCols)
     // phase 2 (commit): materialize the manifest under its final name
     val vd = versionsDir(t)
     fs.mkdirs(vd)
@@ -248,13 +255,194 @@ object WarehouseFs {
       .filter(n => n.startsWith("v") && ManifestName.matches(n.stripPrefix("v")) &&
                    !referenced.contains(n))
       .foreach(n => fs.delete(new Path(t, n), true))
-    val sd = statsDir(t)
-    if (fs.exists(sd))
-      fs.listStatus(sd).map(_.getPath.getName)
-        .filter(n => !n.startsWith(".") && !referenced.contains(n))
-        .foreach(n => fs.delete(new Path(sd, n), true))
+    Seq(statsDir(t), indexDir(t)).foreach { sd =>
+      if (fs.exists(sd))
+        fs.listStatus(sd).map(_.getPath.getName)
+          .filter(n => !n.startsWith(".") && !referenced.contains(n))
+          .foreach(n => fs.delete(new Path(sd, n), true))
+    }
     ()
   }
+
+  // ---- bloom file-skipping index ---------------------------------------
+  //
+  // Parquet row-group min/max statistics prune range predicates well only
+  // when the file layout is clustered on the predicate column (Z-order /
+  // repartitionByRange). A point lookup on a HIGH-NDV column that the
+  // layout is NOT sorted by — find one account id, one document hash, one
+  // terminal serial in a 100 TB table — matches every file's [min, max]
+  // and degrades to a full scan. A per-file bloom filter closes that gap:
+  // at publish time ONE extra pass over the just-written version files
+  // aggregates a fixed-size bitset per (file, column); a point-lookup
+  // reader probes the ≤|files|-row index and opens only the files that
+  // might contain the key. No false negatives (result parity is exact —
+  // the final predicate still runs on the survivors); false positives
+  // only cost an extra file open at the usual bloom rate. This is the
+  // manifest-table form of Delta Lake / Iceberg bloom column indexes,
+  // built from [[graft.functions.BloomExpressions]] (codegen'd probe).
+
+  private def indexDir(table: Path) = new Path(table, "_index")
+
+  /** Default bloom sizing: 2^17 bits (16 KiB) per file per column — ~1%
+    * false positives at ~10k distinct keys/file with 7 probes; a 10k-file
+    * version's whole index is ~160 MB, driver-readable metadata. */
+  val BloomIndexBits: Int = 1 << 17
+  val BloomIndexHashes: Int = 7
+
+  /** One scan of the version's committed files → per-(file, column)
+    * bitsets, wide layout: (file, b_<col1>, b_<col2>, …). `file` is
+    * stored RELATIVE to the version dir so a relocated/renamed table
+    * keeps its index valid. Values index by their canonical string cast
+    * (probe side must cast identically — [[bloomCandidateFiles]] does). */
+  private def buildBloomIndex(spark: SparkSession, t: Path, dataName: String,
+                              cols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.graft.BloomExpressions.bloom_build
+    val committed = spark.read.parquet(new Path(t, dataName).toString)
+    val marker = s"/$dataName/"
+    val rel = expr(
+      s"substring(_metadata.file_path, instr(_metadata.file_path, '$marker') + ${marker.length})")
+    val aggs = cols.map(c =>
+      bloom_build(col(c).cast("string"), BloomIndexBits, BloomIndexHashes)
+        .as(s"b_$c"))
+    committed
+      .select(rel.as("file") +: cols.map(col): _*)
+      .groupBy("file")
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(new Path(indexDir(t), dataName).toString)
+  }
+
+  /** The version-dir-relative files of `table`@`version` (current by
+    * default) that MIGHT contain one of `values` in `column`, per the
+    * persisted bloom index. None = the version has no index over that
+    * column (caller degrades to a full read, never fails); Some(files) is
+    * a superset of the truly-matching files — bloom false positives cost
+    * an extra open, false negatives cannot occur. The probe touches only
+    * the ≤|files|-row index relation, zero data I/O. */
+  def bloomCandidateFiles(spark: SparkSession, table: String, column: String,
+                          values: Seq[Any],
+                          version: Option[Long] = None): Option[Seq[String]] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.graft.BloomExpressions.bloom_might_contain
+    val (fs, t) = fsFor(spark, table)
+    val dataName = (version match {
+      case Some(v) => readTableVersionPath(spark, table, v)
+      case None => currentVersion(spark, table).map(_._2)
+    }).map(p => p.substring(p.lastIndexOf('/') + 1))
+    dataName.flatMap { dn =>
+      val idx = new Path(indexDir(t), dn)
+      if (!fs.exists(idx)) None
+      else {
+        val index = spark.read.parquet(idx.toString)
+        if (!index.columns.contains(s"b_$column")) None
+        else {
+          val hit = values
+            .map(v => bloom_might_contain(col(s"b_$column"),
+              lit(v).cast("string"), BloomIndexHashes))
+            .reduce(_ || _)
+          Some(index.filter(hit).select("file").collect().map(_.getString(0)).toSeq)
+        }
+      }
+    }
+  }
+
+  /** Point-lookup read of `table`@`version` (current by default) that
+    * opens ONLY the files whose bloom bitset matches one of `values` —
+    * then re-applies the exact `IN` predicate, so the result is
+    * row-identical to a full-scan filter. Tables/versions published
+    * without `bloomIndexCols` (or indexed on other columns) fall back to
+    * the full read transparently. Partition columns survive the
+    * file-list read via `basePath`. */
+  def readBloomPruned(spark: SparkSession, table: String, column: String,
+                      values: Seq[Any],
+                      version: Option[Long] = None): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.col
+    val dataPath = version match {
+      case Some(v) => readTableVersionPath(spark, table, v)
+      case None => currentVersion(spark, table).map(_._2)
+    }
+    dataPath.map { p =>
+      val exact = (df: DataFrame) => df.filter(col(column).isin(values: _*))
+      bloomCandidateFiles(spark, table, column, values, version) match {
+        case None => exact(spark.read.parquet(p)) // no index: full read
+        case Some(Nil) => // no file can match: empty, schema preserved
+          exact(spark.read.parquet(p)).limit(0)
+        case Some(files) =>
+          exact(spark.read.option("basePath", p)
+            .parquet(files.map(f => s"$p/$f"): _*))
+      }
+    }
+  }
+
+  // ---- change-data feed between committed versions ---------------------
+  //
+  // Retained versions are snapshots; most downstream consumers (an
+  // incremental mart, a search-index updater, a replication target) want
+  // the DELTA between two of them, not a re-read of the whole table. The
+  // change feed derives it: ONE null-safe full-outer join of the two
+  // retained versions on the key — no write-side cooperation, no
+  // transaction log replay, works on any pair of retained versions. Row
+  // classes follow the Delta-CDF convention: `insert`, `delete`,
+  // `update_preimage`/`update_postimage` (the pre/post pair lets a
+  // consumer retract aggregates without re-reading the old version).
+  //
+  // Scale: the join shuffles each side once on the key — O(|vFrom|+|vTo|)
+  // with no all-pairs term, and unchanged rows are dropped by a codegen'd
+  // null-safe comparison before anything else touches them (the
+  // emit-explode runs on the joined row, so unchanged keys never
+  // materialize output). For day-partitioned tables, filter both
+  // versions to the touched partitions first — the feed composes with
+  // partition pruning because it is an ordinary DataFrame over the two
+  // version reads.
+
+  /** The row-level delta from `fromVersion` to `toVersion` of a
+    * manifest table: every output row is one version's full row plus a
+    * `_change_type` column ∈ insert | delete | update_preimage |
+    * update_postimage. Keys must be unique and non-null within each
+    * version (the SCD/mart publish discipline guarantees both);
+    * non-key columns compare null-safely, so null→value and value→null
+    * are updates while null→null is not. None when either version is no
+    * longer retained. */
+  def changeFeed(spark: SparkSession, table: String, keyCols: Seq[String],
+                 fromVersion: Long, toVersion: Long): Option[DataFrame] = {
+    import org.apache.spark.sql.functions._
+    require(keyCols.nonEmpty, "changeFeed: key columns required")
+    for {
+      o <- readTableVersion(spark, table, fromVersion)
+      n <- readTableVersion(spark, table, toVersion)
+    } yield {
+      val cols = n.columns.toSeq
+      require(o.columns.toSeq == cols,
+        s"changeFeed: schema drift between v$fromVersion and v$toVersion of $table " +
+          "— diff the common columns explicitly")
+      val nonKey = cols.filterNot(keyCols.contains)
+      val oj = o.select(cols.map(c => col(c).as(s"o_$c")) :+ lit(true).as("o__p"): _*)
+      val nj = n.select(cols.map(c => col(c).as(s"n_$c")) :+ lit(true).as("n__p"): _*)
+      val joined = oj.join(nj,
+        keyCols.map(k => col(s"o_$k") === col(s"n_$k")).reduce(_ && _), "full_outer")
+      def row(side: String, ct: String) =
+        struct(cols.map(c => col(s"${side}_$c").as(c)) :+
+          lit(ct).as("_change_type"): _*)
+      val unchanged = nonKey.map(c => col(s"o_$c") <=> col(s"n_$c"))
+        .reduceOption(_ && _).getOrElse(lit(true))
+      // no otherwise → unchanged keys yield a null array, which explode
+      // (non-outer) drops: one join, one pass, no per-class re-execution
+      val changes = when(col("o__p").isNull, array(row("n", "insert")))
+        .when(col("n__p").isNull, array(row("o", "delete")))
+        .when(!unchanged,
+          array(row("o", "update_preimage"), row("n", "update_postimage")))
+      joined.select(explode(changes).as("__r")).select(col("__r.*"))
+    }
+  }
+
+  /** [[changeFeed]] from the previous retained version to the current
+    * one — the nightly-consumer convenience. None until two versions
+    * are retained. */
+  def changeFeedLatest(spark: SparkSession, table: String,
+                       keyCols: Seq[String]): Option[DataFrame] =
+    currentVersion(spark, table).map(_._1).filter(_ >= 2L)
+      .flatMap(v => changeFeed(spark, table, keyCols, v - 1, v))
 
   // ---- committed table statistics --------------------------------------
   //

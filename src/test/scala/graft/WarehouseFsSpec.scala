@@ -294,4 +294,109 @@ class WarehouseFsSpec extends SparkSpec {
         "stats above the threshold must not force a broadcast")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("bloom file index: point lookup opens a strict subset of files, rows identical to full scan") {
+    val t = s"${tmpDir()}/facts"
+    // range-clustered layout: each output file covers a disjoint id range,
+    // so a correct bloom index must rule out all but ~1 file per key
+    val df = spark.range(20000)
+      .select(col("id"), (col("id") % 97).as("grp"),
+        concat(lit("acct_"), col("id")).as("acct"))
+      .repartitionByRange(8, col("id"))
+    WarehouseFs.publishVersioned(df, t, bloomIndexCols = Seq("id", "acct"))
+
+    val totalFiles = spark.read.parquet(
+      s"$t/${WarehouseFs.currentVersion(spark, t).get._2.split('/').last}")
+      .select(input_file_name()).distinct().count()
+    assert(totalFiles >= 4, s"fixture should write several files, got $totalFiles")
+
+    // long-typed key
+    val cand = WarehouseFs.bloomCandidateFiles(spark, t, "id", Seq(12345L)).get
+    assert(cand.nonEmpty && cand.size < totalFiles,
+      s"bloom must prune files: ${cand.size} of $totalFiles")
+    val pruned = WarehouseFs.readBloomPruned(spark, t, "id", Seq(12345L)).get
+    assert(pruned.select("id", "grp", "acct").collect().map(_.toSeq).toSet ===
+      spark.read.parquet(t + "/" + WarehouseFs.currentVersion(spark, t).get._2.split('/').last)
+        .filter(col("id") === 12345L).select("id", "grp", "acct").collect().map(_.toSeq).toSet)
+
+    // string-typed key, multi-value IN
+    val keys = Seq("acct_7", "acct_19999")
+    val prunedS = WarehouseFs.readBloomPruned(spark, t, "acct", keys).get
+    assert(prunedS.count() === 2)
+    assert(prunedS.select("acct").as[String].collect().toSet === keys.toSet)
+
+    // absent key: no candidate file, empty result, schema preserved
+    assert(WarehouseFs.bloomCandidateFiles(spark, t, "id", Seq(-1L)).get.isEmpty)
+    val empty = WarehouseFs.readBloomPruned(spark, t, "id", Seq(-1L)).get
+    assert(empty.count() === 0 && empty.columns.toSeq === Seq("id", "grp", "acct"))
+  }
+
+  test("bloom index: unindexed column/table falls back to full read; GC drops expired index") {
+    val t = s"${tmpDir()}/tbl"
+    WarehouseFs.publishVersioned(
+      (1 to 100).map(i => (i.toLong, s"v$i")).toDF("id", "v"), t,
+      keepVersions = 1, bloomIndexCols = Seq("id"))
+    // column not indexed → None from candidates, parity from the reader
+    assert(WarehouseFs.bloomCandidateFiles(spark, t, "v", Seq("v7")).isEmpty)
+    assert(WarehouseFs.readBloomPruned(spark, t, "v", Seq("v7")).get
+      .select("id").as[Long].collect() === Array(7L))
+    // next version published WITHOUT an index: fallback + GC of v1's index
+    WarehouseFs.publishVersioned(
+      (101 to 200).map(i => (i.toLong, s"v$i")).toDF("id", "v"), t, keepVersions = 1)
+    assert(WarehouseFs.bloomCandidateFiles(spark, t, "id", Seq(150L)).isEmpty)
+    assert(WarehouseFs.readBloomPruned(spark, t, "id", Seq(150L)).get
+      .select("v").as[String].collect() === Array("v150"))
+    assert(WarehouseFs.listNames(spark, s"$t/_index") === Seq.empty,
+      "expired version's bloom index must be garbage-collected")
+  }
+
+  test("change feed classifies inserts/deletes/updates; applying it reconstructs the target") {
+    val t = s"${tmpDir()}/cf"
+    val v1 = Seq((1L, Option("a"), 10), (2L, Option("b"), 20),
+                 (3L, Option("c"), 30), (4L, Option.empty[String], 40))
+      .toDF("k", "s", "v")
+    val v2 = Seq((1L, Option("a"), 10), (2L, Option("B"), 20),
+                 (4L, Option("d"), 40), (5L, Option("e"), 50))
+      .toDF("k", "s", "v")
+    WarehouseFs.publishVersioned(v1, t, keepVersions = 5)
+    WarehouseFs.publishVersioned(v2, t, keepVersions = 5)
+
+    val feed = WarehouseFs.changeFeed(spark, t, Seq("k"), 1, 2).get
+    assert(feed.columns.toSeq === Seq("k", "s", "v", "_change_type"))
+    val by = feed.collect()
+      .groupBy(_.getAs[String]("_change_type"))
+      .view.mapValues(_.map(r => (r.getLong(0), Option(r.getString(1)))).toSet).toMap
+    assert(by("insert") === Set((5L, Some("e"))))
+    assert(by("delete") === Set((3L, Some("c"))))
+    assert(by("update_preimage") === Set((2L, Some("b")), (4L, None)),
+      "null→value must classify as update with a null preimage")
+    assert(by("update_postimage") === Set((2L, Some("B")), (4L, Some("d"))))
+
+    // applying the feed to v1 reconstructs v2 exactly
+    val gone = feed.filter(col("_change_type").isin("delete", "update_preimage"))
+      .select("k")
+    val recon = v1.join(gone, Seq("k"), "left_anti").unionByName(
+      feed.filter(col("_change_type").isin("insert", "update_postimage"))
+        .drop("_change_type"))
+    assert(recon.collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getInt(2))).toSet ===
+      v2.collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getInt(2))).toSet)
+
+    // identical republish → empty feed; latest-pair convenience agrees
+    WarehouseFs.publishVersioned(v2, t, keepVersions = 5)
+    assert(WarehouseFs.changeFeed(spark, t, Seq("k"), 2, 3).get.count() === 0)
+    assert(WarehouseFs.changeFeedLatest(spark, t, Seq("k")).get.count() === 0)
+    // an expired (GC'd) version yields None, never a silent full diff
+    assert(WarehouseFs.changeFeed(spark, t, Seq("k"), 0, 2).isEmpty)
+  }
+
+  test("bloom index on a partitioned version: partition column survives the file-list read") {
+    val t = s"${tmpDir()}/part"
+    val df = (1 to 1000).map(i => (i.toLong, i % 4, s"u$i")).toDF("id", "day", "user")
+      .repartition(col("day"))
+    WarehouseFs.publishVersioned(df, t, partitionBy = Seq("day"),
+      bloomIndexCols = Seq("user"))
+    val got = WarehouseFs.readBloomPruned(spark, t, "user", Seq("u42")).get
+    assert(got.select("id", "day", "user").collect().map(_.toSeq).toSet ===
+      Set(Seq(42L, 2, "u42")), "partition column must be restored via basePath")
+  }
 }
