@@ -103,6 +103,32 @@ object QueriesSimilarity {
               Seq("vec_id"), "left_anti")
     }),
 
+    // FILTERED vector search: top-k restricted to candidates passing a
+    // metadata predicate (here: long documents — n_chars ≥ 600 via a
+    // semi-join against the documents table). Pre-filtering, not
+    // post-filtering: the predicate cuts the candidate side BEFORE
+    // scoring, so top-k is over survivors and never comes up short. The
+    // exact form is the oracle gate; the index-accelerated form of the
+    // same semantics (predicate pushed inside the IVF cell scan, query
+    // side unfiltered) is AnnOps.ivfTopKFilteredAssigned, proven
+    // equivalent at full probes in AnnSpec.
+    "sim_filtered_topk" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val allowed = documents(s, d).filter(col("n_chars") >= 600)
+        .select(col("doc_id").as("n_id"))
+      val c = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+        .join(allowed, Seq("n_id"), "left_semi")
+      val w = Window.partitionBy("q_id").orderBy(col("cos_r").desc, col("n_id"))
+      c.crossJoin(broadcast(q))
+        .filter(col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("n_id"),
+                round(vec_cosine(col("q_emb"), col("n_emb")), 6).as("cos_r"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 5)
+    }),
+
     // SemDeDup composed INTO the curation pipeline — the full
     // TextPipeline.curate fold with the semantic stage on: quality gate
     // → MinHash-LSH lexical pairs ∪ cell-blocked cosine pairs → ONE
@@ -168,6 +194,19 @@ object QueriesSimilarity {
             ON a.label = b.label AND a.vec_id <> b.vec_id
           WHERE a.vec_id < 50) t
         WHERE rn <= 3""",
+
+    "sim_filtered_topk" ->
+      """SELECT q_id, n_id, cos_r, rn FROM (
+          SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+            round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 6) AS cos_r,
+            ROW_NUMBER() OVER (PARTITION BY a.vec_id
+              ORDER BY round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 6) DESC,
+                       b.vec_id) AS rn
+          FROM embeddings a
+          JOIN embeddings b ON a.vec_id <> b.vec_id
+          JOIN documents d ON b.vec_id = d.doc_id AND d.n_chars >= 600
+          WHERE a.vec_id < 20) t
+        WHERE rn <= 5""",
 
     "dedup_embedding_cosine" ->
       """SELECT a.vec_id AS a_id, b.vec_id AS b_id,

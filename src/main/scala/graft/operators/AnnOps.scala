@@ -405,8 +405,17 @@ object AnnOps {
   }
 
   private def ivfSearch(assigned: DataFrame, cents: DataFrame,
-                        queryIds: Seq[Long], k: Int, nProbe: Int): DataFrame = {
-    val q = assigned.filter(col("vec_id").isInCollection(queryIds))
+                        queryIds: Seq[Long], k: Int, nProbe: Int): DataFrame =
+    ivfSearchAgainst(assigned, assigned, cents, queryIds, k, nProbe)
+
+  /** Cell-probe search with SEPARATE query and candidate relations: the
+    * query vectors resolve from `querySide` (never filtered — a query may
+    * itself fail a candidate predicate and must still search), candidates
+    * from `corpusSide`. Both must carry (vec_id, embedding, cell). */
+  private def ivfSearchAgainst(querySide: DataFrame, corpusSide: DataFrame,
+                               cents: DataFrame, queryIds: Seq[Long],
+                               k: Int, nProbe: Int): DataFrame = {
+    val q = querySide.filter(col("vec_id").isInCollection(queryIds))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val wProbe = Window.partitionBy("q_id").orderBy(col("cdist"), col("cell"))
     val probes = q.crossJoin(broadcast(cents))
@@ -416,7 +425,7 @@ object AnnOps {
       .filter(col("rn") <= nProbe)
       .select("q_id", "q_emb", "cell")
 
-    val corpus = assigned.select(col("vec_id").as("n_id"),
+    val corpus = corpusSide.select(col("vec_id").as("n_id"),
       col("embedding").as("n_emb"), col("cell"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
     corpus.join(probes, Seq("cell"))
@@ -425,6 +434,33 @@ object AnnOps {
               vec_cosine(col("q_emb"), col("n_emb")).as("cos"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
+  }
+
+  /** FILTERED vector search — top-k among only the corpus rows satisfying
+    * `pred` (a metadata predicate over whatever extra columns `assigned`
+    * carries: language, source, quality score, date…). Pre-filtering, the
+    * scale-correct strategy for a cell-partitioned index: the predicate is
+    * applied to the candidate side BEFORE the cell join, so on a persisted
+    * index ([[ivfWriteIndex]] layout) it is pushed into the parquet scan
+    * of only the probed cells — post-filtering the top-k instead would
+    * return fewer than k rows whenever the filter is selective. The query
+    * side stays UNFILTERED: a query vector that itself fails `pred` still
+    * searches. With nProbe = nCells this is exactly brute force over the
+    * filtered corpus (AnnSpec); for selective predicates raise nProbe —
+    * survivors concentrate in fewer cells, the standard pre-filter ANN
+    * recall trade. */
+  def ivfTopKFilteredAssigned(assigned: DataFrame, model: IvfModel,
+                              queryIds: Seq[Long], k: Int, nProbe: Int,
+                              pred: org.apache.spark.sql.Column): DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val cents = model.centroids
+      .map { case (i, c) => (i, c.map(_.toFloat)) }.toDF("cell", "c_emb")
+    ivfSearchAgainst(
+      assigned.select(col("vec_id"), col("embedding"), col("cell")),
+      assigned.filter(pred)
+        .select(col("vec_id"), col("embedding"), col("cell")),
+      cents, queryIds, k, nProbe)
   }
 
   /** Product quantization: trained per-subspace codebooks. `centroids` is

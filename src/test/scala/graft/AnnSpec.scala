@@ -137,6 +137,40 @@ class AnnSpec extends SparkSpec {
     assert(recs.last === 1.0)
   }
 
+  test("filtered IVF search with nProbe = nCells equals brute force over the filtered corpus") {
+    def toSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "n_id", "rn").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val model = AnnOps.ivfTrain(emb, nCells = 8)
+    val assigned = AnnOps.ivfAssign(emb, model)
+    val pred = col("label") =!= 0
+    // queries restricted to pred-satisfying ids so the brute-force truth
+    // (whose query side is the filtered corpus) covers the same queries
+    val qIn = emb.filter(pred).filter(col("vec_id") < 20)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(qIn.nonEmpty)
+    val got = AnnOps.ivfTopKFilteredAssigned(assigned, model, qIn,
+      k = 5, nProbe = 8, pred = pred)
+    val truth = AnnOps.bruteForceTopK(emb.filter(pred), qIn, k = 5)
+    assert(toSet(got) === toSet(truth))
+  }
+
+  test("filtered IVF search: every hit satisfies the predicate; an outside query still searches") {
+    val model = AnnOps.ivfTrain(emb, nCells = 8)
+    val assigned = AnnOps.ivfAssign(emb, model)
+    val pred = col("label") === 1
+    // a query vector that itself FAILS the predicate
+    val qOut = emb.filter(col("label") =!= 1).select("vec_id")
+      .orderBy("vec_id").limit(1).collect().map(_.getLong(0)).toSeq
+    val got = AnnOps.ivfTopKFilteredAssigned(assigned, model, qOut,
+      k = 3, nProbe = 8, pred = pred)
+    val hits = got.select("n_id").collect().map(_.getLong(0)).toSet
+    assert(hits.nonEmpty, "query outside the filter must still search")
+    val allowed = emb.filter(pred).select("vec_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(hits.subsetOf(allowed), "no hit may violate the predicate")
+  }
+
   test("PQ codes are bounded by the codebook and deterministic") {
     val model = AnnOps.pqTrain(emb, m = 8, k = 16)
     assert(model.subDim === 8 && model.centroids.size === 8 * 16)
