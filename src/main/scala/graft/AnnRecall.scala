@@ -135,6 +135,22 @@ object AnnRecall {
       (s"pq_m8_k16_rerank$r", r4(rec), Some(r4(math.min(1.0, r.toDouble * k / corpusN))))
     }
 
+    // PCA width reduction: project ONCE (map-only), search EXACTLY in the
+    // reduced space — recall lost only to the discarded variance, while
+    // every per-query exact score costs outDim/inDim of a full-width
+    // multiply (that ratio is the reported cost_frac). On this i.i.d.
+    // corpus the spectrum is flat (variance spreads evenly across all 64
+    // axes — the PCA worst case, mirroring the LSH caveat above), so
+    // these recalls are lower bounds on real, low-effective-rank
+    // embedding manifolds.
+    val pca = Seq(8, 16, 32, 48).map { dOut =>
+      val model = AnnOps.pcaTrain(emb, dOut)
+      val proj = AnnOps.pcaProject(emb, model).cache()
+      val rec = AnnOps.recallAt(AnnOps.bruteForceTopK(proj, queryIds, k), truth)
+      proj.unpersist()
+      (s"pca_d$dOut", r4(rec), Some(r4(dOut.toDouble / model.inDim)))
+    }
+
     // IVF-PQ composite at cells ∈ {16, 64 (≈√n), 256}: encode ONCE per
     // cell count (the persisted inverted file of PQ codes), sweep
     // (nProbe, rerank) against the same code table. The reported
@@ -170,6 +186,7 @@ object AnnRecall {
       srpMulti.map { case (n, v, c) => (n, v, c, None) } ++
       ivf.map { case (n, v, c) => (n, v, c, None) } ++
       pq.map { case (n, v, c) => (n, v, c, Some(1.0)) } ++
+      pca.map { case (n, v, c) => (n, v, c, None) } ++
       ivfpq
     val entries = all.map { case (n, v, _, _) => s"\"$n\":$v" }.mkString(",")
     val costs = all.collect { case (n, _, Some(c), _) => s"\"$n\":$c" }.mkString(",")

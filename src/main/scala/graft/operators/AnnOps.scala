@@ -463,6 +463,85 @@ object AnnOps {
       cents, queryIds, k, nProbe)
   }
 
+  // ---- PCA dimensionality reduction -----------------------------------
+  //
+  // Scan cost of every vector operator here — brute force, IVF cell
+  // scans, SemDeDup's within-cell pairing — is linear in the embedding
+  // WIDTH. PCA buys that width down with a measurable (ANN_RECALL.json)
+  // recall cost: train once on a sample, then a MAP-ONLY projection
+  // rewrites the corpus (the same train-once / persist / apply-per-batch
+  // lifecycle as the IVF and PQ models). Projected vectors are ordinary
+  // Array[Float] embeddings, so the whole ANN/dedup surface composes
+  // with them unchanged.
+
+  /** `components`: outDim principal rows × inDim, orthonormal, variance-
+    * descending; `mean`: the training mean subtracted before projection
+    * (classical PCA — Spark ML's own `transform` skips the centering,
+    * which shifts every projection by a constant vector). */
+  case class PcaModel(mean: Seq[Double], components: Seq[Seq[Double]]) {
+    def inDim: Int = mean.size
+    def outDim: Int = components.size
+  }
+
+  /** Fit PCA via Spark ML (covariance eigendecomposition on the d×d
+    * gram — one distributed pass, driver-side eigen of a small matrix).
+    * At 100 TB fit on a sample: the covariance of a uniform few-million-
+    * row sample is statistically indistinguishable for this purpose,
+    * exactly like [[pqTrain]]'s codebooks. */
+  def pcaTrain(emb: DataFrame, outDim: Int): PcaModel = {
+    import org.apache.spark.ml.feature.PCA
+    import org.apache.spark.ml.functions.array_to_vector
+    val prepared = emb
+      .select(array_to_vector(col("embedding").cast("array<double>")).as("fv"))
+    val model = new PCA().setK(outDim).setInputCol("fv").setOutputCol("pc")
+      .fit(prepared)
+    val d = model.pc.numRows
+    val mean = prepared
+      .select(org.apache.spark.ml.functions.vector_to_array(col("fv")).as("a"))
+      .select((0 until d).map(i => avg(element_at(col("a"), i + 1))): _*)
+      .head().toSeq.map(_.asInstanceOf[Double])
+    // pc is column-major d×outDim; transpose to outDim rows of length d
+    val comps = (0 until model.pc.numCols).map { j =>
+      (0 until d).map(i => model.pc(i, j)).toSeq
+    }
+    PcaModel(mean, comps)
+  }
+
+  /** Project the embedding column onto the model's principal axes —
+    * MAP-ONLY (mean and components ride as literals; one `zip_with`
+    * centering pass + outDim dot folds per row, all codegen'd HOFs, no
+    * shuffle). Replaces `embedding` with the outDim-wide Array[Float];
+    * every other column passes through, so the result feeds
+    * [[ivfTrain]]/[[bruteForceTopK]]/[[semanticDupPairs]] directly. */
+  def pcaProject(emb: DataFrame, model: PcaModel): DataFrame =
+    emb
+      .withColumn("__mean", typedlit(model.mean))
+      .withColumn("__comps", typedlit(model.components))
+      .withColumn("__centered",
+        zip_with(col("embedding"), col("__mean"),
+          (a, b) => a.cast("double") - b))
+      .withColumn("embedding",
+        transform(col("__comps"), c =>
+          aggregate(zip_with(col("__centered"), c, (a, b) => a * b),
+            lit(0.0d), (acc, x) => acc + x).cast("float")))
+      .drop("__mean", "__comps", "__centered")
+
+  def pcaSave(model: PcaModel, path: String,
+              spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    // row -1 = the mean; rows 0..outDim-1 = the components, in order
+    ((-1, model.mean) +: model.components.zipWithIndex.map(_.swap))
+      .toDF("row", "vals")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def pcaLoad(spark: org.apache.spark.sql.SparkSession, path: String): PcaModel = {
+    val rows = spark.read.parquet(path)
+      .select(col("row"), col("vals").cast("array<double>").as("vals"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+    PcaModel(rows.head._2, rows.tail.map(_._2).toSeq)
+  }
+
   /** Product quantization: trained per-subspace codebooks. `centroids` is
     * the flattened [m·k] table (index mi·k + j), each entry a subDim-long
     * centroid of the NORMALIZED corpus' mi-th slice. */

@@ -171,6 +171,71 @@ class AnnSpec extends SparkSpec {
     assert(hits.subsetOf(allowed), "no hit may violate the predicate")
   }
 
+  test("PCA: components orthonormal, projected variance descending, save/load exact") {
+    val model = AnnOps.pcaTrain(emb, outDim = 8)
+    assert(model.inDim === 64 && model.outDim === 8)
+    // orthonormal basis
+    for (i <- model.components.indices; j <- i until model.components.size) {
+      val dot = model.components(i).zip(model.components(j)).map { case (a, b) => a * b }.sum
+      val expect = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - expect) < 1e-6, s"basis dot($i,$j)=$dot")
+    }
+    // per-axis variance of the projection is descending (eigenvalue order)
+    val proj = AnnOps.pcaProject(emb, model)
+      .select(explode(expr(
+        "transform(embedding, (x, i) -> struct(i AS i, CAST(x AS DOUBLE) AS v))")).as("e"))
+      .select(col("e.i"), col("e.v"))
+      .groupBy("i").agg(var_samp(col("v")).as("var"))
+      .orderBy("i").collect().map(_.getDouble(1))
+    assert(proj.zip(proj.tail).forall { case (a, b) => a >= b - 1e-9 },
+      s"variances not descending: ${proj.toSeq}")
+    // persistence round-trips the exact doubles
+    val dir = java.nio.file.Files.createTempDirectory("graft_pca_").toString
+    AnnOps.pcaSave(model, s"$dir/pca", spark)
+    val back = AnnOps.pcaLoad(spark, s"$dir/pca")
+    assert(back === model)
+  }
+
+  test("PCA projection is centered classical PCA and composes with the ANN surface") {
+    val model = AnnOps.pcaTrain(emb, outDim = 4)
+    // hand-compute (x - mean)·c for one row; the map-only projection must agree
+    val row = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val expected = model.components.map(c =>
+      row.zip(model.mean).map { case (x, m) => x - m }.zip(c)
+        .map { case (xc, ci) => xc * ci }.sum.toFloat)
+    val got = AnnOps.pcaProject(emb, model).filter(col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0)
+    expected.zip(got).foreach { case (e, g) => assert(math.abs(e - g) < 1e-4f) }
+    // projected corpus drives the existing search path unchanged
+    val topk = AnnOps.bruteForceTopK(AnnOps.pcaProject(emb, model),
+      queries.take(5), k = 3)
+    assert(topk.groupBy("q_id").count().collect().forall(_.getLong(1) === 3L))
+  }
+
+  test("PCA on a low-rank corpus: 4 of 16 dims retain near-perfect search recall") {
+    // the sf corpus is i.i.d. (flat spectrum — PCA's worst case, as
+    // ANN_RECALL.json documents); this fixture has genuine structure:
+    // rank-4 signal + 1% noise, the shape of real embedding manifolds
+    val rnd = new scala.util.Random(7)
+    val basis = Array.fill(4, 16)(rnd.nextGaussian())
+    val rows = (0L until 200L).map { i =>
+      val coef = Array.fill(4)(rnd.nextGaussian())
+      val v = Array.tabulate(16) { j =>
+        (basis.zip(coef).map { case (b, c) => b(j) * c }.sum +
+          0.01 * rnd.nextGaussian()).toFloat
+      }
+      (i, v)
+    }
+    val low = rows.toDF("vec_id", "embedding")
+    val truth = AnnOps.bruteForceTopK(low, (0L until 10L).toSeq, k = 5)
+    val model = AnnOps.pcaTrain(low, outDim = 4)
+    val proj = AnnOps.pcaProject(low, model)
+    val rec = AnnOps.recallAt(
+      AnnOps.bruteForceTopK(proj, (0L until 10L).toSeq, k = 5), truth)
+    assert(rec >= 0.9, s"rank-4 corpus at outDim=4 must keep recall, got $rec")
+  }
+
   test("PQ codes are bounded by the codebook and deterministic") {
     val model = AnnOps.pqTrain(emb, m = 8, k = 16)
     assert(model.subDim === 8 && model.centroids.size === 8 * 16)
