@@ -68,6 +68,73 @@ object IncrementalAgg {
   def withDerivedAvg(state: DataFrame, c: String, as: String): DataFrame =
     state.withColumn(as, col(outName(c, "sum")) / col(outName(c, "count")))
 
+  // --- retraction-based maintenance under a CDC change feed --------------
+  //
+  // [[merge]] handles APPEND-ONLY increments. When the source is a
+  // versioned table whose rows also update and disappear, the right
+  // increment is [[graft.sources.WarehouseFs.changeFeed]]'s row-level
+  // delta — and sum/count carriers can consume it with RETRACTIONS:
+  // insert/update_postimage rows add, delete/update_preimage rows
+  // subtract (the classic incremental view-maintenance sign trick; the
+  // pre/post pair is exactly why the feed ships both images). The state
+  // carries a signed row count per group, so a group whose rows all
+  // vanish drops out of the state — fold ≡ full recompute, spec-proven
+  // through actual published versions. min/max do NOT retract (the new
+  // extremum after deleting the current one needs history) and are
+  // rejected loudly; maintain them by full recompute or a heap/sketch.
+
+  private val RetractAdd = Seq("insert", "update_postimage")
+  private val RetractSub = Seq("delete", "update_preimage")
+
+  /** Signed partial over one change-feed batch: the retractable-state
+    * schema (keys, sum_/count_ carriers, `n_rows`). Feed rows must carry
+    * `_change_type`; `aggs` fns are restricted to sum|count. */
+  def partialChanges(feed: DataFrame, keys: Seq[String],
+                     aggs: Seq[(String, String)]): DataFrame = {
+    val bad = aggs.collect { case (c, fn) if !Set("sum", "count")(fn) => s"$fn($c)" }
+    require(bad.isEmpty,
+      s"partialChanges: ${bad.mkString(", ")} cannot retract — only sum/count " +
+        "carriers maintain under deletes/updates")
+    val sign = when(col("_change_type").isin(RetractAdd: _*), lit(1L))
+      .when(col("_change_type").isin(RetractSub: _*), lit(-1L))
+    val cols = aggs.map {
+      case (c, "sum") => sum(col(c) * col("__sign")).as(outName(c, "sum"))
+      case (c, _) =>
+        sum(when(col(c).isNotNull, col("__sign")).otherwise(lit(0L)))
+          .as(outName(c, "count"))
+    } :+ sum(col("__sign")).as("n_rows")
+    feed.withColumn("__sign", sign)
+      .filter(col("__sign").isNotNull) // tolerate foreign change types
+      .groupBy(keys.map(col): _*).agg(cols.head, cols.tail: _*)
+  }
+
+  /** Fold one change-feed batch into the retractable state; groups whose
+    * signed row count reaches zero leave the state, so the fold over any
+    * feed sequence equals [[bootstrapRetractable]] of the final version.
+    * One |keys|-row merge agg per fold — never a history re-scan. */
+  def mergeChanges(state: Option[DataFrame], feed: DataFrame, keys: Seq[String],
+                   aggs: Seq[(String, String)]): DataFrame = {
+    val inc = partialChanges(feed, keys, aggs)
+    val merged = state match {
+      case None => inc
+      case Some(s) =>
+        val cols = aggs.map { case (c, fn) =>
+          val n = outName(c, fn)
+          sum(col(n)).as(n)
+        } :+ sum(col("n_rows")).as("n_rows")
+        s.unionByName(inc).groupBy(keys.map(col): _*).agg(cols.head, cols.tail: _*)
+    }
+    merged.filter(col("n_rows") > 0)
+  }
+
+  /** Retractable state straight from a full table snapshot — the
+    * bootstrap before the first change-feed fold (equivalently: fold a
+    * feed where every row is an insert). */
+  def bootstrapRetractable(snapshot: DataFrame, keys: Seq[String],
+                           aggs: Seq[(String, String)]): DataFrame =
+    mergeChanges(None, snapshot.withColumn("_change_type", lit("insert")),
+      keys, aggs)
+
   // --- distinct counts (non-decomposable) ride on HLL sketch carriers ----
 
   /** Partial for incremental DISTINCT counting: a DataSketches HLL sketch

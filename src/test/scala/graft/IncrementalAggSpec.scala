@@ -90,4 +90,45 @@ class IncrementalAggSpec extends SparkSpec {
     val plan = merged.queryExecution.optimizedPlan.toString
     assert("Relation".r.findAllIn(plan).size === 1, plan)
   }
+
+  test("retraction fold over real change feeds equals bootstrap of the final version") {
+    import spark.implicits._
+    import graft.sources.WarehouseFs
+    val t = s"${java.nio.file.Files.createTempDirectory("graft_ret_").toString}/acct"
+    val keys = Seq("grp")
+    val raggs = Seq(("v", "sum"), ("v", "count"))
+    val v1 = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L), (4L, "c", 5L))
+      .toDF("k", "grp", "v")
+    // v2: k=2 updated (20→25), k=3 deleted (group b vanishes entirely),
+    // k=5 inserted into a new group d, k=4 untouched
+    val v2 = Seq((1L, "a", 10L), (2L, "a", 25L), (4L, "c", 5L), (5L, "d", 7L))
+      .toDF("k", "grp", "v")
+    // v3: group c fully deleted, one more insert into a
+    val v3 = Seq((1L, "a", 10L), (2L, "a", 25L), (6L, "a", 1L), (5L, "d", 7L))
+      .toDF("k", "grp", "v")
+    Seq(v1, v2, v3).foreach(WarehouseFs.publishVersioned(_, t, keepVersions = 5))
+
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val boot = IncrementalAgg.bootstrapRetractable(v1, keys, raggs)
+    val folded = (2L to 3L).foldLeft(boot) { (st, v) =>
+      IncrementalAgg.mergeChanges(Some(st),
+        WarehouseFs.changeFeed(spark, t, Seq("k"), v - 1, v).get, keys, raggs)
+    }
+    assert(snap(folded.select("grp", "sum_v", "count_v", "n_rows")) ===
+      snap(IncrementalAgg.bootstrapRetractable(v3, keys, raggs)
+        .select("grp", "sum_v", "count_v", "n_rows")))
+    // groups b and c died along the way and must be absent
+    val grps = folded.select("grp").collect().map(_.getString(0)).toSet
+    assert(grps === Set("a", "d"))
+  }
+
+  test("retraction carriers reject non-retractable min/max") {
+    import spark.implicits._
+    val feed = Seq((1L, "a", 10L, "insert")).toDF("k", "grp", "v", "_change_type")
+    val e = intercept[IllegalArgumentException] {
+      IncrementalAgg.partialChanges(feed, Seq("grp"), Seq(("v", "min")))
+    }
+    assert(e.getMessage.contains("cannot retract"))
+  }
 }
