@@ -411,30 +411,60 @@ object WarehouseFs {
     for {
       o <- readTableVersion(spark, table, fromVersion)
       n <- readTableVersion(spark, table, toVersion)
-    } yield {
-      val cols = n.columns.toSeq
-      require(o.columns.toSeq == cols,
-        s"changeFeed: schema drift between v$fromVersion and v$toVersion of $table " +
-          "— diff the common columns explicitly")
-      val nonKey = cols.filterNot(keyCols.contains)
-      val oj = o.select(cols.map(c => col(c).as(s"o_$c")) :+ lit(true).as("o__p"): _*)
-      val nj = n.select(cols.map(c => col(c).as(s"n_$c")) :+ lit(true).as("n__p"): _*)
-      val joined = oj.join(nj,
-        keyCols.map(k => col(s"o_$k") === col(s"n_$k")).reduce(_ && _), "full_outer")
-      def row(side: String, ct: String) =
-        struct(cols.map(c => col(s"${side}_$c").as(c)) :+
-          lit(ct).as("_change_type"): _*)
-      val unchanged = nonKey.map(c => col(s"o_$c") <=> col(s"n_$c"))
-        .reduceOption(_ && _).getOrElse(lit(true))
-      // no otherwise → unchanged keys yield a null array, which explode
-      // (non-outer) drops: one join, one pass, no per-class re-execution
-      val changes = when(col("o__p").isNull, array(row("n", "insert")))
-        .when(col("n__p").isNull, array(row("o", "delete")))
-        .when(!unchanged,
-          array(row("o", "update_preimage"), row("n", "update_postimage")))
-      joined.select(explode(changes).as("__r")).select(col("__r.*"))
-    }
+    } yield rowDiff(o, n, keyCols,
+      s"v$fromVersion and v$toVersion of $table")
   }
+
+  /** The diff core shared by [[changeFeed]] and [[changeFeedCommitted]]:
+    * one null-safe full-outer join; unchanged keys yield a null change
+    * array, which explode (non-outer) drops — one join, one pass, no
+    * per-class re-execution. */
+  private def rowDiff(o: DataFrame, n: DataFrame, keyCols: Seq[String],
+                      what: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val cols = n.columns.toSeq
+    require(o.columns.toSeq == cols,
+      s"changeFeed: schema drift between $what — diff the common columns explicitly")
+    val nonKey = cols.filterNot(keyCols.contains)
+    val oj = o.select(cols.map(c => col(c).as(s"o_$c")) :+ lit(true).as("o__p"): _*)
+    val nj = n.select(cols.map(c => col(c).as(s"n_$c")) :+ lit(true).as("n__p"): _*)
+    val joined = oj.join(nj,
+      keyCols.map(k => col(s"o_$k") === col(s"n_$k")).reduce(_ && _), "full_outer")
+    def row(side: String, ct: String) =
+      struct(cols.map(c => col(s"${side}_$c").as(c)) :+
+        lit(ct).as("_change_type"): _*)
+    val unchanged = nonKey.map(c => col(s"o_$c") <=> col(s"n_$c"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val changes = when(col("o__p").isNull, array(row("n", "insert")))
+      .when(col("n__p").isNull, array(row("o", "delete")))
+      .when(!unchanged,
+        array(row("o", "update_preimage"), row("n", "update_postimage")))
+    joined.select(explode(changes).as("__r")).select(col("__r.*"))
+  }
+
+  /** [[changeFeed]] for a table of a COMMIT SET ([[publishAtomicAll]]
+    * layout): the delta of `table` between two retained commits. A
+    * carried-forward table resolves both commits to the SAME data dir —
+    * detected by path equality, so the feed is empty WITHOUT scanning
+    * anything (the common nightly case costs two commit-file reads).
+    * None when either commit is expired or lacks the table. */
+  def changeFeedCommitted(spark: SparkSession, warehouse: String,
+                          table: String, keyCols: Seq[String],
+                          fromCommit: Long, toCommit: Long): Option[DataFrame] =
+    for {
+      f <- commitVersion(spark, warehouse, fromCommit)
+      t <- commitVersion(spark, warehouse, toCommit)
+      fp <- f._2.get(table)
+      tp <- t._2.get(table)
+    } yield {
+      if (fp == tp) { // carry-forward: byte-identical state, empty delta
+        val schema = spark.read.parquet(tp)
+        rowDiff(schema.limit(0), schema.limit(0), keyCols,
+          s"c$fromCommit and c$toCommit of $table")
+      } else
+        rowDiff(spark.read.parquet(fp), spark.read.parquet(tp), keyCols,
+          s"c$fromCommit and c$toCommit of $table")
+    }
 
   /** [[changeFeed]] from the previous retained version to the current
     * one — the nightly-consumer convenience. None until two versions

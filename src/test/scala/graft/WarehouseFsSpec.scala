@@ -389,6 +389,33 @@ class WarehouseFsSpec extends SparkSpec {
     assert(WarehouseFs.changeFeed(spark, t, Seq("k"), 0, 2).isEmpty)
   }
 
+  test("commit-set change feed: classified delta for changed tables, scan-free empty for carried ones") {
+    val w = tmpDir()
+    val mart1 = Seq((1L, 100L), (2L, 200L)).toDF("k", "amt")
+    val bl = Seq(("p1", 1)).toDF("passport", "flag")
+    WarehouseFs.publishAtomicAll(Map("mart" -> mart1, "bl" -> bl), w, keepCommits = 5)
+    // commit 2: mart changes (update + insert), bl carried forward
+    val mart2 = Seq((1L, 150L), (2L, 200L), (3L, 300L)).toDF("k", "amt")
+    WarehouseFs.publishAtomicAll(Map("mart" -> mart2), w, keepCommits = 5,
+      carryForward = Set("bl"))
+
+    val feed = WarehouseFs.changeFeedCommitted(spark, w, "mart", Seq("k"), 1, 2).get
+    val by = feed.collect().groupBy(_.getAs[String]("_change_type"))
+      .view.mapValues(_.map(r => (r.getLong(0), r.getLong(1))).toSet).toMap
+    assert(by("insert") === Set((3L, 300L)))
+    assert(by("update_preimage") === Set((1L, 100L)))
+    assert(by("update_postimage") === Set((1L, 150L)))
+    assert(!by.contains("delete"))
+
+    // carried table: both commits resolve the same dir → empty, right schema
+    val blFeed = WarehouseFs.changeFeedCommitted(spark, w, "bl", Seq("passport"), 1, 2).get
+    assert(blFeed.count() === 0)
+    assert(blFeed.columns.toSeq === Seq("passport", "flag", "_change_type"))
+    // unknown table / expired commit → None
+    assert(WarehouseFs.changeFeedCommitted(spark, w, "nope", Seq("k"), 1, 2).isEmpty)
+    assert(WarehouseFs.changeFeedCommitted(spark, w, "mart", Seq("k"), 0, 2).isEmpty)
+  }
+
   test("bloom index on a partitioned version: partition column survives the file-list read") {
     val t = s"${tmpDir()}/part"
     val df = (1 to 1000).map(i => (i.toLong, i % 4, s"u$i")).toDF("id", "day", "user")
