@@ -97,8 +97,15 @@ object IncrementalAgg {
         "carriers maintain under deletes/updates")
     val sign = when(col("_change_type").isin(RetractAdd: _*), lit(1L))
       .when(col("_change_type").isin(RetractSub: _*), lit(-1L))
+    // sum carriers are ZERO-valued, never null, when no non-null inputs
+    // remain: "all contributions retracted" and "contributions cancel to
+    // 0" are indistinguishable to a signed sum, so the state defines
+    // sum_c ≡ 0 over an empty input set (use the count carrier to tell
+    // "no values" apart from "values summing to 0") — the property spec
+    // pins fold ≡ bootstrap under exactly this normalization
     val cols = aggs.map {
-      case (c, "sum") => sum(col(c) * col("__sign")).as(outName(c, "sum"))
+      case (c, "sum") =>
+        coalesce(sum(col(c) * col("__sign")), lit(0)).as(outName(c, "sum"))
       case (c, _) =>
         sum(when(col(c).isNotNull, col("__sign")).otherwise(lit(0L)))
           .as(outName(c, "count"))
