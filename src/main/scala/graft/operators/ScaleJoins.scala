@@ -55,7 +55,11 @@ object ScaleJoins {
     // through the rename-swap publish
     val current = graft.sources.WarehouseFs.currentVersion(spark, dir)
     val dataDir = current.map(_._2).getOrElse(dir)
-    val bytes = graft.sources.WarehouseFs.parquetBytes(spark, dataDir)
+    // resolved-version bytes: a copy-on-write (file-list) version spans
+    // dirs, and the table root also holds retained OLD versions — size
+    // from the manifest's own file set, not a directory walk
+    val bytes = graft.sources.WarehouseFs.currentVersionBytes(spark, dir)
+      .getOrElse(graft.sources.WarehouseFs.parquetBytes(spark, dataDir))
     val parts = math.max(1, math.ceil(bytes / (targetMB * 1024.0 * 1024.0)).toInt)
     // a Hive-layout table (key=value subdirs) must keep its layout — and
     // its partition pruning — through compaction: detect partition columns
@@ -63,7 +67,13 @@ object ScaleJoins {
     // partition key so each output file stays within one partition
     val partCols = graft.sources.WarehouseFs.listNames(spark, dataDir)
       .filter(_.contains("=")).map(_.takeWhile(_ != '=')).distinct
-    val df = spark.read.parquet(dataDir)
+    // readTable resolves BOTH manifest formats (a file-list version's
+    // carried files live outside dataDir) — compaction is also how a long
+    // DML chain folds back into one clean dir version
+    val df = current match {
+      case Some(_) => graft.sources.WarehouseFs.readTable(spark, dir).get
+      case None => spark.read.parquet(dataDir)
+    }
     val compacted =
       if (partCols.isEmpty) df.repartition(parts)
       else df.repartition(parts, partCols.map(col): _*)

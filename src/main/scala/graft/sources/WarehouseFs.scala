@@ -140,28 +140,79 @@ object WarehouseFs {
   private def vname(n: Long) = f"$n%08d"
   private val ManifestName = "^\\d{8}$".r
 
-  /** Highest committed (version, dataPath) of a manifest table, if any.
-    * One `listStatus` + one small-file read — no data I/O. */
-  def currentVersion(spark: SparkSession, table: String): Option[(Long, String)] = {
+  // Two manifest formats share the `_versions/NNNNNNNN` pointer file:
+  //   dir format   — content is one data-dir name ("v00000002"): the
+  //                  version is that whole directory (every publish here
+  //                  until r8).
+  //   file-list    — first line "files:v00000003" (the version's OWN data
+  //                  dir, where its rewritten files and its _stats/_index
+  //                  entries live), then one TABLE-ROOT-RELATIVE file path
+  //                  per line, which may reference PRIOR version dirs.
+  //                  This is what makes copy-on-write DML O(touched
+  //                  files): untouched files are carried by reference.
+  private final case class ResolvedVersion(version: Long, dirName: String,
+                                           files: Option[Seq[String]]) {
+    def isFileList: Boolean = files.isDefined
+  }
+
+  private def readManifest(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+    finally in.close()
+  }
+
+  private def parseManifest(version: Long, content: String): ResolvedVersion = {
+    val lines = content.split("\n").map(_.trim).filter(_.nonEmpty)
+    if (lines.head.startsWith("files:"))
+      ResolvedVersion(version, lines.head.stripPrefix("files:"),
+        Some(lines.tail.toSeq))
+    else ResolvedVersion(version, lines.head, None)
+  }
+
+  /** Every data-dir name a manifest keeps alive: its own dir plus, for a
+    * file-list manifest, each referenced file's version dir. */
+  private def referencedDirs(r: ResolvedVersion): Set[String] =
+    Set(r.dirName) ++ r.files.getOrElse(Nil).map(f => f.takeWhile(_ != '/'))
+
+  private def resolveVersion(spark: SparkSession, table: String,
+                             version: Option[Long]): Option[ResolvedVersion] = {
     val (fs, t) = fsFor(spark, table)
     val vd = versionsDir(t)
     if (!fs.exists(vd)) return None
-    val committed = fs.listStatus(vd).map(_.getPath.getName)
-      .filter(n => ManifestName.matches(n))
-    if (committed.isEmpty) return None
-    val latest = committed.max
-    val in = fs.open(new Path(vd, latest))
-    val dataName = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-                   finally in.close()
-    Some((latest.toLong, s"$table/$dataName"))
+    val v = version match {
+      case Some(v0) => Some(v0).filter(v1 => fs.exists(new Path(vd, vname(v1))))
+      case None =>
+        val committed = fs.listStatus(vd).map(_.getPath.getName)
+          .filter(n => ManifestName.matches(n))
+        if (committed.isEmpty) None else Some(committed.max.toLong)
+    }
+    v.map(v0 => parseManifest(v0, readManifest(fs, new Path(vd, vname(v0)))))
   }
+
+  /** The DataFrame of a resolved version — file-list manifests read their
+    * explicit file set (spanning version dirs), dir manifests read the
+    * whole dir. */
+  private def readResolved(spark: SparkSession, table: String,
+                           r: ResolvedVersion): DataFrame = r.files match {
+    case Some(fl) => spark.read.parquet(fl.map(f => s"$table/$f"): _*)
+    case None => spark.read.parquet(s"$table/${r.dirName}")
+  }
+
+  /** Highest committed (version, dataPath) of a manifest table, if any.
+    * One `listStatus` + one small-file read — no data I/O. For a
+    * file-list version the dataPath is the version's OWN data dir (its
+    * rewritten files; stats/index are keyed by it) — read the full
+    * logical content through [[readTable]]/[[readTableVersion]], which
+    * resolve carried files too. */
+  def currentVersion(spark: SparkSession, table: String): Option[(Long, String)] =
+    resolveVersion(spark, table, None).map(r => (r.version, s"$table/${r.dirName}"))
 
   /** Read a table written by either publish flavor: the manifest-committed
     * current version when `_versions` exists, else the plain directory
     * (None if absent/empty either way). */
   def readTable(spark: SparkSession, table: String): Option[DataFrame] =
-    currentVersion(spark, table) match {
-      case Some((_, dataPath)) => Some(spark.read.parquet(dataPath))
+    resolveVersion(spark, table, None) match {
+      case Some(r) => Some(readResolved(spark, table, r))
       case None => if (hasData(spark, table)) Some(spark.read.parquet(table)) else None
     }
 
@@ -185,7 +236,8 @@ object WarehouseFs {
     * dry-run diffing two versions. */
   def readTableVersion(spark: SparkSession, table: String,
                        version: Long): Option[DataFrame] =
-    readTableVersionPath(spark, table, version).map(spark.read.parquet(_))
+    resolveVersion(spark, table, Some(version))
+      .map(readResolved(spark, table, _))
 
   /** Atomically publish `df` as the new current version of a
     * manifest-committed `table` (layout above). Safe on object stores —
@@ -241,24 +293,37 @@ object WarehouseFs {
     try out.write(dataName.getBytes("UTF-8")) finally out.close()
     require(fs.rename(tmp, new Path(vd, vname(next))),
       s"publishVersioned: commit of version $next lost a concurrent race on $table")
-    // phase 3 (GC): drop manifests beyond keepVersions, then every data
-    // dir no surviving manifest references (old versions AND orphans)
+    gcVersions(fs, t, keepVersions)
+  }
+
+  /** Phase-3 GC shared by [[publishVersioned]] and the DML publishes:
+    * drop manifests beyond `keepVersions`, then every data dir no
+    * surviving manifest references — where a FILE-LIST manifest keeps
+    * alive its own dir AND every prior dir its carried files live in, so
+    * copy-on-write chains never lose a referenced ancestor; stats/index
+    * entries GC by the same referenced-dir set. */
+  private def gcVersions(fs: FileSystem, t: Path, keepVersions: Int): Unit = {
+    val vd = versionsDir(t)
     val manifests = fs.listStatus(vd).map(_.getPath.getName)
       .filter(n => ManifestName.matches(n)).sorted
     val (expired, kept) = manifests.splitAt(math.max(0, manifests.length - keepVersions))
     expired.foreach(n => fs.delete(new Path(vd, n), false))
-    val referenced = kept.map { n =>
-      val in = fs.open(new Path(vd, n))
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim finally in.close()
+    val referenced = kept.flatMap { n =>
+      referencedDirs(parseManifest(n.toLong, readManifest(fs, new Path(vd, n))))
     }.toSet
     fs.listStatus(t).map(_.getPath.getName)
       .filter(n => n.startsWith("v") && ManifestName.matches(n.stripPrefix("v")) &&
                    !referenced.contains(n))
       .foreach(n => fs.delete(new Path(t, n), true))
+    // stats/index survive only for dirs whose OWN manifest survives (a
+    // carried dir's index rows were merged into the carrying version's)
+    val owned = kept.map { n =>
+      parseManifest(n.toLong, readManifest(fs, new Path(vd, n))).dirName
+    }.toSet
     Seq(statsDir(t), indexDir(t)).foreach { sd =>
       if (fs.exists(sd))
         fs.listStatus(sd).map(_.getPath.getName)
-          .filter(n => !n.startsWith(".") && !referenced.contains(n))
+          .filter(n => !n.startsWith(".") && !owned.contains(n))
           .foreach(n => fs.delete(new Path(sd, n), true))
     }
     ()
@@ -295,11 +360,19 @@ object WarehouseFs {
     * keeps its index valid. Values index by their canonical string cast
     * (probe side must cast identically — [[bloomCandidateFiles]] does). */
   private def buildBloomIndex(spark: SparkSession, t: Path, dataName: String,
-                              cols: Seq[String]): Unit = {
+                              cols: Seq[String]): Unit =
+    bloomIndexDf(spark, new Path(t, dataName).toString, dataName, cols)
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(new Path(indexDir(t), dataName).toString)
+
+  /** The per-(file, column) bitset relation over `dataPath`'s files,
+    * paths relativized to the `marker` dir segment. */
+  private def bloomIndexDf(spark: SparkSession, dataPath: String,
+                           marker0: String, cols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
     import org.apache.spark.sql.graft.BloomExpressions.bloom_build
-    val committed = spark.read.parquet(new Path(t, dataName).toString)
-    val marker = s"/$dataName/"
+    val committed = spark.read.parquet(dataPath)
+    val marker = s"/$marker0/"
     val rel = expr(
       s"substring(_metadata.file_path, instr(_metadata.file_path, '$marker') + ${marker.length})")
     val aggs = cols.map(c =>
@@ -309,8 +382,6 @@ object WarehouseFs {
       .select(rel.as("file") +: cols.map(col): _*)
       .groupBy("file")
       .agg(aggs.head, aggs.tail: _*)
-      .coalesce(1).write.mode(SaveMode.Overwrite)
-      .parquet(new Path(indexDir(t), dataName).toString)
   }
 
   /** The version-dir-relative files of `table`@`version` (current by
@@ -358,21 +429,185 @@ object WarehouseFs {
                       values: Seq[Any],
                       version: Option[Long] = None): Option[DataFrame] = {
     import org.apache.spark.sql.functions.col
-    val dataPath = version match {
-      case Some(v) => readTableVersionPath(spark, table, v)
-      case None => currentVersion(spark, table).map(_._2)
-    }
-    dataPath.map { p =>
+    resolveVersion(spark, table, version).map { r =>
       val exact = (df: DataFrame) => df.filter(col(column).isin(values: _*))
       bloomCandidateFiles(spark, table, column, values, version) match {
-        case None => exact(spark.read.parquet(p)) // no index: full read
+        case None => exact(readResolved(spark, table, r)) // no index: full read
         case Some(Nil) => // no file can match: empty, schema preserved
-          exact(spark.read.parquet(p)).limit(0)
-        case Some(files) =>
+          exact(readResolved(spark, table, r)).limit(0)
+        case Some(files) if r.isFileList => // paths are table-root-relative
+          exact(spark.read.parquet(files.map(f => s"$table/$f"): _*))
+        case Some(files) => // paths are version-dir-relative
+          val p = s"$table/${r.dirName}"
           exact(spark.read.option("basePath", p)
             .parquet(files.map(f => s"$p/$f"): _*))
       }
     }
+  }
+
+  // ---- copy-on-write row-level DML -------------------------------------
+  //
+  // Correcting one record in a 100 TB table must not rewrite 100 TB.
+  // With file-list manifests the update unit becomes the FILE: resolve
+  // which files might hold the touched keys (the bloom index — without
+  // one, every file is a candidate), rewrite ONLY those into the new
+  // version's own dir, and commit a manifest that lists the rewritten
+  // files plus every untouched file BY REFERENCE. Readers, time travel,
+  // change feeds and GC all resolve through the same manifest parse, so
+  // a DML version behaves exactly like a full publish — at O(touched
+  // files) write cost. The bloom index follows the same economics: rows
+  // for untouched files carry over, only the new dir is re-indexed.
+  //
+  // Scope: unpartitioned manifest tables (partitioned layouts would need
+  // per-file partition-value bookkeeping), small-to-moderate key sets
+  // (the keys drive a driver-side bloom probe; bulk rewrites should use
+  // publishVersioned). Keys must be non-null.
+
+  /** Root-relative file set of a resolved version. */
+  private def versionFiles(fs: FileSystem, t: Path,
+                           r: ResolvedVersion): Seq[String] =
+    r.files.getOrElse {
+      val base = new Path(t, r.dirName)
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      val it = fs.listFiles(base, true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet")) {
+          val full = st.getPath.toString
+          out += full.substring(full.indexOf(s"/${r.dirName}/") + 1)
+        }
+      }
+      out.sorted.toSeq
+    }
+
+  /** [[bloomCandidateFiles]] normalized to table-root-relative paths
+    * (dir-format versions store them dir-relative). */
+  private def candidatesRootRelative(spark: SparkSession, table: String,
+                                     r: ResolvedVersion, column: String,
+                                     values: Seq[Any]): Option[Seq[String]] =
+    bloomCandidateFiles(spark, table, column, values, Some(r.version)).map {
+      cs => if (r.isFileList) cs else cs.map(c => s"${r.dirName}/$c")
+    }
+
+  /** Commit a copy-on-write version: `rewritten` lands in the version's
+    * own dir, `carried` files ride by reference, the bloom index (when
+    * the prior version had one) is maintained at O(rewritten). */
+  private def publishCoW(spark: SparkSession, table: String,
+                         prior: ResolvedVersion, rewritten: DataFrame,
+                         touched: Seq[String], carried: Seq[String],
+                         keepVersions: Int): Unit = {
+    val (fs, t) = fsFor(spark, table)
+    val next = prior.version + 1L
+    val dirName = s"v${vname(next)}"
+    rewritten.coalesce(math.max(1, touched.size))
+      .write.mode(SaveMode.Overwrite).parquet(new Path(t, dirName).toString)
+    val newFiles = fs.listStatus(new Path(t, dirName))
+      .map(_.getPath.getName).filter(_.endsWith(".parquet")).sorted
+      .map(n => s"$dirName/$n").toSeq
+    // bloom index: re-index ONLY the new dir; carry untouched files' rows
+    val priorIdx = new Path(indexDir(t), prior.dirName)
+    if (fs.exists(priorIdx)) {
+      import org.apache.spark.sql.functions.{col, concat, lit}
+      val prev = spark.read.parquet(priorIdx.toString)
+      val prevRooted =
+        if (prior.isFileList) prev
+        else prev.withColumn("file", concat(lit(s"${prior.dirName}/"), col("file")))
+      val carriedRows = prevRooted
+        .filter(col("file").isInCollection(carried))
+      val cols = prev.columns.filter(_.startsWith("b_")).map(_.stripPrefix("b_")).toSeq
+      val rebuilt = bloomIndexDf(spark, s"$table/$dirName", dirName, cols)
+        .withColumn("file", concat(lit(s"$dirName/"), col("file")))
+      carriedRows.unionByName(rebuilt)
+        .coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(new Path(indexDir(t), dirName).toString)
+    }
+    // commit: file-list manifest under the usual tmp → rename discipline
+    val vd = versionsDir(t)
+    fs.mkdirs(vd)
+    val tmp = new Path(vd, s".tmp-${vname(next)}")
+    val out = fs.create(tmp, true)
+    val body = (s"files:$dirName" +: (newFiles ++ carried)).mkString("\n")
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    require(fs.rename(tmp, new Path(vd, vname(next))),
+      s"publishCoW: commit of version $next lost a concurrent race on $table")
+    gcVersions(fs, t, keepVersions)
+  }
+
+  /** Total parquet bytes of the CURRENT committed version's resolved file
+    * set — the right sizing input for compaction of a table whose
+    * version may span dirs (a [[parquetBytes]] over the table root would
+    * also count retained old versions). Metadata-only. */
+  def currentVersionBytes(spark: SparkSession, table: String): Option[Long] =
+    resolveVersion(spark, table, None).map { r =>
+      val (fs, t) = fsFor(spark, table)
+      r.files match {
+        case Some(fl) =>
+          fl.map(f => fs.getFileStatus(new Path(t, f)).getLen).sum
+        case None => parquetBytes(spark, s"$table/${r.dirName}")
+      }
+    }
+
+  private def requireDmlCapable(files: Seq[String], table: String): Unit =
+    require(files.forall(!_.contains('=')),
+      s"row-level DML needs an unpartitioned table; $table has key=value dirs")
+
+  /** Delete every row whose `column` is one of `values`, rewriting ONLY
+    * the files that might contain them. A bloom-indexed table resolves
+    * the touched set from metadata; without an index every file is
+    * rewritten (still one pass — but index the column if deletes are
+    * routine). No matching file → provably nothing to delete → no new
+    * version at all. */
+  def deleteWhere(spark: SparkSession, table: String, column: String,
+                  values: Seq[Any], keepVersions: Int = 2): Unit = {
+    import org.apache.spark.sql.functions.col
+    require(values.nonEmpty, "deleteWhere: empty key set")
+    val r = resolveVersion(spark, table, None).getOrElse(
+      throw new IllegalArgumentException(
+        s"deleteWhere: $table is not a versioned table"))
+    val (fs, t) = fsFor(spark, table)
+    val all = versionFiles(fs, t, r)
+    requireDmlCapable(all, table)
+    val touched = candidatesRootRelative(spark, table, r, column, values)
+      .getOrElse(all)
+    if (touched.isEmpty) return
+    val rewritten = spark.read.parquet(touched.map(f => s"$table/$f"): _*)
+      .filter(!col(column).isin(values: _*) || col(column).isNull)
+    publishCoW(spark, table, r, rewritten, touched,
+      all.diff(touched), keepVersions)
+  }
+
+  /** Upsert: rows of `updates` replace same-key rows and append new keys.
+    * Keys collect to the driver to drive the bloom probe — the point-
+    * update path, not a bulk merge. Only files that might contain a
+    * matched key rewrite; pure inserts touch zero existing files. */
+  def upsertRows(updates: DataFrame, table: String, keyCol: String,
+                 keepVersions: Int = 2): Unit = {
+    import org.apache.spark.sql.functions.col
+    val spark = updates.sparkSession
+    val keys = updates.select(keyCol).distinct().collect().map(_.get(0)).toSeq
+    require(keys.nonEmpty && !keys.contains(null),
+      "upsertRows: keys must be non-empty and non-null")
+    val r = resolveVersion(spark, table, None).getOrElse(
+      throw new IllegalArgumentException(
+        s"upsertRows: $table is not a versioned table"))
+    val (fs, t) = fsFor(spark, table)
+    val all = versionFiles(fs, t, r)
+    requireDmlCapable(all, table)
+    val touched = candidatesRootRelative(spark, table, r, keyCol, keys)
+      .getOrElse(all)
+    val survivors =
+      if (touched.isEmpty) None
+      else Some(spark.read.parquet(touched.map(f => s"$table/$f"): _*)
+        .filter(!col(keyCol).isin(keys: _*) || col(keyCol).isNull))
+    val rewritten = survivors match {
+      case Some(s) => s.unionByName(updates.select(s.columns.map(col): _*))
+      case None if all.nonEmpty => // align column order with the table's
+        val cols = spark.read.parquet(s"$table/${all.head}").columns
+        updates.select(cols.map(col).toSeq: _*)
+      case None => updates
+    }
+    publishCoW(spark, table, r, rewritten, touched,
+      all.diff(touched), keepVersions)
   }
 
   // ---- change-data feed between committed versions ---------------------
@@ -518,17 +753,8 @@ object WarehouseFs {
   }
 
   private def readTableVersionPath(spark: SparkSession, table: String,
-                                   version: Long): Option[String] = {
-    val (fs, t) = fsFor(spark, table)
-    val manifest = new Path(versionsDir(t), vname(version))
-    if (!fs.exists(manifest)) None
-    else {
-      val in = fs.open(manifest)
-      val dataName = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-                     finally in.close()
-      Some(s"$table/$dataName")
-    }
-  }
+                                   version: Long): Option[String] =
+    resolveVersion(spark, table, Some(version)).map(r => s"$table/${r.dirName}")
 
   /** Read the current committed version with a broadcast hint applied
     * when its persisted row count is at most `broadcastMaxRows` — the

@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.WarehouseFs
+
+/** Copy-on-write row-level DML over file-list manifests: deletes and
+  * upserts rewrite ONLY the files that might contain the touched keys,
+  * carry every other file by reference, keep the bloom index maintained
+  * at O(rewritten), survive GC across chains, and feed the ordinary
+  * reader / time-travel / change-feed / compaction surfaces unchanged.
+  */
+class WarehouseDmlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpTable() =
+    s"${java.nio.file.Files.createTempDirectory("graft_dml_")}/t"
+
+  /** Range-clustered 8-file fixture with a bloom index on id. */
+  private def publishFixture(t: String, keepVersions: Int = 2): Unit =
+    WarehouseFs.publishVersioned(
+      spark.range(8000)
+        .select(col("id"), concat(lit("u"), col("id")).as("user"),
+          (col("id") % 7).as("grp"))
+        .repartitionByRange(8, col("id")),
+      t, keepVersions = keepVersions, bloomIndexCols = Seq("id", "user"))
+
+  private def dirFileCount(t: String, dirName: String): Int =
+    WarehouseFs.listNames(spark, s"$t/$dirName").count(_.endsWith(".parquet"))
+
+  test("deleteWhere rewrites only matching files; content, time travel, and feed stay exact") {
+    val t = tmpTable()
+    publishFixture(t, keepVersions = 5)
+    val before = WarehouseFs.readTable(spark, t).get
+      .select("id").as[Long].collect().toSet
+
+    WarehouseFs.deleteWhere(spark, t, "id", Seq(1234L, 1250L), keepVersions = 5)
+
+    // content parity
+    val after = WarehouseFs.readTable(spark, t).get
+      .select("id").as[Long].collect().toSet
+    assert(after === before -- Set(1234L, 1250L))
+    // both keys share one range file → exactly one file rewritten
+    assert(dirFileCount(t, "v00000002") === 1,
+      "only the bloom-matched file may be rewritten")
+    // carried files still live in v1's dir, referenced not copied
+    assert(dirFileCount(t, "v00000001") === 8)
+    // time travel to the pre-delete version still resolves fully
+    assert(WarehouseFs.readTableVersion(spark, t, 1).get.count() === 8000)
+    // the change feed across the DML version is exactly the two deletes
+    val feed = WarehouseFs.changeFeed(spark, t, Seq("id"), 1, 2).get
+    assert(feed.select("id", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ===
+      Set((1234L, "delete"), (1250L, "delete")))
+  }
+
+  test("bloom index is maintained through DML at O(rewritten)") {
+    val t = tmpTable()
+    publishFixture(t, keepVersions = 5)
+    WarehouseFs.deleteWhere(spark, t, "id", Seq(42L), keepVersions = 5)
+    // surviving key: pruned read parity, still a strict file subset
+    val cand = WarehouseFs.bloomCandidateFiles(spark, t, "id", Seq(7000L)).get
+    assert(cand.nonEmpty && cand.size < 8)
+    assert(WarehouseFs.readBloomPruned(spark, t, "id", Seq(7000L)).get
+      .select("user").as[String].collect() === Array("u7000"))
+    // the deleted key's file was re-indexed from surviving rows only —
+    // the pruned read finds nothing
+    assert(WarehouseFs.readBloomPruned(spark, t, "id", Seq(42L)).get.count() === 0)
+    // string column index carried/rebuilt too
+    assert(WarehouseFs.readBloomPruned(spark, t, "user", Seq("u6999")).get
+      .select("id").as[Long].collect() === Array(6999L))
+  }
+
+  test("upsertRows updates matched keys in place; pure inserts touch zero existing files") {
+    val t = tmpTable()
+    publishFixture(t, keepVersions = 5)
+    // update one existing row + insert one brand-new key
+    WarehouseFs.upsertRows(
+      Seq((10L, "u10_fixed", 99L), (90000L, "u90000", 99L))
+        .toDF("id", "user", "grp"),
+      t, "id", keepVersions = 5)
+    val got = WarehouseFs.readTable(spark, t).get
+    assert(got.count() === 8001)
+    assert(got.filter(col("id") === 10L).select("user").as[String].collect() ===
+      Array("u10_fixed"))
+    assert(got.filter(col("id") === 90000L).count() === 1)
+
+    // a pure insert whose key no file can contain rewrites nothing: the
+    // new version dir holds ONLY the inserted rows' file
+    WarehouseFs.upsertRows(Seq((91000L, "u91000", 99L)).toDF("id", "user", "grp"),
+      t, "id", keepVersions = 5)
+    assert(dirFileCount(t, "v00000003") === 1)
+    assert(WarehouseFs.readTable(spark, t).get.count() === 8002)
+    // ordinary reads keep working across the whole chain
+    assert(WarehouseFs.readBloomPruned(spark, t, "id", Seq(91000L)).get.count() === 1)
+  }
+
+  test("GC keeps carried ancestor dirs alive until unreferenced; compaction folds the chain") {
+    val t = tmpTable()
+    publishFixture(t, keepVersions = 2)
+    WarehouseFs.deleteWhere(spark, t, "id", Seq(5L), keepVersions = 2)
+    WarehouseFs.deleteWhere(spark, t, "id", Seq(6L), keepVersions = 2)
+    // manifest 1 expired (keep 2 of 3) — but v1's DIR must survive: the
+    // retained file-list manifests still reference its carried files
+    assert(WarehouseFs.listVersions(spark, t) === Seq(2L, 3L))
+    assert(WarehouseFs.listNames(spark, t).contains("v00000001"))
+    assert(WarehouseFs.readTable(spark, t).get.count() === 7998)
+    assert(WarehouseFs.readTableVersion(spark, t, 2).get.count() === 7999)
+
+    // compaction reads the resolved chain and publishes a clean dir
+    // version; after one more publish the ancestor dirs fall out of
+    // reference and GC finally reclaims them
+    graft.operators.ScaleJoins.compactParquet(spark, t)
+    assert(WarehouseFs.readTable(spark, t).get.count() === 7998)
+    WarehouseFs.publishVersioned(WarehouseFs.readTable(spark, t).get, t,
+      keepVersions = 1)
+    val dirs = WarehouseFs.listNames(spark, t).filter(_.startsWith("v0"))
+    assert(!dirs.contains("v00000001"), s"unreferenced ancestor must GC: $dirs")
+    assert(WarehouseFs.readTable(spark, t).get.count() === 7998)
+  }
+
+  test("DML refuses partitioned layouts and missing tables loudly") {
+    val t = tmpTable()
+    WarehouseFs.publishVersioned(
+      (1 to 100).map(i => (i.toLong, i % 3)).toDF("id", "day"),
+      t, partitionBy = Seq("day"))
+    val e = intercept[IllegalArgumentException] {
+      WarehouseFs.deleteWhere(spark, t, "id", Seq(1L))
+    }
+    assert(e.getMessage.contains("unpartitioned"))
+    intercept[IllegalArgumentException] {
+      WarehouseFs.deleteWhere(spark, s"$t-nope", "id", Seq(1L))
+    }
+  }
+}
