@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 
 /** Warehouse filesystem operations through the Hadoop `FileSystem` API.
   *
@@ -572,6 +572,39 @@ object WarehouseFs {
     if (touched.isEmpty) return
     val rewritten = spark.read.parquet(touched.map(f => s"$table/$f"): _*)
       .filter(!col(column).isin(values: _*) || col(column).isNull)
+    publishCoW(spark, table, r, rewritten, touched,
+      all.diff(touched), keepVersions)
+  }
+
+  /** SQL-UPDATE form: for rows whose `column` is one of `values`, set
+    * each `set` target column to its expression (evaluated on the old
+    * row — `set` can reference any column); all other rows and files
+    * untouched. Same file-granular economics as [[deleteWhere]]. */
+  def updateWhere(spark: SparkSession, table: String, column: String,
+                  values: Seq[Any], set: Map[String, Column],
+                  keepVersions: Int = 2): Unit = {
+    import org.apache.spark.sql.functions.{col, when}
+    require(values.nonEmpty && set.nonEmpty,
+      "updateWhere: need keys and at least one SET column")
+    val r = resolveVersion(spark, table, None).getOrElse(
+      throw new IllegalArgumentException(
+        s"updateWhere: $table is not a versioned table"))
+    val (fs, t) = fsFor(spark, table)
+    val all = versionFiles(fs, t, r)
+    requireDmlCapable(all, table)
+    val touched = candidatesRootRelative(spark, table, r, column, values)
+      .getOrElse(all)
+    if (touched.isEmpty) return
+    val matched = col(column).isin(values: _*)
+    val base = spark.read.parquet(touched.map(f => s"$table/$f"): _*)
+    require(set.keySet.subsetOf(base.columns.toSet),
+      s"updateWhere: unknown SET columns ${set.keySet -- base.columns}")
+    val rewritten = base.select(base.columns.toSeq.map { c =>
+      set.get(c) match {
+        case Some(e) => when(matched, e).otherwise(col(c)).as(c)
+        case None => col(c)
+      }
+    }: _*)
     publishCoW(spark, table, r, rewritten, touched,
       all.diff(touched), keepVersions)
   }

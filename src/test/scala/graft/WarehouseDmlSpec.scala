@@ -118,6 +118,30 @@ class WarehouseDmlSpec extends SparkSpec {
     assert(WarehouseFs.readTable(spark, t).get.count() === 7998)
   }
 
+  test("updateWhere sets expressions on matched rows only, file-granular") {
+    val t = tmpTable()
+    publishFixture(t, keepVersions = 5)
+    WarehouseFs.updateWhere(spark, t, "id", Seq(100L, 101L),
+      Map("user" -> concat(col("user"), lit("_redacted")),
+          "grp" -> lit(-1L)), keepVersions = 5)
+    val got = WarehouseFs.readTable(spark, t).get
+    assert(got.count() === 8000)
+    assert(got.filter(col("id").isin(100L, 101L))
+      .select("user", "grp").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet ===
+      Set(("u100_redacted", -1L), ("u101_redacted", -1L)))
+    // neighbors in the same rewritten file are untouched
+    assert(got.filter(col("id") === 102L).select("user").as[String].collect() ===
+      Array("u102"))
+    // both keys share one range file → one file rewritten
+    assert(dirFileCount(t, "v00000002") === 1)
+    // unknown SET column fails loudly
+    val e = intercept[IllegalArgumentException] {
+      WarehouseFs.updateWhere(spark, t, "id", Seq(1L), Map("nope" -> lit(1)))
+    }
+    assert(e.getMessage.contains("unknown SET columns"))
+  }
+
   test("DML refuses partitioned layouts and missing tables loudly") {
     val t = tmpTable()
     WarehouseFs.publishVersioned(
