@@ -59,8 +59,77 @@ object ZOrderExpressions {
     ExpressionUtils.column(ZOrder2(ExpressionUtils.expression(a),
       ExpressionUtils.expression(b)))
 
-  /** SQL registration: z_order2(a, b). */
-  def register(spark: SparkSession): Unit =
+  /** Interleave k pre-scaled values: value d owns bits {d, d+k, d+2k, …}
+    * up to 64/k bits each, so each input must be scaled into
+    * [0, 2^(64/k)). k = 2 reproduces [[interleave]] bit-for-bit
+    * (spec-pinned), which is why both share one curve definition. */
+  def interleaveN(vals: Array[Long]): Long = {
+    val k = vals.length
+    val bitsPer = 64 / k
+    var out = 0L
+    var bit = 0
+    while (bit < bitsPer) {
+      var d = 0
+      while (d < k) {
+        out |= ((vals(d) >>> bit) & 1L) << (bit * k + d)
+        d += 1
+      }
+      bit += 1
+    }
+    out
+  }
+
+  /** z_ordern(c1, …, ck): 64-bit Morton code of 2–8 long columns —
+    * the N-dimensional generalization of [[ZOrder2]] (each extra
+    * dimension halves per-dimension rank resolution: 64/k bits). Pure
+    * per-row arithmetic, codegen'd. */
+  case class ZOrderN(children: Seq[Expression])
+      extends Expression with ExpectsInputTypes {
+    require(children.size >= 2 && children.size <= 8,
+      "z_ordern takes 2 to 8 columns")
+    override def inputTypes: Seq[AbstractDataType] =
+      Seq.fill(children.size)(LongType)
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = children.exists(_.nullable)
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val vs = new Array[Long](children.size)
+      var i = 0
+      while (i < children.size) {
+        val v = children(i).eval(input)
+        if (v == null) return null
+        vs(i) = v.asInstanceOf[Long]
+        i += 1
+      }
+      interleaveN(vs)
+    }
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+      val evals = children.map(_.genCode(ctx))
+      val childCode = evals.map(_.code.toString).mkString("\n")
+      val anyNull =
+        if (nullable) evals.map(_.isNull.toString).mkString(" || ") else "false"
+      val items = evals.map(_.value.toString).mkString(", ")
+      ev.copy(code = code"""
+        $childCode
+        boolean ${ev.isNull} = $anyNull;
+        long ${ev.value} = -1L;
+        if (!${ev.isNull}) {
+          ${ev.value} = org.apache.spark.sql.graft.ZOrderExpressions.interleaveN(
+            new long[]{$items});
+        }""")
+    }
+    override protected def withNewChildrenInternal(
+        cs: IndexedSeq[Expression]): ZOrderN = copy(children = cs)
+  }
+
+  def z_ordern(cols: Column*): Column =
+    ExpressionUtils.column(ZOrderN(cols.map(ExpressionUtils.expression)))
+
+  /** SQL registration: z_order2(a, b), z_ordern(c1, …, ck). */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "z_order2", es => ZOrder2(es(0), es(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "z_ordern", es => ZOrderN(es), "scala_udf")
+  }
 }

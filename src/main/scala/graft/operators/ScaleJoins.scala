@@ -152,6 +152,35 @@ object ScaleJoins {
       .drop("__z", "__za", "__zb")
   }
 
+  /** N-dimensional [[zOrderCluster]]: cluster along the Morton curve of
+    * 2–8 numeric keys. Each added dimension halves per-dimension rank
+    * resolution (64/k bits — at k = 4 that is 65536 distinct ranks per
+    * key, still far beyond any practical file count), so skipping
+    * quality degrades gracefully rather than collapsing; cluster on the
+    * few columns queries actually filter by. Same single min/max pass,
+    * same range-partition + in-partition sort shape. */
+  def zOrderClusterN(df: DataFrame, keys: Seq[Column], files: Int): DataFrame = {
+    import org.apache.spark.sql.graft.ZOrderExpressions.z_ordern
+    require(files > 0 && keys.size >= 2 && keys.size <= 8)
+    val bits = 64 / keys.size
+    val maxRank = (1L << bits) - 1
+    val tagged = keys.zipWithIndex.foldLeft(df) { case (d, (k, i)) =>
+      d.withColumn(s"__zk$i", k.cast("double"))
+    }
+    val mmCols = keys.indices.flatMap(i =>
+      Seq(min(col(s"__zk$i")), max(col(s"__zk$i"))))
+    val mm = tagged.agg(mmCols.head, mmCols.tail: _*).head()
+    val scaled = keys.indices.map { i =>
+      val (lo, hi) = (mm.getDouble(2 * i), mm.getDouble(2 * i + 1))
+      val w = if (hi > lo) hi - lo else 1.0
+      least(((col(s"__zk$i") - lo) / w * maxRank).cast("long"), lit(maxRank))
+    }
+    tagged.withColumn("__z", z_ordern(scaled: _*))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z" +: keys.indices.map(i => s"__zk$i"): _*)
+  }
+
   /** Interval self-join with a power-user guard. The J9 shape — equi on a
     * key with a ±window residual — is quadratic PER KEY: a key with n rows
     * in the window produces O(n²) pairs, so one bot/power user can turn a
