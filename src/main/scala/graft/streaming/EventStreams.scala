@@ -226,6 +226,26 @@ object EventStreams {
         graft.operators.Scd.scd1Apply(existing, batch, key, attrs), statePath)
     }
 
+  /** [[upsertSink]] at file granularity: each micro-batch lands through
+    * [[graft.sources.WarehouseFs.upsertRows]] on a bloom-indexed
+    * VERSIONED table, so per-batch write cost is O(files touched by the
+    * batch's keys) instead of the snapshot rewrite's O(state). The
+    * 100 TB streaming-upsert shape: a micro-batch touching 100 keys
+    * rewrites a handful of files, never the table. Replays are
+    * value-idempotent (re-upserting the same rows replaces keys with
+    * identical values; only the version counter advances), matching the
+    * at-least-once contract of foreachBatch. The table must exist
+    * (bootstrap with `publishVersioned(empty-or-initial, table,
+    * bloomIndexCols = Seq(key))`); updates should be unique per key
+    * within a batch, as in [[upsertSink]]. */
+  def upsertSinkCoW(updates: DataFrame, table: String, key: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    updates.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      if (!batch.isEmpty)
+        graft.sources.WarehouseFs.upsertRows(batch, table, key,
+          keepVersions = 2)
+    }
+
   /** File-source incremental load: the streaming replacement for the
     * reference's cron + glob + archive loop. `Trigger.AvailableNow`
     * processes everything present, checkpoints, and stops — exactly the

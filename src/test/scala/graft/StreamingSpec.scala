@@ -158,6 +158,40 @@ class StreamingSpec extends SparkSpec {
     assert(got === Map("K1" -> "a2", "K2" -> "b", "K3" -> "c"))
   }
 
+  test("CoW upsert sink: micro-batches land at file granularity, state follows across triggers") {
+    import graft.sources.WarehouseFs
+    val base = java.nio.file.Files.createTempDirectory("graft_upcow_").toString
+    val table = s"$base/kv"
+    // bootstrap: a bloom-indexed versioned table spread over several files
+    WarehouseFs.publishVersioned(
+      spark.range(1000).selectExpr("concat('K', id) AS k", "'init' AS v")
+        .repartitionByRange(4, org.apache.spark.sql.functions.col("k")),
+      table, keepVersions = 3, bloomIndexCols = Seq("k"))
+    val in = MemoryStream[(String, String)](spark)
+    def drain(): Unit = {
+      val q = EventStreams.upsertSinkCoW(in.toDF().toDF("k", "v"), table, "k")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    in.addData(("K1", "a"), ("KNEW", "n"))
+    drain()
+    in.addData(("K1", "a2")) // overwrite across triggers
+    drain()
+    val got = WarehouseFs.readTable(spark, table).get
+    assert(got.count() === 1001)
+    val kv = got.filter(org.apache.spark.sql.functions.col("k")
+        .isin("K1", "K2", "KNEW")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(kv === Map("K1" -> "a2", "K2" -> "init", "KNEW" -> "n"))
+    // file granularity: each batch's version dir holds rewritten files
+    // only, far fewer than the bootstrap's four
+    val v2files = WarehouseFs.listNames(spark, s"$table/v00000002")
+      .count(_.endsWith(".parquet"))
+    assert(v2files >= 1 && v2files <= 2,
+      s"a 2-key batch must rewrite at most its matched files, got $v2files")
+  }
+
   test("streaming near-dup suppression collapses sketch-identical documents") {
     val in = MemoryStream[(java.sql.Timestamp, Long, String)](spark)
     in.addData(
