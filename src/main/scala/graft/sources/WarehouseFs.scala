@@ -893,7 +893,8 @@ object WarehouseFs {
                        keepCommits: Int = 2,
                        partitionBy: Map[String, Seq[String]] = Map.empty,
                        carryForward: Set[String] = Set.empty,
-                       collectStats: Boolean = false): Long = {
+                       collectStats: Boolean = false,
+                       bloomIndex: Map[String, Seq[String]] = Map.empty): Long = {
     require(dfs.nonEmpty, "publishAtomicAll: empty table set")
     require(keepCommits >= 1)
     require(carryForward.intersect(dfs.keySet).isEmpty,
@@ -925,6 +926,15 @@ object WarehouseFs {
           .profileWithCount(committed, committed.columns.toSeq, exact = false)
           .coalesce(1).write.mode(SaveMode.Overwrite)
           .parquet(new Path(w, s"$table/_stats/$dataName").toString)
+      }
+      // per-(file, column) bloom bitsets, same pre-commit discipline as
+      // stats; a carried-forward table re-references its data dir AND
+      // with it the _index entry keyed by that dir — nothing to rebuild
+      bloomIndex.get(table).filter(_.nonEmpty).foreach { cols =>
+        bloomIndexDf(spark, new Path(w, s"$table/$dataName").toString,
+            dataName, cols)
+          .coalesce(1).write.mode(SaveMode.Overwrite)
+          .parquet(new Path(w, s"$table/_index/$dataName").toString)
       }
     }
     // phase 2 (commit): ONE single-file rename spanning all tables
@@ -958,13 +968,56 @@ object WarehouseFs {
           .filter(n => n.startsWith("c") && ManifestName.matches(n.stripPrefix("c")) &&
                        !referenced.contains((t, n)))
           .foreach(n => fs.delete(new Path(td, n), true))
-      val sd = new Path(td, "_stats")
-      if (fs.exists(sd))
-        fs.listStatus(sd).map(_.getPath.getName)
-          .filter(n => !n.startsWith(".") && !referenced.contains((t, n)))
-          .foreach(n => fs.delete(new Path(sd, n), true))
+      Seq("_stats", "_index").foreach { meta =>
+        val sd = new Path(td, meta)
+        if (fs.exists(sd))
+          fs.listStatus(sd).map(_.getPath.getName)
+            .filter(n => !n.startsWith(".") && !referenced.contains((t, n)))
+            .foreach(n => fs.delete(new Path(sd, n), true))
+      }
     }
     next
+  }
+
+  /** Bloom-pruned point lookup on a COMMIT-SET table (latest commit by
+    * default) — the commit-set counterpart of [[readBloomPruned]], with
+    * the same contract: open only matching files, exact row parity via
+    * the re-applied predicate, transparent full-read fallback when the
+    * column/table is unindexed. Carried-forward tables resolve to the
+    * index of the data dir their commit line re-references. */
+  def readCommittedBloomPruned(spark: SparkSession, warehouse: String,
+                               table: String, column: String,
+                               values: Seq[Any],
+                               commit: Option[Long] = None): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.graft.BloomExpressions.bloom_might_contain
+    val resolved = commit match {
+      case Some(c) => commitVersion(spark, warehouse, c)
+      case None => currentCommit(spark, warehouse)
+    }
+    resolved.flatMap(_._2.get(table)).map { dataPath =>
+      val exact = (df: DataFrame) => df.filter(col(column).isin(values: _*))
+      val dn = dataPath.substring(dataPath.lastIndexOf('/') + 1)
+      val (fs, _) = fsFor(spark, warehouse)
+      val idx = new Path(new Path(new Path(warehouse), table), s"_index/$dn")
+      if (!fs.exists(idx)) exact(spark.read.parquet(dataPath))
+      else {
+        val index = spark.read.parquet(idx.toString)
+        if (!index.columns.contains(s"b_$column"))
+          exact(spark.read.parquet(dataPath))
+        else {
+          val hit = values
+            .map(v => bloom_might_contain(col(s"b_$column"),
+              lit(v).cast("string"), BloomIndexHashes))
+            .reduce(_ || _)
+          val files = index.filter(hit).select("file").collect()
+            .map(_.getString(0)).toSeq
+          if (files.isEmpty) exact(spark.read.parquet(dataPath)).limit(0)
+          else exact(spark.read.option("basePath", dataPath)
+            .parquet(files.map(f => s"$dataPath/$f"): _*))
+        }
+      }
+    }
   }
 
   /** Statistics persisted with a table of a commit set (latest commit by

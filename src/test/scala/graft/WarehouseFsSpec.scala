@@ -416,6 +416,35 @@ class WarehouseFsSpec extends SparkSpec {
     assert(WarehouseFs.changeFeedCommitted(spark, w, "mart", Seq("k"), 0, 2).isEmpty)
   }
 
+  test("commit-set bloom index: pruned point lookups, carry-forward reuse, GC") {
+    val w = tmpDir()
+    val mart = spark.range(10000)
+      .select(col("id"), concat(lit("card"), col("id")).as("card"))
+      .repartitionByRange(6, col("id"))
+    val bl = Seq(("p1", 1), ("p2", 1)).toDF("passport", "flag")
+    WarehouseFs.publishAtomicAll(Map("mart" -> mart, "bl" -> bl), w,
+      keepCommits = 5, bloomIndex = Map("mart" -> Seq("card")))
+    // pruned lookup: parity + file subset via the index relation
+    val got = WarehouseFs.readCommittedBloomPruned(spark, w, "mart", "card",
+      Seq("card4321")).get
+    assert(got.select("id").as[Long].collect() === Array(4321L))
+    assert(spark.read.parquet(s"$w/mart/_index/c00000001").count() === 6)
+    // unindexed table falls back to a full read
+    assert(WarehouseFs.readCommittedBloomPruned(spark, w, "bl", "passport",
+      Seq("p2")).get.count() === 1)
+    // commit 2 carries mart forward: same data dir → same index entry, no rebuild
+    WarehouseFs.publishAtomicAll(Map("bl" -> bl), w, keepCommits = 5,
+      carryForward = Set("mart"))
+    assert(WarehouseFs.readCommittedBloomPruned(spark, w, "mart", "card",
+      Seq("card9999")).get.count() === 1)
+    assert(WarehouseFs.listNames(spark, s"$w/mart/_index") === Seq("c00000001"))
+    // GC: a tight window drops the expired commit's index with its dir
+    WarehouseFs.publishAtomicAll(
+      Map("mart" -> mart.limit(10), "bl" -> bl), w, keepCommits = 1,
+      bloomIndex = Map("mart" -> Seq("card")))
+    assert(WarehouseFs.listNames(spark, s"$w/mart/_index") === Seq("c00000003"))
+  }
+
   test("bloom index on a partitioned version: partition column survives the file-list read") {
     val t = s"${tmpDir()}/part"
     val df = (1 to 1000).map(i => (i.toLong, i % 4, s"u$i")).toDF("id", "day", "user")
