@@ -258,7 +258,8 @@ object WarehouseFs {
                        partitionBy: Seq[String] = Nil,
                        keepVersions: Int = 2,
                        collectStats: Boolean = false,
-                       bloomIndexCols: Seq[String] = Nil): Unit = {
+                       bloomIndexCols: Seq[String] = Nil,
+                       zoneMapCols: Seq[String] = Nil): Unit = {
     require(keepVersions >= 1)
     val spark = df.sparkSession
     val (fs, t) = fsFor(spark, table)
@@ -285,6 +286,13 @@ object WarehouseFs {
     // indexed column's per-file bitset.
     if (bloomIndexCols.nonEmpty)
       buildBloomIndex(spark, t, dataName, bloomIndexCols)
+    // phase 1d (zone map): per-file min/max per column — one small-
+    // metadata read replaces thousands of parquet footer opens when a
+    // range predicate prunes files at 100 TB; same pre-commit discipline
+    if (zoneMapCols.nonEmpty)
+      zoneMapDf(spark, new Path(t, dataName).toString, dataName, zoneMapCols)
+        .coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(new Path(zonesDir(t), dataName).toString)
     // phase 2 (commit): materialize the manifest under its final name
     val vd = versionsDir(t)
     fs.mkdirs(vd)
@@ -320,7 +328,7 @@ object WarehouseFs {
     val owned = kept.map { n =>
       parseManifest(n.toLong, readManifest(fs, new Path(vd, n))).dirName
     }.toSet
-    Seq(statsDir(t), indexDir(t)).foreach { sd =>
+    Seq(statsDir(t), indexDir(t), zonesDir(t)).foreach { sd =>
       if (fs.exists(sd))
         fs.listStatus(sd).map(_.getPath.getName)
           .filter(n => !n.startsWith(".") && !owned.contains(n))
@@ -347,6 +355,7 @@ object WarehouseFs {
   // built from [[graft.functions.BloomExpressions]] (codegen'd probe).
 
   private def indexDir(table: Path) = new Path(table, "_index")
+  private def zonesDir(table: Path) = new Path(table, "_zones")
 
   /** Default bloom sizing: 2^17 bits (16 KiB) per file per column — ~1%
     * false positives at ~10k distinct keys/file with 7 probes; a 10k-file
@@ -445,6 +454,80 @@ object WarehouseFs {
     }
   }
 
+  // ---- zone maps (per-file min/max) ------------------------------------
+  //
+  // The range-predicate complement of the bloom index: parquet footers
+  // already carry per-file min/max, but USING them costs one footer open
+  // per file — at a 100 TB table that is thousands of object-store reads
+  // before the first data byte. Consolidating the (file, min, max) rows
+  // into one small relation at publish time turns range pruning into a
+  // single metadata read. Works best on columns the layout is clustered
+  // by (repartitionByRange / Z-order): then each file covers a narrow
+  // slice and a range predicate keeps only its overlap.
+
+  /** Per-file min/max relation over `dataPath`'s files — wide layout
+    * (file, min_<c>, max_<c>, …), one scan for all columns. */
+  private def zoneMapDf(spark: SparkSession, dataPath: String,
+                        marker0: String, cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, max, min}
+    val committed = spark.read.parquet(dataPath)
+    val marker = s"/$marker0/"
+    val rel = expr(
+      s"substring(_metadata.file_path, instr(_metadata.file_path, '$marker') + ${marker.length})")
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    committed
+      .select(rel.as("file") +: cols.map(col): _*)
+      .groupBy("file")
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Files of `table`@`version` (current by default) whose [min, max]
+    * zone OVERLAPS [lo, hi] on `column` (inclusive; pass the column's
+    * native type). None = no zone map over that column — degrade to a
+    * full read. All-null files never match. */
+  def zoneCandidateFiles(spark: SparkSession, table: String, column: String,
+                         lo: Any, hi: Any,
+                         version: Option[Long] = None): Option[Seq[String]] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val (fs, t) = fsFor(spark, table)
+    resolveVersion(spark, table, version).flatMap { r =>
+      val zp = new Path(zonesDir(t), r.dirName)
+      if (!fs.exists(zp)) None
+      else {
+        val zones = spark.read.parquet(zp.toString)
+        if (!zones.columns.contains(s"min_$column")) None
+        else Some(zones
+          .filter(col(s"max_$column") >= lit(lo) && col(s"min_$column") <= lit(hi))
+          .select("file").collect().map(_.getString(0)).toSeq)
+      }
+    }
+  }
+
+  /** Range read `lo <= column <= hi` opening only zone-overlapping files,
+    * then re-applying the exact predicate — row parity with a full scan,
+    * without the per-file footer round-trips. Unzoned tables/columns
+    * fall back to the full read. */
+  def readRangePruned(spark: SparkSession, table: String, column: String,
+                      lo: Any, hi: Any,
+                      version: Option[Long] = None): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    resolveVersion(spark, table, version).map { r =>
+      val exact = (df: DataFrame) =>
+        df.filter(col(column) >= lit(lo) && col(column) <= lit(hi))
+      zoneCandidateFiles(spark, table, column, lo, hi, version) match {
+        case None => exact(readResolved(spark, table, r))
+        case Some(Nil) => exact(readResolved(spark, table, r)).limit(0)
+        case Some(files) if r.isFileList =>
+          exact(spark.read.parquet(files.map(f => s"$table/$f"): _*))
+        case Some(files) =>
+          val p = s"$table/${r.dirName}"
+          exact(spark.read.option("basePath", p)
+            .parquet(files.map(f => s"$p/$f"): _*))
+      }
+    }
+  }
+
   // ---- copy-on-write row-level DML -------------------------------------
   //
   // Correcting one record in a 100 TB table must not rewrite 100 TB.
@@ -520,6 +603,23 @@ object WarehouseFs {
       carriedRows.unionByName(rebuilt)
         .coalesce(1).write.mode(SaveMode.Overwrite)
         .parquet(new Path(indexDir(t), dirName).toString)
+    }
+    // zone map: same carry/rebuild economics as the bloom index
+    val priorZones = new Path(zonesDir(t), prior.dirName)
+    if (fs.exists(priorZones)) {
+      import org.apache.spark.sql.functions.{col, concat, lit}
+      val prev = spark.read.parquet(priorZones.toString)
+      val prevRooted =
+        if (prior.isFileList) prev
+        else prev.withColumn("file", concat(lit(s"${prior.dirName}/"), col("file")))
+      val zcols = prev.columns.filter(_.startsWith("min_"))
+        .map(_.stripPrefix("min_")).toSeq
+      val rebuilt = zoneMapDf(spark, s"$table/$dirName", dirName, zcols)
+        .withColumn("file", concat(lit(s"$dirName/"), col("file")))
+      prevRooted.filter(col("file").isInCollection(carried))
+        .unionByName(rebuilt)
+        .coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(new Path(zonesDir(t), dirName).toString)
     }
     // commit: file-list manifest under the usual tmp → rename discipline
     val vd = versionsDir(t)

@@ -142,6 +142,38 @@ class WarehouseDmlSpec extends SparkSpec {
     assert(e.getMessage.contains("unknown SET columns"))
   }
 
+  test("zone maps: range reads open only overlapping files, survive DML, GC with their version") {
+    val t = tmpTable()
+    WarehouseFs.publishVersioned(
+      spark.range(8000)
+        .select(col("id"), concat(lit("u"), col("id")).as("user"))
+        .repartitionByRange(8, col("id")),
+      t, keepVersions = 5, bloomIndexCols = Seq("id"), zoneMapCols = Seq("id"))
+    // range-clustered: a narrow range hits ~1 of 8 files
+    val cand = WarehouseFs.zoneCandidateFiles(spark, t, "id", 2000L, 2100L).get
+    assert(cand.nonEmpty && cand.size <= 2, s"zones must prune: $cand")
+    val got = WarehouseFs.readRangePruned(spark, t, "id", 2000L, 2100L).get
+    assert(got.count() === 101)
+    assert(got.agg(min("id"), max("id")).head().toSeq === Seq(2000L, 2100L))
+    // out-of-domain range: zero candidates, empty result, schema intact
+    assert(WarehouseFs.zoneCandidateFiles(spark, t, "id", -50L, -1L).get.isEmpty)
+    assert(WarehouseFs.readRangePruned(spark, t, "id", -50L, -1L).get.count() === 0)
+    // unzoned column degrades to a full-read filter
+    assert(WarehouseFs.readRangePruned(spark, t, "user", "u10", "u10").get.count() === 1)
+
+    // DML maintains the zone map at O(rewritten): carried rows + new-dir rows
+    WarehouseFs.deleteWhere(spark, t, "id", Seq(2050L), keepVersions = 5)
+    val got2 = WarehouseFs.readRangePruned(spark, t, "id", 2000L, 2100L).get
+    assert(got2.count() === 100)
+    val cand2 = WarehouseFs.zoneCandidateFiles(spark, t, "id", 7000L, 7010L).get
+    assert(cand2.nonEmpty && cand2.size <= 2, s"carried zones must keep pruning: $cand2")
+
+    // GC drops the expired version's zone map with its manifest
+    WarehouseFs.publishVersioned(spark.range(10).toDF("id"), t, keepVersions = 1,
+      zoneMapCols = Seq("id"))
+    assert(WarehouseFs.listNames(spark, s"$t/_zones") === Seq("v00000003"))
+  }
+
   test("DML refuses partitioned layouts and missing tables loudly") {
     val t = tmpTable()
     WarehouseFs.publishVersioned(
