@@ -121,7 +121,11 @@ object EtlPipeline {
         WarehouseFs.publishAtomicAll(changed, whDir,
           partitionBy = Map("rep_fraud" -> Seq("report_dt")),
           carryForward = committedTables.keySet -- changed.keySet,
-          collectStats = true)
+          collectStats = true,
+          // the investigation access path is a point lookup ("all fraud
+          // events for THIS passport") — a bloom file index on the mart
+          // serves it from matching files only, day partitions and all
+          bloomIndex = Map("rep_fraud" -> Seq("passport")))
         WarehouseFs.deleteIfExists(spark, workDir)
       }
     }

@@ -732,12 +732,21 @@ object WarehouseFs {
       if (touched.isEmpty) None
       else Some(spark.read.parquet(touched.map(f => s"$table/$f"): _*)
         .filter(!col(keyCol).isin(keys: _*) || col(keyCol).isNull))
+    // schema parity is a hard error, not a silent drop: an updates frame
+    // with extra columns means the caller intended an evolution this path
+    // does not do (mixed-schema files would poison the manifest)
+    val tableCols = survivors.map(_.columns.toSeq).orElse(
+      if (all.nonEmpty) Some(spark.read.parquet(s"$table/${all.head}").columns.toSeq)
+      else None)
+    tableCols.foreach { cols =>
+      require(updates.columns.toSet == cols.toSet,
+        s"upsertRows: updates columns ${updates.columns.toSet} must equal " +
+          s"table columns ${cols.toSet} — evolve the schema with publishVersioned")
+    }
     val rewritten = survivors match {
       case Some(s) => s.unionByName(updates.select(s.columns.map(col): _*))
-      case None if all.nonEmpty => // align column order with the table's
-        val cols = spark.read.parquet(s"$table/${all.head}").columns
-        updates.select(cols.map(col).toSeq: _*)
-      case None => updates
+      case None =>
+        tableCols.fold(updates)(cols => updates.select(cols.map(col): _*))
     }
     publishCoW(spark, table, r, rewritten, touched,
       all.diff(touched), keepVersions)

@@ -282,6 +282,17 @@ class EtlPipelineSpec extends SparkSpec {
            JOIN dwh_fact_pssprt_blcklst b ON r.passport = b.passport_num""")
       joined.collect()
       assert(joined.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+      // the investigation access path: a bloom-indexed point lookup on
+      // the served mart returns exactly the passport's fraud events
+      val somePassport = WarehouseFs.readCommitted(spark, whA, "rep_fraud").get
+        .select("passport").head().getString(0)
+      val lookedUp = WarehouseFs.readCommittedBloomPruned(
+        spark, whA, "rep_fraud", "passport", Seq(somePassport)).get
+      assert(lookedUp.count() ===
+        WarehouseFs.readCommitted(spark, whA, "rep_fraud").get
+          .filter(col("passport") === somePassport).count())
+      assert(lookedUp.columns.contains("report_dt"),
+        "partition column must survive the indexed read")
     } finally spark.conf.unset("spark.graft.etl.atomicCommit")
   }
 

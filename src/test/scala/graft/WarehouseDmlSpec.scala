@@ -187,4 +187,14 @@ class WarehouseDmlSpec extends SparkSpec {
       WarehouseFs.deleteWhere(spark, s"$t-nope", "id", Seq(1L))
     }
   }
+
+  test("upsertRows refuses schema drift instead of silently dropping columns") {
+    val t = tmpTable()
+    WarehouseFs.publishVersioned(
+      Seq((1L, "a")).toDF("id", "v"), t, bloomIndexCols = Seq("id"))
+    val e = intercept[IllegalArgumentException] {
+      WarehouseFs.upsertRows(Seq((1L, "b", 9)).toDF("id", "v", "extra"), t, "id")
+    }
+    assert(e.getMessage.contains("must equal"))
+  }
 }
