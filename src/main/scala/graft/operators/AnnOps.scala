@@ -229,13 +229,16 @@ object AnnOps {
     * time and was persisted with the corpus, so a query (or a probe
     * sweep) pays only the cell probe, never a re-assignment. */
   def ivfTopKAssigned(assigned: DataFrame, model: IvfModel,
-                      queryIds: Seq[Long], k: Int, nProbe: Int): DataFrame = {
-    val spark = assigned.sparkSession
-    import spark.implicits._
-    val cents = model.centroids
-      .map { case (i, c) => (i, c.map(_.toFloat)) }.toDF("cell", "c_emb")
+                      queryIds: Seq[Long], k: Int, nProbe: Int): DataFrame =
     ivfSearch(assigned.select(col("vec_id"), col("embedding"), col("cell")),
-      cents, queryIds, k, nProbe)
+      floatCents(assigned.sparkSession, model), queryIds, k, nProbe)
+
+  /** The probe-ranking centroid table (float — it only ORDERS cells). */
+  private def floatCents(spark: org.apache.spark.sql.SparkSession,
+                         model: IvfModel): DataFrame = {
+    import spark.implicits._
+    model.centroids.map { case (i, c) => (i, c.map(_.toFloat)) }
+      .toDF("cell", "c_emb")
   }
 
   /** Persist the assigned corpus PARTITIONED BY CELL — the inverted-file
@@ -451,17 +454,12 @@ object AnnOps {
     * recall trade. */
   def ivfTopKFilteredAssigned(assigned: DataFrame, model: IvfModel,
                               queryIds: Seq[Long], k: Int, nProbe: Int,
-                              pred: org.apache.spark.sql.Column): DataFrame = {
-    val spark = assigned.sparkSession
-    import spark.implicits._
-    val cents = model.centroids
-      .map { case (i, c) => (i, c.map(_.toFloat)) }.toDF("cell", "c_emb")
+                              pred: org.apache.spark.sql.Column): DataFrame =
     ivfSearchAgainst(
       assigned.select(col("vec_id"), col("embedding"), col("cell")),
       assigned.filter(pred)
         .select(col("vec_id"), col("embedding"), col("cell")),
-      cents, queryIds, k, nProbe)
-  }
+      floatCents(assigned.sparkSession, model), queryIds, k, nProbe)
 
   // ---- PCA dimensionality reduction -----------------------------------
   //

@@ -77,9 +77,16 @@ object ScaleJoins {
     val compacted =
       if (partCols.isEmpty) df.repartition(parts)
       else df.repartition(parts, partCols.map(col): _*)
-    if (current.isDefined)
-      graft.sources.WarehouseFs.publishVersioned(compacted, dir, partitionBy = partCols)
-    else
+    if (current.isDefined) {
+      // preserve the version's metadata through the rewrite: shedding the
+      // bloom index here would silently turn every later DML's touched
+      // set back into "all files" and point lookups into full scans
+      val (bloomCols, zoneCols, hasStats) =
+        graft.sources.WarehouseFs.versionMetadata(spark, dir)
+      graft.sources.WarehouseFs.publishVersioned(compacted, dir,
+        partitionBy = partCols, collectStats = hasStats,
+        bloomIndexCols = bloomCols, zoneMapCols = zoneCols)
+    } else
       graft.sources.WarehouseFs.publish(compacted, dir, partitionBy = partCols)
     parts
   }

@@ -310,24 +310,27 @@ object WarehouseFs {
     * alive its own dir AND every prior dir its carried files live in, so
     * copy-on-write chains never lose a referenced ancestor; stats/index
     * entries GC by the same referenced-dir set. */
+  // a data dir: deterministic "vNNNNNNNN" (full publishes) or
+  // attempt-unique "vNNNNNNNN-<nonce>" (CoW commits)
+  private val DataDirName = "^v\\d{8}(-[0-9a-f]+)?$".r
+
   private def gcVersions(fs: FileSystem, t: Path, keepVersions: Int): Unit = {
     val vd = versionsDir(t)
     val manifests = fs.listStatus(vd).map(_.getPath.getName)
       .filter(n => ManifestName.matches(n)).sorted
     val (expired, kept) = manifests.splitAt(math.max(0, manifests.length - keepVersions))
     expired.foreach(n => fs.delete(new Path(vd, n), false))
-    val referenced = kept.flatMap { n =>
-      referencedDirs(parseManifest(n.toLong, readManifest(fs, new Path(vd, n))))
-    }.toSet
+    // one parse per kept manifest feeds both liveness sets
+    val parsed = kept.map(n =>
+      parseManifest(n.toLong, readManifest(fs, new Path(vd, n))))
+    val referenced = parsed.flatMap(referencedDirs).toSet
     fs.listStatus(t).map(_.getPath.getName)
-      .filter(n => n.startsWith("v") && ManifestName.matches(n.stripPrefix("v")) &&
-                   !referenced.contains(n))
+      .filter(n => DataDirName.matches(n) && !referenced.contains(n))
       .foreach(n => fs.delete(new Path(t, n), true))
-    // stats/index survive only for dirs whose OWN manifest survives (a
-    // carried dir's index rows were merged into the carrying version's)
-    val owned = kept.map { n =>
-      parseManifest(n.toLong, readManifest(fs, new Path(vd, n))).dirName
-    }.toSet
+    // stats/index/zones survive only for dirs whose OWN manifest survives
+    // (a carried dir's metadata rows were merged into the carrying
+    // version's relation)
+    val owned = parsed.map(_.dirName).toSet
     Seq(statsDir(t), indexDir(t), zonesDir(t)).foreach { sd =>
       if (fs.exists(sd))
         fs.listStatus(sd).map(_.getPath.getName)
@@ -440,7 +443,10 @@ object WarehouseFs {
     import org.apache.spark.sql.functions.col
     resolveVersion(spark, table, version).map { r =>
       val exact = (df: DataFrame) => df.filter(col(column).isin(values: _*))
-      bloomCandidateFiles(spark, table, column, values, version) match {
+      // probe the SAME resolved version, not a re-resolution: a publish
+      // landing between the two reads would mix one version's file list
+      // with another's format
+      bloomCandidateFiles(spark, table, column, values, Some(r.version)) match {
         case None => exact(readResolved(spark, table, r)) // no index: full read
         case Some(Nil) => // no file can match: empty, schema preserved
           exact(readResolved(spark, table, r)).limit(0)
@@ -515,7 +521,8 @@ object WarehouseFs {
     resolveVersion(spark, table, version).map { r =>
       val exact = (df: DataFrame) =>
         df.filter(col(column) >= lit(lo) && col(column) <= lit(hi))
-      zoneCandidateFiles(spark, table, column, lo, hi, version) match {
+      // pinned to the resolved version (see readBloomPruned)
+      zoneCandidateFiles(spark, table, column, lo, hi, Some(r.version)) match {
         case None => exact(readResolved(spark, table, r))
         case Some(Nil) => exact(readResolved(spark, table, r)).limit(0)
         case Some(files) if r.isFileList =>
@@ -575,51 +582,77 @@ object WarehouseFs {
   /** Commit a copy-on-write version: `rewritten` lands in the version's
     * own dir, `carried` files ride by reference, the bloom index (when
     * the prior version had one) is maintained at O(rewritten). */
+  /** Carry one per-file metadata relation (bloom index / zone map)
+    * across a CoW commit: prior rows for carried files are re-used
+    * as-is (root-relativized once for dir-format priors), only the new
+    * dir is re-derived — O(rewritten), the same economics as the data.
+    * `colPrefix` identifies the metadata's value columns (`b_`/`min_`),
+    * from which the indexed column set is recovered. */
+  private def carryFileMetadata(spark: SparkSession, table: String, t: Path,
+                                metaDir: Path, prior: ResolvedVersion,
+                                dirName: String, carried: Seq[String],
+                                colPrefix: String,
+                                rebuild: Seq[String] => DataFrame): Unit = {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val priorMeta = new Path(metaDir, prior.dirName)
+    if (!fs(spark, t).exists(priorMeta)) return
+    val prev = spark.read.parquet(priorMeta.toString)
+    val prevRooted =
+      if (prior.isFileList) prev
+      else prev.withColumn("file", concat(lit(s"${prior.dirName}/"), col("file")))
+    val cols = prev.columns.filter(_.startsWith(colPrefix))
+      .map(_.stripPrefix(colPrefix)).toSeq
+    val rebuilt = rebuild(cols)
+      .withColumn("file", concat(lit(s"$dirName/"), col("file")))
+    prevRooted.filter(col("file").isInCollection(carried))
+      .unionByName(rebuilt)
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(new Path(metaDir, dirName).toString)
+  }
+
+  private def fs(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Concurrency: two CoW writers racing from the same prior version
+    * write to ATTEMPT-UNIQUE data dirs (`vNNNNNNNN-<nonce>`), so the
+    * loser's files can never clobber the winner's already-committed
+    * ones — the loser fails on the manifest rename and its whole dir is
+    * an orphan the next GC removes (the lock-free optimistic-commit
+    * discipline of a transaction log; dir-format [[publishVersioned]]
+    * keeps deterministic names because its retry-reclaim semantics
+    * depend on them — serialize full-rewrite publishers externally). */
   private def publishCoW(spark: SparkSession, table: String,
                          prior: ResolvedVersion, rewritten: DataFrame,
                          touched: Seq[String], carried: Seq[String],
                          keepVersions: Int): Unit = {
     val (fs, t) = fsFor(spark, table)
     val next = prior.version + 1L
-    val dirName = s"v${vname(next)}"
+    val dirName =
+      s"v${vname(next)}-${java.lang.Long.toHexString(System.nanoTime())}"
     rewritten.coalesce(math.max(1, touched.size))
       .write.mode(SaveMode.Overwrite).parquet(new Path(t, dirName).toString)
     val newFiles = fs.listStatus(new Path(t, dirName))
       .map(_.getPath.getName).filter(_.endsWith(".parquet")).sorted
       .map(n => s"$dirName/$n").toSeq
-    // bloom index: re-index ONLY the new dir; carry untouched files' rows
-    val priorIdx = new Path(indexDir(t), prior.dirName)
-    if (fs.exists(priorIdx)) {
-      import org.apache.spark.sql.functions.{col, concat, lit}
-      val prev = spark.read.parquet(priorIdx.toString)
-      val prevRooted =
-        if (prior.isFileList) prev
-        else prev.withColumn("file", concat(lit(s"${prior.dirName}/"), col("file")))
-      val carriedRows = prevRooted
-        .filter(col("file").isInCollection(carried))
-      val cols = prev.columns.filter(_.startsWith("b_")).map(_.stripPrefix("b_")).toSeq
-      val rebuilt = bloomIndexDf(spark, s"$table/$dirName", dirName, cols)
-        .withColumn("file", concat(lit(s"$dirName/"), col("file")))
-      carriedRows.unionByName(rebuilt)
+    // bloom index + zone map: carry untouched files' rows, re-derive only
+    // the new dir
+    carryFileMetadata(spark, table, t, indexDir(t), prior, dirName, carried,
+      "b_", cols => bloomIndexDf(spark, s"$table/$dirName", dirName, cols))
+    carryFileMetadata(spark, table, t, zonesDir(t), prior, dirName, carried,
+      "min_", cols => zoneMapDf(spark, s"$table/$dirName", dirName, cols))
+    // table statistics do NOT maintain incrementally (NDV/min/max cannot
+    // retract): when the prior version carried stats, refresh them with
+    // one scan of the resolved logical table so readStats/hinted reads
+    // never silently degrade. The scan is map-side only; tables where
+    // that pass is too expensive should publish stats on scheduled full
+    // rewrites instead of carrying them into the DML path.
+    if (fs.exists(new Path(statsDir(t), prior.dirName))) {
+      val resolved = spark.read.parquet(
+        (newFiles ++ carried).map(f => s"$table/$f"): _*)
+      graft.operators.Quality
+        .profileWithCount(resolved, resolved.columns.toSeq, exact = false)
         .coalesce(1).write.mode(SaveMode.Overwrite)
-        .parquet(new Path(indexDir(t), dirName).toString)
-    }
-    // zone map: same carry/rebuild economics as the bloom index
-    val priorZones = new Path(zonesDir(t), prior.dirName)
-    if (fs.exists(priorZones)) {
-      import org.apache.spark.sql.functions.{col, concat, lit}
-      val prev = spark.read.parquet(priorZones.toString)
-      val prevRooted =
-        if (prior.isFileList) prev
-        else prev.withColumn("file", concat(lit(s"${prior.dirName}/"), col("file")))
-      val zcols = prev.columns.filter(_.startsWith("min_"))
-        .map(_.stripPrefix("min_")).toSeq
-      val rebuilt = zoneMapDf(spark, s"$table/$dirName", dirName, zcols)
-        .withColumn("file", concat(lit(s"$dirName/"), col("file")))
-      prevRooted.filter(col("file").isInCollection(carried))
-        .unionByName(rebuilt)
-        .coalesce(1).write.mode(SaveMode.Overwrite)
-        .parquet(new Path(zonesDir(t), dirName).toString)
+        .parquet(new Path(statsDir(t), dirName).toString)
     }
     // commit: file-list manifest under the usual tmp → rename discipline
     val vd = versionsDir(t)
@@ -647,6 +680,27 @@ object WarehouseFs {
       }
     }
 
+  /** What per-version metadata the CURRENT version carries: (bloom-
+    * indexed columns, zone-map columns, stats present). Lets a rewriting
+    * maintenance job (compaction) re-publish WITH the same metadata
+    * instead of silently shedding it — losing the bloom index would turn
+    * every subsequent DML's touched-set back into "all files". */
+  def versionMetadata(spark: SparkSession,
+                      table: String): (Seq[String], Seq[String], Boolean) =
+    resolveVersion(spark, table, None) match {
+      case None => (Nil, Nil, false)
+      case Some(r) =>
+        val (fsi, t) = fsFor(spark, table)
+        def cols(dir: Path, prefix: String): Seq[String] = {
+          val p = new Path(dir, r.dirName)
+          if (!fsi.exists(p)) Nil
+          else spark.read.parquet(p.toString).columns
+            .filter(_.startsWith(prefix)).map(_.stripPrefix(prefix)).toSeq
+        }
+        (cols(indexDir(t), "b_"), cols(zonesDir(t), "min_"),
+          fsi.exists(new Path(statsDir(t), r.dirName)))
+    }
+
   private def requireDmlCapable(files: Seq[String], table: String): Unit =
     require(files.forall(!_.contains('=')),
       s"row-level DML needs an unpartitioned table; $table has key=value dirs")
@@ -660,7 +714,9 @@ object WarehouseFs {
   def deleteWhere(spark: SparkSession, table: String, column: String,
                   values: Seq[Any], keepVersions: Int = 2): Unit = {
     import org.apache.spark.sql.functions.col
-    require(values.nonEmpty, "deleteWhere: empty key set")
+    require(values.nonEmpty && !values.contains(null),
+      "deleteWhere: keys must be non-empty and non-null (IN-semantics " +
+        "never match null — a null-key purge would silently do nothing)")
     val r = resolveVersion(spark, table, None).getOrElse(
       throw new IllegalArgumentException(
         s"deleteWhere: $table is not a versioned table"))
@@ -684,8 +740,8 @@ object WarehouseFs {
                   values: Seq[Any], set: Map[String, Column],
                   keepVersions: Int = 2): Unit = {
     import org.apache.spark.sql.functions.{col, when}
-    require(values.nonEmpty && set.nonEmpty,
-      "updateWhere: need keys and at least one SET column")
+    require(values.nonEmpty && !values.contains(null) && set.nonEmpty,
+      "updateWhere: need non-null keys and at least one SET column")
     val r = resolveVersion(spark, table, None).getOrElse(
       throw new IllegalArgumentException(
         s"updateWhere: $table is not a versioned table"))
@@ -803,8 +859,8 @@ object WarehouseFs {
     require(o.columns.toSeq == cols,
       s"changeFeed: schema drift between $what — diff the common columns explicitly")
     val nonKey = cols.filterNot(keyCols.contains)
-    val oj = o.select(cols.map(c => col(c).as(s"o_$c")) :+ lit(true).as("o__p"): _*)
-    val nj = n.select(cols.map(c => col(c).as(s"n_$c")) :+ lit(true).as("n__p"): _*)
+    val oj = o.select(cols.map(c => col(c).as(s"o_$c")) :+ lit(true).as("__present_o"): _*)
+    val nj = n.select(cols.map(c => col(c).as(s"n_$c")) :+ lit(true).as("__present_n"): _*)
     val joined = oj.join(nj,
       keyCols.map(k => col(s"o_$k") === col(s"n_$k")).reduce(_ && _), "full_outer")
     def row(side: String, ct: String) =
@@ -812,8 +868,8 @@ object WarehouseFs {
         lit(ct).as("_change_type"): _*)
     val unchanged = nonKey.map(c => col(s"o_$c") <=> col(s"n_$c"))
       .reduceOption(_ && _).getOrElse(lit(true))
-    val changes = when(col("o__p").isNull, array(row("n", "insert")))
-      .when(col("n__p").isNull, array(row("o", "delete")))
+    val changes = when(col("__present_o").isNull, array(row("n", "insert")))
+      .when(col("__present_n").isNull, array(row("o", "delete")))
       .when(!unchanged,
         array(row("o", "update_preimage"), row("n", "update_postimage")))
     joined.select(explode(changes).as("__r")).select(col("__r.*"))

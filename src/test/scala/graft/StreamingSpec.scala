@@ -176,6 +176,7 @@ class StreamingSpec extends SparkSpec {
     }
     in.addData(("K1", "a"), ("KNEW", "n"))
     drain()
+    val batch1Dir = WarehouseFs.currentVersion(spark, table).get._2.split('/').last
     in.addData(("K1", "a2")) // overwrite across triggers
     drain()
     val got = WarehouseFs.readTable(spark, table).get
@@ -186,7 +187,7 @@ class StreamingSpec extends SparkSpec {
     assert(kv === Map("K1" -> "a2", "K2" -> "init", "KNEW" -> "n"))
     // file granularity: each batch's version dir holds rewritten files
     // only, far fewer than the bootstrap's four
-    val v2files = WarehouseFs.listNames(spark, s"$table/v00000002")
+    val v2files = WarehouseFs.listNames(spark, s"$table/$batch1Dir")
       .count(_.endsWith(".parquet"))
     assert(v2files >= 1 && v2files <= 2,
       s"a 2-key batch must rewrite at most its matched files, got $v2files")

@@ -27,6 +27,10 @@ class WarehouseDmlSpec extends SparkSpec {
   private def dirFileCount(t: String, dirName: String): Int =
     WarehouseFs.listNames(spark, s"$t/$dirName").count(_.endsWith(".parquet"))
 
+  /** Data-dir name of the CURRENT version (CoW dirs are attempt-unique). */
+  private def currentDir(t: String): String =
+    WarehouseFs.currentVersion(spark, t).get._2.split('/').last
+
   test("deleteWhere rewrites only matching files; content, time travel, and feed stay exact") {
     val t = tmpTable()
     publishFixture(t, keepVersions = 5)
@@ -40,7 +44,7 @@ class WarehouseDmlSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(after === before -- Set(1234L, 1250L))
     // both keys share one range file → exactly one file rewritten
-    assert(dirFileCount(t, "v00000002") === 1,
+    assert(dirFileCount(t, currentDir(t)) === 1,
       "only the bloom-matched file may be rewritten")
     // carried files still live in v1's dir, referenced not copied
     assert(dirFileCount(t, "v00000001") === 8)
@@ -88,7 +92,7 @@ class WarehouseDmlSpec extends SparkSpec {
     // new version dir holds ONLY the inserted rows' file
     WarehouseFs.upsertRows(Seq((91000L, "u91000", 99L)).toDF("id", "user", "grp"),
       t, "id", keepVersions = 5)
-    assert(dirFileCount(t, "v00000003") === 1)
+    assert(dirFileCount(t, currentDir(t)) === 1)
     assert(WarehouseFs.readTable(spark, t).get.count() === 8002)
     // ordinary reads keep working across the whole chain
     assert(WarehouseFs.readBloomPruned(spark, t, "id", Seq(91000L)).get.count() === 1)
@@ -134,7 +138,7 @@ class WarehouseDmlSpec extends SparkSpec {
     assert(got.filter(col("id") === 102L).select("user").as[String].collect() ===
       Array("u102"))
     // both keys share one range file → one file rewritten
-    assert(dirFileCount(t, "v00000002") === 1)
+    assert(dirFileCount(t, currentDir(t)) === 1)
     // unknown SET column fails loudly
     val e = intercept[IllegalArgumentException] {
       WarehouseFs.updateWhere(spark, t, "id", Seq(1L), Map("nope" -> lit(1)))
@@ -186,6 +190,22 @@ class WarehouseDmlSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       WarehouseFs.deleteWhere(spark, s"$t-nope", "id", Seq(1L))
     }
+  }
+
+  test("committed statistics refresh through DML when the prior version carried them") {
+    val t = tmpTable()
+    WarehouseFs.publishVersioned(spark.range(100).toDF("id"), t,
+      keepVersions = 5, collectStats = true, bloomIndexCols = Seq("id"))
+    assert(WarehouseFs.readStats(spark, t).get.rowCount === 100)
+    WarehouseFs.deleteWhere(spark, t, "id", Seq(5L), keepVersions = 5)
+    // the hinted-read surface must not silently degrade after a delete
+    assert(WarehouseFs.readStats(spark, t).get.rowCount === 99)
+    // a table published WITHOUT stats stays stats-free through DML
+    val t2 = tmpTable()
+    WarehouseFs.publishVersioned(spark.range(10).toDF("id"), t2,
+      keepVersions = 5, bloomIndexCols = Seq("id"))
+    WarehouseFs.deleteWhere(spark, t2, "id", Seq(1L), keepVersions = 5)
+    assert(WarehouseFs.readStats(spark, t2).isEmpty)
   }
 
   test("upsertRows refuses schema drift instead of silently dropping columns") {
