@@ -135,6 +135,32 @@ object AnnRecall {
       (s"pq_m8_k16_rerank$r", r4(rec), Some(r4(math.min(1.0, r.toDouble * k / corpusN))))
     }
 
+    // FILTERED search operating points: the pre-filter strategy
+    // (predicate cuts candidates BEFORE the cell scan) against brute
+    // force over the same filtered corpus. A ~50% filter (label parity)
+    // halves each probed cell's survivors, so recall at a given nProbe
+    // sits slightly under the unfiltered curve and the remedy is the
+    // documented one — raise nProbe; these rows MEASURE how much.
+    val filterPred = org.apache.spark.sql.functions.col("label") % 2 === 0
+    val fEmb = emb.filter(filterPred).cache()
+    val fQueries = fEmb.select("vec_id").orderBy("vec_id").limit(50)
+      .collect().map(_.getLong(0)).toSeq
+    val fTruth = AnnOps.bruteForceTopK(fEmb, fQueries, k).cache()
+    fTruth.count()
+    val filtered = {
+      val model = AnnOps.ivfTrain(emb, 64)
+      val assigned = AnnOps.ivfAssign(emb, model).cache()
+      val rows = Seq(8, 16, 24, 32, 40, 48).map { p =>
+        val rec = AnnOps.recallAt(
+          AnnOps.ivfTopKFilteredAssigned(assigned, model, fQueries, k, p,
+            filterPred), fTruth)
+        (s"ivf_filtered50_cells64_probe$p", r4(rec), Some(r4(p / 64.0)))
+      }
+      assigned.unpersist()
+      rows
+    }
+    fEmb.unpersist(); fTruth.unpersist()
+
     // PCA width reduction: project ONCE (map-only), search EXACTLY in the
     // reduced space — recall lost only to the discarded variance, while
     // every per-query exact score costs outDim/inDim of a full-width
@@ -186,6 +212,7 @@ object AnnRecall {
       srpMulti.map { case (n, v, c) => (n, v, c, None) } ++
       ivf.map { case (n, v, c) => (n, v, c, None) } ++
       pq.map { case (n, v, c) => (n, v, c, Some(1.0)) } ++
+      filtered.map { case (n, v, c) => (n, v, c, None) } ++
       pca.map { case (n, v, c) => (n, v, c, None) } ++
       ivfpq
     val entries = all.map { case (n, v, _, _) => s"\"$n\":$v" }.mkString(",")
