@@ -18,7 +18,14 @@ import graft.operators.AnnOps
   *   - PQ (m=8, k=16 — 32× compression) at rerank ∈ {1 … 64};
   *   - IVF-PQ composite (cells=16, m=8, k=16) over a once-encoded code
   *     table, sweeping (nProbe, rerank) — the probed-IVF recall ceiling
-  *     times the ADC retention, at a fraction of either family's scan.
+  *     times the ADC retention, at a fraction of either family's scan;
+  *   - filtered pre-filter IVF (`ivf_filtered50_*`) against brute force
+  *     over the same ~50%-filtered corpus — measures what a metadata
+  *     predicate costs in recall at matched probes (≈ nothing here);
+  *   - PCA width reduction (`pca_d*`) — exact search in the projected
+  *     space vs full-width truth; cost_frac is the width ratio. Flat
+  *     i.i.d. spectrum = PCA's worst case (see the caveat below); the
+  *     rank-structured upside is spec-pinned in AnnSpec.
   * Recall is computed with the distributed [[AnnOps.recallAt]] semi join
   * (no driver-side sets). Output: one JSON line on stdout plus
   * `ann_recall.json` (or $ANN_OUT).

@@ -178,6 +178,23 @@ class WarehouseDmlSpec extends SparkSpec {
     assert(WarehouseFs.listNames(spark, s"$t/_zones") === Seq("v00000003"))
   }
 
+  test("zone maps over a Z-ordered layout prune range predicates on BOTH dimensions") {
+    val t = tmpTable()
+    val df = spark.range(20000)
+      .select(col("id"), ((col("id") * 7919L) % 20000L).as("b"))
+    WarehouseFs.publishVersioned(
+      graft.operators.ScaleJoins.zOrderClusterN(df, Seq(col("id"), col("b")), 16),
+      t, keepVersions = 2, zoneMapCols = Seq("id", "b"))
+    // a narrow range on EITHER column keeps a strict subset of the 16 files
+    val candA = WarehouseFs.zoneCandidateFiles(spark, t, "id", 100L, 400L).get
+    val candB = WarehouseFs.zoneCandidateFiles(spark, t, "b", 100L, 400L).get
+    assert(candA.size < 16 && candB.size < 16,
+      s"z-order + zones must prune both dims: id=${candA.size}, b=${candB.size}")
+    assert(WarehouseFs.readRangePruned(spark, t, "id", 100L, 400L).get.count() === 301)
+    assert(WarehouseFs.readRangePruned(spark, t, "b", 100L, 400L).get.count() ===
+      df.filter(col("b").between(100L, 400L)).count())
+  }
+
   test("DML refuses partitioned layouts and missing tables loudly") {
     val t = tmpTable()
     WarehouseFs.publishVersioned(
