@@ -83,9 +83,13 @@ object ScaleJoins {
       // set back into "all files" and point lookups into full scans
       val (bloomCols, zoneCols, hasStats) =
         graft.sources.WarehouseFs.versionMetadata(spark, dir)
+      // compare-and-swap on the version this compaction READ: a DML that
+      // commits between our read and this publish would otherwise be
+      // silently reverted by a rebuild of the older snapshot
       graft.sources.WarehouseFs.publishVersioned(compacted, dir,
         partitionBy = partCols, collectStats = hasStats,
-        bloomIndexCols = bloomCols, zoneMapCols = zoneCols)
+        bloomIndexCols = bloomCols, zoneMapCols = zoneCols,
+        expectedVersion = current.map(_._1))
     } else
       graft.sources.WarehouseFs.publish(compacted, dir, partitionBy = partCols)
     parts

@@ -259,11 +259,23 @@ object WarehouseFs {
                        keepVersions: Int = 2,
                        collectStats: Boolean = false,
                        bloomIndexCols: Seq[String] = Nil,
-                       zoneMapCols: Seq[String] = Nil): Unit = {
+                       zoneMapCols: Seq[String] = Nil,
+                       expectedVersion: Option[Long] = None): Unit = {
     require(keepVersions >= 1)
     val spark = df.sparkSession
     val (fs, t) = fsFor(spark, table)
-    val next = currentVersion(spark, table).map(_._1).getOrElse(0L) + 1L
+    // compare-and-swap: a caller that DERIVED df from a version it read
+    // (compaction, any read-modify-write) pins that version; if another
+    // writer advanced the table meanwhile, committing would silently
+    // revert their changes — fail loudly instead
+    val next = expectedVersion.map(_ + 1L).getOrElse(
+      currentVersion(spark, table).map(_._1).getOrElse(0L) + 1L)
+    // the CAS must fire BEFORE phase 1: a pinned publish targeting an
+    // already-committed version number would otherwise Overwrite the
+    // winner's live data dir during its own doomed write
+    require(!fs.exists(new Path(versionsDir(t), vname(next))),
+      s"publishVersioned: $table advanced past version ${next - 1} — " +
+        "re-derive from the current version and retry")
     val dataName = s"v${vname(next)}"
     // phase 1 (long): write the full new state to the fresh version dir.
     // Overwrite mode clears a same-numbered orphan from a crashed attempt.
@@ -293,8 +305,13 @@ object WarehouseFs {
       zoneMapDf(spark, new Path(t, dataName).toString, dataName, zoneMapCols)
         .coalesce(1).write.mode(SaveMode.Overwrite)
         .parquet(new Path(zonesDir(t), dataName).toString)
-    // phase 2 (commit): materialize the manifest under its final name
+    // phase 2 (commit): materialize the manifest under its final name.
+    // The exists-check + rename pair enforces the CAS: a competing commit
+    // that landed version `next` first makes this publish fail loudly
     val vd = versionsDir(t)
+    require(!fs.exists(new Path(vd, vname(next))),
+      s"publishVersioned: $table advanced past version ${next - 1} — " +
+        "re-derive from the current version and retry")
     fs.mkdirs(vd)
     val tmp = new Path(vd, s".tmp-${vname(next)}")
     val out = fs.create(tmp, true)
@@ -588,14 +605,14 @@ object WarehouseFs {
     * dir is re-derived — O(rewritten), the same economics as the data.
     * `colPrefix` identifies the metadata's value columns (`b_`/`min_`),
     * from which the indexed column set is recovered. */
-  private def carryFileMetadata(spark: SparkSession, table: String, t: Path,
+  private def carryFileMetadata(spark: SparkSession, fs: FileSystem,
                                 metaDir: Path, prior: ResolvedVersion,
                                 dirName: String, carried: Seq[String],
                                 colPrefix: String,
                                 rebuild: Seq[String] => DataFrame): Unit = {
     import org.apache.spark.sql.functions.{col, concat, lit}
     val priorMeta = new Path(metaDir, prior.dirName)
-    if (!fs(spark, t).exists(priorMeta)) return
+    if (!fs.exists(priorMeta)) return
     val prev = spark.read.parquet(priorMeta.toString)
     val prevRooted =
       if (prior.isFileList) prev
@@ -610,9 +627,6 @@ object WarehouseFs {
       .parquet(new Path(metaDir, dirName).toString)
   }
 
-  private def fs(spark: SparkSession, p: Path): FileSystem =
-    p.getFileSystem(spark.sessionState.newHadoopConf())
-
   /** Concurrency: two CoW writers racing from the same prior version
     * write to ATTEMPT-UNIQUE data dirs (`vNNNNNNNN-<nonce>`), so the
     * loser's files can never clobber the winner's already-committed
@@ -624,11 +638,11 @@ object WarehouseFs {
   private def publishCoW(spark: SparkSession, table: String,
                          prior: ResolvedVersion, rewritten: DataFrame,
                          touched: Seq[String], carried: Seq[String],
-                         keepVersions: Int): Unit = {
+                         keepVersions: Int, refreshStats: Boolean): Unit = {
     val (fs, t) = fsFor(spark, table)
     val next = prior.version + 1L
-    val dirName =
-      s"v${vname(next)}-${java.lang.Long.toHexString(System.nanoTime())}"
+    val dirName = // unconditional uniqueness: nanoTime is per-JVM-origin
+      s"v${vname(next)}-${java.util.UUID.randomUUID().toString.replace("-", "")}"
     rewritten.coalesce(math.max(1, touched.size))
       .write.mode(SaveMode.Overwrite).parquet(new Path(t, dirName).toString)
     val newFiles = fs.listStatus(new Path(t, dirName))
@@ -636,23 +650,30 @@ object WarehouseFs {
       .map(n => s"$dirName/$n").toSeq
     // bloom index + zone map: carry untouched files' rows, re-derive only
     // the new dir
-    carryFileMetadata(spark, table, t, indexDir(t), prior, dirName, carried,
+    carryFileMetadata(spark, fs, indexDir(t), prior, dirName, carried,
       "b_", cols => bloomIndexDf(spark, s"$table/$dirName", dirName, cols))
-    carryFileMetadata(spark, table, t, zonesDir(t), prior, dirName, carried,
+    carryFileMetadata(spark, fs, zonesDir(t), prior, dirName, carried,
       "min_", cols => zoneMapDf(spark, s"$table/$dirName", dirName, cols))
     // table statistics do NOT maintain incrementally (NDV/min/max cannot
-    // retract): when the prior version carried stats, refresh them with
-    // one scan of the resolved logical table so readStats/hinted reads
-    // never silently degrade. The scan is map-side only; tables where
-    // that pass is too expensive should publish stats on scheduled full
-    // rewrites instead of carrying them into the DML path.
-    if (fs.exists(new Path(statsDir(t), prior.dirName))) {
-      val resolved = spark.read.parquet(
-        (newFiles ++ carried).map(f => s"$table/$f"): _*)
-      graft.operators.Quality
-        .profileWithCount(resolved, resolved.columns.toSeq, exact = false)
-        .coalesce(1).write.mode(SaveMode.Overwrite)
-        .parquet(new Path(statsDir(t), dirName).toString)
+    // retract). When the prior version carried stats: refreshStats=true
+    // recomputes them with one aggregation pass over the WHOLE resolved
+    // table — an O(table) cost a point-update caller may not want —
+    // while refreshStats=false copies the prior stats file forward
+    // (slightly stale counts, the usual ANALYZE-cadence trade), so
+    // hinted reads never silently lose their statistics either way.
+    val priorStats = new Path(statsDir(t), prior.dirName)
+    if (fs.exists(priorStats)) {
+      if (refreshStats) {
+        val resolved = spark.read.parquet(
+          (newFiles ++ carried).map(f => s"$table/$f"): _*)
+        graft.operators.Quality
+          .profileWithCount(resolved, resolved.columns.toSeq, exact = false)
+          .coalesce(1).write.mode(SaveMode.Overwrite)
+          .parquet(new Path(statsDir(t), dirName).toString)
+      } else
+        org.apache.hadoop.fs.FileUtil.copy(fs, priorStats, fs,
+          new Path(statsDir(t), dirName), false,
+          spark.sessionState.newHadoopConf())
     }
     // commit: file-list manifest under the usual tmp → rename discipline
     val vd = versionsDir(t)
@@ -661,6 +682,8 @@ object WarehouseFs {
     val out = fs.create(tmp, true)
     val body = (s"files:$dirName" +: (newFiles ++ carried)).mkString("\n")
     try out.write(body.getBytes("UTF-8")) finally out.close()
+    require(!fs.exists(new Path(vd, vname(next))),
+      s"publishCoW: $table advanced past version ${prior.version} — retry the DML")
     require(fs.rename(tmp, new Path(vd, vname(next))),
       s"publishCoW: commit of version $next lost a concurrent race on $table")
     gcVersions(fs, t, keepVersions)
@@ -712,7 +735,8 @@ object WarehouseFs {
     * routine). No matching file → provably nothing to delete → no new
     * version at all. */
   def deleteWhere(spark: SparkSession, table: String, column: String,
-                  values: Seq[Any], keepVersions: Int = 2): Unit = {
+                  values: Seq[Any], keepVersions: Int = 2,
+                  refreshStats: Boolean = true): Unit = {
     import org.apache.spark.sql.functions.col
     require(values.nonEmpty && !values.contains(null),
       "deleteWhere: keys must be non-empty and non-null (IN-semantics " +
@@ -729,7 +753,7 @@ object WarehouseFs {
     val rewritten = spark.read.parquet(touched.map(f => s"$table/$f"): _*)
       .filter(!col(column).isin(values: _*) || col(column).isNull)
     publishCoW(spark, table, r, rewritten, touched,
-      all.diff(touched), keepVersions)
+      all.diff(touched), keepVersions, refreshStats)
   }
 
   /** SQL-UPDATE form: for rows whose `column` is one of `values`, set
@@ -738,7 +762,8 @@ object WarehouseFs {
     * untouched. Same file-granular economics as [[deleteWhere]]. */
   def updateWhere(spark: SparkSession, table: String, column: String,
                   values: Seq[Any], set: Map[String, Column],
-                  keepVersions: Int = 2): Unit = {
+                  keepVersions: Int = 2,
+                  refreshStats: Boolean = true): Unit = {
     import org.apache.spark.sql.functions.{col, when}
     require(values.nonEmpty && !values.contains(null) && set.nonEmpty,
       "updateWhere: need non-null keys and at least one SET column")
@@ -762,7 +787,7 @@ object WarehouseFs {
       }
     }: _*)
     publishCoW(spark, table, r, rewritten, touched,
-      all.diff(touched), keepVersions)
+      all.diff(touched), keepVersions, refreshStats)
   }
 
   /** Upsert: rows of `updates` replace same-key rows and append new keys.
@@ -770,7 +795,8 @@ object WarehouseFs {
     * update path, not a bulk merge. Only files that might contain a
     * matched key rewrite; pure inserts touch zero existing files. */
   def upsertRows(updates: DataFrame, table: String, keyCol: String,
-                 keepVersions: Int = 2): Unit = {
+                 keepVersions: Int = 2,
+                 refreshStats: Boolean = true): Unit = {
     import org.apache.spark.sql.functions.col
     val spark = updates.sparkSession
     val keys = updates.select(keyCol).distinct().collect().map(_.get(0)).toSeq
@@ -805,7 +831,7 @@ object WarehouseFs {
         tableCols.fold(updates)(cols => updates.select(cols.map(col): _*))
     }
     publishCoW(spark, table, r, rewritten, touched,
-      all.diff(touched), keepVersions)
+      all.diff(touched), keepVersions, refreshStats)
   }
 
   // ---- change-data feed between committed versions ---------------------

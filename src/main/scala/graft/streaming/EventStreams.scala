@@ -238,12 +238,17 @@ object EventStreams {
     * (bootstrap with `publishVersioned(empty-or-initial, table,
     * bloomIndexCols = Seq(key))`); updates should be unique per key
     * within a batch, as in [[upsertSink]]. */
-  def upsertSinkCoW(updates: DataFrame, table: String, key: String)
+  def upsertSinkCoW(updates: DataFrame, table: String, key: String,
+                    keepVersions: Int = 2)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     updates.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       if (!batch.isEmpty)
-        graft.sources.WarehouseFs.upsertRows(batch, table, key,
-          keepVersions = 2)
+        // refreshStats=false: a per-micro-batch O(table) profiling pass
+        // would defeat the file-granular sink; prior stats carry forward
+        // (slightly stale counts — run a scheduled full publish or
+        // compaction to re-profile)
+        graft.sources.WarehouseFs.upsertRows(batch, table, key, keepVersions,
+          refreshStats = false)
     }
 
   /** File-source incremental load: the streaming replacement for the

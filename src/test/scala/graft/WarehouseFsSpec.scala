@@ -295,6 +295,25 @@ class WarehouseFsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("publishVersioned CAS: a pinned expected version refuses to commit over a newer one") {
+    val t = s"${tmpDir()}/cas"
+    WarehouseFs.publishVersioned((1 to 10).toDF("id"), t, keepVersions = 5)
+    // a read-modify-write job pins the version it read…
+    val readAt = WarehouseFs.currentVersion(spark, t).get._1
+    // …then another writer advances the table
+    WarehouseFs.publishVersioned((11 to 20).toDF("id"), t, keepVersions = 5)
+    // the pinned publish must fail loudly instead of silently reverting
+    val e = intercept[IllegalArgumentException] {
+      WarehouseFs.publishVersioned((1 to 10).toDF("id"), t, keepVersions = 5,
+        expectedVersion = Some(readAt))
+    }
+    assert(e.getMessage.contains("advanced"))
+    // the committed state is the other writer's, fully readable
+    assert(WarehouseFs.currentVersion(spark, t).get._1 === 2L)
+    assert(WarehouseFs.readTable(spark, t).get.as[Int].collect().sorted ===
+      (11 to 20).toArray)
+  }
+
   test("bloom file index: point lookup opens a strict subset of files, rows identical to full scan") {
     val t = s"${tmpDir()}/facts"
     // range-clustered layout: each output file covers a disjoint id range,
