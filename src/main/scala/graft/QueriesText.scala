@@ -463,6 +463,47 @@ object QueriesText {
               count(lit(1))).as("dup_frac"))
     }),
 
+    // Repeated-span detection — the exact-substring complement to
+    // document-level dedup (the "dedup repeated n-gram spans" stage of a
+    // training-data pipeline: boilerplate, licenses, templates repeat
+    // VERBATIM across a web corpus even when whole documents differ).
+    // Suffix arrays don't distribute; the Spark-native equivalent:
+    // (1) every 8-gram with its word position (map-only HOF shingling),
+    // (2) one corpus-wide count keyed by gram — a gram occurring ≥2
+    //     times ANYWHERE (other docs or the same doc) is duplicated,
+    // (3) join positions back on gram (AQE reuses the gram exchange),
+    // (4) gaps-and-islands per doc merges runs of adjacent duplicated
+    //     positions into MAXIMAL spans (pos − row_number constancy), so
+    //     a 50-word verbatim block reports once, not 43 times.
+    // Output: per-doc span count, total duplicated words (islands are
+    // disjoint → sum of span lengths IS the union), longest span.
+    // At 100 TB the gram string becomes xxhash64(gram) — 8 bytes through
+    // the two shuffles — same plan; the string form is oracle-checkable.
+    "text_repeated_spans" -> ((s, d) => {
+      val words = split(col("text"), " ")
+      val grams = documents(s, d).select(
+          col("doc_id"),
+          posexplode(when(size(words) >= 8,
+              transform(sequence(lit(1), size(words) - lit(7)),
+                i => array_join(slice(words, i, lit(8)), " ")))
+            .otherwise(array())))
+        .select(col("doc_id"), (col("pos") + lit(1)).cast(LongType).as("pos"),
+          col("col").as("gram"))
+      val freq = grams.groupBy("gram").agg(count(lit(1)).as("cnt"))
+      val dup = grams.join(freq.filter(col("cnt") >= 2), "gram")
+        .select("doc_id", "pos")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
+      val spans = dup
+        .withColumn("grp", col("pos") - row_number().over(w))
+        .groupBy("doc_id", "grp")
+        .agg(min("pos").as("s"), (max(col("pos")) + lit(7)).as("e"))
+      spans.groupBy("doc_id").agg(
+        count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + lit(1)).as("dup_words"),
+        max(col("e") - col("s") + lit(1)).as("max_span"))
+    }),
+
     // Per-source document cap — the standard anti-domination guard in
     // web-corpus curation (no single domain/source may exceed k docs).
     // "Uniformly at random but deterministic" = keep the k largest md5
@@ -1059,6 +1100,25 @@ object QueriesText {
                CAST(count(CASE WHEN ndocs >= 2 THEN 1 END) AS DOUBLE)/count(*) AS dup_frac
         FROM ds JOIN freq USING (shingle)
         GROUP BY 1""",
+
+    "text_repeated_spans" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        g AS (SELECT doc_id,
+                     unnest(range(1, len(ws) - 6)) AS pos,
+                     unnest(list_transform(range(1, len(ws) - 6),
+                            i -> array_to_string(ws[i:i+7], ' '))) AS gram
+              FROM w),
+        freq AS (SELECT gram, count(*) AS cnt FROM g GROUP BY 1),
+        dup AS (SELECT doc_id, pos FROM g JOIN freq USING (gram) WHERE cnt >= 2),
+        isl AS (SELECT doc_id, pos,
+                       pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+                FROM dup),
+        spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+                  FROM isl GROUP BY doc_id, grp)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(sum(e - s + 1) AS BIGINT) AS dup_words,
+               CAST(max(e - s + 1) AS BIGINT) AS max_span
+        FROM spans GROUP BY doc_id""",
 
     "text_cap_per_source" ->
       """SELECT source, doc_id FROM (

@@ -420,6 +420,22 @@ object WarehouseFs {
     * a superset of the truly-matching files — bloom false positives cost
     * an extra open, false negatives cannot occur. The probe touches only
     * the ≤|files|-row index relation, zero data I/O. */
+  /** Balanced OR of per-value bloom probes: a left-deep `reduce(_||_)`
+    * overflows the analyzer's recursion around ~1.5k values (each Or
+    * copy releases a fence per level); a log-depth tree takes 10k+
+    * point keys (the [[mergeInto]] regime boundary) without breaking
+    * a sweat. */
+  private def bloomHitExpr(column: String, values: Seq[Any]): Column = {
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.graft.BloomExpressions.bloom_might_contain
+    def orTree(cs: Seq[Column]): Column =
+      if (cs.size == 1) cs.head
+      else orTree(cs.grouped(2)
+        .map(g => if (g.size == 2) g(0) || g(1) else g(0)).toSeq)
+    orTree(values.map(v => bloom_might_contain(col(s"b_$column"),
+      lit(v).cast("string"), BloomIndexHashes)))
+  }
+
   def bloomCandidateFiles(spark: SparkSession, table: String, column: String,
                           values: Seq[Any],
                           version: Option[Long] = None): Option[Seq[String]] = {
@@ -437,10 +453,7 @@ object WarehouseFs {
         val index = spark.read.parquet(idx.toString)
         if (!index.columns.contains(s"b_$column")) None
         else {
-          val hit = values
-            .map(v => bloom_might_contain(col(s"b_$column"),
-              lit(v).cast("string"), BloomIndexHashes))
-            .reduce(_ || _)
+          val hit = bloomHitExpr(column, values)
           Some(index.filter(hit).select("file").collect().map(_.getString(0)).toSeq)
         }
       }
@@ -834,6 +847,123 @@ object WarehouseFs {
       all.diff(touched), keepVersions, refreshStats)
   }
 
+  /** Multi-clause MERGE — the lakehouse verb that subsumes
+    * [[upsertRows]] / [[deleteWhere]] / [[updateWhere]] in one commit:
+    * for each source row, a target row with the same key is updated
+    * (`whenMatchedUpdate` SET expressions) or deleted
+    * (`whenMatchedDelete` condition, checked first), and a source key
+    * absent from the target inserts (`whenNotMatchedInsert`).
+    *
+    * Expression scope: SET expressions and the delete condition are
+    * evaluated on the matched pair — target columns by their natural
+    * name, source columns as `src_<name>` (e.g.
+    * `Map("balance" -> col("balance") + col("src_delta"))`).
+    *
+    * Two execution regimes, chosen by source-key cardinality:
+    *   - ≤ `maxPointKeys` distinct keys → keys collect to the driver
+    *     and drive the bloom/zone probe, so only files that might hold
+    *     a matched key rewrite (the point-merge path — a CDC batch
+    *     against a 100 TB table rewrites O(batch) files);
+    *   - above it → no key collection, every file rewrites through ONE
+    *     key-partitioned left-outer join (the bulk path — when the
+    *     source is table-sized, touching every file is the honest
+    *     cost, and the join is a single shuffle of each side, never
+    *     all-pairs).
+    * Either way matched-ness is decided by the SAME join, so the two
+    * regimes are semantically identical; bloom false positives only
+    * widen the rewrite set, never the result.
+    *
+    * Source keys must be unique and non-null (checked with one
+    * aggregation pass — a key matching twice would make the rewrite
+    * order-dependent, the ambiguity ANSI MERGE rejects at runtime).
+    * When inserts are enabled the source schema must equal the table
+    * schema; an update/delete-only merge may carry just the key plus
+    * whatever the expressions reference. */
+  def mergeInto(source: DataFrame, table: String, keyCol: String,
+                whenMatchedUpdate: Map[String, Column] = Map.empty,
+                whenMatchedDelete: Option[Column] = None,
+                whenNotMatchedInsert: Boolean = true,
+                maxPointKeys: Int = 10000,
+                keepVersions: Int = 2,
+                refreshStats: Boolean = true): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, col, count, count_distinct, lit, when}
+    require(whenMatchedUpdate.nonEmpty || whenMatchedDelete.nonEmpty ||
+      whenNotMatchedInsert, "mergeInto: at least one clause required")
+    val spark = source.sparkSession
+    val r = resolveVersion(spark, table, None).getOrElse(
+      throw new IllegalArgumentException(
+        s"mergeInto: $table is not a versioned table"))
+    val (fs, t) = fsFor(spark, table)
+    val all = versionFiles(fs, t, r)
+    requireDmlCapable(all, table)
+
+    // one pass over the source: non-null + unique keys (ANSI MERGE's
+    // cardinality rule), and the point-vs-bulk decision
+    val ks = source.agg(count(lit(1)), count(col(keyCol)),
+      count_distinct(col(keyCol))).head()
+    val (nRows, nKeys, nDistinct) = (ks.getLong(0), ks.getLong(1), ks.getLong(2))
+    if (nRows == 0L) return
+    require(nKeys == nRows, s"mergeInto: source has ${nRows - nKeys} null keys")
+    require(nDistinct == nKeys,
+      s"mergeInto: source keys must be unique ($nKeys rows, $nDistinct keys) — " +
+        "a key matching twice makes the merge order-dependent")
+
+    val touched =
+      if (nDistinct <= maxPointKeys) {
+        val keys = source.select(keyCol).distinct().collect().map(_.get(0)).toSeq
+        candidatesRootRelative(spark, table, r, keyCol, keys).getOrElse(all)
+      } else all
+
+    val tableCols =
+      if (all.nonEmpty) spark.read.parquet(s"$table/${all.head}").columns.toSeq
+      else source.columns.toSeq
+    require(!tableCols.exists(_.startsWith("src_")),
+      s"mergeInto: target columns may not start with src_ (the source alias prefix)")
+    if (whenNotMatchedInsert)
+      require(source.columns.toSet == tableCols.toSet,
+        s"mergeInto: with inserts enabled, source columns ${source.columns.toSet} " +
+          s"must equal table columns ${tableCols.toSet}")
+    require(whenMatchedUpdate.keySet.subsetOf(tableCols.toSet),
+      s"mergeInto: unknown SET columns ${whenMatchedUpdate.keySet -- tableCols}")
+
+    val srcP = source.select(source.columns.map(c => col(c).as(s"src_$c")).toSeq: _*)
+    val srcKey = col(s"src_$keyCol")
+    val target =
+      if (touched.isEmpty) None
+      else Some(spark.read.parquet(touched.map(f => s"$table/$f"): _*))
+
+    val rewrittenTarget = target.map { tg =>
+      val joined = tg.join(srcP, tg(keyCol) === srcKey, "left_outer")
+      val matched = srcKey.isNotNull
+      val afterDelete = whenMatchedDelete.fold(joined)(c =>
+        joined.filter(!(matched && coalesce(c, lit(false)))))
+      afterDelete.select(tableCols.map { c =>
+        whenMatchedUpdate.get(c) match {
+          case Some(e) => when(matched, e).otherwise(col(c)).as(c)
+          case None => col(c)
+        }
+      }: _*)
+    }
+    // not-matched = anti-join against the touched files' keys: bloom
+    // pruning has no false negatives, so any source key present anywhere
+    // in the table is present in `touched` — the anti-join is exact.
+    val inserts =
+      if (!whenNotMatchedInsert) None
+      else {
+        val ins = target.fold(source)(tg =>
+          source.join(tg.select(keyCol), Seq(keyCol), "left_anti"))
+        Some(ins.select(tableCols.map(col): _*))
+      }
+    val rewritten = (rewrittenTarget, inserts) match {
+      case (Some(a), Some(b)) => a.unionByName(b)
+      case (Some(a), None) => a
+      case (None, Some(b)) => b
+      case (None, None) => return // no matched file, no inserts → no-op
+    }
+    publishCoW(spark, table, r, rewritten, touched,
+      all.diff(touched), keepVersions, refreshStats)
+  }
+
   // ---- change-data feed between committed versions ---------------------
   //
   // Retained versions are snapshots; most downstream consumers (an
@@ -932,6 +1062,110 @@ object WarehouseFs {
                        keyCols: Seq[String]): Option[DataFrame] =
     currentVersion(spark, table).map(_._1).filter(_ >= 2L)
       .flatMap(v => changeFeed(spark, table, keyCols, v - 1, v))
+
+  /** CDC replication: apply one change-feed batch ([[changeFeed]]'s
+    * `_change_type` convention) to a versioned replica in ONE
+    * copy-on-write commit — the standard feed-driven replication
+    * target (a reporting copy, a region mirror, a search-index
+    * sidecar) without ever re-shipping the table.
+    *
+    *   - `update_preimage` rows are dropped (the postimage carries the
+    *     new truth; preimages exist for aggregate retraction, which
+    *     [[graft.operators.IncrementalAgg.mergeChanges]] consumes);
+    *   - `insert` + `update_postimage` rows upsert;
+    *   - `delete` rows remove their keys.
+    *
+    * Single-commit atomicity: a reader never observes the deletes
+    * without the inserts of the same batch. File economics follow
+    * [[mergeInto]]: ≤ `maxPointKeys` affected keys → bloom-pruned
+    * rewrite of only the files that might hold them (a nightly CDC
+    * batch against a 100 TB replica rewrites O(batch) files); above
+    * it → one key-partitioned anti-join pass, every file rewritten.
+    * A feed between two versions has at most one change per key by
+    * construction, so the apply is order-free within the batch. */
+  def applyChangeFeed(spark: SparkSession, feed: DataFrame, table: String,
+                      keyCol: String, maxPointKeys: Int = 10000,
+                      keepVersions: Int = 2,
+                      refreshStats: Boolean = true): Unit = {
+    import org.apache.spark.sql.functions.{col, count, count_distinct, lit}
+    require(feed.columns.contains("_change_type"),
+      "applyChangeFeed: feed must carry _change_type (a changeFeed output)")
+    val r = resolveVersion(spark, table, None).getOrElse(
+      throw new IllegalArgumentException(
+        s"applyChangeFeed: $table is not a versioned table"))
+    val (fs, t) = fsFor(spark, table)
+    val all = versionFiles(fs, t, r)
+    requireDmlCapable(all, table)
+    val effective = feed.filter(col("_change_type") =!= "update_preimage")
+    val upserts = effective.filter(col("_change_type") =!= "delete")
+      .drop("_change_type")
+    val deletes = effective.filter(col("_change_type") === "delete")
+      .select(keyCol)
+    // one pass over the effective rows: cardinality + uniqueness (a key
+    // changing twice in one batch is not a version-pair feed)
+    val ks = effective.agg(count(lit(1)), count(col(keyCol)),
+      count_distinct(col(keyCol))).head()
+    val (nRows, nKeys, nDistinct) = (ks.getLong(0), ks.getLong(1), ks.getLong(2))
+    if (nRows == 0L) return
+    require(nKeys == nRows, s"applyChangeFeed: ${nRows - nKeys} null keys")
+    require(nDistinct == nKeys,
+      s"applyChangeFeed: keys must be unique across the batch " +
+        s"($nKeys changes, $nDistinct keys) — fold multi-version feeds " +
+        "version-by-version")
+
+    val affected = effective.select(keyCol)
+    val touched =
+      if (nDistinct <= maxPointKeys) {
+        val keys = affected.collect().map(_.get(0)).toSeq
+        candidatesRootRelative(spark, table, r, keyCol, keys).getOrElse(all)
+      } else all
+    val tableCols =
+      if (all.nonEmpty) spark.read.parquet(s"$table/${all.head}").columns.toSeq
+      else upserts.columns.toSeq
+    require(upserts.columns.toSet == tableCols.toSet,
+      s"applyChangeFeed: feed columns ${upserts.columns.toSet} must equal " +
+        s"replica columns ${tableCols.toSet}")
+    val survivors =
+      if (touched.isEmpty) None
+      else Some(spark.read.parquet(touched.map(f => s"$table/$f"): _*)
+        .join(affected, Seq(keyCol), "left_anti"))
+    // stale-feed deletes for keys no file can hold, and nothing to
+    // insert → provably no effect, no version bump
+    if (touched.isEmpty && upserts.isEmpty) return
+    val rewritten = survivors match {
+      case Some(s) => s.select(tableCols.map(col): _*)
+        .unionByName(upserts.select(tableCols.map(col): _*))
+      case None => upserts.select(tableCols.map(col): _*)
+    }
+    publishCoW(spark, table, r, rewritten, touched,
+      all.diff(touched), keepVersions, refreshStats)
+  }
+
+  /** Catch a replica up to the source across a RANGE of source
+    * versions, one commit per version step (each step is the exact
+    * [[changeFeed]] of that step — replaying history preserves every
+    * intermediate state's visibility on the replica's own chain).
+    * Returns the number of steps applied; a step whose feed versions
+    * are no longer retained aborts with None (re-seed the replica from
+    * a snapshot instead — feeds cannot skip over GC'd history). */
+  def replicate(spark: SparkSession, srcTable: String, dstTable: String,
+                keyCol: String, fromVersion: Long, toVersion: Long,
+                keepVersions: Int = 2): Option[Int] = {
+    require(fromVersion <= toVersion, "replicate: reversed version range")
+    var applied = 0
+    var v = fromVersion
+    while (v < toVersion) {
+      changeFeed(spark, srcTable, Seq(keyCol), v, v + 1) match {
+        case None => return None
+        case Some(f) =>
+          applyChangeFeed(spark, f, dstTable, keyCol,
+            keepVersions = keepVersions)
+          applied += 1
+      }
+      v += 1
+    }
+    Some(applied)
+  }
 
   // ---- committed table statistics --------------------------------------
   //
@@ -1197,10 +1431,7 @@ object WarehouseFs {
         if (!index.columns.contains(s"b_$column"))
           exact(spark.read.parquet(dataPath))
         else {
-          val hit = values
-            .map(v => bloom_might_contain(col(s"b_$column"),
-              lit(v).cast("string"), BloomIndexHashes))
-            .reduce(_ || _)
+          val hit = bloomHitExpr(column, values)
           val files = index.filter(hit).select("file").collect()
             .map(_.getString(0)).toSeq
           if (files.isEmpty) exact(spark.read.parquet(dataPath)).limit(0)

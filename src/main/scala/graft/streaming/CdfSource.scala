@@ -1,0 +1,111 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+
+import graft.sources.WarehouseFs
+
+/** Structured-Streaming CHANGE-FEED source over a versioned warehouse
+  * table: `spark.readStream.format("graft-cdf")` yields the row-level
+  * deltas of every new committed version — the streaming face of
+  * [[WarehouseFs.changeFeed]], the same surface a transaction-log
+  * lakehouse exposes as "read change feed as a stream".
+  *
+  * Offsets ARE version numbers, so the source needs no log of its own:
+  * `getOffset` polls the table's current committed version (one tiny
+  * manifest-dir listing — no data I/O), and a micro-batch (v₁, v₂]
+  * unions the per-step feeds v→v+1, each stamped `_commit_version`.
+  * Per-step (not endpoint-diff) feeds mean a consumer sees every
+  * intermediate state exactly as the table's own history recorded it.
+  *
+  * Scale: each step's feed is ONE key-partitioned full-outer join of
+  * two retained versions (see [[WarehouseFs.changeFeed]]) — the
+  * micro-batch never rescans history, and polling costs metadata only.
+  * The table's `keepVersions` must exceed the stream's worst-case lag
+  * in versions; a GC'd step fails loudly rather than silently skipping
+  * history.
+  *
+  * Options: `table` (path), `keyCols` (comma-separated), optional
+  * `startingVersion` (first version whose ARRIVAL the stream reports;
+  * default = versions committed after stream start). Restarting from a
+  * checkpoint re-creates the source, so set `startingVersion` when a
+  * checkpoint may replay its FIRST batch — later batches recover
+  * exactly from the offset log either way. */
+class CdfSourceProvider extends StreamSourceProvider with DataSourceRegister {
+  override def shortName(): String = "graft-cdf"
+
+  private def tableOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("table",
+      throw new IllegalArgumentException("graft-cdf: option 'table' required"))
+
+  override def sourceSchema(sqlContext: SQLContext,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): (String, StructType) =
+    (shortName(), CdfSource.feedSchema(sqlContext, tableOf(parameters)))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): Source = {
+    val keyCols = parameters.getOrElse("keyCols",
+      throw new IllegalArgumentException("graft-cdf: option 'keyCols' required"))
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    new CdfSource(sqlContext, tableOf(parameters), keyCols,
+      parameters.get("startingVersion").map(_.toLong))
+  }
+}
+
+object CdfSource {
+  /** Base table columns + the two feed columns. */
+  def feedSchema(sqlContext: SQLContext, table: String): StructType =
+    WarehouseFs.readTable(sqlContext.sparkSession, table).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-cdf: $table is not a versioned table")).schema
+      .add("_change_type", StringType, nullable = false)
+      .add("_commit_version", LongType, nullable = false)
+}
+
+class CdfSource(sqlContext: SQLContext, table: String, keyCols: Seq[String],
+                startingVersion: Option[Long]) extends Source {
+  private val spark = sqlContext.sparkSession
+
+  override val schema: StructType = CdfSource.feedSchema(sqlContext, table)
+
+  /** Highest version already "seen" before the stream begins: changes
+    * OF version v are reported once v commits, so the floor is v−1 of
+    * the first reported version. */
+  private val floor: Long = startingVersion.map(_ - 1L).getOrElse(
+    WarehouseFs.currentVersion(spark, table).map(_._1).getOrElse(0L))
+
+  override def getOffset: Option[V1Offset] = {
+    val cur = WarehouseFs.currentVersion(spark, table).map(_._1).getOrElse(0L)
+    if (cur > floor) Some(LongOffset(cur)) else None
+  }
+
+  private def versionOf(o: V1Offset): Long = o match {
+    case LongOffset(v) => v
+    case other => other.json().toLong
+  }
+
+  override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
+    val to = versionOf(end)
+    val from = start.map(versionOf).getOrElse(floor)
+    val ordered = schema.fieldNames.toSeq
+    val steps = (from until to).map { v =>
+      WarehouseFs.changeFeed(spark, table, keyCols, v, v + 1).getOrElse(
+        throw new IllegalStateException(
+          s"graft-cdf: step $v→${v + 1} of $table is no longer retained — " +
+            "keepVersions must exceed the stream's lag"))
+        .withColumn("_commit_version", lit(v + 1L))
+        .select(ordered.map(col): _*)
+    }
+    org.apache.spark.sql.graft.StreamingInternal.asStreaming(
+      steps.reduceOption(_.unionByName(_)).getOrElse(
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)))
+  }
+
+  override def stop(): Unit = ()
+}

@@ -225,6 +225,127 @@ class WarehouseDmlSpec extends SparkSpec {
     assert(WarehouseFs.readStats(spark, t2).isEmpty)
   }
 
+  test("mergeInto: update, delete, and insert clauses land in ONE file-granular commit") {
+    val t = tmpTable()
+    publishFixture(t, keepVersions = 5)
+    // source: 100 → update (grp from source), 101 → delete (grp=99 marker),
+    // 90000 → insert. All three keys hit one range file + one insert file.
+    val src = Seq((100L, "u100_new", 50L), (101L, "kill", 99L),
+      (90000L, "u90000", 7L)).toDF("id", "user", "grp")
+    WarehouseFs.mergeInto(src, t, "id",
+      whenMatchedUpdate = Map(
+        "user" -> col("src_user"),
+        "grp" -> (col("grp") * 100L + col("src_grp"))),
+      whenMatchedDelete = Some(col("src_grp") === 99L),
+      keepVersions = 5)
+    val got = WarehouseFs.readTable(spark, t).get
+    assert(got.count() === 8000L) // 8000 - 1 delete + 1 insert
+    assert(got.filter(col("id") === 101L).count() === 0, "matched-delete row gone")
+    // SET expressions see both sides: target grp (100%7=2) and source grp
+    assert(got.filter(col("id") === 100L).select("user", "grp").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet === Set(("u100_new", 250L)))
+    assert(got.filter(col("id") === 90000L).select("user").as[String].collect() ===
+      Array("u90000"))
+    // unmatched neighbor in the rewritten file untouched
+    assert(got.filter(col("id") === 102L).select("user").as[String].collect() ===
+      Array("u102"))
+    // file-granular: 100/101 share one range file; inserts land beside it
+    assert(dirFileCount(t, currentDir(t)) <= 2,
+      "only the bloom-matched file (plus inserts) may be written")
+    assert(dirFileCount(t, "v00000001") === 8)
+    // change feed across the merge is exactly the three row effects
+    val feed = WarehouseFs.changeFeed(spark, t, Seq("id"), 1, 2).get
+    assert(feed.select("id", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ===
+      Set((100L, "update_preimage"), (100L, "update_postimage"),
+        (101L, "delete"), (90000L, "insert")))
+  }
+
+  test("mergeInto: bulk regime (keys above maxPointKeys) matches the point regime exactly") {
+    val tP = tmpTable(); val tB = tmpTable()
+    publishFixture(tP, keepVersions = 5); publishFixture(tB, keepVersions = 5)
+    val src = spark.range(0, 3000, 2) // 1500 keys: evens 0..2998 update
+      .select(col("id"), concat(lit("m"), col("id")).as("user"), lit(0L).as("grp"))
+      .union(Seq((99999L, "m99999", 0L)).toDF("id", "user", "grp"))
+    def run(t: String, maxPoint: Int) = WarehouseFs.mergeInto(src, t, "id",
+      whenMatchedUpdate = Map("user" -> col("src_user")),
+      whenMatchedDelete = Some(col("id") % 10L === 4L), // every 5th even key
+      maxPointKeys = maxPoint, keepVersions = 5)
+    run(tP, 10000) // point: collected keys drive the bloom probe
+    run(tB, 10)    // bulk: same semantics, no key collection
+    val p = WarehouseFs.readTable(spark, tP).get
+      .select("id", "user", "grp").collect().map(_.toSeq).toSet
+    val b = WarehouseFs.readTable(spark, tB).get
+      .select("id", "user", "grp").collect().map(_.toSeq).toSet
+    assert(p === b, "regimes must be semantically identical")
+    assert(p.size === 8000 - 300 + 1) // 300 deletes (evens ending in 4), 1 insert
+  }
+
+  test("mergeInto: duplicate or null source keys are rejected; empty source is a no-op") {
+    val t = tmpTable()
+    publishFixture(t, keepVersions = 5)
+    val dup = intercept[IllegalArgumentException] {
+      WarehouseFs.mergeInto(
+        Seq((1L, "a", 0L), (1L, "b", 0L)).toDF("id", "user", "grp"), t, "id")
+    }
+    assert(dup.getMessage.contains("unique"))
+    val nul = intercept[IllegalArgumentException] {
+      WarehouseFs.mergeInto(
+        Seq((Some(1L), "a", 0L), (None, "b", 0L))
+          .toDF("id", "user", "grp"), t, "id")
+    }
+    assert(nul.getMessage.contains("null keys"))
+    // update-only merge may carry a partial schema (key + referenced cols)
+    WarehouseFs.mergeInto(Seq((7L, "seven")).toDF("id", "nick"), t, "id",
+      whenMatchedUpdate = Map("user" -> col("src_nick")),
+      whenNotMatchedInsert = false, keepVersions = 5)
+    assert(WarehouseFs.readTable(spark, t).get.filter(col("id") === 7L)
+      .select("user").as[String].collect() === Array("seven"))
+    // empty source: no new version
+    val vBefore = WarehouseFs.listVersions(spark, t).max
+    WarehouseFs.mergeInto(
+      spark.emptyDataFrame.select(lit(1L).as("id"), lit("x").as("user"),
+        lit(0L).as("grp")).limit(0), t, "id")
+    assert(WarehouseFs.listVersions(spark, t).max === vBefore)
+  }
+
+  test("CDC replication: a replica follows the source through a DML chain, O(changes) files per step") {
+    val src = tmpTable(); val dst = tmpTable()
+    publishFixture(src, keepVersions = 10)
+    publishFixture(dst, keepVersions = 10)
+    // a chain of three heterogeneous DMLs on the source
+    WarehouseFs.deleteWhere(spark, src, "id", Seq(777L), keepVersions = 10)
+    WarehouseFs.upsertRows(
+      Seq((12L, "u12_v2", 3L), (91000L, "u91000", 3L)).toDF("id", "user", "grp"),
+      src, "id", keepVersions = 10)
+    WarehouseFs.mergeInto(
+      Seq((13L, "u13_v3", 0L), (14L, "x", 99L)).toDF("id", "user", "grp"),
+      src, "id",
+      whenMatchedUpdate = Map("user" -> col("src_user")),
+      whenMatchedDelete = Some(col("src_grp") === 99L), keepVersions = 10)
+
+    assert(WarehouseFs.replicate(spark, src, dst, "id", 1L, 4L,
+      keepVersions = 10) === Some(3))
+    val s = WarehouseFs.readTable(spark, src).get
+      .select("id", "user", "grp").collect().map(_.toSeq).toSet
+    val d = WarehouseFs.readTable(spark, dst).get
+      .select("id", "user", "grp").collect().map(_.toSeq).toSet
+    assert(d === s, "replica must converge to the source")
+    // each replica step was copy-on-write: v1's 8 files still carried
+    assert(dirFileCount(dst, "v00000001") === 8)
+    assert(dirFileCount(dst, currentDir(dst)) <= 2,
+      "a 2-key step may rewrite at most its bloom-matched file + inserts")
+    // every intermediate state is visible on the replica's own chain
+    assert(WarehouseFs.readTableVersion(spark, dst, 2).get.count() === 7999)
+    // a feed key changing twice in one hand-built batch is rejected
+    val bad = Seq((1L, "a", 0L, "insert"), (1L, "b", 0L, "delete"))
+      .toDF("id", "user", "grp", "_change_type")
+    val e = intercept[IllegalArgumentException] {
+      WarehouseFs.applyChangeFeed(spark, bad, dst, "id")
+    }
+    assert(e.getMessage.contains("unique"))
+  }
+
   test("upsertRows refuses schema drift instead of silently dropping columns") {
     val t = tmpTable()
     WarehouseFs.publishVersioned(
