@@ -878,17 +878,25 @@ object WarehouseFs {
     * order-dependent, the ambiguity ANSI MERGE rejects at runtime).
     * When inserts are enabled the source schema must equal the table
     * schema; an update/delete-only merge may carry just the key plus
-    * whatever the expressions reference. */
+    * whatever the expressions reference.
+    *
+    * `whenNotMatchedBySourceDelete` (the full-sync clause: drop target
+    * rows absent from the source, optionally gated by a condition over
+    * TARGET columns) forces the bulk regime — an unmatched target row
+    * can live in ANY file, so every file must be inspected; that is
+    * the honest cost of a sync, not a pruning failure. */
   def mergeInto(source: DataFrame, table: String, keyCol: String,
                 whenMatchedUpdate: Map[String, Column] = Map.empty,
                 whenMatchedDelete: Option[Column] = None,
                 whenNotMatchedInsert: Boolean = true,
+                whenNotMatchedBySourceDelete: Option[Column] = None,
                 maxPointKeys: Int = 10000,
                 keepVersions: Int = 2,
                 refreshStats: Boolean = true): Unit = {
     import org.apache.spark.sql.functions.{coalesce, col, count, count_distinct, lit, when}
     require(whenMatchedUpdate.nonEmpty || whenMatchedDelete.nonEmpty ||
-      whenNotMatchedInsert, "mergeInto: at least one clause required")
+      whenNotMatchedInsert || whenNotMatchedBySourceDelete.nonEmpty,
+      "mergeInto: at least one clause required")
     val spark = source.sparkSession
     val r = resolveVersion(spark, table, None).getOrElse(
       throw new IllegalArgumentException(
@@ -902,14 +910,14 @@ object WarehouseFs {
     val ks = source.agg(count(lit(1)), count(col(keyCol)),
       count_distinct(col(keyCol))).head()
     val (nRows, nKeys, nDistinct) = (ks.getLong(0), ks.getLong(1), ks.getLong(2))
-    if (nRows == 0L) return
+    if (nRows == 0L && whenNotMatchedBySourceDelete.isEmpty) return
     require(nKeys == nRows, s"mergeInto: source has ${nRows - nKeys} null keys")
     require(nDistinct == nKeys,
       s"mergeInto: source keys must be unique ($nKeys rows, $nDistinct keys) — " +
         "a key matching twice makes the merge order-dependent")
 
     val touched =
-      if (nDistinct <= maxPointKeys) {
+      if (whenNotMatchedBySourceDelete.isEmpty && nDistinct <= maxPointKeys) {
         val keys = source.select(keyCol).distinct().collect().map(_.get(0)).toSeq
         candidatesRootRelative(spark, table, r, keyCol, keys).getOrElse(all)
       } else all
@@ -937,7 +945,9 @@ object WarehouseFs {
       val matched = srcKey.isNotNull
       val afterDelete = whenMatchedDelete.fold(joined)(c =>
         joined.filter(!(matched && coalesce(c, lit(false)))))
-      afterDelete.select(tableCols.map { c =>
+      val afterBySource = whenNotMatchedBySourceDelete.fold(afterDelete)(c =>
+        afterDelete.filter(matched || !coalesce(c, lit(false))))
+      afterBySource.select(tableCols.map { c =>
         whenMatchedUpdate.get(c) match {
           case Some(e) => when(matched, e).otherwise(col(c)).as(c)
           case None => col(c)

@@ -281,6 +281,28 @@ class WarehouseDmlSpec extends SparkSpec {
     assert(p.size === 8000 - 300 + 1) // 300 deletes (evens ending in 4), 1 insert
   }
 
+  test("mergeInto: whenNotMatchedBySourceDelete syncs the target to the source") {
+    val t = tmpTable()
+    publishFixture(t, keepVersions = 5)
+    // full sync to a 100-row source: ids 0..49 keep (updated), 7950..7999
+    // keep via the condition guard (grp 6 is protected), everything else goes
+    val src = spark.range(50)
+      .select(col("id"), concat(lit("s"), col("id")).as("user"), lit(0L).as("grp"))
+    WarehouseFs.mergeInto(src, t, "id",
+      whenMatchedUpdate = Map("user" -> col("src_user")),
+      whenNotMatchedBySourceDelete = Some(col("grp") =!= 6L), keepVersions = 5)
+    val got = WarehouseFs.readTable(spark, t).get
+    val expectProtected = (50L until 8000L).filter(_ % 7 == 6)
+    assert(got.count() === 50 + expectProtected.size)
+    assert(got.filter(col("id") === 10L).select("user").as[String].collect() ===
+      Array("s10"))
+    assert(got.filter(col("id") >= 50L).select("grp").distinct()
+      .as[Long].collect().toSeq === Seq(6L),
+      "only condition-protected unmatched rows survive")
+    // the sync regime inspects every file: the new version owns all its data
+    assert(WarehouseFs.readTableVersion(spark, t, 1).get.count() === 8000)
+  }
+
   test("mergeInto: duplicate or null source keys are rejected; empty source is a no-op") {
     val t = tmpTable()
     publishFixture(t, keepVersions = 5)
