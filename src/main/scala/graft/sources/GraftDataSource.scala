@@ -1,0 +1,159 @@
+package graft.sources
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SaveMode}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+
+/** The warehouse as a registered Spark data source: versioned manifest
+  * tables readable with `spark.read.format("graft")` (and writable with
+  * `df.write.format("graft")`), or attachable from pure SQL —
+  *
+  * {{{
+  * CREATE TEMPORARY VIEW tx USING graft OPTIONS (table '/wh/tx')
+  * SELECT * FROM tx WHERE user_id = 42        -- bloom file pruning
+  * SELECT * FROM tx WHERE day BETWEEN 10 AND 12  -- zone file pruning
+  * }}}
+  *
+  * Pushdown: Catalyst hands the relation its filters
+  * ([[PrunedFilteredScan]]); equality / IN conjuncts drive the bloom
+  * index, bounded ranges drive the zone map, and the surviving
+  * predicate set re-applies on the pruned read — Spark ALSO
+  * re-evaluates every filter above the relation (none are declared
+  * handled), so index pruning is strictly a file-skip optimization and
+  * bloom false positives stay invisible. Column pruning maps straight
+  * onto the parquet scan's `ReadSchema`.
+  *
+  * Options: `table` (path, required), `version` (time travel).
+  *
+  * Scale notes: the V1 row-based boundary costs one InternalRow→Row→
+  * InternalRow round-trip, which is noise for the point-lookup and
+  * narrow-range reads this surface exists for; full-table analytics
+  * should read the manifest directly ([[WarehouseFs.readTable]] /
+  * [[graft.GraftSession]] attach), which stays fully columnar. A
+  * `SaveMode.Append`-free overwrite write publishes a new version via
+  * [[WarehouseFs.publishVersioned]] (bloom/zone columns via
+  * `bloomIndexCols` / `zoneMapCols` comma-lists). */
+class GraftSource extends RelationProvider with CreatableRelationProvider
+    with DataSourceRegister {
+  override def shortName(): String = "graft"
+
+  private def tableOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("table",
+      throw new IllegalArgumentException("graft source: option 'table' required"))
+
+  override def createRelation(sqlContext: SQLContext,
+                              parameters: Map[String, String]): BaseRelation =
+    GraftRelation(sqlContext, tableOf(parameters),
+      parameters.get("version").map(_.toLong))
+
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+                              parameters: Map[String, String],
+                              data: DataFrame): BaseRelation = {
+    val table = tableOf(parameters)
+    def cols(k: String) = parameters.get(k)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val exists = WarehouseFs.currentVersion(data.sparkSession, table).isDefined
+    mode match {
+      case SaveMode.ErrorIfExists if exists =>
+        throw new IllegalStateException(s"graft source: $table already exists")
+      case SaveMode.Ignore if exists => // leave as-is
+      case SaveMode.Append if exists =>
+        // versions are full snapshots; a silent append-as-overwrite would
+        // drop data. Row-level addition is upsertRows/mergeInto territory.
+        throw new UnsupportedOperationException(
+          "graft source: Append is not a snapshot semantics — publish a " +
+            "new version (Overwrite) or use WarehouseFs.upsertRows/mergeInto")
+      case _ =>
+        WarehouseFs.publishVersioned(data, table,
+          partitionBy = cols("partitionBy"),
+          keepVersions = parameters.get("keepVersions").map(_.toInt).getOrElse(2),
+          collectStats = parameters.get("collectStats").exists(_.toBoolean),
+          bloomIndexCols = cols("bloomIndexCols"),
+          zoneMapCols = cols("zoneMapCols"))
+    }
+    GraftRelation(sqlContext, table, None)
+  }
+}
+
+case class GraftRelation(sqlContext: SQLContext, table: String,
+                         version: Option[Long])
+    extends BaseRelation with PrunedFilteredScan {
+  private def spark = sqlContext.sparkSession
+
+  override val schema: StructType =
+    (version match {
+      case Some(v) => WarehouseFs.readTableVersion(spark, table, v)
+      case None => WarehouseFs.readTable(spark, table)
+    }).getOrElse(throw new IllegalArgumentException(
+      s"graft source: $table${version.fold("")(v => s"@v$v")} is not a " +
+        "committed versioned table")).schema
+
+  /** (point-equality probes, bounded-range probes) extractable from the
+    * pushed conjunction — ONLY top-level conjuncts participate (a
+    * disjunction can't prune per-branch without union semantics), and
+    * unsupported shapes simply don't prune. Public so tests can pin the
+    * translation. */
+  def indexProbes(filters: Array[Filter])
+      : (Map[String, Seq[Any]], Map[String, (Any, Any)]) = {
+    val flat = filters.flatMap {
+      case And(l, r) => Seq(l, r)
+      case f => Seq(f)
+    }
+    val point = flat.collect {
+      case EqualTo(a, v) if v != null => a -> Seq(v)
+      case In(a, vs) if vs.nonEmpty && !vs.contains(null) => a -> vs.toSeq
+    }.groupBy(_._1)
+      // two point conjuncts on one column must BOTH hold → value-set ∩
+      .map { case (c, ps) => c -> ps.map(_._2.toSet).reduce(_ intersect _).toSeq }
+      .filter(_._2.nonEmpty)
+    val los = flat.collect {
+      case GreaterThan(a, v) => a -> v
+      case GreaterThanOrEqual(a, v) => a -> v
+      case EqualTo(a, v) if v != null => a -> v
+    }.groupBy(_._1).map { case (c, vs) => c -> vs.map(_._2).maxBy(_.toString) }
+    val his = flat.collect {
+      case LessThan(a, v) => a -> v
+      case LessThanOrEqual(a, v) => a -> v
+      case EqualTo(a, v) if v != null => a -> v
+    }.groupBy(_._1).map { case (c, vs) => c -> vs.map(_._2).minBy(_.toString) }
+    val ranges = los.keySet.intersect(his.keySet)
+      .map(c => c -> ((los(c), his(c)))).toMap
+    (point, ranges)
+  }
+
+  /** Best-effort Filter→Column for re-applying pushed predicates inside
+    * the pruned read (row-group pushdown + fewer rows over the V1 row
+    * boundary); None for shapes we leave to Spark's re-evaluation. */
+  private def toColumn(f: Filter): Option[org.apache.spark.sql.Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === lit(v))
+    case In(a, vs) => Some(col(a).isin(vs: _*))
+    case GreaterThan(a, v) => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v) => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case And(l, r) => for { lc <- toColumn(l); rc <- toColumn(r) } yield lc && rc
+    case Or(l, r) => for { lc <- toColumn(l); rc <- toColumn(r) } yield lc || rc
+    case Not(c) => toColumn(c).map(!_)
+    case _ => None
+  }
+
+  override def buildScan(requiredColumns: Array[String],
+                         filters: Array[Filter]): RDD[Row] = {
+    val (point, ranges) = indexProbes(filters)
+    val (pruned, _, _) = WarehouseFs
+      .prunedScan(spark, table, point, ranges, version)
+      .getOrElse(throw new IllegalStateException(
+        s"graft source: $table vanished between schema and scan"))
+    val filtered = filters.flatMap(toColumn).foldLeft(pruned)(_.filter(_))
+    val projected =
+      if (requiredColumns.isEmpty)
+        // COUNT(*)-style scans: Spark wants bare rows, any column does
+        filtered.select(lit(1).as("one")).drop("one")
+      else filtered.select(requiredColumns.map(col).toSeq: _*)
+    projected.rdd
+  }
+}

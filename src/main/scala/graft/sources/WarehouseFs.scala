@@ -420,6 +420,53 @@ object WarehouseFs {
     * a superset of the truly-matching files — bloom false positives cost
     * an extra open, false negatives cannot occur. The probe touches only
     * the ≤|files|-row index relation, zero data I/O. */
+  /** Combined metadata-pruned scan: ONE file set satisfying a
+    * conjunction of point predicates (bloom-probed per column) and
+    * range predicates (zone-probed per column) — candidate sets
+    * INTERSECT, because every predicate must hold. Predicates on
+    * unindexed columns contribute nothing (the caller re-applies the
+    * exact predicates on the survivors, so pruning is only ever a
+    * file-skip optimization, never a correctness dependence).
+    *
+    * Returns (dataframe over the surviving files, survivors, total) —
+    * the counts are the pruning evidence a caller (or a test) can
+    * assert on. This is the [[GraftSource]] pushdown target; it is
+    * also the direct API for a reader combining both index kinds
+    * (`WHERE user = ? AND day BETWEEN ? AND ?`). */
+  def prunedScan(spark: SparkSession, table: String,
+                 point: Map[String, Seq[Any]] = Map.empty,
+                 ranges: Map[String, (Any, Any)] = Map.empty,
+                 version: Option[Long] = None): Option[(DataFrame, Int, Int)] =
+    resolveVersion(spark, table, version).map { r =>
+      val (fs, t) = fsFor(spark, table)
+      val all = versionFiles(fs, t, r)
+      var cand: Set[String] = all.toSet
+      point.foreach { case (c, vs) =>
+        if (vs.nonEmpty && !vs.contains(null))
+          candidatesRootRelative(spark, table, r, c, vs)
+            .foreach(cs => cand = cand.intersect(cs.toSet))
+      }
+      ranges.foreach { case (c, (lo, hi)) =>
+        zoneCandidateFiles(spark, table, c, lo, hi, Some(r.version)).foreach {
+          cs =>
+            val rooted = if (r.isFileList) cs else cs.map(f => s"${r.dirName}/$f")
+            cand = cand.intersect(rooted.toSet)
+        }
+      }
+      val files = all.filter(cand)
+      val df =
+        if (files.size == all.size) readResolved(spark, table, r)
+        else if (files.isEmpty) readResolved(spark, table, r).limit(0)
+        else if (r.isFileList)
+          spark.read.parquet(files.map(f => s"$table/$f"): _*)
+        else {
+          val p = s"$table/${r.dirName}"
+          spark.read.option("basePath", p)
+            .parquet(files.map(f => s"$table/$f"): _*)
+        }
+      (df, files.size, all.size)
+    }
+
   /** Balanced OR of per-value bloom probes: a left-deep `reduce(_||_)`
     * overflows the analyzer's recursion around ~1.5k values (each Or
     * copy releases a fence per level); a log-depth tree takes 10k+

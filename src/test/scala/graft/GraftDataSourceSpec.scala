@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{And => FAnd, EqualTo => FEq, GreaterThanOrEqual => FGe, In => FIn, LessThanOrEqual => FLe, StringContains}
+import graft.sources.{GraftRelation, WarehouseFs}
+
+/** The registered `graft` data source: versioned tables via
+  * `spark.read.format("graft")` and SQL `USING graft`, with pushed
+  * filters driving bloom/zone FILE pruning and everything re-checked
+  * above the relation. */
+class GraftDataSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpTable() =
+    s"${java.nio.file.Files.createTempDirectory("graft_ds_")}/t"
+
+  private def publish(t: String): Unit =
+    WarehouseFs.publishVersioned(
+      spark.range(8000)
+        .select(col("id"), concat(lit("u"), col("id")).as("user"),
+          (col("id") % 7).as("grp"))
+        .repartitionByRange(8, col("id")),
+      t, keepVersions = 5, bloomIndexCols = Seq("id", "user"),
+      zoneMapCols = Seq("id"))
+
+  test("format(graft): schema, full read, point read, and SQL attach agree") {
+    val t = tmpTable(); publish(t)
+    val df = spark.read.format("graft").option("table", t).load()
+    assert(df.columns.toSeq === Seq("id", "user", "grp"))
+    assert(df.count() === 8000)
+    assert(df.filter(col("id") === 1234L).select("user").as[String].collect() ===
+      Array("u1234"))
+    // short name resolves from SQL too
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW graft_ds_v " +
+      s"USING graft OPTIONS (table '$t')")
+    assert(spark.sql("SELECT user FROM graft_ds_v WHERE id = 77")
+      .as[String].collect() === Array("u77"))
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graft_ds_v WHERE id BETWEEN 100 AND 199")
+      .as[Long].collect() === Array(100L))
+    spark.sql("DROP VIEW graft_ds_v")
+  }
+
+  test("pushed filters prune files: bloom for equality/IN, zones for ranges, intersected") {
+    val t = tmpTable(); publish(t)
+    val rel = GraftRelation(spark.sqlContext, t, None)
+    // translation: conjuncts split, IN sets intersect, eq feeds ranges too
+    val (point, ranges) = rel.indexProbes(Array(
+      FAnd(FEq("user", "u10"), FIn("id", Array(10L, 11L)))))
+    assert(point === Map("user" -> Seq("u10"), "id" -> Seq(10L, 11L)))
+    // equality doubles as a degenerate range (zone-prunable); IN does not
+    assert(ranges === Map("user" -> (("u10", "u10"))))
+    // a range-only probe
+    val (_, r2) = rel.indexProbes(Array(FGe("id", 2000L), FLe("id", 2100L)))
+    assert(r2 === Map("id" -> ((2000L, 2100L))))
+    // unsupported shapes translate to nothing (and stay correct upstream)
+    assert(rel.indexProbes(Array(StringContains("user", "u1"))) ===
+      ((Map.empty, Map.empty)))
+
+    // pruning evidence through the combined scan: equality on a bloom
+    // column + range on the zone column opens a strict file subset
+    val Some((_, nPoint, total)) = WarehouseFs.prunedScan(spark, t,
+      point = Map("id" -> Seq(42L)))
+    assert(total === 8)
+    assert(nPoint < total, "bloom must prune the range-clustered layout")
+    val Some((_, nBoth, _)) = WarehouseFs.prunedScan(spark, t,
+      point = Map("user" -> Seq("u4000")),
+      ranges = Map("id" -> ((0L, 10L))))
+    assert(nBoth === 0,
+      "intersection: u4000's bloom files and id≤10's zone files are disjoint")
+
+    // end-to-end parity on every path, including the empty-intersection read
+    val ds = spark.read.format("graft").option("table", t).load()
+    assert(ds.filter(col("user") === "u4000" && col("id") <= 10L).count() === 0)
+    assert(ds.filter(col("id") >= 2000L && col("id") <= 2100L).count() === 101)
+    assert(ds.filter(col("user").isin("u1", "u2", "u9999")).count() === 2)
+  }
+
+  test("time travel via option(version), write path publishes a version") {
+    val t = tmpTable()
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.format("graft")
+      .option("table", t).option("bloomIndexCols", "id")
+      .option("keepVersions", "5").save()
+    WarehouseFs.deleteWhere(spark, t, "id", Seq(1L), keepVersions = 5)
+    assert(spark.read.format("graft").option("table", t).load().count() === 1)
+    assert(spark.read.format("graft").option("table", t)
+      .option("version", "1").load().count() === 2)
+    // ErrorIfExists honors existing tables
+    intercept[IllegalStateException] {
+      Seq((9L, "z")).toDF("id", "v").write.format("graft")
+        .option("table", t).mode("error").save()
+    }
+    // a count(*) with no required columns still counts rows
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW graft_ds_w " +
+      s"USING graft OPTIONS (table '$t')")
+    assert(spark.sql("SELECT count(*) AS n FROM graft_ds_w").as[Long].collect()
+      === Array(1L))
+    spark.sql("DROP VIEW graft_ds_w")
+  }
+}
