@@ -16,4 +16,15 @@ object StreamingInternal {
     cs.internalCreateDataFrame(cdf.queryExecution.toRdd, cdf.schema,
       isStreaming = true)
   }
+
+  /** The inverse, for v1 `Sink.addBatch`: pin a micro-batch's executed
+    * plan as an ordinary batch DataFrame so the sink can run normal
+    * multi-action DataFrame code over it (what ForeachBatchSink does
+    * before handing the batch to user code). */
+  def asBatch(df: DataFrame): DataFrame = {
+    val cdf = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
+    val cs = cdf.sparkSession
+    cs.internalCreateDataFrame(cdf.queryExecution.toRdd, cdf.schema,
+      isStreaming = false)
+  }
 }

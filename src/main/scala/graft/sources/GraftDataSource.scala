@@ -36,8 +36,43 @@ import org.apache.spark.sql.types.StructType
   * [[WarehouseFs.publishVersioned]] (bloom/zone columns via
   * `bloomIndexCols` / `zoneMapCols` comma-lists). */
 class GraftSource extends RelationProvider with CreatableRelationProvider
-    with DataSourceRegister {
+    with StreamSinkProvider with DataSourceRegister {
   override def shortName(): String = "graft"
+
+  /** `writeStream.format("graft")`: each micro-batch upserts into a
+    * versioned table through the copy-on-write path (the declarative
+    * face of [[graft.streaming.EventStreams.upsertSinkCoW]]) — per-batch
+    * write cost is O(files touched by the batch's keys) on a
+    * bloom-indexed table, never the snapshot rewrite. Update and Append
+    * modes both land as upserts (at-least-once: replays re-put the same
+    * key/value pairs, so the sink is value-idempotent provided each
+    * batch carries one row per key — dedupe upstream with
+    * `dropDuplicates`/`latestPerKey`). Stats refresh is skipped per
+    * batch; run a scheduled publish/compaction to re-profile. */
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(partitionColumns.isEmpty,
+      "graft sink: row-level CoW needs an unpartitioned table")
+    val table = tableOf(parameters)
+    val keyCol = parameters.getOrElse("keyCol",
+      throw new IllegalArgumentException("graft sink: option 'keyCol' required"))
+    val keep = parameters.get("keepVersions").map(_.toInt).getOrElse(2)
+    new org.apache.spark.sql.execution.streaming.Sink {
+      override def addBatch(batchId: Long, data: DataFrame): Unit = {
+        val pinned = org.apache.spark.sql.graft.StreamingInternal.asBatch(data)
+        pinned.persist()
+        try {
+          if (!pinned.isEmpty)
+            WarehouseFs.upsertRows(pinned, table, keyCol, keep,
+              refreshStats = false)
+        } finally pinned.unpersist()
+      }
+      override def toString: String = s"GraftCoWSink($table, key=$keyCol)"
+    }
+  }
 
   private def tableOf(parameters: Map[String, String]): String =
     parameters.getOrElse("table",

@@ -31,10 +31,10 @@ import graft.sources.WarehouseFs
   *
   * Options: `table` (path), `keyCols` (comma-separated), optional
   * `startingVersion` (first version whose ARRIVAL the stream reports;
-  * default = versions committed after stream start). Restarting from a
-  * checkpoint re-creates the source, so set `startingVersion` when a
-  * checkpoint may replay its FIRST batch — later batches recover
-  * exactly from the offset log either way. */
+  * default = versions committed after stream start). The resolved
+  * starting floor is committed into the checkpoint's metadata dir on
+  * first start, so restarts — including a replay of the very first
+  * batch — resume against the original floor, not a re-derived one. */
 class CdfSourceProvider extends StreamSourceProvider with DataSourceRegister {
   override def shortName(): String = "graft-cdf"
 
@@ -54,7 +54,7 @@ class CdfSourceProvider extends StreamSourceProvider with DataSourceRegister {
       throw new IllegalArgumentException("graft-cdf: option 'keyCols' required"))
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
     new CdfSource(sqlContext, tableOf(parameters), keyCols,
-      parameters.get("startingVersion").map(_.toLong))
+      parameters.get("startingVersion").map(_.toLong), Some(metadataPath))
   }
 }
 
@@ -69,16 +69,55 @@ object CdfSource {
 }
 
 class CdfSource(sqlContext: SQLContext, table: String, keyCols: Seq[String],
-                startingVersion: Option[Long]) extends Source {
+                startingVersion: Option[Long],
+                metadataPath: Option[String] = None) extends Source {
   private val spark = sqlContext.sparkSession
 
   override val schema: StructType = CdfSource.feedSchema(sqlContext, table)
 
   /** Highest version already "seen" before the stream begins: changes
     * OF version v are reported once v commits, so the floor is v−1 of
-    * the first reported version. */
-  private val floor: Long = startingVersion.map(_ - 1L).getOrElse(
-    WarehouseFs.currentVersion(spark, table).map(_._1).getOrElse(0L))
+    * the first reported version.
+    *
+    * The resolved floor persists under the stream's own `metadataPath`
+    * (inside the checkpoint, tmp→rename committed), so a RESTARTED
+    * query replays its first batch against the ORIGINAL floor instead
+    * of re-deriving "current at source creation" — the same pattern
+    * FileStreamSource uses for its seen-files log. A persisted floor
+    * always wins over the options (checkpoint semantics: the stream's
+    * identity is fixed at first start). */
+  private val floor: Long = {
+    val computed = () => startingVersion.map(_ - 1L).getOrElse(
+      WarehouseFs.currentVersion(spark, table).map(_._1).getOrElse(0L))
+    metadataPath match {
+      case None => computed()
+      case Some(mp) =>
+        val conf = spark.sessionState.newHadoopConf()
+        val dir = new org.apache.hadoop.fs.Path(mp)
+        val fs = dir.getFileSystem(conf)
+        val f = new org.apache.hadoop.fs.Path(dir, "cdf-floor")
+        if (fs.exists(f)) {
+          val in = fs.open(f)
+          try new String(
+            org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+            "UTF-8").trim.toLong
+          finally in.close()
+        } else {
+          val v = computed()
+          fs.mkdirs(dir)
+          val tmp = new org.apache.hadoop.fs.Path(dir, ".cdf-floor.tmp")
+          val out = fs.create(tmp, true)
+          try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+          if (!fs.rename(tmp, f)) { // lost a benign race: read the winner
+            val in = fs.open(f)
+            try new String(
+              org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+              "UTF-8").trim.toLong
+            finally in.close()
+          } else v
+        }
+    }
+  }
 
   override def getOffset: Option[V1Offset] = {
     val cur = WarehouseFs.currentVersion(spark, table).map(_._1).getOrElse(0L)

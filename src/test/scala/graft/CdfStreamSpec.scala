@@ -1,7 +1,9 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import graft.sources.WarehouseFs
+import graft.streaming.CdfSource
 
 /** The change-feed streaming source: every committed version's row
   * deltas arrive as micro-batches, stamped with the version that
@@ -53,6 +55,53 @@ class CdfStreamSpec extends SparkSpec {
       q.stop()
       spark.sql("DROP TABLE IF EXISTS cdf_sink")
     }
+  }
+
+  test("the starting floor persists in the checkpoint: restarts keep the original identity") {
+    val t = tmpTable()
+    WarehouseFs.publishVersioned(spark.range(10).toDF("id"), t, keepVersions = 10)
+    val meta = java.nio.file.Files.createTempDirectory("graft_cdf_meta_").toString
+    // first start pins floor = startingVersion − 1
+    val s1 = new CdfSource(spark.sqlContext, t, Seq("id"), Some(5L), Some(meta))
+    // a "restart" with DIFFERENT options must resume from the committed
+    // floor, not re-derive one (checkpoint identity wins)
+    val s2 = new CdfSource(spark.sqlContext, t, Seq("id"), None, Some(meta))
+    val s3 = new CdfSource(spark.sqlContext, t, Seq("id"), Some(9L), Some(meta))
+    // all three agree: no offset below v5 is ever re-reported, none skipped
+    for (s <- Seq(s1, s2, s3))
+      assert(s.getOffset.isEmpty, "current v1 is below the pinned floor 4 → no data")
+    // without a metadata path the default floor derives from the table
+    val fresh = new CdfSource(spark.sqlContext, t, Seq("id"), None, None)
+    assert(fresh.getOffset.isEmpty, "floor = current version → nothing new")
+  }
+
+  test("writeStream.format(graft): micro-batches land as CoW upserts") {
+    val t = tmpTable()
+    WarehouseFs.publishVersioned(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), t,
+      keepVersions = 10, bloomIndexCols = Seq("id"))
+    val in = MemoryStream[(Long, String)](spark)
+    val q = in.toDF().toDF("id", "v")
+      .writeStream.format("graft")
+      .option("table", t).option("keyCol", "id")
+      .option("keepVersions", "10")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_sink_ckpt_").toString)
+      .outputMode("update").start()
+    try {
+      in.addData((2L, "b2"), (3L, "c"))
+      q.processAllAvailable()
+      assert(WarehouseFs.readTable(spark, t).get.orderBy("id")
+        .as[(Long, String)].collect().toSeq ===
+        Seq((1L, "a"), (2L, "b2"), (3L, "c")))
+      in.addData((1L, "a2"))
+      q.processAllAvailable()
+      assert(WarehouseFs.readTable(spark, t).get.orderBy("id")
+        .as[(Long, String)].collect().toSeq ===
+        Seq((1L, "a2"), (2L, "b2"), (3L, "c")))
+      // each batch was its own CoW version on the chain
+      assert(WarehouseFs.listVersions(spark, t).size === 3)
+    } finally q.stop()
   }
 
   test("a feed stream drives a replica via foreachBatch: end-state parity") {
