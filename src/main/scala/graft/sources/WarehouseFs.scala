@@ -472,15 +472,53 @@ object WarehouseFs {
     * copy releases a fence per level); a log-depth tree takes 10k+
     * point keys (the [[mergeInto]] regime boundary) without breaking
     * a sweat. */
-  private def bloomHitExpr(column: String, values: Seq[Any]): Column = {
+  private def bloomHitExpr(column: String, values: Seq[Any],
+                           colType: Option[org.apache.spark.sql.types.DataType])
+      : Column = {
     import org.apache.spark.sql.functions.{col, lit}
     import org.apache.spark.sql.graft.BloomExpressions.bloom_might_contain
     def orTree(cs: Seq[Column]): Column =
       if (cs.size == 1) cs.head
       else orTree(cs.grouped(2)
         .map(g => if (g.size == 2) g(0) || g(1) else g(0)).toSeq)
-    orTree(values.map(v => bloom_might_contain(col(s"b_$column"),
-      lit(v).cast("string"), BloomIndexHashes)))
+    // canonicalize through the COLUMN's type first: the build side hashed
+    // `col.cast(string)` of the stored type, so a probe of a different
+    // numeric type stringifies differently (2 vs 2.0) and would produce
+    // a bloom FALSE NEGATIVE — the one failure mode the index must
+    // never have
+    def probe(v: Any): Column =
+      colType.fold(lit(v))(t => lit(v).cast(t)).cast("string")
+    orTree(values.map(v =>
+      bloom_might_contain(col(s"b_$column"), probe(v), BloomIndexHashes)))
+  }
+
+  /** Column types of one committed version — the probe-canonicalization
+    * and write-alignment reference (one parquet footer, no data I/O). */
+  private def versionSchema(spark: SparkSession, table: String,
+                            r: ResolvedVersion)
+      : org.apache.spark.sql.types.StructType =
+    readResolved(spark, table, r).schema
+
+  /** Align `df` to the table's committed schema by SAFE upcasts only
+    * (int→long, float→double, …): a CoW rewrite whose new file stores a
+    * widened type beside carried files of the original would poison the
+    * table, and a LOSSY cast is schema drift in disguise — both refuse
+    * loudly. */
+  private def alignToSchema(df: DataFrame,
+                            schema: org.apache.spark.sql.types.StructType,
+                            ctx: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    df.select(schema.map { f =>
+      val from = df.schema(f.name).dataType
+      if (from == f.dataType) col(f.name)
+      else {
+        require(org.apache.spark.sql.catalyst.expressions.Cast
+            .canUpCast(from, f.dataType),
+          s"$ctx: column ${f.name} arrives as $from but the table stores " +
+            s"${f.dataType} — not a safe upcast; align the writer's types")
+        col(f.name).cast(f.dataType).as(f.name)
+      }
+    }: _*)
   }
 
   def bloomCandidateFiles(spark: SparkSession, table: String, column: String,
@@ -500,7 +538,10 @@ object WarehouseFs {
         val index = spark.read.parquet(idx.toString)
         if (!index.columns.contains(s"b_$column")) None
         else {
-          val hit = bloomHitExpr(column, values)
+          val colType = resolveVersion(spark, table, version)
+            .map(versionSchema(spark, table, _))
+            .flatMap(_.find(_.name == column)).map(_.dataType)
+          val hit = bloomHitExpr(column, values, colType)
           Some(index.filter(hit).select("file").collect().map(_.getString(0)).toSeq)
         }
       }
@@ -846,8 +887,10 @@ object WarehouseFs {
         case None => col(c)
       }
     }: _*)
-    publishCoW(spark, table, r, rewritten, touched,
-      all.diff(touched), keepVersions, refreshStats)
+    // a SET expression that widens the column's type would land a file
+    // physically incompatible with the carried ones
+    publishCoW(spark, table, r, alignToSchema(rewritten, base.schema, "updateWhere"),
+      touched, all.diff(touched), keepVersions, refreshStats)
   }
 
   /** Upsert: rows of `updates` replace same-key rows and append new keys.
@@ -890,7 +933,12 @@ object WarehouseFs {
       case None =>
         tableCols.fold(updates)(cols => updates.select(cols.map(col): _*))
     }
-    publishCoW(spark, table, r, rewritten, touched,
+    val aligned =
+      if (all.nonEmpty)
+        alignToSchema(rewritten,
+          spark.read.parquet(s"$table/${all.head}").schema, "upsertRows")
+      else rewritten
+    publishCoW(spark, table, r, aligned, touched,
       all.diff(touched), keepVersions, refreshStats)
   }
 
@@ -939,11 +987,33 @@ object WarehouseFs {
                 whenNotMatchedBySourceDelete: Option[Column] = None,
                 maxPointKeys: Int = 10000,
                 keepVersions: Int = 2,
-                refreshStats: Boolean = true): Unit = {
+                refreshStats: Boolean = true): Unit =
+    mergeIntoKeys(source, table, Seq(keyCol), whenMatchedUpdate,
+      whenMatchedDelete, whenNotMatchedInsert, whenNotMatchedBySourceDelete,
+      maxPointKeys, keepVersions, refreshStats)
+
+  /** [[mergeInto]] on a COMPOSITE key (an SCD2 history keyed on
+    * (natural key, valid_from), a fact keyed on (entity, day), …).
+    * Matching, uniqueness, and the anti-joins run on the full tuple;
+    * file pruning INTERSECTS each indexed key column's bloom candidates
+    * (a file holding the composite must hold every component — the
+    * intersection is a superset of the truly-matching files, never a
+    * miss). */
+  def mergeIntoKeys(source: DataFrame, table: String, keyCols: Seq[String],
+                    whenMatchedUpdate: Map[String, Column] = Map.empty,
+                    whenMatchedDelete: Option[Column] = None,
+                    whenNotMatchedInsert: Boolean = true,
+                    whenNotMatchedBySourceDelete: Option[Column] = None,
+                    maxPointKeys: Int = 10000,
+                    keepVersions: Int = 2,
+                    refreshStats: Boolean = true): Unit = {
     import org.apache.spark.sql.functions.{coalesce, col, count, count_distinct, lit, when}
+    require(keyCols.nonEmpty, "mergeInto: key columns required")
     require(whenMatchedUpdate.nonEmpty || whenMatchedDelete.nonEmpty ||
       whenNotMatchedInsert || whenNotMatchedBySourceDelete.nonEmpty,
       "mergeInto: at least one clause required")
+    require(keyCols.forall(source.columns.contains),
+      s"mergeInto: source lacks key columns ${keyCols.filterNot(source.columns.contains)}")
     val spark = source.sparkSession
     val r = resolveVersion(spark, table, None).getOrElse(
       throw new IllegalArgumentException(
@@ -952,10 +1022,13 @@ object WarehouseFs {
     val all = versionFiles(fs, t, r)
     requireDmlCapable(all, table)
 
-    // one pass over the source: non-null + unique keys (ANSI MERGE's
-    // cardinality rule), and the point-vs-bulk decision
-    val ks = source.agg(count(lit(1)), count(col(keyCol)),
-      count_distinct(col(keyCol))).head()
+    // one pass over the source: non-null + unique key tuples (ANSI
+    // MERGE's cardinality rule), and the point-vs-bulk decision.
+    // COUNT(DISTINCT a, b, …) skips any-null tuples, matching the
+    // any-null count.
+    val allNonNull = keyCols.map(col(_).isNotNull).reduce(_ && _)
+    val ks = source.agg(count(lit(1)), count(when(allNonNull, lit(1))),
+      count_distinct(col(keyCols.head), keyCols.tail.map(col): _*)).head()
     val (nRows, nKeys, nDistinct) = (ks.getLong(0), ks.getLong(1), ks.getLong(2))
     if (nRows == 0L && whenNotMatchedBySourceDelete.isEmpty) return
     require(nKeys == nRows, s"mergeInto: source has ${nRows - nKeys} null keys")
@@ -965,13 +1038,23 @@ object WarehouseFs {
 
     val touched =
       if (whenNotMatchedBySourceDelete.isEmpty && nDistinct <= maxPointKeys) {
-        val keys = source.select(keyCol).distinct().collect().map(_.get(0)).toSeq
-        candidatesRootRelative(spark, table, r, keyCol, keys).getOrElse(all)
+        val keyRows = source.select(keyCols.map(col): _*).distinct().collect()
+        var cand: Set[String] = all.toSet
+        var indexed = false
+        keyCols.zipWithIndex.foreach { case (c, i) =>
+          val vs = keyRows.map(_.get(i)).distinct.toSeq
+          candidatesRootRelative(spark, table, r, c, vs).foreach { cs =>
+            indexed = true; cand = cand.intersect(cs.toSet)
+          }
+        }
+        if (indexed) all.filter(cand) else all
       } else all
 
-    val tableCols =
-      if (all.nonEmpty) spark.read.parquet(s"$table/${all.head}").columns.toSeq
-      else source.columns.toSeq
+    val tableSchema =
+      if (all.nonEmpty) Some(spark.read.parquet(s"$table/${all.head}").schema)
+      else None
+    val tableCols = tableSchema.map(_.fieldNames.toSeq)
+      .getOrElse(source.columns.toSeq)
     require(!tableCols.exists(_.startsWith("src_")),
       s"mergeInto: target columns may not start with src_ (the source alias prefix)")
     if (whenNotMatchedInsert)
@@ -982,14 +1065,15 @@ object WarehouseFs {
       s"mergeInto: unknown SET columns ${whenMatchedUpdate.keySet -- tableCols}")
 
     val srcP = source.select(source.columns.map(c => col(c).as(s"src_$c")).toSeq: _*)
-    val srcKey = col(s"src_$keyCol")
     val target =
       if (touched.isEmpty) None
       else Some(spark.read.parquet(touched.map(f => s"$table/$f"): _*))
 
     val rewrittenTarget = target.map { tg =>
-      val joined = tg.join(srcP, tg(keyCol) === srcKey, "left_outer")
-      val matched = srcKey.isNotNull
+      val cond = keyCols.map(c => tg(c) === col(s"src_$c")).reduce(_ && _)
+      val joined = tg.join(srcP, cond, "left_outer")
+      // source keys are non-null, so a null src key component ⟺ no match
+      val matched = col(s"src_${keyCols.head}").isNotNull
       val afterDelete = whenMatchedDelete.fold(joined)(c =>
         joined.filter(!(matched && coalesce(c, lit(false)))))
       val afterBySource = whenNotMatchedBySourceDelete.fold(afterDelete)(c =>
@@ -1008,7 +1092,7 @@ object WarehouseFs {
       if (!whenNotMatchedInsert) None
       else {
         val ins = target.fold(source)(tg =>
-          source.join(tg.select(keyCol), Seq(keyCol), "left_anti"))
+          source.join(tg.select(keyCols.map(col): _*), keyCols, "left_anti"))
         Some(ins.select(tableCols.map(col): _*))
       }
     val rewritten = (rewrittenTarget, inserts) match {
@@ -1017,7 +1101,10 @@ object WarehouseFs {
       case (None, Some(b)) => b
       case (None, None) => return // no matched file, no inserts → no-op
     }
-    publishCoW(spark, table, r, rewritten, touched,
+    // widened update expressions / narrower source types must not land a
+    // file whose physical types differ from the carried files'
+    val aligned = tableSchema.fold(rewritten)(alignToSchema(rewritten, _, "mergeInto"))
+    publishCoW(spark, table, r, aligned, touched,
       all.diff(touched), keepVersions, refreshStats)
   }
 
@@ -1143,8 +1230,19 @@ object WarehouseFs {
   def applyChangeFeed(spark: SparkSession, feed: DataFrame, table: String,
                       keyCol: String, maxPointKeys: Int = 10000,
                       keepVersions: Int = 2,
-                      refreshStats: Boolean = true): Unit = {
-    import org.apache.spark.sql.functions.{col, count, count_distinct, lit}
+                      refreshStats: Boolean = true): Unit =
+    applyChangeFeedKeys(spark, feed, table, Seq(keyCol), maxPointKeys,
+      keepVersions, refreshStats)
+
+  /** [[applyChangeFeed]] on a composite key — tuple-level matching and
+    * uniqueness, per-indexed-column bloom-candidate intersection for
+    * the touched set (see [[mergeIntoKeys]]). */
+  def applyChangeFeedKeys(spark: SparkSession, feed: DataFrame, table: String,
+                          keyCols: Seq[String], maxPointKeys: Int = 10000,
+                          keepVersions: Int = 2,
+                          refreshStats: Boolean = true): Unit = {
+    import org.apache.spark.sql.functions.{col, count, count_distinct, lit, when}
+    require(keyCols.nonEmpty, "applyChangeFeed: key columns required")
     require(feed.columns.contains("_change_type"),
       "applyChangeFeed: feed must carry _change_type (a changeFeed output)")
     val r = resolveVersion(spark, table, None).getOrElse(
@@ -1156,12 +1254,11 @@ object WarehouseFs {
     val effective = feed.filter(col("_change_type") =!= "update_preimage")
     val upserts = effective.filter(col("_change_type") =!= "delete")
       .drop("_change_type")
-    val deletes = effective.filter(col("_change_type") === "delete")
-      .select(keyCol)
     // one pass over the effective rows: cardinality + uniqueness (a key
     // changing twice in one batch is not a version-pair feed)
-    val ks = effective.agg(count(lit(1)), count(col(keyCol)),
-      count_distinct(col(keyCol))).head()
+    val allNonNull = keyCols.map(col(_).isNotNull).reduce(_ && _)
+    val ks = effective.agg(count(lit(1)), count(when(allNonNull, lit(1))),
+      count_distinct(col(keyCols.head), keyCols.tail.map(col): _*)).head()
     val (nRows, nKeys, nDistinct) = (ks.getLong(0), ks.getLong(1), ks.getLong(2))
     if (nRows == 0L) return
     require(nKeys == nRows, s"applyChangeFeed: ${nRows - nKeys} null keys")
@@ -1170,22 +1267,32 @@ object WarehouseFs {
         s"($nKeys changes, $nDistinct keys) — fold multi-version feeds " +
         "version-by-version")
 
-    val affected = effective.select(keyCol)
+    val affected = effective.select(keyCols.map(col): _*)
     val touched =
       if (nDistinct <= maxPointKeys) {
-        val keys = affected.collect().map(_.get(0)).toSeq
-        candidatesRootRelative(spark, table, r, keyCol, keys).getOrElse(all)
+        val keyRows = affected.distinct().collect()
+        var cand: Set[String] = all.toSet
+        var indexed = false
+        keyCols.zipWithIndex.foreach { case (c, i) =>
+          val vs = keyRows.map(_.get(i)).distinct.toSeq
+          candidatesRootRelative(spark, table, r, c, vs).foreach { cs =>
+            indexed = true; cand = cand.intersect(cs.toSet)
+          }
+        }
+        if (indexed) all.filter(cand) else all
       } else all
-    val tableCols =
-      if (all.nonEmpty) spark.read.parquet(s"$table/${all.head}").columns.toSeq
-      else upserts.columns.toSeq
+    val tableSchema =
+      if (all.nonEmpty) Some(spark.read.parquet(s"$table/${all.head}").schema)
+      else None
+    val tableCols = tableSchema.map(_.fieldNames.toSeq)
+      .getOrElse(upserts.columns.toSeq)
     require(upserts.columns.toSet == tableCols.toSet,
       s"applyChangeFeed: feed columns ${upserts.columns.toSet} must equal " +
         s"replica columns ${tableCols.toSet}")
     val survivors =
       if (touched.isEmpty) None
       else Some(spark.read.parquet(touched.map(f => s"$table/$f"): _*)
-        .join(affected, Seq(keyCol), "left_anti"))
+        .join(affected, keyCols, "left_anti"))
     // stale-feed deletes for keys no file can hold, and nothing to
     // insert → provably no effect, no version bump
     if (touched.isEmpty && upserts.isEmpty) return
@@ -1194,7 +1301,9 @@ object WarehouseFs {
         .unionByName(upserts.select(tableCols.map(col): _*))
       case None => upserts.select(tableCols.map(col): _*)
     }
-    publishCoW(spark, table, r, rewritten, touched,
+    val aligned = tableSchema.fold(rewritten)(
+      alignToSchema(rewritten, _, "applyChangeFeed"))
+    publishCoW(spark, table, r, aligned, touched,
       all.diff(touched), keepVersions, refreshStats)
   }
 
@@ -1206,16 +1315,16 @@ object WarehouseFs {
     * are no longer retained aborts with None (re-seed the replica from
     * a snapshot instead — feeds cannot skip over GC'd history). */
   def replicate(spark: SparkSession, srcTable: String, dstTable: String,
-                keyCol: String, fromVersion: Long, toVersion: Long,
+                keyCols: Seq[String], fromVersion: Long, toVersion: Long,
                 keepVersions: Int = 2): Option[Int] = {
     require(fromVersion <= toVersion, "replicate: reversed version range")
     var applied = 0
     var v = fromVersion
     while (v < toVersion) {
-      changeFeed(spark, srcTable, Seq(keyCol), v, v + 1) match {
+      changeFeed(spark, srcTable, keyCols, v, v + 1) match {
         case None => return None
         case Some(f) =>
-          applyChangeFeed(spark, f, dstTable, keyCol,
+          applyChangeFeedKeys(spark, f, dstTable, keyCols,
             keepVersions = keepVersions)
           applied += 1
       }
@@ -1488,7 +1597,9 @@ object WarehouseFs {
         if (!index.columns.contains(s"b_$column"))
           exact(spark.read.parquet(dataPath))
         else {
-          val hit = bloomHitExpr(column, values)
+          val colType = spark.read.parquet(dataPath).schema
+            .find(_.name == column).map(_.dataType)
+          val hit = bloomHitExpr(column, values, colType)
           val files = index.filter(hit).select("file").collect()
             .map(_.getString(0)).toSeq
           if (files.isEmpty) exact(spark.read.parquet(dataPath)).limit(0)

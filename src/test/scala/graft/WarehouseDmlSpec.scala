@@ -346,7 +346,7 @@ class WarehouseDmlSpec extends SparkSpec {
       whenMatchedUpdate = Map("user" -> col("src_user")),
       whenMatchedDelete = Some(col("src_grp") === 99L), keepVersions = 10)
 
-    assert(WarehouseFs.replicate(spark, src, dst, "id", 1L, 4L,
+    assert(WarehouseFs.replicate(spark, src, dst, Seq("id"), 1L, 4L,
       keepVersions = 10) === Some(3))
     val s = WarehouseFs.readTable(spark, src).get
       .select("id", "user", "grp").collect().map(_.toSeq).toSet
@@ -366,6 +366,83 @@ class WarehouseDmlSpec extends SparkSpec {
       WarehouseFs.applyChangeFeed(spark, bad, dst, "id")
     }
     assert(e.getMessage.contains("unique"))
+  }
+
+  test("composite-key merge and replication: tuple matching, intersected file pruning") {
+    val t = tmpTable()
+    // SCD2-style history keyed on (id, vfrom): same id appears in many rows
+    WarehouseFs.publishVersioned(
+      spark.range(4000).select(
+        (col("id") % 1000L).as("id"),
+        (col("id") / 1000L).cast("long").as("vfrom"),
+        concat(lit("s"), col("id")).as("state"))
+        .repartitionByRange(8, col("id"), col("vfrom")),
+      t, keepVersions = 10, bloomIndexCols = Seq("id", "vfrom"))
+
+    // touch ONE version slice of one entity; the other 3 slices stay
+    WarehouseFs.mergeIntoKeys(
+      Seq((7L, 2L, "s7_fixed"), (7L, 9L, "s7_new")).toDF("id", "vfrom", "state"),
+      t, Seq("id", "vfrom"),
+      whenMatchedUpdate = Map("state" -> col("src_state")), keepVersions = 10)
+    val got = WarehouseFs.readTable(spark, t).get
+    assert(got.count() === 4001)
+    assert(got.filter(col("id") === 7L).orderBy("vfrom")
+      .select("vfrom", "state").collect().map(r => (r.getLong(0), r.getString(1)))
+      .toSeq === Seq((0L, "s7"), (1L, "s1007"), (2L, "s7_fixed"),
+        (3L, "s3007"), (9L, "s7_new")))
+    // tuple semantics: (7, 0) was NOT treated as matched by (7, 2)
+    // pruning evidence: candidates intersected across both key columns
+    assert(dirFileCount(t, currentDir(t)) <= 2)
+
+    // composite-key replication follows the merge
+    val dst = tmpTable()
+    WarehouseFs.publishVersioned(
+      WarehouseFs.readTableVersion(spark, t, 1).get, dst, keepVersions = 10,
+      bloomIndexCols = Seq("id"))
+    assert(WarehouseFs.replicate(spark, t, dst, Seq("id", "vfrom"), 1L, 2L,
+      keepVersions = 10) === Some(1))
+    val s = WarehouseFs.readTable(spark, t).get.collect().map(_.toSeq).toSet
+    val d = WarehouseFs.readTable(spark, dst).get.collect().map(_.toSeq).toSet
+    assert(d === s)
+    // a tuple-duplicate source is rejected even when each column alone is unique
+    val e = intercept[IllegalArgumentException] {
+      WarehouseFs.mergeIntoKeys(
+        Seq((1L, 1L, "x"), (1L, 1L, "y")).toDF("id", "vfrom", "state"),
+        t, Seq("id", "vfrom"))
+    }
+    assert(e.getMessage.contains("unique"))
+  }
+
+  test("typed bloom probes: a long probe against a double column still prunes, never misses") {
+    val t = tmpTable()
+    // double-typed key: the stored value stringifies as "7.0", a naive
+    // long probe as "7" — without type canonicalization the bloom
+    // reports a FALSE NEGATIVE and the delete silently no-ops
+    WarehouseFs.publishVersioned(
+      spark.range(1000).select(col("id").cast("double").as("id"),
+        concat(lit("u"), col("id")).as("user"))
+        .repartitionByRange(4, col("id")),
+      t, keepVersions = 5, bloomIndexCols = Seq("id"))
+    val cand = WarehouseFs.bloomCandidateFiles(spark, t, "id", Seq(7L)).get
+    assert(cand.nonEmpty && cand.size < 4,
+      s"typed probe must find the file holding 7.0: $cand")
+    WarehouseFs.deleteWhere(spark, t, "id", Seq(7L), keepVersions = 5)
+    assert(WarehouseFs.readTable(spark, t).get.count() === 999)
+    // and a merge whose source keys arrive as long upserts in place
+    // instead of duplicating the double-keyed row
+    WarehouseFs.mergeInto(Seq((8L, "u8_new")).toDF("id", "user"), t, "id",
+      whenMatchedUpdate = Map("user" -> col("src_user")), keepVersions = 5)
+    val got = WarehouseFs.readTable(spark, t).get
+    assert(got.count() === 999, "update, not a duplicate insert")
+    assert(got.filter(col("id") === 8.0).select("user").as[String].collect() ===
+      Array("u8_new"))
+    // lossy writer types refuse loudly: a string-typed INSERT against the
+    // double column is schema drift, not an upcast — refused before any
+    // file is written
+    val e = intercept[IllegalArgumentException] {
+      WarehouseFs.mergeInto(Seq(("99999", "u9")).toDF("id", "user"), t, "id")
+    }
+    assert(e.getMessage.contains("safe upcast"))
   }
 
   test("upsertRows refuses schema drift instead of silently dropping columns") {
