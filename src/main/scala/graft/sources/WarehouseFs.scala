@@ -194,9 +194,32 @@ object WarehouseFs {
     * whole dir. */
   private def readResolved(spark: SparkSession, table: String,
                            r: ResolvedVersion): DataFrame = r.files match {
-    case Some(fl) => spark.read.parquet(fl.map(f => s"$table/$f"): _*)
+    case Some(fl) => readFilesGrouped(spark, table, fl)
     case None => spark.read.parquet(s"$table/${r.dirName}")
   }
+
+  /** Read a root-relative file list with partition columns RESTORED:
+    * files group by their owning version dir and each group reads with
+    * that dir as `basePath`, so Hive-layout `key=value` segments under
+    * it become partition columns again (a flat layout is unaffected —
+    * basePath is then a no-op). One parquet relation per referenced
+    * dir; a long DML chain folds back to one via compaction. */
+  private def readFilesGrouped(spark: SparkSession, table: String,
+                               files: Seq[String]): DataFrame = {
+    val groups = files.groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1)
+    groups.map { case (dir, fs0) =>
+      spark.read.option("basePath", s"$table/$dir")
+        .parquet(fs0.map(f => s"$table/$f"): _*)
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Partition columns encoded in a root-relative file path's layout
+    * (`vNNN/day=3/part-….parquet` → Seq("day")); Nil for flat files. */
+  private def partitionColsOf(files: Seq[String]): Seq[String] =
+    files.headOption.map { f =>
+      f.split('/').drop(1).dropRight(1)
+        .filter(_.contains('=')).map(_.takeWhile(_ != '=')).toSeq
+    }.getOrElse(Nil)
 
   /** Highest committed (version, dataPath) of a manifest table, if any.
     * One `listStatus` + one small-file read — no data I/O. For a
@@ -744,11 +767,28 @@ object WarehouseFs {
     val next = prior.version + 1L
     val dirName = // unconditional uniqueness: nanoTime is per-JVM-origin
       s"v${vname(next)}-${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    rewritten.coalesce(math.max(1, touched.size))
-      .write.mode(SaveMode.Overwrite).parquet(new Path(t, dirName).toString)
-    val newFiles = fs.listStatus(new Path(t, dirName))
-      .map(_.getPath.getName).filter(_.endsWith(".parquet")).sorted
-      .map(n => s"$dirName/$n").toSeq
+    // a Hive-partitioned prior keeps its layout: the rewrite lands under
+    // the same key=value structure (rows whose partition VALUE changed
+    // simply land in their new subdir — partition-moving updates are
+    // free), and the manifest lists the kv-prefixed paths
+    val partCols = partitionColsOf(touched ++ carried)
+    val writer = rewritten.coalesce(math.max(1, touched.size))
+      .write.mode(SaveMode.Overwrite)
+    (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
+      .parquet(new Path(t, dirName).toString)
+    val newFiles = {
+      val base = new Path(t, dirName)
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      val it = fs.listFiles(base, true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet")) {
+          val full = st.getPath.toString
+          out += full.substring(full.indexOf(s"/$dirName/") + 1)
+        }
+      }
+      out.sorted.toSeq
+    }
     // bloom index + zone map: carry untouched files' rows, re-derive only
     // the new dir
     carryFileMetadata(spark, fs, indexDir(t), prior, dirName, carried,
@@ -765,8 +805,7 @@ object WarehouseFs {
     val priorStats = new Path(statsDir(t), prior.dirName)
     if (fs.exists(priorStats)) {
       if (refreshStats) {
-        val resolved = spark.read.parquet(
-          (newFiles ++ carried).map(f => s"$table/$f"): _*)
+        val resolved = readFilesGrouped(spark, table, newFiles ++ carried)
         graft.operators.Quality
           .profileWithCount(resolved, resolved.columns.toSeq, exact = false)
           .coalesce(1).write.mode(SaveMode.Overwrite)
@@ -825,10 +864,6 @@ object WarehouseFs {
           fsi.exists(new Path(statsDir(t), r.dirName)))
     }
 
-  private def requireDmlCapable(files: Seq[String], table: String): Unit =
-    require(files.forall(!_.contains('=')),
-      s"row-level DML needs an unpartitioned table; $table has key=value dirs")
-
   /** Delete every row whose `column` is one of `values`, rewriting ONLY
     * the files that might contain them. A bloom-indexed table resolves
     * the touched set from metadata; without an index every file is
@@ -847,11 +882,10 @@ object WarehouseFs {
         s"deleteWhere: $table is not a versioned table"))
     val (fs, t) = fsFor(spark, table)
     val all = versionFiles(fs, t, r)
-    requireDmlCapable(all, table)
     val touched = candidatesRootRelative(spark, table, r, column, values)
       .getOrElse(all)
     if (touched.isEmpty) return
-    val rewritten = spark.read.parquet(touched.map(f => s"$table/$f"): _*)
+    val rewritten = readFilesGrouped(spark, table, touched)
       .filter(!col(column).isin(values: _*) || col(column).isNull)
     publishCoW(spark, table, r, rewritten, touched,
       all.diff(touched), keepVersions, refreshStats)
@@ -873,12 +907,11 @@ object WarehouseFs {
         s"updateWhere: $table is not a versioned table"))
     val (fs, t) = fsFor(spark, table)
     val all = versionFiles(fs, t, r)
-    requireDmlCapable(all, table)
     val touched = candidatesRootRelative(spark, table, r, column, values)
       .getOrElse(all)
     if (touched.isEmpty) return
     val matched = col(column).isin(values: _*)
-    val base = spark.read.parquet(touched.map(f => s"$table/$f"): _*)
+    val base = readFilesGrouped(spark, table, touched)
     require(set.keySet.subsetOf(base.columns.toSet),
       s"updateWhere: unknown SET columns ${set.keySet -- base.columns}")
     val rewritten = base.select(base.columns.toSeq.map { c =>
@@ -910,18 +943,17 @@ object WarehouseFs {
         s"upsertRows: $table is not a versioned table"))
     val (fs, t) = fsFor(spark, table)
     val all = versionFiles(fs, t, r)
-    requireDmlCapable(all, table)
     val touched = candidatesRootRelative(spark, table, r, keyCol, keys)
       .getOrElse(all)
     val survivors =
       if (touched.isEmpty) None
-      else Some(spark.read.parquet(touched.map(f => s"$table/$f"): _*)
+      else Some(readFilesGrouped(spark, table, touched)
         .filter(!col(keyCol).isin(keys: _*) || col(keyCol).isNull))
     // schema parity is a hard error, not a silent drop: an updates frame
     // with extra columns means the caller intended an evolution this path
     // does not do (mixed-schema files would poison the manifest)
     val tableCols = survivors.map(_.columns.toSeq).orElse(
-      if (all.nonEmpty) Some(spark.read.parquet(s"$table/${all.head}").columns.toSeq)
+      if (all.nonEmpty) Some(versionSchema(spark, table, r).fieldNames.toSeq)
       else None)
     tableCols.foreach { cols =>
       require(updates.columns.toSet == cols.toSet,
@@ -935,8 +967,7 @@ object WarehouseFs {
     }
     val aligned =
       if (all.nonEmpty)
-        alignToSchema(rewritten,
-          spark.read.parquet(s"$table/${all.head}").schema, "upsertRows")
+        alignToSchema(rewritten, versionSchema(spark, table, r), "upsertRows")
       else rewritten
     publishCoW(spark, table, r, aligned, touched,
       all.diff(touched), keepVersions, refreshStats)
@@ -1020,7 +1051,6 @@ object WarehouseFs {
         s"mergeInto: $table is not a versioned table"))
     val (fs, t) = fsFor(spark, table)
     val all = versionFiles(fs, t, r)
-    requireDmlCapable(all, table)
 
     // one pass over the source: non-null + unique key tuples (ANSI
     // MERGE's cardinality rule), and the point-vs-bulk decision.
@@ -1051,7 +1081,7 @@ object WarehouseFs {
       } else all
 
     val tableSchema =
-      if (all.nonEmpty) Some(spark.read.parquet(s"$table/${all.head}").schema)
+      if (all.nonEmpty) Some(versionSchema(spark, table, r))
       else None
     val tableCols = tableSchema.map(_.fieldNames.toSeq)
       .getOrElse(source.columns.toSeq)
@@ -1067,7 +1097,7 @@ object WarehouseFs {
     val srcP = source.select(source.columns.map(c => col(c).as(s"src_$c")).toSeq: _*)
     val target =
       if (touched.isEmpty) None
-      else Some(spark.read.parquet(touched.map(f => s"$table/$f"): _*))
+      else Some(readFilesGrouped(spark, table, touched))
 
     val rewrittenTarget = target.map { tg =>
       val cond = keyCols.map(c => tg(c) === col(s"src_$c")).reduce(_ && _)
@@ -1250,7 +1280,6 @@ object WarehouseFs {
         s"applyChangeFeed: $table is not a versioned table"))
     val (fs, t) = fsFor(spark, table)
     val all = versionFiles(fs, t, r)
-    requireDmlCapable(all, table)
     val effective = feed.filter(col("_change_type") =!= "update_preimage")
     val upserts = effective.filter(col("_change_type") =!= "delete")
       .drop("_change_type")
@@ -1282,7 +1311,7 @@ object WarehouseFs {
         if (indexed) all.filter(cand) else all
       } else all
     val tableSchema =
-      if (all.nonEmpty) Some(spark.read.parquet(s"$table/${all.head}").schema)
+      if (all.nonEmpty) Some(versionSchema(spark, table, r))
       else None
     val tableCols = tableSchema.map(_.fieldNames.toSeq)
       .getOrElse(upserts.columns.toSeq)
@@ -1291,7 +1320,7 @@ object WarehouseFs {
         s"replica columns ${tableCols.toSet}")
     val survivors =
       if (touched.isEmpty) None
-      else Some(spark.read.parquet(touched.map(f => s"$table/$f"): _*)
+      else Some(readFilesGrouped(spark, table, touched)
         .join(affected, keyCols, "left_anti"))
     // stale-feed deletes for keys no file can hold, and nothing to
     // insert → provably no effect, no version bump

@@ -195,15 +195,43 @@ class WarehouseDmlSpec extends SparkSpec {
       df.filter(col("b").between(100L, 400L)).count())
   }
 
-  test("DML refuses partitioned layouts and missing tables loudly") {
+  test("DML on a Hive-partitioned table: layout preserved, partition-moving update, missing table refused") {
     val t = tmpTable()
     WarehouseFs.publishVersioned(
-      (1 to 100).map(i => (i.toLong, i % 3)).toDF("id", "day"),
-      t, partitionBy = Seq("day"))
-    val e = intercept[IllegalArgumentException] {
-      WarehouseFs.deleteWhere(spark, t, "id", Seq(1L))
-    }
-    assert(e.getMessage.contains("unpartitioned"))
+      (1 to 300).map(i => (i.toLong, i % 3, s"u$i")).toDF("id", "day", "user")
+        .repartition(col("day")),
+      t, partitionBy = Seq("day"), keepVersions = 5, bloomIndexCols = Seq("id"))
+
+    // delete: partition column survives the file-list read, layout kept
+    WarehouseFs.deleteWhere(spark, t, "id", Seq(5L), keepVersions = 5)
+    val afterDel = WarehouseFs.readTable(spark, t).get
+    assert(afterDel.count() === 299)
+    assert(afterDel.columns.toSet === Set("id", "day", "user"))
+    assert(afterDel.filter(col("id") === 6L).select("day").as[Int].collect() ===
+      Array(0), "partition values must be restored across carried + rewritten files")
+    // the rewritten file landed under its key=value subdir in the new version dir
+    val newDir = currentDir(t)
+    assert(WarehouseFs.listNames(spark, s"$t/$newDir").exists(_.startsWith("day=")),
+      "CoW write must preserve the Hive layout")
+
+    // merge: an update that MOVES a row across partitions + an insert
+    WarehouseFs.mergeInto(
+      Seq((7L, 99, "u7_moved"), (1000L, 1, "u1000")).toDF("id", "day", "user"),
+      t, "id",
+      whenMatchedUpdate = Map("day" -> col("src_day"), "user" -> col("src_user")),
+      keepVersions = 5)
+    val got = WarehouseFs.readTable(spark, t).get
+    assert(got.count() === 300)
+    assert(got.filter(col("id") === 7L).select("day", "user").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq === Seq((99, "u7_moved")))
+    assert(got.filter(col("day") === 99).count() === 1)
+    assert(got.filter(col("id") === 1000L).select("day").as[Int].collect() ===
+      Array(1))
+    // time travel across the partitioned DML chain stays exact
+    assert(WarehouseFs.readTableVersion(spark, t, 1).get.count() === 300)
+    assert(WarehouseFs.readTableVersion(spark, t, 2).get.count() === 299)
+
+    // missing table still refuses loudly
     intercept[IllegalArgumentException] {
       WarehouseFs.deleteWhere(spark, s"$t-nope", "id", Seq(1L))
     }
