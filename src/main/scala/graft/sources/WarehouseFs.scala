@@ -490,6 +490,38 @@ object WarehouseFs {
       (df, files.size, all.size)
     }
 
+  /** Prune a root-relative file list by Hive-layout partition VALUES:
+    * a file under `column=v` can only hold rows with that value, so
+    * probe values canonicalized through the column's type (the same
+    * discipline as [[bloomHitExpr]] — a long probe against a double
+    * partition must stringify as the path did) keep only matching
+    * subdirs. Files whose path does not encode the column (flat files
+    * in a mixed chain) always stay — they could hold anything. The
+    * null partition is pruned: probe values are non-null by the
+    * callers' guards. Pure path arithmetic, zero I/O. */
+  private def partitionCandidates(files: Seq[String], column: String,
+                                  values: Seq[Any],
+                                  colType: org.apache.spark.sql.types.DataType)
+      : Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    import org.apache.spark.sql.types.StringType
+    def canon(v: Any): Option[String] =
+      Option(Cast(Cast(Literal(v), colType, Some("UTC")), StringType,
+        Some("UTC")).eval()).map(_.toString)
+    val want = values.flatMap(canon(_)).toSet
+    val seg = s"$column="
+    files.filter { f =>
+      f.split('/').drop(1).dropRight(1).collectFirst {
+        case s if s.startsWith(seg) => s.drop(seg.length)
+      } match {
+        case None => true
+        case Some(enc) => want.contains(
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .unescapePathName(enc))
+      }
+    }
+  }
+
   /** Balanced OR of per-value bloom probes: a left-deep `reduce(_||_)`
     * overflows the analyzer's recursion around ~1.5k values (each Or
     * copy releases a fence per level); a log-depth tree takes 10k+
@@ -882,8 +914,11 @@ object WarehouseFs {
         s"deleteWhere: $table is not a versioned table"))
     val (fs, t) = fsFor(spark, table)
     val all = versionFiles(fs, t, r)
-    val touched = candidatesRootRelative(spark, table, r, column, values)
+    val bloomT = candidatesRootRelative(spark, table, r, column, values)
       .getOrElse(all)
+    val touched = versionSchema(spark, table, r).find(_.name == column)
+      .map(f => partitionCandidates(bloomT, column, values, f.dataType))
+      .getOrElse(bloomT)
     if (touched.isEmpty) return
     val rewritten = readFilesGrouped(spark, table, touched)
       .filter(!col(column).isin(values: _*) || col(column).isNull)
@@ -907,8 +942,11 @@ object WarehouseFs {
         s"updateWhere: $table is not a versioned table"))
     val (fs, t) = fsFor(spark, table)
     val all = versionFiles(fs, t, r)
-    val touched = candidatesRootRelative(spark, table, r, column, values)
+    val bloomT = candidatesRootRelative(spark, table, r, column, values)
       .getOrElse(all)
+    val touched = versionSchema(spark, table, r).find(_.name == column)
+      .map(f => partitionCandidates(bloomT, column, values, f.dataType))
+      .getOrElse(bloomT)
     if (touched.isEmpty) return
     val matched = col(column).isin(values: _*)
     val base = readFilesGrouped(spark, table, touched)
@@ -943,8 +981,11 @@ object WarehouseFs {
         s"upsertRows: $table is not a versioned table"))
     val (fs, t) = fsFor(spark, table)
     val all = versionFiles(fs, t, r)
-    val touched = candidatesRootRelative(spark, table, r, keyCol, keys)
+    val bloomT = candidatesRootRelative(spark, table, r, keyCol, keys)
       .getOrElse(all)
+    val touched = versionSchema(spark, table, r).find(_.name == keyCol)
+      .map(f => partitionCandidates(bloomT, keyCol, keys, f.dataType))
+      .getOrElse(bloomT)
     val survivors =
       if (touched.isEmpty) None
       else Some(readFilesGrouped(spark, table, touched)
@@ -1069,15 +1110,21 @@ object WarehouseFs {
     val touched =
       if (whenNotMatchedBySourceDelete.isEmpty && nDistinct <= maxPointKeys) {
         val keyRows = source.select(keyCols.map(col): _*).distinct().collect()
+        val schemaV = if (all.nonEmpty) Some(versionSchema(spark, table, r)) else None
         var cand: Set[String] = all.toSet
-        var indexed = false
+        var pruned = false
         keyCols.zipWithIndex.foreach { case (c, i) =>
           val vs = keyRows.map(_.get(i)).distinct.toSeq
           candidatesRootRelative(spark, table, r, c, vs).foreach { cs =>
-            indexed = true; cand = cand.intersect(cs.toSet)
+            pruned = true; cand = cand.intersect(cs.toSet)
+          }
+          // a key column that is also a partition column prunes by PATH
+          schemaV.flatMap(_.find(_.name == c)).foreach { f =>
+            val pc = partitionCandidates(all, c, vs, f.dataType).toSet
+            if (pc.size < all.size) { pruned = true; cand = cand.intersect(pc) }
           }
         }
-        if (indexed) all.filter(cand) else all
+        if (pruned) all.filter(cand) else all
       } else all
 
     val tableSchema =
@@ -1300,15 +1347,20 @@ object WarehouseFs {
     val touched =
       if (nDistinct <= maxPointKeys) {
         val keyRows = affected.distinct().collect()
+        val schemaV = if (all.nonEmpty) Some(versionSchema(spark, table, r)) else None
         var cand: Set[String] = all.toSet
-        var indexed = false
+        var pruned = false
         keyCols.zipWithIndex.foreach { case (c, i) =>
           val vs = keyRows.map(_.get(i)).distinct.toSeq
           candidatesRootRelative(spark, table, r, c, vs).foreach { cs =>
-            indexed = true; cand = cand.intersect(cs.toSet)
+            pruned = true; cand = cand.intersect(cs.toSet)
+          }
+          schemaV.flatMap(_.find(_.name == c)).foreach { f =>
+            val pc = partitionCandidates(all, c, vs, f.dataType).toSet
+            if (pc.size < all.size) { pruned = true; cand = cand.intersect(pc) }
           }
         }
-        if (indexed) all.filter(cand) else all
+        if (pruned) all.filter(cand) else all
       } else all
     val tableSchema =
       if (all.nonEmpty) Some(versionSchema(spark, table, r))

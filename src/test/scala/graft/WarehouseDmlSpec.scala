@@ -441,6 +441,32 @@ class WarehouseDmlSpec extends SparkSpec {
     assert(e.getMessage.contains("unique"))
   }
 
+  test("partition-value pruning: DML keyed on the partition column touches only its subdirs") {
+    val t = tmpTable()
+    WarehouseFs.publishVersioned(
+      (1 to 400).map(i => (i.toLong, i % 4, s"u$i")).toDF("id", "day", "user")
+        .repartition(col("day")),
+      t, partitionBy = Seq("day"), keepVersions = 5)
+    // no bloom index at all — the path alone must prune to day=2
+    WarehouseFs.updateWhere(spark, t, "day", Seq(2),
+      Map("user" -> concat(col("user"), lit("_d2"))), keepVersions = 5)
+    val got = WarehouseFs.readTable(spark, t).get
+    assert(got.filter(col("day") === 2).filter(!col("user").endsWith("_d2"))
+      .count() === 0)
+    assert(got.filter(col("day") === 1).filter(col("user").endsWith("_d2"))
+      .count() === 0)
+    // the rewrite touched ONLY day=2: the new version dir holds one
+    // partition subdir, and the other three days' files are carried
+    val dirs = WarehouseFs.listNames(spark, s"$t/${currentDir(t)}")
+      .filter(_.startsWith("day="))
+    assert(dirs === Seq("day=2"), s"path pruning must confine the rewrite: $dirs")
+    // a typed probe prunes too: long 3L against the int partition column
+    WarehouseFs.deleteWhere(spark, t, "day", Seq(3L), keepVersions = 5)
+    assert(WarehouseFs.readTable(spark, t).get.count() === 300)
+    assert(WarehouseFs.readTable(spark, t).get
+      .filter(col("day") === 3).count() === 0)
+  }
+
   test("typed bloom probes: a long probe against a double column still prunes, never misses") {
     val t = tmpTable()
     // double-typed key: the stored value stringifies as "7.0", a naive
