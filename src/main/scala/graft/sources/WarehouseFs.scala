@@ -463,11 +463,18 @@ object WarehouseFs {
     resolveVersion(spark, table, version).map { r =>
       val (fs, t) = fsFor(spark, table)
       val all = versionFiles(fs, t, r)
+      lazy val schemaV = versionSchema(spark, table, r)
       var cand: Set[String] = all.toSet
       point.foreach { case (c, vs) =>
-        if (vs.nonEmpty && !vs.contains(null))
+        if (vs.nonEmpty && !vs.contains(null)) {
           candidatesRootRelative(spark, table, r, c, vs)
             .foreach(cs => cand = cand.intersect(cs.toSet))
+          // a point predicate on a partition column prunes by path alone
+          if (all.nonEmpty) schemaV.find(_.name == c).foreach { f =>
+            cand = cand.intersect(
+              partitionCandidates(all, c, vs, f.dataType).toSet)
+          }
+        }
       }
       ranges.foreach { case (c, (lo, hi)) =>
         zoneCandidateFiles(spark, table, c, lo, hi, Some(r.version)).foreach {

@@ -76,6 +76,22 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(ds.filter(col("user").isin("u1", "u2", "u9999")).count() === 2)
   }
 
+  test("partitioned table through the source: partition predicates prune by path") {
+    val t = tmpTable()
+    Seq.tabulate(400)(i => (i.toLong, i % 4, s"u$i")).toDF("id", "day", "user")
+      .write.format("graft").option("table", t)
+      .option("partitionBy", "day").option("keepVersions", "5").save()
+    // evidence at the prunedScan layer: day=2 keeps a strict file subset
+    val Some((_, n2, total)) = WarehouseFs.prunedScan(spark, t,
+      point = Map("day" -> Seq(2)))
+    assert(n2 < total, s"partition point predicate must prune: $n2 of $total")
+    // end-to-end parity incl. the partition column in the output
+    val ds = spark.read.format("graft").option("table", t).load()
+    assert(ds.filter(col("day") === 2).count() === 100)
+    assert(ds.filter(col("day") === 2).select("user").limit(1).collect().nonEmpty)
+    assert(ds.count() === 400)
+  }
+
   test("time travel via option(version), write path publishes a version") {
     val t = tmpTable()
     Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.format("graft")
