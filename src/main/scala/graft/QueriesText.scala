@@ -504,6 +504,55 @@ object QueriesText {
         max(col("e") - col("s") + lit(1)).as("max_span"))
     }),
 
+    // The REMOVAL companion to `text_repeated_spans`: rebuild each
+    // document with its duplicated spans stripped (what a training-data
+    // pipeline actually does with detected boilerplate). Word positions
+    // covered by any maximal span drop; survivors rejoin in order. Same
+    // two bounded shuffles as the detector plus one doc-keyed join of
+    // word positions against the (few) spans per doc — never a
+    // corpus×corpus term. Docs without spans pass through verbatim;
+    // fully-duplicated docs come out empty (kept, n_kept = 0).
+    "text_strip_repeated" -> ((s, d) => {
+      val wordsArr = split(col("text"), " ")
+      val docs = documents(s, d)
+      val words = docs.select(col("doc_id"),
+        posexplode(wordsArr).as(Seq("wpos0", "word")))
+        .select(col("doc_id"), (col("wpos0") + lit(1)).cast(LongType).as("wpos"),
+          col("word"))
+      val grams = docs.select(
+          col("doc_id"),
+          posexplode(when(size(wordsArr) >= 8,
+              transform(sequence(lit(1), size(wordsArr) - lit(7)),
+                i => array_join(slice(wordsArr, i, lit(8)), " ")))
+            .otherwise(array())))
+        .select(col("doc_id"), (col("pos") + lit(1)).cast(LongType).as("pos"),
+          col("col").as("gram"))
+      val freq = grams.groupBy("gram").agg(count(lit(1)).as("cnt"))
+      val dup = grams.join(freq.filter(col("cnt") >= 2), "gram")
+        .select("doc_id", "pos")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
+      val spans = dup
+        .withColumn("grp", col("pos") - row_number().over(w))
+        .groupBy("doc_id", "grp")
+        .agg(min("pos").as("s"), (max(col("pos")) + lit(7)).as("e"))
+        .select("doc_id", "s", "e")
+      val covered = words.join(spans, Seq("doc_id"))
+        .filter(col("wpos").between(col("s"), col("e")))
+        .select("doc_id", "wpos").distinct()
+      words.join(covered, Seq("doc_id", "wpos"), "left_anti")
+        .groupBy("doc_id")
+        .agg(
+          array_join(transform(
+            sort_array(collect_list(struct(col("wpos"), col("word")))),
+            x => x.getField("word")), " ").as("clean_text"),
+          count(lit(1)).as("n_kept"))
+        .join(docs.select("doc_id"), Seq("doc_id"), "right_outer")
+        .select(col("doc_id"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+    }),
+
     // Per-source document cap — the standard anti-domination guard in
     // web-corpus curation (no single domain/source may exceed k docs).
     // "Uniformly at random but deterministic" = keep the k largest md5
@@ -1119,6 +1168,40 @@ object QueriesText {
                CAST(sum(e - s + 1) AS BIGINT) AS dup_words,
                CAST(max(e - s + 1) AS BIGINT) AS max_span
         FROM spans GROUP BY doc_id""",
+
+    "text_strip_repeated" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        g AS (SELECT doc_id,
+                     unnest(range(1, len(ws) - 6)) AS pos,
+                     unnest(list_transform(range(1, len(ws) - 6),
+                            i -> array_to_string(ws[i:i+7], ' '))) AS gram
+              FROM w),
+        freq AS (SELECT gram, count(*) AS cnt FROM g GROUP BY 1),
+        dup AS (SELECT doc_id, pos FROM g JOIN freq USING (gram) WHERE cnt >= 2),
+        isl AS (SELECT doc_id, pos,
+                       pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+                FROM dup),
+        spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+                  FROM isl GROUP BY doc_id, grp),
+        words AS (SELECT doc_id,
+                         unnest(range(1, len(ws) + 1)) AS wpos,
+                         unnest(ws) AS word
+                  FROM w),
+        kept AS (
+          SELECT wd.doc_id, wd.wpos, wd.word
+          FROM words wd
+          WHERE NOT EXISTS (SELECT 1 FROM spans sp
+                            WHERE sp.doc_id = wd.doc_id
+                              AND wd.wpos BETWEEN sp.s AND sp.e)),
+        rebuilt AS (
+          SELECT doc_id,
+                 string_agg(word, ' ' ORDER BY wpos) AS clean_text,
+                 CAST(count(*) AS BIGINT) AS n_kept
+          FROM kept GROUP BY doc_id)
+        SELECT d.doc_id,
+               coalesce(r.clean_text, '') AS clean_text,
+               coalesce(r.n_kept, 0) AS n_kept
+        FROM documents d LEFT JOIN rebuilt r USING (doc_id)""",
 
     "text_cap_per_source" ->
       """SELECT source, doc_id FROM (
