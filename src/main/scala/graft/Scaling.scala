@@ -57,7 +57,7 @@ object Scaling {
     "curate_semantic", "dedup_keep_best", "text_crossdoc_dup",
     "dedup_clusters", "dedup_semantic", "graph_pagerank_types",
     "join_basket_pairs", "sql_shipping_priority", "sql_recursive_cte",
-    "dedup_simhash",
+    "dedup_simhash", "text_repeated_spans", "text_strip_repeated",
     "join_asof", "win_count_distinct", "agg_pricing_summary",
     "evt_sessionize", "evt_gapfill_days", "text_pack_sequences")
 
