@@ -19,6 +19,9 @@ class WarehouseDmlPropertySpec extends SparkSpec {
   private case class Delete(keys: Seq[Long]) extends Op
   private case class Upsert(rows: Seq[(Long, Long)]) extends Op
   private case class Update(keys: Seq[Long], add: Long) extends Op
+  /** Full MERGE: matched rows with v % 2 == parityDel delete, other
+    * matched rows take the source value + 1, unmatched insert. */
+  private case class Merge(rows: Seq[(Long, Long)], parityDel: Long) extends Op
 
   private val keyGen = Gen.chooseNum(0L, 29L)
   private val opGen: Gen[Op] = Gen.oneOf(
@@ -26,7 +29,10 @@ class WarehouseDmlPropertySpec extends SparkSpec {
     Gen.nonEmptyListOf(Gen.zip(keyGen, Gen.chooseNum(0L, 99L)))
       .map(rs => Upsert(rs.distinctBy(_._1))),
     Gen.zip(Gen.nonEmptyListOf(keyGen), Gen.chooseNum(1L, 9L))
-      .map { case (ks, a) => Update(ks.distinct, a) })
+      .map { case (ks, a) => Update(ks.distinct, a) },
+    Gen.zip(Gen.nonEmptyListOf(Gen.zip(keyGen, Gen.chooseNum(0L, 99L))),
+      Gen.chooseNum(0L, 1L))
+      .map { case (rs, p) => Merge(rs.distinctBy(_._1), p) })
 
   private def tableState(t: String, version: Option[Long]): Map[Long, Long] = {
     val df = version.fold(WarehouseFs.readTable(spark, t).get)(v =>
@@ -59,6 +65,20 @@ class WarehouseDmlPropertySpec extends SparkSpec {
               Map("v" -> (col("v") + lit(a))), keepVersions = 10)
             model = model.map { case (k, v) =>
               k -> (if (ks.contains(k)) v + a else v) }
+          case Merge(rows, p) =>
+            WarehouseFs.mergeInto(rows.toDF("k", "v"), t, "k",
+              whenMatchedUpdate = Map("v" -> (col("src_v") + lit(1L))),
+              whenMatchedDelete = Some(col("v") % 2 === lit(p)),
+              keepVersions = 10)
+            val src = rows.toMap
+            model = model.flatMap { case (k, v) =>
+              src.get(k) match {
+                case Some(sv) =>
+                  if (v % 2 == p) None else Some(k -> (sv + 1L))
+                case None => Some(k -> v)
+              }
+            } ++ src.view.filterKeys(k => !model.contains(k))
+              .toMap
         }
         snapshots(WarehouseFs.currentVersion(spark, t).get._1) = model
       }
