@@ -487,13 +487,7 @@ object WarehouseFs {
       val df =
         if (files.size == all.size) readResolved(spark, table, r)
         else if (files.isEmpty) readResolved(spark, table, r).limit(0)
-        else if (r.isFileList)
-          spark.read.parquet(files.map(f => s"$table/$f"): _*)
-        else {
-          val p = s"$table/${r.dirName}"
-          spark.read.option("basePath", p)
-            .parquet(files.map(f => s"$table/$f"): _*)
-        }
+        else readFilesGrouped(spark, table, files)
       (df, files.size, all.size)
     }
 
@@ -631,7 +625,7 @@ object WarehouseFs {
         case Some(Nil) => // no file can match: empty, schema preserved
           exact(readResolved(spark, table, r)).limit(0)
         case Some(files) if r.isFileList => // paths are table-root-relative
-          exact(spark.read.parquet(files.map(f => s"$table/$f"): _*))
+          exact(readFilesGrouped(spark, table, files))
         case Some(files) => // paths are version-dir-relative
           val p = s"$table/${r.dirName}"
           exact(spark.read.option("basePath", p)
@@ -706,7 +700,7 @@ object WarehouseFs {
         case None => exact(readResolved(spark, table, r))
         case Some(Nil) => exact(readResolved(spark, table, r)).limit(0)
         case Some(files) if r.isFileList =>
-          exact(spark.read.parquet(files.map(f => s"$table/$f"): _*))
+          exact(readFilesGrouped(spark, table, files))
         case Some(files) =>
           val p = s"$table/${r.dirName}"
           exact(spark.read.option("basePath", p)

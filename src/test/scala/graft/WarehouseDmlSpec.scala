@@ -235,6 +235,13 @@ class WarehouseDmlSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       WarehouseFs.deleteWhere(spark, s"$t-nope", "id", Seq(1L))
     }
+
+    // pruned reads of the partitioned FILE-LIST version keep the
+    // partition column: subset reads group per owning dir with basePath
+    val pruned = WarehouseFs.readBloomPruned(spark, t, "id", Seq(100L)).get
+    assert(pruned.columns.toSet === Set("id", "day", "user"))
+    assert(pruned.select("id", "day").collect().map(_.toSeq).toSet ===
+      Set(Seq(100L, 1)))
   }
 
   test("committed statistics refresh through DML when the prior version carried them") {
