@@ -163,7 +163,7 @@ case class GraftRelation(sqlContext: SQLContext, table: String,
     * boundary); None for shapes we leave to Spark's re-evaluation. */
   private def toColumn(f: Filter): Option[org.apache.spark.sql.Column] = f match {
     case EqualTo(a, v) => Some(col(a) === lit(v))
-    case In(a, vs) => Some(col(a).isin(vs: _*))
+    case In(a, vs) => Some(col(a).isin(vs.toSeq: _*))
     case GreaterThan(a, v) => Some(col(a) > lit(v))
     case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
     case LessThan(a, v) => Some(col(a) < lit(v))
