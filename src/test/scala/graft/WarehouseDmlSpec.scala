@@ -403,6 +403,32 @@ class WarehouseDmlSpec extends SparkSpec {
     assert(e.getMessage.contains("unique"))
   }
 
+  test("CDC replication across Hive-partitioned tables keeps layout and partition values") {
+    val src = tmpTable(); val dst = tmpTable()
+    val seed = (1 to 300).map(i => (i.toLong, i % 3, s"u$i")).toDF("id", "day", "user")
+      .repartition(col("day"))
+    for (t <- Seq(src, dst))
+      WarehouseFs.publishVersioned(seed, t, partitionBy = Seq("day"),
+        keepVersions = 10, bloomIndexCols = Seq("id"))
+    WarehouseFs.deleteWhere(spark, src, "id", Seq(10L), keepVersions = 10)
+    WarehouseFs.mergeInto(
+      Seq((20L, 99, "u20_moved"), (900L, 2, "u900")).toDF("id", "day", "user"),
+      src, "id",
+      whenMatchedUpdate = Map("day" -> col("src_day"), "user" -> col("src_user")),
+      keepVersions = 10)
+    assert(WarehouseFs.replicate(spark, src, dst, Seq("id"), 1L, 3L,
+      keepVersions = 10) === Some(2))
+    val s = WarehouseFs.readTable(spark, src).get
+      .select("id", "day", "user").collect().map(_.toSeq).toSet
+    val d = WarehouseFs.readTable(spark, dst).get
+      .select("id", "day", "user").collect().map(_.toSeq).toSet
+    assert(d === s, "partitioned replica must converge incl. partition values")
+    assert(d.exists(_ == Seq(20L, 99, "u20_moved")), "partition move replicated")
+    // replica's CoW dirs keep the Hive layout too
+    assert(WarehouseFs.listNames(spark, s"$dst/${currentDir(dst)}")
+      .exists(_.startsWith("day=")))
+  }
+
   test("composite-key merge and replication: tuple matching, intersected file pruning") {
     val t = tmpTable()
     // SCD2-style history keyed on (id, vfrom): same id appears in many rows
