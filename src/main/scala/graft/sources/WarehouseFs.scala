@@ -722,10 +722,11 @@ object WarehouseFs {
   // files) write cost. The bloom index follows the same economics: rows
   // for untouched files carry over, only the new dir is re-indexed.
   //
-  // Scope: unpartitioned manifest tables (partitioned layouts would need
-  // per-file partition-value bookkeeping), small-to-moderate key sets
-  // (the keys drive a driver-side bloom probe; bulk rewrites should use
-  // publishVersioned). Keys must be non-null.
+  // Key sets scale through two regimes: small batches collect their keys
+  // and drive a driver-side bloom probe; batches above `maxPointKeys`
+  // resolve their touched files DISTRIBUTIVELY against the persisted
+  // bloom index (candidatesDistributed) — file-granular either way.
+  // Keys must be non-null.
 
   /** Root-relative file set of a resolved version. */
   private def versionFiles(fs: FileSystem, t: Path,
@@ -752,6 +753,82 @@ object WarehouseFs {
     bloomCandidateFiles(spark, table, column, values, Some(r.version)).map {
       cs => if (r.isFileList) cs else cs.map(c => s"${r.dirName}/$c")
     }
+
+  /** BULK-regime touched-set resolution: which files might hold any of
+    * `source`'s key tuples, decided WITHOUT collecting keys to the
+    * driver. Both per-file index kinds probe with a left-semi join of
+    * the ≤|files|-row index relation against the source's distinct key
+    * values (source side broadcast, index rows stream, the semi join
+    * short-circuits a file on its first hitting key) — METADATA work,
+    * zero data I/O, parallel over index rows:
+    *
+    *   - zone map: `min_c ≤ key ≤ max_c` — the SCALE path. On a
+    *     layout clustered by the key (range/Z-order — the publish
+    *     discipline for DML-heavy tables), a clustered key batch
+    *     selects exactly its files no matter how large the batch;
+    *   - bloom index: per-key membership probes. Selective for
+    *     moderate batches, but per-key false positives UNION across
+    *     the batch (a file is spuriously selected with probability
+    *     1−(1−p)^N), so for N in the tens of thousands bloom alone
+    *     degrades toward "all files" — which is why the zone probe
+    *     leads and the two candidate sets intersect.
+    *
+    * Per-column and per-index candidate sets all INTERSECT (a file
+    * holding the tuple holds every component and satisfies every
+    * index; the intersection over-approximates, never misses). Only
+    * the ≤|files| surviving file NAMES collect. None when no key
+    * column carries any index — the caller falls back to the honest
+    * full rewrite. */
+  private def candidatesDistributed(spark: SparkSession, table: String,
+                                    r: ResolvedVersion, keyCols: Seq[String],
+                                    source: DataFrame): Option[Seq[String]] = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    import org.apache.spark.sql.graft.BloomExpressions.bloom_might_contain
+    val (fs, t) = fsFor(spark, table)
+    lazy val schemaV = versionSchema(spark, table, r)
+    def semiProbe(metaDir: Path, mkCond: (DataFrame, String,
+                  Option[org.apache.spark.sql.types.DataType]) => Option[Column])
+        : Seq[Set[String]] = {
+      val p = new Path(metaDir, r.dirName)
+      if (!fs.exists(p)) return Nil
+      val index = spark.read.parquet(p.toString)
+      keyCols.flatMap { c =>
+        mkCond(index, c, schemaV.find(_.name == c).map(_.dataType)).map { cond =>
+          index.join(broadcast(sourceKeyProbes(source, c,
+              schemaV.find(_.name == c).map(_.dataType))), cond, "left_semi")
+            .select("file").collect().map(_.getString(0)).toSet
+        }
+      }
+    }
+    val bloomSets = semiProbe(indexDir(t), (index, c, _) =>
+      if (!index.columns.contains(s"b_$c")) None
+      else Some(bloom_might_contain(index(s"b_$c"),
+        col("__ks"), BloomIndexHashes)))
+    val zoneSets = semiProbe(zonesDir(t), (index, c, _) =>
+      if (!index.columns.contains(s"min_$c")) None
+      else Some(index(s"min_$c") <= col("__kt") &&
+                col("__kt") <= index(s"max_$c")))
+    val perCol = bloomSets ++ zoneSets
+    if (perCol.isEmpty) None
+    else {
+      val files = perCol.reduce(_ intersect _)
+      Some((if (r.isFileList) files
+            else files.map(f => s"${r.dirName}/$f")).toSeq.sorted)
+    }
+  }
+
+  /** Distinct non-null source key values of `c`, canonicalized through
+    * the column's stored type: `__kt` in the native type (zone
+    * comparisons), `__ks` its string form (the bloom build hashed
+    * `col.cast(string)` of the stored type — see [[bloomHitExpr]]). */
+  private def sourceKeyProbes(source: DataFrame, c: String,
+                              colType: Option[org.apache.spark.sql.types.DataType])
+      : DataFrame = {
+    import org.apache.spark.sql.functions.col
+    source.select(colType.fold(col(c))(col(c).cast(_)).as("__kt"))
+      .filter(col("__kt").isNotNull).distinct()
+      .withColumn("__ks", col("__kt").cast("string"))
+  }
 
   /** Commit a copy-on-write version: `rewritten` lands in the version's
     * own dir, `carried` files ride by reference, the bloom index (when
@@ -809,7 +886,7 @@ object WarehouseFs {
       .write.mode(SaveMode.Overwrite)
     (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
       .parquet(new Path(t, dirName).toString)
-    val newFiles = {
+    def listNew(): Seq[String] = {
       val base = new Path(t, dirName)
       val out = scala.collection.mutable.ArrayBuffer.empty[String]
       val it = fs.listFiles(base, true)
@@ -821,6 +898,21 @@ object WarehouseFs {
         }
       }
       out.sorted.toSeq
+    }
+    var newFiles = listNew()
+    if (newFiles.isEmpty && carried.isEmpty) {
+      // a DML that removed every row of a PARTITIONED table writes zero
+      // part files (dynamic-partition writers create files lazily), and
+      // an all-empty file list would leave the table schema-less and
+      // unreadable. Re-write the empty state FLAT: a single-directory
+      // writer emits one schema-bearing empty file (partition columns
+      // persist as ordinary columns of the empty file, so the logical
+      // schema survives; the next non-empty publish restores the layout).
+      rewritten.limit(0).coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(new Path(t, dirName).toString)
+      newFiles = listNew()
+      require(newFiles.nonEmpty,
+        s"publishCoW: empty-state write of $table produced no schema file")
     }
     // bloom index + zone map: carry untouched files' rows, re-derive only
     // the new dir
@@ -966,31 +1058,54 @@ object WarehouseFs {
   }
 
   /** Upsert: rows of `updates` replace same-key rows and append new keys.
-    * Keys collect to the driver to drive the bloom probe — the point-
-    * update path, not a bulk merge. Only files that might contain a
-    * matched key rewrite; pure inserts touch zero existing files. */
+    * Only files that might contain a matched key rewrite; pure inserts
+    * touch zero existing files.
+    *
+    * Two execution regimes, chosen by ONE aggregation pass over the
+    * updates (the [[mergeInto]] discipline — no unconditional driver
+    * collect, so a streaming sink routing 10 M-row micro-batches through
+    * here never materializes keys on the driver):
+    *   - ≤ `maxPointKeys` distinct keys → keys collect and drive the
+    *     bloom/partition probe (the point path);
+    *   - above it → the touched set resolves DISTRIBUTIVELY against the
+    *     persisted bloom index ([[candidatesDistributed]]) — still
+    *     file-granular when the keys cluster — falling back to a full
+    *     rewrite only on unindexed tables.
+    * Matched-ness is decided by the same key anti-join either way, so
+    * the regimes are value-identical. */
   def upsertRows(updates: DataFrame, table: String, keyCol: String,
                  keepVersions: Int = 2,
-                 refreshStats: Boolean = true): Unit = {
-    import org.apache.spark.sql.functions.col
+                 refreshStats: Boolean = true,
+                 maxPointKeys: Int = 10000): Unit = {
+    import org.apache.spark.sql.functions.{col, count, count_distinct, lit}
     val spark = updates.sparkSession
-    val keys = updates.select(keyCol).distinct().collect().map(_.get(0)).toSeq
-    require(keys.nonEmpty && !keys.contains(null),
-      "upsertRows: keys must be non-empty and non-null")
     val r = resolveVersion(spark, table, None).getOrElse(
       throw new IllegalArgumentException(
         s"upsertRows: $table is not a versioned table"))
+    // one pass: row count + null keys + the point-vs-bulk cardinality
+    val ks = updates.agg(count(lit(1)), count(col(keyCol)),
+      count_distinct(col(keyCol))).head()
+    val (nRows, nKeys, nDistinct) = (ks.getLong(0), ks.getLong(1), ks.getLong(2))
+    require(nRows > 0L && nKeys == nRows,
+      s"upsertRows: keys must be non-empty and non-null " +
+        s"($nRows rows, ${nRows - nKeys} null keys)")
     val (fs, t) = fsFor(spark, table)
     val all = versionFiles(fs, t, r)
-    val bloomT = candidatesRootRelative(spark, table, r, keyCol, keys)
-      .getOrElse(all)
-    val touched = versionSchema(spark, table, r).find(_.name == keyCol)
-      .map(f => partitionCandidates(bloomT, keyCol, keys, f.dataType))
-      .getOrElse(bloomT)
+    val touched =
+      if (nDistinct <= maxPointKeys) {
+        val keys = updates.select(keyCol).distinct().collect().map(_.get(0)).toSeq
+        val bloomT = candidatesRootRelative(spark, table, r, keyCol, keys)
+          .getOrElse(all)
+        versionSchema(spark, table, r).find(_.name == keyCol)
+          .map(f => partitionCandidates(bloomT, keyCol, keys, f.dataType))
+          .getOrElse(bloomT)
+      } else
+        candidatesDistributed(spark, table, r, Seq(keyCol), updates)
+          .getOrElse(all)
     val survivors =
       if (touched.isEmpty) None
       else Some(readFilesGrouped(spark, table, touched)
-        .filter(!col(keyCol).isin(keys: _*) || col(keyCol).isNull))
+        .join(updates.select(keyCol).distinct(), Seq(keyCol), "left_anti"))
     // schema parity is a hard error, not a silent drop: an updates frame
     // with extra columns means the caller intended an evolution this path
     // does not do (mixed-schema files would poison the manifest)
@@ -1032,11 +1147,15 @@ object WarehouseFs {
     *     and drive the bloom/zone probe, so only files that might hold
     *     a matched key rewrite (the point-merge path — a CDC batch
     *     against a 100 TB table rewrites O(batch) files);
-    *   - above it → no key collection, every file rewrites through ONE
-    *     key-partitioned left-outer join (the bulk path — when the
-    *     source is table-sized, touching every file is the honest
-    *     cost, and the join is a single shuffle of each side, never
-    *     all-pairs).
+    *   - above it → no key collection: the touched set resolves
+    *     distributively against the persisted bloom index
+    *     ([[candidatesDistributed]] — index rows × broadcast source
+    *     keys, metadata-only), so a 100k-key CDC batch whose keys
+    *     cluster in a few files still rewrites only those files; an
+    *     unindexed table falls back to rewriting every file through
+    *     ONE key-partitioned left-outer join (a single shuffle of
+    *     each side, never all-pairs — the honest cost of a
+    *     table-sized merge without an index).
     * Either way matched-ness is decided by the SAME join, so the two
     * regimes are semantically identical; bloom false positives only
     * widen the rewrite set, never the result.
@@ -1126,7 +1245,13 @@ object WarehouseFs {
           }
         }
         if (pruned) all.filter(cand) else all
-      } else all
+      } else if (whenNotMatchedBySourceDelete.isEmpty)
+        // bulk regime: resolve the touched set distributively against
+        // the bloom index — a 100k-key merge whose keys cluster in a few
+        // files still rewrites only those files; unindexed tables fall
+        // back to the honest full rewrite
+        candidatesDistributed(spark, table, r, keyCols, source).getOrElse(all)
+      else all // an unmatched target row can live in ANY file
 
     val tableSchema =
       if (all.nonEmpty) Some(versionSchema(spark, table, r))
@@ -1217,13 +1342,38 @@ object WarehouseFs {
     * longer retained. */
   def changeFeed(spark: SparkSession, table: String, keyCols: Seq[String],
                  fromVersion: Long, toVersion: Long): Option[DataFrame] = {
-    import org.apache.spark.sql.functions._
     require(keyCols.nonEmpty, "changeFeed: key columns required")
     for {
-      o <- readTableVersion(spark, table, fromVersion)
-      n <- readTableVersion(spark, table, toVersion)
-    } yield rowDiff(o, n, keyCols,
-      s"v$fromVersion and v$toVersion of $table")
+      ro <- resolveVersion(spark, table, Some(fromVersion))
+      rn <- resolveVersion(spark, table, Some(toVersion))
+    } yield {
+      // FILE-GRANULAR diff: a file both manifests reference is
+      // bit-identical in both versions, so (keys being unique per
+      // version) every key it holds is unchanged and cannot produce a
+      // feed row — and a key in a non-shared file of one side cannot
+      // hide in a shared file of the other (the shared file is in BOTH
+      // manifests, so that would duplicate the key within a version).
+      // Diffing only the non-shared files is therefore exact, and a
+      // 1-row CoW delete's feed scans 1 rewritten file + its ancestor
+      // instead of two full snapshots: O(touched files), matching the
+      // write side. Dir-format versions never share paths → full diff,
+      // the pre-r9 behavior.
+      val (fs, t) = fsFor(spark, table)
+      val of = versionFiles(fs, t, ro)
+      val nf = versionFiles(fs, t, rn)
+      val shared = nf.toSet.intersect(of.toSet)
+      def side(r: ResolvedVersion, own: Seq[String]): DataFrame = {
+        val distinct = own.filterNot(shared)
+        if (distinct.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            versionSchema(spark, table, r))
+        else if (distinct.size == own.size) readResolved(spark, table, r)
+        else readFilesGrouped(spark, table, distinct)
+      }
+      rowDiff(side(ro, of), side(rn, nf), keyCols,
+        s"v$fromVersion and v$toVersion of $table")
+    }
   }
 
   /** The diff core shared by [[changeFeed]] and [[changeFeedCommitted]]:
@@ -1302,7 +1452,9 @@ object WarehouseFs {
     * [[mergeInto]]: ≤ `maxPointKeys` affected keys → bloom-pruned
     * rewrite of only the files that might hold them (a nightly CDC
     * batch against a 100 TB replica rewrites O(batch) files); above
-    * it → one key-partitioned anti-join pass, every file rewritten.
+    * it → the touched set resolves distributively against the bloom
+    * index ([[candidatesDistributed]]), with a one-anti-join
+    * full-rewrite fallback only on unindexed replicas.
     * A feed between two versions has at most one change per key by
     * construction, so the apply is order-free within the batch. */
   def applyChangeFeed(spark: SparkSession, feed: DataFrame, table: String,
@@ -1362,7 +1514,9 @@ object WarehouseFs {
           }
         }
         if (pruned) all.filter(cand) else all
-      } else all
+      } else // bulk regime: distributed index probe, see [[mergeIntoKeys]]
+        candidatesDistributed(spark, table, r, keyCols, affected)
+          .getOrElse(all)
     val tableSchema =
       if (all.nonEmpty) Some(versionSchema(spark, table, r))
       else None

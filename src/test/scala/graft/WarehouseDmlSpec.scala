@@ -541,4 +541,134 @@ class WarehouseDmlSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("must equal"))
   }
+
+  test("a full delete of a partitioned table leaves a readable, DML-capable empty table") {
+    val t = tmpTable()
+    WarehouseFs.publishVersioned(
+      (1 to 400).map(i => (i.toLong, i % 4, s"u$i")).toDF("id", "day", "user")
+        .repartition(col("day")),
+      t, partitionBy = Seq("day"), keepVersions = 5)
+    // dynamic-partition writers emit zero files for an empty rewrite —
+    // without the empty-state guard this commit would leave the table
+    // schema-less and every later read/DML would throw
+    WarehouseFs.deleteWhere(spark, t, "day", Seq(0, 1, 2, 3), keepVersions = 5)
+    val empty = WarehouseFs.readTable(spark, t).get
+    assert(empty.count() === 0)
+    assert(empty.columns.toSet === Set("id", "day", "user"),
+      "the empty state must keep the full logical schema")
+    // the emptied table accepts new rows through every DML verb
+    WarehouseFs.upsertRows(Seq((500L, 9, "u500")).toDF("id", "day", "user"),
+      t, "id", keepVersions = 5)
+    assert(WarehouseFs.readTable(spark, t).get.select("id", "day", "user")
+      .collect().map(_.toSeq).toSet === Set(Seq(500L, 9, "u500")))
+    WarehouseFs.mergeInto(Seq((501L, 9, "u501")).toDF("id", "day", "user"),
+      t, "id", keepVersions = 5)
+    assert(WarehouseFs.readTable(spark, t).get.count() === 2)
+    // time travel to the pre-delete state still resolves
+    assert(WarehouseFs.readTableVersion(spark, t, 1).get.count() === 400)
+  }
+
+  test("change feed is file-granular: a 1-row delete's feed scans only the rewritten file + its ancestor") {
+    val t = tmpTable()
+    publishFixture(t, keepVersions = 5) // 8 range files, bloom on id
+    WarehouseFs.deleteWhere(spark, t, "id", Seq(4242L), keepVersions = 5)
+    val feed = WarehouseFs.changeFeed(spark, t, Seq("id"), 1, 2).get
+    assert(feed.select("id", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ===
+      Set((4242L, "delete")))
+    // the 6 shared files are bit-identical in both manifests and must
+    // not be read at all: the feed's scan set is 1 ancestor + 1 rewrite
+    assert(feed.inputFiles.length === 2,
+      s"feed must diff only non-shared files, scanned: ${feed.inputFiles.toSeq}")
+
+    // a pure insert shares every prior file → the feed scans ONLY the
+    // new file and classifies the row as an insert
+    WarehouseFs.upsertRows(Seq((90000L, "u90000", 1L)).toDF("id", "user", "grp"),
+      t, "id", keepVersions = 5)
+    val feed2 = WarehouseFs.changeFeed(spark, t, Seq("id"), 2, 3).get
+    assert(feed2.select("id", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ===
+      Set((90000L, "insert")))
+    assert(feed2.inputFiles.length === 1,
+      s"insert-only feed must scan just the new file: ${feed2.inputFiles.toSeq}")
+
+    // updates in place: pre/post pair, still confined to the touched pair
+    WarehouseFs.updateWhere(spark, t, "id", Seq(10L),
+      Map("user" -> lit("u10_fixed")), keepVersions = 5)
+    val feed3 = WarehouseFs.changeFeed(spark, t, Seq("id"), 3, 4).get
+    assert(feed3.select("id", "_change_type", "user").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet ===
+      Set((10L, "update_preimage", "u10"), (10L, "update_postimage", "u10_fixed")))
+    assert(feed3.inputFiles.length === 2)
+  }
+
+  test("bulk upsert above maxPointKeys resolves touched files distributively, no driver key collect") {
+    val t = tmpTable()
+    // range-clustered + BOTH index kinds: the zone probe is what keeps
+    // bulk batches file-granular (bloom FPs union across a large batch)
+    // range(0, 8000, 1, 8): exactly 8 contiguous 1000-row partitions —
+    // deterministic file boundaries, unlike sampled repartitionByRange
+    WarehouseFs.publishVersioned(
+      spark.range(0, 8000, 1, 8)
+        .select(col("id"), concat(lit("u"), col("id")).as("user"),
+          (col("id") % 7).as("grp")),
+      t, keepVersions = 5, bloomIndexCols = Seq("id"), zoneMapCols = Seq("id"))
+    // 1000 keys, all inside one range file, forced into the bulk regime
+    val updates = spark.range(1000)
+      .select(col("id"), concat(lit("fixed"), col("id")).as("user"),
+        lit(99L).as("grp"))
+    WarehouseFs.upsertRows(updates, t, "id", keepVersions = 5,
+      maxPointKeys = 100)
+    val got = WarehouseFs.readTable(spark, t).get
+    assert(got.count() === 8000)
+    assert(got.filter(col("id") < 1000 && !col("user").startsWith("fixed"))
+      .count() === 0)
+    assert(got.filter(col("id") >= 1000 && col("user").startsWith("fixed"))
+      .count() === 0)
+    // the zone probe confined the rewrite to the one clustered file
+    assert(dirFileCount(t, currentDir(t)) === 1,
+      "bulk regime must stay file-granular on a clustered key batch")
+  }
+
+  test("a 20k-key bulk merge whose keys live in 2 of 8 files rewrites exactly 2 files") {
+    val t = tmpTable()
+    WarehouseFs.publishVersioned(
+      spark.range(0, 80000, 1, 8) // 8 exact 10k-row contiguous files
+        .select(col("id"), concat(lit("u"), col("id")).as("user")),
+      t, keepVersions = 5, bloomIndexCols = Seq("id"), zoneMapCols = Seq("id"))
+    // 20k keys > default maxPointKeys → bulk regime, zero key collect;
+    // keys span exactly the first two 10k-row range files
+    val source = spark.range(20000)
+      .select(col("id"), concat(lit("m"), col("id")).as("user"))
+    WarehouseFs.mergeInto(source, t, "id",
+      whenMatchedUpdate = Map("user" -> col("src_user")), keepVersions = 5)
+    val got = WarehouseFs.readTable(spark, t).get
+    assert(got.count() === 80000)
+    assert(got.filter(col("id") < 20000 && !col("user").startsWith("m"))
+      .count() === 0)
+    assert(got.filter(col("id") >= 20000 && col("user").startsWith("m"))
+      .count() === 0)
+    // file-granular economics: 6 of 8 original files ride by REFERENCE
+    // (the current version still reads them from v1's dir), and only
+    // the 2 zone-matched files were rewritten into the new dir
+    val refs = got.inputFiles
+    assert(refs.count(_.contains("/v00000001/")) === 6,
+      s"6 untouched files must carry by reference: ${refs.toSeq}")
+    assert(refs.count(_.contains(s"/${currentDir(t)}/")) <= 2,
+      "file-granular economics must survive a 20k-key batch")
+    // and the CDC apply path shares the regime: feed the merge's delta
+    // to a replica published the same way — same 2-file rewrite
+    val dst = tmpTable()
+    WarehouseFs.publishVersioned(
+      spark.range(0, 80000, 1, 8)
+        .select(col("id"), concat(lit("u"), col("id")).as("user")),
+      dst, keepVersions = 5, bloomIndexCols = Seq("id"), zoneMapCols = Seq("id"))
+    val feed = WarehouseFs.changeFeed(spark, t, Seq("id"), 1, 2).get
+    WarehouseFs.applyChangeFeed(spark, feed, dst, "id", keepVersions = 5)
+    val dstRead = WarehouseFs.readTable(spark, dst).get
+    assert(dstRead.collect().map(_.toSeq).toSet ===
+      got.collect().map(_.toSeq).toSet)
+    assert(dstRead.inputFiles.count(_.contains("/v00000001/")) === 6,
+      "bulk CDC apply must stay file-granular too")
+  }
 }
