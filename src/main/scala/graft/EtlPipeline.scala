@@ -52,6 +52,11 @@ object EtlPipeline {
   /** @param asOf logical "run time" (defaults to now) — drives the SCD2
     *   as-of snapshot and report_dt; injectable so tests can replay one
     *   nightly run per feed day deterministically. */
+  /** The tables the warehouse SERVES (and the atomic commit set spans);
+    * the append-only transactions fact intentionally stays outside. */
+  private val servedTables =
+    Seq("dwh_dim_terminals_hist", "dwh_fact_pssprt_blcklst", "rep_fraud")
+
   def run(spark: SparkSession, feedDir: String, whDir: String,
           bankDir: Option[String], asOf: Option[Timestamp] = None): Unit = {
     // all warehouse/feed paths go through the Hadoop FileSystem API so the
@@ -70,23 +75,31 @@ object EtlPipeline {
     // versioned-dir + pointer-file layout instead (no directory rename).
     val useManifest = spark.conf.getOption("spark.graft.etl.manifestPublish")
       .exists(_.toBoolean)
-    // spark.graft.etl.atomicCommit=true lifts the publish one level up:
-    // every SERVED table (terminal history, blacklist, fraud mart) flips
-    // in ONE commit-set commit ([[WarehouseFs.publishAtomicAll]]) at the
-    // end of the run, so a reader resolving through the latest commit can
-    // never join mart(vN) against blacklist(vN−1) — the cross-version
-    // mixture the per-table publishes permit. During the run the pipeline
-    // stages its intermediate states under `_work/` (private to the run);
+    // Atomic commit sets are the DEFAULT (spark.graft.etl.atomicCommit=
+    // false opts out for the legacy per-table layouts): every SERVED
+    // table (terminal history, blacklist, fraud mart) flips in ONE
+    // commit-set commit ([[WarehouseFs.publishAtomicAll]]) at the end of
+    // the run, so a reader resolving through the latest commit can never
+    // join mart(vN) against blacklist(vN−1) — the cross-version mixture
+    // the per-table publishes permit. During the run the pipeline stages
+    // its intermediate states under `_work/` (private to the run);
     // tables this run did not touch carry forward into the new commit
-    // with zero data I/O. The append-only transactions fact deliberately
-    // stays OUTSIDE the commit set: its day partitions are immutable once
-    // written (new days only append), so there is no version mixture to
-    // protect against, and re-committing O(history) fact bytes nightly is
+    // with zero data I/O. A LEGACY warehouse (plain dirs or per-table
+    // manifests) upgrades in place on its first default-mode run: reads
+    // fall back through manifest/plain resolution below, and the run's
+    // commit lifts whatever it touched into the commit set. The
+    // append-only transactions fact deliberately stays OUTSIDE the
+    // commit set: its day partitions are immutable once written (new
+    // days only append), so there is no version mixture to protect
+    // against, and re-committing O(history) fact bytes nightly is
     // exactly what carryForward exists to avoid. The mart itself is
-    // flagged events — orders of magnitude smaller than the fact — so its
-    // full-state commit write stays O(mart), acceptable nightly.
+    // flagged events — orders of magnitude smaller than the fact — so
+    // its full-state commit write stays O(mart), acceptable nightly.
+    // explicit atomicCommit always wins; an UNSET flag defaults to
+    // atomic unless the caller explicitly chose the per-table manifest
+    // layout (manifestPublish=true picks that non-default posture)
     val useAtomic = spark.conf.getOption("spark.graft.etl.atomicCommit")
-      .exists(_.toBoolean)
+      .map(_.toBoolean).getOrElse(!useManifest)
     val workDir = s"$whDir/_work"
     val committedTables: Map[String, String] =
       if (useAtomic) WarehouseFs.currentCommit(spark, whDir).map(_._2).getOrElse(Map.empty)
@@ -111,9 +124,20 @@ object EtlPipeline {
     // explicitly — it never stages under _work); unchanged committed
     // tables ride along by reference. No-op when nothing changed.
     def commitAtomic(mart: Option[DataFrame]): Unit = if (useAtomic) {
-      val changed: Map[String, DataFrame] =
+      val changed0: Map[String, DataFrame] =
         workWritten.toSeq.map(n => n -> spark.read.parquet(s"$workDir/$n")).toMap ++
           mart.map("rep_fraud" -> _).toMap
+      // one-time legacy lift: a served table this run did NOT touch and
+      // no commit references yet, but which exists under a legacy layout
+      // (plain dir or per-table manifest), migrates into THIS commit —
+      // after the first default-mode run the ENTIRE served set flips
+      // atomically, which is the guarantee the commit set exists to
+      // give. Costs one rewrite of each legacy table, exactly once.
+      val lifted: Map[String, DataFrame] = servedTables
+        .filterNot(changed0.keySet).filterNot(committedTables.keySet)
+        .flatMap(n => WarehouseFs.readTable(spark, tablePath(n)).map(n -> _))
+        .toMap
+      val changed = changed0 ++ lifted
       if (changed.nonEmpty) {
         // stats ride with every commit: served tables are dims/mart-sized
         // (never the fact), so the one profiling scan per changed table is
@@ -454,6 +478,15 @@ object EtlPipeline {
     * fact — DEMO ONLY: real deployments pass bankDir. First 5 clients'
     * passports are wired to blacklist entries so rule 1 has positives.
     */
+  /** Resolve a served warehouse table regardless of publish mode, in
+    * the same order the pipeline itself reads: latest commit set
+    * (atomic mode, the default) → per-table manifest version → plain
+    * directory (legacy layouts). */
+  def readServed(spark: SparkSession, whDir: String,
+                 name: String): Option[DataFrame] =
+    WarehouseFs.readCommitted(spark, whDir, name)
+      .orElse(WarehouseFs.readTable(spark, s"$whDir/$name"))
+
   def demoBankTables(spark: SparkSession, whDir: String,
                      blacklist: Option[DataFrame] = None): (DataFrame, DataFrame, DataFrame) = {
     val tx = spark.read.parquet(s"$whDir/dwh_fact_transactions")
@@ -465,8 +498,8 @@ object EtlPipeline {
       to_date(lit("2030-01-01")).as("valid_to"),
       col("cid").as("client"))
     val bl = withDenseId(
-      blacklist.getOrElse(
-        WarehouseFs.readTable(spark, s"$whDir/dwh_fact_pssprt_blcklst").get),
+      blacklist.orElse(
+        readServed(spark, whDir, "dwh_fact_pssprt_blcklst")).get,
       "passport_num", "bid")
     val clients = cardsSeen
       .join(bl.select(col("bid").as("cid"), col("passport_num").as("bl_passport")),

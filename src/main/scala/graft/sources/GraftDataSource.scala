@@ -147,15 +147,39 @@ case class GraftRelation(sqlContext: SQLContext, table: String,
       case GreaterThan(a, v) => a -> v
       case GreaterThanOrEqual(a, v) => a -> v
       case EqualTo(a, v) if v != null => a -> v
-    }.groupBy(_._1).map { case (c, vs) => c -> vs.map(_._2).maxBy(_.toString) }
+    }.groupBy(_._1).map { case (c, vs) =>
+      val bs = vs.map(_._2).toSeq; c -> bs.max(boundOrdering(bs)) }
     val his = flat.collect {
       case LessThan(a, v) => a -> v
       case LessThanOrEqual(a, v) => a -> v
       case EqualTo(a, v) if v != null => a -> v
-    }.groupBy(_._1).map { case (c, vs) => c -> vs.map(_._2).minBy(_.toString) }
+    }.groupBy(_._1).map { case (c, vs) =>
+      val bs = vs.map(_._2).toSeq; c -> bs.min(boundOrdering(bs)) }
     val ranges = los.keySet.intersect(his.keySet)
       .map(c => c -> ((los(c), his(c)))).toMap
     (point, ranges)
+  }
+
+  /** Tightest-bound selection among multiple inequality conjuncts on
+    * one column happens in the VALUE's type — numerics numerically
+    * (`id > 3 AND id > 25` probes lo = 25, not the lexicographic 3),
+    * same-class `Comparable`s (strings, dates, timestamps) natively —
+    * with a lexicographic last resort that is still safe: the chosen
+    * bound is looser-or-equal and the exact filters re-apply above. */
+  private def boundOrdering(vs: Seq[Any]): Ordering[Any] = {
+    def num(a: Any): Option[BigDecimal] = a match {
+      case n: java.lang.Number =>
+        scala.util.Try(BigDecimal(n.toString)).toOption // NaN/Inf → None
+      case _ => None
+    }
+    if (vs.forall(num(_).isDefined)) Ordering.by((a: Any) => num(a).get)
+    else if (vs.map(_.getClass).distinct.size == 1 &&
+             vs.head.isInstanceOf[Comparable[_]])
+      new Ordering[Any] {
+        def compare(x: Any, y: Any): Int =
+          x.asInstanceOf[Comparable[Any]].compareTo(y)
+      }
+    else Ordering.by((_: Any).toString)
   }
 
   /** Best-effort Filter→Column for re-applying pushed predicates inside

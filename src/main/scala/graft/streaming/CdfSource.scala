@@ -31,10 +31,16 @@ import graft.sources.WarehouseFs
   *
   * Options: `table` (path), `keyCols` (comma-separated), optional
   * `startingVersion` (first version whose ARRIVAL the stream reports;
-  * default = versions committed after stream start). The resolved
-  * starting floor is committed into the checkpoint's metadata dir on
-  * first start, so restarts — including a replay of the very first
-  * batch — resume against the original floor, not a re-derived one. */
+  * default = versions committed after stream start). A
+  * `startingVersion` equal to the table's EARLIEST retained version —
+  * typically 1, whose "previous" v₀ never existed — delivers that
+  * version's full content as `insert` rows (initial-snapshot
+  * semantics) and streams incrementally from there; one below the
+  * earliest retained version fails fast at source creation. The
+  * resolved starting floor is committed into the checkpoint's metadata
+  * dir on first start, so restarts — including a replay of the very
+  * first batch — resume against the original floor, not a re-derived
+  * one. */
 class CdfSourceProvider extends StreamSourceProvider with DataSourceRegister {
   override def shortName(): String = "graft-cdf"
 
@@ -72,6 +78,15 @@ class CdfSource(sqlContext: SQLContext, table: String, keyCols: Seq[String],
                 startingVersion: Option[Long],
                 metadataPath: Option[String] = None) extends Source {
   private val spark = sqlContext.sparkSession
+
+  startingVersion.foreach { sv =>
+    require(sv >= 1L, s"graft-cdf: startingVersion must be ≥ 1 (got $sv)")
+    val retained = WarehouseFs.listVersions(spark, table)
+    require(retained.isEmpty || sv >= retained.min,
+      s"graft-cdf: startingVersion $sv predates the earliest retained " +
+        s"version ${retained.min} of $table — its history is GC'd; start " +
+        s"at ${retained.min} (delivered as an initial snapshot) or later")
+  }
 
   override val schema: StructType = CdfSource.feedSchema(sqlContext, table)
 
@@ -134,11 +149,27 @@ class CdfSource(sqlContext: SQLContext, table: String, keyCols: Seq[String],
     val from = start.map(versionOf).getOrElse(floor)
     val ordered = schema.fieldNames.toSeq
     val steps = (from until to).map { v =>
-      WarehouseFs.changeFeed(spark, table, keyCols, v, v + 1).getOrElse(
-        throw new IllegalStateException(
-          s"graft-cdf: step $v→${v + 1} of $table is no longer retained — " +
-            "keepVersions must exceed the stream's lag"))
-        .withColumn("_commit_version", lit(v + 1L))
+      val feed = WarehouseFs.changeFeed(spark, table, keyCols, v, v + 1)
+        .orElse {
+          // Initial-snapshot semantics (the lakehouse-CDF convention):
+          // when the stream's FIRST step starts below retention — e.g.
+          // `startingVersion` = the table's earliest version, whose
+          // "previous" v₀ never existed — deliver that version's full
+          // content as inserts instead of failing on a diff against a
+          // version that cannot exist. Applies ONLY to the floor step of
+          // a fresh stream; a GC'd step mid-stream still fails loudly
+          // below (a silent snapshot there would swallow deletes).
+          if (v == floor)
+            WarehouseFs.readTableVersion(spark, table, v + 1)
+              .map(_.withColumn("_change_type", lit("insert")))
+          else None
+        }
+        .getOrElse(throw new IllegalStateException(
+          s"graft-cdf: step $v→${v + 1} of $table is no longer retained " +
+            s"(retained versions: ${WarehouseFs.listVersions(spark, table)
+              .mkString(", ")}) — keepVersions must exceed the stream's lag, " +
+            "and startingVersion must be a retained version"))
+      feed.withColumn("_commit_version", lit(v + 1L))
         .select(ordered.map(col): _*)
     }
     org.apache.spark.sql.graft.StreamingInternal.asStreaming(

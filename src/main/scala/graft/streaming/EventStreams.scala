@@ -49,14 +49,15 @@ object EventStreams {
       .withWatermark("ts", "30 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
-  /** Streaming NEAR-dup suppression: the streaming form of the batch
-    * SimHash near-dup path. Each document is sketched to a 64-bit SimHash
-    * (codegen'd, the same expression as the batch `dedup_simhash`), and
-    * the stream deduplicates on the sketch within the watermark — textually
-    * near-identical documents collapse to one survivor. State is one
-    * (sketch, ts) entry per distinct sketch inside the watermark window,
-    * evicted by event time; the batch twin's band-join verification stage
-    * is the offline complement (this is the cheap online gate).
+  /** Streaming NEAR-dup suppression — the cheap online PRE-GATE, not the
+    * authoritative dedup: each document is sketched to a 64-bit SimHash
+    * over raw tokens (codegen'd) and the stream deduplicates on sketch
+    * EQUALITY (Hamming 0) within the watermark, so only textually
+    * near-identical documents collapse. State is one (sketch, ts) entry
+    * per distinct sketch inside the watermark window, evicted by event
+    * time. The authoritative batch paths are MinHash+LSH (measured
+    * P/R = 1.0/1.0 vs exact Jaccard) and the shingle-feature
+    * `dedup_simhash` — this gate only thins the stream before they run.
     * Input needs (ts: Timestamp, doc_id, text). */
   def nearDupSuppress(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs

@@ -57,6 +57,52 @@ class CdfStreamSpec extends SparkSpec {
     }
   }
 
+  test("startingVersion = the earliest version delivers an initial snapshot, then increments") {
+    val t = tmpTable()
+    WarehouseFs.publishVersioned(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "user"), t,
+      keepVersions = 10, bloomIndexCols = Seq("id"))
+    // v1 has no v0 to diff against — the first batch must be the v1
+    // snapshot as inserts, not a failure on the nonexistent step 0→1
+    val q = spark.readStream
+      .format("graft.streaming.CdfSourceProvider")
+      .option("table", t).option("keyCols", "id")
+      .option("startingVersion", "1")
+      .load()
+      .writeStream.format("memory").queryName("cdf_snap_sink").start()
+    try {
+      q.processAllAvailable()
+      assert(collectSink("cdf_snap_sink") === Set(
+        (1L, "a", "insert", 1L), (2L, "b", "insert", 1L)))
+      // and the stream continues incrementally from the snapshot
+      WarehouseFs.deleteWhere(spark, t, "id", Seq(2L), keepVersions = 10)
+      q.processAllAvailable()
+      assert(collectSink("cdf_snap_sink") === Set(
+        (1L, "a", "insert", 1L), (2L, "b", "insert", 1L),
+        (2L, "b", "delete", 2L)))
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS cdf_snap_sink")
+    }
+  }
+
+  test("startingVersion below the earliest retained version fails fast at creation") {
+    val t = tmpTable()
+    WarehouseFs.publishVersioned(spark.range(10).toDF("id"), t,
+      keepVersions = 2, bloomIndexCols = Seq("id"))
+    WarehouseFs.deleteWhere(spark, t, "id", Seq(1L), keepVersions = 2)
+    WarehouseFs.deleteWhere(spark, t, "id", Seq(2L), keepVersions = 2)
+    // keepVersions = 2 → v1's history is GC'd
+    assert(WarehouseFs.listVersions(spark, t).min > 1L)
+    val e = intercept[IllegalArgumentException] {
+      new CdfSource(spark.sqlContext, t, Seq("id"), Some(1L), None)
+    }
+    assert(e.getMessage.contains("predates the earliest retained"))
+    intercept[IllegalArgumentException] {
+      new CdfSource(spark.sqlContext, t, Seq("id"), Some(0L), None)
+    }
+  }
+
   test("the starting floor persists in the checkpoint: restarts keep the original identity") {
     val t = tmpTable()
     WarehouseFs.publishVersioned(spark.range(10).toDF("id"), t, keepVersions = 10)

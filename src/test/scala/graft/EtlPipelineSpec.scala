@@ -11,12 +11,17 @@ class EtlPipelineSpec extends SparkSpec {
   private lazy val firstRun: Unit =
     EtlPipeline.run(spark, refDir, wh, None)
 
+  /** Served-table read across publish modes (atomic is the default, so
+    * commit-set resolution leads; the fact stays a plain path). */
+  private def served(whDir: String, name: String) =
+    EtlPipeline.readServed(spark, whDir, name).get
+
   test("golden counts after 3 days: 155 hist rows, 47116 tx, 24 blacklist") {
     firstRun
-    assert(spark.read.parquet(s"$wh/dwh_dim_terminals_hist").count() === 155)
+    assert(served(wh, "dwh_dim_terminals_hist").count() === 155)
     assert(spark.read.parquet(s"$wh/dwh_fact_transactions").count() === 47116)
-    assert(spark.read.parquet(s"$wh/dwh_fact_pssprt_blcklst").count() === 24)
-    assert(spark.read.parquet(s"$wh/rep_fraud").count() > 0)
+    assert(served(wh, "dwh_fact_pssprt_blcklst").count() === 24)
+    assert(served(wh, "rep_fraud").count() > 0)
   }
 
   test("transactions fact is partitioned by day (partition pruning)") {
@@ -28,10 +33,10 @@ class EtlPipelineSpec extends SparkSpec {
 
   test("re-running the whole pipeline is a no-op (idempotent loads)") {
     firstRun
-    val histBefore = spark.read.parquet(s"$wh/dwh_dim_terminals_hist").collect().toSet
+    val histBefore = served(wh, "dwh_dim_terminals_hist").collect().toSet
     EtlPipeline.run(spark, refDir, wh, None)
     assert(spark.read.parquet(s"$wh/dwh_fact_transactions").count() === 47116)
-    assert(spark.read.parquet(s"$wh/dwh_dim_terminals_hist").collect().toSet === histBefore)
+    assert(served(wh, "dwh_dim_terminals_hist").collect().toSet === histBefore)
   }
 
   test("file-name day extraction matches the reference's DDMMYYYY scheme") {
@@ -76,8 +81,8 @@ class EtlPipelineSpec extends SparkSpec {
     cd.write.parquet(s"$bank/cards.parquet")
   }
   private def assertMartParity(whInc: String, whFull: String): Unit = {
-    val full = spark.read.parquet(s"$whFull/rep_fraud").drop("report_dt")
-    val inc = spark.read.parquet(s"$whInc/rep_fraud").drop("report_dt")
+    val full = served(whFull, "rep_fraud").drop("report_dt")
+    val inc = served(whInc, "rep_fraud").drop("report_dt")
     assert(inc.count() === full.count())
     assert(inc.exceptAll(full).count() === 0)
     assert(full.exceptAll(inc).count() === 0)
@@ -123,10 +128,10 @@ class EtlPipelineSpec extends SparkSpec {
     stageFeeds(s"$tmp/feeds_1late", Seq(txFile(1)))
     EtlPipeline.run(spark, s"$tmp/feeds_2", whInc, Some(bank), Some(asOf(2)))
     EtlPipeline.run(spark, s"$tmp/feeds_3", whInc, Some(bank), Some(asOf(3)))
-    val day2Before = spark.read.parquet(s"$whInc/rep_fraud")
+    val day2Before = served(whInc, "rep_fraud")
       .filter(to_date(col("event_dt")) === lit(java.sql.Date.valueOf("2021-03-02"))).count()
     EtlPipeline.run(spark, s"$tmp/feeds_1late", whInc, Some(bank), Some(asOf(4)))
-    val day2After = spark.read.parquet(s"$whInc/rep_fraud")
+    val day2After = served(whInc, "rep_fraud")
       .filter(to_date(col("event_dt")) === lit(java.sql.Date.valueOf("2021-03-02"))).count()
     // the extension actually recovered crossing pairs (the data has them)
     assert(day2After > day2Before, s"no day-2 events recovered ($day2Before)")
@@ -161,11 +166,11 @@ class EtlPipelineSpec extends SparkSpec {
     stageFeeds(s"$tmp/feeds_2", Seq(txFile(2)))
     // both batches land on the same calendar day → same report_dt partition
     EtlPipeline.run(spark, s"$tmp/feeds_1", whInc, Some(bank), Some(asOf(2)))
-    val afterFirst = spark.read.parquet(s"$whInc/rep_fraud").collect().toSet
+    val afterFirst = served(whInc, "rep_fraud").collect().toSet
     assert(afterFirst.nonEmpty)
     EtlPipeline.run(spark, s"$tmp/feeds_2", whInc, Some(bank),
       Some(java.sql.Timestamp.valueOf("2021-03-02 23:59:30")))
-    val afterSecond = spark.read.parquet(s"$whInc/rep_fraud").collect().toSet
+    val afterSecond = served(whInc, "rep_fraud").collect().toSet
     assert(afterFirst.subsetOf(afterSecond),
       s"${afterFirst.size - (afterFirst & afterSecond).size} rows lost by dynamic overwrite")
     assert(afterSecond.size > afterFirst.size) // day 2 events arrived
@@ -232,7 +237,7 @@ class EtlPipelineSpec extends SparkSpec {
       assert(WarehouseFs.readCommitted(spark, whA, "dwh_fact_pssprt_blcklst").get.count() === 24)
       // mart content parity with the per-table-publish pipeline
       val aMart = WarehouseFs.readCommitted(spark, whA, "rep_fraud").get.drop("report_dt")
-      val bMart = spark.read.parquet(s"$wh/rep_fraud").drop("report_dt")
+      val bMart = served(wh, "rep_fraud").drop("report_dt")
       assert(aMart.exceptAll(bMart).count() === 0)
       assert(bMart.exceptAll(aMart).count() === 0)
       // the run's private staging area is gone after the commit
@@ -296,6 +301,35 @@ class EtlPipelineSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.etl.atomicCommit")
   }
 
+  test("a legacy plain-dir warehouse upgrades in place on its first default (atomic) run") {
+    import graft.sources.WarehouseFs
+    val tmp = java.nio.file.Files.createTempDirectory("graft_wh_legacy_").toString
+    val whL = s"$tmp/wh"
+    // day 1 lands under the LEGACY per-table layout (explicit opt-out)
+    spark.conf.set("spark.graft.etl.atomicCommit", "false")
+    try {
+      EtlPipeline.run(spark, refDir, whL, None, Some(asOf(1)))
+    } finally spark.conf.unset("spark.graft.etl.atomicCommit")
+    assert(WarehouseFs.currentCommit(spark, whL).isEmpty, "legacy: no commit set")
+    val legacyHist = spark.read.parquet(s"$whL/dwh_dim_terminals_hist")
+      .collect().toSet
+    // day 2 runs with the DEFAULT — the migration read path picks the
+    // plain dirs up and the run's single commit lifts them into the set
+    EtlPipeline.run(spark, refDir, whL, None, Some(asOf(2)))
+    val (_, tables) = WarehouseFs.currentCommit(spark, whL).get
+    assert(tables.keySet === Set(
+      "dwh_dim_terminals_hist", "dwh_fact_pssprt_blcklst", "rep_fraud"))
+    // the upgraded history CONTAINS day 1's legacy rows (SCD2 carried them)
+    val upgraded = WarehouseFs.readCommitted(spark, whL, "dwh_dim_terminals_hist")
+      .get.collect().toSet
+    assert(legacyHist.subsetOf(upgraded),
+      s"${legacyHist.size - (legacyHist & upgraded).size} legacy rows lost in upgrade")
+    // and a third run keeps working on the commit chain, idempotently
+    EtlPipeline.run(spark, refDir, whL, None, Some(asOf(2)))
+    assert(WarehouseFs.readCommitted(spark, whL, "dwh_fact_pssprt_blcklst")
+      .get.count() > 0)
+  }
+
   test("a retroactive blacklist entry re-derives only the affected days (parity with rebuild)") {
     firstRun
     val tmp = java.nio.file.Files.createTempDirectory("graft_retro_").toString
@@ -309,12 +343,12 @@ class EtlPipelineSpec extends SparkSpec {
     stageFeeds(s"$tmp/feeds_main", Seq(termFile(1), termFile(2), termFile(3),
       blFile(1), txFile(1), txFile(2), txFile(3)))
     EtlPipeline.run(spark, s"$tmp/feeds_main", whInc, Some(bank), Some(asOf(3)))
-    val before = spark.read.parquet(s"$whInc/rep_fraud").count()
+    val before = served(whInc, "rep_fraud").count()
     // …then day 3's cumulative blacklist arrives with NO new transactions:
     // its entries with entry_dt on days 2-3 are retroactive
     stageFeeds(s"$tmp/feeds_bl3", Seq(blFile(3)))
     EtlPipeline.run(spark, s"$tmp/feeds_bl3", whInc, Some(bank), Some(asOf(4)))
-    val after = spark.read.parquet(s"$whInc/rep_fraud").count()
+    val after = served(whInc, "rep_fraud").count()
     assert(after > before, "retroactive entries produced no new rule-1 events")
     assertMartParity(whInc, whFull)
   }

@@ -56,6 +56,17 @@ class GraftDataSourceSpec extends SparkSpec {
     // unsupported shapes translate to nothing (and stay correct upstream)
     assert(rel.indexProbes(Array(StringContains("user", "u1"))) ===
       ((Map.empty, Map.empty)))
+    // tightest-bound selection among multiple conjuncts is TYPED:
+    // {9, 10} resolves numerically (lexicographic would pick "9" as the
+    // larger lower bound and under-prune)
+    val (_, rTight) = rel.indexProbes(Array(
+      FGe("id", 9L), FGe("id", 10L), FLe("id", 10L), FLe("id", 9L)))
+    assert(rTight === Map("id" -> ((10L, 9L))),
+      "numeric bounds must compare in the value's type, not as strings")
+    // strings keep their natural (lexicographic) comparison
+    val (_, rStr) = rel.indexProbes(Array(
+      FGe("user", "a"), FGe("user", "b"), FLe("user", "z")))
+    assert(rStr === Map("user" -> (("b", "z"))))
 
     // pruning evidence through the combined scan: equality on a bloom
     // column + range on the zone column opens a strict file subset
