@@ -27,17 +27,56 @@ import org.apache.spark.sql.types.StructType
   *
   * Options: `table` (path, required), `version` (time travel).
   *
-  * Scale notes: the V1 row-based boundary costs one InternalRow→Row→
-  * InternalRow round-trip, which is noise for the point-lookup and
-  * narrow-range reads this surface exists for; full-table analytics
-  * should read the manifest directly ([[WarehouseFs.readTable]] /
-  * [[graft.GraftSession]] attach), which stays fully columnar. A
-  * `SaveMode.Append`-free overwrite write publishes a new version via
+  * Scale notes: `spark.read.format("graft")` resolves through DSv2
+  * ([[org.apache.spark.sql.connector.catalog.TableProvider]]): after the
+  * index pruning picks the file set, the scan IS Spark's vectorized
+  * parquet scan over those files — columnar batches, whole-stage
+  * codegen, row-group pushdown — so full-table analytics pay no row
+  * boundary ([[org.apache.spark.sql.graft.GraftV2ScanBuilder]]), and
+  * committed table statistics report into Catalyst on unpruned scans.
+  * The V1 [[GraftRelation]] remains only for the SQL `USING graft`
+  * temp-view path (resolved through [[RelationProvider]]), where its
+  * row round-trip is noise for the point lookups it serves. Batch
+  * writes and the streaming sink intentionally stay V1: the table
+  * reports no write capability, so Spark falls back to
+  * [[CreatableRelationProvider]] / [[StreamSinkProvider]] — an
+  * overwrite publishes a new version via
   * [[WarehouseFs.publishVersioned]] (bloom/zone columns via
   * `bloomIndexCols` / `zoneMapCols` comma-lists). */
 class GraftSource extends RelationProvider with CreatableRelationProvider
-    with StreamSinkProvider with DataSourceRegister {
+    with StreamSinkProvider with DataSourceRegister
+    with org.apache.spark.sql.connector.catalog.TableProvider {
   override def shortName(): String = "graft"
+
+  // --- DSv2 read path -------------------------------------------------
+  import org.apache.spark.sql.SparkSession
+  import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+  private def versionOf(m: java.util.Map[String, String]): Option[Long] =
+    Option(m.get("version")).map(_.toLong)
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftTable.resolveSchema(SparkSession.active,
+      tableOf(scalaMap(options)), versionOf(options))
+
+  /** True so WRITE paths hand us the frame's own schema instead of
+    * inferring — inference on a not-yet-existing table would fail before
+    * Spark's no-write-capability fallback routes the write to the V1
+    * [[CreatableRelationProvider]] / [[StreamSinkProvider]]. */
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def getTable(schema: StructType,
+                        partitioning: Array[org.apache.spark.sql.connector.expressions.Transform],
+                        properties: java.util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.Table =
+    GraftTable(SparkSession.active, tableOf(scalaMap(properties)),
+      versionOf(properties), schema)
+
+  private def scalaMap(m: java.util.Map[String, String]): Map[String, String] = {
+    val b = Map.newBuilder[String, String]
+    m.forEach((k, v) => b += (k -> v))
+    b.result()
+  }
 
   /** `writeStream.format("graft")`: each micro-batch upserts into a
     * versioned table through the copy-on-write path (the declarative
@@ -112,23 +151,50 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
   }
 }
 
-case class GraftRelation(sqlContext: SQLContext, table: String,
-                         version: Option[Long])
-    extends BaseRelation with PrunedFilteredScan {
-  private def spark = sqlContext.sparkSession
+/** The DSv2 face of a versioned table: read-only (no write capability —
+  * Spark routes writes to the V1 providers above), with scans assembled
+  * by [[org.apache.spark.sql.graft.GraftV2ScanBuilder]] (index-pruned
+  * file set → Spark's own vectorized parquet scan). */
+case class GraftTable(spark: org.apache.spark.sql.SparkSession,
+                      tablePath: String, pinnedVersion: Option[Long],
+                      schemaArg: StructType)
+    extends org.apache.spark.sql.connector.catalog.Table
+    with org.apache.spark.sql.connector.catalog.SupportsRead {
+  import org.apache.spark.sql.connector.catalog.TableCapability
 
-  override val schema: StructType =
+  override def name(): String =
+    s"graft.`$tablePath`${pinnedVersion.fold("")(v => s"@v$v")}"
+  override def schema(): StructType = schemaArg
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder =
+    new org.apache.spark.sql.graft.GraftV2ScanBuilder(
+      spark, tablePath, pinnedVersion, schemaArg, GraftRelation.indexProbes)
+}
+
+object GraftTable {
+  def apply(spark: org.apache.spark.sql.SparkSession, table: String,
+            version: Option[Long]): GraftTable =
+    GraftTable(spark, table, version, resolveSchema(spark, table, version))
+
+  def resolveSchema(spark: org.apache.spark.sql.SparkSession,
+                    table: String, version: Option[Long]): StructType =
     (version match {
       case Some(v) => WarehouseFs.readTableVersion(spark, table, v)
       case None => WarehouseFs.readTable(spark, table)
     }).getOrElse(throw new IllegalArgumentException(
       s"graft source: $table${version.fold("")(v => s"@v$v")} is not a " +
         "committed versioned table")).schema
+}
 
+object GraftRelation {
   /** (point-equality probes, bounded-range probes) extractable from the
     * pushed conjunction — ONLY top-level conjuncts participate (a
     * disjunction can't prune per-branch without union semantics), and
-    * unsupported shapes simply don't prune. Public so tests can pin the
+    * unsupported shapes simply don't prune. Shared by the V1 relation
+    * and the DSv2 scan builder; public so tests can pin the
     * translation. */
   def indexProbes(filters: Array[Filter])
       : (Map[String, Seq[Any]], Map[String, (Any, Any)]) = {
@@ -181,6 +247,25 @@ case class GraftRelation(sqlContext: SQLContext, table: String,
       }
     else Ordering.by((_: Any).toString)
   }
+}
+
+/** V1 relation for the SQL `USING graft` temp-view path: pushed filters
+  * drive the same index probes as the DSv2 scan; everything re-checks
+  * above the relation. Point lookups only — full-table analytics use
+  * the DSv2 read ([[GraftTable]]). */
+case class GraftRelation(sqlContext: SQLContext, table: String,
+                         version: Option[Long])
+    extends BaseRelation with PrunedFilteredScan {
+  private def spark = sqlContext.sparkSession
+
+  override val schema: StructType =
+    GraftTable.resolveSchema(spark, table, version)
+
+  /** See [[GraftRelation.indexProbes]] (kept as an instance entry so
+    * tests pin the translation through the relation). */
+  def indexProbes(filters: Array[Filter])
+      : (Map[String, Seq[Any]], Map[String, (Any, Any)]) =
+    GraftRelation.indexProbes(filters)
 
   /** Best-effort Filter→Column for re-applying pushed predicates inside
     * the pruned read (row-group pushdown + fewer rows over the V1 row

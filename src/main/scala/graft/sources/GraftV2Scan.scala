@@ -1,0 +1,177 @@
+package org.apache.spark.sql.graft
+
+import java.util.OptionalLong
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.metric.{CustomMetric, CustomTaskMetric}
+import org.apache.spark.sql.connector.read.{Batch, Scan, ScanBuilder, Statistics, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.execution.datasources.{DataSourceStrategy, InMemoryFileIndex, PartitionPath, PartitionSpec}
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
+import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** The DSv2 scan machinery of the registered `graft` source — lives in
+  * the `org.apache.spark.sql` namespace because it composes Spark's own
+  * parquet DSv2 internals ([[ParquetScanBuilder]], [[InMemoryFileIndex]])
+  * rather than re-implementing a columnar parquet reader: after graft's
+  * bloom/zone/partition index pruning selects the FILE set, the scan IS
+  * Spark's vectorized parquet scan over exactly those files — whole-stage
+  * codegen, columnar batches, row-group pushdown and all. The V1
+  * `GraftRelation` row boundary (one InternalRow→Row→InternalRow
+  * round-trip per row) only remains for the SQL `USING graft` temp-view
+  * path.
+  *
+  * Catalyst filters arrive verbatim ([[SupportsPushDownCatalystFilters]],
+  * the same entry the file sources use), drive the index probes in their
+  * translated `sources.Filter` form, and are ALL returned as residual —
+  * Spark re-evaluates every predicate above the scan, so bloom false
+  * positives stay invisible and pruning is strictly a file-skip
+  * optimization, exactly the V1 posture. */
+class GraftV2ScanBuilder(
+    spark: SparkSession, table: String, version: Option[Long],
+    tableSchema: StructType,
+    probes: Array[Filter] => (Map[String, Seq[Any]], Map[String, (Any, Any)]))
+  extends ScanBuilder with SupportsPushDownCatalystFilters
+  with SupportsPushDownRequiredColumns {
+
+  private var delegate: Option[ParquetScanBuilder] = None
+  private var required: Option[StructType] = None
+  private var pruneEvidence: (Int, Int) = (0, 0)
+
+  /** (survivors, total files) of the index pruning — test observability. */
+  def prunedCounts: (Int, Int) = pruneEvidence
+
+  private def mkDelegate(exprs: Seq[Expression]): ParquetScanBuilder = {
+    val v1 = exprs.flatMap(e =>
+      DataSourceStrategy.translateFilter(e, supportNestedPredicatePushdown = true))
+    val (point, ranges) = probes(v1.toArray)
+    val (files, partCols, kept, total) =
+      graft.sources.WarehouseFs.prunedFiles(spark, table, point, ranges, version)
+        .getOrElse(throw new IllegalStateException(
+          s"graft source: $table vanished between schema and scan"))
+    pruneEvidence = (kept, total)
+    val fileIndex = GraftV2ScanBuilder.fileIndex(spark, files, partCols, tableSchema)
+    val dataSchema = StructType(tableSchema.filterNot(f => partCols.contains(f.name)))
+    ParquetScanBuilder(spark, fileIndex, tableSchema, dataSchema,
+      CaseInsensitiveStringMap.empty())
+  }
+
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+    val d = mkDelegate(filters)
+    // the delegate splits partition vs data filters against the REAL
+    // partition schema, translates, and pushes row-group filters into
+    // parquet; its residual answer is ignored because we re-apply ALL
+    d.pushFilters(filters)
+    required.foreach(d.pruneColumns)
+    delegate = Some(d)
+    filters
+  }
+
+  override def pushedFilters: Array[Predicate] =
+    delegate.map(_.pushedFilters).getOrElse(Array.empty)
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    required = Some(requiredSchema)
+    delegate.foreach(_.pruneColumns(requiredSchema))
+  }
+
+  override def build(): Scan = {
+    val d = delegate.getOrElse {
+      val x = mkDelegate(Nil)
+      required.foreach(x.pruneColumns)
+      delegate = Some(x); x
+    }
+    val scan = d.build()
+    // committed table statistics ride into Catalyst when the scan is
+    // UNPRUNED (a pruned scan's row count is unknown; its byte size from
+    // the surviving files is already exact via the delegate)
+    val rowCount =
+      if (pruneEvidence._1 == pruneEvidence._2)
+        graft.sources.WarehouseFs.readStats(spark, table, version).map(_.rowCount)
+      else None
+    rowCount.fold(scan: Scan)(n => new GraftStatsScan(scan, n))
+  }
+}
+
+object GraftV2ScanBuilder {
+  /** A [[PartitioningAwareFileIndex]] over an EXPLICIT file set.
+    * Flat layouts list the files as roots (no partition discovery —
+    * there is nothing to discover). Hive layouts get a hand-built
+    * [[PartitionSpec]]: graft's CoW manifests can reference files across
+    * several immutable version dirs, which Spark's base-path discovery
+    * cannot express, but the partition values are pure path arithmetic
+    * (`key=value` segments) so each file's parent dir becomes one
+    * partition entry with values cast through the table schema's types. */
+  def fileIndex(spark: SparkSession, files: Seq[String], partCols: Seq[String],
+                tableSchema: StructType): InMemoryFileIndex = {
+    // fully qualify (scheme + authority): the index's internal listing
+    // keys partition dirs by QUALIFIED parent path, so unqualified
+    // PartitionPath dirs would match zero files
+    val hconf = spark.sessionState.newHadoopConf()
+    val paths = files.map { f =>
+      val p = new Path(f)
+      p.getFileSystem(hconf).makeQualified(p)
+    }
+    if (partCols.isEmpty)
+      new InMemoryFileIndex(spark, paths, Map.empty[String, String], None)
+    else {
+      val partSchema = StructType(partCols.flatMap(c => tableSchema.find(_.name == c)))
+      val tz = Some(spark.sessionState.conf.sessionLocalTimeZone)
+      val partitions = paths.groupBy(_.getParent).toSeq
+        .sortBy(_._1.toString)
+        .map { case (dir, _) =>
+          val segs = dir.toString.split('/')
+          val values = partSchema.map { f =>
+            val enc = segs.collectFirst {
+              case s if s.startsWith(s"${f.name}=") => s.drop(f.name.length + 1)
+            }.getOrElse(throw new IllegalStateException(
+              s"graft source: file dir $dir does not encode partition ${f.name}"))
+            val raw = ExternalCatalogUtils.unescapePathName(enc)
+            if (raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null
+            else Cast(Literal.create(raw, StringType), f.dataType, tz).eval()
+          }
+          PartitionPath(InternalRow.fromSeq(values), dir)
+        }
+      new InMemoryFileIndex(spark, paths, Map.empty[String, String],
+        userSpecifiedSchema = None,
+        userSpecifiedPartitionSpec = Some(PartitionSpec(partSchema, partitions)))
+    }
+  }
+}
+
+/** Delegating scan that reports graft's COMMITTED row count
+  * ([[graft.sources.WarehouseFs.readStats]]) alongside the parquet
+  * scan's exact byte size, so Catalyst's join planning sees real
+  * cardinality without a manual `readTableStatsHinted` call. Everything
+  * else — batches, columnar mode, metrics — is the delegate's. */
+class GraftStatsScan(delegate: Scan, committedRows: Long)
+    extends Scan with SupportsReportStatistics {
+  override def readSchema(): StructType = delegate.readSchema()
+  override def description(): String = s"graft(${delegate.description()})"
+  override def toBatch: Batch = delegate.toBatch
+  override def supportedCustomMetrics(): Array[CustomMetric] =
+    delegate.supportedCustomMetrics()
+  override def reportDriverMetrics(): Array[CustomTaskMetric] =
+    delegate.reportDriverMetrics()
+  override def columnarSupportMode(): Scan.ColumnarSupportMode =
+    delegate.columnarSupportMode()
+  override def estimateStatistics(): Statistics = {
+    val base = delegate match {
+      case s: SupportsReportStatistics => s.estimateStatistics()
+      case _ => null
+    }
+    new Statistics {
+      override def sizeInBytes(): OptionalLong =
+        if (base == null) OptionalLong.empty() else base.sizeInBytes()
+      override def numRows(): OptionalLong = OptionalLong.of(committedRows)
+    }
+  }
+}

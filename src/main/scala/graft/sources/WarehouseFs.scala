@@ -461,34 +461,61 @@ object WarehouseFs {
                  ranges: Map[String, (Any, Any)] = Map.empty,
                  version: Option[Long] = None): Option[(DataFrame, Int, Int)] =
     resolveVersion(spark, table, version).map { r =>
-      val (fs, t) = fsFor(spark, table)
-      val all = versionFiles(fs, t, r)
-      lazy val schemaV = versionSchema(spark, table, r)
-      var cand: Set[String] = all.toSet
-      point.foreach { case (c, vs) =>
-        if (vs.nonEmpty && !vs.contains(null)) {
-          candidatesRootRelative(spark, table, r, c, vs)
-            .foreach(cs => cand = cand.intersect(cs.toSet))
-          // a point predicate on a partition column prunes by path alone
-          if (all.nonEmpty) schemaV.find(_.name == c).foreach { f =>
-            cand = cand.intersect(
-              partitionCandidates(all, c, vs, f.dataType).toSet)
-          }
-        }
-      }
-      ranges.foreach { case (c, (lo, hi)) =>
-        zoneCandidateFiles(spark, table, c, lo, hi, Some(r.version)).foreach {
-          cs =>
-            val rooted = if (r.isFileList) cs else cs.map(f => s"${r.dirName}/$f")
-            cand = cand.intersect(rooted.toSet)
-        }
-      }
-      val files = all.filter(cand)
+      val (files, all) = prunedFileCore(spark, table, r, point, ranges)
       val df =
         if (files.size == all.size) readResolved(spark, table, r)
         else if (files.isEmpty) readResolved(spark, table, r).limit(0)
         else readFilesGrouped(spark, table, files)
       (df, files.size, all.size)
+    }
+
+  /** The candidate core shared by [[prunedScan]] and [[prunedFiles]]:
+    * (surviving root-relative files, all root-relative files). */
+  private def prunedFileCore(spark: SparkSession, table: String,
+                             r: ResolvedVersion,
+                             point: Map[String, Seq[Any]],
+                             ranges: Map[String, (Any, Any)])
+      : (Seq[String], Seq[String]) = {
+    val (fs, t) = fsFor(spark, table)
+    val all = versionFiles(fs, t, r)
+    lazy val schemaV = versionSchema(spark, table, r)
+    var cand: Set[String] = all.toSet
+    point.foreach { case (c, vs) =>
+      if (vs.nonEmpty && !vs.contains(null)) {
+        candidatesRootRelative(spark, table, r, c, vs)
+          .foreach(cs => cand = cand.intersect(cs.toSet))
+        // a point predicate on a partition column prunes by path alone
+        if (all.nonEmpty) schemaV.find(_.name == c).foreach { f =>
+          cand = cand.intersect(
+            partitionCandidates(all, c, vs, f.dataType).toSet)
+        }
+      }
+    }
+    ranges.foreach { case (c, (lo, hi)) =>
+      zoneCandidateFiles(spark, table, c, lo, hi, Some(r.version)).foreach {
+        cs =>
+          val rooted = if (r.isFileList) cs else cs.map(f => s"${r.dirName}/$f")
+          cand = cand.intersect(rooted.toSet)
+      }
+    }
+    (all.filter(cand), all)
+  }
+
+  /** [[prunedScan]]'s file-set form, for readers that assemble their own
+    * scan (the DSv2 `graft` source): absolute surviving file paths, the
+    * partition columns the file LAYOUT encodes (Hive `key=value`
+    * segments — empty for flat layouts), and (survivors, total) as
+    * pruning evidence. Metadata-only: index probes + path arithmetic,
+    * no data I/O. */
+  def prunedFiles(spark: SparkSession, table: String,
+                  point: Map[String, Seq[Any]] = Map.empty,
+                  ranges: Map[String, (Any, Any)] = Map.empty,
+                  version: Option[Long] = None)
+      : Option[(Seq[String], Seq[String], Int, Int)] =
+    resolveVersion(spark, table, version).map { r =>
+      val (files, all) = prunedFileCore(spark, table, r, point, ranges)
+      (files.map(f => s"$table/$f"), partitionColsOf(all),
+        files.size, all.size)
     }
 
   /** Prune a root-relative file list by Hive-layout partition VALUES:

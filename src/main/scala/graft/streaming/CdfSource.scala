@@ -22,9 +22,12 @@ import graft.sources.WarehouseFs
   * Per-step (not endpoint-diff) feeds mean a consumer sees every
   * intermediate state exactly as the table's own history recorded it.
   *
-  * Scale: each step's feed is ONE key-partitioned full-outer join of
-  * two retained versions (see [[WarehouseFs.changeFeed]]) — the
-  * micro-batch never rescans history, and polling costs metadata only.
+  * Scale: each step's feed is ONE key-partitioned full-outer join over
+  * only the files NOT shared between the step's two manifests (see
+  * [[WarehouseFs.changeFeed]] — carried files are bit-identical and
+  * cannot produce feed rows), so a step costs O(files the DML touched),
+  * the micro-batch never rescans history, and polling costs metadata
+  * only.
   * The table's `keepVersions` must exceed the stream's worst-case lag
   * in versions; a GC'd step fails loudly rather than silently skipping
   * history.

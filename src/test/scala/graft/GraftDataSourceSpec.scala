@@ -103,6 +103,50 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(ds.count() === 400)
   }
 
+  test("DSv2 read is columnar: BatchScan parquet, no row-conversion node, stats reach Catalyst") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val t = tmpTable()
+    WarehouseFs.publishVersioned(
+      spark.range(8000)
+        .select(col("id"), concat(lit("u"), col("id")).as("user"),
+          (col("id") % 7).as("grp"))
+        .repartitionByRange(8, col("id")),
+      t, keepVersions = 5, collectStats = true,
+      bloomIndexCols = Seq("id"), zoneMapCols = Seq("id"))
+    val full = spark.read.format("graft").option("table", t).load()
+    assert(full.count() === 8000)
+    val plan = full.queryExecution.executedPlan
+    // the scan is Spark's own vectorized parquet batch scan…
+    val batchScan = plan.collectFirst { case b: BatchScanExec => b }
+    assert(batchScan.isDefined, s"expected BatchScanExec, got:\n$plan")
+    assert(batchScan.get.supportsColumnar, "the delegated parquet scan must emit columnar batches")
+    // …with NO V1 row boundary anywhere in the plan
+    val planStr = plan.toString
+    assert(!planStr.contains("Scan ExistingRDD") && !planStr.contains("RowDataSourceScan"),
+      s"row-conversion node in a DSv2 full scan:\n$planStr")
+    // committed statistics report through the scan into Catalyst: the
+    // relation's row count is the EXACT published count, no manual hint
+    assert(full.queryExecution.optimizedPlan.stats.rowCount === Some(BigInt(8000)),
+      "committed stats must reach the logical plan")
+    // column pruning reaches the parquet ReadSchema
+    val pruned = full.select("user")
+    val prunedScanStr = pruned.queryExecution.executedPlan.toString
+    assert(prunedScanStr.contains("ReadSchema: struct<user:string>"),
+      s"projection must prune the parquet read:\n$prunedScanStr")
+
+    // pushed filters prune FILES through the V2 path: the scan's file
+    // index holds a strict subset of the 8 range files
+    val point = spark.read.format("graft").option("table", t).load()
+      .filter(col("id") === 4242L)
+    assert(point.count() === 1)
+    val pointScan = point.queryExecution.executedPlan
+      .collectFirst { case b: BatchScanExec => b }.get
+    val scanned = pointScan.scan
+      .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScan]
+      .fileIndex.inputFiles.length
+    assert(scanned < 8, s"bloom/zone pruning must reach the V2 scan ($scanned of 8 files)")
+  }
+
   test("time travel via option(version), write path publishes a version") {
     val t = tmpTable()
     Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.format("graft")
