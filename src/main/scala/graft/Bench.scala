@@ -32,9 +32,13 @@ object Bench {
     * so the contamination was recorded as the round's signal. At 2× a
     * contended run self-heals across that band; the cost is one extra
     * cooldown+retry pass for a genuinely 2×-slower change, which the
-    * retried map then documents honestly. */
+    * retried map then documents honestly. Floor 0.15 (was 0.5): 0.5
+    * exempted exactly the 0.1–0.25 s queries that slipped 2–5× through
+    * r8 unretried (join_left_count 0.12→0.61 s et al.); 0.15 still
+    * absorbs scheduler jitter on sub-70 ms queries but re-measures the
+    * sub-second band. */
   val RegressFactor = 2.0
-  val RegressAbsFloor = 0.5
+  val RegressAbsFloor = 0.15
 
   /** max > SpreadFactor × min AND max − min > SpreadAbsFloor ⇒ some rep
     * of the query was starved (one slow rep among quiet ones). Shared by

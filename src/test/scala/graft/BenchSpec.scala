@@ -50,11 +50,19 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.retryCandidates(ok, Map.empty) === Seq("q"))
   }
 
+  test("the sub-second band above the floor DOES flag (the r8 escape)") {
+    // r8: join_left_count 0.12 s prior → 0.61 s, 5× but exempted by the
+    // old 0.5 s floor; at 0.15 it re-measures
+    val ok = Seq("join_left_count" -> Seq(0.61, 0.63, 0.66))
+    assert(Bench.retryCandidates(ok, Map("join_left_count" -> 0.12)) ===
+      Seq("join_left_count"))
+  }
+
   test("genuine growth under the factor, new queries, and fast queries don't flag") {
     val ok = Seq(
       "grew_2x" -> Seq(0.8, 0.82, 0.85),    // exactly 2× prior: at, not over, the trigger
       "brand_new" -> Seq(5.0, 5.1, 5.2),    // no prior entry
-      "tiny" -> Seq(0.09, 0.09, 0.1))       // 9× prior but under the 0.5 s floor
+      "tiny" -> Seq(0.09, 0.09, 0.1))       // 9× prior but under the 0.15 s floor
     val prior = Map("grew_2x" -> 0.4, "tiny" -> 0.01)
     assert(Bench.retryCandidates(ok, prior) === Seq.empty)
   }
