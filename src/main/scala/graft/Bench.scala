@@ -117,6 +117,13 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // read the pre-run load FIRST: it exists to answer "was the machine
+    // quiet when the bench started" — read after session startup + the
+    // warmup pass (which saturates every core for ~a minute), the 1-min
+    // average reports our own burst and a genuinely idle machine shows
+    // ≈1.3 (observed r9: idle 0.01 → 1.29 by the post-warmup read)
+    val loadBefore = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -148,7 +155,6 @@ object Bench {
     // a contaminated run (other tenants burning the cores) is visible in
     // the artifact itself instead of needing a rerun to adjudicate
     val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
-    val loadBefore = os.getSystemLoadAverage
     def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }

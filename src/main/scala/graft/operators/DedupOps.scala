@@ -183,8 +183,15 @@ object DedupOps {
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int, portable: Boolean = false): DataFrame = {
     val sim = if (portable) simhash64_portable _ else simhash64 _
+    // cache the one-row-per-doc (id, sig) relation, the [[minhashNearDups]]
+    // discipline: without it the self-join plans the sketch subtree on
+    // BOTH sides, and the join-key isnotnull pushed beneath the generator
+    // re-evaluates the full shingle+sketch expression with the token
+    // array inlined — every shingle element access re-splits the whole
+    // text (measured 30× at sf0.1). 16 bytes/doc, per-query-scoped.
     val sigs = shingled(docs, idCol, textCol)
       .select(col(idCol), sim(col("shingles")).as("sig"))
+      .cache()
     val banded = sigs.select(col(idCol), col("sig"),
       posexplode(expr(
         "transform(sequence(0, 3), b -> shiftright(sig, b * 16) & 65535)"))
