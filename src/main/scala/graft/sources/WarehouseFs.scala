@@ -550,29 +550,36 @@ object WarehouseFs {
     }
   }
 
-  /** Balanced OR of per-value bloom probes: a left-deep `reduce(_||_)`
-    * overflows the analyzer's recursion around ~1.5k values (each Or
-    * copy releases a fence per level); a log-depth tree takes 10k+
-    * point keys (the [[mergeInto]] regime boundary) without breaking
-    * a sweat. */
+  /** ONE bloom probe expression for a whole key set: the probes
+    * canonicalize driver-side into a single array LITERAL and an
+    * `exists` HOF loops the per-value membership test — generated code
+    * is constant-size no matter how many keys (an OR chain of per-value
+    * probes, even log-depth, overflows janino's 64 KB method limit
+    * around ~1k values and falls out of whole-stage codegen; data
+    * belongs in a literal, not in code). Canonicalization goes through
+    * the COLUMN's type first: the build side hashed `col.cast(string)`
+    * of the stored type, so a probe of a different numeric type
+    * stringifies differently (2 vs 2.0) and would produce a bloom FALSE
+    * NEGATIVE — the one failure mode the index must never have. A value
+    * that cannot canonicalize (casts to null) makes the whole probe
+    * unusable → None, and the caller skips pruning — safe, never a
+    * missed file. */
   private def bloomHitExpr(column: String, values: Seq[Any],
                            colType: Option[org.apache.spark.sql.types.DataType])
-      : Column = {
-    import org.apache.spark.sql.functions.{col, lit}
+      : Option[Column] = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal}
+    import org.apache.spark.sql.functions.{col, exists, typedlit}
     import org.apache.spark.sql.graft.BloomExpressions.bloom_might_contain
-    def orTree(cs: Seq[Column]): Column =
-      if (cs.size == 1) cs.head
-      else orTree(cs.grouped(2)
-        .map(g => if (g.size == 2) g(0) || g(1) else g(0)).toSeq)
-    // canonicalize through the COLUMN's type first: the build side hashed
-    // `col.cast(string)` of the stored type, so a probe of a different
-    // numeric type stringifies differently (2 vs 2.0) and would produce
-    // a bloom FALSE NEGATIVE — the one failure mode the index must
-    // never have
-    def probe(v: Any): Column =
-      colType.fold(lit(v))(t => lit(v).cast(t)).cast("string")
-    orTree(values.map(v =>
-      bloom_might_contain(col(s"b_$column"), probe(v), BloomIndexHashes)))
+    import org.apache.spark.sql.types.StringType
+    def canon(v: Any): Option[String] = {
+      val typed = colType.fold(Literal(v): Expression)(t =>
+        Cast(Literal(v), t, Some("UTC")))
+      Option(Cast(typed, StringType, Some("UTC")).eval()).map(_.toString)
+    }
+    val probes = values.map(canon)
+    if (probes.exists(_.isEmpty)) None
+    else Some(exists(typedlit(probes.flatten.distinct),
+      p => bloom_might_contain(col(s"b_$column"), p, BloomIndexHashes)))
   }
 
   /** Column types of one committed version — the probe-canonicalization
@@ -624,8 +631,8 @@ object WarehouseFs {
           val colType = resolveVersion(spark, table, version)
             .map(versionSchema(spark, table, _))
             .flatMap(_.find(_.name == column)).map(_.dataType)
-          val hit = bloomHitExpr(column, values, colType)
-          Some(index.filter(hit).select("file").collect().map(_.getString(0)).toSeq)
+          bloomHitExpr(column, values, colType).map(hit =>
+            index.filter(hit).select("file").collect().map(_.getString(0)).toSeq)
         }
       }
     }
@@ -1862,12 +1869,15 @@ object WarehouseFs {
         else {
           val colType = spark.read.parquet(dataPath).schema
             .find(_.name == column).map(_.dataType)
-          val hit = bloomHitExpr(column, values, colType)
-          val files = index.filter(hit).select("file").collect()
-            .map(_.getString(0)).toSeq
-          if (files.isEmpty) exact(spark.read.parquet(dataPath)).limit(0)
-          else exact(spark.read.option("basePath", dataPath)
-            .parquet(files.map(f => s"$dataPath/$f"): _*))
+          bloomHitExpr(column, values, colType) match {
+            case None => exact(spark.read.parquet(dataPath)) // un-probeable → full read
+            case Some(hit) =>
+              val files = index.filter(hit).select("file").collect()
+                .map(_.getString(0)).toSeq
+              if (files.isEmpty) exact(spark.read.parquet(dataPath)).limit(0)
+              else exact(spark.read.option("basePath", dataPath)
+                .parquet(files.map(f => s"$dataPath/$f"): _*))
+          }
         }
       }
     }
