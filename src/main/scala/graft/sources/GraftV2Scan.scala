@@ -152,7 +152,7 @@ object GraftV2ScanBuilder {
   * scan's exact byte size, so Catalyst's join planning sees real
   * cardinality without a manual `readTableStatsHinted` call. Everything
   * else — batches, columnar mode, metrics — is the delegate's. */
-class GraftStatsScan(delegate: Scan, committedRows: Long)
+case class GraftStatsScan(delegate: Scan, committedRows: Long)
     extends Scan with SupportsReportStatistics {
   override def readSchema(): StructType = delegate.readSchema()
   override def description(): String = s"graft(${delegate.description()})"

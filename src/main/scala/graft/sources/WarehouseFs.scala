@@ -788,60 +788,73 @@ object WarehouseFs {
       cs => if (r.isFileList) cs else cs.map(c => s"${r.dirName}/$c")
     }
 
+  /** Above this many distinct source keys the BLOOM leg of
+    * [[candidatesDistributed]] is skipped: its join broadcasts the key
+    * set (the bitset-laden index rows are the side that cannot
+    * broadcast), so the key side must stay driver-safe — and at this
+    * cardinality per-key false positives have UNIONED the bloom answer
+    * toward "all files" anyway. The zone leg has no such bound: its
+    * index rows are tiny (min/max per column), so IT broadcasts and the
+    * keys stream at any size. */
+  val MaxBloomProbeKeys: Long = 1000000L
+
   /** BULK-regime touched-set resolution: which files might hold any of
     * `source`'s key tuples, decided WITHOUT collecting keys to the
-    * driver. Both per-file index kinds probe with a left-semi join of
-    * the ≤|files|-row index relation against the source's distinct key
-    * values (source side broadcast, index rows stream, the semi join
-    * short-circuits a file on its first hitting key) — METADATA work,
-    * zero data I/O, parallel over index rows:
+    * driver — METADATA work, zero data I/O:
     *
-    *   - zone map: `min_c ≤ key ≤ max_c` — the SCALE path. On a
-    *     layout clustered by the key (range/Z-order — the publish
-    *     discipline for DML-heavy tables), a clustered key batch
-    *     selects exactly its files no matter how large the batch;
-    *   - bloom index: per-key membership probes. Selective for
-    *     moderate batches, but per-key false positives UNION across
-    *     the batch (a file is spuriously selected with probability
-    *     1−(1−p)^N), so for N in the tens of thousands bloom alone
-    *     degrades toward "all files" — which is why the zone probe
-    *     leads and the two candidate sets intersect.
+    *   - zone map: `min_c ≤ key ≤ max_c` — the SCALE path, unbounded in
+    *     batch size: the ≤|files|-row (file, min, max) relation
+    *     BROADCASTS and the distinct keys STREAM through it, so a
+    *     100 M-key batch never lands on the driver. On a layout
+    *     clustered by the key (range/Z-order — the publish discipline
+    *     for DML-heavy tables) a clustered batch selects exactly its
+    *     files no matter how large;
+    *   - bloom index: per-key membership probes, keys broadcast against
+    *     streaming index rows (the bitsets are too big to broadcast the
+    *     other way) — bounded by [[MaxBloomProbeKeys]], past which the
+    *     leg is skipped (FP union has degraded it toward "all files" by
+    *     then; the zone leg carries the pruning).
     *
     * Per-column and per-index candidate sets all INTERSECT (a file
     * holding the tuple holds every component and satisfies every
     * index; the intersection over-approximates, never misses). Only
     * the ≤|files| surviving file NAMES collect. None when no key
-    * column carries any index — the caller falls back to the honest
-    * full rewrite. */
+    * column carries a usable index — the caller falls back to the
+    * honest full rewrite. */
   private def candidatesDistributed(spark: SparkSession, table: String,
                                     r: ResolvedVersion, keyCols: Seq[String],
-                                    source: DataFrame): Option[Seq[String]] = {
+                                    source: DataFrame,
+                                    nDistinctKeys: Long): Option[Seq[String]] = {
     import org.apache.spark.sql.functions.{broadcast, col}
     import org.apache.spark.sql.graft.BloomExpressions.bloom_might_contain
     val (fs, t) = fsFor(spark, table)
     lazy val schemaV = versionSchema(spark, table, r)
-    def semiProbe(metaDir: Path, mkCond: (DataFrame, String,
-                  Option[org.apache.spark.sql.types.DataType]) => Option[Column])
-        : Seq[Set[String]] = {
+    def indexAt(metaDir: Path): Option[DataFrame] = {
       val p = new Path(metaDir, r.dirName)
-      if (!fs.exists(p)) return Nil
-      val index = spark.read.parquet(p.toString)
-      keyCols.flatMap { c =>
-        mkCond(index, c, schemaV.find(_.name == c).map(_.dataType)).map { cond =>
-          index.join(broadcast(sourceKeyProbes(source, c,
-              schemaV.find(_.name == c).map(_.dataType))), cond, "left_semi")
+      if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+    }
+    def keyProbes(c: String) =
+      sourceKeyProbes(source, c, schemaV.find(_.name == c).map(_.dataType))
+    val bloomSets: Seq[Set[String]] =
+      if (nDistinctKeys > MaxBloomProbeKeys) Nil
+      else indexAt(indexDir(t)).toSeq.flatMap { index =>
+        keyCols.filter(c => index.columns.contains(s"b_$c")).map { c =>
+          index.join(broadcast(keyProbes(c)),
+              bloom_might_contain(index(s"b_$c"), col("__ks"),
+                BloomIndexHashes), "left_semi")
             .select("file").collect().map(_.getString(0)).toSet
         }
       }
-    }
-    val bloomSets = semiProbe(indexDir(t), (index, c, _) =>
-      if (!index.columns.contains(s"b_$c")) None
-      else Some(bloom_might_contain(index(s"b_$c"),
-        col("__ks"), BloomIndexHashes)))
-    val zoneSets = semiProbe(zonesDir(t), (index, c, _) =>
-      if (!index.columns.contains(s"min_$c")) None
-      else Some(index(s"min_$c") <= col("__kt") &&
-                col("__kt") <= index(s"max_$c")))
+    val zoneSets: Seq[Set[String]] =
+      indexAt(zonesDir(t)).toSeq.flatMap { index =>
+        keyCols.filter(c => index.columns.contains(s"min_$c")).map { c =>
+          val zi = index.select(col("file"),
+            col(s"min_$c").as("__lo"), col(s"max_$c").as("__hi"))
+          keyProbes(c).join(broadcast(zi),
+              col("__lo") <= col("__kt") && col("__kt") <= col("__hi"))
+            .select("file").distinct().collect().map(_.getString(0)).toSet
+        }
+      }
     val perCol = bloomSets ++ zoneSets
     if (perCol.isEmpty) None
     else {
@@ -1134,7 +1147,7 @@ object WarehouseFs {
           .map(f => partitionCandidates(bloomT, keyCol, keys, f.dataType))
           .getOrElse(bloomT)
       } else
-        candidatesDistributed(spark, table, r, Seq(keyCol), updates)
+        candidatesDistributed(spark, table, r, Seq(keyCol), updates, nDistinct)
           .getOrElse(all)
     val survivors =
       if (touched.isEmpty) None
@@ -1284,7 +1297,8 @@ object WarehouseFs {
         // the bloom index — a 100k-key merge whose keys cluster in a few
         // files still rewrites only those files; unindexed tables fall
         // back to the honest full rewrite
-        candidatesDistributed(spark, table, r, keyCols, source).getOrElse(all)
+        candidatesDistributed(spark, table, r, keyCols, source, nDistinct)
+          .getOrElse(all)
       else all // an unmatched target row can live in ANY file
 
     val tableSchema =
@@ -1549,7 +1563,7 @@ object WarehouseFs {
         }
         if (pruned) all.filter(cand) else all
       } else // bulk regime: distributed index probe, see [[mergeIntoKeys]]
-        candidatesDistributed(spark, table, r, keyCols, affected)
+        candidatesDistributed(spark, table, r, keyCols, affected, nDistinct)
           .getOrElse(all)
     val tableSchema =
       if (all.nonEmpty) Some(versionSchema(spark, table, r))

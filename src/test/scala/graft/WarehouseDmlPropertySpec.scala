@@ -40,13 +40,18 @@ class WarehouseDmlPropertySpec extends SparkSpec {
     df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
-  test("any DML sequence matches the reference model: content, time travel, feeds") {
-    val prop = Prop.forAll(Gen.listOfN(4, opGen)) { ops =>
+  /** The whole-lifecycle property, parameterized over the touched-set
+    * regime: `maxPointKeys = 0` forces every upsert/merge through the
+    * BULK path ([[WarehouseFs.candidatesDistributed]] — the distributed
+    * bloom/zone index probes), which must be value-identical to the
+    * point path on every sequence the generator can produce. */
+  private def dmlProp(maxPointKeys: Int): Prop =
+    Prop.forAll(Gen.listOfN(4, opGen)) { ops =>
       val t = s"${java.nio.file.Files.createTempDirectory("graft_dmlp_")}/t"
       val init = (0L until 20L).map(k => (k, k * 10L))
       WarehouseFs.publishVersioned(
         init.toDF("k", "v").repartitionByRange(4, col("k")),
-        t, keepVersions = 10, bloomIndexCols = Seq("k"))
+        t, keepVersions = 10, bloomIndexCols = Seq("k"), zoneMapCols = Seq("k"))
 
       var model = init.toMap
       // model snapshot per COMMITTED version (a bloom-certain no-match
@@ -58,7 +63,8 @@ class WarehouseDmlPropertySpec extends SparkSpec {
             WarehouseFs.deleteWhere(spark, t, "k", ks, keepVersions = 10)
             model = model -- ks
           case Upsert(rows) =>
-            WarehouseFs.upsertRows(rows.toDF("k", "v"), t, "k", keepVersions = 10)
+            WarehouseFs.upsertRows(rows.toDF("k", "v"), t, "k", keepVersions = 10,
+              maxPointKeys = maxPointKeys)
             model = model ++ rows
           case Update(ks, a) =>
             WarehouseFs.updateWhere(spark, t, "k", ks,
@@ -69,7 +75,7 @@ class WarehouseDmlPropertySpec extends SparkSpec {
             WarehouseFs.mergeInto(rows.toDF("k", "v"), t, "k",
               whenMatchedUpdate = Map("v" -> (col("src_v") + lit(1L))),
               whenMatchedDelete = Some(col("v") % 2 === lit(p)),
-              keepVersions = 10)
+              keepVersions = 10, maxPointKeys = maxPointKeys)
             val src = rows.toMap
             model = model.flatMap { case (k, v) =>
               src.get(k) match {
@@ -103,7 +109,16 @@ class WarehouseDmlPropertySpec extends SparkSpec {
       }
       current && timeTravel && feedsOk
     }
-    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+
+  test("any DML sequence matches the reference model: content, time travel, feeds") {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(8), dmlProp(10000))
+    assert(res.passed, res.status.toString)
+  }
+
+  test("the same sequences through the BULK regime (distributed index probes) also match") {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(6), dmlProp(0))
     assert(res.passed, res.status.toString)
   }
 }

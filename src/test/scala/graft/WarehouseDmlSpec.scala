@@ -630,6 +630,37 @@ class WarehouseDmlSpec extends SparkSpec {
       "bulk regime must stay file-granular on a clustered key batch")
   }
 
+  test("bulk regime with a single index kind: zone-only streams keys, bloom-only stays bounded") {
+    // zone-only: the keys STREAM against the broadcast (file, min, max)
+    // relation — the unbounded-batch leg — and still confine the rewrite
+    val tz = tmpTable()
+    WarehouseFs.publishVersioned(
+      spark.range(0, 8000, 1, 8)
+        .select(col("id"), concat(lit("u"), col("id")).as("user")),
+      tz, keepVersions = 5, zoneMapCols = Seq("id"))
+    WarehouseFs.upsertRows(
+      spark.range(1000).select(col("id"), lit("z").as("user")),
+      tz, "id", keepVersions = 5, maxPointKeys = 0)
+    assert(WarehouseFs.readTable(spark, tz).get
+      .filter(col("user") === "z").count() === 1000)
+    assert(dirFileCount(tz, currentDir(tz)) === 1,
+      "zone-only bulk regime must stay file-granular")
+
+    // bloom-only: the per-key membership leg alone still prunes
+    val tb = tmpTable()
+    WarehouseFs.publishVersioned(
+      spark.range(0, 8000, 1, 8)
+        .select(col("id"), concat(lit("u"), col("id")).as("user")),
+      tb, keepVersions = 5, bloomIndexCols = Seq("id"))
+    WarehouseFs.upsertRows(
+      spark.range(500).select(col("id"), lit("b").as("user")),
+      tb, "id", keepVersions = 5, maxPointKeys = 0)
+    assert(WarehouseFs.readTable(spark, tb).get
+      .filter(col("user") === "b").count() === 500)
+    assert(dirFileCount(tb, currentDir(tb)) < 8,
+      "bloom-only bulk regime must open a strict file subset")
+  }
+
   test("a 20k-key bulk merge whose keys live in 2 of 8 files rewrites exactly 2 files") {
     val t = tmpTable()
     WarehouseFs.publishVersioned(
