@@ -460,14 +460,40 @@ object WarehouseFs {
                  point: Map[String, Seq[Any]] = Map.empty,
                  ranges: Map[String, (Any, Any)] = Map.empty,
                  version: Option[Long] = None): Option[(DataFrame, Int, Int)] =
-    resolveVersion(spark, table, version).map { r =>
-      val (files, all) = prunedFileCore(spark, table, r, point, ranges)
-      val df =
-        if (files.size == all.size) readResolved(spark, table, r)
-        else if (files.isEmpty) readResolved(spark, table, r).limit(0)
-        else readFilesGrouped(spark, table, files)
-      (df, files.size, all.size)
+    resolveVersion(spark, table, version) match {
+      case Some(r) =>
+        Some {
+          val (files, all) = prunedFileCore(spark, table, r, point, ranges)
+          val df =
+            if (files.size == all.size) readResolved(spark, table, r)
+            else if (files.isEmpty) readResolved(spark, table, r).limit(0)
+            else readFilesGrouped(spark, table, files)
+          (df, files.size, all.size)
+        }
+      case None if version.isEmpty && hasData(spark, table) =>
+        // plain-directory table (the migration posture [[readTable]]
+        // already serves): no manifest → no indexes → no pruning, but
+        // the scan must not fail where the schema resolution succeeded
+        val n = plainDirFiles(spark, table).size
+        Some((spark.read.parquet(table), n, n))
+      case None => None
     }
+
+  /** Root-relative parquet files of a PLAIN (non-manifest) table dir. */
+  private def plainDirFiles(spark: SparkSession, table: String): Seq[String] = {
+    val (fs, t) = fsFor(spark, table)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val prefix = t.toString
+    val it = fs.listFiles(t, true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.getPath.getName.endsWith(".parquet")) {
+        val full = st.getPath.toString
+        out += full.substring(full.indexOf(prefix) + prefix.length + 1)
+      }
+    }
+    out.sorted.toSeq
+  }
 
   /** The candidate core shared by [[prunedScan]] and [[prunedFiles]]:
     * (surviving root-relative files, all root-relative files). */
@@ -512,10 +538,24 @@ object WarehouseFs {
                   ranges: Map[String, (Any, Any)] = Map.empty,
                   version: Option[Long] = None)
       : Option[(Seq[String], Seq[String], Int, Int)] =
-    resolveVersion(spark, table, version).map { r =>
-      val (files, all) = prunedFileCore(spark, table, r, point, ranges)
-      (files.map(f => s"$table/$f"), partitionColsOf(all),
-        files.size, all.size)
+    resolveVersion(spark, table, version) match {
+      case Some(r) =>
+        Some {
+          val (files, all) = prunedFileCore(spark, table, r, point, ranges)
+          (files.map(f => s"$table/$f"), partitionColsOf(all),
+            files.size, all.size)
+        }
+      case None if version.isEmpty && hasData(spark, table) =>
+        // plain-dir fallback (see [[prunedScan]]); partition columns come
+        // straight off the root-relative layout — no version-dir segment
+        // to drop here
+        val files = plainDirFiles(spark, table)
+        val partCols = files.headOption.map {
+          _.split('/').dropRight(1).filter(_.contains('='))
+            .map(_.takeWhile(_ != '=')).toSeq
+        }.getOrElse(Nil)
+        Some((files.map(f => s"$table/$f"), partCols, files.size, files.size))
+      case None => None
     }
 
   /** Prune a root-relative file list by Hive-layout partition VALUES:

@@ -147,6 +147,44 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(scanned < 8, s"bloom/zone pruning must reach the V2 scan ($scanned of 8 files)")
   }
 
+  test("DSv2 reads partitioned CoW file-list versions: partition values survive across version dirs") {
+    val t = tmpTable()
+    Seq.tabulate(400)(i => (i.toLong, i % 4, s"u$i")).toDF("id", "day", "user")
+      .write.format("graft").option("table", t)
+      .option("partitionBy", "day").option("keepVersions", "5")
+      .option("bloomIndexCols", "id").mode("overwrite").save()
+    // a CoW delete makes the current version a FILE-LIST manifest whose
+    // files span v1 (carried) and v2 (rewritten) dirs — the hand-built
+    // PartitionSpec must restore `day` for both groups
+    WarehouseFs.deleteWhere(spark, t, "id", Seq(42L), keepVersions = 5)
+    val ds = spark.read.format("graft").option("table", t).load()
+    assert(ds.count() === 399)
+    assert(ds.schema.fieldNames.contains("day"))
+    assert(ds.filter(col("day") === 2).count() === 99) // id 42 was day 2
+    assert(ds.filter(col("day") === 3).count() === 100)
+    assert(ds.filter(col("id") === 42L).count() === 0)
+    assert(ds.filter(col("id") === 43L).select("user").collect()
+      .map(_.getString(0)).toSeq === Seq("u43"))
+    // partition pruning still reaches the scan on the mixed-dir layout
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val q = ds.filter(col("day") === 1)
+    assert(q.count() === 100)
+    val scan = q.queryExecution.executedPlan
+      .collectFirst { case b: BatchScanExec => b }.get.scan
+      .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScan]
+    assert(scan.fileIndex.partitionSchema.fieldNames.toSeq === Seq("day"))
+  }
+
+  test("a plain (non-manifest) parquet dir reads through the source — the migration posture") {
+    val dir = s"${java.nio.file.Files.createTempDirectory("graft_plain_")}/t"
+    spark.range(100).select(col("id"), (col("id") % 3).as("g"))
+      .write.partitionBy("g").parquet(dir)
+    val ds = spark.read.format("graft").option("table", dir).load()
+    assert(ds.count() === 100)
+    assert(ds.filter(col("g") === 1).count() > 0)
+    assert(ds.filter(col("id") === 7L).count() === 1)
+  }
+
   test("time travel via option(version), write path publishes a version") {
     val t = tmpTable()
     Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.format("graft")
