@@ -81,4 +81,60 @@ class ChangeFeedPropertySpec extends SparkSpec {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
     assert(res.passed, res.status.toString)
   }
+
+  // --- file-granular diff ≡ brute-force snapshot diff -------------------
+
+  private sealed trait CowOp
+  private case class CowDelete(keys: Seq[Long]) extends CowOp
+  private case class CowUpsert(rows: Seq[(Long, Long)]) extends CowOp
+  private case class CowUpdate(keys: Seq[Long], add: Long) extends CowOp
+
+  private val cowKey = Gen.chooseNum(0L, 23L)
+  private val cowOpGen: Gen[CowOp] = Gen.oneOf(
+    Gen.nonEmptyListOf(cowKey).map(ks => CowDelete(ks.distinct)),
+    Gen.nonEmptyListOf(Gen.zip(cowKey, Gen.chooseNum(0L, 99L)))
+      .map(rs => CowUpsert(rs.distinctBy(_._1))),
+    Gen.zip(Gen.nonEmptyListOf(cowKey), Gen.chooseNum(1L, 9L))
+      .map { case (ks, a) => CowUpdate(ks.distinct, a) })
+
+  test("file-granular feeds over CoW chains equal the brute-force snapshot diff") {
+    // every DML here produces a FILE-LIST manifest sharing files with its
+    // predecessor — exactly the layout where the r9 diff reads only the
+    // non-shared files. The feed must still equal what two FULL snapshot
+    // reads + set arithmetic predict, class by class, value by value.
+    val prop = Prop.forAll(Gen.listOfN(3, cowOpGen)) { ops =>
+      val t = s"${java.nio.file.Files.createTempDirectory("graft_cfg_")}/t"
+      WarehouseFs.publishVersioned(
+        (0L until 16L).map(k => (k, k * 7L)).toDF("k", "v")
+          .repartitionByRange(4, col("k")),
+        t, keepVersions = 10, bloomIndexCols = Seq("k"), zoneMapCols = Seq("k"))
+      ops.foreach {
+        case CowDelete(ks) =>
+          WarehouseFs.deleteWhere(spark, t, "k", ks, keepVersions = 10)
+        case CowUpsert(rows) =>
+          WarehouseFs.upsertRows(rows.toDF("k", "v"), t, "k", keepVersions = 10)
+        case CowUpdate(ks, a) =>
+          WarehouseFs.updateWhere(spark, t, "k", ks,
+            Map("v" -> (col("v") + lit(a))), keepVersions = 10)
+      }
+      def snap(v: Long): Map[Long, Long] =
+        WarehouseFs.readTableVersion(spark, t, v).get.collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val versions = WarehouseFs.listVersions(spark, t)
+      versions.zip(versions.tail).forall { case (a, b) =>
+        val sa = snap(a); val sb = snap(b)
+        val expected =
+          (sb.keySet -- sa.keySet).map(k => (k, sb(k), "insert")) ++
+          (sa.keySet -- sb.keySet).map(k => (k, sa(k), "delete")) ++
+          (sa.keySet & sb.keySet).filter(k => sa(k) != sb(k)).flatMap(k =>
+            Seq((k, sa(k), "update_preimage"), (k, sb(k), "update_postimage")))
+        val got = WarehouseFs.changeFeed(spark, t, Seq("k"), a, b).get
+          .select("k", "v", "_change_type").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+        got == expected
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
