@@ -43,14 +43,24 @@ object Bench {
   /** max > SpreadFactor × min AND max − min > SpreadAbsFloor ⇒ some rep
     * of the query was starved (one slow rep among quiet ones). Shared by
     * the artifact's `suspect` list and the retry trigger so the two can
-    * never desynchronize. */
+    * never desynchronize.
+    *
+    * The FIRST rep is exempt when ≥3 reps ran (r9): queries that
+    * `cache()` an intermediate (the dedup family) legitimately pay the
+    * fill on rep 1 and hit on reps 2+, a 5× "spread" that is the cache
+    * doing its job, not contention — it flagged (and pointlessly
+    * retried) the same queries every round. A genuinely starved FIRST
+    * rep is indistinguishable from a fill and equally harmless: the
+    * final value is the min over reps either way. */
   val SpreadFactor = 3.0
   val SpreadAbsFloor = 0.5
 
   def spreadSuspects(ok: Seq[(String, Seq[Double])]): Seq[String] =
     ok.collect {
-      case (k, ts) if ts.max > ts.min * SpreadFactor &&
-                      ts.max - ts.min > SpreadAbsFloor => k }
+      case (k, ts0) if {
+        val ts = if (ts0.size >= 3) ts0.tail else ts0
+        ts.max > ts.min * SpreadFactor && ts.max - ts.min > SpreadAbsFloor
+      } => k }
 
   /** The `"sf"` field of an artifact line, if present. Prior artifacts
     * from a DIFFERENT scale factor must not feed [[priorBest]]: a tiny-sf

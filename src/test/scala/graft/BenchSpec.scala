@@ -50,6 +50,16 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.retryCandidates(ok, Map.empty) === Seq("q"))
   }
 
+  test("a slow FIRST rep (cache/JIT fill) is not a spread suspect") {
+    // the dedup family caches an intermediate: rep 1 fills, reps 2+ hit —
+    // that 5× first-rep "spread" is the cache working, not contention
+    assert(Bench.spreadSuspects(Seq("cached_q" -> Seq(1.2, 0.22, 0.23))) ===
+      Seq.empty)
+    // …but a starved LATER rep still flags
+    assert(Bench.spreadSuspects(Seq("starved" -> Seq(0.3, 0.31, 9.0))) ===
+      Seq("starved"))
+  }
+
   test("the sub-second band above the floor DOES flag (the r8 escape)") {
     // r8: join_left_count 0.12 s prior → 0.61 s, 5× but exempted by the
     // old 0.5 s floor; at 0.15 it re-measures
