@@ -146,12 +146,16 @@ object WarehouseFs {
   //                  until r8).
   //   file-list    — first line "files:v00000003" (the version's OWN data
   //                  dir, where its rewritten files and its _stats/_index
-  //                  entries live), then one TABLE-ROOT-RELATIVE file path
-  //                  per line, which may reference PRIOR version dirs.
+  //                  entries live), optionally one "partcols:a,b" header
+  //                  (the table's LOGICAL partition columns — survives an
+  //                  empty state whose flat schema file encodes no
+  //                  layout), then one TABLE-ROOT-RELATIVE file path per
+  //                  line, which may reference PRIOR version dirs.
   //                  This is what makes copy-on-write DML O(touched
   //                  files): untouched files are carried by reference.
   private final case class ResolvedVersion(version: Long, dirName: String,
-                                           files: Option[Seq[String]]) {
+                                           files: Option[Seq[String]],
+                                           declaredPartCols: Seq[String] = Nil) {
     def isFileList: Boolean = files.isDefined
   }
 
@@ -163,10 +167,14 @@ object WarehouseFs {
 
   private def parseManifest(version: Long, content: String): ResolvedVersion = {
     val lines = content.split("\n").map(_.trim).filter(_.nonEmpty)
-    if (lines.head.startsWith("files:"))
+    if (lines.head.startsWith("files:")) {
+      val partCols = lines.tail.headOption.filter(_.startsWith("partcols:"))
+        .map(_.stripPrefix("partcols:").split(',').map(_.trim)
+          .filter(_.nonEmpty).toSeq).getOrElse(Nil)
+      val fileLines = lines.tail.dropWhile(_.startsWith("partcols:"))
       ResolvedVersion(version, lines.head.stripPrefix("files:"),
-        Some(lines.tail.toSeq))
-    else ResolvedVersion(version, lines.head, None)
+        Some(fileLines.toSeq), partCols)
+    } else ResolvedVersion(version, lines.head, None)
   }
 
   /** Every data-dir name a manifest keeps alive: its own dir plus, for a
@@ -479,7 +487,12 @@ object WarehouseFs {
       case None => None
     }
 
-  /** Root-relative parquet files of a PLAIN (non-manifest) table dir. */
+  /** Root-relative parquet files of a PLAIN (non-manifest) table dir.
+    * Mirrors Spark's hidden-file convention: any path SEGMENT starting
+    * with `_` or `.` (a `_temporary`/`.spark-staging` leftover of a
+    * crashed write, a `_SUCCESS`-adjacent sidecar dir) is invisible —
+    * `spark.read.parquet` would skip it, so a scan assembled from this
+    * list must too, or it would serve partial/duplicate rows. */
   private def plainDirFiles(spark: SparkSession, table: String): Seq[String] = {
     val (fs, t) = fsFor(spark, table)
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -489,7 +502,10 @@ object WarehouseFs {
       val st = it.next()
       if (st.getPath.getName.endsWith(".parquet")) {
         val full = st.getPath.toString
-        out += full.substring(full.indexOf(prefix) + prefix.length + 1)
+        val rel = full.substring(full.indexOf(prefix) + prefix.length + 1)
+        val hidden = rel.split('/')
+          .exists(s => s.startsWith("_") || s.startsWith("."))
+        if (!hidden) out += rel
       }
     }
     out.sorted.toSeq
@@ -513,7 +529,7 @@ object WarehouseFs {
         // a point predicate on a partition column prunes by path alone
         if (all.nonEmpty) schemaV.find(_.name == c).foreach { f =>
           cand = cand.intersect(
-            partitionCandidates(all, c, vs, f.dataType).toSet)
+            partitionCandidates(spark, all, c, vs, f.dataType).toSet)
         }
       }
     }
@@ -567,15 +583,18 @@ object WarehouseFs {
     * in a mixed chain) always stay — they could hold anything. The
     * null partition is pruned: probe values are non-null by the
     * callers' guards. Pure path arithmetic, zero I/O. */
-  private def partitionCandidates(files: Seq[String], column: String,
-                                  values: Seq[Any],
+  private def partitionCandidates(spark: SparkSession, files: Seq[String],
+                                  column: String, values: Seq[Any],
                                   colType: org.apache.spark.sql.types.DataType)
       : Seq[String] = {
     import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
     import org.apache.spark.sql.types.StringType
+    // session tz: the dynamic-partition writer stringified the path
+    // values under it, so the probe must match (see [[bloomHitExpr]])
+    val tz = Some(spark.sessionState.conf.sessionLocalTimeZone)
     def canon(v: Any): Option[String] =
-      Option(Cast(Cast(Literal(v), colType, Some("UTC")), StringType,
-        Some("UTC")).eval()).map(_.toString)
+      Option(Cast(Cast(Literal(v), colType, tz), StringType, tz).eval())
+        .map(_.toString)
     val want = values.flatMap(canon(_)).toSet
     val seg = s"$column="
     files.filter { f =>
@@ -600,21 +619,27 @@ object WarehouseFs {
     * the COLUMN's type first: the build side hashed `col.cast(string)`
     * of the stored type, so a probe of a different numeric type
     * stringifies differently (2 vs 2.0) and would produce a bloom FALSE
-    * NEGATIVE — the one failure mode the index must never have. A value
-    * that cannot canonicalize (casts to null) makes the whole probe
-    * unusable → None, and the caller skips pruning — safe, never a
-    * missed file. */
-  private def bloomHitExpr(column: String, values: Seq[Any],
+    * NEGATIVE — the one failure mode the index must never have. For the
+    * same reason canonicalization runs under the SESSION time zone: the
+    * build side hashed `col.cast(string)` evaluated under the session
+    * tz, so a timestamp probe stringified under a hard-coded zone would
+    * differ by the UTC offset in a non-UTC session — again a silent
+    * false negative. A value that cannot canonicalize (casts to null)
+    * makes the whole probe unusable → None, and the caller skips
+    * pruning — safe, never a missed file. */
+  private def bloomHitExpr(spark: SparkSession, column: String,
+                           values: Seq[Any],
                            colType: Option[org.apache.spark.sql.types.DataType])
       : Option[Column] = {
     import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal}
     import org.apache.spark.sql.functions.{col, exists, typedlit}
     import org.apache.spark.sql.graft.BloomExpressions.bloom_might_contain
     import org.apache.spark.sql.types.StringType
+    val tz = Some(spark.sessionState.conf.sessionLocalTimeZone)
     def canon(v: Any): Option[String] = {
       val typed = colType.fold(Literal(v): Expression)(t =>
-        Cast(Literal(v), t, Some("UTC")))
-      Option(Cast(typed, StringType, Some("UTC")).eval()).map(_.toString)
+        Cast(Literal(v), t, tz))
+      Option(Cast(typed, StringType, tz).eval()).map(_.toString)
     }
     val probes = values.map(canon)
     if (probes.exists(_.isEmpty)) None
@@ -671,7 +696,7 @@ object WarehouseFs {
           val colType = resolveVersion(spark, table, version)
             .map(versionSchema(spark, table, _))
             .flatMap(_.find(_.name == column)).map(_.dataType)
-          bloomHitExpr(column, values, colType).map(hit =>
+          bloomHitExpr(spark, column, values, colType).map(hit =>
             index.filter(hit).select("file").collect().map(_.getString(0)).toSeq)
         }
       }
@@ -967,8 +992,15 @@ object WarehouseFs {
     // a Hive-partitioned prior keeps its layout: the rewrite lands under
     // the same key=value structure (rows whose partition VALUE changed
     // simply land in their new subdir — partition-moving updates are
-    // free), and the manifest lists the kv-prefixed paths
-    val partCols = partitionColsOf(touched ++ carried)
+    // free), and the manifest lists the kv-prefixed paths. An EMPTY
+    // prior state encodes no layout in its one flat schema file, so the
+    // logical partition columns come from its manifest's `partcols:`
+    // header instead — the next non-empty publish genuinely restores
+    // the partitioned layout rather than silently going flat forever.
+    val derivedPartCols = partitionColsOf(touched ++ carried)
+    val partCols =
+      if (derivedPartCols.nonEmpty) derivedPartCols
+      else prior.declaredPartCols
     val writer = rewritten.coalesce(math.max(1, touched.size))
       .write.mode(SaveMode.Overwrite)
     (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
@@ -994,7 +1026,8 @@ object WarehouseFs {
       // unreadable. Re-write the empty state FLAT: a single-directory
       // writer emits one schema-bearing empty file (partition columns
       // persist as ordinary columns of the empty file, so the logical
-      // schema survives; the next non-empty publish restores the layout).
+      // schema survives; the layout itself survives via the manifest's
+      // `partcols:` header, which the next non-empty publish reapplies).
       rewritten.limit(0).coalesce(1).write.mode(SaveMode.Overwrite)
         .parquet(new Path(t, dirName).toString)
       newFiles = listNew()
@@ -1032,7 +1065,11 @@ object WarehouseFs {
     fs.mkdirs(vd)
     val tmp = new Path(vd, s".tmp-${vname(next)}")
     val out = fs.create(tmp, true)
-    val body = (s"files:$dirName" +: (newFiles ++ carried)).mkString("\n")
+    val partColsHeader =
+      if (partCols.nonEmpty) Seq(s"partcols:${partCols.mkString(",")}") else Nil
+    val body =
+      (s"files:$dirName" +: (partColsHeader ++ newFiles ++ carried))
+        .mkString("\n")
     try out.write(body.getBytes("UTF-8")) finally out.close()
     require(!fs.exists(new Path(vd, vname(next))),
       s"publishCoW: $table advanced past version ${prior.version} — retry the DML")
@@ -1097,7 +1134,7 @@ object WarehouseFs {
     val bloomT = candidatesRootRelative(spark, table, r, column, values)
       .getOrElse(all)
     val touched = versionSchema(spark, table, r).find(_.name == column)
-      .map(f => partitionCandidates(bloomT, column, values, f.dataType))
+      .map(f => partitionCandidates(spark, bloomT, column, values, f.dataType))
       .getOrElse(bloomT)
     if (touched.isEmpty) return
     val rewritten = readFilesGrouped(spark, table, touched)
@@ -1125,7 +1162,7 @@ object WarehouseFs {
     val bloomT = candidatesRootRelative(spark, table, r, column, values)
       .getOrElse(all)
     val touched = versionSchema(spark, table, r).find(_.name == column)
-      .map(f => partitionCandidates(bloomT, column, values, f.dataType))
+      .map(f => partitionCandidates(spark, bloomT, column, values, f.dataType))
       .getOrElse(bloomT)
     if (touched.isEmpty) return
     val matched = col(column).isin(values: _*)
@@ -1184,7 +1221,7 @@ object WarehouseFs {
         val bloomT = candidatesRootRelative(spark, table, r, keyCol, keys)
           .getOrElse(all)
         versionSchema(spark, table, r).find(_.name == keyCol)
-          .map(f => partitionCandidates(bloomT, keyCol, keys, f.dataType))
+          .map(f => partitionCandidates(spark, bloomT, keyCol, keys, f.dataType))
           .getOrElse(bloomT)
       } else
         candidatesDistributed(spark, table, r, Seq(keyCol), updates, nDistinct)
@@ -1327,7 +1364,7 @@ object WarehouseFs {
           }
           // a key column that is also a partition column prunes by PATH
           schemaV.flatMap(_.find(_.name == c)).foreach { f =>
-            val pc = partitionCandidates(all, c, vs, f.dataType).toSet
+            val pc = partitionCandidates(spark, all, c, vs, f.dataType).toSet
             if (pc.size < all.size) { pruned = true; cand = cand.intersect(pc) }
           }
         }
@@ -1597,7 +1634,7 @@ object WarehouseFs {
             pruned = true; cand = cand.intersect(cs.toSet)
           }
           schemaV.flatMap(_.find(_.name == c)).foreach { f =>
-            val pc = partitionCandidates(all, c, vs, f.dataType).toSet
+            val pc = partitionCandidates(spark, all, c, vs, f.dataType).toSet
             if (pc.size < all.size) { pruned = true; cand = cand.intersect(pc) }
           }
         }
@@ -1923,7 +1960,7 @@ object WarehouseFs {
         else {
           val colType = spark.read.parquet(dataPath).schema
             .find(_.name == column).map(_.dataType)
-          bloomHitExpr(column, values, colType) match {
+          bloomHitExpr(spark, column, values, colType) match {
             case None => exact(spark.read.parquet(dataPath)) // un-probeable → full read
             case Some(hit) =>
               val files = index.filter(hit).select("file").collect()

@@ -82,31 +82,50 @@ class CdfSource(sqlContext: SQLContext, table: String, keyCols: Seq[String],
                 metadataPath: Option[String] = None) extends Source {
   private val spark = sqlContext.sparkSession
 
-  startingVersion.foreach { sv =>
-    require(sv >= 1L, s"graft-cdf: startingVersion must be ≥ 1 (got $sv)")
-    val retained = WarehouseFs.listVersions(spark, table)
-    require(retained.isEmpty || sv >= retained.min,
-      s"graft-cdf: startingVersion $sv predates the earliest retained " +
-        s"version ${retained.min} of $table — its history is GC'd; start " +
-        s"at ${retained.min} (delivered as an initial snapshot) or later")
-  }
-
   override val schema: StructType = CdfSource.feedSchema(sqlContext, table)
 
-  /** Highest version already "seen" before the stream begins: changes
+  /** Highest version already "seen" before the stream begins (changes
     * OF version v are reported once v commits, so the floor is v−1 of
-    * the first reported version.
+    * the first reported version), PLUS whether the floor step is an
+    * initial SNAPSHOT (the floor version itself is not retained — its
+    * "previous" state cannot be diffed) or an incremental delta.
     *
-    * The resolved floor persists under the stream's own `metadataPath`
-    * (inside the checkpoint, tmp→rename committed), so a RESTARTED
-    * query replays its first batch against the ORIGINAL floor instead
-    * of re-deriving "current at source creation" — the same pattern
-    * FileStreamSource uses for its seen-files log. A persisted floor
-    * always wins over the options (checkpoint semantics: the stream's
-    * identity is fixed at first start). */
-  private val floor: Long = {
-    val computed = () => startingVersion.map(_ - 1L).getOrElse(
-      WarehouseFs.currentVersion(spark, table).map(_._1).getOrElse(0L))
+    * Both persist under the stream's own `metadataPath` (inside the
+    * checkpoint, tmp→rename committed), so a RESTARTED query replays
+    * its first batch against the ORIGINAL floor AND the ORIGINAL step
+    * kind — the same pattern FileStreamSource uses for its seen-files
+    * log. A persisted record always wins over the options (checkpoint
+    * semantics: the stream's identity is fixed at first start), and on
+    * restart no retention re-validation runs — a healthy long-running
+    * stream must not fail at createSource just because its
+    * startingVersion has since been GC'd (it already consumed it). */
+  private val (floor: Long, floorIsSnapshot: Option[Boolean]) = {
+    // fresh-start derivation — the ONLY place options are consulted and
+    // retention is validated
+    def computed(): (Long, Option[Boolean]) = startingVersion match {
+      case Some(sv) =>
+        require(sv >= 1L, s"graft-cdf: startingVersion must be ≥ 1 (got $sv)")
+        val retained = WarehouseFs.listVersions(spark, table)
+        require(retained.isEmpty || sv >= retained.min,
+          s"graft-cdf: startingVersion $sv predates the earliest retained " +
+            s"version ${retained.min} of $table — its history is GC'd; start " +
+            s"at ${retained.min} (delivered as an initial snapshot) or later")
+        // snapshot iff the floor version (sv−1) is not a retained state
+        // to diff against (typically sv = earliest retained, floor = v₀)
+        (sv - 1L, Some(!retained.contains(sv - 1L)))
+      case None =>
+        (WarehouseFs.currentVersion(spark, table).map(_._1).getOrElse(0L),
+          Some(false))
+    }
+    def parse(s: String): (Long, Option[Boolean]) = {
+      val lines = s.trim.split('\n')
+      // legacy single-line records (pre snapshot-flag) carry no kind:
+      // None preserves their original best-effort fallback semantics
+      (lines(0).trim.toLong,
+        lines.drop(1).headOption.map(_.trim == "snapshot"))
+    }
+    def render(v: (Long, Option[Boolean])): String =
+      s"${v._1}\n${if (v._2.contains(true)) "snapshot" else "delta"}"
     metadataPath match {
       case None => computed()
       case Some(mp) =>
@@ -114,25 +133,21 @@ class CdfSource(sqlContext: SQLContext, table: String, keyCols: Seq[String],
         val dir = new org.apache.hadoop.fs.Path(mp)
         val fs = dir.getFileSystem(conf)
         val f = new org.apache.hadoop.fs.Path(dir, "cdf-floor")
-        if (fs.exists(f)) {
+        def readExisting(): (Long, Option[Boolean]) = {
           val in = fs.open(f)
-          try new String(
-            org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-            "UTF-8").trim.toLong
+          try parse(new String(
+            org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8"))
           finally in.close()
-        } else {
+        }
+        if (fs.exists(f)) readExisting() // restart: no re-validation
+        else {
           val v = computed()
           fs.mkdirs(dir)
           val tmp = new org.apache.hadoop.fs.Path(dir, ".cdf-floor.tmp")
           val out = fs.create(tmp, true)
-          try out.write(v.toString.getBytes("UTF-8")) finally out.close()
-          if (!fs.rename(tmp, f)) { // lost a benign race: read the winner
-            val in = fs.open(f)
-            try new String(
-              org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-              "UTF-8").trim.toLong
-            finally in.close()
-          } else v
+          try out.write(render(v).getBytes("UTF-8")) finally out.close()
+          if (!fs.rename(tmp, f)) readExisting() // benign race: winner rules
+          else v
         }
     }
   }
@@ -152,17 +167,22 @@ class CdfSource(sqlContext: SQLContext, table: String, keyCols: Seq[String],
     val from = start.map(versionOf).getOrElse(floor)
     val ordered = schema.fieldNames.toSeq
     val steps = (from until to).map { v =>
+      // Initial-snapshot semantics (the lakehouse-CDF convention): when
+      // the stream's FIRST step starts below retention — `startingVersion`
+      // = the table's earliest version, whose "previous" v₀ never
+      // existed — deliver that version's full content as inserts instead
+      // of failing on a diff against a version that cannot exist. The
+      // step KIND was fixed at first start and rides in the checkpoint
+      // (`floorIsSnapshot`): a REPLAY of a floor step that was originally
+      // a delta must never silently substitute a snapshot (duplicate
+      // inserts for a consumer that already processed the delta) — if
+      // its history is GC'd by replay time it fails loudly like any
+      // mid-stream step. Legacy checkpoints without the kind record keep
+      // the old best-effort fallback.
+      val snapshotHere = v == floor && floorIsSnapshot.getOrElse(true)
       val feed = WarehouseFs.changeFeed(spark, table, keyCols, v, v + 1)
         .orElse {
-          // Initial-snapshot semantics (the lakehouse-CDF convention):
-          // when the stream's FIRST step starts below retention — e.g.
-          // `startingVersion` = the table's earliest version, whose
-          // "previous" v₀ never existed — deliver that version's full
-          // content as inserts instead of failing on a diff against a
-          // version that cannot exist. Applies ONLY to the floor step of
-          // a fresh stream; a GC'd step mid-stream still fails loudly
-          // below (a silent snapshot there would swallow deletes).
-          if (v == floor)
+          if (snapshotHere)
             WarehouseFs.readTableVersion(spark, table, v + 1)
               .map(_.withColumn("_change_type", lit("insert")))
           else None

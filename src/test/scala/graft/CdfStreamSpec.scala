@@ -121,6 +121,54 @@ class CdfStreamSpec extends SparkSpec {
     assert(fresh.getOffset.isEmpty, "floor = current version → nothing new")
   }
 
+  test("restart never re-validates retention: a GC'd startingVersion is fine once consumed") {
+    val t = tmpTable()
+    WarehouseFs.publishVersioned(spark.range(10).toDF("id"), t,
+      keepVersions = 2, bloomIndexCols = Seq("id"))
+    val meta = java.nio.file.Files.createTempDirectory("graft_cdf_meta_").toString
+    // first start: startingVersion=1 is the earliest retained → valid,
+    // floor 0 + snapshot kind commit into the checkpoint
+    new CdfSource(spark.sqlContext, t, Seq("id"), Some(1L), Some(meta))
+    // the table advances past retention: v1 is GC'd
+    WarehouseFs.deleteWhere(spark, t, "id", Seq(1L), keepVersions = 2)
+    WarehouseFs.deleteWhere(spark, t, "id", Seq(2L), keepVersions = 2)
+    assert(WarehouseFs.listVersions(spark, t).min > 1L)
+    // a RESTART with the same options must not fail at creation — the
+    // checkpointed floor is the stream's identity; only a FRESH start
+    // validates the option against current retention
+    val restarted =
+      new CdfSource(spark.sqlContext, t, Seq("id"), Some(1L), Some(meta))
+    assert(restarted.getOffset.isDefined)
+    intercept[IllegalArgumentException] { // fresh start still fails fast
+      new CdfSource(spark.sqlContext, t, Seq("id"), Some(1L), None)
+    }
+  }
+
+  test("replaying a DELTA floor step after GC fails loudly — never a silent snapshot") {
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    val t = tmpTable()
+    WarehouseFs.publishVersioned(spark.range(10).toDF("id"), t,
+      keepVersions = 2, bloomIndexCols = Seq("id"))
+    WarehouseFs.deleteWhere(spark, t, "id", Seq(1L), keepVersions = 2) // v2
+    val meta = java.nio.file.Files.createTempDirectory("graft_cdf_meta_").toString
+    // fresh start at v2 (retained, diffable against v1): kind = delta,
+    // committed into the checkpoint at construction; the floor step is
+    // resolvable as a genuine diff right now
+    val s1 = new CdfSource(spark.sqlContext, t, Seq("id"), Some(2L), Some(meta))
+    s1.getBatch(None, LongOffset(2L)) // resolves: v1→v2 delta exists
+    // retention rolls past the floor step's history
+    WarehouseFs.deleteWhere(spark, t, "id", Seq(2L), keepVersions = 2) // v3
+    WarehouseFs.deleteWhere(spark, t, "id", Seq(3L), keepVersions = 2) // v4
+    // a restarted source replaying the first batch must FAIL — the
+    // original batch was a 1-row delta; substituting the full v2
+    // snapshot would duplicate inserts for a consumer that saw the delta
+    val s2 = new CdfSource(spark.sqlContext, t, Seq("id"), Some(2L), Some(meta))
+    val e = intercept[IllegalStateException] {
+      s2.getBatch(None, LongOffset(2L))
+    }
+    assert(e.getMessage.contains("no longer retained"))
+  }
+
   test("writeStream.format(graft): micro-batches land as CoW upserts") {
     val t = tmpTable()
     WarehouseFs.publishVersioned(

@@ -566,6 +566,18 @@ class WarehouseDmlSpec extends SparkSpec {
     assert(WarehouseFs.readTable(spark, t).get.count() === 2)
     // time travel to the pre-delete state still resolves
     assert(WarehouseFs.readTableVersion(spark, t, 1).get.count() === 400)
+    // the partition LAYOUT survives the flat empty state: the manifest's
+    // partcols header re-applies on the next non-empty publish, so the
+    // post-empty rows landed under day=… again (path pruning restored,
+    // not silently flat forever)
+    val vd = new java.io.File(s"$t/_versions")
+    val latest = vd.listFiles().map(_.getName).filter(_.matches("\\d{8}")).max
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$t/_versions/$latest")), "UTF-8")
+    assert(manifest.contains("partcols:day"),
+      "manifest must declare the logical partition columns")
+    assert(manifest.linesIterator.exists(_.contains("day=9")),
+      "post-empty publishes must restore the key=value layout")
   }
 
   test("change feed is file-granular: a 1-row delete's feed scans only the rewritten file + its ancestor") {

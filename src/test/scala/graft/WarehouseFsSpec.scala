@@ -350,6 +350,51 @@ class WarehouseFsSpec extends SparkSpec {
     assert(empty.count() === 0 && empty.columns.toSeq === Seq("id", "grp", "acct"))
   }
 
+  test("timestamp bloom probes under a non-UTC session: no false negatives") {
+    // the bloom build hashes col.cast(string) evaluated under the SESSION
+    // time zone; a probe canonicalized under a hard-coded zone would
+    // stringify 4h off and silently MISS every file — the one failure
+    // mode a bloom index must never have
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      val t = s"${tmpDir()}/ts_facts"
+      val epoch = 1709269200L // an instant; avoids JVM-default-tz ambiguity
+      val df = spark.range(4000)
+        .select(col("id"),
+          timestamp_seconds(lit(epoch) + col("id")).as("evt_ts"))
+        .repartitionByRange(4, col("id"))
+      WarehouseFs.publishVersioned(df, t, bloomIndexCols = Seq("evt_ts"))
+      val probe = new java.sql.Timestamp((epoch + 1200L) * 1000L) // id 1200
+      val pruned = WarehouseFs.readBloomPruned(spark, t, "evt_ts", Seq(probe)).get
+      assert(pruned.select("id").as[Long].collect().toSeq === Seq(1200L),
+        "a tz-mismatched probe canonicalization would return zero rows here")
+      val cand = WarehouseFs.bloomCandidateFiles(spark, t, "evt_ts", Seq(probe)).get
+      assert(cand.nonEmpty, "the matching file must survive the probe")
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
+  test("plain-dir scans skip hidden paths: _temporary leftovers never leak rows") {
+    val t = s"${tmpDir()}/plain"
+    (1 to 50).toDF("id").write.parquet(t)
+    // simulate a crashed concurrent writer: a task file stranded under
+    // _temporary — spark.read.parquet ignores it, so the graft plain-dir
+    // fallback must too (or it would serve duplicate/partial rows and
+    // report counts diverging from the DataFrame it returns)
+    (1 to 50).toDF("id").coalesce(1).write
+      .parquet(s"$t/_temporary/0/attempt_x")
+    (1 to 5).toDF("id").coalesce(1).write.parquet(s"$t/.spark-staging-y")
+    val expected = spark.read.parquet(t).count()
+    assert(expected === 50L)
+    val (df, survivors, total) = WarehouseFs.prunedScan(spark, t).get
+    assert(df.count() === 50L, "hidden-path files must not feed the scan")
+    assert(survivors === total)
+    val (files, _, n, _) = WarehouseFs.prunedFiles(spark, t).get
+    assert(n.toLong === 50L || files.forall(f =>
+      !f.split('/').exists(s => s.startsWith("_") || s.startsWith("."))))
+    assert(files.forall(f => !f.contains("_temporary") && !f.contains(".spark-staging")))
+  }
+
   test("bloom index: unindexed column/table falls back to full read; GC drops expired index") {
     val t = s"${tmpDir()}/tbl"
     WarehouseFs.publishVersioned(
