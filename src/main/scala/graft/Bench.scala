@@ -242,9 +242,9 @@ object Bench {
     val total = r(finalTimes.map(_._2).sum)
     val scalingFrag = scaling.map("," + _).getOrElse("")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"raw":$raws,"errors":$errs,"suspect":$susp,"retried":$retr,"load_avg":{"before":${r(loadBefore)},"after":${r(loadAfter)},"cpus":${Runtime.getRuntime.availableProcessors}}$scalingFrag,"reps":$reps,"sf":"$sfDir"}"""
-    println(json)
-    // stdout log-tail capture can front-truncate a 100-query JSON line;
-    // the file copy is always complete and parseable
+    // the file copy FIRST: it is always complete and parseable even if
+    // the process dies mid-print, and it is what a log-tail capture
+    // should be pointed at
     val out = sys.env.getOrElse("BENCH_OUT", "bench_out.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (json + "\n").getBytes("UTF-8"))
@@ -256,6 +256,13 @@ object Bench {
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.APPEND)
     catch { case _: Throwable => () }
+    println(json)
+    // a stdout capture that keeps only the last ~2 KB front-truncates the
+    // 160-query line into unparseable JSON (every prior round's driver
+    // artifact has parsed:null). The LAST line printed is therefore a
+    // compact, complete summary that fits any tail whole, with a pointer
+    // to the full per-query artifact on disk.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${finalTimes.size},"errors":$errs,"suspect":$susp,"load_avg":{"before":${r(loadBefore)},"after":${r(loadAfter)}},"reps":$reps,"sf":"$sfDir","queries_file":"$out"}""")
     spark.stop()
   }
 }

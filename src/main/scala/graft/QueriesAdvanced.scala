@@ -96,6 +96,12 @@ object QueriesAdvanced {
     // supplier, attribute varying per version) so DuckDB can replay the
     // same interval join. Scale: hash join on the key with an interval
     // residual — each fact row matches ≤1 version (intervals disjoint).
+    // Plan audited (r10): BroadcastHashJoin(BuildRight=exploded dim),
+    // probe-side scan pruned to 4 columns with IsNotNull pushed, one
+    // whole-stage span — the shape a 100 TB run wants (dim broadcast,
+    // fact never shuffles). Quiet steady-state ≈0.4–0.5 s is the 600k-row
+    // probe scan itself; the 0.25 s all-time best was a page-cache-warm
+    // rep of the same plan, not a lost optimization.
     "join_asof" -> ((s, d) => {
       val dim = supplier(s, d)
         .select(col("s_suppkey"), col("s_acctbal"),

@@ -89,7 +89,10 @@ object QueriesSimilarity {
     // 6 decimals BEFORE the threshold so pair membership is
     // engine-portable by construction.
     "dedup_semantic" -> ((s, d) => {
-      val e = embeddings(s, d)
+      // four consumers of the same (vec_id, label, embedding) relation —
+      // both self-join sides, the label frame, and the final anti-join;
+      // cache it once so the array-decoding parquet scan runs once
+      val e = embeddings(s, d).cache()
       def side(p: String) = e.select(
         col("label"), col("vec_id").as(s"${p}_id"), col("embedding").as(s"${p}_emb"))
       val pairs = side("a").join(side("b"), Seq("label"))

@@ -122,12 +122,15 @@ object QueriesText {
     // SimHash 64-bit sketch over the SHARED word-3-gram shingle space
     // (same features as MinHash and the exact-Jaccard truth — r9 change;
     // unigram features measured P 0.38 / R 0.65 against that truth) +
-    // 4×16-bit banding, Hamming-verified. The portable (md5-shingle-hash)
+    // 4×16-bit banding, Hamming-verified. Gate at hamming ≤ 12: the
+    // measured operating sweep (DEDUP_QUALITY.json) holds P 1.0 through
+    // 12 while recall rises 0.846→0.885; precision only falls past 12
+    // (0.85 at 16), so 12 is the knee. The portable (md5-shingle-hash)
     // variant is bit-identical to the SQL reimplementation over
     // md5_number_lower → full hash oracle; the faster engine-native xxh64
     // variant is cross-validated in DedupSpec.
     "dedup_simhash" -> ((s, d) =>
-      graft.operators.DedupOps.simhashNearDups(documents(s, d), "doc_id", "text", 8,
+      graft.operators.DedupOps.simhashNearDups(documents(s, d), "doc_id", "text", 12,
         portable = true)),
 
     // Corpus bigram frequencies: word-2-gram explode + count, top 20 with
@@ -1165,7 +1168,7 @@ object QueriesText {
           FROM banded a JOIN banded b2
             ON a.band_idx = b2.band_idx AND a.band_val = b2.band_val
            AND a.doc_id < b2.doc_id)
-        SELECT a_id, b_id, hamming FROM pairs WHERE hamming <= 8""",
+        SELECT a_id, b_id, hamming FROM pairs WHERE hamming <= 12""",
 
     "text_crossdoc_dup" ->
       """WITH sh AS (

@@ -85,9 +85,16 @@ object TextPipeline {
     * "A lexdup B semdup C" correctly collapses to one representative —
     * running the stages sequentially would keep two. Docs without an
     * `embedding` (null) participate in the lexical stage only. */
-  def dedupCanonical(docs: DataFrame, jaccard: Double = 0.5,
+  def dedupCanonical(docs0: DataFrame, jaccard: Double = 0.5,
                      keepBest: Boolean = false,
                      semantic: Option[SemanticStage] = None): DataFrame = {
+    // the gated corpus feeds FOUR consumers (lexical pairs, semantic
+    // pairs, the label frame, the representative pick); uncached, each
+    // re-plans the upstream quality gate's regexp pass — the same
+    // replanned-subtree trap minhashNearDups caches its signatures
+    // against. Per-query-scoped, LRU-evicted; a 100 TB run persists the
+    // gated corpus as a table instead (the incremental state does).
+    val docs = docs0.cache()
     val lexPairs = DedupOps.minhashNearDups(docs, "doc_id", "text", jaccard)
       .select("a_id", "b_id")
     val pairs = semantic.fold(lexPairs) { st =>

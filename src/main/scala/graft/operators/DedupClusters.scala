@@ -25,14 +25,22 @@ object DedupClusters {
   private def sym(e: DataFrame): DataFrame =
     e.union(e.select(col("dst").as("src"), col("src").as("dst")))
 
-  private def selfEdges(e: DataFrame): DataFrame =
-    sym(e).select(col("src")).distinct().select(col("src"), col("src").as("dst"))
+  // Both star steps fold the paper's "∪ {v}" self-edge into the aggregate
+  // (least(min(Γ(v)), v)) and, where a self row would survive the step's
+  // own filter, emit its contribution straight off the aggregated
+  // relation — the explicit self-edge relation (a second symmetrize + a
+  // node-distinct SHUFFLE, twice per round) buys nothing the aggregate
+  // doesn't already know. At sf0.1 the iteration's cost is per-round
+  // fixed overhead, so two fewer shuffles per round is a direct win; at
+  // 100 TB it removes a full O(V) exchange per star step.
 
   /** Large-star: every node links its LARGER neighbors to the minimum of
-    * its neighborhood (incl. itself). */
+    * its neighborhood (incl. itself). Self rows never pass `dst > src`,
+    * so only the min needs the self member. */
   private def largeStar(e: DataFrame): DataFrame = {
     val s = sym(e)
-    val mins = s.union(selfEdges(e)).groupBy("src").agg(min("dst").as("m"))
+    val mins = s.groupBy("src").agg(min("dst").as("m0"))
+      .select(col("src"), least(col("m0"), col("src")).as("m"))
     s.join(mins, "src")
       .filter(col("dst") > col("src"))
       .select(col("dst").as("src"), col("m").as("dst"))
@@ -40,15 +48,21 @@ object DedupClusters {
   }
 
   /** Small-star: orient edges toward the larger endpoint; every node links
-    * its smaller neighbors (and itself) to the neighborhood minimum. */
+    * its smaller neighbors (and itself) to the neighborhood minimum.
+    * Oriented edges have dst < src strictly (no self loops enter a round),
+    * so min(dst) already undercuts src, and the self row's emission
+    * (src → m) is exactly one row per aggregated group — `mins` itself.
+    * Nodes appearing only as a dst (component roots) contributed only a
+    * filtered-out (v → v) in the explicit-self formulation, so dropping
+    * their self rows changes nothing. */
   private def smallStar(e: DataFrame): DataFrame = {
     val oriented = e
       .select(greatest(col("src"), col("dst")).as("src"),
               least(col("src"), col("dst")).as("dst"))
-    val withSelf = oriented.union(selfEdges(e))
-    val mins = withSelf.groupBy("src").agg(min("dst").as("m"))
-    withSelf.join(mins, "src")
+    val mins = oriented.groupBy("src").agg(min("dst").as("m"))
+    oriented.join(mins, "src")
       .select(col("dst").as("src"), col("m").as("dst"))
+      .union(mins.select(col("src"), col("m").as("dst")))
       .filter(col("src") =!= col("dst"))
       .distinct()
   }
