@@ -1,0 +1,253 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{Column, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, EqualTo, Expression, Literal, PredicateHelper}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.DataSourceStrategy
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+
+import graft.sources.{GraftCatalogTable, GraftRelation, GraftTable, WarehouseFs}
+
+/** SQL DML over graft tables: an analyzer rule that claims resolved
+  * `DELETE FROM` / `UPDATE` / `MERGE INTO` statements whose target is a
+  * graft catalog table and lowers them onto the copy-on-write verbs
+  * ([[WarehouseFs.deleteMatching]], [[WarehouseFs.updateMatching]],
+  * [[WarehouseFs.mergeIntoKeys]]) — the same file-granular engine the
+  * Scala API uses, so SQL statements inherit the bloom/zone/partition
+  * candidate pruning, the manifest CAS commit, and the change-feed
+  * classification for free.
+  *
+  * Why a rule and not `SupportsRowLevelOperations`: the group-based
+  * row-level framework would route the rewrite through a generic
+  * scan-join-write plan Spark assembles, discarding graft's own
+  * touched-set resolution (one aggregation pass deciding point-vs-bulk,
+  * metadata-only candidate intersection) and requiring a full DSv2
+  * executor-side write path for what is a driver-coordinated manifest
+  * commit. The rule runs in the analyzer's Resolution batch (injected
+  * via [[graft.plans.GraftExtensions]]) AFTER Spark's own row-level
+  * rewrites — which skip non-`SupportsRowLevelOperations` tables — and
+  * replaces the statement with an eagerly-executed command.
+  *
+  * Supported surface (everything else fails loudly, naming the clause):
+  *   - DELETE FROM t [WHERE any-predicate]
+  *   - UPDATE t SET c = expr, … [WHERE any-predicate]
+  *   - MERGE INTO t USING s ON conjunctive same-name key equalities
+  *       WHEN MATCHED [AND c] THEN UPDATE SET … | DELETE   (≤1 of each)
+  *       WHEN NOT MATCHED THEN INSERT (same-named source columns / *)
+  *       WHEN NOT MATCHED BY SOURCE [AND c] THEN DELETE
+  *
+  * Predicate index pruning: DELETE/UPDATE conditions translate to source
+  * filters, whose equality/IN conjuncts probe the bloom index and
+  * partition paths and whose bounded ranges probe the zone map — the
+  * exact predicate re-applies on the touched files, so SQL DML is
+  * file-granular exactly like the API verbs (asserted in
+  * GraftCatalogSpec). */
+object GraftDmlRule extends Rule[LogicalPlan] with PredicateHelper {
+
+  /** Unwraps the DML target to the graft table path. */
+  private object Target {
+    def unapply(plan: LogicalPlan): Option[(String, DataSourceV2Relation)] =
+      plan match {
+        case r: DataSourceV2Relation => r.table match {
+          case t: GraftCatalogTable => Some((t.path, r))
+          case t: GraftTable => Some((t.tablePath, r))
+          case _ => None
+        }
+        case SubqueryAlias(_, child) => unapply(child)
+        case _ => None
+      }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
+    case d @ DeleteFromTable(Target(path, rel), cond) if d.resolved =>
+      GraftDeleteCommand(path, rel.output, cond)
+    case u @ UpdateTable(Target(path, rel), assignments, cond) if u.resolved =>
+      GraftUpdateCommand(path, rel.output, assignments, cond)
+    case m @ MergeIntoTable(Target(path, rel), source, cond,
+        matched, notMatched, notMatchedBySource, _) if m.resolved =>
+      if (m.withSchemaEvolution)
+        fail("MERGE … WITH SCHEMA EVOLUTION (schema changes go through " +
+          "WarehouseFs.publishVersioned)")
+      GraftMergeCommand(path, rel.output, source, cond,
+        matched, notMatched, notMatchedBySource)
+  }
+
+  private[graft] def fail(what: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"graft DML supports a declared surface; unsupported here: $what")
+
+  /** Re-anchor a resolved expression for evaluation against a FRESH read
+    * of the table (exprIds differ): target attributes become unresolved
+    * name references, source attributes (a MERGE's) take the `src_`
+    * prefix [[WarehouseFs.mergeIntoKeys]] aliases the source with. */
+  private[graft] def recolumn(e: Expression, target: AttributeSet,
+                              source: AttributeSet = AttributeSet.empty): Column =
+    ExpressionUtils.column(e.transform {
+      case a: AttributeReference if source.contains(a) =>
+        UnresolvedAttribute(Seq(s"src_${a.name}"))
+      case a: AttributeReference if target.contains(a) =>
+        UnresolvedAttribute(Seq(a.name))
+    })
+
+  /** (point, range) index probes from a DML condition — the same
+    * translation the read path pushes through the DSv2 scan. */
+  private[graft] def probesOf(cond: Expression)
+      : (Map[String, Seq[Any]], Map[String, (Any, Any)]) =
+    GraftRelation.indexProbes(
+      splitConjunctivePredicates(cond)
+        .flatMap(DataSourceStrategy.translateFilter(_,
+          supportNestedPredicatePushdown = true)).toArray)
+
+  private[graft] def sourceDf(spark: SparkSession, plan: LogicalPlan) =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+}
+
+/** `DELETE FROM graft.t WHERE cond` → [[WarehouseFs.deleteMatching]]. */
+case class GraftDeleteCommand(path: String, targetOutput: Seq[Attribute],
+                              cond: Expression) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    WarehouseFs.deleteMatching(spark, path,
+      GraftDmlRule.recolumn(cond, AttributeSet(targetOutput)),
+      pruning = GraftDmlRule.probesOf(cond))
+    Seq.empty
+  }
+}
+
+/** `UPDATE graft.t SET … WHERE cond` → [[WarehouseFs.updateMatching]]. */
+case class GraftUpdateCommand(path: String, targetOutput: Seq[Attribute],
+                              assignments: Seq[Assignment],
+                              cond: Option[Expression])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val tgt = AttributeSet(targetOutput)
+    val set = assignments.map { a =>
+      a.key match {
+        case k: AttributeReference => k.name -> GraftDmlRule.recolumn(a.value, tgt)
+        case other => GraftDmlRule.fail(s"UPDATE of a nested field ($other)")
+      }
+    }.toMap
+    val condition = cond.getOrElse(Literal(true))
+    WarehouseFs.updateMatching(spark, path,
+      GraftDmlRule.recolumn(condition, tgt), set,
+      pruning = GraftDmlRule.probesOf(condition))
+    Seq.empty
+  }
+}
+
+/** `MERGE INTO graft.t USING s ON … WHEN …` → [[WarehouseFs.mergeIntoKeys]].
+  * ANSI clause order is honored for the supported shapes: a leading
+  * conditional UPDATE shields the DELETE behind its negation; a leading
+  * DELETE wins outright (mergeIntoKeys applies the delete first). */
+case class GraftMergeCommand(path: String, targetOutput: Seq[Attribute],
+                             source: LogicalPlan, mergeCond: Expression,
+                             matched: Seq[MergeAction],
+                             notMatched: Seq[MergeAction],
+                             notMatchedBySource: Seq[MergeAction])
+    extends LeafRunnableCommand with PredicateHelper {
+  import GraftDmlRule.{fail, recolumn}
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val tgt = AttributeSet(targetOutput)
+    val src = AttributeSet(source.output)
+
+    // ON: conjunction of same-name target/source attribute equalities —
+    // the key set mergeIntoKeys matches and prunes on
+    val keyCols = splitConjunctivePredicates(mergeCond).map {
+        case EqualTo(a: AttributeReference, b: AttributeReference)
+            if tgt.contains(a) && src.contains(b) =>
+          if (a.name != b.name)
+            fail(s"ON ${a.name} = ${b.name}: key columns must share a name " +
+              "(alias the source query)")
+          a.name
+        case EqualTo(b: AttributeReference, a: AttributeReference)
+            if tgt.contains(a) && src.contains(b) =>
+          if (a.name != b.name)
+            fail(s"ON ${b.name} = ${a.name}: key columns must share a name " +
+              "(alias the source query)")
+          a.name
+        case other => fail(s"ON clause conjunct $other (need target-key = " +
+          "source-key equalities)")
+      }
+
+    def cc(e: Expression): Column = recolumn(e, tgt, src)
+    def condCol(c: Option[Expression]): Option[Column] = c.map(cc)
+
+    // WHEN MATCHED: ≤1 UPDATE and ≤1 DELETE, order-aware
+    var updateMap = Map.empty[String, Column]
+    var deleteCond: Option[Column] = None
+    def assignMap(assigns: Seq[Assignment], guard: Option[Column]): Map[String, Column] =
+      assigns.map { a =>
+        val name = a.key match {
+          case k: AttributeReference => k.name
+          case other => fail(s"UPDATE of a nested field ($other)")
+        }
+        val v = cc(a.value)
+        name -> guard.fold(v)(g =>
+          when(coalesce(g, lit(false)), v).otherwise(col(name)))
+      }.toMap
+    matched match {
+      case Seq() =>
+      case Seq(UpdateAction(cu, assigns, _)) =>
+        updateMap = assignMap(assigns, condCol(cu))
+      case Seq(DeleteAction(cd)) =>
+        deleteCond = Some(condCol(cd).getOrElse(lit(true)))
+      case Seq(UpdateAction(cu, assigns, _), DeleteAction(cd)) =>
+        // ANSI order: DELETE fires only where the UPDATE's guard did not
+        cu match {
+          case None => updateMap = assignMap(assigns, None) // DELETE unreachable
+          case Some(g) =>
+            updateMap = assignMap(assigns, Some(cc(g)))
+            deleteCond = Some(!coalesce(cc(g), lit(false)) &&
+              coalesce(condCol(cd).getOrElse(lit(true)), lit(false)))
+        }
+      case Seq(DeleteAction(cd), UpdateAction(cu, assigns, _)) =>
+        deleteCond = Some(condCol(cd).getOrElse(lit(true)))
+        if (cd.isDefined) // else UPDATE is unreachable
+          updateMap = assignMap(assigns, condCol(cu))
+      case other => fail(s"WHEN MATCHED actions $other (≤1 UPDATE and ≤1 " +
+        "DELETE are supported)")
+    }
+
+    // WHEN NOT MATCHED: one unconditional INSERT of same-named source cols
+    val insert = notMatched match {
+      case Seq() => false
+      case Seq(InsertAction(None, assigns)) =>
+        assigns.foreach { a =>
+          val ok = (a.key, a.value) match {
+            case (k: AttributeReference, v: AttributeReference) =>
+              src.contains(v) && k.name == v.name
+            case _ => false
+          }
+          if (!ok) fail(s"INSERT assignment $a (need column-for-same-named-" +
+            "column inserts — alias the source query)")
+        }
+        true
+      case Seq(InsertAction(Some(c), _)) =>
+        fail(s"conditional WHEN NOT MATCHED AND $c THEN INSERT")
+      case other => fail(s"WHEN NOT MATCHED actions $other")
+    }
+
+    // WHEN NOT MATCHED BY SOURCE: one DELETE (optionally conditional)
+    val bySourceDelete = notMatchedBySource match {
+      case Seq() => None
+      case Seq(DeleteAction(cd)) =>
+        Some(cd.map(e => recolumn(e, tgt)).getOrElse(lit(true)))
+      case other => fail(s"WHEN NOT MATCHED BY SOURCE actions $other (only " +
+        "DELETE is supported)")
+    }
+
+    WarehouseFs.mergeIntoKeys(
+      GraftDmlRule.sourceDf(spark, source), path, keyCols,
+      whenMatchedUpdate = updateMap,
+      whenMatchedDelete = deleteCond,
+      whenNotMatchedInsert = insert,
+      whenNotMatchedBySourceDelete = bySourceDelete)
+    Seq.empty
+  }
+}

@@ -58,5 +58,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     OrJoinDecomposition.install(e)
     org.apache.spark.sql.graft.TopKPerGroupOp.install(e)
+    // SQL MERGE/UPDATE/DELETE over graft catalog tables → the CoW verbs
+    e.injectResolutionRule(_ => org.apache.spark.sql.graft.GraftDmlRule)
   }
 }

@@ -1,0 +1,315 @@
+package graft.sources
+
+import java.util
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.{AlwaysTrue, Filter, InsertableRelation}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A DSv2 [[TableCatalog]] over a warehouse directory of versioned graft
+  * tables — the piece that makes the engine reachable from STANDARD SQL:
+  *
+  * {{{
+  * spark.sql.catalog.graft           = graft.sources.GraftCatalog
+  * spark.sql.catalog.graft.warehouse = /data/warehouse
+  *
+  * CREATE TABLE graft.tx (id BIGINT, v STRING) PARTITIONED BY (day)
+  * INSERT INTO graft.tx SELECT …                  -- append-only commit
+  * INSERT OVERWRITE graft.tx SELECT …             -- new full version
+  * CREATE TABLE graft.agg AS SELECT …             -- CTAS
+  * SELECT * FROM graft.tx WHERE id = 42           -- bloom/zone-pruned DSv2 scan
+  * MERGE INTO graft.tx USING s ON … WHEN MATCHED … -- CoW DML (GraftDml)
+  * }}}
+  *
+  * Identifiers map to paths: `graft.ns.t` → `<warehouse>/ns/t`; a table
+  * EXISTS iff its dir holds a committed `_versions` manifest, so tables
+  * published through [[WarehouseFs]] directly are visible with no
+  * registration step (and vice versa — catalog writes are plain
+  * versioned tables).
+  *
+  * Reads resolve through the same DSv2 scan as `spark.read.format
+  * ("graft")` (index-pruned file set → Spark's vectorized parquet scan,
+  * committed stats reported to Catalyst). Writes go through the V1 write
+  * fallback ([[V1Write]] — the JDBC-catalog posture): INSERT INTO lands
+  * as an append-only CoW commit (zero files rewritten,
+  * [[WarehouseFs.appendRows]]), INSERT OVERWRITE / truncate as a full
+  * [[WarehouseFs.publishVersioned]] that re-applies the table's stored
+  * partitioning and index properties. Row-level MERGE / UPDATE / DELETE
+  * are translated by the [[graft.plans.GraftExtensions]] resolution rule
+  * onto the CoW verbs.
+  *
+  * Table properties understood at CREATE (stored in `_meta/props`, a
+  * tiny k=v sidecar): `bloomIndexCols`, `zoneMapCols` (comma-lists),
+  * `keepVersions`. `PARTITIONED BY (identity cols)` persists the same
+  * way and re-applies on every full publish and on the first non-empty
+  * append. */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft catalog '$name': option 'warehouse' (a directory of " +
+          "versioned tables) is required — set spark.sql.catalog." +
+          s"$name.warehouse"))
+  }
+
+  override def name(): String = catalogName
+
+  private def spark = SparkSession.active
+
+  private[sources] def tablePath(ident: Identifier): String =
+    (warehouse +: ident.namespace().toSeq :+ ident.name()).mkString("/")
+
+  private def nsPath(namespace: Array[String]): String =
+    (warehouse +: namespace.toSeq).mkString("/")
+
+  private def exists(ident: Identifier): Boolean =
+    WarehouseFs.currentVersion(spark, tablePath(ident)).isDefined
+
+  override def tableExists(ident: Identifier): Boolean = exists(ident)
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    WarehouseFs.listNames(spark, nsPath(namespace))
+      .filter(n => WarehouseFs.currentVersion(spark, s"${nsPath(namespace)}/$n").isDefined)
+      .map(Identifier.of(namespace, _)).toArray
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    if (!exists(ident)) throw new NoSuchTableException(ident)
+    GraftCatalogTable(spark, tablePath(ident),
+      GraftTable.resolveSchema(spark, tablePath(ident), None),
+      GraftCatalog.readProps(spark, tablePath(ident)))
+  }
+
+  override def createTable(ident: Identifier, info: TableInfo): Table = {
+    if (exists(ident)) throw new TableAlreadyExistsException(ident)
+    val path = tablePath(ident)
+    val partCols = info.partitions().toSeq.map {
+      case t if t.name() == "identity" && t.references().length == 1 =>
+        t.references()(0).fieldNames().mkString(".")
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog: only identity partitioning is supported, got $other")
+    }
+    val props = GraftCatalog.ownProps(info.properties()) ++
+      (if (partCols.nonEmpty) Map("partitionBy" -> partCols.mkString(",")) else Map.empty)
+    GraftCatalog.writeProps(spark, path, props)
+    // commit an empty version 1 so the table is immediately readable;
+    // the layout itself materializes with the first rows (an empty
+    // dynamic-partition write emits no files), re-applied from the
+    // stored partitionBy property. repartition(1): a 0-partition plan
+    // writes zero files and would leave the table schema-less; one empty
+    // task writes one schema-bearing file. Index relations are created
+    // (empty) here so CoW appends maintain them from the start.
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], info.schema())
+      .repartition(1)
+    WarehouseFs.publishVersioned(empty, path,
+      keepVersions = GraftCatalog.keepVersionsOf(props),
+      bloomIndexCols = GraftCatalog.colListOf(props, "bloomIndexCols"),
+      zoneMapCols = GraftCatalog.colListOf(props, "zoneMapCols"))
+    GraftCatalogTable(spark, path, info.schema(), props)
+  }
+
+  override def createTable(ident: Identifier, columns: Array[Column],
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table =
+    createTable(ident, new TableInfo.Builder()
+      .withColumns(columns).withPartitions(partitions)
+      .withProperties(properties).build())
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft catalog: ALTER TABLE is not supported — schema evolution " +
+        "goes through WarehouseFs.publishVersioned (safe-upcast alignment)")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    if (!exists(ident)) return false
+    val p = new Path(tablePath(ident))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(p, true)
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!exists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (exists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    val from = new Path(tablePath(oldIdent))
+    val to = new Path(tablePath(newIdent))
+    val fs = from.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(to.getParent)
+    require(fs.rename(from, to),
+      s"graft catalog: rename $oldIdent → $newIdent failed")
+  }
+
+  // ---- namespaces: directories under the warehouse root ----------------
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val base = new Path(warehouse)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(base)) Array.empty
+    else fs.listStatus(base).filter(_.isDirectory).map(_.getPath.getName)
+      .filterNot(n => n.startsWith("_") || n.startsWith("."))
+      .filter(n => WarehouseFs.currentVersion(spark, s"$warehouse/$n").isEmpty)
+      .map(Array(_))
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || {
+      val p = new Path(nsPath(namespace))
+      p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+    }
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : util.Map[String, String] =
+    if (namespaceExists(namespace)) util.Collections.emptyMap()
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit = {
+    val p = new Path(nsPath(namespace))
+    p.getFileSystem(spark.sessionState.newHadoopConf()).mkdirs(p)
+  }
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("graft catalog: ALTER NAMESPACE")
+
+  override def dropNamespace(namespace: Array[String],
+                             cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace) || namespace.isEmpty) return false
+    val p = new Path(nsPath(namespace))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!cascade && fs.listStatus(p).nonEmpty)
+      throw new IllegalStateException(
+        s"graft catalog: namespace ${namespace.mkString(".")} is not empty")
+    fs.delete(p, true)
+  }
+}
+
+object GraftCatalog {
+  /** The table properties this catalog persists (everything else — the
+    * engine-reserved `provider`/`owner`/… — is dropped, not stored). */
+  private val OwnKeys = Set("bloomindexcols", "zonemapcols", "keepversions")
+
+  def ownProps(properties: util.Map[String, String]): Map[String, String] = {
+    val b = Map.newBuilder[String, String]
+    properties.forEach((k, v) => if (OwnKeys(k.toLowerCase)) b += (k -> v))
+    b.result()
+  }
+
+  def keepVersionsOf(props: Map[String, String]): Int =
+    props.collectFirst { case (k, v) if k.equalsIgnoreCase("keepVersions") =>
+      v.toInt }.getOrElse(2)
+
+  def colListOf(props: Map[String, String], key: String): Seq[String] =
+    props.collectFirst { case (k, v) if k.equalsIgnoreCase(key) => v }
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+
+  private def propsFile(table: String) = new Path(table, "_meta/props")
+
+  def writeProps(spark: SparkSession, table: String,
+                 props: Map[String, String]): Unit = {
+    if (props.isEmpty) return
+    val f = propsFile(table)
+    val fs = f.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(f.getParent)
+    val out = fs.create(f, true)
+    try out.write(props.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"$k=$v" }.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  def readProps(spark: SparkSession, table: String): Map[String, String] = {
+    val f = propsFile(table)
+    val fs = f.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(f)) Map.empty
+    else {
+      val in = fs.open(f)
+      val text =
+        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+        finally in.close()
+      text.linesIterator.map(_.trim).filter(_.contains('='))
+        .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }
+        .toMap
+    }
+  }
+}
+
+/** The catalog's table: same DSv2 read as [[GraftTable]] (index-pruned
+  * file set → vectorized parquet scan) plus the V1-fallback WRITE path —
+  * `INSERT INTO` / `df.writeTo(…).append()` commit an append-only CoW
+  * version, `INSERT OVERWRITE` / `writeTo(…).overwrite(lit(true))` /
+  * truncate publish a full new version with the stored partitioning and
+  * index properties re-applied. Partial overwrites (a non-trivial
+  * overwrite filter) are refused loudly — use MERGE / DELETE. */
+case class GraftCatalogTable(spark: SparkSession, path: String,
+                             schemaArg: StructType,
+                             props: Map[String, String])
+    extends Table with SupportsRead with SupportsWrite {
+
+  override def name(): String = s"graft.`$path`"
+  override def schema(): StructType = schemaArg
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    props.foreach { case (k, v) => m.put(k, v) }
+    m
+  }
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new org.apache.spark.sql.graft.GraftV2ScanBuilder(
+      spark, path, None, schemaArg, GraftRelation.indexProbes)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate with SupportsOverwrite {
+      private var overwriteAll = false
+
+      override def truncate(): WriteBuilder = { overwriteAll = true; this }
+
+      override def overwrite(filters: Array[Filter]): WriteBuilder =
+        if (filters.isEmpty || filters.forall(_.isInstanceOf[AlwaysTrue])) truncate()
+        else throw new UnsupportedOperationException(
+          s"graft catalog: partial INSERT OVERWRITE (filters " +
+            s"${filters.mkString(", ")}) is not supported — use MERGE INTO " +
+            "or DELETE + INSERT (row-level CoW)")
+
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+              val keep = GraftCatalog.keepVersionsOf(props)
+              val partBy = GraftCatalog.colListOf(props, "partitionBy")
+              if (overwrite || overwriteAll)
+                WarehouseFs.publishVersioned(data, path,
+                  partitionBy = partBy, keepVersions = keep,
+                  bloomIndexCols = GraftCatalog.colListOf(props, "bloomIndexCols"),
+                  zoneMapCols = GraftCatalog.colListOf(props, "zoneMapCols"))
+              else
+                WarehouseFs.appendRows(data, path, keepVersions = keep,
+                  createPartitionBy = partBy,
+                  createBloomIndexCols = GraftCatalog.colListOf(props, "bloomIndexCols"),
+                  createZoneMapCols = GraftCatalog.colListOf(props, "zoneMapCols"),
+                  partitionByHint = partBy)
+            }
+          }
+      }
+    }
+}

@@ -984,7 +984,9 @@ object WarehouseFs {
   private def publishCoW(spark: SparkSession, table: String,
                          prior: ResolvedVersion, rewritten: DataFrame,
                          touched: Seq[String], carried: Seq[String],
-                         keepVersions: Int, refreshStats: Boolean): Unit = {
+                         keepVersions: Int, refreshStats: Boolean,
+                         coalesceTo: Option[Int] = None,
+                         partColsHint: Seq[String] = Nil): Unit = {
     val (fs, t) = fsFor(spark, table)
     val next = prior.version + 1L
     val dirName = // unconditional uniqueness: nanoTime is per-JVM-origin
@@ -1000,9 +1002,18 @@ object WarehouseFs {
     val derivedPartCols = partitionColsOf(touched ++ carried)
     val partCols =
       if (derivedPartCols.nonEmpty) derivedPartCols
-      else prior.declaredPartCols
-    val writer = rewritten.coalesce(math.max(1, touched.size))
-      .write.mode(SaveMode.Overwrite)
+      else if (prior.declaredPartCols.nonEmpty) prior.declaredPartCols
+      else partColsHint // a created-empty table's stored PARTITIONED BY
+    // default: preserve the touched-file count (a k-file rewrite stays k
+    // files); Some(0) = keep the frame's own partitioning (appends, whose
+    // natural parallelism the default would collapse to one file);
+    // Some(n) = explicit
+    val shaped = coalesceTo match {
+      case None => rewritten.coalesce(math.max(1, touched.size))
+      case Some(0) => rewritten
+      case Some(n) => rewritten.coalesce(math.max(1, n))
+    }
+    val writer = shaped.write.mode(SaveMode.Overwrite)
     (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
       .parquet(new Path(t, dirName).toString)
     def listNew(): Seq[String] = {
@@ -1252,6 +1263,120 @@ object WarehouseFs {
       else rewritten
     publishCoW(spark, table, r, aligned, touched,
       all.diff(touched), keepVersions, refreshStats)
+  }
+
+  /** Append-only commit: `rows` land as the new version's own files and
+    * EVERY prior file carries by reference — zero existing files rewritten,
+    * the cheapest possible write (SQL `INSERT INTO` through the graft
+    * catalog resolves here). The frame's own partitioning is preserved
+    * (an append's parallelism is the writer's, not the touched-set's);
+    * a Hive-layout table keeps its `key=value` structure. First write on
+    * a nonexistent table publishes version 1 (optionally partitioned /
+    * indexed via the catalog's stored table properties). */
+  def appendRows(rows: DataFrame, table: String, keepVersions: Int = 2,
+                 refreshStats: Boolean = false,
+                 createPartitionBy: Seq[String] = Nil,
+                 createBloomIndexCols: Seq[String] = Nil,
+                 createZoneMapCols: Seq[String] = Nil,
+                 partitionByHint: Seq[String] = Nil): Unit = {
+    val spark = rows.sparkSession
+    resolveVersion(spark, table, None) match {
+      case None =>
+        publishVersioned(rows, table, partitionBy = createPartitionBy,
+          keepVersions = keepVersions, collectStats = refreshStats,
+          bloomIndexCols = createBloomIndexCols,
+          zoneMapCols = createZoneMapCols)
+      case Some(r) =>
+        val (fs, t) = fsFor(spark, table)
+        val all = versionFiles(fs, t, r)
+        val aligned =
+          if (all.nonEmpty) {
+            val schemaV = versionSchema(spark, table, r)
+            require(rows.columns.toSet == schemaV.fieldNames.toSet,
+              s"appendRows: columns ${rows.columns.toSet} must equal table " +
+                s"columns ${schemaV.fieldNames.toSet} — evolve the schema " +
+                "with publishVersioned")
+            alignToSchema(
+              rows.select(schemaV.fieldNames.map(org.apache.spark.sql.functions.col(_)).toSeq: _*),
+              schemaV, "appendRows")
+          } else rows
+        // an EMPTY table is one flat schema-bearing file; carrying it
+        // beside the append's partitioned files would mix a layout-less
+        // file into a partitioned manifest (the DSv2 file index cannot
+        // express per-file partition schemas) — rewrite it away instead:
+        // rewriting an empty file costs nothing, and the append becomes
+        // the version's whole content
+        val emptyState = all.size <= 1 &&
+          (all.isEmpty || readResolved(spark, table, r).isEmpty)
+        if (emptyState)
+          publishCoW(spark, table, r, aligned, touched = all, carried = Nil,
+            keepVersions, refreshStats, coalesceTo = Some(0),
+            partColsHint = partitionByHint)
+        else
+          publishCoW(spark, table, r, aligned, touched = Nil, carried = all,
+            keepVersions, refreshStats, coalesceTo = Some(0),
+            partColsHint = partitionByHint)
+    }
+  }
+
+  /** Delete every row satisfying an ARBITRARY predicate — the general
+    * form behind SQL `DELETE FROM t WHERE …` (the IN-list fast path is
+    * [[deleteWhere]]). File-granular when the caller supplies index
+    * `pruning` probes extracted from the predicate (the graft catalog's
+    * DML translation does — equality/IN conjuncts drive the bloom index
+    * and partition paths, bounded ranges the zone map); without probes
+    * every file is a candidate — the honest cost of an un-indexable
+    * predicate. The exact predicate re-applies on the touched files, so
+    * pruning is a file-skip optimization, never a correctness
+    * dependence. NULL predicate rows are kept (SQL DELETE semantics:
+    * only TRUE deletes). */
+  def deleteMatching(spark: SparkSession, table: String, cond: Column,
+                     keepVersions: Int = 2, refreshStats: Boolean = true,
+                     pruning: (Map[String, Seq[Any]], Map[String, (Any, Any)]) =
+                       (Map.empty, Map.empty)): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    val r = resolveVersion(spark, table, None).getOrElse(
+      throw new IllegalArgumentException(
+        s"deleteMatching: $table is not a versioned table"))
+    val (touched, all) = prunedFileCore(spark, table, r, pruning._1, pruning._2)
+    if (touched.isEmpty) return
+    val rewritten = readFilesGrouped(spark, table, touched)
+      .filter(!coalesce(cond, lit(false)))
+    publishCoW(spark, table, r, rewritten, touched,
+      all.diff(touched), keepVersions, refreshStats)
+  }
+
+  /** SET each target column for rows satisfying an ARBITRARY predicate —
+    * the general form behind SQL `UPDATE t SET … WHERE …` (the IN-list
+    * fast path is [[updateWhere]]). Same pruning contract as
+    * [[deleteMatching]]; SET expressions evaluate on the OLD row and may
+    * reference any column; a widening SET refuses loudly
+    * ([[alignToSchema]]). */
+  def updateMatching(spark: SparkSession, table: String, cond: Column,
+                     set: Map[String, Column],
+                     keepVersions: Int = 2, refreshStats: Boolean = true,
+                     pruning: (Map[String, Seq[Any]], Map[String, (Any, Any)]) =
+                       (Map.empty, Map.empty)): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    require(set.nonEmpty, "updateMatching: at least one SET column required")
+    val r = resolveVersion(spark, table, None).getOrElse(
+      throw new IllegalArgumentException(
+        s"updateMatching: $table is not a versioned table"))
+    val (touched, all) = prunedFileCore(spark, table, r, pruning._1, pruning._2)
+    if (touched.isEmpty) return
+    val matched = coalesce(cond, lit(false))
+    val base = readFilesGrouped(spark, table, touched)
+    require(set.keySet.subsetOf(base.columns.toSet),
+      s"updateMatching: unknown SET columns ${set.keySet -- base.columns}")
+    val rewritten = base.select(base.columns.toSeq.map { c =>
+      set.get(c) match {
+        case Some(e) => when(matched, e).otherwise(col(c)).as(c)
+        case None => col(c)
+      }
+    }: _*)
+    publishCoW(spark, table, r,
+      alignToSchema(rewritten, base.schema, "updateMatching"),
+      touched, all.diff(touched), keepVersions, refreshStats)
   }
 
   /** Multi-clause MERGE — the lakehouse verb that subsumes

@@ -1,0 +1,179 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.WarehouseFs
+
+/** The graft DSv2 TableCatalog: standard SQL — CREATE/CTAS, INSERT
+  * INTO/OVERWRITE, SELECT, MERGE/UPDATE/DELETE — resolving onto the
+  * versioned-manifest engine, with the same file-granular CoW economics
+  * and index pruning as the API verbs. */
+class GraftCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val wh = "/tmp/graft_catalog_warehouse"
+  private def fresh(prefix: String): String =
+    s"${prefix}_${java.util.UUID.randomUUID().toString.take(8)}"
+
+  /** Parquet files of the CURRENT version's own data dir (the rewritten
+    * set of a CoW commit). */
+  private def currentDirFiles(path: String): Int = {
+    val dir = WarehouseFs.currentVersion(spark, path).get._2
+    WarehouseFs.listNames(spark, dir).count(_.endsWith(".parquet")) +
+      new java.io.File(dir).listFiles().filter(_.isDirectory)
+        .map(d => d.listFiles.count(_.getName.endsWith(".parquet"))).sum
+  }
+
+  test("CREATE TABLE + INSERT INTO + SELECT round-trip; inserts are append-only commits") {
+    val t = fresh("cat_basic")
+    spark.sql(s"CREATE TABLE graft.$t (id BIGINT, v STRING)")
+    assert(spark.table(s"graft.$t").count() === 0)
+    spark.sql(s"INSERT INTO graft.$t VALUES (1, 'a'), (2, 'b')")
+    spark.sql(s"INSERT INTO graft.$t SELECT id, CONCAT('u', id) FROM range(10, 13)")
+    assert(spark.sql(s"SELECT * FROM graft.$t ORDER BY id")
+      .as[(Long, String)].collect().toSeq ===
+      Seq((1L, "a"), (2L, "b"), (10L, "u10"), (11L, "u11"), (12L, "u12")))
+    // three commits: create-empty, insert, insert — each append carried
+    // prior files by reference (append-only commit); default keepVersions
+    // = 2 retains the trailing window
+    assert(WarehouseFs.currentVersion(spark, s"$wh/$t").get._1 === 3L)
+    assert(WarehouseFs.listVersions(spark, s"$wh/$t") === Seq(2L, 3L))
+    spark.sql(s"INSERT OVERWRITE graft.$t VALUES (9, 'z')")
+    assert(spark.table(s"graft.$t").as[(Long, String)].collect().toSeq ===
+      Seq((9L, "z")))
+    assert(spark.sql(s"SHOW TABLES IN graft").collect()
+      .map(_.getString(1)).contains(t))
+    spark.sql(s"DROP TABLE graft.$t")
+    assert(!spark.catalog.tableExists(s"graft.$t"))
+  }
+
+  test("CTAS lands as a versioned table; writeTo().append() advances versions") {
+    val t = fresh("cat_ctas")
+    spark.sql(s"CREATE TABLE graft.$t AS SELECT id, id % 3 AS grp FROM range(100)")
+    assert(spark.table(s"graft.$t").count() === 100)
+    spark.range(100, 120).select(col("id"), (col("id") % 3).as("grp"))
+      .writeTo(s"graft.$t").append()
+    assert(spark.table(s"graft.$t").count() === 120)
+    assert(WarehouseFs.readTable(spark, s"$wh/$t").get.count() === 120,
+      "catalog tables ARE versioned-manifest tables — the API reads them too")
+  }
+
+  test("PARTITIONED BY persists through the empty create: first insert lands key=value layout") {
+    val t = fresh("cat_part")
+    spark.sql(s"CREATE TABLE graft.$t (id BIGINT, day INT) PARTITIONED BY (day)")
+    spark.sql(s"INSERT INTO graft.$t SELECT id, CAST(id % 4 AS INT) FROM range(400)")
+    val dir = WarehouseFs.currentVersion(spark, s"$wh/$t").get._2
+    assert(new java.io.File(dir).listFiles().exists(_.getName.startsWith("day=")),
+      "stored PARTITIONED BY must re-apply on the first non-empty append")
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft.$t WHERE day = 2")
+      .head().getLong(0) === 100L)
+  }
+
+  test("SQL DELETE is file-granular: bloom-pruned candidates only, parity with a full filter") {
+    val t = fresh("cat_del")
+    val path = s"$wh/$t"
+    // registration-free visibility: publish through the API, query via SQL
+    WarehouseFs.publishVersioned(
+      spark.range(8000).select(col("id"), concat(lit("u"), col("id")).as("user"))
+        .repartitionByRange(8, col("id")),
+      path, keepVersions = 5, bloomIndexCols = Seq("id"))
+    spark.sql(s"DELETE FROM graft.$t WHERE id = 4242")
+    assert(spark.table(s"graft.$t").count() === 7999)
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft.$t WHERE id = 4242")
+      .head().getLong(0) === 0L)
+    // the CoW commit rewrote only the bloom candidate file(s), not 8
+    val rewritten = currentDirFiles(path)
+    assert(rewritten <= 2, s"a 1-key delete must rewrite ≤2 of 8 files, got $rewritten")
+    // time travel still serves the pre-delete state
+    assert(WarehouseFs.readTableVersion(spark, path, 1).get.count() === 8000)
+  }
+
+  test("SQL UPDATE sets expressions on matched rows only, file-granular") {
+    val t = fresh("cat_upd")
+    val path = s"$wh/$t"
+    WarehouseFs.publishVersioned(
+      spark.range(8000).select(col("id"), (col("id") % 100).as("bal"))
+        .repartitionByRange(8, col("id")),
+      path, keepVersions = 5, bloomIndexCols = Seq("id"))
+    spark.sql(s"UPDATE graft.$t SET bal = bal + 1000 WHERE id IN (7, 4242)")
+    val got = spark.sql(
+      s"SELECT id, bal FROM graft.$t WHERE id IN (6, 7, 4242) ORDER BY id")
+      .as[(Long, Long)].collect().toSeq
+    assert(got === Seq((6L, 6L), (7L, 1007L), (4242L, 1042L)))
+    assert(currentDirFiles(path) <= 3,
+      "a 2-key update must rewrite only the candidate files")
+    assert(spark.table(s"graft.$t").count() === 8000)
+  }
+
+  test("SQL MERGE: update + insert clauses, value parity with the API verb") {
+    val tSql = fresh("cat_merge_sql"); val tApi = fresh("cat_merge_api")
+    val seed = spark.range(100)
+      .select(col("id"), concat(lit("u"), col("id")).as("user"))
+    WarehouseFs.publishVersioned(seed, s"$wh/$tSql", keepVersions = 5,
+      bloomIndexCols = Seq("id"))
+    WarehouseFs.publishVersioned(seed, s"$wh/$tApi", keepVersions = 5,
+      bloomIndexCols = Seq("id"))
+    val src = Seq((5L, "five"), (200L, "two hundred")).toDF("id", "user")
+    src.createOrReplaceTempView("merge_src")
+
+    spark.sql(s"""MERGE INTO graft.$tSql t USING merge_src s ON t.id = s.id
+                  WHEN MATCHED THEN UPDATE SET user = s.user
+                  WHEN NOT MATCHED THEN INSERT *""")
+    WarehouseFs.mergeInto(src, s"$wh/$tApi", "id",
+      whenMatchedUpdate = Map("user" -> col("src_user")), keepVersions = 5)
+
+    val sqlState = spark.table(s"graft.$tSql").collect().map(_.toSeq).toSet
+    val apiState = WarehouseFs.readTable(spark, s"$wh/$tApi").get
+      .collect().map(_.toSeq).toSet
+    assert(sqlState === apiState, "SQL MERGE ≡ the API verb")
+    assert(sqlState.contains(Seq(5L, "five")) && sqlState.contains(Seq(200L, "two hundred")))
+    assert(sqlState.size === 101)
+  }
+
+  test("SQL MERGE: conditional matched delete and not-matched-by-source delete") {
+    val t = fresh("cat_merge_del")
+    WarehouseFs.publishVersioned(
+      spark.range(10).select(col("id"), (col("id") * 10).as("amt")),
+      s"$wh/$t", keepVersions = 5, bloomIndexCols = Seq("id"))
+    Seq((3L, 0L), (4L, 77L), (20L, 5L)).toDF("id", "amt")
+      .createOrReplaceTempView("merge_src2")
+    // delete matched rows whose incoming amt is 0, update the rest,
+    // insert unmatched source rows, purge target rows the source dropped
+    // with id ≥ 8
+    spark.sql(s"""MERGE INTO graft.$t t USING merge_src2 s ON t.id = s.id
+                  WHEN MATCHED AND s.amt = 0 THEN DELETE
+                  WHEN MATCHED THEN UPDATE SET amt = s.amt
+                  WHEN NOT MATCHED THEN INSERT *
+                  WHEN NOT MATCHED BY SOURCE AND t.id >= 8 THEN DELETE""")
+    val got = spark.table(s"graft.$t").orderBy("id")
+      .as[(Long, Long)].collect().toSeq
+    assert(got === Seq((0L, 0L), (1L, 10L), (2L, 20L), (4L, 77L),
+      (5L, 50L), (6L, 60L), (7L, 70L), (20L, 5L)))
+  }
+
+  test("unsupported DML shapes fail loudly, naming the clause") {
+    val t = fresh("cat_unsup")
+    WarehouseFs.publishVersioned(
+      spark.range(5).select(col("id"), col("id").as("v")), s"$wh/$t",
+      keepVersions = 2)
+    spark.range(3).select(col("id"), col("id").as("v"))
+      .createOrReplaceTempView("unsup_src")
+    val e = intercept[Exception] {
+      spark.sql(s"""MERGE INTO graft.$t t USING unsup_src s
+                    ON t.id = s.id AND t.v > 2
+                    WHEN MATCHED THEN UPDATE SET v = s.v""")
+    }
+    assert(e.getMessage.contains("graft DML"), s"got: ${e.getMessage}")
+  }
+
+  test("DML on a catalog-created, bloom-propertied table keeps its index maintained") {
+    val t = fresh("cat_props")
+    spark.sql(s"""CREATE TABLE graft.$t (id BIGINT, v STRING)
+                  TBLPROPERTIES ('bloomIndexCols'='id', 'keepVersions'='5')""")
+    spark.sql(s"INSERT INTO graft.$t SELECT id, CONCAT('u', id) FROM range(1000)")
+    // the bloom index exists and serves point pruning through the API too
+    val cand = WarehouseFs.bloomCandidateFiles(spark, s"$wh/$t", "id", Seq(7L))
+    assert(cand.isDefined, "catalog-stored bloomIndexCols must build the index")
+    spark.sql(s"DELETE FROM graft.$t WHERE id = 7")
+    assert(spark.table(s"graft.$t").count() === 999)
+  }
+}

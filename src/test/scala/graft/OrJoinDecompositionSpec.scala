@@ -60,9 +60,15 @@ class OrJoinDecompositionSpec extends SparkSpec {
   }
 
   test("without the rule the same query nested-loops") {
-    val l = (1 to 100).map(i => (i, i * 2)).toDF("lk", "lv")
-    val r = (1 to 100).map(i => (i, i * 3)).toDF("rk", "rv")
-    val df = l.join(r, ($"lk" === $"rk" && $"lv" > 10) || ($"lv" === $"rv"))
-    assert(df.queryExecution.executedPlan.toString.contains("NestedLoop"))
+    // the shared session registers GraftExtensions (r10), so the rule is
+    // ON by default — excluding it restores Spark's native plan and
+    // proves the hash join is the rewrite's doing, not Catalyst's
+    withConf("spark.sql.optimizer.excludedRules" ->
+        "graft.plans.OrJoinDecomposition") {
+      val l = (1 to 100).map(i => (i, i * 2)).toDF("lk", "lv")
+      val r = (1 to 100).map(i => (i, i * 3)).toDF("rk", "rv")
+      val df = l.join(r, ($"lk" === $"rk" && $"lv" > 10) || ($"lv" === $"rv"))
+      assert(df.queryExecution.executedPlan.toString.contains("NestedLoop"))
+    }
   }
 }
