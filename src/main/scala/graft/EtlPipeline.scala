@@ -111,7 +111,8 @@ object EtlPipeline {
     def readIf(name: String): Option[DataFrame] =
       if (useAtomic) {
         if (workWritten(name)) Some(spark.read.parquet(s"$workDir/$name"))
-        else committedTables.get(name).map(spark.read.parquet(_))
+        else committedTables.get(name)
+          .flatMap(WarehouseFs.readCommitEntry(spark, _))
           .orElse(WarehouseFs.readTable(spark, tablePath(name)))
       } else WarehouseFs.readTable(spark, tablePath(name))
     def overwrite(df: DataFrame, name: String): Unit =
@@ -395,16 +396,24 @@ object EtlPipeline {
         // daily rebuild untouched (the scalable form of the reference's
         // per-day delete+insert; a full-table overwrite would rewrite the
         // whole mart history every night).
+        val mode0 = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        // localCheckpoint materializes the result BEFORE the write truncates
-        // the partition it may be reading (mart merge/anti-join read the same
-        // path); observe() piggybacks the row count on the write job — the
-        // end-of-run log costs zero extra table scans (no O(history) counts)
-        val repObs = new org.apache.spark.sql.Observation("rep_fraud_metrics")
-        rep.localCheckpoint().observe(repObs, count(lit(1)).as("n"))
-          .write.mode(SaveMode.Overwrite)
-          .partitionBy("report_dt").parquet(martPath)
-        repObs.get("n")
+        try {
+          // localCheckpoint materializes the result BEFORE the write truncates
+          // the partition it may be reading (mart merge/anti-join read the same
+          // path); observe() piggybacks the row count on the write job — the
+          // end-of-run log costs zero extra table scans (no O(history) counts)
+          val repObs = new org.apache.spark.sql.Observation("rep_fraud_metrics")
+          rep.localCheckpoint().observe(repObs, count(lit(1)).as("n"))
+            .write.mode(SaveMode.Overwrite)
+            .partitionBy("report_dt").parquet(martPath)
+          repObs.get("n")
+        } finally mode0 match {
+          // restore the caller's mode — leaking `dynamic` session-wide
+          // changes the meaning of every later INSERT OVERWRITE
+          case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+          case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        }
       }
 
     val winStr = extended.map { case (a, b, ext) =>

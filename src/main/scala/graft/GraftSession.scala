@@ -45,7 +45,12 @@ object GraftSession {
                       broadcastMaxRows: Long = 4000000L): Option[(Long, Seq[String])] =
     WarehouseFs.currentCommit(spark, warehouse).map { case (commit, tables) =>
       val names = tables.toSeq.sortBy(_._1).map { case (t, dataPath) =>
-        val df = spark.read.parquet(dataPath)
+        // dir-style entries read directly; version-pin entries resolve
+        // through the member chain's manifest (file-list aware)
+        val df = WarehouseFs.readCommitEntry(spark, dataPath).getOrElse(
+          throw new IllegalStateException(
+            s"attachWarehouse: $t resolves to an expired member version " +
+              s"($dataPath) — raise the member table's keepVersions"))
         // stats resolve from the dataPath already in hand — the commit
         // file was read ONCE above, never once-per-table
         val hinted = WarehouseFs.statsForDataPath(spark, warehouse, t, dataPath) match {

@@ -11,7 +11,7 @@ import org.apache.spark.sql.execution.datasources.DataSourceStrategy
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.functions.{coalesce, col, lit, when}
 
-import graft.sources.{GraftCatalogTable, GraftRelation, GraftTable, WarehouseFs}
+import graft.sources.{GraftCatalog, GraftCatalogTable, GraftRelation, GraftTable, WarehouseFs}
 
 /** SQL DML over graft tables: an analyzer rule that claims resolved
   * `DELETE FROM` / `UPDATE` / `MERGE INTO` statements whose target is a
@@ -75,6 +75,12 @@ object GraftDmlRule extends Rule[LogicalPlan] with PredicateHelper {
           "WarehouseFs.publishVersioned)")
       GraftMergeCommand(path, rel.output, source, cond,
         matched, notMatched, notMatchedBySource)
+    // INSERT OVERWRITE under partitionOverwriteMode=dynamic (and
+    // df.writeTo(t).overwritePartitions()): the V1 write fallback has no
+    // dynamic-overwrite form, so the rule lowers it onto the CoW verb
+    case o: OverwritePartitionsDynamic
+        if o.resolved && Target.unapply(o.table).isDefined =>
+      GraftDynamicOverwriteCommand(Target.unapply(o.table).get._1, o.query)
   }
 
   private[graft] def fail(what: String): Nothing =
@@ -136,6 +142,33 @@ case class GraftUpdateCommand(path: String, targetOutput: Seq[Attribute],
     WarehouseFs.updateMatching(spark, path,
       GraftDmlRule.recolumn(condition, tgt), set,
       pruning = GraftDmlRule.probesOf(condition))
+    Seq.empty
+  }
+}
+
+/** `INSERT OVERWRITE` in dynamic partition-overwrite mode (and
+  * `df.writeTo(t).overwritePartitions()`) →
+  * [[WarehouseFs.overwritePartitions]]: partitions present in the query
+  * replace as ONE copy-on-write commit, every other partition's files
+  * carry by reference. Unpartitioned tables degrade to the full-version
+  * publish — with nothing to scope by, dynamic mode replaces
+  * everything, exactly like static mode. */
+case class GraftDynamicOverwriteCommand(path: String, query: LogicalPlan)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val data = GraftDmlRule.sourceDf(spark, query)
+    val props = GraftCatalog.readProps(spark, path)
+    val keep = GraftCatalog.keepVersionsOf(props)
+    val partBy = GraftCatalog.colListOf(props, "partitionBy") match {
+      case Nil => WarehouseFs.layoutPartitionCols(spark, path)
+      case cols => cols
+    }
+    if (partBy.isEmpty)
+      WarehouseFs.publishVersioned(data, path, keepVersions = keep,
+        bloomIndexCols = GraftCatalog.colListOf(props, "bloomIndexCols"),
+        zoneMapCols = GraftCatalog.colListOf(props, "zoneMapCols"))
+    else
+      WarehouseFs.overwritePartitions(data, path, partBy, keepVersions = keep)
     Seq.empty
   }
 }

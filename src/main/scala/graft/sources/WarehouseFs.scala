@@ -854,14 +854,53 @@ object WarehouseFs {
     }
 
   /** Above this many distinct source keys the BLOOM leg of
-    * [[candidatesDistributed]] is skipped: its join broadcasts the key
-    * set (the bitset-laden index rows are the side that cannot
-    * broadcast), so the key side must stay driver-safe — and at this
-    * cardinality per-key false positives have UNIONED the bloom answer
-    * toward "all files" anyway. The zone leg has no such bound: its
-    * index rows are tiny (min/max per column), so IT broadcasts and the
-    * keys stream at any size. */
+    * [[candidatesDistributed]] hands off to the key-column scan
+    * ([[touchedFilesByScan]]): the bloom join broadcasts the key set
+    * (the bitset-laden index rows are the side that cannot broadcast),
+    * so the key side must stay driver-safe — and at this cardinality a
+    * [[BloomIndexBits]]-bit per-file bloom is saturated by the probe
+    * union anyway (the metadata answer has degraded toward "all
+    * files"). The zone leg has no such bound: its index rows are tiny
+    * (min/max per column), so IT broadcasts and the keys stream at any
+    * size. */
   val MaxBloomProbeKeys: Long = 1000000L
+
+  /** EXACT touched-set resolution by scanning ONLY the key columns of
+    * the candidate files: a left-semi join of the (file, key) projection
+    * against the source keys keeps precisely the files holding at least
+    * one matching tuple. This is data I/O — but columnar-pruned to the
+    * key columns (a sliver of a wide table's bytes) and shuffling only
+    * (file, key) pairs, so it is the UNBOUNDED bulk leg: no driver key
+    * materialization at ANY source cardinality, and the answer is exact
+    * rather than an index over-approximation (strictly fewer rewrites —
+    * reading a key column is always cheaper than rewriting a
+    * false-positive file's every column). Engaged when the bloom leg
+    * defers past [[MaxBloomProbeKeys]] — the one regime where metadata
+    * probes stop paying. */
+  private def touchedFilesByScan(spark: SparkSession, table: String,
+                                 keyCols: Seq[String], source: DataFrame,
+                                 schema: org.apache.spark.sql.types.StructType,
+                                 within: Seq[String]): Seq[String] = {
+    import org.apache.spark.sql.functions.{col, expr}
+    // probes cast to the table's stored types (the join must compare in
+    // the table's domain — see [[sourceKeyProbes]]); no pre-distinct:
+    // the semi join dedups without an extra shuffle
+    val probes = source.select(keyCols.map { c =>
+      schema.find(_.name == c).fold(col(c))(f => col(c).cast(f.dataType)).as(c)
+    }: _*).filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
+    val tagged = within.groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1)
+      .map { case (dir, fs0) =>
+        val marker = s"/$dir/"
+        val rel = expr(s"concat('$dir/', substring(_metadata.file_path, " +
+          s"instr(_metadata.file_path, '$marker') + ${marker.length}))")
+        spark.read.option("basePath", s"$table/$dir")
+          .parquet(fs0.map(f => s"$table/$f"): _*)
+          .select(rel.as("__file") +: keyCols.map(col): _*)
+      }.reduce(_ unionByName _)
+    tagged.join(probes, keyCols, "left_semi")
+      .select("__file").distinct()
+      .collect().map(_.getString(0)).toSeq
+  }
 
   /** BULK-regime touched-set resolution: which files might hold any of
     * `source`'s key tuples, decided WITHOUT collecting keys to the
@@ -877,8 +916,10 @@ object WarehouseFs {
     *   - bloom index: per-key membership probes, keys broadcast against
     *     streaming index rows (the bitsets are too big to broadcast the
     *     other way) — bounded by [[MaxBloomProbeKeys]], past which the
-    *     leg is skipped (FP union has degraded it toward "all files" by
-    *     then; the zone leg carries the pruning).
+    *     leg DEFERS to the exact key-column scan
+    *     ([[touchedFilesByScan]]) over whatever candidate set the other
+    *     legs left (FP union has degraded the metadata answer toward
+    *     "all files" by then; the scan is unbounded and exact).
     *
     * Per-column and per-index candidate sets all INTERSECT (a file
     * holding the tuple holds every component and satisfies every
@@ -900,10 +941,15 @@ object WarehouseFs {
     }
     def keyProbes(c: String) =
       sourceKeyProbes(source, c, schemaV.find(_.name == c).map(_.dataType))
+    val bloomIdx = indexAt(indexDir(t))
+    val bloomCols = bloomIdx.toSeq.flatMap(i =>
+      keyCols.filter(c => i.columns.contains(s"b_$c")))
+    // past the probe bound the bloom leg defers to the exact scan below
+    val bloomDeferred = bloomCols.nonEmpty && nDistinctKeys > MaxBloomProbeKeys
     val bloomSets: Seq[Set[String]] =
-      if (nDistinctKeys > MaxBloomProbeKeys) Nil
-      else indexAt(indexDir(t)).toSeq.flatMap { index =>
-        keyCols.filter(c => index.columns.contains(s"b_$c")).map { c =>
+      if (bloomDeferred) Nil
+      else bloomIdx.toSeq.flatMap { index =>
+        bloomCols.map { c =>
           index.join(broadcast(keyProbes(c)),
               bloom_might_contain(index(s"b_$c"), col("__ks"),
                 BloomIndexHashes), "left_semi")
@@ -921,11 +967,19 @@ object WarehouseFs {
         }
       }
     val perCol = bloomSets ++ zoneSets
-    if (perCol.isEmpty) None
+    if (perCol.isEmpty && !bloomDeferred) None
     else {
-      val files = perCol.reduce(_ intersect _)
-      Some((if (r.isFileList) files
-            else files.map(f => s"${r.dirName}/$f")).toSeq.sorted)
+      val metaCand: Seq[String] = perCol.reduceOption(_ intersect _) match {
+        case Some(files) =>
+          (if (r.isFileList) files
+           else files.map(f => s"${r.dirName}/$f")).toSeq
+        case None => versionFiles(fs, t, r) // bloom deferred, no zone leg
+      }
+      val files =
+        if (bloomDeferred && metaCand.nonEmpty)
+          touchedFilesByScan(spark, table, keyCols, source, schemaV, metaCand)
+        else metaCand
+      Some(files.sorted)
     }
   }
 
@@ -1319,6 +1373,89 @@ object WarehouseFs {
     }
   }
 
+  /** Partition columns the current version's file LAYOUT encodes
+    * (Hive `key=value` segments) — Nil for flat layouts or absent
+    * tables. Pure path arithmetic over the manifest's file list. */
+  def layoutPartitionCols(spark: SparkSession, table: String): Seq[String] =
+    resolveVersion(spark, table, None).map { r =>
+      val (fs, t) = fsFor(spark, table)
+      partitionColsOf(versionFiles(fs, t, r))
+    }.getOrElse(Nil)
+
+  /** DYNAMIC partition overwrite as a copy-on-write commit — the verb
+    * behind `INSERT OVERWRITE` in `partitionOverwriteMode=dynamic` (and
+    * `df.writeTo(t).overwritePartitions()`): every partition PRESENT in
+    * `data` is replaced wholesale, every other partition's files carry
+    * by reference — a daily re-load of 3 days into a 5-year table
+    * rewrites 3 days, never 5 years. File resolution is path
+    * arithmetic: a `key=value` file belongs to exactly one partition
+    * tuple, so the touched set is exact for layout-encoded files; a
+    * flat legacy file (no `key=value` segment) conservatively counts as
+    * touched and its rows OUTSIDE the overwritten partitions survive
+    * via an anti-join — row-correct either way. Null partition values
+    * refuse loudly (their anti-join would silently append instead of
+    * replace). Empty `data` replaces nothing — a no-op, no version
+    * bump. First write on an absent table publishes version 1
+    * partitioned by `partCols`. */
+  def overwritePartitions(data: DataFrame, table: String,
+                          partCols: Seq[String], keepVersions: Int = 2,
+                          refreshStats: Boolean = true): Unit = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    require(partCols.nonEmpty,
+      "overwritePartitions: partition columns required — an unpartitioned " +
+        "table takes a full publishVersioned instead")
+    require(partCols.forall(data.columns.contains),
+      s"overwritePartitions: data lacks partition columns " +
+        s"${partCols.filterNot(data.columns.contains)}")
+    val spark = data.sparkSession
+    resolveVersion(spark, table, None) match {
+      case None =>
+        publishVersioned(data, table, partitionBy = partCols,
+          keepVersions = keepVersions, collectStats = refreshStats)
+      case Some(r) =>
+        val (fs, t) = fsFor(spark, table)
+        val all = versionFiles(fs, t, r)
+        val schemaV = versionSchema(spark, table, r)
+        val tableCols = schemaV.fieldNames.toSeq
+        require(data.columns.toSet == tableCols.toSet,
+          s"overwritePartitions: data columns ${data.columns.toSet} must " +
+            s"equal table columns ${tableCols.toSet}")
+        // the touched partitions — bounded by the partition count, the
+        // one driver-side set this verb materializes
+        val tuplesDf = data.select(partCols.map(col): _*).distinct()
+        val tuples = tuplesDf.collect()
+        if (tuples.isEmpty) return
+        require(!tuples.exists(_.anyNull),
+          "overwritePartitions: null partition values are not supported " +
+            "(delete + append them explicitly)")
+        val touched = tuples.toSeq.flatMap { row =>
+          partCols.zipWithIndex.map { case (c, i) =>
+            val dt = schemaV.find(_.name == c).map(_.dataType).getOrElse(
+              throw new IllegalArgumentException(
+                s"overwritePartitions: $c is not a column of $table"))
+            partitionCandidates(spark, all, c, Seq(row.get(i)), dt).toSet
+          }.reduce(_ intersect _)
+        }.distinct.sorted
+        val tupleRel = spark.createDataFrame(
+          java.util.Arrays.asList(tuples: _*), tuplesDf.schema)
+        // layout-encoded touched files hold exactly one (replaced)
+        // partition → zero survivors; flat legacy files may mix → keep
+        // their rows outside the replaced partitions
+        val survivors =
+          if (touched.isEmpty) None
+          else Some(readFilesGrouped(spark, table, touched)
+            .join(broadcast(tupleRel), partCols, "left_anti"))
+        val rewritten = survivors
+          .fold(data.select(tableCols.map(col): _*))(
+            _.select(tableCols.map(col): _*)
+              .unionByName(data.select(tableCols.map(col): _*)))
+        publishCoW(spark, table, r,
+          alignToSchema(rewritten, schemaV, "overwritePartitions"),
+          touched, all.diff(touched), keepVersions, refreshStats,
+          partColsHint = partCols)
+    }
+  }
+
   /** Delete every row satisfying an ARBITRARY predicate — the general
     * form behind SQL `DELETE FROM t WHERE …` (the IN-list fast path is
     * [[deleteWhere]]). File-granular when the caller supplies index
@@ -1654,28 +1791,40 @@ object WarehouseFs {
   }
 
   /** [[changeFeed]] for a table of a COMMIT SET ([[publishAtomicAll]]
-    * layout): the delta of `table` between two retained commits. A
-    * carried-forward table resolves both commits to the SAME data dir —
-    * detected by path equality, so the feed is empty WITHOUT scanning
+    * or [[publishAtomicVersioned]] layout): the delta of `table`
+    * between two retained commits. A carried-forward table resolves
+    * both commits to the SAME data dir (or the same version pin) —
+    * detected by entry equality, so the feed is empty WITHOUT scanning
     * anything (the common nightly case costs two commit-file reads).
-    * None when either commit is expired or lacks the table. */
+    * VERSION-PIN members delegate to the member chain's own
+    * [[changeFeed]], inheriting the file-granular diff: files both
+    * pinned manifests share are never read, so a 1-row CoW change
+    * between commits feeds from its rewritten file + ancestor only.
+    * None when either commit is expired, lacks the table, or pins an
+    * expired member version. */
   def changeFeedCommitted(spark: SparkSession, warehouse: String,
                           table: String, keyCols: Seq[String],
-                          fromCommit: Long, toCommit: Long): Option[DataFrame] =
-    for {
+                          fromCommit: Long, toCommit: Long): Option[DataFrame] = {
+    val resolved = for {
       f <- commitVersion(spark, warehouse, fromCommit)
       t <- commitVersion(spark, warehouse, toCommit)
       fp <- f._2.get(table)
       tp <- t._2.get(table)
-    } yield {
-      if (fp == tp) { // carry-forward: byte-identical state, empty delta
-        val schema = spark.read.parquet(tp)
-        rowDiff(schema.limit(0), schema.limit(0), keyCols,
-          s"c$fromCommit and c$toCommit of $table")
-      } else
-        rowDiff(spark.read.parquet(fp), spark.read.parquet(tp), keyCols,
-          s"c$fromCommit and c$toCommit of $table")
+    } yield (fp, tp)
+    resolved.flatMap { case (fp, tp) =>
+      if (fp == tp) // carry-forward: byte-identical state, empty delta
+        readCommitEntry(spark, tp).map(schema =>
+          rowDiff(schema.limit(0), schema.limit(0), keyCols,
+            s"c$fromCommit and c$toCommit of $table"))
+      else (pinnedVersion(fp), pinnedVersion(tp)) match {
+        case (Some((tablePath, vf)), Some((tp2, vt))) if tablePath == tp2 =>
+          changeFeed(spark, tablePath, keyCols, vf, vt) // file-granular
+        case _ =>
+          for (o <- readCommitEntry(spark, fp); n <- readCommitEntry(spark, tp))
+            yield rowDiff(o, n, keyCols, s"c$fromCommit and c$toCommit of $table")
+      }
     }
+  }
 
   /** [[changeFeed]] from the previous retained version to the current
     * one — the nightly-consumer convenience. None until two versions
@@ -1942,6 +2091,31 @@ object WarehouseFs {
     }
   }
 
+  /** VERSION-PIN commit entries: a commit body line `table=@N` says the
+    * member is an ordinary VERSIONED table at `$warehouse/$table` and
+    * this commit references version N of its own manifest chain (the
+    * [[publishAtomicVersioned]] layout). [[commitAt]] surfaces such a
+    * line as the data path `"$warehouse/$table/@N"`; this parses the
+    * pin back out — (table path, version) — or None for a dir-style
+    * entry. */
+  private[graft] def pinnedVersion(dataPath: String): Option[(String, Long)] = {
+    val i = dataPath.lastIndexOf("/@")
+    if (i < 0) None
+    else dataPath.substring(i + 2).toLongOption
+      .map(v => (dataPath.substring(0, i), v))
+  }
+
+  /** Resolve ONE commit-entry data path — dir-style or version-pin —
+    * to its DataFrame. For callers holding a whole table → dataPath map
+    * from a single commit read (a multi-table SQL attach) that must not
+    * re-read the commit file per table. None when a pinned version has
+    * expired from its member chain. */
+  def readCommitEntry(spark: SparkSession, dataPath: String): Option[DataFrame] =
+    pinnedVersion(dataPath) match {
+      case Some((tablePath, v)) => readTableVersion(spark, tablePath, v)
+      case None => Some(spark.read.parquet(dataPath))
+    }
+
   /** One table out of the latest (or a pinned) commit set. */
   def readCommitted(spark: SparkSession, warehouse: String, table: String,
                     commit: Option[Long] = None): Option[DataFrame] = {
@@ -1949,7 +2123,7 @@ object WarehouseFs {
       case Some(c) => commitVersion(spark, warehouse, c)
       case None => currentCommit(spark, warehouse)
     }
-    resolved.flatMap(_._2.get(table)).map(spark.read.parquet(_))
+    resolved.flatMap(_._2.get(table)).flatMap(readCommitEntry(spark, _))
   }
 
   /** Atomically publish ALL of `dfs` as one commit: readers observe every
@@ -2014,17 +2188,31 @@ object WarehouseFs {
           .parquet(new Path(w, s"$table/_index/$dataName").toString)
       }
     }
-    // phase 2 (commit): ONE single-file rename spanning all tables
-    val cd = commitsDir(w)
-    fs.mkdirs(cd)
+    // phase 2 (commit) + phase 3 (GC)
     val body = (dfs.keys.map(_ -> dataName) ++ carried).toSeq.sorted
       .map { case (t, d) => s"$t=$d" }.mkString("\n")
+    sealCommitSet(fs, w, warehouse, next, body, keepCommits, dfs.keys)
+    next
+  }
+
+  /** Phase 2+3 shared by [[publishAtomicAll]] and
+    * [[publishAtomicVersioned]]: CAS-commit `body` as commit `next`
+    * (ONE single-file rename spanning all tables), expire commit files
+    * past `keepCommits`, then GC commit-set-managed artifacts — `c*`
+    * data dirs and their `c*`-keyed `_stats`/`_index` entries no
+    * retained commit references. VERSIONED members' `v*` dirs and
+    * metadata belong to the member chain's own GC (its `keepVersions`)
+    * and are never touched here. */
+  private def sealCommitSet(fs: FileSystem, w: Path, warehouse: String,
+                            next: Long, body: String, keepCommits: Int,
+                            touched: Iterable[String]): Unit = {
+    val cd = commitsDir(w)
+    fs.mkdirs(cd)
     val tmp = new Path(cd, s".tmp-${vname(next)}")
     val out = fs.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
     require(fs.rename(tmp, new Path(cd, vname(next))),
-      s"publishAtomicAll: commit $next lost a concurrent race on $warehouse")
-    // phase 3 (GC): expire old commits, then data dirs nothing references
+      s"publishAtomic: commit $next lost a concurrent race on $warehouse")
     val commits = fs.listStatus(cd).map(_.getPath.getName)
       .filter(n => ManifestName.matches(n)).sorted
     val (expired, kept) = commits.splitAt(math.max(0, commits.length - keepCommits))
@@ -2037,7 +2225,7 @@ object WarehouseFs {
         val Array(t, d) = line.trim.split("=", 2); (t, d)
       }
     }.toSet
-    val tables = referenced.map(_._1) ++ dfs.keys
+    val tables = referenced.map(_._1) ++ touched
     tables.foreach { t =>
       val td = new Path(w, t)
       if (fs.exists(td))
@@ -2049,10 +2237,69 @@ object WarehouseFs {
         val sd = new Path(td, meta)
         if (fs.exists(sd))
           fs.listStatus(sd).map(_.getPath.getName)
-            .filter(n => !n.startsWith(".") && !referenced.contains((t, n)))
+            .filter(n => n.startsWith("c") && !referenced.contains((t, n)))
             .foreach(n => fs.delete(new Path(sd, n), true))
       }
     }
+  }
+
+  /** [[publishAtomicAll]] over VERSIONED members: each table in
+    * `writes` publishes through its own file-list manifest chain at
+    * `$warehouse/$table` ([[publishVersioned]]), `pinCurrent` tables
+    * pin whatever version their chain currently holds, and ONE commit
+    * file flips the whole set (body lines `table=@version`). Because
+    * members are ordinary versioned tables:
+    *
+    *   - CoW DML between commits ([[mergeInto]], [[upsertRows]],
+    *     [[deleteWhere]] … against `$warehouse/$table`, then a
+    *     seal-only call naming the table in `pinCurrent`) shares every
+    *     untouched FILE across commits — a 1-row correction costs one
+    *     rewritten file, never a table copy;
+    *   - [[changeFeedCommitted]] inherits the member chain's
+    *     file-granular diff — files shared by both pinned manifests
+    *     are never scanned;
+    *   - [[readCommitted]] / [[readCommittedBloomPruned]] /
+    *     [[readCommittedStats]] resolve pins transparently.
+    *
+    * Retention: commit files expire past `keepCommits`, but pinned
+    * VERSIONS live by the member chain's own `keepVersions` — size it
+    * to cover the commit window (a pin whose version expired resolves
+    * to None, the same contract as an expired commit). Concurrency:
+    * member publishes land before the commit CAS, so a losing racer
+    * leaves its member versions as unpinned chain states — orphan
+    * work, never a torn read; the next successful seal pins fresh
+    * current versions. */
+  def publishAtomicVersioned(spark: SparkSession,
+                             writes: Map[String, DataFrame], warehouse: String,
+                             pinCurrent: Set[String] = Set.empty,
+                             keepCommits: Int = 2, keepVersions: Int = 8,
+                             partitionBy: Map[String, Seq[String]] = Map.empty,
+                             bloomIndex: Map[String, Seq[String]] = Map.empty,
+                             zoneMap: Map[String, Seq[String]] = Map.empty,
+                             collectStats: Boolean = false): Long = {
+    require(writes.nonEmpty || pinCurrent.nonEmpty,
+      "publishAtomicVersioned: empty commit")
+    require(keepCommits >= 1)
+    require(pinCurrent.intersect(writes.keySet).isEmpty,
+      "publishAtomicVersioned: a table cannot be both written and pinned")
+    val (fs, w) = fsFor(spark, warehouse)
+    val next = currentCommit(spark, warehouse).map(_._1).getOrElse(0L) + 1L
+    writes.foreach { case (table, df) =>
+      publishVersioned(df, s"$warehouse/$table",
+        partitionBy = partitionBy.getOrElse(table, Nil),
+        keepVersions = keepVersions, collectStats = collectStats,
+        bloomIndexCols = bloomIndex.getOrElse(table, Nil),
+        zoneMapCols = zoneMap.getOrElse(table, Nil))
+    }
+    val body = (writes.keySet ++ pinCurrent).toSeq.sorted.map { t =>
+      val v = currentVersion(spark, s"$warehouse/$t").getOrElse(
+        throw new IllegalArgumentException(
+          s"publishAtomicVersioned: $t has no committed version under " +
+            s"$warehouse — publish or DML it first, or move it to `writes`"))._1
+      s"$t=@$v"
+    }.mkString("\n")
+    sealCommitSet(fs, w, warehouse, next, body, keepCommits,
+      writes.keySet ++ pinCurrent)
     next
   }
 
@@ -2072,7 +2319,11 @@ object WarehouseFs {
       case Some(c) => commitVersion(spark, warehouse, c)
       case None => currentCommit(spark, warehouse)
     }
-    resolved.flatMap(_._2.get(table)).map { dataPath =>
+    resolved.flatMap(_._2.get(table)).flatMap { dataPath =>
+      pinnedVersion(dataPath).map { case (tablePath, v) =>
+        // version-pin member: the member chain's own bloom-pruned read
+        readBloomPruned(spark, tablePath, column, values, Some(v))
+      }.getOrElse(Some(dataPath).map { dataPath =>
       val exact = (df: DataFrame) => df.filter(col(column).isin(values: _*))
       val dn = dataPath.substring(dataPath.lastIndexOf('/') + 1)
       val (fs, _) = fsFor(spark, warehouse)
@@ -2096,6 +2347,7 @@ object WarehouseFs {
           }
         }
       }
+      })
     }
   }
 
@@ -2119,10 +2371,14 @@ object WarehouseFs {
     * (e.g. a multi-table SQL attach) and must not re-read the commit
     * file per table. */
   def statsForDataPath(spark: SparkSession, warehouse: String, table: String,
-                       dataPath: String): Option[TableStats] = {
-    val dn = dataPath.substring(dataPath.lastIndexOf('/') + 1)
-    val (fs, _) = fsFor(spark, warehouse)
-    parseStats(spark, fs,
-      new Path(new Path(new Path(warehouse), table), s"_stats/$dn"))
-  }
+                       dataPath: String): Option[TableStats] =
+    pinnedVersion(dataPath) match {
+      case Some((tablePath, v)) => // pin: the member chain's own stats
+        readStats(spark, tablePath, Some(v))
+      case None =>
+        val dn = dataPath.substring(dataPath.lastIndexOf('/') + 1)
+        val (fs, _) = fsFor(spark, warehouse)
+        parseStats(spark, fs,
+          new Path(new Path(new Path(warehouse), table), s"_stats/$dn"))
+    }
 }

@@ -176,4 +176,47 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql(s"DELETE FROM graft.$t WHERE id = 7")
     assert(spark.table(s"graft.$t").count() === 999)
   }
+
+  test("dynamic INSERT OVERWRITE replaces present partitions only, carrying the rest") {
+    val t = fresh("cat_dynpart")
+    spark.sql(s"CREATE TABLE graft.$t (id BIGINT, day INT) PARTITIONED BY (day)")
+    spark.sql(s"INSERT INTO graft.$t SELECT id, CAST(id % 4 AS INT) FROM range(400)")
+    val priorDir = WarehouseFs.currentVersion(spark, s"$wh/$t").get._2
+      .split('/').last
+    val mode0 = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      spark.sql(
+        s"INSERT OVERWRITE graft.$t SELECT id + 1000, CAST(1 AS INT) FROM range(50)")
+      val got = spark.table(s"graft.$t")
+      // day=1's 100 rows replaced by the 50 new ones; days 0/2/3 intact
+      assert(got.count() === 350)
+      assert(got.filter(col("day") === 1).count() === 50)
+      assert(got.filter(col("day") === 1 && col("id") < 1000).count() === 0)
+      // file economics: the three untouched day partitions carry by
+      // REFERENCE from the prior version's dir (API read — the DSv2
+      // scan does not surface inputFiles)
+      val refs = WarehouseFs.readTable(spark, s"$wh/$t").get.inputFiles
+      assert(refs.count(_.contains(s"/$priorDir/")) >= 3,
+        s"untouched partitions must carry by reference: ${refs.toSeq}")
+      assert(refs.filter(_.contains(s"/$priorDir/"))
+        .forall(!_.contains("day=1")),
+        "every day=1 file must come from the new version's dir")
+
+      // the API spelling routes through the same plan
+      spark.range(2000, 2020).select(col("id"),
+          org.apache.spark.sql.functions.lit(3).cast("int").as("day"))
+        .writeTo(s"graft.$t").overwritePartitions()
+      assert(spark.table(s"graft.$t").filter(col("day") === 3).count() === 20)
+      assert(spark.table(s"graft.$t").count() === 270) // 350 - 100 + 20
+
+      // dynamic mode on an UNPARTITIONED table = full replace
+      val u = fresh("cat_dynflat")
+      spark.sql(s"CREATE TABLE graft.$u (id BIGINT, v STRING)")
+      spark.sql(s"INSERT INTO graft.$u VALUES (1, 'a'), (2, 'b')")
+      spark.sql(s"INSERT OVERWRITE graft.$u VALUES (9, 'z')")
+      assert(spark.table(s"graft.$u").as[(Long, String)].collect().toSeq ===
+        Seq((9L, "z")))
+    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", mode0)
+  }
 }

@@ -714,4 +714,33 @@ class WarehouseDmlSpec extends SparkSpec {
     assert(dstRead.inputFiles.count(_.contains("/v00000001/")) === 6,
       "bulk CDC apply must stay file-granular too")
   }
+
+  test("a >1M-key merge on a bloom-only table rewrites only matching files via the key-scan leg") {
+    val t = tmpTable()
+    WarehouseFs.publishVersioned(
+      spark.range(0, 80000, 1, 8) // 8 contiguous 10k-row files
+        .select(col("id"), concat(lit("u"), col("id")).as("user")),
+      t, keepVersions = 5, bloomIndexCols = Seq("id")) // no zone map
+    // 1.2M distinct keys — past MaxBloomProbeKeys, so the metadata legs
+    // are out (bloom deferred, no zones, unclustered): the exact
+    // key-column scan must confine the rewrite with zero driver key
+    // materialization. Matching keys (60000..79999) live in the last 2
+    // of the 8 range files; the other ~1.18M keys miss the table.
+    val source = spark.range(60000, 1260000)
+      .select(col("id"), concat(lit("m"), col("id")).as("user"))
+    WarehouseFs.mergeInto(source, t, "id",
+      whenMatchedUpdate = Map("user" -> col("src_user")),
+      whenNotMatchedInsert = false, keepVersions = 5)
+    val got = WarehouseFs.readTable(spark, t).get
+    assert(got.count() === 80000)
+    assert(got.filter(col("id") >= 60000 && !col("user").startsWith("m"))
+      .count() === 0)
+    assert(got.filter(col("id") < 60000 && col("user").startsWith("m"))
+      .count() === 0)
+    val refs = got.inputFiles
+    assert(refs.count(_.contains("/v00000001/")) === 6,
+      s"6 untouched files must carry by reference: ${refs.toSeq}")
+    assert(refs.count(_.contains(s"/${currentDir(t)}/")) <= 2,
+      "the exact scan leg must confine a >1M-key rewrite to the matching files")
+  }
 }
