@@ -26,6 +26,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * INSERT OVERWRITE graft.tx SELECT …             -- new full version
   * CREATE TABLE graft.agg AS SELECT …             -- CTAS
   * SELECT * FROM graft.tx WHERE id = 42           -- bloom/zone-pruned DSv2 scan
+  * SELECT * FROM graft.tx VERSION AS OF 3         -- manifest time travel
+  * SELECT * FROM graft.tx TIMESTAMP AS OF '…'     -- commit-time resolution
   * MERGE INTO graft.tx USING s ON … WHEN MATCHED … -- CoW DML (GraftDml)
   * }}}
   *
@@ -91,6 +93,32 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     GraftCatalogTable(spark, tablePath(ident),
       GraftTable.resolveSchema(spark, tablePath(ident), None),
       GraftCatalog.readProps(spark, tablePath(ident)))
+  }
+
+  /** SQL `SELECT … FROM t VERSION AS OF n` — a read pinned to a
+    * retained manifest version (expired/unknown versions refuse with
+    * the retention message). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!exists(ident)) throw new NoSuchTableException(ident)
+    val v = version.toLongOption.getOrElse(throw new IllegalArgumentException(
+      s"graft catalog: VERSION AS OF takes a version number, got '$version'"))
+    GraftCatalogTable(spark, tablePath(ident),
+      GraftTable.resolveSchema(spark, tablePath(ident), Some(v)),
+      GraftCatalog.readProps(spark, tablePath(ident)), pinned = Some(v))
+  }
+
+  /** SQL `SELECT … FROM t TIMESTAMP AS OF ts` (`ts` arrives in
+    * MICROseconds): resolves to the latest version committed at or
+    * before `ts` — manifest files are rename-committed once, so their
+    * modification time is the commit time. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    if (!exists(ident)) throw new NoSuchTableException(ident)
+    val v = WarehouseFs.versionAtTimestamp(spark, tablePath(ident),
+        timestamp / 1000L).getOrElse(throw new IllegalArgumentException(
+      s"graft catalog: no version of $ident existed at timestamp " +
+        s"${timestamp / 1000L} ms (before creation, or past the " +
+        "retention window)"))
+    loadTable(ident, v.toString)
   }
 
   override def createTable(ident: Identifier, info: TableInfo): Table = {
@@ -260,10 +288,12 @@ object GraftCatalog {
   * overwrite filter) are refused loudly — use MERGE / DELETE. */
 case class GraftCatalogTable(spark: SparkSession, path: String,
                              schemaArg: StructType,
-                             props: Map[String, String])
+                             props: Map[String, String],
+                             pinned: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite {
 
-  override def name(): String = s"graft.`$path`"
+  override def name(): String =
+    s"graft.`$path`${pinned.fold("")(v => s"@v$v")}"
   override def schema(): StructType = schemaArg
   override def properties(): util.Map[String, String] = {
     val m = new util.HashMap[String, String]()
@@ -276,9 +306,12 @@ case class GraftCatalogTable(spark: SparkSession, path: String,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new org.apache.spark.sql.graft.GraftV2ScanBuilder(
-      spark, path, None, schemaArg, GraftRelation.indexProbes)
+      spark, path, pinned, schemaArg, GraftRelation.indexProbes)
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    if (pinned.isDefined) throw new UnsupportedOperationException(
+      s"graft catalog: ${name()} is a time-travel read — writes go to the " +
+        "current version")
     new WriteBuilder with SupportsTruncate with SupportsOverwrite {
       private var overwriteAll = false
 
@@ -312,4 +345,5 @@ case class GraftCatalogTable(spark: SparkSession, path: String,
           }
       }
     }
+  }
 }

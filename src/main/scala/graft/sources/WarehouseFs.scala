@@ -258,6 +258,24 @@ object WarehouseFs {
       .filter(n => ManifestName.matches(n)).sorted.map(_.toLong).toSeq
   }
 
+  /** Latest committed version whose manifest landed at or before
+    * `tsMillis` — SQL `TIMESTAMP AS OF` resolution. A manifest file is
+    * written once at commit (rename-committed, never touched again),
+    * so its modification time IS the commit time. None when every
+    * retained manifest is newer than the probe (asking for a state
+    * before the table existed — or past the retention window, where
+    * the honest answer is "unknown", not "the oldest we still have"). */
+  def versionAtTimestamp(spark: SparkSession, table: String,
+                         tsMillis: Long): Option[Long] = {
+    val (fs, t) = fsFor(spark, table)
+    val vd = versionsDir(t)
+    if (!fs.exists(vd)) None
+    else fs.listStatus(vd)
+      .filter(st => ManifestName.matches(st.getPath.getName) &&
+        st.getModificationTime <= tsMillis)
+      .map(_.getPath.getName).sorted.lastOption.map(_.toLong)
+  }
+
   /** Time-travel read: the table as of committed version `version`
     * (None if that manifest has been GC'd past `keepVersions` or never
     * existed). Version dirs are immutable once committed, so the read is
@@ -2054,7 +2072,10 @@ object WarehouseFs {
   private def commitsDir(w: Path) = new Path(w, "_commits")
 
   /** Latest commit of a commit-set warehouse: (commit number,
-    * table → data path). One `listStatus` + one small-file read. */
+    * table → commit entry). One `listStatus` + one small-file read.
+    * A dir-style entry is a readable data path; a version-pin entry
+    * ([[publishAtomicVersioned]]) is `"$warehouse/$table/@N"` — resolve
+    * either through [[readCommitEntry]]. */
   def currentCommit(spark: SparkSession,
                     warehouse: String): Option[(Long, Map[String, String])] = {
     val (fs, w) = fsFor(spark, warehouse)

@@ -177,6 +177,31 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.table(s"graft.$t").count() === 999)
   }
 
+  test("SQL time travel: VERSION AS OF / TIMESTAMP AS OF pin retained versions") {
+    val t = fresh("cat_tt")
+    spark.sql(s"CREATE TABLE graft.$t (id BIGINT, v STRING) " +
+      "TBLPROPERTIES('keepVersions'='5')")
+    spark.sql(s"INSERT INTO graft.$t VALUES (1, 'a')") // v2
+    spark.sql(s"INSERT INTO graft.$t VALUES (2, 'b')") // v3
+    assert(spark.sql(s"SELECT * FROM graft.$t VERSION AS OF 2").count() === 1)
+    assert(spark.sql(s"SELECT * FROM graft.$t VERSION AS OF 3").count() === 2)
+    // commit time resolves through manifest mtimes: "now" → the current
+    // version; a pre-creation probe refuses instead of silently serving
+    // the oldest retained state
+    val now = new java.sql.Timestamp(System.currentTimeMillis() + 5000).toString
+    assert(spark.sql(s"SELECT * FROM graft.$t TIMESTAMP AS OF '$now'")
+      .count() === 2)
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft.$t TIMESTAMP AS OF '2000-01-01 00:00:00'")
+        .collect()
+    }
+    assert(e.getMessage.contains("no version"), s"got: ${e.getMessage}")
+    // an unknown / expired version refuses with the retention message
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft.$t VERSION AS OF 99").collect()
+    }
+  }
+
   test("dynamic INSERT OVERWRITE replaces present partitions only, carrying the rest") {
     val t = fresh("cat_dynpart")
     spark.sql(s"CREATE TABLE graft.$t (id BIGINT, day INT) PARTITIONED BY (day)")
