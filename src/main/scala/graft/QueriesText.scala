@@ -453,12 +453,17 @@ object QueriesText {
     // here is what the cross-engine oracle can check.
     "text_crossdoc_dup" -> ((s, d) => {
       val words = split(col("text"), " ")
+      // the shingle string never reaches the output (per-doc counts
+      // only), so the two shuffles carry xxhash64(shingle) — 8 bytes
+      // instead of an 8-word string; a 64-bit collision could only
+      // merge two distinct shingles into one count bucket (odds
+      // ~n²/2^65; the sf0.01 hash gate confirms none at test scale)
       val shingles = documents(s, d).select(
-        col("doc_id"),
-        explode(when(size(words) >= 8,
-            transform(sequence(lit(1), size(words) - lit(7)),
-              i => array_join(slice(words, i, lit(8)), " ")))
-          .otherwise(array())).as("shingle"))
+          col("doc_id"),
+          explode(when(size(words) >= 8,
+              transform(sequence(lit(1), size(words) - lit(7)),
+                i => xxhash64(array_join(slice(words, i, lit(8)), " "))))
+            .otherwise(array().cast("array<bigint>"))).as("shingle"))
       val ds = shingles.distinct()
       val freq = ds.groupBy("shingle").agg(count(lit(1)).as("ndocs"))
       ds.join(freq, "shingle")
@@ -488,16 +493,20 @@ object QueriesText {
     //     span lengths IS the union (dup_words can never exceed the
     //     document's word count).
     // Output: per-doc span count, total duplicated words, longest span.
-    // At 100 TB the gram string becomes xxhash64(gram) — 8 bytes through
-    // the two shuffles — same plan; the string form is oracle-checkable.
+    // The gram string never reaches the output (positions do), so the
+    // gram-keyed count and join shuffle xxhash64(gram) — 8 bytes instead
+    // of an 8-word string, the 100 TB shuffle-payload form. A 64-bit
+    // collision could only merge two distinct grams' counts (marking a
+    // unique gram duplicated at odds ~n²/2^65); the oracle replays the
+    // STRING pipeline and the sf0.01 hash gate confirms identity.
     "text_repeated_spans" -> ((s, d) => {
       val words = split(col("text"), " ")
       val grams = documents(s, d).select(
           col("doc_id"),
           posexplode(when(size(words) >= 8,
               transform(sequence(lit(1), size(words) - lit(7)),
-                i => array_join(slice(words, i, lit(8)), " ")))
-            .otherwise(array())))
+                i => xxhash64(array_join(slice(words, i, lit(8)), " "))))
+            .otherwise(array().cast("array<bigint>"))))
         .select(col("doc_id"), (col("pos") + lit(1)).cast(LongType).as("pos"),
           col("col").as("gram"))
       val freq = grams.groupBy("gram").agg(count(lit(1)).as("cnt"))
@@ -548,10 +557,11 @@ object QueriesText {
           col("word"))
       val grams = docs.select(
           col("doc_id"),
+          // hashed-gram shuffles, same rationale as text_repeated_spans
           posexplode(when(size(wordsArr) >= 8,
               transform(sequence(lit(1), size(wordsArr) - lit(7)),
-                i => array_join(slice(wordsArr, i, lit(8)), " ")))
-            .otherwise(array())))
+                i => xxhash64(array_join(slice(wordsArr, i, lit(8)), " "))))
+            .otherwise(array().cast("array<bigint>"))))
         .select(col("doc_id"), (col("pos") + lit(1)).cast(LongType).as("pos"),
           col("col").as("gram"))
       val freq = grams.groupBy("gram").agg(count(lit(1)).as("cnt"))
