@@ -157,10 +157,50 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       .withColumns(columns).withPartitions(partitions)
       .withProperties(properties).build())
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft catalog: ALTER TABLE is not supported — schema evolution " +
-        "goes through WarehouseFs.publishVersioned (safe-upcast alignment)")
+  /** `ALTER TABLE … ADD COLUMNS` — additive, nullable evolution at
+    * O(one sidecar write); existing rows surface NULL for the added
+    * columns ([[WarehouseFs.alterAddColumns]]). Property changes update
+    * the stored sidecar (e.g. `SET TBLPROPERTIES('keepVersions'='5')`).
+    * Renames, drops, and type changes refuse loudly — they would
+    * reinterpret already-written bytes. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    if (!exists(ident)) throw new NoSuchTableException(ident)
+    val path = tablePath(ident)
+    val adds = changes.collect {
+      case a: TableChange.AddColumn =>
+        if (a.fieldNames().length != 1)
+          throw new UnsupportedOperationException(
+            s"graft catalog: ADD COLUMNS of a nested field " +
+              s"(${a.fieldNames().mkString(".")}) is not supported")
+        org.apache.spark.sql.types.StructField(
+          a.fieldNames()(0), a.dataType(), nullable = true)
+    }
+    val propSets = changes.collect {
+      case p: TableChange.SetProperty => p.property() -> p.value()
+    }
+    val unsupported = changes.filterNot(c =>
+      c.isInstanceOf[TableChange.AddColumn] ||
+        c.isInstanceOf[TableChange.SetProperty])
+    if (unsupported.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"graft catalog: only ADD COLUMNS and SET TBLPROPERTIES are " +
+          s"supported — got ${unsupported.mkString(", ")} (renames/drops/" +
+          "type changes would reinterpret already-written bytes)")
+    if (adds.nonEmpty)
+      WarehouseFs.alterAddColumns(spark, path,
+        org.apache.spark.sql.types.StructType(adds))
+    if (propSets.nonEmpty) {
+      val kept = GraftCatalog.ownProps({
+        val m = new util.HashMap[String, String]()
+        propSets.foreach { case (k, v) => m.put(k, v) }
+        m
+      })
+      if (kept.nonEmpty)
+        GraftCatalog.writeProps(spark, path,
+          GraftCatalog.readProps(spark, path) ++ kept)
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     if (!exists(ident)) return false

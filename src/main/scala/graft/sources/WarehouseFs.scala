@@ -199,11 +199,14 @@ object WarehouseFs {
 
   /** The DataFrame of a resolved version — file-list manifests read their
     * explicit file set (spanning version dirs), dir manifests read the
-    * whole dir. */
+    * whole dir. Reads reconcile against the DECLARED schema when one
+    * exists ([[alterAddColumns]]): files written before an additive
+    * evolution surface the added columns as NULL. */
   private def readResolved(spark: SparkSession, table: String,
                            r: ResolvedVersion): DataFrame = r.files match {
     case Some(fl) => readFilesGrouped(spark, table, fl)
-    case None => spark.read.parquet(s"$table/${r.dirName}")
+    case None =>
+      reconcileDeclared(spark, table, spark.read.parquet(s"$table/${r.dirName}"))
   }
 
   /** Read a root-relative file list with partition columns RESTORED:
@@ -211,14 +214,105 @@ object WarehouseFs {
     * that dir as `basePath`, so Hive-layout `key=value` segments under
     * it become partition columns again (a flat layout is unaffected —
     * basePath is then a no-op). One parquet relation per referenced
-    * dir; a long DML chain folds back to one via compaction. */
+    * dir; a long DML chain folds back to one via compaction. Each group
+    * reconciles to the declared schema BEFORE the union — a post-ALTER
+    * manifest mixes old-width and new-width dirs, and the union is only
+    * well-typed once every group carries the full declared width. */
   private def readFilesGrouped(spark: SparkSession, table: String,
                                files: Seq[String]): DataFrame = {
+    val decl = declaredSchema(spark, table)
     val groups = files.groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1)
     groups.map { case (dir, fs0) =>
-      spark.read.option("basePath", s"$table/$dir")
-        .parquet(fs0.map(f => s"$table/$f"): _*)
+      reconcileTo(decl, spark.read.option("basePath", s"$table/$dir")
+        .parquet(fs0.map(f => s"$table/$f"): _*))
     }.reduce(_.unionByName(_))
+  }
+
+  // ---- additive schema evolution ---------------------------------------
+  //
+  // ALTER TABLE … ADD COLUMNS without rewriting a byte: the evolved
+  // schema lives in a `_meta/schema.json` sidecar, committed files stay
+  // as written, and every read path NULL-fills the columns a file
+  // predates (the DSv2 scan gets this from parquet's own
+  // missing-column handling; the API paths from [[reconcileDeclared]]).
+  // The first full publishVersioned after an ALTER re-materializes the
+  // whole schema in its own files and DROPS the sidecar — files become
+  // the complete truth again. Additive and nullable ONLY: renames, type
+  // changes, and drops would change the meaning of already-written
+  // bytes and refuse loudly.
+
+  private def schemaFile(t: Path) = new Path(t, "_meta/schema.json")
+
+  /** The declared (post-ALTER) schema, when one exists. One small-file
+    * read — the same cost class as the manifest read beside it. */
+  def declaredSchema(spark: SparkSession, table: String)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val (fs, t) = fsFor(spark, table)
+    val f = schemaFile(t)
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      val text =
+        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+        finally in.close()
+      Some(org.apache.spark.sql.types.DataType.fromJson(text)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    }
+  }
+
+  /** NULL-fill `df` up to the declared schema (declared order); a df
+    * already carrying every declared column — or one WIDER than a stale
+    * declaration (a full publish that evolved further) — passes through
+    * untouched. */
+  private def reconcileTo(decl: Option[org.apache.spark.sql.types.StructType],
+                          df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    decl match {
+      case Some(d) if df.columns.toSet.subsetOf(d.fieldNames.toSet) &&
+          df.columns.toSet != d.fieldNames.toSet =>
+        df.select(d.map(f =>
+          if (df.columns.contains(f.name)) col(f.name)
+          else lit(null).cast(f.dataType).as(f.name)): _*)
+      case _ => df
+    }
+  }
+
+  private def reconcileDeclared(spark: SparkSession, table: String,
+                                df: DataFrame): DataFrame =
+    reconcileTo(declaredSchema(spark, table), df)
+
+  /** `ALTER TABLE … ADD COLUMNS` for versioned tables: append nullable
+    * columns to the schema WITHOUT touching data — O(one sidecar
+    * write) on a 100 TB table. Existing rows read NULL for the new
+    * columns (including time-travel reads of pre-ALTER versions — the
+    * declaration is table-level, and additive NULLs are harmless
+    * there); the next write materializes them in its own files. Writers
+    * aligning to [[versionSchema]] see the evolved width immediately,
+    * so appends/upserts/merges must supply the new columns from then
+    * on. */
+  def alterAddColumns(spark: SparkSession, table: String,
+                      newCols: org.apache.spark.sql.types.StructType): Unit = {
+    require(newCols.nonEmpty, "alterAddColumns: no columns given")
+    newCols.foreach(f => require(f.nullable,
+      s"alterAddColumns: ${f.name} must be nullable — existing rows have " +
+        "no value for it"))
+    val r = resolveVersion(spark, table, None).getOrElse(
+      throw new IllegalArgumentException(
+        s"alterAddColumns: $table is not a versioned table"))
+    val current = versionSchema(spark, table, r)
+    val clash = newCols.map(_.name.toLowerCase)
+      .intersect(current.map(_.name.toLowerCase))
+    require(clash.isEmpty,
+      s"alterAddColumns: column(s) ${clash.mkString(", ")} already exist " +
+        "(renames/type changes are not supported — they would reinterpret " +
+        "already-written bytes)")
+    val (fs, t) = fsFor(spark, table)
+    val f = schemaFile(t)
+    fs.mkdirs(f.getParent)
+    val out = fs.create(f, true)
+    try out.write(org.apache.spark.sql.types.StructType(current ++ newCols)
+      .json.getBytes("UTF-8"))
+    finally out.close()
   }
 
   /** Partition columns encoded in a root-relative file path's layout
@@ -367,6 +461,10 @@ object WarehouseFs {
     try out.write(dataName.getBytes("UTF-8")) finally out.close()
     require(fs.rename(tmp, new Path(vd, vname(next))),
       s"publishVersioned: commit of version $next lost a concurrent race on $table")
+    // a FULL publish materializes the complete schema in its own files —
+    // a declared-schema sidecar ([[alterAddColumns]]) is now redundant
+    // (or stale, if this publish evolved further) and retires
+    if (fs.exists(schemaFile(t))) fs.delete(schemaFile(t), false)
     gcVersions(fs, t, keepVersions)
   }
 
@@ -745,8 +843,8 @@ object WarehouseFs {
           exact(readFilesGrouped(spark, table, files))
         case Some(files) => // paths are version-dir-relative
           val p = s"$table/${r.dirName}"
-          exact(spark.read.option("basePath", p)
-            .parquet(files.map(f => s"$p/$f"): _*))
+          exact(reconcileDeclared(spark, table, spark.read.option("basePath", p)
+            .parquet(files.map(f => s"$p/$f"): _*)))
       }
     }
   }
@@ -820,8 +918,8 @@ object WarehouseFs {
           exact(readFilesGrouped(spark, table, files))
         case Some(files) =>
           val p = s"$table/${r.dirName}"
-          exact(spark.read.option("basePath", p)
-            .parquet(files.map(f => s"$p/$f"): _*))
+          exact(reconcileDeclared(spark, table, spark.read.option("basePath", p)
+            .parquet(files.map(f => s"$p/$f"): _*)))
       }
     }
   }

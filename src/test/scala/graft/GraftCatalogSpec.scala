@@ -177,6 +177,36 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.table(s"graft.$t").count() === 999)
   }
 
+  test("ALTER TABLE ADD COLUMNS: additive evolution without rewriting a byte") {
+    val t = fresh("cat_alter")
+    spark.sql(s"CREATE TABLE graft.$t (id BIGINT, v STRING) " +
+      "TBLPROPERTIES('keepVersions'='5')")
+    spark.sql(s"INSERT INTO graft.$t VALUES (1, 'a'), (2, 'b')")
+    spark.sql(s"ALTER TABLE graft.$t ADD COLUMNS (score DOUBLE)")
+    // pre-ALTER rows surface NULL through SQL (DSv2) and the API read
+    assert(spark.table(s"graft.$t").columns.toSeq === Seq("id", "v", "score"))
+    assert(spark.sql(s"SELECT score FROM graft.$t WHERE id = 1").head().isNullAt(0))
+    assert(WarehouseFs.readTable(spark, s"$wh/$t").get.columns.toSeq ===
+      Seq("id", "v", "score"))
+    // new writes carry the column; a mixed old/new-width manifest reads whole
+    spark.sql(s"INSERT INTO graft.$t VALUES (3, 'c', 0.5)")
+    assert(spark.sql(s"SELECT id FROM graft.$t WHERE score > 0")
+      .as[Long].collect() === Array(3L))
+    assert(spark.table(s"graft.$t").count() === 3)
+    // CoW DML sees the evolved width: SET the new column on a pre-ALTER row
+    spark.sql(s"UPDATE graft.$t SET score = 9.0 WHERE id = 1")
+    assert(spark.sql(s"SELECT score FROM graft.$t WHERE id = 1")
+      .head().getDouble(0) === 9.0)
+    // duplicate names and reinterpreting changes refuse loudly
+    val dup = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.$t ADD COLUMNS (v INT)")
+    }
+    assert(dup.getMessage.contains("already exist"), s"got: ${dup.getMessage}")
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.$t RENAME COLUMN v TO w")
+    }
+  }
+
   test("SQL time travel: VERSION AS OF / TIMESTAMP AS OF pin retained versions") {
     val t = fresh("cat_tt")
     spark.sql(s"CREATE TABLE graft.$t (id BIGINT, v STRING) " +

@@ -715,6 +715,51 @@ class WarehouseDmlSpec extends SparkSpec {
       "bulk CDC apply must stay file-granular too")
   }
 
+  test("alterAddColumns evolves reads, DML, feeds, and time travel at zero data I/O") {
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    val t = tmpTable()
+    WarehouseFs.publishVersioned(
+      spark.range(0, 8000, 1, 8)
+        .select(col("id"), concat(lit("u"), col("id")).as("user")),
+      t, keepVersions = 5, bloomIndexCols = Seq("id"))
+    WarehouseFs.alterAddColumns(spark, t,
+      StructType(Seq(StructField("score", DoubleType))))
+    val got = WarehouseFs.readTable(spark, t).get
+    assert(got.columns.toSeq === Seq("id", "user", "score"))
+    assert(got.filter(col("score").isNotNull).count() === 0)
+    // CoW upsert carrying the new column: 1 file rewritten wide, the
+    // other 7 stay as written and read NULL-filled
+    WarehouseFs.upsertRows(
+      Seq((42L, "u42x", 1.5)).toDF("id", "user", "score"), t, "id",
+      keepVersions = 5)
+    val after = WarehouseFs.readTable(spark, t).get
+    assert(after.count() === 8000)
+    assert(after.filter(col("id") === 42).select("score").head().getDouble(0) === 1.5)
+    assert(after.inputFiles.count(_.contains("/v00000001/")) === 7,
+      "evolution must not rewrite untouched files")
+    // the change feed across the ALTER boundary stays well-typed
+    val feed = WarehouseFs.changeFeed(spark, t, Seq("id"), 1, 2).get
+    assert(feed.columns.toSeq === Seq("id", "user", "score", "_change_type"))
+    assert(feed.filter(col("_change_type") === "update_postimage")
+      .select("score").head().getDouble(0) === 1.5)
+    // time travel reads the declared width too (additive NULLs)
+    assert(WarehouseFs.readTableVersion(spark, t, 1).get.columns.toSeq ===
+      Seq("id", "user", "score"))
+    // nullability and name clashes refuse
+    intercept[IllegalArgumentException] {
+      WarehouseFs.alterAddColumns(spark, t,
+        StructType(Seq(StructField("user", DoubleType))))
+    }
+    // a later FULL publish materializes the schema in its files and
+    // retires the sidecar
+    WarehouseFs.publishVersioned(after, t, keepVersions = 5,
+      expectedVersion = Some(2L))
+    assert(WarehouseFs.declaredSchema(spark, t).isEmpty,
+      "a full publish must retire the declared-schema sidecar")
+    assert(WarehouseFs.readTable(spark, t).get.columns.toSeq ===
+      Seq("id", "user", "score"))
+  }
+
   test("a >1M-key merge on a bloom-only table rewrites only matching files via the key-scan leg") {
     val t = tmpTable()
     WarehouseFs.publishVersioned(
