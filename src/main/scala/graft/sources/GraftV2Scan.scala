@@ -8,9 +8,10 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.metric.{CustomMetric, CustomTaskMetric}
-import org.apache.spark.sql.connector.read.{Batch, Scan, ScanBuilder, Statistics, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.read.{Batch, LocalScan, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.execution.datasources.{DataSourceStrategy, InMemoryFileIndex, PartitionPath, PartitionSpec}
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
 import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
@@ -40,14 +41,44 @@ class GraftV2ScanBuilder(
     tableSchema: StructType,
     probes: Array[Filter] => (Map[String, Seq[Any]], Map[String, (Any, Any)]))
   extends ScanBuilder with SupportsPushDownCatalystFilters
-  with SupportsPushDownRequiredColumns {
+  with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private var delegate: Option[ParquetScanBuilder] = None
   private var required: Option[StructType] = None
   private var pruneEvidence: (Int, Int) = (0, 0)
+  private var filtered = false
+  private var pushedCount: Option[Long] = None
 
   /** (survivors, total files) of the index pruning — test observability. */
   def prunedCounts: (Int, Int) = pruneEvidence
+
+  // ---- metadata-only COUNT(*) ------------------------------------------
+  //
+  // `SELECT COUNT(*) FROM t` / `spark.table(t).count()` on an unfiltered
+  // table answers from the COMMITTED row count — zero data I/O on a
+  // 100 TB table. Sound only when the count is provably exact:
+  // [[graft.sources.WarehouseFs.exactCommittedRowCount]] restricts it to
+  // dir-format versions, whose stats were profiled from (or
+  // compaction-copied content-identical to) exactly their own files; a
+  // CoW version may carry prior stats forward (`refreshStats = false`)
+  // and scans instead. Spark only attempts aggregate pushdown when no
+  // residual filter remains — and this builder reports EVERY filter as
+  // residual — so a WHERE clause always scans.
+
+  private def countFromStats(agg: Aggregation): Option[Long] =
+    if (filtered || agg.groupByExpressions().nonEmpty ||
+        agg.aggregateExpressions().length != 1 ||
+        !agg.aggregateExpressions()(0).isInstanceOf[CountStar]) None
+    else graft.sources.WarehouseFs.exactCommittedRowCount(spark, table, version)
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    countFromStats(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    countFromStats(agg) match {
+      case Some(n) => pushedCount = Some(n); true
+      case None => false
+    }
 
   private def mkDelegate(exprs: Seq[Expression]): ParquetScanBuilder = {
     val v1 = exprs.flatMap(e =>
@@ -65,6 +96,7 @@ class GraftV2ScanBuilder(
   }
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+    filtered = filters.nonEmpty
     val d = mkDelegate(filters)
     // the delegate splits partition vs data filters against the REAL
     // partition schema, translates, and pushes row-group filters into
@@ -83,7 +115,12 @@ class GraftV2ScanBuilder(
     delegate.foreach(_.pruneColumns(requiredSchema))
   }
 
-  override def build(): Scan = {
+  override def build(): Scan = pushedCount match {
+    case Some(n) => GraftCountScan(table, n)
+    case None => buildFileScan()
+  }
+
+  private def buildFileScan(): Scan = {
     val d = delegate.getOrElse {
       val x = mkDelegate(Nil)
       required.foreach(x.pruneColumns)
@@ -145,6 +182,18 @@ object GraftV2ScanBuilder {
         userSpecifiedPartitionSpec = Some(PartitionSpec(partSchema, partitions)))
     }
   }
+}
+
+/** The completely-pushed-down `COUNT(*)`: one driver-local row carrying
+  * the committed row count — `spark.table(t).count()` on an unfiltered
+  * graft table never opens a data file. */
+case class GraftCountScan(table: String, committedRows: Long) extends LocalScan {
+  override def readSchema(): StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField("count(*)",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+  override def rows(): Array[InternalRow] = Array(InternalRow(committedRows))
+  override def description(): String =
+    s"graft count-from-stats($table = $committedRows rows)"
 }
 
 /** Delegating scan that reports graft's COMMITTED row count

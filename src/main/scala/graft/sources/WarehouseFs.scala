@@ -2116,6 +2116,20 @@ object WarehouseFs {
       .flatMap(dn => parseStats(spark, fs, new Path(statsDir(t), dn)))
   }
 
+  /** Committed row count TRUSTABLE for a metadata-only `COUNT(*)`
+    * answer (the DSv2 aggregate pushdown): restricted to DIR-FORMAT
+    * versions, whose stats were profiled from — or compaction-copied
+    * content-identical to — exactly their own files. A FILE-LIST (CoW)
+    * version may carry prior stats forward (`refreshStats = false`),
+    * making its recorded row count stale; those return None and the
+    * count pays the honest scan. */
+  def exactCommittedRowCount(spark: SparkSession, table: String,
+                             version: Option[Long] = None): Option[Long] =
+    resolveVersion(spark, table, version).filter(!_.isFileList).flatMap { r =>
+      val (fs, t) = fsFor(spark, table)
+      parseStats(spark, fs, new Path(statsDir(t), r.dirName)).map(_.rowCount)
+    }
+
   private def parseStats(spark: SparkSession, fs: FileSystem,
                          p: Path): Option[TableStats] = {
     if (!fs.exists(p)) return None

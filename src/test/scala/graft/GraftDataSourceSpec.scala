@@ -147,6 +147,41 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(scanned < 8, s"bloom/zone pruning must reach the V2 scan ($scanned of 8 files)")
   }
 
+  test("COUNT(*) answers from committed stats; filtered and CoW counts pay the honest scan") {
+    import org.apache.spark.sql.execution.LocalTableScanExec
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val t = tmpTable()
+    WarehouseFs.publishVersioned(
+      spark.range(8000)
+        .select(col("id"), concat(lit("u"), col("id")).as("user"))
+        .repartitionByRange(8, col("id")),
+      t, keepVersions = 5, collectStats = true, bloomIndexCols = Seq("id"))
+    val df = spark.read.format("graft").option("table", t).load()
+    val cnt = df.groupBy().count()
+    assert(cnt.head().getLong(0) === 8000)
+    val plan = cnt.queryExecution.executedPlan
+    assert(plan.collectFirst { case l: LocalTableScanExec => l }.isDefined,
+      s"an unfiltered COUNT(*) must come from committed stats:\n$plan")
+    assert(plan.collectFirst { case b: BatchScanExec => b }.isEmpty,
+      s"an unfiltered COUNT(*) must open zero data files:\n$plan")
+    assert(df.count() === 8000)
+    // a WHERE clause pays the honest scan (every filter is residual
+    // here, and residual filters bar aggregate pushdown)
+    val fcnt = df.filter(col("id") < 100).groupBy().count()
+    assert(fcnt.head().getLong(0) === 100)
+    // (AQE wraps the aggregate — assert on the executed plan's string)
+    assert(fcnt.queryExecution.executedPlan.toString.contains("BatchScan"),
+      "a filtered count must scan")
+    // a CoW version may carry prior stats (refreshStats = false): its
+    // recorded row count is stale, so the count scans — and is right
+    WarehouseFs.deleteWhere(spark, t, "id", Seq(7L), keepVersions = 5,
+      refreshStats = false)
+    val c2 = spark.read.format("graft").option("table", t).load().groupBy().count()
+    assert(c2.head().getLong(0) === 7999)
+    assert(!c2.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      "carried CoW stats must never serve a metadata count")
+  }
+
   test("DSv2 reads partitioned CoW file-list versions: partition values survive across version dirs") {
     val t = tmpTable()
     Seq.tabulate(400)(i => (i.toLong, i % 4, s"u$i")).toDF("id", "day", "user")
