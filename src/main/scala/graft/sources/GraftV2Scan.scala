@@ -8,7 +8,9 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal}
-import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
+import org.apache.spark.sql.connector.expressions.FieldReference
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.metric.{CustomMetric, CustomTaskMetric}
 import org.apache.spark.sql.connector.read.{Batch, LocalScan, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownRequiredColumns, SupportsReportStatistics}
@@ -47,36 +49,80 @@ class GraftV2ScanBuilder(
   private var required: Option[StructType] = None
   private var pruneEvidence: (Int, Int) = (0, 0)
   private var filtered = false
-  private var pushedCount: Option[Long] = None
+  private var pushedAgg: Option[(StructType, InternalRow)] = None
 
   /** (survivors, total files) of the index pruning — test observability. */
   def prunedCounts: (Int, Int) = pruneEvidence
 
-  // ---- metadata-only COUNT(*) ------------------------------------------
+  // ---- metadata-only COUNT(*) / MIN / MAX --------------------------------
   //
-  // `SELECT COUNT(*) FROM t` / `spark.table(t).count()` on an unfiltered
-  // table answers from the COMMITTED row count — zero data I/O on a
-  // 100 TB table. Sound only when the count is provably exact:
-  // [[graft.sources.WarehouseFs.exactCommittedRowCount]] restricts it to
-  // dir-format versions, whose stats were profiled from (or
+  // `SELECT COUNT(*), MIN(c), MAX(c) FROM t` on an unfiltered table
+  // answers from COMMITTED metadata — zero data I/O on a 100 TB table:
+  // the count from the stats relation, min/max from a fold of the
+  // zone-map rows. Sound only when provably exact:
+  // [[graft.sources.WarehouseFs.exactCommittedRowCount]] /
+  // [[graft.sources.WarehouseFs.exactCommittedMinMax]] restrict the
+  // answer to dir-format versions, whose metadata was derived from (or
   // compaction-copied content-identical to) exactly their own files; a
-  // CoW version may carry prior stats forward (`refreshStats = false`)
-  // and scans instead. Spark only attempts aggregate pushdown when no
-  // residual filter remains — and this builder reports EVERY filter as
-  // residual — so a WHERE clause always scans.
+  // CoW version may carry prior metadata forward (`refreshStats =
+  // false`) and scans instead. Spark only attempts aggregate pushdown
+  // when no residual filter remains — and this builder reports EVERY
+  // filter as residual — so a WHERE clause always scans.
 
-  private def countFromStats(agg: Aggregation): Option[Long] =
-    if (filtered || agg.groupByExpressions().nonEmpty ||
-        agg.aggregateExpressions().length != 1 ||
-        !agg.aggregateExpressions()(0).isInstanceOf[CountStar]) None
-    else graft.sources.WarehouseFs.exactCommittedRowCount(spark, table, version)
+  private sealed trait Need
+  private case object RowCount extends Need
+  private case class Lo(c: String) extends Need
+  private case class Hi(c: String) extends Need
+
+  private def aggFromStats(agg: Aggregation): Option[(StructType, InternalRow)] = {
+    if (filtered || agg.groupByExpressions().nonEmpty) return None
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case f: FieldReference if f.fieldNames().length == 1 &&
+          tableSchema.fieldNames.contains(f.fieldNames()(0)) =>
+        Some(f.fieldNames()(0))
+      case _ => None
+    }
+    val needs = agg.aggregateExpressions().map {
+      case _: CountStar => Some(RowCount)
+      case m: Min => colOf(m.column()).map(Lo)
+      case m: Max => colOf(m.column()).map(Hi)
+      case _ => None
+    }
+    if (needs.isEmpty || needs.exists(_.isEmpty)) return None
+    val mmCols = needs.flatten.collect { case Lo(c) => c case Hi(c) => c }
+      .distinct.toSeq
+    val rowCount =
+      if (!needs.flatten.contains(RowCount)) Some(0L)
+      else graft.sources.WarehouseFs.exactCommittedRowCount(spark, table, version)
+    val minMax =
+      if (mmCols.isEmpty) Some(Map.empty[String, (Any, Any)])
+      else graft.sources.WarehouseFs.exactCommittedMinMax(spark, table, mmCols, version)
+    if (rowCount.isEmpty || minMax.isEmpty) return None
+    def dt(c: String) = tableSchema(c).dataType
+    def internal(v: Any, c: String): Any =
+      CatalystTypeConverters.createToCatalystConverter(dt(c))(v)
+    val fields = needs.flatten.map {
+      case RowCount =>
+        org.apache.spark.sql.types.StructField("count(*)",
+          org.apache.spark.sql.types.LongType, nullable = false)
+      case Lo(c) => org.apache.spark.sql.types.StructField(s"min($c)", dt(c))
+      case Hi(c) => org.apache.spark.sql.types.StructField(s"max($c)", dt(c))
+    }
+    val values = needs.flatten.map {
+      case RowCount => rowCount.get: Any
+      case Lo(c) => internal(minMax.get(c)._1, c)
+      case Hi(c) => internal(minMax.get(c)._2, c)
+    }
+    Some((StructType(fields.toSeq), InternalRow.fromSeq(values.toSeq)))
+  }
 
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    countFromStats(agg).isDefined
+    aggFromStats(agg).isDefined
 
   override def pushAggregation(agg: Aggregation): Boolean =
-    countFromStats(agg) match {
-      case Some(n) => pushedCount = Some(n); true
+    aggFromStats(agg) match {
+      case Some(sr) => pushedAgg = Some(sr); true
       case None => false
     }
 
@@ -115,8 +161,8 @@ class GraftV2ScanBuilder(
     delegate.foreach(_.pruneColumns(requiredSchema))
   }
 
-  override def build(): Scan = pushedCount match {
-    case Some(n) => GraftCountScan(table, n)
+  override def build(): Scan = pushedAgg match {
+    case Some((schema, row)) => GraftStatsAggScan(table, schema, row)
     case None => buildFileScan()
   }
 
@@ -184,16 +230,16 @@ object GraftV2ScanBuilder {
   }
 }
 
-/** The completely-pushed-down `COUNT(*)`: one driver-local row carrying
-  * the committed row count — `spark.table(t).count()` on an unfiltered
-  * graft table never opens a data file. */
-case class GraftCountScan(table: String, committedRows: Long) extends LocalScan {
-  override def readSchema(): StructType = StructType(Seq(
-    org.apache.spark.sql.types.StructField("count(*)",
-      org.apache.spark.sql.types.LongType, nullable = false)))
-  override def rows(): Array[InternalRow] = Array(InternalRow(committedRows))
+/** The completely-pushed-down COUNT(*)/MIN/MAX: one driver-local row
+  * carrying committed-metadata answers — `spark.table(t).count()` (or
+  * an unfiltered min/max over a zone-mapped column) never opens a data
+  * file. */
+case class GraftStatsAggScan(table: String, schemaArg: StructType,
+                             row: InternalRow) extends LocalScan {
+  override def readSchema(): StructType = schemaArg
+  override def rows(): Array[InternalRow] = Array(row)
   override def description(): String =
-    s"graft count-from-stats($table = $committedRows rows)"
+    s"graft agg-from-stats($table: ${schemaArg.fieldNames.mkString(", ")})"
 }
 
 /** Delegating scan that reports graft's COMMITTED row count

@@ -2130,6 +2130,38 @@ object WarehouseFs {
       parseStats(spark, fs, new Path(statsDir(t), r.dirName)).map(_.rowCount)
     }
 
+  /** Exact committed MIN/MAX of zone-mapped columns — the metadata
+    * answer behind the DSv2 aggregate pushdown, under the SAME trust
+    * rule as [[exactCommittedRowCount]] (dir-format versions only,
+    * whose zone relation was derived from exactly their own files).
+    * Folds the per-file (min, max) rows with Spark's own min/max — the
+    * same functions that built them, so NULL and NaN semantics match a
+    * full scan exactly (all-null columns and empty tables fold to
+    * NULL, as MIN/MAX over them would). One small metadata read. None
+    * when the version or any requested column doesn't qualify. */
+  def exactCommittedMinMax(spark: SparkSession, table: String,
+                           columns: Seq[String],
+                           version: Option[Long] = None)
+      : Option[Map[String, (Any, Any)]] =
+    resolveVersion(spark, table, version).filter(!_.isFileList).flatMap { r =>
+      import org.apache.spark.sql.functions.{col, max, min}
+      val (fs, t) = fsFor(spark, table)
+      val zp = new Path(zonesDir(t), r.dirName)
+      if (!fs.exists(zp) || columns.isEmpty) None
+      else {
+        val zones = spark.read.parquet(zp.toString)
+        if (!columns.forall(c => zones.columns.contains(s"min_$c"))) None
+        else {
+          val aggs = columns.flatMap(c =>
+            Seq(min(col(s"min_$c")), max(col(s"max_$c"))))
+          val row = zones.agg(aggs.head, aggs.tail: _*).head()
+          Some(columns.zipWithIndex.map { case (c, i) =>
+            c -> ((row.get(2 * i), row.get(2 * i + 1)))
+          }.toMap)
+        }
+      }
+    }
+
   private def parseStats(spark: SparkSession, fs: FileSystem,
                          p: Path): Option[TableStats] = {
     if (!fs.exists(p)) return None

@@ -155,7 +155,8 @@ class GraftDataSourceSpec extends SparkSpec {
       spark.range(8000)
         .select(col("id"), concat(lit("u"), col("id")).as("user"))
         .repartitionByRange(8, col("id")),
-      t, keepVersions = 5, collectStats = true, bloomIndexCols = Seq("id"))
+      t, keepVersions = 5, collectStats = true, bloomIndexCols = Seq("id"),
+      zoneMapCols = Seq("id"))
     val df = spark.read.format("graft").option("table", t).load()
     val cnt = df.groupBy().count()
     assert(cnt.head().getLong(0) === 8000)
@@ -165,6 +166,17 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(plan.collectFirst { case b: BatchScanExec => b }.isEmpty,
       s"an unfiltered COUNT(*) must open zero data files:\n$plan")
     assert(df.count() === 8000)
+    // MIN/MAX over a zone-mapped column folds the zone rows — still no
+    // data files; a mixed COUNT+MIN+MAX pushes as one metadata row
+    val mm = df.agg(min("id"), max("id"), count(lit(1)))
+    assert(mm.head() === org.apache.spark.sql.Row(0L, 7999L, 8000L))
+    assert(mm.queryExecution.executedPlan
+      .collectFirst { case l: LocalTableScanExec => l }.isDefined,
+      "unfiltered MIN/MAX over zone-mapped columns must come from metadata")
+    // an un-zoned column's MIN pays the scan and agrees
+    val mu = df.agg(min("user"))
+    assert(mu.head().getString(0) === "u0")
+    assert(!mu.queryExecution.executedPlan.toString.contains("LocalTableScan"))
     // a WHERE clause pays the honest scan (every filter is residual
     // here, and residual filters bar aggregate pushdown)
     val fcnt = df.filter(col("id") < 100).groupBy().count()
