@@ -112,7 +112,13 @@ object EtlPipeline {
       if (useAtomic) {
         if (workWritten(name)) Some(spark.read.parquet(s"$workDir/$name"))
         else committedTables.get(name)
-          .flatMap(WarehouseFs.readCommitEntry(spark, _))
+          .map(entry => WarehouseFs.readCommitEntry(spark, entry).getOrElse(
+            // an expired version pin must fail LOUDLY: falling through to
+            // the non-atomic table path would compute downstream tables
+            // from a stale, possibly mid-write state
+            throw new IllegalStateException(
+              s"etl: $name resolves to an expired member version ($entry) " +
+                "— raise the member table's keepVersions")))
           .orElse(WarehouseFs.readTable(spark, tablePath(name)))
       } else WarehouseFs.readTable(spark, tablePath(name))
     def overwrite(df: DataFrame, name: String): Unit =

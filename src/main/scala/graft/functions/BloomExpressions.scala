@@ -36,6 +36,16 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object BloomExpressions {
 
+  /** A string cast evaluated under an EXPLICIT time zone — the
+    * DataFrame-API `cast` always uses the session zone, and the bloom
+    * index's UTC-canonical form ([[graft.sources.WarehouseFs]]) needs a
+    * pinned one. Lives here because the Cast/ExpressionUtils surface is
+    * `private[sql]`. */
+  def cast_string_tz(c: Column, tz: String): Column =
+    ExpressionUtils.column(
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        ExpressionUtils.expression(c), StringType, Some(tz)))
+
   /** Index of probe `i` for base hash `h`: splitmix double hashing,
     * `floorMod(h + i·mix64(h), bits)`. */
   private def probeIndex(base: Long, step: Long, i: Int, bits: Long): Long =

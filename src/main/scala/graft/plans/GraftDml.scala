@@ -90,15 +90,23 @@ object GraftDmlRule extends Rule[LogicalPlan] with PredicateHelper {
   /** Re-anchor a resolved expression for evaluation against a FRESH read
     * of the table (exprIds differ): target attributes become unresolved
     * name references, source attributes (a MERGE's) take the `src_`
-    * prefix [[WarehouseFs.mergeIntoKeys]] aliases the source with. */
+    * prefix [[WarehouseFs.mergeIntoKeys]] aliases the source with.
+    * Subqueries refuse loudly: their inner plans hold resolved outer
+    * references this re-anchoring cannot reach, which would otherwise
+    * surface as a cryptic missing-attribute analysis error downstream. */
   private[graft] def recolumn(e: Expression, target: AttributeSet,
-                              source: AttributeSet = AttributeSet.empty): Column =
+                              source: AttributeSet = AttributeSet.empty): Column = {
+    if (e.exists(_.isInstanceOf[
+        org.apache.spark.sql.catalyst.expressions.SubqueryExpression]))
+      fail(s"a subquery inside a DML condition/assignment ($e) — " +
+        "materialize it as a source table / MERGE USING instead")
     ExpressionUtils.column(e.transform {
       case a: AttributeReference if source.contains(a) =>
         UnresolvedAttribute(Seq(s"src_${a.name}"))
       case a: AttributeReference if target.contains(a) =>
         UnresolvedAttribute(Seq(a.name))
     })
+  }
 
   /** (point, range) index probes from a DML condition — the same
     * translation the read path pushes through the DSv2 scan. */
@@ -163,11 +171,17 @@ case class GraftDynamicOverwriteCommand(path: String, query: LogicalPlan)
       case Nil => WarehouseFs.layoutPartitionCols(spark, path)
       case cols => cols
     }
-    if (partBy.isEmpty)
+    if (partBy.isEmpty) {
+      // props-less (API-published) tables keep their live index columns
+      // through the full overwrite, same as the static-overwrite path
+      val (liveBloom, liveZone) = WarehouseFs.currentIndexCols(spark, path)
+      def orElse(a: Seq[String], b: Seq[String]) = if (a.nonEmpty) a else b
       WarehouseFs.publishVersioned(data, path, keepVersions = keep,
-        bloomIndexCols = GraftCatalog.colListOf(props, "bloomIndexCols"),
-        zoneMapCols = GraftCatalog.colListOf(props, "zoneMapCols"))
-    else
+        bloomIndexCols = orElse(
+          GraftCatalog.colListOf(props, "bloomIndexCols"), liveBloom),
+        zoneMapCols = orElse(
+          GraftCatalog.colListOf(props, "zoneMapCols"), liveZone))
+    } else
       WarehouseFs.overwritePartitions(data, path, partBy, keepVersions = keep)
     Seq.empty
   }

@@ -190,14 +190,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       WarehouseFs.alterAddColumns(spark, path,
         org.apache.spark.sql.types.StructType(adds))
     if (propSets.nonEmpty) {
-      val kept = GraftCatalog.ownProps({
-        val m = new util.HashMap[String, String]()
-        propSets.foreach { case (k, v) => m.put(k, v) }
-        m
-      })
-      if (kept.nonEmpty)
-        GraftCatalog.writeProps(spark, path,
-          GraftCatalog.readProps(spark, path) ++ kept)
+      // refuse what will not persist — a silently-dropped property (a
+      // typo, or partitionBy, whose layout is fixed by written files)
+      // reads as success while changing nothing
+      val rejected = propSets.map(_._1)
+        .filterNot(k => GraftCatalog.OwnKeys(k.toLowerCase))
+      if (rejected.nonEmpty)
+        throw new UnsupportedOperationException(
+          s"graft catalog: TBLPROPERTIES ${rejected.mkString(", ")} cannot " +
+            "be altered (persistable: bloomIndexCols, zoneMapCols, " +
+            "keepVersions; partitioning is fixed by the written layout)")
+      GraftCatalog.writeProps(spark, path,
+        GraftCatalog.readProps(spark, path) ++ propSets)
     }
     loadTable(ident)
   }
@@ -370,12 +374,23 @@ case class GraftCatalogTable(spark: SparkSession, path: String,
             override def insert(data: DataFrame, overwrite: Boolean): Unit = {
               val keep = GraftCatalog.keepVersionsOf(props)
               val partBy = GraftCatalog.colListOf(props, "partitionBy")
-              if (overwrite || overwriteAll)
+              if (overwrite || overwriteAll) {
+                // an API-published table has no props sidecar — fall back
+                // to the LIVE layout and index columns, or the overwrite
+                // would silently flatten the table and drop its indexes
+                val (liveBloom, liveZone) =
+                  WarehouseFs.currentIndexCols(spark, path)
+                def orElse(a: Seq[String], b: Seq[String]) =
+                  if (a.nonEmpty) a else b
                 WarehouseFs.publishVersioned(data, path,
-                  partitionBy = partBy, keepVersions = keep,
-                  bloomIndexCols = GraftCatalog.colListOf(props, "bloomIndexCols"),
-                  zoneMapCols = GraftCatalog.colListOf(props, "zoneMapCols"))
-              else
+                  partitionBy = orElse(partBy,
+                    WarehouseFs.layoutPartitionCols(spark, path)),
+                  keepVersions = keep,
+                  bloomIndexCols = orElse(
+                    GraftCatalog.colListOf(props, "bloomIndexCols"), liveBloom),
+                  zoneMapCols = orElse(
+                    GraftCatalog.colListOf(props, "zoneMapCols"), liveZone))
+              } else
                 WarehouseFs.appendRows(data, path, keepVersions = keep,
                   createPartitionBy = partBy,
                   createBloomIndexCols = GraftCatalog.colListOf(props, "bloomIndexCols"),

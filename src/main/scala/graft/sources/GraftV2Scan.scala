@@ -117,11 +117,22 @@ class GraftV2ScanBuilder(
     Some((StructType(fields.toSeq), InternalRow.fromSeq(values.toSeq)))
   }
 
+  // Spark probes supportCompletePushDown then pushAggregation with the
+  // SAME Aggregation; memoize so the metadata resolution (stats read +
+  // zone fold job) runs once, not twice, per pushed aggregate
+  private var aggMemo: (Aggregation, Option[(StructType, InternalRow)]) =
+    (null, None)
+  private def aggFromStatsMemo(agg: Aggregation)
+      : Option[(StructType, InternalRow)] = {
+    if (!(aggMemo._1 eq agg)) aggMemo = (agg, aggFromStats(agg))
+    aggMemo._2
+  }
+
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    aggFromStats(agg).isDefined
+    aggFromStatsMemo(agg).isDefined
 
   override def pushAggregation(agg: Aggregation): Boolean =
-    aggFromStats(agg) match {
+    aggFromStatsMemo(agg) match {
       case Some(sr) => pushedAgg = Some(sr); true
       case None => false
     }

@@ -542,23 +542,45 @@ object WarehouseFs {
       .parquet(new Path(indexDir(t), dataName).toString)
 
   /** The per-(file, column) bitset relation over `dataPath`'s files,
-    * paths relativized to the `marker` dir segment. */
+    * paths relativized to the `marker` dir segment.
+    *
+    * Values hash by their canonical string cast rendered under a PINNED
+    * UTC time zone (`utc = true`, the default, marked by a constant
+    * `__utc` column): a timestamp's string form depends on the casting
+    * session's zone, and an index hashed under the BUILDING session's
+    * zone would silently false-negative for any probing session
+    * configured differently — the one failure mode the index must never
+    * have. Probes read the marker and canonicalize identically
+    * ([[bloomHitExpr]]). `utc = false` reproduces the legacy
+    * session-zone form, used ONLY when carrying a legacy (unmarked)
+    * index across a CoW commit — a legacy chain stays internally
+    * consistent until its next full publish upgrades it. */
   private def bloomIndexDf(spark: SparkSession, dataPath: String,
-                           marker0: String, cols: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.functions.{col, expr}
+                           marker0: String, cols: Seq[String],
+                           utc: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, lit}
     import org.apache.spark.sql.graft.BloomExpressions.bloom_build
     val committed = spark.read.parquet(dataPath)
     val marker = s"/$marker0/"
     val rel = expr(
       s"substring(_metadata.file_path, instr(_metadata.file_path, '$marker') + ${marker.length})")
+    def canon(c: String): Column =
+      if (utc) castString(col(c), Some("UTC")) else col(c).cast("string")
     val aggs = cols.map(c =>
-      bloom_build(col(c).cast("string"), BloomIndexBits, BloomIndexHashes)
+      bloom_build(canon(c), BloomIndexBits, BloomIndexHashes)
         .as(s"b_$c"))
-    committed
+    val base = committed
       .select(rel.as("file") +: cols.map(col): _*)
       .groupBy("file")
       .agg(aggs.head, aggs.tail: _*)
+    if (utc) base.withColumn("__utc", lit(true)) else base
   }
+
+  /** A string cast evaluated under an EXPLICIT time zone (the
+    * DataFrame-API `cast` always uses the session zone). */
+  private def castString(c: Column, tz: Option[String]): Column =
+    org.apache.spark.sql.graft.BloomExpressions.cast_string_tz(
+      c, tz.getOrElse("UTC"))
 
   /** The version-dir-relative files of `table`@`version` (current by
     * default) that MIGHT contain one of `values` in `column`, per the
@@ -698,7 +720,14 @@ object WarehouseFs {
     * subdirs. Files whose path does not encode the column (flat files
     * in a mixed chain) always stay — they could hold anything. The
     * null partition is pruned: probe values are non-null by the
-    * callers' guards. Pure path arithmetic, zero I/O. */
+    * callers' guards. Pure path arithmetic, zero I/O.
+    *
+    * Caveat: Spark's dynamic-partition writer renders TIMESTAMP
+    * partition values under the WRITING session's time zone, which the
+    * layout does not record — probe under the same zone, or partition
+    * by a date/string derivative instead (timestamp-typed partition
+    * columns are an antipattern at any scale for exactly this
+    * reason). */
   private def partitionCandidates(spark: SparkSession, files: Seq[String],
                                   column: String, values: Seq[Any],
                                   colType: org.apache.spark.sql.types.DataType)
@@ -736,22 +765,25 @@ object WarehouseFs {
     * of the stored type, so a probe of a different numeric type
     * stringifies differently (2 vs 2.0) and would produce a bloom FALSE
     * NEGATIVE — the one failure mode the index must never have. For the
-    * same reason canonicalization runs under the SESSION time zone: the
-    * build side hashed `col.cast(string)` evaluated under the session
-    * tz, so a timestamp probe stringified under a hard-coded zone would
-    * differ by the UTC offset in a non-UTC session — again a silent
-    * false negative. A value that cannot canonicalize (casts to null)
-    * makes the whole probe unusable → None, and the caller skips
+    * same reason canonicalization runs under the TIME ZONE the build
+    * side hashed with: UTC for `__utc`-marked indexes
+    * ([[bloomIndexDf]] — zone-invariant across sessions), the probing
+    * session's zone for legacy unmarked ones (their pre-existing
+    * same-session contract). A value that cannot canonicalize (casts to
+    * null) makes the whole probe unusable → None, and the caller skips
     * pruning — safe, never a missed file. */
   private def bloomHitExpr(spark: SparkSession, column: String,
                            values: Seq[Any],
-                           colType: Option[org.apache.spark.sql.types.DataType])
+                           colType: Option[org.apache.spark.sql.types.DataType],
+                           utcIndex: Boolean)
       : Option[Column] = {
     import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal}
     import org.apache.spark.sql.functions.{col, exists, typedlit}
     import org.apache.spark.sql.graft.BloomExpressions.bloom_might_contain
     import org.apache.spark.sql.types.StringType
-    val tz = Some(spark.sessionState.conf.sessionLocalTimeZone)
+    val tz =
+      if (utcIndex) Some("UTC")
+      else Some(spark.sessionState.conf.sessionLocalTimeZone)
     def canon(v: Any): Option[String] = {
       val typed = colType.fold(Literal(v): Expression)(t =>
         Cast(Literal(v), t, tz))
@@ -812,7 +844,8 @@ object WarehouseFs {
           val colType = resolveVersion(spark, table, version)
             .map(versionSchema(spark, table, _))
             .flatMap(_.find(_.name == column)).map(_.dataType)
-          bloomHitExpr(spark, column, values, colType).map(hit =>
+          bloomHitExpr(spark, column, values, colType,
+              index.columns.contains("__utc")).map(hit =>
             index.filter(hit).select("file").collect().map(_.getString(0)).toSeq)
         }
       }
@@ -1055,8 +1088,9 @@ object WarehouseFs {
       val p = new Path(metaDir, r.dirName)
       if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
     }
-    def keyProbes(c: String) =
-      sourceKeyProbes(source, c, schemaV.find(_.name == c).map(_.dataType))
+    def keyProbes(c: String, utcIndex: Boolean) =
+      sourceKeyProbes(source, c, schemaV.find(_.name == c).map(_.dataType),
+        utcIndex)
     val bloomIdx = indexAt(indexDir(t))
     val bloomCols = bloomIdx.toSeq.flatMap(i =>
       keyCols.filter(c => i.columns.contains(s"b_$c")))
@@ -1065,8 +1099,9 @@ object WarehouseFs {
     val bloomSets: Seq[Set[String]] =
       if (bloomDeferred) Nil
       else bloomIdx.toSeq.flatMap { index =>
+        val utcIdx = index.columns.contains("__utc")
         bloomCols.map { c =>
-          index.join(broadcast(keyProbes(c)),
+          index.join(broadcast(keyProbes(c, utcIdx)),
               bloom_might_contain(index(s"b_$c"), col("__ks"),
                 BloomIndexHashes), "left_semi")
             .select("file").collect().map(_.getString(0)).toSet
@@ -1077,7 +1112,8 @@ object WarehouseFs {
         keyCols.filter(c => index.columns.contains(s"min_$c")).map { c =>
           val zi = index.select(col("file"),
             col(s"min_$c").as("__lo"), col(s"max_$c").as("__hi"))
-          keyProbes(c).join(broadcast(zi),
+          // the zone leg compares NATIVE values; __ks is unused there
+          keyProbes(c, utcIndex = true).join(broadcast(zi),
               col("__lo") <= col("__kt") && col("__kt") <= col("__hi"))
             .select("file").distinct().collect().map(_.getString(0)).toSet
         }
@@ -1101,15 +1137,18 @@ object WarehouseFs {
 
   /** Distinct non-null source key values of `c`, canonicalized through
     * the column's stored type: `__kt` in the native type (zone
-    * comparisons), `__ks` its string form (the bloom build hashed
-    * `col.cast(string)` of the stored type — see [[bloomHitExpr]]). */
+    * comparisons), `__ks` its string form rendered under the tz the
+    * bloom build hashed with — UTC for `__utc`-marked indexes, the
+    * session zone for legacy ones (see [[bloomHitExpr]]). */
   private def sourceKeyProbes(source: DataFrame, c: String,
-                              colType: Option[org.apache.spark.sql.types.DataType])
-      : DataFrame = {
+                              colType: Option[org.apache.spark.sql.types.DataType],
+                              utcIndex: Boolean): DataFrame = {
     import org.apache.spark.sql.functions.col
-    source.select(colType.fold(col(c))(col(c).cast(_)).as("__kt"))
+    val typed = source.select(colType.fold(col(c))(col(c).cast(_)).as("__kt"))
       .filter(col("__kt").isNotNull).distinct()
-      .withColumn("__ks", col("__kt").cast("string"))
+    typed.withColumn("__ks",
+      if (utcIndex) castString(col("__kt"), Some("UTC"))
+      else col("__kt").cast("string"))
   }
 
   /** Commit a copy-on-write version: `rewritten` lands in the version's
@@ -1125,7 +1164,8 @@ object WarehouseFs {
                                 metaDir: Path, prior: ResolvedVersion,
                                 dirName: String, carried: Seq[String],
                                 colPrefix: String,
-                                rebuild: Seq[String] => DataFrame): Unit = {
+                                rebuild: (Seq[String], Boolean) => DataFrame)
+      : Unit = {
     import org.apache.spark.sql.functions.{col, concat, lit}
     val priorMeta = new Path(metaDir, prior.dirName)
     if (!fs.exists(priorMeta)) return
@@ -1135,7 +1175,9 @@ object WarehouseFs {
       else prev.withColumn("file", concat(lit(s"${prior.dirName}/"), col("file")))
     val cols = prev.columns.filter(_.startsWith(colPrefix))
       .map(_.stripPrefix(colPrefix)).toSeq
-    val rebuilt = rebuild(cols)
+    // new rows must hash under the PRIOR's canonicalization (UTC-marked
+    // vs legacy session-tz) — a mixed-convention index would probe wrong
+    val rebuilt = rebuild(cols, prev.columns.contains("__utc"))
       .withColumn("file", concat(lit(s"$dirName/"), col("file")))
     prevRooted.filter(col("file").isInCollection(carried))
       .unionByName(rebuilt)
@@ -1218,9 +1260,10 @@ object WarehouseFs {
     // bloom index + zone map: carry untouched files' rows, re-derive only
     // the new dir
     carryFileMetadata(spark, fs, indexDir(t), prior, dirName, carried,
-      "b_", cols => bloomIndexDf(spark, s"$table/$dirName", dirName, cols))
+      "b_", (cols, priorUtc) =>
+        bloomIndexDf(spark, s"$table/$dirName", dirName, cols, utc = priorUtc))
     carryFileMetadata(spark, fs, zonesDir(t), prior, dirName, carried,
-      "min_", cols => zoneMapDf(spark, s"$table/$dirName", dirName, cols))
+      "min_", (cols, _) => zoneMapDf(spark, s"$table/$dirName", dirName, cols))
     // table statistics do NOT maintain incrementally (NDV/min/max cannot
     // retract). When the prior version carried stats: refreshStats=true
     // recomputes them with one aggregation pass over the WHOLE resolved
@@ -1489,6 +1532,28 @@ object WarehouseFs {
     }
   }
 
+  /** Columns the CURRENT version's bloom index and zone map cover —
+    * (bloom cols, zone cols). For writers that must re-apply index
+    * maintenance when no stored property names it (an API-published
+    * table reached through the catalog): losing the index on an
+    * INSERT OVERWRITE would silently degrade every later point lookup.
+    * Metadata-only (two footer reads at most). */
+  def currentIndexCols(spark: SparkSession, table: String)
+      : (Seq[String], Seq[String]) = {
+    val (fs, t) = fsFor(spark, table)
+    resolveVersion(spark, table, None) match {
+      case None => (Nil, Nil)
+      case Some(r) =>
+        def colsAt(dir: Path, prefix: String): Seq[String] = {
+          val p = new Path(dir, r.dirName)
+          if (!fs.exists(p)) Nil
+          else spark.read.parquet(p.toString).columns.toSeq
+            .filter(_.startsWith(prefix)).map(_.stripPrefix(prefix))
+        }
+        (colsAt(indexDir(t), "b_"), colsAt(zonesDir(t), "min_"))
+    }
+  }
+
   /** Partition columns the current version's file LAYOUT encodes
     * (Hive `key=value` segments) — Nil for flat layouts or absent
     * tables. Pure path arithmetic over the manifest's file list. */
@@ -1565,10 +1630,14 @@ object WarehouseFs {
           .fold(data.select(tableCols.map(col): _*))(
             _.select(tableCols.map(col): _*)
               .unionByName(data.select(tableCols.map(col): _*)))
+        // coalesceTo = 0: a partition re-load's write parallelism is the
+        // FRAME's (a whole day of data), never the touched-file count —
+        // an all-new-partition load (touched = Nil) must not funnel
+        // through one task
         publishCoW(spark, table, r,
           alignToSchema(rewritten, schemaV, "overwritePartitions"),
           touched, all.diff(touched), keepVersions, refreshStats,
-          partColsHint = partCols)
+          coalesceTo = Some(0), partColsHint = partCols)
     }
   }
 
@@ -2501,7 +2570,8 @@ object WarehouseFs {
         else {
           val colType = spark.read.parquet(dataPath).schema
             .find(_.name == column).map(_.dataType)
-          bloomHitExpr(spark, column, values, colType) match {
+          bloomHitExpr(spark, column, values, colType,
+              index.columns.contains("__utc")) match {
             case None => exact(spark.read.parquet(dataPath)) // un-probeable → full read
             case Some(hit) =>
               val files = index.filter(hit).select("file").collect()

@@ -371,6 +371,32 @@ class WarehouseFsSpec extends SparkSpec {
         "a tz-mismatched probe canonicalization would return zero rows here")
       val cand = WarehouseFs.bloomCandidateFiles(spark, t, "evt_ts", Seq(probe)).get
       assert(cand.nonEmpty, "the matching file must survive the probe")
+
+      // CROSS-SESSION: the index hashes a UTC-canonical string form (the
+      // __utc marker), so a probe from a session configured with a
+      // DIFFERENT zone than the builder's must still hit — the building
+      // session's zone is not persisted anywhere else
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+      val prunedX = WarehouseFs.readBloomPruned(spark, t, "evt_ts", Seq(probe)).get
+      assert(prunedX.select("id").as[Long].collect().toSeq === Seq(1200L),
+        "a session-tz-hashed index would false-negative across sessions")
+      assert(WarehouseFs.bloomCandidateFiles(spark, t, "evt_ts", Seq(probe))
+        .get.size < 4, "the cross-zone probe must still PRUNE, not just match")
+      // and the bulk (distributed-probe) DML leg shares the convention:
+      // a timestamp-keyed merge from the differently-zoned session
+      // rewrites only the matching file
+      WarehouseFs.mergeIntoKeys(
+        spark.range(1190, 1210)
+          .select(timestamp_seconds(lit(epoch) + col("id")).as("evt_ts"),
+            (col("id") + 100000L).as("id")),
+        t, Seq("evt_ts"),
+        whenMatchedUpdate = Map("id" -> col("src_id")),
+        whenNotMatchedInsert = false, maxPointKeys = 0, keepVersions = 5)
+      val got = WarehouseFs.readTable(spark, t).get
+      assert(got.filter(col("id") === 101200L).count() === 1,
+        "the bulk bloom leg must hit tz-consistently across sessions")
+      assert(got.inputFiles.count(_.contains("/v00000001/")) === 3,
+        "the bulk probe must stay file-granular from the foreign session")
     } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
   }
 
