@@ -120,6 +120,13 @@ object GraftDmlRule extends Rule[LogicalPlan] with PredicateHelper {
   private[graft] def sourceDf(spark: SparkSession, plan: LogicalPlan) =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** The table's STORED retention for its SQL DML commits — a
+    * `keepVersions` table property must govern every write path, not
+    * just inserts (a DML defaulting to 2 would GC versions the table
+    * asked to keep). */
+  private[graft] def keepVersionsOf(spark: SparkSession, path: String): Int =
+    GraftCatalog.keepVersionsOf(GraftCatalog.readProps(spark, path))
 }
 
 /** `DELETE FROM graft.t WHERE cond` → [[WarehouseFs.deleteMatching]]. */
@@ -128,6 +135,7 @@ case class GraftDeleteCommand(path: String, targetOutput: Seq[Attribute],
   override def run(spark: SparkSession): Seq[Row] = {
     WarehouseFs.deleteMatching(spark, path,
       GraftDmlRule.recolumn(cond, AttributeSet(targetOutput)),
+      keepVersions = GraftDmlRule.keepVersionsOf(spark, path),
       pruning = GraftDmlRule.probesOf(cond))
     Seq.empty
   }
@@ -149,6 +157,7 @@ case class GraftUpdateCommand(path: String, targetOutput: Seq[Attribute],
     val condition = cond.getOrElse(Literal(true))
     WarehouseFs.updateMatching(spark, path,
       GraftDmlRule.recolumn(condition, tgt), set,
+      keepVersions = GraftDmlRule.keepVersionsOf(spark, path),
       pruning = GraftDmlRule.probesOf(condition))
     Seq.empty
   }
@@ -174,7 +183,7 @@ case class GraftDynamicOverwriteCommand(path: String, query: LogicalPlan)
     if (partBy.isEmpty) {
       // props-less (API-published) tables keep their live index columns
       // through the full overwrite, same as the static-overwrite path
-      val (liveBloom, liveZone) = WarehouseFs.currentIndexCols(spark, path)
+      val (liveBloom, liveZone, _) = WarehouseFs.versionMetadata(spark, path)
       def orElse(a: Seq[String], b: Seq[String]) = if (a.nonEmpty) a else b
       WarehouseFs.publishVersioned(data, path, keepVersions = keep,
         bloomIndexCols = orElse(
@@ -294,7 +303,8 @@ case class GraftMergeCommand(path: String, targetOutput: Seq[Attribute],
       whenMatchedUpdate = updateMap,
       whenMatchedDelete = deleteCond,
       whenNotMatchedInsert = insert,
-      whenNotMatchedBySourceDelete = bySourceDelete)
+      whenNotMatchedBySourceDelete = bySourceDelete,
+      keepVersions = GraftDmlRule.keepVersionsOf(spark, path))
     Seq.empty
   }
 }

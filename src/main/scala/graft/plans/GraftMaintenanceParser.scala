@@ -1,0 +1,130 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType, TimestampType}
+
+import graft.sources.WarehouseFs
+
+/** Maintenance statements for graft tables — the surface a lakehouse
+  * operator runs nightly, parsed AHEAD of Spark's grammar (none of
+  * these words exist there, so nothing legal is shadowed; everything
+  * else delegates verbatim):
+  *
+  * {{{
+  *   OPTIMIZE graft.t                    -- fold a CoW chain / small files
+  *                                          into one clean, size-targeted
+  *                                          dir version (indexes kept)
+  *   VACUUM graft.t RETAIN 3 VERSIONS    -- tighten retention + GC now
+  *   DESCRIBE HISTORY graft.t            -- retained versions: commit
+  *                                          time, manifest format, files,
+  *                                          bytes
+  * }}}
+  *
+  * Identifiers resolve through the SAME mapping as the catalog
+  * (`graft.ns.t` → `<warehouse>/ns/t`, via the registered catalog's
+  * `warehouse` conf); a backtick-quoted single part is taken as a
+  * direct table path, so API-published tables outside any catalog are
+  * reachable too. Installed by [[graft.plans.GraftExtensions]]. */
+class GraftMaintenanceParser(delegate: ParserInterface) extends ParserInterface {
+
+  private val OptimizeRe =
+    """(?is)\s*OPTIMIZE\s+(.+?)\s*;?\s*""".r
+  private val VacuumRe =
+    """(?is)\s*VACUUM\s+(.+?)\s+RETAIN\s+(\d+)\s+VERSIONS\s*;?\s*""".r
+  private val HistoryRe =
+    """(?is)\s*DESCRIBE\s+HISTORY\s+(.+?)\s*;?\s*""".r
+
+  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case OptimizeRe(ident) => GraftOptimizeCommand(tablePath(ident))
+    case VacuumRe(ident, n) => GraftVacuumCommand(tablePath(ident), n.toInt)
+    case HistoryRe(ident) => GraftDescribeHistoryCommand(tablePath(ident))
+    case _ => delegate.parsePlan(sqlText)
+  }
+
+  /** `graft.ns.t` (a registered graft catalog) → warehouse path;
+    * anything else joins as a direct path (backticks supported). */
+  private def tablePath(identText: String): String = {
+    val parts = delegate.parseMultipartIdentifier(identText)
+    val conf = SparkSession.active.conf
+    val catKey = s"spark.sql.catalog.${parts.head}"
+    conf.getOption(catKey) match {
+      case Some(cls) if cls == classOf[graft.sources.GraftCatalog].getName
+          && parts.length > 1 =>
+        (conf.get(s"$catKey.warehouse") +: parts.tail).mkString("/")
+      case _ => parts.mkString("/")
+    }
+  }
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): org.apache.spark.sql.types.DataType =
+    delegate.parseDataType(sqlText)
+}
+
+/** `OPTIMIZE t` → [[graft.operators.ScaleJoins.compactParquet]]: reads
+  * the resolved current version (carried CoW files included), rewrites
+  * it size-targeted into one clean dir version with the prior version's
+  * bloom/zone/stats metadata preserved, CAS-pinned against concurrent
+  * DML. Returns (new_version, partitions). */
+case class GraftOptimizeCommand(path: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("partitions", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val parts = graft.operators.ScaleJoins.compactParquet(spark, path)
+    val v = WarehouseFs.currentVersion(spark, path).map(_._1).getOrElse(
+      throw new IllegalArgumentException(
+        s"OPTIMIZE: $path is not a versioned table"))
+    Seq(Row(v, parts))
+  }
+}
+
+/** `VACUUM t RETAIN n VERSIONS` → [[WarehouseFs.vacuum]]. Returns the
+  * retained version numbers. */
+case class GraftVacuumCommand(path: String, keep: Int)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("retained_version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    WarehouseFs.vacuum(spark, path, keep)
+    WarehouseFs.listVersions(spark, path).map(Row(_))
+  }
+}
+
+/** `DESCRIBE HISTORY t` → [[WarehouseFs.describeHistory]]. */
+case class GraftDescribeHistoryCommand(path: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("committed_at", TimestampType, nullable = false)(),
+    AttributeReference("data_dir", StringType, nullable = false)(),
+    AttributeReference("format", StringType, nullable = false)(),
+    AttributeReference("files", IntegerType, nullable = false)(),
+    AttributeReference("bytes", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val rows = WarehouseFs.describeHistory(spark, path)
+    require(rows.nonEmpty,
+      s"DESCRIBE HISTORY: $path is not a versioned table (or has no " +
+        "retained versions)")
+    rows.map { case (v, ts, dir, fmt, nf, bytes) =>
+      Row(v, ts, dir, fmt, nf, bytes)
+    }
+  }
+}

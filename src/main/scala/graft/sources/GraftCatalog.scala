@@ -378,8 +378,8 @@ case class GraftCatalogTable(spark: SparkSession, path: String,
                 // an API-published table has no props sidecar — fall back
                 // to the LIVE layout and index columns, or the overwrite
                 // would silently flatten the table and drop its indexes
-                val (liveBloom, liveZone) =
-                  WarehouseFs.currentIndexCols(spark, path)
+                val (liveBloom, liveZone, _) =
+                  WarehouseFs.versionMetadata(spark, path)
                 def orElse(a: Seq[String], b: Seq[String]) =
                   if (a.nonEmpty) a else b
                 WarehouseFs.publishVersioned(data, path,

@@ -352,6 +352,41 @@ object WarehouseFs {
       .filter(n => ManifestName.matches(n)).sorted.map(_.toLong).toSeq
   }
 
+  /** Tighten a versioned table's retention window NOW: keep the newest
+    * `keepVersions` manifests, GC every data dir no surviving manifest
+    * references (carried ancestors of retained CoW versions survive) —
+    * the SQL `VACUUM … RETAIN n VERSIONS` verb. Runs the exact GC every
+    * publish runs; safe at any time (retained reads are unaffected,
+    * expired time travel resolves to None — the documented contract). */
+  def vacuum(spark: SparkSession, table: String, keepVersions: Int = 2): Unit = {
+    require(keepVersions >= 1, "vacuum: keepVersions >= 1")
+    val (fs, t) = fsFor(spark, table)
+    require(fs.exists(versionsDir(t)),
+      s"vacuum: $table is not a versioned table")
+    gcVersions(fs, t, keepVersions)
+  }
+
+  /** One row per RETAINED version, newest last — the `DESCRIBE HISTORY`
+    * surface: (version, commit time, data dir, dir|file-list manifest
+    * format, file count, resolved bytes). Commit time is the manifest
+    * file's modification time (rename-committed once — see
+    * [[versionAtTimestamp]]). Metadata-only: listings + manifest
+    * parses, no data I/O. */
+  def describeHistory(spark: SparkSession, table: String)
+      : Seq[(Long, java.sql.Timestamp, String, String, Int, Long)] = {
+    val (fs, t) = fsFor(spark, table)
+    listVersions(spark, table).flatMap { v =>
+      resolveVersion(spark, table, Some(v)).map { r =>
+        val mtime = fs.getFileStatus(
+          new Path(versionsDir(t), vname(v))).getModificationTime
+        val files = versionFiles(fs, t, r)
+        val bytes = files.map(f => fs.getFileStatus(new Path(t, f)).getLen).sum
+        (v, new java.sql.Timestamp(mtime), r.dirName,
+          if (r.isFileList) "file-list" else "dir", files.size, bytes)
+      }
+    }
+  }
+
   /** Latest committed version whose manifest landed at or before
     * `tsMillis` — SQL `TIMESTAMP AS OF` resolution. A manifest file is
     * written once at commit (rename-committed, never touched again),
@@ -1529,28 +1564,6 @@ object WarehouseFs {
           publishCoW(spark, table, r, aligned, touched = Nil, carried = all,
             keepVersions, refreshStats, coalesceTo = Some(0),
             partColsHint = partitionByHint)
-    }
-  }
-
-  /** Columns the CURRENT version's bloom index and zone map cover —
-    * (bloom cols, zone cols). For writers that must re-apply index
-    * maintenance when no stored property names it (an API-published
-    * table reached through the catalog): losing the index on an
-    * INSERT OVERWRITE would silently degrade every later point lookup.
-    * Metadata-only (two footer reads at most). */
-  def currentIndexCols(spark: SparkSession, table: String)
-      : (Seq[String], Seq[String]) = {
-    val (fs, t) = fsFor(spark, table)
-    resolveVersion(spark, table, None) match {
-      case None => (Nil, Nil)
-      case Some(r) =>
-        def colsAt(dir: Path, prefix: String): Seq[String] = {
-          val p = new Path(dir, r.dirName)
-          if (!fs.exists(p)) Nil
-          else spark.read.parquet(p.toString).columns.toSeq
-            .filter(_.startsWith(prefix)).map(_.stripPrefix(prefix))
-        }
-        (colsAt(indexDir(t), "b_"), colsAt(zonesDir(t), "min_"))
     }
   }
 

@@ -177,6 +177,34 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.table(s"graft.$t").count() === 999)
   }
 
+  test("maintenance SQL: DESCRIBE HISTORY, OPTIMIZE, VACUUM") {
+    val t = fresh("cat_maint")
+    spark.sql(s"CREATE TABLE graft.$t (id BIGINT, v STRING) " +
+      "TBLPROPERTIES('keepVersions'='5', 'bloomIndexCols'='id')")
+    spark.sql(s"INSERT INTO graft.$t SELECT id, CONCAT('u', id) FROM range(1000)")
+    spark.sql(s"DELETE FROM graft.$t WHERE id = 7")
+    val hist = spark.sql(s"DESCRIBE HISTORY graft.$t")
+    assert(hist.columns.toSeq ===
+      Seq("version", "committed_at", "data_dir", "format", "files", "bytes"))
+    val rows = hist.collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    assert(rows.last.getString(3) === "file-list", "a CoW delete commits a file-list manifest")
+    // OPTIMIZE folds the CoW chain into one clean dir version,
+    // preserving the bloom index through the rewrite
+    val opt = spark.sql(s"OPTIMIZE graft.$t").collect()
+    assert(opt.head.getLong(0) === 4L)
+    assert(spark.table(s"graft.$t").count() === 999)
+    assert(WarehouseFs.bloomCandidateFiles(spark, s"$wh/$t", "id", Seq(9L))
+      .isDefined, "OPTIMIZE must keep the bloom index")
+    // VACUUM tightens retention and GCs unreferenced dirs now
+    spark.sql(s"VACUUM graft.$t RETAIN 1 VERSIONS")
+    assert(WarehouseFs.listVersions(spark, s"$wh/$t") === Seq(4L))
+    assert(spark.table(s"graft.$t").count() === 999)
+    // everything else still parses through the delegate
+    assert(spark.sql("SELECT 1 AS x").head().getInt(0) === 1)
+    intercept[Exception] { spark.sql("OPTIMIZE graft.nope_missing").collect() }
+  }
+
   test("ALTER TABLE ADD COLUMNS: additive evolution without rewriting a byte") {
     val t = fresh("cat_alter")
     spark.sql(s"CREATE TABLE graft.$t (id BIGINT, v STRING) " +
