@@ -91,7 +91,10 @@ object QueriesSimilarity {
     "dedup_semantic" -> ((s, d) => {
       // four consumers of the same (vec_id, label, embedding) relation —
       // both self-join sides, the label frame, and the final anti-join;
-      // cache it once so the array-decoding parquet scan runs once
+      // cache it once so the array-decoding parquet scan runs once.
+      // Lifetime: the cache manager dedups by canonicalized plan, so
+      // repeat invocations REUSE this entry rather than accumulate, and
+      // storage is LRU-evicted under pressure — bounded, not a leak
       val e = embeddings(s, d).cache()
       def side(p: String) = e.select(
         col("label"), col("vec_id").as(s"${p}_id"), col("embedding").as(s"${p}_emb"))
