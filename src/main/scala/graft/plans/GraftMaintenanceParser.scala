@@ -88,10 +88,12 @@ case class GraftOptimizeCommand(path: String) extends LeafRunnableCommand {
     AttributeReference("version", LongType, nullable = false)(),
     AttributeReference("partitions", IntegerType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
+    // fail BEFORE mutating: compactParquet also handles plain dirs, but
+    // the SQL surface promises versioned semantics (a new version row)
+    require(WarehouseFs.currentVersion(spark, path).isDefined,
+      s"OPTIMIZE: $path is not a versioned table")
     val parts = graft.operators.ScaleJoins.compactParquet(spark, path)
-    val v = WarehouseFs.currentVersion(spark, path).map(_._1).getOrElse(
-      throw new IllegalArgumentException(
-        s"OPTIMIZE: $path is not a versioned table"))
+    val v = WarehouseFs.currentVersion(spark, path).map(_._1).get
     Seq(Row(v, parts))
   }
 }
