@@ -55,7 +55,22 @@ class GraftMaintenanceParser(delegate: ParserInterface) extends ParserInterface 
     conf.getOption(catKey) match {
       case Some(cls) if cls == classOf[graft.sources.GraftCatalog].getName
           && parts.length > 1 =>
-        (conf.get(s"$catKey.warehouse") +: parts.tail).mkString("/")
+        val wh = conf.getOption(s"$catKey.warehouse").getOrElse(
+          throw new IllegalArgumentException(
+            s"graft maintenance: catalog '${parts.head}' is a graft " +
+              s"catalog but $catKey.warehouse is not set — configure the " +
+              "warehouse directory before OPTIMIZE/VACUUM/DESCRIBE HISTORY"))
+        (wh +: parts.tail).mkString("/")
+      // a multipart identifier whose head names a DIFFERENT registered
+      // catalog (e.g. a Delta table when both extensions are installed)
+      // must not silently fall through to a literal-path resolution —
+      // the eventual "not a versioned table" error would point nowhere
+      case Some(other) if parts.length > 1 =>
+        throw new UnsupportedOperationException(
+          s"graft maintenance: ${parts.mkString(".")} resolves through " +
+            s"catalog '${parts.head}' ($other), which is not a graft " +
+            "catalog — OPTIMIZE/VACUUM/DESCRIBE HISTORY apply to graft " +
+            "tables (or a backtick-quoted direct table path) only")
       case _ => parts.mkString("/")
     }
   }

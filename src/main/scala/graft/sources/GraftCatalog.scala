@@ -172,6 +172,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           throw new UnsupportedOperationException(
             s"graft catalog: ADD COLUMNS of a nested field " +
               s"(${a.fieldNames().mkString(".")}) is not supported")
+        // silently committing `ADD COLUMN x NOT NULL` as nullable would
+        // be a contract change the user never asked for: existing rows
+        // have no value for the column, so NULL-ability is forced —
+        // refuse rather than reinterpret
+        if (!a.isNullable())
+          throw new UnsupportedOperationException(
+            s"graft catalog: ADD COLUMN ${a.fieldNames()(0)} NOT NULL is " +
+              "not supported — existing rows have no value for the new " +
+              "column, so it must be nullable")
+        // additive evolution APPENDS; honoring FIRST/AFTER would require
+        // rewriting every committed file's column order
+        if (a.position() != null)
+          throw new UnsupportedOperationException(
+            s"graft catalog: ADD COLUMN ${a.fieldNames()(0)} with a " +
+              "position (FIRST/AFTER) is not supported — added columns " +
+              "append at the end (committed files are never rewritten)")
         org.apache.spark.sql.types.StructField(
           a.fieldNames()(0), a.dataType(), nullable = true)
     }

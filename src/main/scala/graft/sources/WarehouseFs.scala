@@ -498,8 +498,16 @@ object WarehouseFs {
       s"publishVersioned: commit of version $next lost a concurrent race on $table")
     // a FULL publish materializes the complete schema in its own files —
     // a declared-schema sidecar ([[alterAddColumns]]) is now redundant
-    // (or stale, if this publish evolved further) and retires
-    if (fs.exists(schemaFile(t))) fs.delete(schemaFile(t), false)
+    // (or stale, if this publish evolved further) and retires. ONLY when
+    // this publish's columns actually cover the declaration: a df derived
+    // BEFORE a concurrent alterAddColumns (the ALTER does not bump the
+    // version, so the CAS cannot see it) commits old-width files — the
+    // sidecar must survive so those files keep reconciling to the
+    // declared width instead of silently losing the evolution
+    if (fs.exists(schemaFile(t)) &&
+        declaredSchema(spark, table).forall(
+          _.fieldNames.forall(df.columns.contains)))
+      fs.delete(schemaFile(t), false)
     gcVersions(fs, t, keepVersions)
   }
 
@@ -1072,16 +1080,24 @@ object WarehouseFs {
     val probes = source.select(keyCols.map { c =>
       schema.find(_.name == c).fold(col(c))(f => col(c).cast(f.dataType)).as(c)
     }: _*).filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
-    val tagged = within.groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1)
-      .map { case (dir, fs0) =>
+    val taggedGroups = within.groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1)
+      .flatMap { case (dir, fs0) =>
         val marker = s"/$dir/"
         val rel = expr(s"concat('$dir/', substring(_metadata.file_path, " +
           s"instr(_metadata.file_path, '$marker') + ${marker.length}))")
-        spark.read.option("basePath", s"$table/$dir")
+        val raw = spark.read.option("basePath", s"$table/$dir")
           .parquet(fs0.map(f => s"$table/$f"): _*)
-          .select(rel.as("__file") +: keyCols.map(col): _*)
-      }.reduce(_ unionByName _)
-    tagged.join(probes, keyCols, "left_semi")
+        // a group whose file schema lacks a key column predates an
+        // alterAddColumns of that column — its rows read NULL for it,
+        // which the non-null probes can never match, so the whole group
+        // is provably untouched (selecting the column would instead die
+        // with an AnalysisException on the pre-ALTER footers)
+        if (!keyCols.forall(raw.columns.contains)) None
+        else Some(raw.select(rel.as("__file") +: keyCols.map(col): _*))
+      }
+    if (taggedGroups.isEmpty) return Seq.empty
+    taggedGroups.reduce(_ unionByName _)
+      .join(probes, keyCols, "left_semi")
       .select("__file").distinct()
       .collect().map(_.getString(0)).toSeq
   }
@@ -1614,6 +1630,21 @@ object WarehouseFs {
         require(data.columns.toSet == tableCols.toSet,
           s"overwritePartitions: data columns ${data.columns.toSet} must " +
             s"equal table columns ${tableCols.toSet}")
+        // TIMESTAMP partition values render under the PROBING session's
+        // zone while the path encoding used the WRITING session's; a
+        // mismatch would false-negative the touched set — the old
+        // partition files would carry AND the new rows land, silent row
+        // duplication instead of replacement. Refuse loudly (the same
+        // posture as the null-partition guard below); partition on a
+        // zone-free projection (DATE / formatted string) instead.
+        partCols.foreach { c =>
+          require(!schemaV.find(_.name == c).exists(
+              _.dataType == org.apache.spark.sql.types.TimestampType),
+            s"overwritePartitions: partition column $c is TIMESTAMP — its " +
+              "path encoding is session-zone-dependent, so touched-file " +
+              "resolution cannot be made exact across sessions; partition " +
+              "by a DATE or formatted-string projection instead")
+        }
         // the touched partitions — bounded by the partition count, the
         // one driver-side set this verb materializes
         val tuplesDf = data.select(partCols.map(col): _*).distinct()

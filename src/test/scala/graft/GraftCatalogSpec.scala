@@ -233,6 +233,34 @@ class GraftCatalogSpec extends SparkSpec {
     intercept[Exception] {
       spark.sql(s"ALTER TABLE graft.$t RENAME COLUMN v TO w")
     }
+    // NOT NULL would silently become nullable (existing rows have no
+    // value); FIRST/AFTER would reorder committed files — both refuse
+    val nn = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.$t ADD COLUMNS (w INT NOT NULL)")
+    }
+    assert(nn.getMessage.contains("NOT NULL"), s"got: ${nn.getMessage}")
+    val pos = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.$t ADD COLUMNS (w INT AFTER id)")
+    }
+    assert(pos.getMessage.contains("FIRST/AFTER"), s"got: ${pos.getMessage}")
+    assert(spark.table(s"graft.$t").columns.toSeq === Seq("id", "v", "score"),
+      "refused ALTERs must leave the schema untouched")
+  }
+
+  test("maintenance SQL: missing warehouse conf and foreign catalogs refuse with guidance") {
+    withConf("spark.sql.catalog.gbad" ->
+        classOf[graft.sources.GraftCatalog].getName) {
+      val e = intercept[Exception] { spark.sql("OPTIMIZE gbad.t") }
+      assert(e.getMessage.contains("spark.sql.catalog.gbad.warehouse"),
+        s"got: ${e.getMessage}")
+    }
+    withConf("spark.sql.catalog.notgraft" -> "org.example.OtherCatalog") {
+      val e = intercept[Exception] {
+        spark.sql("DESCRIBE HISTORY notgraft.db.t")
+      }
+      assert(e.getMessage.contains("not a graft catalog"),
+        s"got: ${e.getMessage}")
+    }
   }
 
   test("SQL time travel: VERSION AS OF / TIMESTAMP AS OF pin retained versions") {

@@ -788,4 +788,49 @@ class WarehouseDmlSpec extends SparkSpec {
     assert(refs.count(_.contains(s"/${currentDir(t)}/")) <= 2,
       "the exact scan leg must confine a >1M-key rewrite to the matching files")
   }
+
+  test("bulk key-scan over mixed pre/post-ALTER candidates treats old-width files as untouched") {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val t = tmpTable()
+    WarehouseFs.publishVersioned(
+      spark.range(0, 80000, 1, 8) // 8 contiguous 10k-row files
+        .select(col("id"), concat(lit("u"), col("id")).as("user")),
+      t, keepVersions = 5, bloomIndexCols = Seq("id"))
+    WarehouseFs.alterAddColumns(spark, t,
+      StructType(Seq(StructField("tag", StringType))))
+    // one small CoW upsert materializes a WIDE file for ids 79900..79999
+    // (bloom-confined to the last range file); the other 7 files stay
+    // pre-ALTER (no `tag` column in their footers)
+    WarehouseFs.upsertRows(
+      spark.range(79900, 80000).select(col("id"),
+        concat(lit("w"), col("id")).as("user"), lit("x").as("tag")),
+      t, "id", keepVersions = 5)
+    val wideDir = currentDir(t)
+    // merge keyed on (id, tag): 1.2M distinct tuples — the bloom leg
+    // (b_id) defers past MaxBloomProbeKeys and there is no zone map, so
+    // the EXACT key-column scan runs over every candidate file,
+    // including the pre-ALTER ones that cannot contain `tag`. Those
+    // groups are provably untouched (their rows read NULL tags, which
+    // non-null probes never match) — before the reconciliation fix this
+    // died with an AnalysisException on the old footers.
+    val source = spark.range(0, 1200000)
+      .select(col("id"), concat(lit("m"), col("id")).as("user"),
+        lit("x").as("tag"))
+    WarehouseFs.mergeIntoKeys(source, t, Seq("id", "tag"),
+      whenMatchedUpdate = Map("user" -> col("src_user")),
+      whenNotMatchedInsert = false, keepVersions = 5)
+    val got = WarehouseFs.readTable(spark, t).get
+    assert(got.count() === 80000)
+    assert(got.filter(col("tag").isNotNull && !col("user").startsWith("m"))
+      .count() === 0, "every wide (tag='x') row must take the update")
+    assert(got.filter(col("tag").isNull && col("user").startsWith("m"))
+      .count() === 0, "pre-ALTER rows (NULL tag) must never match")
+    val refs = got.inputFiles
+    assert(refs.count(_.contains("/v00000001/")) >= 6,
+      s"pre-ALTER files must carry by reference: ${refs.toSeq}")
+    assert(!refs.exists(_.contains(s"/$wideDir/")),
+      "the matched wide file must have been rewritten, not carried")
+    assert(refs.count(_.contains(s"/${currentDir(t)}/")) <= 2,
+      "the exact scan must confine the rewrite to the wide file(s)")
+  }
 }

@@ -588,4 +588,44 @@ class WarehouseFsSpec extends SparkSpec {
     assert(got.select("id", "day", "user").collect().map(_.toSeq).toSet ===
       Set(Seq(42L, 2, "u42")), "partition column must be restored via basePath")
   }
+
+  test("overwritePartitions refuses TIMESTAMP partition columns loudly") {
+    val t = s"${tmpDir()}/t"
+    val df = spark.range(10).select(col("id"),
+      to_timestamp(lit("2026-01-01 00:00:00")).as("ts"))
+    WarehouseFs.publishVersioned(df, t, partitionBy = Seq("ts"))
+    // a probing session in another zone would render the partition value
+    // differently than the writing session's path encoding — the touched
+    // set would silently miss and the "replaced" rows would duplicate
+    val e = intercept[IllegalArgumentException] {
+      WarehouseFs.overwritePartitions(df, t, Seq("ts"))
+    }
+    assert(e.getMessage.contains("TIMESTAMP"))
+  }
+
+  test("an old-width full publish racing an ALTER keeps the declared schema reconciling") {
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    val t = s"${tmpDir()}/t"
+    val narrow = spark.range(100).select(col("id"),
+      concat(lit("u"), col("id")).as("user"))
+    WarehouseFs.publishVersioned(narrow, t, keepVersions = 5)
+    WarehouseFs.alterAddColumns(spark, t,
+      StructType(Seq(StructField("score", DoubleType))))
+    // a full publish whose df was DERIVED before the ALTER commits
+    // old-width files; the ALTER does not bump the version so the CAS
+    // cannot catch it — the sidecar must survive so reads still
+    // reconcile to the declared width
+    WarehouseFs.publishVersioned(narrow, t, keepVersions = 5)
+    assert(WarehouseFs.declaredSchema(spark, t).isDefined,
+      "an old-width publish must NOT retire the declaration")
+    val got = WarehouseFs.readTable(spark, t).get
+    assert(got.columns.toSeq === Seq("id", "user", "score"))
+    assert(got.filter(col("score").isNotNull).count() === 0)
+    // a genuinely full-width publish retires it
+    WarehouseFs.publishVersioned(got, t, keepVersions = 5)
+    assert(WarehouseFs.declaredSchema(spark, t).isEmpty,
+      "a declaration-covering publish retires the sidecar")
+    assert(WarehouseFs.readTable(spark, t).get.columns.toSeq ===
+      Seq("id", "user", "score"))
+  }
 }
