@@ -153,9 +153,20 @@ object WarehouseFs {
   //                  line, which may reference PRIOR version dirs.
   //                  This is what makes copy-on-write DML O(touched
   //                  files): untouched files are carried by reference.
+  // Both formats additionally carry a `ts:<epochMillis>` header line —
+  // the COMMIT INSTANT, written at seal time. Time-travel resolution
+  // (`TIMESTAMP AS OF`, DESCRIBE HISTORY) prefers it over the manifest
+  // file's modification time: mtime equals the commit instant only on
+  // the filesystem the writer sealed on, and a distcp / backup-restore /
+  // object-store migration rewrites mtimes — silently shifting every
+  // historical timestamp. Manifests from before this header fall back to
+  // mtime (legacy behavior). Parsers ignore unknown `ts:` lines never
+  // collide with content: data-dir names start with `v`, file paths with
+  // their version dir.
   private final case class ResolvedVersion(version: Long, dirName: String,
                                            files: Option[Seq[String]],
-                                           declaredPartCols: Seq[String] = Nil) {
+                                           declaredPartCols: Seq[String] = Nil,
+                                           commitTsMillis: Option[Long] = None) {
     def isFileList: Boolean = files.isDefined
   }
 
@@ -166,15 +177,18 @@ object WarehouseFs {
   }
 
   private def parseManifest(version: Long, content: String): ResolvedVersion = {
-    val lines = content.split("\n").map(_.trim).filter(_.nonEmpty)
+    val all = content.split("\n").map(_.trim).filter(_.nonEmpty)
+    val ts = all.find(_.startsWith("ts:"))
+      .flatMap(_.stripPrefix("ts:").toLongOption)
+    val lines = all.filterNot(_.startsWith("ts:"))
     if (lines.head.startsWith("files:")) {
       val partCols = lines.tail.headOption.filter(_.startsWith("partcols:"))
         .map(_.stripPrefix("partcols:").split(',').map(_.trim)
           .filter(_.nonEmpty).toSeq).getOrElse(Nil)
       val fileLines = lines.tail.dropWhile(_.startsWith("partcols:"))
       ResolvedVersion(version, lines.head.stripPrefix("files:"),
-        Some(fileLines.toSeq), partCols)
-    } else ResolvedVersion(version, lines.head, None)
+        Some(fileLines.toSeq), partCols, ts)
+    } else ResolvedVersion(version, lines.head, None, commitTsMillis = ts)
   }
 
   /** Every data-dir name a manifest keeps alive: its own dir plus, for a
@@ -368,40 +382,48 @@ object WarehouseFs {
 
   /** One row per RETAINED version, newest last — the `DESCRIBE HISTORY`
     * surface: (version, commit time, data dir, dir|file-list manifest
-    * format, file count, resolved bytes). Commit time is the manifest
-    * file's modification time (rename-committed once — see
-    * [[versionAtTimestamp]]). Metadata-only: listings + manifest
-    * parses, no data I/O. */
+    * format, file count, resolved bytes). Commit time is the instant
+    * STORED in the manifest body at seal time (see the manifest format
+    * comment — mtime would not survive a distcp or backup-restore);
+    * pre-`ts:` manifests fall back to the file's modification time.
+    * Metadata-only: listings + manifest parses, no data I/O. */
   def describeHistory(spark: SparkSession, table: String)
       : Seq[(Long, java.sql.Timestamp, String, String, Int, Long)] = {
     val (fs, t) = fsFor(spark, table)
     listVersions(spark, table).flatMap { v =>
       resolveVersion(spark, table, Some(v)).map { r =>
-        val mtime = fs.getFileStatus(
-          new Path(versionsDir(t), vname(v))).getModificationTime
+        val committed = r.commitTsMillis.getOrElse(fs.getFileStatus(
+          new Path(versionsDir(t), vname(v))).getModificationTime)
         val files = versionFiles(fs, t, r)
         val bytes = files.map(f => fs.getFileStatus(new Path(t, f)).getLen).sum
-        (v, new java.sql.Timestamp(mtime), r.dirName,
+        (v, new java.sql.Timestamp(committed), r.dirName,
           if (r.isFileList) "file-list" else "dir", files.size, bytes)
       }
     }
   }
 
-  /** Latest committed version whose manifest landed at or before
-    * `tsMillis` — SQL `TIMESTAMP AS OF` resolution. A manifest file is
-    * written once at commit (rename-committed, never touched again),
-    * so its modification time IS the commit time. None when every
-    * retained manifest is newer than the probe (asking for a state
-    * before the table existed — or past the retention window, where
-    * the honest answer is "unknown", not "the oldest we still have"). */
+  /** Latest committed version whose commit instant is at or before
+    * `tsMillis` — SQL `TIMESTAMP AS OF` resolution. The instant is the
+    * one the sealer wrote INTO the manifest body (`ts:` header), so a
+    * file-copy migration that rewrites mtimes cannot shift history;
+    * pre-`ts:` manifests fall back to mtime. One small-file read per
+    * RETAINED manifest (bounded by `keepVersions` — the same cost class
+    * as the listing itself). None when every retained manifest is newer
+    * than the probe (asking for a state before the table existed — or
+    * past the retention window, where the honest answer is "unknown",
+    * not "the oldest we still have"). */
   def versionAtTimestamp(spark: SparkSession, table: String,
                          tsMillis: Long): Option[Long] = {
     val (fs, t) = fsFor(spark, table)
     val vd = versionsDir(t)
     if (!fs.exists(vd)) None
     else fs.listStatus(vd)
-      .filter(st => ManifestName.matches(st.getPath.getName) &&
-        st.getModificationTime <= tsMillis)
+      .filter(st => ManifestName.matches(st.getPath.getName))
+      .filter { st =>
+        val v = st.getPath.getName.toLong
+        parseManifest(v, readManifest(fs, st.getPath)).commitTsMillis
+          .getOrElse(st.getModificationTime) <= tsMillis
+      }
       .map(_.getPath.getName).sorted.lastOption.map(_.toLong)
   }
 
@@ -493,7 +515,10 @@ object WarehouseFs {
     fs.mkdirs(vd)
     val tmp = new Path(vd, s".tmp-${vname(next)}")
     val out = fs.create(tmp, true)
-    try out.write(dataName.getBytes("UTF-8")) finally out.close()
+    // the commit instant travels IN the manifest body — mtime survives
+    // neither distcp nor backup-restore (see the format comment above)
+    try out.write(s"$dataName\nts:${System.currentTimeMillis()}"
+      .getBytes("UTF-8")) finally out.close()
     require(fs.rename(tmp, new Path(vd, vname(next))),
       s"publishVersioned: commit of version $next lost a concurrent race on $table")
     // a FULL publish materializes the complete schema in its own files —
@@ -1343,7 +1368,8 @@ object WarehouseFs {
     val partColsHeader =
       if (partCols.nonEmpty) Seq(s"partcols:${partCols.mkString(",")}") else Nil
     val body =
-      (s"files:$dirName" +: (partColsHeader ++ newFiles ++ carried))
+      (s"files:$dirName" +: s"ts:${System.currentTimeMillis()}" +:
+        (partColsHeader ++ newFiles ++ carried))
         .mkString("\n")
     try out.write(body.getBytes("UTF-8")) finally out.close()
     require(!fs.exists(new Path(vd, vname(next))),

@@ -589,6 +589,46 @@ class WarehouseFsSpec extends SparkSpec {
       Set(Seq(42L, 2, "u42")), "partition column must be restored via basePath")
   }
 
+  test("commit instants live in the manifest body: mtime rewrites cannot shift history") {
+    val t = s"${tmpDir()}/t"
+    WarehouseFs.publishVersioned(spark.range(5).toDF(), t, keepVersions = 5)
+    Thread.sleep(20)
+    val betweenMs = System.currentTimeMillis()
+    Thread.sleep(20)
+    WarehouseFs.publishVersioned(spark.range(9).toDF(), t, keepVersions = 5)
+    assert(WarehouseFs.versionAtTimestamp(spark, t, betweenMs) === Some(1L))
+    // simulate a distcp / backup-restore / object-store migration: every
+    // manifest file's mtime jumps — the stored instants must still rule
+    val (fs, p) = WarehouseFs.fsFor(spark, t)
+    val vd = new org.apache.hadoop.fs.Path(p, "_versions")
+    val farFuture = System.currentTimeMillis() + 3600L * 1000
+    fs.listStatus(vd).foreach(st => fs.setTimes(st.getPath, farFuture, -1))
+    assert(WarehouseFs.versionAtTimestamp(spark, t, betweenMs) === Some(1L),
+      "TIMESTAMP AS OF must resolve from the stored commit instant")
+    val hist = WarehouseFs.describeHistory(spark, t)
+    assert(hist.map(_._1) === Seq(1L, 2L))
+    assert(hist.forall(_._2.getTime < farFuture - 1800L * 1000),
+      "DESCRIBE HISTORY must report the stored instants, not the new mtimes")
+    // CoW commits carry their instant too
+    WarehouseFs.deleteWhere(spark, t, "id", Seq(3L), keepVersions = 5)
+    val last = WarehouseFs.describeHistory(spark, t).last
+    assert(last._1 === 3L && last._2.getTime < farFuture - 1800L * 1000)
+    // legacy manifests (no ts: header) fall back to mtime
+    val m1 = new org.apache.hadoop.fs.Path(vd, "00000001")
+    val legacyBody = {
+      val in = fs.open(m1)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                 finally in.close()
+      text.linesIterator.filterNot(_.startsWith("ts:")).mkString("\n")
+    }
+    val out = fs.create(m1, true)
+    try out.write(legacyBody.getBytes("UTF-8")) finally out.close()
+    val legacyMtime = betweenMs - 3600L * 1000
+    fs.setTimes(m1, legacyMtime, -1)
+    assert(WarehouseFs.versionAtTimestamp(spark, t, legacyMtime) === Some(1L),
+      "a pre-ts manifest must keep resolving by its mtime")
+  }
+
   test("overwritePartitions refuses TIMESTAMP partition columns loudly") {
     val t = s"${tmpDir()}/t"
     val df = spark.range(10).select(col("id"),
