@@ -127,36 +127,91 @@ object EtlPipeline {
       }
       else if (useManifest) WarehouseFs.publishVersioned(df, tablePath(name))
       else WarehouseFs.publish(df, tablePath(name))
-    // one commit spanning everything this run changed (mart passed
-    // explicitly — it never stages under _work); unchanged committed
-    // tables ride along by reference. No-op when nothing changed.
-    def commitAtomic(mart: Option[DataFrame]): Unit = if (useAtomic) {
-      val changed0: Map[String, DataFrame] =
-        workWritten.toSeq.map(n => n -> spark.read.parquet(s"$workDir/$n")).toMap ++
-          mart.map("rep_fraud" -> _).toMap
-      // one-time legacy lift: a served table this run did NOT touch and
-      // no commit references yet, but which exists under a legacy layout
-      // (plain dir or per-table manifest), migrates into THIS commit —
-      // after the first default-mode run the ENTIRE served set flips
-      // atomically, which is the guarantee the commit set exists to
-      // give. Costs one rewrite of each legacy table, exactly once.
-      val lifted: Map[String, DataFrame] = servedTables
-        .filterNot(changed0.keySet).filterNot(committedTables.keySet)
-        .flatMap(n => WarehouseFs.readTable(spark, tablePath(n)).map(n -> _))
-        .toMap
-      val changed = changed0 ++ lifted
-      if (changed.nonEmpty) {
-        // stats ride with every commit: served tables are dims/mart-sized
-        // (never the fact), so the one profiling scan per changed table is
-        // cheap, and readers get committed row counts for join planning
-        WarehouseFs.publishAtomicAll(changed, whDir,
-          partitionBy = Map("rep_fraud" -> Seq("report_dt")),
-          carryForward = committedTables.keySet -- changed.keySet,
-          collectStats = true,
-          // the investigation access path is a point lookup ("all fraud
-          // events for THIS passport") — a bloom file index on the mart
-          // serves it from matching files only, day partitions and all
-          bloomIndex = Map("rep_fraud" -> Seq("passport")))
+    // One commit spanning everything this run changed. Served tables are
+    // VERSIONED MEMBER CHAINS at their own table paths ($wh/<name>): a
+    // changed dim SYNCS by row-level delta into its chain
+    // ([[WarehouseFs.syncToState]] — copy-on-write, only files holding
+    // changed keys rewrite), the mart's report day lands as a CoW
+    // partition overwrite, and ONE commit file pins every member's
+    // current version (`table=@version` body lines,
+    // [[WarehouseFs.publishAtomicVersioned]]). Member chains buy what
+    // dir-style commit entries could not: cross-commit FILE sharing (an
+    // unchanged-this-run table re-pins its version — zero I/O — and a
+    // barely-changed one shares every untouched file), and
+    // file-granular commit feeds ([[WarehouseFs.changeFeedCommitted]]
+    // diffs only non-shared files — the reference's cumulative
+    // blacklist feed of ~8 rows/day reads one rewritten file, never the
+    // table). Legacy layouts (plain dirs, per-table manifests,
+    // dir-style commit entries) lift into member chains exactly once.
+    val memberKeep = 8 // member versions retained — covers the commit window
+    val syncKeys = Map(
+      "dwh_dim_terminals_hist" -> Seq("terminal_id", "effective_from"),
+      "dwh_fact_pssprt_blcklst" -> Seq("passport_num"))
+    // bloom file indexes keep the CoW syncs file-granular (touched-set
+    // resolution) AND serve the investigation point lookups
+    val bloomCols = Map(
+      "rep_fraud" -> Seq("passport"),
+      "dwh_fact_pssprt_blcklst" -> Seq("passport_num"),
+      "dwh_dim_terminals_hist" -> Seq("terminal_id"))
+    def commitAtomic(martDay: Option[DataFrame]): Unit = if (useAtomic) {
+      def isVersioned(n: String) =
+        WarehouseFs.currentVersion(spark, tablePath(n)).isDefined
+      // stats ride with every member publish: served tables are
+      // dims/mart-sized (never the fact), so the profiling scan is cheap
+      // and readers get committed row counts for join planning
+      def lift(n: String, df: DataFrame, partBy: Seq[String] = Nil): Unit =
+        WarehouseFs.publishVersioned(df, tablePath(n), partitionBy = partBy,
+          keepVersions = memberKeep, collectStats = true,
+          bloomIndexCols = bloomCols.getOrElse(n, Nil))
+      var touched = false
+      for (n <- workWritten) {
+        val state = spark.read.parquet(s"$workDir/$n")
+        if (isVersioned(n))
+          WarehouseFs.syncToState(state, tablePath(n), syncKeys(n),
+            keepVersions = memberKeep)
+        else lift(n, state)
+        touched = true
+      }
+      martDay.foreach { rep =>
+        if (isVersioned("rep_fraud"))
+          // CoW partition overwrite: replace only this run's report
+          // day(s), carry every other day's files by reference
+          WarehouseFs.overwritePartitions(rep, tablePath("rep_fraud"),
+            Seq("report_dt"), keepVersions = memberKeep)
+        else {
+          // one-time lift: prior mart days (legacy layout) + this day
+          val old = committedTables.get("rep_fraud")
+            .flatMap(WarehouseFs.readCommitEntry(spark, _))
+            .orElse(WarehouseFs.readTable(spark, tablePath("rep_fraud")))
+          val full = old match {
+            case Some(o) =>
+              val days = rep.select("report_dt").distinct()
+              o.select(rep.columns.map(col).toSeq: _*)
+                .join(broadcast(days), Seq("report_dt"), "left_anti")
+                .unionByName(rep)
+            case None => rep
+          }
+          lift("rep_fraud", full, Seq("report_dt"))
+        }
+        touched = true
+      }
+      // remaining legacy states (untouched this run, not yet versioned)
+      // migrate once so the ENTIRE served set pins; tables a prior commit
+      // carried beyond the served set migrate the same way
+      val allServed = (servedTables ++ committedTables.keySet).distinct
+      for (n <- allServed if !isVersioned(n)) {
+        val legacy = committedTables.get(n)
+          .flatMap(WarehouseFs.readCommitEntry(spark, _))
+          .orElse(WarehouseFs.readTable(spark, tablePath(n)))
+        legacy.foreach { df =>
+          lift(n, df, if (n == "rep_fraud") Seq("report_dt") else Nil)
+          touched = true
+        }
+      }
+      if (touched) {
+        WarehouseFs.publishAtomicVersioned(spark, Map.empty, whDir,
+          pinCurrent = allServed.filter(isVersioned).toSet,
+          keepVersions = memberKeep)
         WarehouseFs.deleteIfExists(spark, workDir)
       }
     }
@@ -285,14 +340,9 @@ object EtlPipeline {
     val factPath = tablePath("dwh_fact_transactions")
     val martPath = tablePath("rep_fraud")
     // the mart resolves like every served table: latest commit in atomic
-    // mode (plain dir as the migration fallback), plain dir otherwise
-    def readMart(): Option[DataFrame] =
-      if (useAtomic)
-        committedTables.get("rep_fraud").map(spark.read.parquet(_))
-          .orElse(if (WarehouseFs.hasData(spark, martPath))
-                    Some(spark.read.parquet(martPath)) else None)
-      else if (WarehouseFs.hasData(spark, martPath)) Some(spark.read.parquet(martPath))
-      else None
+    // mode (version pins included; member chain / plain dir as the
+    // migration fallbacks), plain-or-manifest dir otherwise
+    def readMart(): Option[DataFrame] = readIf("rep_fraud")
     val martExists = readMart().isDefined
     val allDays = WarehouseFs.listNames(spark, factPath)
       .filter(_.startsWith("day=")).map(_.stripPrefix("day=")).sorted
@@ -381,20 +431,13 @@ object EtlPipeline {
       else newEvents)
     val repCount: Any =
       if (useAtomic) {
-        // commit-set mode: the new mart state = untouched report days +
-        // this run's (merged) report day, committed in ONE commit with
-        // every other table the run changed. rep is bounded (the run's
-        // windows), so the checkpoint is O(new events); the union against
-        // the immutable current version dir needs no materialization.
+        // commit-set mode: this run's (merged) report day replaces its
+        // partition of the rep_fraud MEMBER CHAIN as one CoW commit —
+        // historical days' files carry by reference — then the whole
+        // served set pins in one commit file. rep is bounded (the run's
+        // windows), so the checkpoint is O(new events).
         val repFinal = rep.localCheckpoint()
-        val martFinal = readMart() match {
-          case Some(old) =>
-            old.filter(col("report_dt") =!= lit(reportDt))
-              .select(repFinal.columns.map(col).toSeq: _*)
-              .unionByName(repFinal)
-          case None => repFinal
-        }
-        commitAtomic(Some(martFinal))
+        commitAtomic(Some(repFinal))
         repFinal.count()
       } else {
         // Dynamic partition overwrite: only the report days present in this

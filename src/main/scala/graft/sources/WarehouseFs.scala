@@ -2197,6 +2197,43 @@ object WarehouseFs {
       all.diff(touched), keepVersions, refreshStats)
   }
 
+  /** Reconcile a versioned table to a NEW full state in ONE
+    * copy-on-write commit: the row-level delta between the current
+    * version and `newState` is derived with one key-partitioned
+    * full-outer join ([[changeFeed]]'s classification) and applied
+    * through [[applyChangeFeedKeys]] — so only the files holding
+    * CHANGED keys rewrite and everything else carries by reference. The
+    * verb for a pipeline that computes full snapshots but wants
+    * CoW commit economics (an SCD apply, a dimension refresh): a
+    * mostly-unchanged state costs O(changed keys) file rewrites, and a
+    * no-change sync provably commits nothing (no version bump — the
+    * downstream commit-set feed is then scan-free empty). Keys must be
+    * unique and non-null in BOTH states. The diff joins the table's
+    * current files against `newState` twice (cardinality pass +
+    * rewrite); persist `newState` first if deriving it is expensive.
+    * Returns true when a new version was committed. */
+  def syncToState(newState: DataFrame, table: String, keyCols: Seq[String],
+                  keepVersions: Int = 2, maxPointKeys: Int = 10000,
+                  refreshStats: Boolean = true): Boolean = {
+    val spark = newState.sparkSession
+    val before = currentVersion(spark, table).map(_._1).getOrElse(
+      throw new IllegalArgumentException(
+        s"syncToState: $table is not a versioned table — publish its " +
+          "first state with publishVersioned"))
+    import org.apache.spark.sql.functions.col
+    val current = readTable(spark, table).getOrElse(
+      throw new IllegalStateException(s"syncToState: $table vanished"))
+    require(newState.columns.toSet == current.columns.toSet,
+      s"syncToState: new state columns ${newState.columns.toSet} must " +
+        s"equal table columns ${current.columns.toSet} — evolve the " +
+        "schema with alterAddColumns/publishVersioned first")
+    val feed = rowDiff(current.select(newState.columns.map(col).toSeq: _*),
+      newState, keyCols, s"current and new state of $table")
+    applyChangeFeedKeys(spark, feed, table, keyCols, maxPointKeys,
+      keepVersions, refreshStats)
+    currentVersion(spark, table).map(_._1).exists(_ > before)
+  }
+
   /** Catch a replica up to the source across a RANGE of source
     * versions, one commit per version step (each step is the exact
     * [[changeFeed]] of that step — replaying history preserves every

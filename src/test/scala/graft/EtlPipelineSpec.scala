@@ -301,6 +301,59 @@ class EtlPipelineSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.etl.atomicCommit")
   }
 
+  test("versioned commit sets: a small blacklist day feeds file-granular; unchanged tables re-pin") {
+    import graft.sources.WarehouseFs
+    val tmp = java.nio.file.Files.createTempDirectory("graft_wh_vcs_").toString
+    val whV = s"$tmp/wh"
+    stageFeeds(s"$tmp/feeds_12", Seq(termFile(1), termFile(2),
+      blFile(1), blFile(2), txFile(1), txFile(2)))
+    stageFeeds(s"$tmp/feeds_3", Seq(blFile(3))) // a blacklist-only nightly
+    EtlPipeline.run(spark, s"$tmp/feeds_12", whV, None, Some(asOf(2)))
+    val (c1, t1) = WarehouseFs.currentCommit(spark, whV).get
+    assert(t1.values.forall(_.contains("/@")),
+      s"served tables must commit as version pins, got $t1")
+    val blBefore = WarehouseFs
+      .readCommitted(spark, whV, "dwh_fact_pssprt_blcklst").get.count()
+
+    EtlPipeline.run(spark, s"$tmp/feeds_3", whV, None, Some(asOf(3)))
+    val (c2, t2) = WarehouseFs.currentCommit(spark, whV).get
+    assert(c2 === c1 + 1)
+    // untouched members re-pin their version — ZERO data I/O, total
+    // cross-commit file sharing by entry equality
+    assert(t2("dwh_dim_terminals_hist") === t1("dwh_dim_terminals_hist"))
+    assert(t2("rep_fraud") === t1("rep_fraud"))
+    val blAfter = WarehouseFs
+      .readCommitted(spark, whV, "dwh_fact_pssprt_blcklst").get.count()
+    assert(blAfter > blBefore, "day 3 must add blacklist entries")
+
+    // the commit feed of the changed member is FILE-GRANULAR: the two
+    // pinned manifests share every untouched file, so the diff scans
+    // only the rewritten file + its replacement — never the table
+    val feed = WarehouseFs.changeFeedCommitted(spark, whV,
+      "dwh_fact_pssprt_blcklst", Seq("passport_num"), c1, c2).get
+    val feedRows = feed.collect()
+    assert(feedRows.length === (blAfter - blBefore),
+      "a cumulative-feed day must surface as exactly its added entries")
+    assert(feedRows.forall(_.getAs[String]("_change_type") == "insert"))
+    assert(feed.inputFiles.length <= 2,
+      s"the feed must scan only non-shared files, read: ${feed.inputFiles.toSeq}")
+    // the changed member itself shares its untouched files across commits
+    val blPath = s"$whV/dwh_fact_pssprt_blcklst"
+    def pinOf(entry: String) = entry.substring(entry.lastIndexOf("/@") + 2).toLong
+    val fFrom = WarehouseFs.readTableVersion(spark, blPath,
+      pinOf(t1("dwh_fact_pssprt_blcklst"))).get.inputFiles.toSet
+    val fTo = WarehouseFs.readTableVersion(spark, blPath,
+      pinOf(t2("dwh_fact_pssprt_blcklst"))).get.inputFiles.toSet
+    assert((fFrom -- fTo).size <= 1,
+      s"at most one file of the prior blacklist version may rewrite: ${fFrom -- fTo}")
+
+    // an idempotent re-run seals a carry-forward commit: every pin equal
+    EtlPipeline.run(spark, s"$tmp/feeds_3", whV, None, Some(asOf(3)))
+    val (c3, t3) = WarehouseFs.currentCommit(spark, whV).get
+    assert(c3 === c2 + 1 && t3 === t2,
+      "a no-change run must re-pin every member version unchanged")
+  }
+
   test("a legacy plain-dir warehouse upgrades in place on its first default (atomic) run") {
     import graft.sources.WarehouseFs
     val tmp = java.nio.file.Files.createTempDirectory("graft_wh_legacy_").toString

@@ -789,6 +789,36 @@ class WarehouseDmlSpec extends SparkSpec {
       "the exact scan leg must confine a >1M-key rewrite to the matching files")
   }
 
+  test("syncToState: full-snapshot reconcile commits CoW deltas only; no-change sync commits nothing") {
+    val t = tmpTable()
+    publishFixture(t, keepVersions = 5)
+    val current = WarehouseFs.readTable(spark, t).get
+    // new desired state: one update, one delete, one insert
+    val newState = current
+      .filter(col("id") =!= 777L)
+      .withColumn("user", when(col("id") === 42L, lit("changed"))
+        .otherwise(col("user")))
+      .unionByName(Seq((9000L, "u9000", 9000L % 7)).toDF("id", "user", "grp"))
+      .localCheckpoint()
+    assert(WarehouseFs.syncToState(newState, t, Seq("id"), keepVersions = 5))
+    val got = WarehouseFs.readTable(spark, t).get
+    assert(got.count() === 8000) // 8000 - 1 deleted + 1 inserted
+    assert(got.filter(col("id") === 42L).select("user").head().getString(0)
+      === "changed")
+    assert(got.filter(col("id") === 777L).count() === 0)
+    assert(got.filter(col("id") === 9000L).count() === 1)
+    // only the files holding ids 42 / 777 (+ the insert's own file) may
+    // rewrite; the rest of the 8 range files carry by reference
+    assert(got.inputFiles.count(_.contains("/v00000001/")) >= 6,
+      s"untouched files must carry: ${got.inputFiles.toSeq}")
+    // reconciling to the state the table already holds commits NOTHING
+    val v = WarehouseFs.currentVersion(spark, t).get._1
+    assert(!WarehouseFs.syncToState(got.localCheckpoint(), t, Seq("id"),
+      keepVersions = 5))
+    assert(WarehouseFs.currentVersion(spark, t).get._1 === v,
+      "a no-change sync must not bump the version")
+  }
+
   test("bulk key-scan over mixed pre/post-ALTER candidates treats old-width files as untouched") {
     import org.apache.spark.sql.types.{StringType, StructField, StructType}
     val t = tmpTable()
