@@ -36,10 +36,18 @@ import graft.sources.{GraftCatalog, GraftCatalogTable, GraftRelation, GraftTable
   * Supported surface (everything else fails loudly, naming the clause):
   *   - DELETE FROM t [WHERE any-predicate]
   *   - UPDATE t SET c = expr, … [WHERE any-predicate]
-  *   - MERGE INTO t USING s ON conjunctive same-name key equalities
-  *       WHEN MATCHED [AND c] THEN UPDATE SET … | DELETE   (≤1 of each)
-  *       WHEN NOT MATCHED THEN INSERT (same-named source columns / *)
+  *   - MERGE [WITH SCHEMA EVOLUTION] INTO t USING s
+  *         ON conjunctive same-name key equalities
+  *       WHEN MATCHED [AND c] THEN UPDATE SET … | DELETE   (any number,
+  *         folded first-match-wins in ANSI clause order)
+  *       WHEN NOT MATCHED [AND c] THEN INSERT (same-named source
+  *         columns / *; the gate references source columns)
   *       WHEN NOT MATCHED BY SOURCE [AND c] THEN DELETE
+  *   WITH SCHEMA EVOLUTION rides Spark's own
+  *   ResolveMergeIntoSchemaEvolution (gated on the table's
+  *   AUTOMATIC_SCHEMA_EVOLUTION capability): new source columns become
+  *   an additive ALTER through the catalog — one sidecar write — before
+  *   the merge re-resolves against the evolved width.
   *
   * Predicate index pruning: DELETE/UPDATE conditions translate to source
   * filters, whose equality/IN conjuncts probe the bloom index and
@@ -68,11 +76,16 @@ object GraftDmlRule extends Rule[LogicalPlan] with PredicateHelper {
       GraftDeleteCommand(path, rel.output, cond)
     case u @ UpdateTable(Target(path, rel), assignments, cond) if u.resolved =>
       GraftUpdateCommand(path, rel.output, assignments, cond)
+    // WITH SCHEMA EVOLUTION: Spark's own ResolveMergeIntoSchemaEvolution
+    // computes the additive changes and applies them through the
+    // catalog's alterTable — which graft lowers onto [[WarehouseFs
+    // .alterAddColumns]] (one sidecar write, zero data I/O) — then
+    // re-resolves the merge against the evolved relation. Leave such a
+    // merge alone until that rule has nothing left to do; the claim
+    // below then sees an ordinary merge whose source columns all exist.
     case m @ MergeIntoTable(Target(path, rel), source, cond,
-        matched, notMatched, notMatchedBySource, _) if m.resolved =>
-      if (m.withSchemaEvolution)
-        fail("MERGE … WITH SCHEMA EVOLUTION (schema changes go through " +
-          "WarehouseFs.publishVersioned)")
+        matched, notMatched, notMatchedBySource, _)
+        if m.resolved && !m.needSchemaEvolution =>
       GraftMergeCommand(path, rel.output, source, cond,
         matched, notMatched, notMatchedBySource)
     // INSERT OVERWRITE under partitionOverwriteMode=dynamic (and
@@ -234,46 +247,56 @@ case class GraftMergeCommand(path: String, targetOutput: Seq[Attribute],
     def cc(e: Expression): Column = recolumn(e, tgt, src)
     def condCol(c: Option[Expression]): Option[Column] = c.map(cc)
 
-    // WHEN MATCHED: ≤1 UPDATE and ≤1 DELETE, order-aware
-    var updateMap = Map.empty[String, Column]
+    // WHEN MATCHED: ANY number of conditional UPDATE/DELETE clauses,
+    // folded first-match-wins (ANSI order): each clause's EFFECTIVE
+    // guard is its own condition AND the negation of every earlier
+    // clause's — a row taken by clause k is invisible to clause k+1. An
+    // unconditional clause makes everything after it unreachable
+    // (effective guards go identically false), matching runtime ANSI
+    // semantics. Per column, the update expression is the ordered
+    // when-chain over the clauses that assign it, falling through to
+    // the old value; delete conditions OR together under their
+    // effective guards. NULL guards count as not-satisfied.
+    def g(c: Option[Expression]): Column =
+      c.map(e => coalesce(cc(e), lit(false))).getOrElse(lit(true))
+    // per column: (effective guard, value) in clause order
+    val colCases = scala.collection.mutable.LinkedHashMap
+      .empty[String, Vector[(Column, Column)]]
     var deleteCond: Option[Column] = None
-    def assignMap(assigns: Seq[Assignment], guard: Option[Column]): Map[String, Column] =
-      assigns.map { a =>
-        val name = a.key match {
-          case k: AttributeReference => k.name
-          case other => fail(s"UPDATE of a nested field ($other)")
+    var priorTaken: Column = lit(false)
+    matched.foreach {
+      case UpdateAction(cu, assigns, _) =>
+        val eff = !priorTaken && g(cu)
+        assigns.foreach { a =>
+          val name = a.key match {
+            case k: AttributeReference => k.name
+            case other => fail(s"UPDATE of a nested field ($other)")
+          }
+          colCases(name) = colCases.getOrElse(name, Vector.empty) :+
+            ((eff, cc(a.value)))
         }
-        val v = cc(a.value)
-        name -> guard.fold(v)(g =>
-          when(coalesce(g, lit(false)), v).otherwise(col(name)))
-      }.toMap
-    matched match {
-      case Seq() =>
-      case Seq(UpdateAction(cu, assigns, _)) =>
-        updateMap = assignMap(assigns, condCol(cu))
-      case Seq(DeleteAction(cd)) =>
-        deleteCond = Some(condCol(cd).getOrElse(lit(true)))
-      case Seq(UpdateAction(cu, assigns, _), DeleteAction(cd)) =>
-        // ANSI order: DELETE fires only where the UPDATE's guard did not
-        cu match {
-          case None => updateMap = assignMap(assigns, None) // DELETE unreachable
-          case Some(g) =>
-            updateMap = assignMap(assigns, Some(cc(g)))
-            deleteCond = Some(!coalesce(cc(g), lit(false)) &&
-              coalesce(condCol(cd).getOrElse(lit(true)), lit(false)))
+        priorTaken = priorTaken || g(cu)
+      case DeleteAction(cd) =>
+        val eff = !priorTaken && g(cd)
+        deleteCond = Some(deleteCond.fold(eff)(_ || eff))
+        priorTaken = priorTaken || g(cd)
+      case other => fail(s"WHEN MATCHED action $other (UPDATE and DELETE " +
+        "are supported)")
+    }
+    val updateMap: Map[String, Column] = colCases.toMap.map {
+      case (name, cases) =>
+        name -> cases.foldRight(col(name): Column) {
+          case ((eff, v), els) => when(eff, v).otherwise(els)
         }
-      case Seq(DeleteAction(cd), UpdateAction(cu, assigns, _)) =>
-        deleteCond = Some(condCol(cd).getOrElse(lit(true)))
-        if (cd.isDefined) // else UPDATE is unreachable
-          updateMap = assignMap(assigns, condCol(cu))
-      case other => fail(s"WHEN MATCHED actions $other (≤1 UPDATE and ≤1 " +
-        "DELETE are supported)")
     }
 
-    // WHEN NOT MATCHED: one unconditional INSERT of same-named source cols
-    val insert = notMatched match {
-      case Seq() => false
-      case Seq(InsertAction(None, assigns)) =>
+    // WHEN NOT MATCHED: one INSERT of same-named source columns,
+    // optionally conditional — the gate evaluates on SOURCE rows, so it
+    // may reference source columns only (a NOT-MATCHED target column is
+    // all-NULL; reference it explicitly as NULL in the query if needed)
+    val (insert, insertCond) = notMatched match {
+      case Seq() => (false, None)
+      case Seq(InsertAction(c, assigns)) =>
         assigns.foreach { a =>
           val ok = (a.key, a.value) match {
             case (k: AttributeReference, v: AttributeReference) =>
@@ -283,10 +306,17 @@ case class GraftMergeCommand(path: String, targetOutput: Seq[Attribute],
           if (!ok) fail(s"INSERT assignment $a (need column-for-same-named-" +
             "column inserts — alias the source query)")
         }
-        true
-      case Seq(InsertAction(Some(c), _)) =>
-        fail(s"conditional WHEN NOT MATCHED AND $c THEN INSERT")
-      case other => fail(s"WHEN NOT MATCHED actions $other")
+        c.foreach { e =>
+          val refs = e.references
+          if (!refs.subsetOf(src))
+            fail(s"WHEN NOT MATCHED AND $e references target columns " +
+              s"(${(refs -- src).mkString(", ")}) — a not-matched target " +
+              "row is all-NULL; restate the gate over source columns")
+        }
+        // re-anchor over the SOURCE frame: source attrs by PLAIN name
+        (true, c.map(e => recolumn(e, src)))
+      case other => fail(s"WHEN NOT MATCHED actions $other (one INSERT " +
+        "clause is supported)")
     }
 
     // WHEN NOT MATCHED BY SOURCE: one DELETE (optionally conditional)
@@ -304,7 +334,8 @@ case class GraftMergeCommand(path: String, targetOutput: Seq[Attribute],
       whenMatchedDelete = deleteCond,
       whenNotMatchedInsert = insert,
       whenNotMatchedBySourceDelete = bySourceDelete,
-      keepVersions = GraftDmlRule.keepVersionsOf(spark, path))
+      keepVersions = GraftDmlRule.keepVersionsOf(spark, path),
+      whenNotMatchedInsertCond = insertCond)
     Seq.empty
   }
 }

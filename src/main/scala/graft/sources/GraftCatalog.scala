@@ -360,9 +360,14 @@ case class GraftCatalogTable(spark: SparkSession, path: String,
     props.foreach { case (k, v) => m.put(k, v) }
     m
   }
+  // AUTOMATIC_SCHEMA_EVOLUTION gates `MERGE … WITH SCHEMA EVOLUTION`:
+  // Spark's ResolveMergeIntoSchemaEvolution computes the additive
+  // column set and applies it through this catalog's alterTable — which
+  // lowers onto the zero-data-I/O declared-schema sidecar
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new org.apache.spark.sql.graft.GraftV2ScanBuilder(

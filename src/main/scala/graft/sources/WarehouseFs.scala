@@ -1820,10 +1820,11 @@ object WarehouseFs {
                 whenNotMatchedBySourceDelete: Option[Column] = None,
                 maxPointKeys: Int = 10000,
                 keepVersions: Int = 2,
-                refreshStats: Boolean = true): Unit =
+                refreshStats: Boolean = true,
+                whenNotMatchedInsertCond: Option[Column] = None): Unit =
     mergeIntoKeys(source, table, Seq(keyCol), whenMatchedUpdate,
       whenMatchedDelete, whenNotMatchedInsert, whenNotMatchedBySourceDelete,
-      maxPointKeys, keepVersions, refreshStats)
+      maxPointKeys, keepVersions, refreshStats, whenNotMatchedInsertCond)
 
   /** [[mergeInto]] on a COMPOSITE key (an SCD2 history keyed on
     * (natural key, valid_from), a fact keyed on (entity, day), …).
@@ -1832,6 +1833,10 @@ object WarehouseFs {
     * (a file holding the composite must hold every component — the
     * intersection is a superset of the truly-matching files, never a
     * miss). */
+  /** `whenNotMatchedInsertCond` gates the insert clause (ANSI
+    * `WHEN NOT MATCHED AND c THEN INSERT`): evaluated on SOURCE rows by
+    * their natural column names — unmatched rows failing it are simply
+    * dropped (NULL gates drop, SQL filter semantics). */
   def mergeIntoKeys(source: DataFrame, table: String, keyCols: Seq[String],
                     whenMatchedUpdate: Map[String, Column] = Map.empty,
                     whenMatchedDelete: Option[Column] = None,
@@ -1839,7 +1844,8 @@ object WarehouseFs {
                     whenNotMatchedBySourceDelete: Option[Column] = None,
                     maxPointKeys: Int = 10000,
                     keepVersions: Int = 2,
-                    refreshStats: Boolean = true): Unit = {
+                    refreshStats: Boolean = true,
+                    whenNotMatchedInsertCond: Option[Column] = None): Unit = {
     import org.apache.spark.sql.functions.{coalesce, col, count, count_distinct, lit, when}
     require(keyCols.nonEmpty, "mergeInto: key columns required")
     require(whenMatchedUpdate.nonEmpty || whenMatchedDelete.nonEmpty ||
@@ -1902,10 +1908,15 @@ object WarehouseFs {
       .getOrElse(source.columns.toSeq)
     require(!tableCols.exists(_.startsWith("src_")),
       s"mergeInto: target columns may not start with src_ (the source alias prefix)")
+    // with inserts the source must COVER the table's columns (missing
+    // ones would silently insert nothing for them — refuse; an intended
+    // widening goes through alterAddColumns). EXTRA source columns are
+    // condition-only inputs (the ANSI `WHEN … AND s.extra` shape) and
+    // project away before the insert.
     if (whenNotMatchedInsert)
-      require(source.columns.toSet == tableCols.toSet,
-        s"mergeInto: with inserts enabled, source columns ${source.columns.toSet} " +
-          s"must equal table columns ${tableCols.toSet}")
+      require(tableCols.toSet.subsetOf(source.columns.toSet),
+        s"mergeInto: with inserts enabled, the source must carry every " +
+          s"table column — missing ${tableCols.toSet -- source.columns}")
     require(whenMatchedUpdate.keySet.subsetOf(tableCols.toSet),
       s"mergeInto: unknown SET columns ${whenMatchedUpdate.keySet -- tableCols}")
 
@@ -1936,8 +1947,10 @@ object WarehouseFs {
     val inserts =
       if (!whenNotMatchedInsert) None
       else {
-        val ins = target.fold(source)(tg =>
-          source.join(tg.select(keyCols.map(col): _*), keyCols, "left_anti"))
+        val gated = whenNotMatchedInsertCond.fold(source)(c =>
+          source.filter(coalesce(c, lit(false))))
+        val ins = target.fold(gated)(tg =>
+          gated.join(tg.select(keyCols.map(col): _*), keyCols, "left_anti"))
         Some(ins.select(tableCols.map(col): _*))
       }
     val rewritten = (rewrittenTarget, inserts) match {

@@ -150,6 +150,106 @@ class GraftCatalogSpec extends SparkSpec {
       (5L, 50L), (6L, 60L), (7L, 70L), (20L, 5L)))
   }
 
+  test("SQL MERGE: multiple conditional matched clauses fold first-match-wins (ANSI order)") {
+    val t = fresh("cat_merge_multi")
+    WarehouseFs.publishVersioned(
+      Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L), (4L, "d", 40L))
+        .toDF("id", "v", "amt"),
+      s"$wh/$t", keepVersions = 5, bloomIndexCols = Seq("id"))
+    Seq((1L, "x1", 100L, 100L), (2L, "x2", 5L, 5L), (3L, "x3", 200L, 200L),
+        (4L, "x4", 999L, 999L), (5L, "new", 50L, 50L), (6L, "no", 10L, 10L))
+      .toDF("id", "v", "amt", "delta").createOrReplaceTempView("mm_src")
+    spark.sql(s"""MERGE INTO graft.$t g USING mm_src s ON g.id = s.id
+                  WHEN MATCHED AND s.delta > 150 THEN UPDATE SET v = 'big', amt = s.delta
+                  WHEN MATCHED AND g.amt < 15 THEN UPDATE SET v = 'small'
+                  WHEN MATCHED AND s.delta = 999 THEN DELETE
+                  WHEN NOT MATCHED AND s.delta >= 50 THEN INSERT *""")
+    val got = spark.table(s"graft.$t").orderBy("id")
+      .as[(Long, String, Long)].collect().toSeq
+    // id 4 (delta 999) is claimed by the FIRST clause (999 > 150) — the
+    // later DELETE never sees it; id 6 fails the insert gate and drops
+    assert(got === Seq((1L, "small", 10L), (2L, "b", 20L),
+      (3L, "big", 200L), (4L, "big", 999L), (5L, "new", 50L)))
+    // a trailing unconditional clause takes everything earlier ones left
+    spark.sql(s"""MERGE INTO graft.$t g USING mm_src s ON g.id = s.id
+                  WHEN MATCHED AND g.v = 'big' THEN UPDATE SET v = 'kept'
+                  WHEN MATCHED THEN DELETE""")
+    assert(spark.table(s"graft.$t").orderBy("id")
+      .as[(Long, String, Long)].collect().toSeq ===
+      Seq((3L, "kept", 200L), (4L, "kept", 999L)))
+  }
+
+  test("SQL MERGE: conditional NOT MATCHED insert gates on source rows; target refs refuse") {
+    val t = fresh("cat_merge_cins")
+    WarehouseFs.publishVersioned(
+      Seq((1L, "a")).toDF("id", "v"),
+      s"$wh/$t", keepVersions = 5, bloomIndexCols = Seq("id"))
+    Seq((1L, "m1"), (2L, "m2"), (3L, "m3"), (4L, "m4")).toDF("id", "v")
+      .createOrReplaceTempView("ci_src")
+    spark.sql(s"""MERGE INTO graft.$t g USING ci_src s ON g.id = s.id
+                  WHEN NOT MATCHED AND s.id % 2 = 0 THEN INSERT *""")
+    assert(spark.table(s"graft.$t").orderBy("id")
+      .as[(Long, String)].collect().toSeq ===
+      Seq((1L, "a"), (2L, "m2"), (4L, "m4")),
+      "only even unmatched ids pass the gate; matched rows untouched")
+    // a NOT MATCHED gate referencing target columns cannot evaluate on
+    // source rows — refused (by graft or by Spark's own resolution)
+    intercept[Exception] {
+      spark.sql(s"""MERGE INTO graft.$t g USING ci_src s ON g.id = s.id
+                    WHEN NOT MATCHED AND g.v IS NULL THEN INSERT *""")
+    }
+  }
+
+  test("MERGE WITH SCHEMA EVOLUTION: additive columns at zero data I/O, file-granular merge") {
+    val t = fresh("cat_merge_evo")
+    val path = s"$wh/$t"
+    WarehouseFs.publishVersioned(
+      spark.range(8000).select(col("id"), concat(lit("u"), col("id")).as("user"))
+        .repartitionByRange(8, col("id")),
+      path, keepVersions = 5, bloomIndexCols = Seq("id"))
+    spark.range(4242, 4243).select(col("id"), lit("w").as("user"),
+      lit(7.5).as("score")).createOrReplaceTempView("evo_src")
+    spark.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO graft.$t g
+                  USING evo_src s ON g.id = s.id
+                  WHEN MATCHED THEN UPDATE SET *
+                  WHEN NOT MATCHED THEN INSERT *""")
+    val got = spark.table(s"graft.$t")
+    assert(got.columns.toSeq === Seq("id", "user", "score"),
+      "the source's new column must evolve the table")
+    assert(got.count() === 8000)
+    assert(got.filter(col("id") === 4242).select("user", "score").head()
+      .toSeq === Seq("w", 7.5))
+    assert(got.filter(col("score").isNotNull).count() === 1,
+      "pre-evolution rows read NULL for the added column")
+    // the evolution was a SIDECAR write + a file-granular CoW merge —
+    // 7 of the 8 original files must carry by reference, un-rewritten
+    val files = WarehouseFs.readTable(spark, path).get.inputFiles
+    assert(files.count(_.contains("/v00000001/")) === 7,
+      s"evolution must not rewrite untouched files: ${files.toSeq}")
+    assert(WarehouseFs.declaredSchema(spark, path).isDefined,
+      "the declared-schema sidecar carries the evolved width")
+    // parity with the API composition: alterAddColumns + mergeIntoKeys
+    val tApi = fresh("cat_merge_evo_api")
+    WarehouseFs.publishVersioned(
+      spark.range(8000).select(col("id"), concat(lit("u"), col("id")).as("user"))
+        .repartitionByRange(8, col("id")),
+      s"$wh/$tApi", keepVersions = 5, bloomIndexCols = Seq("id"))
+    WarehouseFs.alterAddColumns(spark, s"$wh/$tApi",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("score",
+          org.apache.spark.sql.types.DoubleType))))
+    WarehouseFs.mergeIntoKeys(
+      spark.range(4242, 4243).select(col("id"), lit("w").as("user"),
+        lit(7.5).as("score")),
+      s"$wh/$tApi", Seq("id"),
+      whenMatchedUpdate = Map("user" -> col("src_user"),
+        "score" -> col("src_score")),
+      keepVersions = 5)
+    assert(got.collect().map(_.toSeq).toSet ===
+      WarehouseFs.readTable(spark, s"$wh/$tApi").get.collect().map(_.toSeq).toSet,
+      "SQL evolution merge ≡ alterAddColumns + the API verb")
+  }
+
   test("unsupported DML shapes fail loudly, naming the clause") {
     val t = fresh("cat_unsup")
     WarehouseFs.publishVersioned(
