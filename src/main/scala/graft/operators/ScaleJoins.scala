@@ -169,8 +169,15 @@ object ScaleJoins {
     * key, still far beyond any practical file count), so skipping
     * quality degrades gracefully rather than collapsing; cluster on the
     * few columns queries actually filter by. Same single min/max pass,
-    * same range-partition + in-partition sort shape. */
-  def zOrderClusterN(df: DataFrame, keys: Seq[Column], files: Int): DataFrame = {
+    * same range-partition + in-partition sort shape.
+    *
+    * `withinPartitionsOf`: for a Hive-layout table, cluster WITHIN the
+    * named partition columns instead of globally — rows shuffle by the
+    * partition key (each output file stays inside one partition dir, as
+    * the layout requires) and sort by (partition key, Morton code), so
+    * per-file min/max stay tight per partition. */
+  def zOrderClusterN(df: DataFrame, keys: Seq[Column], files: Int,
+                     withinPartitionsOf: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.graft.ZOrderExpressions.z_ordern
     require(files > 0 && keys.size >= 2 && keys.size <= 8)
     val bits = 64 / keys.size
@@ -186,10 +193,73 @@ object ScaleJoins {
       val w = if (hi > lo) hi - lo else 1.0
       least(((col(s"__zk$i") - lo) / w * maxRank).cast("long"), lit(maxRank))
     }
-    tagged.withColumn("__z", z_ordern(scaled: _*))
-      .repartitionByRange(files, col("__z"))
-      .sortWithinPartitions("__z")
-      .drop("__z" +: keys.indices.map(i => s"__zk$i"): _*)
+    val zd = tagged.withColumn("__z", z_ordern(scaled: _*))
+    val shaped =
+      if (withinPartitionsOf.isEmpty)
+        zd.repartitionByRange(files, col("__z")).sortWithinPartitions("__z")
+      else
+        zd.repartition(files, withinPartitionsOf.map(col): _*)
+          .sortWithinPartitions(withinPartitionsOf.map(col) :+ col("__z"): _*)
+    shaped.drop("__z" +: keys.indices.map(i => s"__zk$i"): _*)
+  }
+
+  /** `OPTIMIZE … ZORDER BY` core: rewrite the CURRENT version of a
+    * versioned table re-CLUSTERED along the Morton curve of `zCols`,
+    * size-targeted like [[compactParquet]], with the bloom index
+    * preserved and zone maps REBUILT to cover `zCols` (plus whatever
+    * was mapped before — [[graft.sources.WarehouseFs.publishVersioned]]
+    * derives them fresh from the new files, which is the point: a
+    * DML-heavy chain scatters rows until per-file min/max ranges span
+    * the domain and zone pruning stops paying; re-clustering makes the
+    * maps selective again). Hive layouts keep their partition dirs
+    * (rows cluster within partitions); one ZORDER column degrades to a
+    * plain range-sort. CAS-pinned against concurrent DML. Returns the
+    * target file count. */
+  def zOrderCompact(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    zCols: Seq[String], targetMB: Int = 128): Int = {
+    import graft.sources.WarehouseFs
+    require(zCols.nonEmpty, "zOrderCompact: ZORDER BY needs ≥ 1 column")
+    val current = WarehouseFs.currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"zOrderCompact: $dir is not a versioned table"))
+    val bytes = WarehouseFs.currentVersionBytes(spark, dir).getOrElse(0L)
+    val parts = math.max(1, math.ceil(bytes / (targetMB * 1024.0 * 1024.0)).toInt)
+    val df = WarehouseFs.readTable(spark, dir).getOrElse(
+      throw new IllegalStateException(s"zOrderCompact: $dir vanished"))
+    val partCols = WarehouseFs.layoutPartitionCols(spark, dir)
+    val unknown = zCols.filterNot(df.columns.contains)
+    require(unknown.isEmpty,
+      s"zOrderCompact: unknown ZORDER column(s) ${unknown.mkString(", ")}")
+    require(zCols.intersect(partCols).isEmpty,
+      s"zOrderCompact: ${zCols.intersect(partCols).mkString(", ")} are " +
+        "partition columns — already clustered by the directory layout")
+    val keys = zCols.map { c =>
+      df.schema(c).dataType match {
+        case _: org.apache.spark.sql.types.NumericType => col(c)
+        case org.apache.spark.sql.types.DateType |
+             org.apache.spark.sql.types.TimestampType => unix_timestamp(col(c))
+        case other => throw new UnsupportedOperationException(
+          s"zOrderCompact: $c is $other — ZORDER BY takes numeric, date " +
+            "or timestamp columns")
+      }
+    }
+    val clustered =
+      if (keys.size == 1) {
+        // one dimension: the Morton curve degenerates to a plain sort
+        val shaped =
+          if (partCols.isEmpty) df.repartitionByRange(parts, keys.head)
+          else df.repartition(parts, partCols.map(col): _*)
+        shaped.sortWithinPartitions(partCols.map(col) :+ keys.head: _*)
+      } else zOrderClusterN(df, keys, parts, withinPartitionsOf = partCols)
+    // preserve the version's metadata through the rewrite; zone maps
+    // EXTEND to the zorder columns — they are exactly the ones range
+    // queries will prune by from now on
+    val (bloomCols, zoneCols, hasStats) = WarehouseFs.versionMetadata(spark, dir)
+    WarehouseFs.publishVersioned(clustered, dir, partitionBy = partCols,
+      collectStats = hasStats, bloomIndexCols = bloomCols,
+      zoneMapCols = (zoneCols ++ zCols).distinct,
+      expectedVersion = Some(current._1))
+    parts
   }
 
   /** Interval self-join with a power-user guard. The J9 shape — equi on a

@@ -19,6 +19,9 @@ import graft.sources.WarehouseFs
   *   OPTIMIZE graft.t                    -- fold a CoW chain / small files
   *                                          into one clean, size-targeted
   *                                          dir version (indexes kept)
+  *   OPTIMIZE graft.t ZORDER BY (a, b)   -- same fold, rows re-clustered
+  *                                          on the Morton curve; zone maps
+  *                                          rebuilt over (a, b)
   *   VACUUM graft.t RETAIN 3 VERSIONS    -- tighten retention + GC now
   *   DESCRIBE HISTORY graft.t            -- retained versions: commit
   *                                          time, manifest format, files,
@@ -32,6 +35,8 @@ import graft.sources.WarehouseFs
   * reachable too. Installed by [[graft.plans.GraftExtensions]]. */
 class GraftMaintenanceParser(delegate: ParserInterface) extends ParserInterface {
 
+  private val OptimizeZRe =
+    """(?is)\s*OPTIMIZE\s+(.+?)\s+ZORDER\s+BY\s*\(\s*([^)]+?)\s*\)\s*;?\s*""".r
   private val OptimizeRe =
     """(?is)\s*OPTIMIZE\s+(.+?)\s*;?\s*""".r
   private val VacuumRe =
@@ -40,6 +45,9 @@ class GraftMaintenanceParser(delegate: ParserInterface) extends ParserInterface 
     """(?is)\s*DESCRIBE\s+HISTORY\s+(.+?)\s*;?\s*""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case OptimizeZRe(ident, cols) => GraftOptimizeCommand(tablePath(ident),
+      cols.split(',').map(c => c.trim.stripPrefix("`").stripSuffix("`"))
+        .filter(_.nonEmpty).toSeq)
     case OptimizeRe(ident) => GraftOptimizeCommand(tablePath(ident))
     case VacuumRe(ident, n) => GraftVacuumCommand(tablePath(ident), n.toInt)
     case HistoryRe(ident) => GraftDescribeHistoryCommand(tablePath(ident))
@@ -97,8 +105,14 @@ class GraftMaintenanceParser(delegate: ParserInterface) extends ParserInterface 
   * the resolved current version (carried CoW files included), rewrites
   * it size-targeted into one clean dir version with the prior version's
   * bloom/zone/stats metadata preserved, CAS-pinned against concurrent
-  * DML. Returns (new_version, partitions). */
-case class GraftOptimizeCommand(path: String) extends LeafRunnableCommand {
+  * DML. `OPTIMIZE t ZORDER BY (c1[, c2…])` →
+  * [[graft.operators.ScaleJoins.zOrderCompact]]: same rewrite, rows
+  * re-clustered along the Morton curve of the named columns, zone maps
+  * REBUILT to cover them (tight per-file min/max is the point — a
+  * DML-scattered zone-mapped table gets its range pruning back).
+  * Returns (new_version, partitions). */
+case class GraftOptimizeCommand(path: String, zorderBy: Seq[String] = Nil)
+    extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType, nullable = false)(),
     AttributeReference("partitions", IntegerType, nullable = false)())
@@ -107,7 +121,9 @@ case class GraftOptimizeCommand(path: String) extends LeafRunnableCommand {
     // the SQL surface promises versioned semantics (a new version row)
     require(WarehouseFs.currentVersion(spark, path).isDefined,
       s"OPTIMIZE: $path is not a versioned table")
-    val parts = graft.operators.ScaleJoins.compactParquet(spark, path)
+    val parts =
+      if (zorderBy.isEmpty) graft.operators.ScaleJoins.compactParquet(spark, path)
+      else graft.operators.ScaleJoins.zOrderCompact(spark, path, zorderBy)
     val v = WarehouseFs.currentVersion(spark, path).map(_._1).get
     Seq(Row(v, parts))
   }

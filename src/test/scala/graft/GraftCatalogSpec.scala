@@ -305,6 +305,54 @@ class GraftCatalogSpec extends SparkSpec {
     intercept[Exception] { spark.sql("OPTIMIZE graft.nope_missing").collect() }
   }
 
+  test("OPTIMIZE ZORDER BY: a scattered table gets selective zone pruning back") {
+    val t = fresh("cat_zopt")
+    val path = s"$wh/$t"
+    // hash-scattered layout: every file spans ~the full (x, y) domain —
+    // the state a DML-heavy chain degrades into — so a range probe's
+    // zone maps keep every file
+    val base = spark.range(40000).select(col("id"),
+      pmod(col("id") * 2654435761L, lit(10000L)).as("x"),
+      pmod(col("id") * 40503L, lit(10000L)).as("y"))
+      .repartition(8)
+    WarehouseFs.publishVersioned(base, path, keepVersions = 5,
+      bloomIndexCols = Seq("id"), zoneMapCols = Seq("x", "y"))
+    // one CoW update to give OPTIMIZE a chain to fold
+    spark.sql(s"UPDATE graft.$t SET y = 0 WHERE id = 7")
+    val contentBefore = spark.table(s"graft.$t").collect().map(_.toSeq).toSet
+    val probe = Map("x" -> ((100L: Any, 600L: Any)))
+    val before = WarehouseFs.prunedFiles(spark, path, ranges = probe).get
+    assert(before._3 === before._4,
+      s"scattered layout must defeat zone pruning (kept ${before._3} of ${before._4})")
+
+    val res = spark.sql(s"OPTIMIZE graft.$t ZORDER BY (x, y)").collect()
+    assert(res.head.getLong(0) === 3L, "OPTIMIZE must commit a new version")
+    assert(spark.table(s"graft.$t").collect().map(_.toSeq).toSet ===
+      contentBefore, "same rows, new order")
+    // metadata preserved: bloom carried, zone maps rebuilt over (x, y)
+    val (bloomCols, zoneCols, _) = WarehouseFs.versionMetadata(spark, path)
+    assert(bloomCols === Seq("id") && zoneCols.toSet === Set("x", "y"))
+
+    // the sizing target makes this tiny table ONE file — re-cluster the
+    // API way with a 1 MB target to hold the multi-file pruning bound
+    val big = spark.range(2000000).select(col("id"),
+      pmod(col("id") * 2654435761L, lit(10000L)).as("x"),
+      pmod(col("id") * 40503L, lit(10000L)).as("y"))
+      .repartition(16)
+    val tb = fresh("cat_zopt_big")
+    WarehouseFs.publishVersioned(big, s"$wh/$tb", keepVersions = 5,
+      zoneMapCols = Seq("x", "y"))
+    val b0 = WarehouseFs.prunedFiles(spark, s"$wh/$tb", ranges = probe).get
+    assert(b0._3 === b0._4, "scattered: nothing prunes")
+    graft.operators.ScaleJoins.zOrderCompact(spark, s"$wh/$tb",
+      Seq("x", "y"), targetMB = 1)
+    val b1 = WarehouseFs.prunedFiles(spark, s"$wh/$tb", ranges = probe).get
+    assert(b1._4 > 4, s"sizing must produce several files, got ${b1._4}")
+    assert(b1._3 * 2 <= b1._4,
+      s"a 5% x-range must prune at least half the z-ordered files " +
+        s"(kept ${b1._3} of ${b1._4})")
+  }
+
   test("ALTER TABLE ADD COLUMNS: additive evolution without rewriting a byte") {
     val t = fresh("cat_alter")
     spark.sql(s"CREATE TABLE graft.$t (id BIGINT, v STRING) " +
