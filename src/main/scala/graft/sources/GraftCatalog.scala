@@ -215,7 +215,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         throw new UnsupportedOperationException(
           s"graft catalog: TBLPROPERTIES ${rejected.mkString(", ")} cannot " +
             "be altered (persistable: bloomIndexCols, zoneMapCols, " +
-            "keepVersions; partitioning is fixed by the written layout)")
+            "keepVersions, keyCols; partitioning is fixed by the written " +
+            "layout)")
       GraftCatalog.writeProps(spark, path,
         GraftCatalog.readProps(spark, path) ++ propSets)
     }
@@ -292,8 +293,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
 object GraftCatalog {
   /** The table properties this catalog persists (everything else — the
-    * engine-reserved `provider`/`owner`/… — is dropped, not stored). */
-  private val OwnKeys = Set("bloomindexcols", "zonemapcols", "keepversions")
+    * engine-reserved `provider`/`owner`/… — is dropped, not stored).
+    * `keyCols` declares the table's logical key for streaming reads
+    * (`readStream.table` → the change-feed source). */
+  private val OwnKeys =
+    Set("bloomindexcols", "zonemapcols", "keepversions", "keycols")
 
   def ownProps(properties: util.Map[String, String]): Map[String, String] = {
     val b = Map.newBuilder[String, String]

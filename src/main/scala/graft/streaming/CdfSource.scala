@@ -77,6 +77,50 @@ object CdfSource {
       .add("_commit_version", LongType, nullable = false)
 }
 
+/** Makes `spark.readStream.table("graft.t")` (and
+  * `readStream.format(…).table`) work: the analyzer resolves a
+  * streaming read of a graft catalog table to a [[StreamingRelationV2]]
+  * that declares no streaming capability; this rule rewrites it onto
+  * the registered v1 `graft-cdf` source — streaming a graft table IS
+  * streaming its change feed (base columns + `_change_type` +
+  * `_commit_version`, the lakehouse-CDF convention). Key columns come
+  * from a reader option (`.option("keyCols", …)`) or the table's
+  * stored `keyCols` property; `startingVersion` passes through.
+  * Offsets (= versions), restart floor, initial-snapshot and retention
+  * semantics are exactly the v1 source's ([[CdfSource]] — the offset
+  * model needs no adaptation, which is why the v1 fallback is the
+  * honest lowering: a DSv2 `MicroBatchStream` would have to stage each
+  * batch's join result to give executors something to read).
+  * Installed by [[graft.plans.GraftExtensions]]. */
+class GraftStreamTableRule(spark: org.apache.spark.sql.SparkSession)
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+  import org.apache.spark.sql.catalyst.streaming.StreamingRelationV2
+  import org.apache.spark.sql.execution.datasources.DataSource
+  import org.apache.spark.sql.execution.streaming.runtime.StreamingRelation
+  import graft.sources.GraftCatalogTable
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
+    case StreamingRelationV2(_, _, t: GraftCatalogTable, options, _, _, _, _) =>
+      if (t.pinned.isDefined)
+        throw new UnsupportedOperationException(
+          s"graft-cdf: ${t.name()} is a time-travel read — a stream " +
+            "follows the live version chain")
+      val keyCols = Option(options.get("keyCols")).filter(_.nonEmpty)
+        .orElse(t.props.collectFirst {
+          case (k, v) if k.equalsIgnoreCase("keyCols") => v })
+        .getOrElse(throw new IllegalArgumentException(
+          s"graft-cdf: streaming ${t.name()} needs its key columns — " +
+            "declare TBLPROPERTIES('keyCols'='…') at CREATE (or ALTER … " +
+            "SET TBLPROPERTIES), or pass .option(\"keyCols\", …)"))
+      val opts = Map("table" -> t.path, "keyCols" -> keyCols) ++
+        Option(options.get("startingVersion")).map("startingVersion" -> _)
+      StreamingRelation(DataSource(spark, className = "graft-cdf",
+        options = opts))
+  }
+}
+
 class CdfSource(sqlContext: SQLContext, table: String, keyCols: Seq[String],
                 startingVersion: Option[Long],
                 metadataPath: Option[String] = None) extends Source {

@@ -230,4 +230,50 @@ class CdfStreamSpec extends SparkSpec {
       assert(d.size === 49) // 50 − 2 deletes + 1 insert
     } finally q.stop()
   }
+
+  test("readStream.table streams a catalog table's change feed; keyCols from table properties") {
+    val t = s"cdf_tbl_${java.util.UUID.randomUUID().toString.take(8)}"
+    spark.sql(s"CREATE TABLE graft.$t (id BIGINT, user STRING) " +
+      "TBLPROPERTIES('keyCols'='id', 'keepVersions'='10', " +
+      "'bloomIndexCols'='id')")
+    spark.sql(s"INSERT INTO graft.$t VALUES (1, 'a'), (2, 'b')") // v2
+    val q = spark.readStream.table(s"graft.$t")
+      .writeStream.format("memory").queryName("cdf_tbl_sink").start()
+    try {
+      q.processAllAvailable()
+      assert(collectSink("cdf_tbl_sink").isEmpty,
+        "versions committed before stream start are not replayed by default")
+      spark.sql(s"UPDATE graft.$t SET user = 'a2' WHERE id = 1") // v3
+      spark.sql(s"DELETE FROM graft.$t WHERE id = 2")            // v4
+      q.processAllAvailable()
+      assert(collectSink("cdf_tbl_sink") === Set(
+        (1L, "a", "update_preimage", 3L), (1L, "a2", "update_postimage", 3L),
+        (2L, "b", "delete", 4L)))
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS cdf_tbl_sink")
+    }
+    // startingVersion option: the earliest retained version arrives as a
+    // full snapshot, then the stream increments — same v1 semantics
+    val q2 = spark.readStream.option("startingVersion", "2")
+      .table(s"graft.$t")
+      .writeStream.format("memory").queryName("cdf_tbl_snap").start()
+    try {
+      q2.processAllAvailable()
+      val got = collectSink("cdf_tbl_snap")
+      assert(got.exists(_._4 == 2L) && got.forall(_._4 >= 2L),
+        s"a retained startingVersion must replay from its commit: $got")
+    } finally {
+      q2.stop()
+      spark.sql("DROP TABLE IF EXISTS cdf_tbl_snap")
+    }
+    // a table with NO keyCols property refuses with guidance
+    val t2 = s"cdf_tbl2_${java.util.UUID.randomUUID().toString.take(8)}"
+    spark.sql(s"CREATE TABLE graft.$t2 (id BIGINT, v STRING)")
+    val e = intercept[Exception] {
+      spark.readStream.table(s"graft.$t2")
+        .writeStream.format("memory").queryName("nope").start()
+    }
+    assert(e.getMessage.contains("keyCols"), s"got: ${e.getMessage}")
+  }
 }
