@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.sources.WarehouseFs
+
+/** DML micro-benchmark main: the copy-on-write machinery that matters
+  * at 100 TB (touched-set resolution, manifest commit, change-feed
+  * fold) gets its own numbers in `bench_history.jsonl`, so a regression
+  * in any leg shows up as a number instead of a spec timeout.
+  *
+  * Fixture: `SPARK_GRAFT_DML_ROWS` (default 20 M) rows in 64 range
+  * files, bloom- and zone-indexed on the key. Timed legs, each named
+  * for the regime it pins:
+  *
+  *   - `dml_point_delete`   — 3-key delete (driver-probe point regime)
+  *   - `dml_merge_10k`      — 10k-key clustered merge (point regime
+  *                            ceiling: key collect + bloom/zone probe)
+  *   - `dml_merge_1m`       — 1.2M-key merge (bulk regime: bloom defers
+  *                            past MaxBloomProbeKeys → exact key-column
+  *                            scan, zero driver key materialization)
+  *   - `dml_feed_fold`      — change feed across the merge commit
+  *                            (file-granular diff of non-shared files)
+  *   - `dml_overwrite_day`  — dynamic partition overwrite of 1 of 32
+  *                            partitions on a partitioned twin fixture
+  *
+  * The whole sequence runs `SPARK_GRAFT_BENCH_REPS` (default 2) times —
+  * the fixture REBUILDS per rep, because DML mutates its input, so the
+  * per-leg min over reps is the same best-of-reps defense the read
+  * bench uses; [[Bench.spreadSuspects]] names starved legs. One JSON
+  * line (same shape as the read bench, `"sf":"dml:<rows>"` so
+  * [[Bench.priorBest]]'s same-sf filter keeps the histories separate)
+  * appends to `bench_history.jsonl`. */
+object BenchDml {
+  def main(args: Array[String]): Unit = {
+    val loadBefore = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val rows = sys.env.getOrElse("SPARK_GRAFT_DML_ROWS", "20000000").toLong
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timed[T](body: => T): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+
+    /** One full fixture + DML sequence; returns (leg → seconds). */
+    def runOnce(): Seq[(String, Double)] = {
+      val base = java.nio.file.Files.createTempDirectory("graft_dmlbench_")
+      val t = s"$base/t"
+      val tp = s"$base/tp"
+      val keep = 5
+      // flat fixture: 64 range files, wide-ish payload, indexed key
+      WarehouseFs.publishVersioned(
+        spark.range(0, rows, 1, 64).select(col("id"),
+          concat(lit("user_"), col("id")).as("user"),
+          (col("id") % 997).as("grp"),
+          (col("id") * 31 % 10000).cast("double").as("score")),
+        t, keepVersions = keep,
+        bloomIndexCols = Seq("id"), zoneMapCols = Seq("id"))
+      // partitioned twin (32 day partitions) for the overwrite leg
+      WarehouseFs.publishVersioned(
+        spark.range(0, rows / 4, 1, 32).select(col("id"),
+          (col("id") % 32).cast("int").as("day"),
+          concat(lit("u"), col("id")).as("user")),
+        tp, partitionBy = Seq("day"), keepVersions = keep)
+
+      val legs = Seq.newBuilder[(String, Double)]
+      legs += "dml_point_delete" -> timed {
+        WarehouseFs.deleteWhere(spark, t, "id",
+          Seq(rows / 7, rows / 3, rows - 2), keepVersions = keep,
+          refreshStats = false)
+      }
+      // 10k contiguous keys — the point regime at its collect ceiling,
+      // clustered so the touched set SHOULD stay small
+      val lo10k = rows / 2
+      legs += "dml_merge_10k" -> timed {
+        WarehouseFs.mergeInto(
+          spark.range(lo10k, lo10k + 10000).select(col("id"),
+            lit("merged").as("user"), (col("id") % 997).as("grp"),
+            lit(0.0).as("score")),
+          t, "id", whenMatchedUpdate = Map("user" -> col("src_user")),
+          keepVersions = keep, refreshStats = false)
+      }
+      // 1.2M keys — past MaxBloomProbeKeys: bloom defers, the exact
+      // key-column scan resolves the touched set distributively
+      val lo1m = rows / 4
+      legs += "dml_merge_1m" -> timed {
+        WarehouseFs.mergeInto(
+          spark.range(lo1m, lo1m + 1200000).select(col("id"),
+            lit("bulk").as("user"), (col("id") % 997).as("grp"),
+            lit(1.0).as("score")),
+          t, "id", whenMatchedUpdate = Map("user" -> col("src_user")),
+          whenNotMatchedInsert = false,
+          keepVersions = keep, refreshStats = false)
+      }
+      legs += "dml_feed_fold" -> timed {
+        WarehouseFs.changeFeedLatest(spark, t, Seq("id")).get.count()
+      }
+      legs += "dml_overwrite_day" -> timed {
+        WarehouseFs.overwritePartitions(
+          spark.range(0, rows / 128).select(col("id"),
+            lit(7).cast("int").as("day"),
+            lit("re").as("user")),
+          tp, Seq("day"), keepVersions = keep, refreshStats = false)
+      }
+      WarehouseFs.deleteIfExists(spark, base.toString)
+      legs.result()
+    }
+
+    val all: Seq[Seq[(String, Double)]] = (1 to reps).map(_ => runOnce())
+    val names = all.head.map(_._1)
+    val byLeg: Seq[(String, Seq[Double])] = names.map { n =>
+      n -> all.map(_.toMap.apply(n))
+    }
+    val loadAfter = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val suspect = Bench.spreadSuspects(byLeg)
+
+    def r(v: Double) = math.rint(v * 1e4) / 1e4
+    val finalTimes = byLeg.map { case (k, ts) => k -> ts.min }
+    val qs = finalTimes.map { case (k, t) => s"\"" + k + "\":" + r(t) }
+      .mkString("{", ",", "}")
+    val raws = byLeg.map { case (k, ts) =>
+      s"\"" + k + "\":" + ts.map(r).mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
+    val susp = suspect.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = r(finalTimes.map(_._2).sum)
+    val json = s"""{"metric":"dml_total","value":$total,"unit":"sec","queries":$qs,"raw":$raws,"errors":[],"suspect":$susp,"load_avg":{"before":${r(loadBefore)},"after":${r(loadAfter)},"cpus":${Runtime.getRuntime.availableProcessors}},"reps":$reps,"sf":"dml:$rows"}"""
+    val out = sys.env.getOrElse("BENCH_OUT", "bench_dml_out.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (json + "\n").getBytes("UTF-8"))
+    val historyPath = sys.env.getOrElse("BENCH_HISTORY", "bench_history.jsonl")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(historyPath),
+      (json + "\n").getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+    catch { case _: Throwable => () }
+    println(json)
+    spark.stop()
+  }
+}
