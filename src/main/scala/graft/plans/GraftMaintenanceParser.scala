@@ -26,6 +26,9 @@ import graft.sources.WarehouseFs
   *   DESCRIBE HISTORY graft.t            -- retained versions: commit
   *                                          time, manifest format, files,
   *                                          bytes
+  *   DESCRIBE DETAIL graft.t             -- one-row operational summary:
+  *                                          version, layout, indexes,
+  *                                          retention, properties
   * }}}
   *
   * Identifiers resolve through the SAME mapping as the catalog
@@ -43,6 +46,8 @@ class GraftMaintenanceParser(delegate: ParserInterface) extends ParserInterface 
     """(?is)\s*VACUUM\s+(.+?)\s+RETAIN\s+(\d+)\s+VERSIONS\s*;?\s*""".r
   private val HistoryRe =
     """(?is)\s*DESCRIBE\s+HISTORY\s+(.+?)\s*;?\s*""".r
+  private val DetailRe =
+    """(?is)\s*DESCRIBE\s+DETAIL\s+(.+?)\s*;?\s*""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case OptimizeZRe(ident, cols) => GraftOptimizeCommand(tablePath(ident),
@@ -51,6 +56,7 @@ class GraftMaintenanceParser(delegate: ParserInterface) extends ParserInterface 
     case OptimizeRe(ident) => GraftOptimizeCommand(tablePath(ident))
     case VacuumRe(ident, n) => GraftVacuumCommand(tablePath(ident), n.toInt)
     case HistoryRe(ident) => GraftDescribeHistoryCommand(tablePath(ident))
+    case DetailRe(ident) => GraftDescribeDetailCommand(tablePath(ident))
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -138,6 +144,43 @@ case class GraftVacuumCommand(path: String, keep: Int)
   override def run(spark: SparkSession): Seq[Row] = {
     WarehouseFs.vacuum(spark, path, keep)
     WarehouseFs.listVersions(spark, path).map(Row(_))
+  }
+}
+
+/** `DESCRIBE DETAIL t` — the one-row operational summary of a
+  * versioned table: current version + commit instant, manifest format,
+  * resolved file count/bytes, layout partition columns, index and
+  * stats coverage, retained version window, stored properties.
+  * Metadata-only (manifest parses + one listing), no data I/O. */
+case class GraftDescribeDetailCommand(path: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("location", StringType, nullable = false)(),
+    AttributeReference("format", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("committed_at", TimestampType, nullable = false)(),
+    AttributeReference("num_files", IntegerType, nullable = false)(),
+    AttributeReference("size_bytes", LongType, nullable = false)(),
+    AttributeReference("partition_columns", StringType, nullable = false)(),
+    AttributeReference("bloom_index_columns", StringType, nullable = false)(),
+    AttributeReference("zone_map_columns", StringType, nullable = false)(),
+    AttributeReference("has_stats", org.apache.spark.sql.types.BooleanType,
+      nullable = false)(),
+    AttributeReference("retained_versions", IntegerType, nullable = false)(),
+    AttributeReference("properties", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val hist = WarehouseFs.describeHistory(spark, path)
+    require(hist.nonEmpty,
+      s"DESCRIBE DETAIL: $path is not a versioned table (or has no " +
+        "retained versions)")
+    val (v, ts, _, fmt, nf, bytes) = hist.last
+    val (bloom, zone, hasStats) = WarehouseFs.versionMetadata(spark, path)
+    val partCols = WarehouseFs.layoutPartitionCols(spark, path)
+    val props = graft.sources.GraftCatalog.readProps(spark, path)
+      .toSeq.sortBy(_._1).map { case (k, value) => s"$k=$value" }
+      .mkString(",")
+    Seq(Row(path, fmt, v, ts, nf, bytes, partCols.mkString(","),
+      bloom.mkString(","), zone.mkString(","), hasStats, hist.size, props))
   }
 }
 

@@ -242,26 +242,38 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   // ---- namespaces: directories under the warehouse root ----------------
+  //
+  // Namespaces NEST: `a.b.c` is the directory <warehouse>/a/b/c. A dir
+  // is a TABLE iff it holds a committed `_versions` manifest; any other
+  // non-meta dir is a namespace — the two are disjoint, so listing a
+  // namespace never surfaces a table's internal version dirs and
+  // vice versa.
 
-  override def listNamespaces(): Array[Array[String]] = {
-    val base = new Path(warehouse)
+  private def childNamespaces(namespace: Array[String]): Array[String] = {
+    val base = new Path(nsPath(namespace))
     val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(base)) Array.empty
     else fs.listStatus(base).filter(_.isDirectory).map(_.getPath.getName)
       .filterNot(n => n.startsWith("_") || n.startsWith("."))
-      .filter(n => WarehouseFs.currentVersion(spark, s"$warehouse/$n").isEmpty)
-      .map(Array(_))
+      .filter(n => WarehouseFs.currentVersion(spark,
+        s"${nsPath(namespace)}/$n").isEmpty)
   }
+
+  override def listNamespaces(): Array[Array[String]] =
+    childNamespaces(Array.empty).map(Array(_))
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
     if (namespace.isEmpty) listNamespaces()
-    else if (namespaceExists(namespace)) Array.empty
+    else if (namespaceExists(namespace))
+      childNamespaces(namespace).map(namespace :+ _)
     else throw new NoSuchNamespaceException(namespace)
 
   override def namespaceExists(namespace: Array[String]): Boolean =
     namespace.isEmpty || {
       val p = new Path(nsPath(namespace))
-      p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+      // a table dir is NOT a namespace — the concepts are disjoint
+      p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p) &&
+        WarehouseFs.currentVersion(spark, nsPath(namespace)).isEmpty
     }
 
   override def loadNamespaceMetadata(namespace: Array[String])

@@ -395,6 +395,41 @@ class GraftCatalogSpec extends SparkSpec {
       "refused ALTERs must leave the schema untouched")
   }
 
+  test("nested namespaces, SHOW TBLPROPERTIES, DESCRIBE DETAIL") {
+    val ns = fresh("nsa")
+    spark.sql(s"CREATE NAMESPACE graft.$ns")
+    spark.sql(s"CREATE NAMESPACE graft.$ns.inner")
+    assert(spark.sql(s"SHOW NAMESPACES IN graft.$ns").collect()
+      .map(_.getString(0)).contains(s"$ns.inner"),
+      "nested namespaces must round-trip through SHOW NAMESPACES")
+    val t = fresh("deep")
+    spark.sql(s"CREATE TABLE graft.$ns.inner.$t (id BIGINT, day INT) " +
+      "PARTITIONED BY (day) TBLPROPERTIES('keepVersions'='5', " +
+      "'bloomIndexCols'='id', 'keyCols'='id')")
+    spark.sql(s"INSERT INTO graft.$ns.inner.$t " +
+      "SELECT id, CAST(id % 3 AS INT) FROM range(300)")
+    assert(spark.sql(s"SHOW TABLES IN graft.$ns.inner").collect()
+      .map(_.getString(1)).contains(t))
+    assert(spark.table(s"graft.$ns.inner.$t").count() === 300)
+    // a table dir is never a namespace (its version dirs must not leak)
+    assert(!spark.sql(s"SHOW NAMESPACES IN graft.$ns.inner").collect()
+      .map(_.getString(0)).exists(_.contains(t)))
+    // stored properties surface through standard SQL
+    val props = spark.sql(s"SHOW TBLPROPERTIES graft.$ns.inner.$t")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("keepVersions") === Some("5"), s"got $props")
+    assert(props.get("bloomIndexCols") === Some("id"))
+    // DESCRIBE DETAIL: the one-row operational summary
+    val d = spark.sql(s"DESCRIBE DETAIL graft.$ns.inner.$t").collect().head
+    assert(d.getAs[String]("location").endsWith(s"$ns/inner/$t"))
+    assert(d.getAs[Long]("version") === 2L)
+    assert(d.getAs[String]("partition_columns") === "day")
+    assert(d.getAs[String]("bloom_index_columns") === "id")
+    assert(d.getAs[Int]("retained_versions") === 2)
+    assert(d.getAs[String]("properties").contains("keepVersions=5"))
+    assert(d.getAs[Int]("num_files") > 0 && d.getAs[Long]("size_bytes") > 0)
+  }
+
   test("maintenance SQL: missing warehouse conf and foreign catalogs refuse with guidance") {
     withConf("spark.sql.catalog.gbad" ->
         classOf[graft.sources.GraftCatalog].getName) {
