@@ -34,8 +34,11 @@ import graft.sources.{GraftCatalog, GraftCatalogTable, GraftRelation, GraftTable
   * replaces the statement with an eagerly-executed command.
   *
   * Supported surface (everything else fails loudly, naming the clause):
-  *   - DELETE FROM t [WHERE any-predicate]
-  *   - UPDATE t SET c = expr, … [WHERE any-predicate]
+  *   - DELETE FROM t [WHERE any-predicate | key IN (SELECT …) AND …]
+  *   - UPDATE t SET c = expr, … [WHERE any-predicate | key IN (SELECT …) AND …]
+  *     (an uncorrelated single-column IN-subquery over a target column
+  *     lowers onto mergeIntoKeys — key-granular file pruning for the
+  *     staging-table shape; NOT IN / correlated subqueries refuse)
   *   - MERGE [WITH SCHEMA EVOLUTION] INTO t USING s
   *         ON conjunctive same-name key equalities
   *       WHEN MATCHED [AND c] THEN UPDATE SET … | DELETE   (any number,
@@ -73,9 +76,17 @@ object GraftDmlRule extends Rule[LogicalPlan] with PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
     case d @ DeleteFromTable(Target(path, rel), cond) if d.resolved =>
-      GraftDeleteCommand(path, rel.output, cond)
+      inSubqueryParts(cond, AttributeSet(rel.output)) match {
+        case Some((keyCol, sub, residual)) =>
+          GraftDeleteInCommand(path, rel.output, keyCol, sub, residual)
+        case None => GraftDeleteCommand(path, rel.output, cond)
+      }
     case u @ UpdateTable(Target(path, rel), assignments, cond) if u.resolved =>
-      GraftUpdateCommand(path, rel.output, assignments, cond)
+      cond.flatMap(inSubqueryParts(_, AttributeSet(rel.output))) match {
+        case Some((keyCol, sub, residual)) =>
+          GraftUpdateInCommand(path, rel.output, assignments, keyCol, sub, residual)
+        case None => GraftUpdateCommand(path, rel.output, assignments, cond)
+      }
     // WITH SCHEMA EVOLUTION: Spark's own ResolveMergeIntoSchemaEvolution
     // computes the additive changes and applies them through the
     // catalog's alterTable — which graft lowers onto [[WarehouseFs
@@ -134,6 +145,45 @@ object GraftDmlRule extends Rule[LogicalPlan] with PredicateHelper {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** The `key IN (SELECT …)` fast path shared by DELETE and UPDATE: an
+    * UNCORRELATED single-column IN-subquery over a TARGET column, as a
+    * top-level conjunct, with no other subquery anywhere in the
+    * condition. Returns (key column, subquery plan, residual conjuncts)
+    * at RULE time — the subquery plan rides the command as a plain
+    * LogicalPlan field (never an Expression, which CheckAnalysis's
+    * subquery-placement whitelist would reject inside a command) — and
+    * the statement lowers onto [[WarehouseFs.mergeIntoKeys]], whose
+    * point/bulk touched-set resolution (bloom/zone/partition probes,
+    * exact key-column scan past 1M keys) makes the CDC-staging shape
+    * `DELETE FROM t WHERE id IN (SELECT id FROM staging)` file-granular
+    * instead of refused. NULL keys drop at run time (IN never matches
+    * null); residual conjuncts guard the action per matched row (SQL
+    * semantics: only TRUE acts). NOT IN (null-aware anti semantics) and
+    * correlated subqueries stay refused by [[recolumn]]'s loud check. */
+  private[graft] def inSubqueryParts(cond: Expression, target: AttributeSet)
+      : Option[(String, LogicalPlan, Option[Expression])] = {
+    import org.apache.spark.sql.catalyst.expressions.{And, InSubquery, ListQuery, SubqueryExpression}
+    val conjuncts = splitConjunctivePredicates(cond)
+    conjuncts.collectFirst {
+      case in @ InSubquery(Seq(a: AttributeReference), lq: ListQuery)
+          if target.contains(a) && lq.outerAttrs.isEmpty &&
+            lq.plan.output.size == 1 => (a, lq, in)
+    }.flatMap { case (a, lq, in) =>
+      val rest = conjuncts.filterNot(_ eq in)
+      if (rest.exists(_.exists(_.isInstanceOf[SubqueryExpression]))) None
+      else Some((a.name, lq.plan, rest.reduceOption(And)))
+    }
+  }
+
+  /** Materialize an extracted IN-subquery plan as the distinct non-null
+    * key frame [[WarehouseFs.mergeIntoKeys]] consumes. */
+  private[graft] def inKeysDf(spark: SparkSession, keyCol: String,
+                              plan: LogicalPlan): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    sourceDf(spark, plan).toDF(keyCol)
+      .filter(col(keyCol).isNotNull).distinct()
+  }
+
   /** The table's STORED retention for its SQL DML commits — a
     * `keepVersions` table property must govern every write path, not
     * just inserts (a DML defaulting to 2 would GC versions the table
@@ -150,6 +200,63 @@ case class GraftDeleteCommand(path: String, targetOutput: Seq[Attribute],
       GraftDmlRule.recolumn(cond, AttributeSet(targetOutput)),
       keepVersions = GraftDmlRule.keepVersionsOf(spark, path),
       pruning = GraftDmlRule.probesOf(cond))
+    Seq.empty
+  }
+}
+
+/** `DELETE FROM graft.t WHERE key IN (SELECT …) [AND residual]` →
+  * [[WarehouseFs.mergeIntoKeys]] (matched-delete guarded by the
+  * residual, no insert): the staging-driven purge gets key-granular
+  * file pruning — bloom/zone/partition probes below `maxPointKeys`, the
+  * exact key-column scan above — instead of a refusal. */
+case class GraftDeleteInCommand(path: String, targetOutput: Seq[Attribute],
+                                keyCol: String, keys: LogicalPlan,
+                                residual: Option[Expression])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.lit
+    val guard = residual
+      .map(e => GraftDmlRule.recolumn(e, AttributeSet(targetOutput)))
+      .getOrElse(lit(true))
+    WarehouseFs.mergeIntoKeys(GraftDmlRule.inKeysDf(spark, keyCol, keys),
+      path, Seq(keyCol),
+      whenMatchedDelete = Some(guard),
+      whenNotMatchedInsert = false,
+      keepVersions = GraftDmlRule.keepVersionsOf(spark, path))
+    Seq.empty
+  }
+}
+
+/** `UPDATE graft.t SET … WHERE key IN (SELECT …) [AND residual]` →
+  * [[WarehouseFs.mergeIntoKeys]] (matched-update guarded by the
+  * residual, no insert) — the same key-granular economics as
+  * [[GraftDeleteInCommand]]. */
+case class GraftUpdateInCommand(path: String, targetOutput: Seq[Attribute],
+                                assignments: Seq[Assignment],
+                                keyCol: String, keys: LogicalPlan,
+                                residual: Option[Expression])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{coalesce, lit, when}
+    val tgt = AttributeSet(targetOutput)
+    val set = assignments.map { a =>
+      a.key match {
+        case k: AttributeReference => k.name -> GraftDmlRule.recolumn(a.value, tgt)
+        case other => GraftDmlRule.fail(s"UPDATE of a nested field ($other)")
+      }
+    }.toMap
+    val guard = residual.map(e =>
+      coalesce(GraftDmlRule.recolumn(e, tgt), lit(false)))
+    val guarded = guard match {
+      case None => set
+      case Some(g) => set.map { case (c, v) =>
+        c -> when(g, v).otherwise(col(c)) }
+    }
+    WarehouseFs.mergeIntoKeys(GraftDmlRule.inKeysDf(spark, keyCol, keys),
+      path, Seq(keyCol),
+      whenMatchedUpdate = guarded,
+      whenNotMatchedInsert = false,
+      keepVersions = GraftDmlRule.keepVersionsOf(spark, path))
     Seq.empty
   }
 }

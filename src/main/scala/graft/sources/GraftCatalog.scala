@@ -360,7 +360,9 @@ object GraftCatalog {
   * `INSERT INTO` / `df.writeTo(…).append()` commit an append-only CoW
   * version, `INSERT OVERWRITE` / `writeTo(…).overwrite(lit(true))` /
   * truncate publish a full new version with the stored partitioning and
-  * index properties re-applied. Partial overwrites (a non-trivial
+  * index properties re-applied; `INSERT OVERWRITE … PARTITION (col=v)`
+  * replaces exactly those partitions as a CoW commit (all other files
+  * carried by reference). Other partial overwrites (a non-partition
   * overwrite filter) are refused loudly — use MERGE / DELETE. */
 case class GraftCatalogTable(spark: SparkSession, path: String,
                              schemaArg: StructType,
@@ -371,6 +373,19 @@ case class GraftCatalogTable(spark: SparkSession, path: String,
   override def name(): String =
     s"graft.`$path`${pinned.fold("")(v => s"@v$v")}"
   override def schema(): StructType = schemaArg
+  // declared so ResolveInsertInto accepts `INSERT OVERWRITE … PARTITION
+  // (col=v)` specs (it validates them against the table's partitioning)
+  // and DESCRIBE surfaces the layout; stored property first, live
+  // key=value layout as the registration-free fallback
+  override def partitioning(): Array[Transform] = {
+    val cols = GraftCatalog.colListOf(props, "partitionBy") match {
+      case Nil => WarehouseFs.layoutPartitionCols(spark, path)
+      case cs => cs
+    }
+    cols.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.identity(c))
+      .toArray
+  }
   override def properties(): util.Map[String, String] = {
     val m = new util.HashMap[String, String]()
     props.foreach { case (k, v) => m.put(k, v) }
@@ -395,15 +410,45 @@ case class GraftCatalogTable(spark: SparkSession, path: String,
         "current version")
     new WriteBuilder with SupportsTruncate with SupportsOverwrite {
       private var overwriteAll = false
+      private var overwriteStaticParts = false
 
       override def truncate(): WriteBuilder = { overwriteAll = true; this }
 
       override def overwrite(filters: Array[Filter]): WriteBuilder =
         if (filters.isEmpty || filters.forall(_.isInstanceOf[AlwaysTrue])) truncate()
-        else throw new UnsupportedOperationException(
-          s"graft catalog: partial INSERT OVERWRITE (filters " +
-            s"${filters.mkString(", ")}) is not supported — use MERGE INTO " +
-            "or DELETE + INSERT (row-level CoW)")
+        else {
+          // STATIC partition overwrite (`INSERT OVERWRITE t PARTITION
+          // (day=5) SELECT …`): the filters are equality constraints on
+          // partition columns and the incoming data carries exactly
+          // those partition values — the CoW partition-overwrite verb
+          // replaces precisely them, every other partition's files carry
+          // by reference. (The one divergence from ANSI: an EMPTY
+          // source leaves the partition in place instead of truncating
+          // it — overwritePartitions provably changes nothing on empty
+          // input.) Anything that is not a pure partition-equality
+          // overwrite stays refused.
+          val partBy = {
+            val stored = GraftCatalog.colListOf(props, "partitionBy")
+            if (stored.nonEmpty) stored
+            else WarehouseFs.layoutPartitionCols(spark, path)
+          }
+          // static specs arrive as EqualNullSafe (a PARTITION value is a
+          // literal, so null-safety is irrelevant here)
+          val eqCols = filters.collect {
+            case e: org.apache.spark.sql.sources.EqualTo => e.attribute
+            case e: org.apache.spark.sql.sources.EqualNullSafe
+                if e.value != null => e.attribute
+          }
+          if (partBy.nonEmpty && eqCols.length == filters.length &&
+              eqCols.forall(partBy.contains)) {
+            overwriteStaticParts = true; this
+          } else throw new UnsupportedOperationException(
+            s"graft catalog: partial INSERT OVERWRITE (filters " +
+              s"${filters.mkString(", ")}) is not supported — only " +
+              "whole-partition overwrites (PARTITION (col=value) on " +
+              "partition columns); use MERGE INTO or DELETE + INSERT " +
+              "for row-level changes")
+        }
 
       override def build(): Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
@@ -411,7 +456,13 @@ case class GraftCatalogTable(spark: SparkSession, path: String,
             override def insert(data: DataFrame, overwrite: Boolean): Unit = {
               val keep = GraftCatalog.keepVersionsOf(props)
               val partBy = GraftCatalog.colListOf(props, "partitionBy")
-              if (overwrite || overwriteAll) {
+              if (overwriteStaticParts) {
+                val cols =
+                  if (partBy.nonEmpty) partBy
+                  else WarehouseFs.layoutPartitionCols(spark, path)
+                WarehouseFs.overwritePartitions(data, path, cols,
+                  keepVersions = keep)
+              } else if (overwrite || overwriteAll) {
                 // an API-published table has no props sidecar — fall back
                 // to the LIVE layout and index columns, or the overwrite
                 // would silently flatten the table and drop its indexes

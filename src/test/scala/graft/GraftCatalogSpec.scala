@@ -150,6 +150,71 @@ class GraftCatalogSpec extends SparkSpec {
       (5L, 50L), (6L, 60L), (7L, 70L), (20L, 5L)))
   }
 
+  test("DELETE/UPDATE WHERE key IN (subquery) lower onto the key-granular merge path") {
+    val t = fresh("cat_insub")
+    val path = s"$wh/$t"
+    WarehouseFs.publishVersioned(
+      spark.range(8000).select(col("id"), concat(lit("u"), col("id")).as("user"))
+        .repartitionByRange(8, col("id")),
+      path, keepVersions = 5, bloomIndexCols = Seq("id"))
+    Seq(4242L, 4243L, 9999999L).toDF("id").createOrReplaceTempView("del_stage")
+    spark.sql(s"DELETE FROM graft.$t WHERE id IN (SELECT id FROM del_stage)")
+    val afterDel = spark.table(s"graft.$t")
+    assert(afterDel.count() === 7998)
+    assert(afterDel.filter(col("id").isin(4242L, 4243L)).count() === 0)
+    // key-granular: the staged keys live in ONE of the 8 range files
+    // (inputFiles via the API read — DSv2 scans report none)
+    val delRefs = WarehouseFs.readTable(spark, path).get.inputFiles
+    assert(delRefs.count(_.contains("/v00000001/")) === 7,
+      s"7 files must carry by reference: ${delRefs.toSeq}")
+    // residual conjuncts guard the action per matched row
+    Seq(10L, 11L, 5000L).toDF("id").createOrReplaceTempView("upd_stage")
+    spark.sql(s"UPDATE graft.$t SET user = 'staged' " +
+      s"WHERE id IN (SELECT id FROM upd_stage) AND id % 2 = 0")
+    val got = spark.table(s"graft.$t")
+    assert(got.filter(col("user") === "staged").select("id").as[Long]
+      .collect().toSet === Set(10L, 5000L),
+      "only even staged ids take the update")
+    // NOT IN (null-aware anti semantics) still refuses loudly
+    val e = intercept[Exception] {
+      spark.sql(s"DELETE FROM graft.$t WHERE id NOT IN (SELECT id FROM del_stage)")
+    }
+    assert(e.getMessage.contains("subquery"), s"got: ${e.getMessage}")
+  }
+
+  test("static INSERT OVERWRITE PARTITION replaces exactly that partition as a CoW commit") {
+    val t = fresh("cat_statovr")
+    spark.sql(s"CREATE TABLE graft.$t (id BIGINT, v STRING, day INT) " +
+      "PARTITIONED BY (day) TBLPROPERTIES('keepVersions'='5')")
+    spark.sql(s"INSERT INTO graft.$t " +
+      "SELECT id, CONCAT('u', id), CAST(id % 4 AS INT) FROM range(400)")
+    val refsBefore = WarehouseFs.readTable(spark, s"$wh/$t").get.inputFiles.toSet
+    val otherDayFiles = refsBefore.filterNot(_.contains("day=2"))
+    spark.sql(s"INSERT OVERWRITE graft.$t PARTITION (day = 2) " +
+      "SELECT id, 'nv' FROM range(5)")
+    val after = spark.table(s"graft.$t")
+    assert(after.count() === 305, "day 2's 100 rows replaced by 5")
+    assert(after.filter(col("day") === 2).select("v").distinct()
+      .as[String].collect().toSeq === Seq("nv"))
+    assert(after.filter(col("day") =!= 2).count() === 300,
+      "other partitions untouched")
+    val refsAfter = WarehouseFs.readTable(spark, s"$wh/$t").get.inputFiles.toSet
+    assert(otherDayFiles.subsetOf(refsAfter),
+      "every other partition's files must carry by reference")
+    assert(!refsAfter.exists(f => f.contains("day=2") && refsBefore(f)),
+      "day 2's old files must be gone from the new version")
+    // a non-partition overwrite filter still refuses
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT OVERWRITE graft.$t PARTITION (day = 2) " +
+        "SELECT id, 'x' FROM range(2)")
+      // (partition filters are fine — drive a genuine non-partition one
+      // through the API spelling)
+      spark.range(2).select(col("id"), lit("x").as("v"), lit(2).as("day"))
+        .writeTo(s"graft.$t").overwrite(col("id") === 1)
+    }
+    assert(e.getMessage.contains("not supported"), s"got: ${e.getMessage}")
+  }
+
   test("SQL MERGE: multiple conditional matched clauses fold first-match-wins (ANSI order)") {
     val t = fresh("cat_merge_multi")
     WarehouseFs.publishVersioned(
