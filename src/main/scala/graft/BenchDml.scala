@@ -52,7 +52,9 @@ object BenchDml {
     }
 
     /** One full fixture + DML sequence; returns (leg → seconds). */
-    def runOnce(): Seq[(String, Double)] = {
+    def runOnce(): Seq[(String, Double)] = runOnceAt(rows)
+
+    def runOnceAt(rows: Long): Seq[(String, Double)] = {
       val base = java.nio.file.Files.createTempDirectory("graft_dmlbench_")
       val t = s"$base/t"
       val tp = s"$base/tp"
@@ -71,6 +73,13 @@ object BenchDml {
           (col("id") % 32).cast("int").as("day"),
           concat(lit("u"), col("id")).as("user")),
         tp, partitionBy = Seq("day"), keepVersions = keep)
+
+      // untimed settle: one read-through of the fixture lets the OS
+      // drain the ~GB of freshly written dirty pages and warms the page
+      // cache — without it the FIRST timed leg absorbs the writeback of
+      // the build (observed 4-8× inflation on dml_point_delete)
+      WarehouseFs.readTable(spark, t).get.count()
+      WarehouseFs.readTable(spark, tp).get.count()
 
       val legs = Seq.newBuilder[(String, Double)]
       legs += "dml_point_delete" -> timed {
@@ -114,6 +123,12 @@ object BenchDml {
       WarehouseFs.deleteIfExists(spark, base.toString)
       legs.result()
     }
+
+    // warmup at a tiny row count: codegen/JIT classes are identical
+    // across fixture sizes (the read bench's discipline) — without it
+    // rep 1 measures the C2 compile queue, not the DML machinery
+    // (observed 3× inflation on the first 20M-row sequence)
+    runOnceAt(math.min(rows, 200000L))
 
     val all: Seq[Seq[(String, Double)]] = (1 to reps).map(_ => runOnce())
     val names = all.head.map(_._1)
