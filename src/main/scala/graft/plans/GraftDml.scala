@@ -34,11 +34,14 @@ import graft.sources.{GraftCatalog, GraftCatalogTable, GraftRelation, GraftTable
   * replaces the statement with an eagerly-executed command.
   *
   * Supported surface (everything else fails loudly, naming the clause):
-  *   - DELETE FROM t [WHERE any-predicate | key IN (SELECT …) AND …]
-  *   - UPDATE t SET c = expr, … [WHERE any-predicate | key IN (SELECT …) AND …]
-  *     (an uncorrelated single-column IN-subquery over a target column
-  *     lowers onto mergeIntoKeys — key-granular file pruning for the
-  *     staging-table shape; NOT IN / correlated subqueries refuse)
+  *   - DELETE FROM t [WHERE any-predicate | key IN (SELECT …) AND …
+  *       | EXISTS (SELECT … WHERE s.a = t.k …) AND …]
+  *   - UPDATE t SET c = expr, … [WHERE same shapes as DELETE]
+  *     (an uncorrelated single-column IN-subquery over a target column,
+  *     or a correlated EXISTS whose only outward reach is equality on
+  *     target columns — composite keys included — lowers onto
+  *     mergeIntoKeys: key-granular file pruning for the staging-table
+  *     shapes; NOT IN / NOT EXISTS / wider correlation refuse)
   *   - MERGE [WITH SCHEMA EVOLUTION] INTO t USING s
   *         ON conjunctive same-name key equalities
   *       WHEN MATCHED [AND c] THEN UPDATE SET … | DELETE   (any number,
@@ -77,14 +80,14 @@ object GraftDmlRule extends Rule[LogicalPlan] with PredicateHelper {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
     case d @ DeleteFromTable(Target(path, rel), cond) if d.resolved =>
       inSubqueryParts(cond, AttributeSet(rel.output)) match {
-        case Some((keyCol, sub, residual)) =>
-          GraftDeleteInCommand(path, rel.output, keyCol, sub, residual)
+        case Some((keyCols, sub, residual)) =>
+          GraftDeleteInCommand(path, rel.output, keyCols, sub, residual)
         case None => GraftDeleteCommand(path, rel.output, cond)
       }
     case u @ UpdateTable(Target(path, rel), assignments, cond) if u.resolved =>
       cond.flatMap(inSubqueryParts(_, AttributeSet(rel.output))) match {
-        case Some((keyCol, sub, residual)) =>
-          GraftUpdateInCommand(path, rel.output, assignments, keyCol, sub, residual)
+        case Some((keyCols, sub, residual)) =>
+          GraftUpdateInCommand(path, rel.output, assignments, keyCols, sub, residual)
         case None => GraftUpdateCommand(path, rel.output, assignments, cond)
       }
     // WITH SCHEMA EVOLUTION: Spark's own ResolveMergeIntoSchemaEvolution
@@ -161,27 +164,93 @@ object GraftDmlRule extends Rule[LogicalPlan] with PredicateHelper {
     * semantics: only TRUE acts). NOT IN (null-aware anti semantics) and
     * correlated subqueries stay refused by [[recolumn]]'s loud check. */
   private[graft] def inSubqueryParts(cond: Expression, target: AttributeSet)
-      : Option[(String, LogicalPlan, Option[Expression])] = {
-    import org.apache.spark.sql.catalyst.expressions.{And, InSubquery, ListQuery, SubqueryExpression}
+      : Option[(Seq[String], LogicalPlan, Option[Expression])] = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, And, InSubquery, ListQuery, SubqueryExpression}
+    import org.apache.spark.sql.catalyst.plans.logical.Project
     val conjuncts = splitConjunctivePredicates(cond)
-    conjuncts.collectFirst {
+    val fromIn = conjuncts.collectFirst {
       case in @ InSubquery(Seq(a: AttributeReference), lq: ListQuery)
           if target.contains(a) && lq.outerAttrs.isEmpty &&
-            lq.plan.output.size == 1 => (a, lq, in)
-    }.flatMap { case (a, lq, in) =>
-      val rest = conjuncts.filterNot(_ eq in)
+            lq.plan.output.size == 1 => (a, lq, in: Expression)
+    }.map { case (a, lq, in) =>
+      // project the subquery's single column under the TARGET key's name
+      (Seq(a.name),
+        Project(Seq(Alias(lq.plan.output.head, a.name)()), lq.plan), in)
+    }
+    val picked = fromIn.orElse(conjuncts.collectFirst {
+      case ex: org.apache.spark.sql.catalyst.expressions.Exists
+          if ex.joinCond.isEmpty =>
+        existsKeyPlan(ex.plan, target).map { case (names, plan) =>
+          (names, plan, ex: Expression) }
+    }.flatten)
+    picked.flatMap { case (names, plan, claimed) =>
+      val rest = conjuncts.filterNot(_ eq claimed)
       if (rest.exists(_.exists(_.isInstanceOf[SubqueryExpression]))) None
-      else Some((a.name, lq.plan, rest.reduceOption(And)))
+      else Some((names, plan, rest.reduceOption(And)))
     }
   }
 
-  /** Materialize an extracted IN-subquery plan as the distinct non-null
-    * key frame [[WarehouseFs.mergeIntoKeys]] consumes. */
-  private[graft] def inKeysDf(spark: SparkSession, keyCol: String,
-                              plan: LogicalPlan): org.apache.spark.sql.DataFrame = {
+  /** The EXISTS half of [[inSubqueryParts]]: a correlated
+    * `EXISTS (SELECT … FROM s WHERE s.a = t.k [AND s.b = t.k2] [AND
+    * inner-only predicates])` claims when every correlated conjunct is
+    * a direct equality between an OuterReference to a TARGET column and
+    * an inner-side expression, and nothing else in the subquery reaches
+    * outward (no stray outer references, no nested subqueries). The
+    * result plan filters the inner side by its own predicates and
+    * projects the inner equality sides under the TARGET key names —
+    * exactly the staged-key frame the merge path consumes (composite
+    * keys supported). Anything wider falls through to the loud refusal. */
+  private def existsKeyPlan(plan: LogicalPlan, target: AttributeSet)
+      : Option[(Seq[String], LogicalPlan)] = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, And, OuterReference, SubExprUtils, SubqueryExpression}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project, SubqueryAlias}
+    @scala.annotation.tailrec
+    def unwrap(p: LogicalPlan): LogicalPlan = p match {
+      case Project(_, c) => unwrap(c) // EXISTS output is irrelevant
+      case SubqueryAlias(_, c) => unwrap(c)
+      case other => other
+    }
+    unwrap(plan) match {
+      case Filter(fc, child) =>
+        val fcs = splitConjunctivePredicates(fc)
+        val (corr, inner) = fcs.partition(SubExprUtils.containsOuter)
+        val pairs = corr.map {
+          case EqualTo(OuterReference(a: AttributeReference), e)
+              if target.contains(a) && !SubExprUtils.containsOuter(e) =>
+            Some(a -> e)
+          case EqualTo(e, OuterReference(a: AttributeReference))
+              if target.contains(a) && !SubExprUtils.containsOuter(e) =>
+            Some(a -> e)
+          case _ => None
+        }
+        val clean = pairs.nonEmpty && pairs.forall(_.isDefined) &&
+          pairs.flatten.map(_._1.name).distinct.size == pairs.size &&
+          !(inner ++ pairs.flatten.map(_._2)).exists(
+            _.exists(_.isInstanceOf[SubqueryExpression])) &&
+          // the inner subtree must not reach outward anywhere else
+          !child.exists(p => p.expressions.exists(e =>
+            SubExprUtils.containsOuter(e) ||
+              e.exists(_.isInstanceOf[SubqueryExpression])))
+        if (!clean) None
+        else {
+          val filtered = inner.reduceOption(And).map(Filter(_, child))
+            .getOrElse(child)
+          Some((pairs.flatten.map(_._1.name),
+            Project(pairs.flatten.map { case (a, e) => Alias(e, a.name)() },
+              filtered)))
+        }
+      case _ => None
+    }
+  }
+
+  /** Materialize an extracted staged-key plan (already projecting the
+    * target key names) as the distinct all-keys-non-null frame
+    * [[WarehouseFs.mergeIntoKeys]] consumes. */
+  private[graft] def stagedKeysDf(spark: SparkSession, keyCols: Seq[String],
+                                  plan: LogicalPlan): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.col
-    sourceDf(spark, plan).toDF(keyCol)
-      .filter(col(keyCol).isNotNull).distinct()
+    sourceDf(spark, plan)
+      .filter(keyCols.map(col(_).isNotNull).reduce(_ && _)).distinct()
   }
 
   /** The table's STORED retention for its SQL DML commits — a
@@ -204,13 +273,14 @@ case class GraftDeleteCommand(path: String, targetOutput: Seq[Attribute],
   }
 }
 
-/** `DELETE FROM graft.t WHERE key IN (SELECT …) [AND residual]` →
-  * [[WarehouseFs.mergeIntoKeys]] (matched-delete guarded by the
-  * residual, no insert): the staging-driven purge gets key-granular
-  * file pruning — bloom/zone/partition probes below `maxPointKeys`, the
-  * exact key-column scan above — instead of a refusal. */
+/** `DELETE FROM graft.t WHERE key IN (SELECT …) [AND residual]` (or the
+  * correlated-equality `EXISTS` spelling) → [[WarehouseFs
+  * .mergeIntoKeys]] (matched-delete guarded by the residual, no
+  * insert): the staging-driven purge gets key-granular file pruning —
+  * bloom/zone/partition probes below `maxPointKeys`, the exact
+  * key-column scan above — instead of a refusal. */
 case class GraftDeleteInCommand(path: String, targetOutput: Seq[Attribute],
-                                keyCol: String, keys: LogicalPlan,
+                                keyCols: Seq[String], keys: LogicalPlan,
                                 residual: Option[Expression])
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
@@ -218,8 +288,8 @@ case class GraftDeleteInCommand(path: String, targetOutput: Seq[Attribute],
     val guard = residual
       .map(e => GraftDmlRule.recolumn(e, AttributeSet(targetOutput)))
       .getOrElse(lit(true))
-    WarehouseFs.mergeIntoKeys(GraftDmlRule.inKeysDf(spark, keyCol, keys),
-      path, Seq(keyCol),
+    WarehouseFs.mergeIntoKeys(
+      GraftDmlRule.stagedKeysDf(spark, keyCols, keys), path, keyCols,
       whenMatchedDelete = Some(guard),
       whenNotMatchedInsert = false,
       keepVersions = GraftDmlRule.keepVersionsOf(spark, path))
@@ -227,13 +297,14 @@ case class GraftDeleteInCommand(path: String, targetOutput: Seq[Attribute],
   }
 }
 
-/** `UPDATE graft.t SET … WHERE key IN (SELECT …) [AND residual]` →
-  * [[WarehouseFs.mergeIntoKeys]] (matched-update guarded by the
-  * residual, no insert) — the same key-granular economics as
+/** `UPDATE graft.t SET … WHERE key IN (SELECT …) [AND residual]` (or
+  * the correlated-equality `EXISTS` spelling) → [[WarehouseFs
+  * .mergeIntoKeys]] (matched-update guarded by the residual, no
+  * insert) — the same key-granular economics as
   * [[GraftDeleteInCommand]]. */
 case class GraftUpdateInCommand(path: String, targetOutput: Seq[Attribute],
                                 assignments: Seq[Assignment],
-                                keyCol: String, keys: LogicalPlan,
+                                keyCols: Seq[String], keys: LogicalPlan,
                                 residual: Option[Expression])
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
@@ -252,8 +323,8 @@ case class GraftUpdateInCommand(path: String, targetOutput: Seq[Attribute],
       case Some(g) => set.map { case (c, v) =>
         c -> when(g, v).otherwise(col(c)) }
     }
-    WarehouseFs.mergeIntoKeys(GraftDmlRule.inKeysDf(spark, keyCol, keys),
-      path, Seq(keyCol),
+    WarehouseFs.mergeIntoKeys(
+      GraftDmlRule.stagedKeysDf(spark, keyCols, keys), path, keyCols,
       whenMatchedUpdate = guarded,
       whenNotMatchedInsert = false,
       keepVersions = GraftDmlRule.keepVersionsOf(spark, path))

@@ -182,6 +182,34 @@ class GraftCatalogSpec extends SparkSpec {
     assert(e.getMessage.contains("subquery"), s"got: ${e.getMessage}")
   }
 
+  test("DELETE WHERE EXISTS (correlated equality) lowers onto the staged-key merge path") {
+    val t = fresh("cat_exists")
+    val path = s"$wh/$t"
+    WarehouseFs.publishVersioned(
+      spark.range(8000).select(col("id"), concat(lit("u"), col("id")).as("user"))
+        .repartitionByRange(8, col("id")),
+      path, keepVersions = 5, bloomIndexCols = Seq("id"))
+    Seq((700L, "hot"), (701L, "cold"), (12345678L, "hot"))
+      .toDF("ref_id", "status").createOrReplaceTempView("ex_stage")
+    // correlated equality + an inner-only predicate: only 'hot' staged
+    // ids delete; 701 survives (status filter), 12345678 misses
+    spark.sql(s"DELETE FROM graft.$t WHERE EXISTS " +
+      s"(SELECT 1 FROM ex_stage s WHERE s.ref_id = id AND s.status = 'hot')")
+    val after = spark.table(s"graft.$t")
+    assert(after.count() === 7999)
+    assert(after.filter(col("id") === 700L).count() === 0)
+    assert(after.filter(col("id") === 701L).count() === 1)
+    val refs = WarehouseFs.readTable(spark, path).get.inputFiles
+    assert(refs.count(_.contains("/v00000001/")) === 7,
+      s"7 files must carry by reference: ${refs.toSeq}")
+    // correlation wider than target-key equality still refuses loudly
+    val e = intercept[Exception] {
+      spark.sql(s"DELETE FROM graft.$t WHERE EXISTS " +
+        s"(SELECT 1 FROM ex_stage s WHERE s.ref_id > id)")
+    }
+    assert(e.getMessage.contains("subquery"), s"got: ${e.getMessage}")
+  }
+
   test("static INSERT OVERWRITE PARTITION replaces exactly that partition as a CoW commit") {
     val t = fresh("cat_statovr")
     spark.sql(s"CREATE TABLE graft.$t (id BIGINT, v STRING, day INT) " +
