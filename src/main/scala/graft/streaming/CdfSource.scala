@@ -34,7 +34,9 @@ import graft.sources.WarehouseFs
   *
   * Options: `table` (path), `keyCols` (comma-separated), optional
   * `startingVersion` (first version whose ARRIVAL the stream reports;
-  * default = versions committed after stream start). A
+  * default = versions committed after stream start) or
+  * `startingTimestamp` (resolved to the earliest retained version
+  * committed at or after the instant — [[CdfSource.startingVersionOf]]). A
   * `startingVersion` equal to the table's EARLIEST retained version —
   * typically 1, whose "previous" v₀ never existed — delivers that
   * version's full content as `insert` rows (initial-snapshot
@@ -63,7 +65,8 @@ class CdfSourceProvider extends StreamSourceProvider with DataSourceRegister {
       throw new IllegalArgumentException("graft-cdf: option 'keyCols' required"))
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
     new CdfSource(sqlContext, tableOf(parameters), keyCols,
-      parameters.get("startingVersion").map(_.toLong), Some(metadataPath))
+      CdfSource.startingVersionOf(sqlContext, tableOf(parameters), parameters),
+      Some(metadataPath))
   }
 }
 
@@ -75,6 +78,34 @@ object CdfSource {
         s"graft-cdf: $table is not a versioned table")).schema
       .add("_change_type", StringType, nullable = false)
       .add("_commit_version", LongType, nullable = false)
+
+  /** Resolve the starting-point options: `startingVersion` verbatim, or
+    * `startingTimestamp` (epoch millis, or a `yyyy-MM-dd HH:mm:ss[.f]`
+    * local timestamp) as the EARLIEST retained version committed at or
+    * after the instant — commit instants come from the manifest bodies
+    * ([[WarehouseFs.describeHistory]]), so a store migration cannot
+    * shift the resolution. A timestamp past the latest retained commit
+    * refuses loudly (asking to start "after the end" is almost always a
+    * mis-typed instant, not a request for an empty stream); so does
+    * passing both options. Restarts never re-resolve — the committed
+    * floor in the checkpoint wins ([[CdfSource]]). */
+  def startingVersionOf(sqlContext: SQLContext, table: String,
+                        parameters: Map[String, String]): Option[Long] = {
+    val sv = parameters.get("startingVersion")
+    val st = parameters.get("startingTimestamp")
+    require(sv.isEmpty || st.isEmpty,
+      "graft-cdf: startingVersion and startingTimestamp are mutually exclusive")
+    sv.map(_.toLong).orElse(st.map { s =>
+      val tsMillis = s.trim.toLongOption.getOrElse(
+        java.sql.Timestamp.valueOf(s.trim).getTime)
+      val hist = WarehouseFs.describeHistory(sqlContext.sparkSession, table)
+      hist.find(_._2.getTime >= tsMillis).map(_._1).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft-cdf: no retained commit of $table at or after " +
+            s"startingTimestamp $s (retained commits: " +
+            s"${hist.map(h => s"v${h._1}@${h._2}").mkString(", ")})"))
+    })
+  }
 }
 
 /** Makes `spark.readStream.table("graft.t")` (and
@@ -115,7 +146,8 @@ class GraftStreamTableRule(spark: org.apache.spark.sql.SparkSession)
             "declare TBLPROPERTIES('keyCols'='…') at CREATE (or ALTER … " +
             "SET TBLPROPERTIES), or pass .option(\"keyCols\", …)"))
       val opts = Map("table" -> t.path, "keyCols" -> keyCols) ++
-        Option(options.get("startingVersion")).map("startingVersion" -> _)
+        Option(options.get("startingVersion")).map("startingVersion" -> _) ++
+        Option(options.get("startingTimestamp")).map("startingTimestamp" -> _)
       StreamingRelation(DataSource(spark, className = "graft-cdf",
         options = opts))
   }

@@ -276,4 +276,53 @@ class CdfStreamSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("keyCols"), s"got: ${e.getMessage}")
   }
+
+  test("startingTimestamp resolves the earliest commit at or after the instant") {
+    val t = tmpTable()
+    WarehouseFs.publishVersioned(
+      Seq((1L, "a")).toDF("id", "user"), t,
+      keepVersions = 10, bloomIndexCols = Seq("id"))          // v1
+    Thread.sleep(20)
+    val betweenMs = System.currentTimeMillis()
+    Thread.sleep(20)
+    WarehouseFs.upsertRows(Seq((2L, "b")).toDF("id", "user"), t, "id",
+      keepVersions = 10)                                      // v2
+    // betweenMs sits between the v1 and v2 commits → start at v2: its
+    // OWN delta replays (v1→v2), not a v1 snapshot
+    val q = spark.readStream
+      .format("graft.streaming.CdfSourceProvider")
+      .option("table", t).option("keyCols", "id")
+      .option("startingTimestamp", betweenMs.toString)
+      .load()
+      .writeStream.format("memory").queryName("cdf_ts_sink").start()
+    try {
+      q.processAllAvailable()
+      assert(collectSink("cdf_ts_sink") === Set((2L, "b", "insert", 2L)))
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS cdf_ts_sink")
+    }
+    // the refusals surface when the source is created at stream start
+    // (async) — drive each query to its failure and check the message
+    def startFails(extra: (String, String)*): String = {
+      val reader = extra.foldLeft(spark.readStream
+          .format("graft.streaming.CdfSourceProvider")
+          .option("table", t).option("keyCols", "id")) {
+        case (r, (k, v)) => r.option(k, v)
+      }
+      val q = reader.load().writeStream.format("memory")
+        .queryName(s"cdf_ts_bad_${java.util.UUID.randomUUID().toString.take(6)}")
+        .start()
+      try intercept[Exception] { q.processAllAvailable() }.getMessage
+      finally q.stop()
+    }
+    // past the latest retained commit → loud refusal, not an empty stream
+    assert(startFails("startingTimestamp" ->
+      (System.currentTimeMillis() + 3600L * 1000).toString)
+      .contains("at or after"))
+    // both starting options together refuse
+    assert(startFails("startingVersion" -> "1",
+      "startingTimestamp" -> betweenMs.toString)
+      .contains("mutually exclusive"))
+  }
 }
