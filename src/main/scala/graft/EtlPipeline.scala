@@ -208,6 +208,22 @@ object EtlPipeline {
           touched = true
         }
       }
+      // maintenance cadence: a member whose CoW chain spans more data
+      // dirs than the budget folds back into ONE clean dir version
+      // (indexes/stats preserved, CAS-pinned) BEFORE the seal, so the
+      // commit pins the compacted state. Nightly syncs add ~1 dir per
+      // changed member per run; without this the read-side union grows
+      // one parquet relation per night forever. The fold rewrites the
+      // member once per ~spanMax nights — amortized O(table/spanMax)
+      // per night, and the next commit feed across it honestly scans
+      // both sides (nothing is shared with the pre-fold version).
+      val spanMax = spark.conf.getOption("spark.graft.etl.compactSpanDirs")
+        .map(_.toInt).getOrElse(16)
+      for (n <- allServed if isVersioned(n)
+           if WarehouseFs.versionSpanDirs(spark, tablePath(n)).exists(_ > spanMax)) {
+        graft.operators.ScaleJoins.compactParquet(spark, tablePath(n))
+        touched = true
+      }
       if (touched) {
         WarehouseFs.publishAtomicVersioned(spark, Map.empty, whDir,
           pinCurrent = allServed.filter(isVersioned).toSet,

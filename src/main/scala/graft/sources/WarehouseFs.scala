@@ -1609,6 +1609,17 @@ object WarehouseFs {
     }
   }
 
+  /** Number of data dirs the CURRENT version's file set spans — 1 for a
+    * clean dir-format version, growing by ~1 per copy-on-write commit
+    * (each CoW version adds its own dir and carries ancestors). The
+    * signal a maintenance cadence watches: every referenced dir is one
+    * more parquet relation in each read's union, so a long-running DML
+    * chain should fold back (`OPTIMIZE` / [[graft.operators.ScaleJoins
+    * .compactParquet]]) once the span passes its budget. One manifest
+    * parse, no data I/O. None for absent tables. */
+  def versionSpanDirs(spark: SparkSession, table: String): Option[Int] =
+    resolveVersion(spark, table, None).map(r => referencedDirs(r).size)
+
   /** Partition columns the current version's file LAYOUT encodes
     * (Hive `key=value` segments) — Nil for flat layouts or absent
     * tables. Pure path arithmetic over the manifest's file list. */

@@ -352,6 +352,24 @@ class EtlPipelineSpec extends SparkSpec {
     val (c3, t3) = WarehouseFs.currentCommit(spark, whV).get
     assert(c3 === c2 + 1 && t3 === t2,
       "a no-change run must re-pin every member version unchanged")
+
+    // maintenance cadence: the blacklist's CoW chain spans 2 dirs after
+    // its day-3 sync; with a 1-dir budget the next run folds it back to
+    // one clean dir version and pins the compacted state — same rows
+    assert(WarehouseFs.versionSpanDirs(spark, blPath) === Some(2))
+    val rowsBefore = WarehouseFs.readTable(spark, blPath).get
+      .collect().map(_.toSeq).toSet
+    withConf("spark.graft.etl.compactSpanDirs" -> "1") {
+      EtlPipeline.run(spark, s"$tmp/feeds_3", whV, None, Some(asOf(3)))
+    }
+    assert(WarehouseFs.versionSpanDirs(spark, blPath) === Some(1),
+      "past-budget chains must fold before the seal")
+    assert(WarehouseFs.readTable(spark, blPath).get
+      .collect().map(_.toSeq).toSet === rowsBefore)
+    val (_, t4) = WarehouseFs.currentCommit(spark, whV).get
+    assert(pinOf(t4("dwh_fact_pssprt_blcklst")) >
+      pinOf(t3("dwh_fact_pssprt_blcklst")),
+      "the commit must pin the compacted version")
   }
 
   test("a legacy plain-dir warehouse upgrades in place on its first default (atomic) run") {
