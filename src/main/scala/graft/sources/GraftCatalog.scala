@@ -368,7 +368,8 @@ case class GraftCatalogTable(spark: SparkSession, path: String,
                              schemaArg: StructType,
                              props: Map[String, String],
                              pinned: Option[Long] = None)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with SupportsPartitionManagement {
 
   override def name(): String =
     s"graft.`$path`${pinned.fold("")(v => s"@v$v")}"
@@ -403,6 +404,80 @@ case class GraftCatalogTable(spark: SparkSession, path: String,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new org.apache.spark.sql.graft.GraftV2ScanBuilder(
       spark, path, pinned, schemaArg, GraftRelation.indexProbes)
+
+  // ---- read-only partition management: SHOW PARTITIONS ------------------
+  //
+  // Partition METADATA is the file layout itself (`key=value` path
+  // segments of the current version's manifest) — listing is pure path
+  // arithmetic over one manifest parse, no data I/O at any table size.
+  // Mutations refuse: partitions materialize with writes and retire
+  // through row-level DML / partition overwrites, never by metadata
+  // fiat (a metadata-dropped partition whose files survive would be a
+  // silent resurrection at the next manifest rebuild).
+
+  override def partitionSchema(): StructType = {
+    val cols = GraftCatalog.colListOf(props, "partitionBy") match {
+      case Nil => WarehouseFs.layoutPartitionCols(spark, path)
+      case cs => cs
+    }
+    StructType(cols.flatMap(c => schemaArg.find(_.name == c)))
+  }
+
+  override def listPartitionIdentifiers(
+      names: Array[String],
+      ident: org.apache.spark.sql.catalyst.InternalRow)
+      : Array[org.apache.spark.sql.catalyst.InternalRow] = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    val ps = partitionSchema()
+    if (ps.isEmpty) return Array.empty
+    val (files, _, _, _) = WarehouseFs.prunedFiles(spark, path,
+      version = pinned).getOrElse(return Array.empty)
+    val tz = Some(spark.sessionState.conf.sessionLocalTimeZone)
+    val tuples = files.flatMap { f =>
+      val segs = f.split('/')
+      val values = ps.fields.map { fd =>
+        segs.collectFirst {
+          case s if s.startsWith(s"${fd.name}=") => s.drop(fd.name.length + 1)
+        }.map { enc =>
+          val raw = ExternalCatalogUtils.unescapePathName(enc)
+          if (raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null
+          else Cast(Literal.create(raw,
+            org.apache.spark.sql.types.StringType), fd.dataType, tz).eval()
+        }
+      }
+      if (values.exists(_.isEmpty)) None // flat legacy file: no tuple
+      else Some(values.map(_.get).toSeq)
+    }.distinct
+    // prefix filter: SHOW PARTITIONS t PARTITION (day=3) passes the
+    // named columns + their values
+    val idx = names.map(n => ps.fieldNames.indexOf(n))
+    tuples.collect {
+      case t if idx.zipWithIndex.forall { case (fi, i) =>
+        fi >= 0 && t(fi) == ident.get(i, ps.fields(fi).dataType) } =>
+        InternalRow.fromSeq(t)
+    }.toArray
+  }
+
+  private def refusePartitionDdl(what: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"graft catalog: $what — partitions materialize with writes and " +
+        "retire through DELETE / INSERT OVERWRITE PARTITION, never by " +
+        "metadata-only DDL")
+
+  override def createPartition(ident: org.apache.spark.sql.catalyst.InternalRow,
+                               properties: util.Map[String, String]): Unit =
+    refusePartitionDdl("ALTER TABLE … ADD PARTITION")
+  override def dropPartition(ident: org.apache.spark.sql.catalyst.InternalRow): Boolean =
+    refusePartitionDdl("ALTER TABLE … DROP PARTITION")
+  override def replacePartitionMetadata(
+      ident: org.apache.spark.sql.catalyst.InternalRow,
+      properties: util.Map[String, String]): Unit =
+    refusePartitionDdl("partition metadata replacement")
+  override def loadPartitionMetadata(
+      ident: org.apache.spark.sql.catalyst.InternalRow): util.Map[String, String] =
+    util.Collections.emptyMap()
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     if (pinned.isDefined) throw new UnsupportedOperationException(

@@ -488,6 +488,34 @@ class GraftCatalogSpec extends SparkSpec {
       "refused ALTERs must leave the schema untouched")
   }
 
+  test("SHOW PARTITIONS lists the layout; partition DDL refuses; SHOW CREATE TABLE round-trips") {
+    val t = fresh("cat_showpart")
+    spark.sql(s"CREATE TABLE graft.$t (id BIGINT, v STRING, day INT) " +
+      "PARTITIONED BY (day) TBLPROPERTIES('keepVersions'='5')")
+    spark.sql(s"INSERT INTO graft.$t " +
+      "SELECT id, 'x', CAST(id % 3 AS INT) FROM range(30)")
+    assert(spark.sql(s"SHOW PARTITIONS graft.$t").collect()
+      .map(_.getString(0)).sorted.toSeq === Seq("day=0", "day=1", "day=2"))
+    // prefix-filtered listing
+    assert(spark.sql(s"SHOW PARTITIONS graft.$t PARTITION (day=2)")
+      .collect().map(_.getString(0)).toSeq === Seq("day=2"))
+    // a partition retired by DML disappears from the listing
+    spark.sql(s"DELETE FROM graft.$t WHERE day = 1")
+    assert(spark.sql(s"SHOW PARTITIONS graft.$t").collect()
+      .map(_.getString(0)).sorted.toSeq === Seq("day=0", "day=2"))
+    // metadata-only partition DDL refuses (partitions materialize with
+    // writes; files surviving a metadata drop would silently resurrect)
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.$t DROP PARTITION (day=0)")
+    }
+    assert(e.getMessage.contains("DROP PARTITION"), s"got: ${e.getMessage}")
+    // SHOW CREATE TABLE surfaces schema, partitioning and properties
+    val ddl = spark.sql(s"SHOW CREATE TABLE graft.$t").head().getString(0)
+    assert(ddl.contains("PARTITIONED BY") && ddl.contains("day"),
+      s"got: $ddl")
+    assert(ddl.contains("keepVersions"), s"got: $ddl")
+  }
+
   test("nested namespaces, SHOW TBLPROPERTIES, DESCRIBE DETAIL") {
     val ns = fresh("nsa")
     spark.sql(s"CREATE NAMESPACE graft.$ns")
