@@ -130,26 +130,38 @@ class GraftStreamTableRule(spark: org.apache.spark.sql.SparkSession)
   import org.apache.spark.sql.catalyst.streaming.StreamingRelationV2
   import org.apache.spark.sql.execution.datasources.DataSource
   import org.apache.spark.sql.execution.streaming.runtime.StreamingRelation
+  import org.apache.spark.sql.util.CaseInsensitiveStringMap
   import graft.sources.GraftCatalogTable
 
+  private def lower(name: String, path: String, pinned: Option[Long],
+                    props: Map[String, String],
+                    options: CaseInsensitiveStringMap): LogicalPlan = {
+    if (pinned.isDefined)
+      throw new UnsupportedOperationException(
+        s"graft-cdf: $name is a time-travel read — a stream follows the " +
+          "live version chain")
+    val keyCols = Option(options.get("keyCols")).filter(_.nonEmpty)
+      .orElse(props.collectFirst {
+        case (k, v) if k.equalsIgnoreCase("keyCols") => v })
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft-cdf: streaming $name needs its key columns — declare " +
+          "TBLPROPERTIES('keyCols'='…') at CREATE (or ALTER … SET " +
+          "TBLPROPERTIES), or pass .option(\"keyCols\", …)"))
+    val opts = Map("table" -> path, "keyCols" -> keyCols) ++
+      Option(options.get("startingVersion")).map("startingVersion" -> _) ++
+      Option(options.get("startingTimestamp")).map("startingTimestamp" -> _)
+    StreamingRelation(DataSource(spark, className = "graft-cdf",
+      options = opts))
+  }
+
+  // NOTE: only the CATALOG spelling reaches the analyzer as a
+  // StreamingRelationV2 — `readStream.format("graft")` dies in Spark's
+  // own V1 DataSource resolution before any rule can act; the
+  // path-table spelling is `readStream.format("graft-cdf")
+  // .option("table", path)`, which is the source itself.
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
     case StreamingRelationV2(_, _, t: GraftCatalogTable, options, _, _, _, _) =>
-      if (t.pinned.isDefined)
-        throw new UnsupportedOperationException(
-          s"graft-cdf: ${t.name()} is a time-travel read — a stream " +
-            "follows the live version chain")
-      val keyCols = Option(options.get("keyCols")).filter(_.nonEmpty)
-        .orElse(t.props.collectFirst {
-          case (k, v) if k.equalsIgnoreCase("keyCols") => v })
-        .getOrElse(throw new IllegalArgumentException(
-          s"graft-cdf: streaming ${t.name()} needs its key columns — " +
-            "declare TBLPROPERTIES('keyCols'='…') at CREATE (or ALTER … " +
-            "SET TBLPROPERTIES), or pass .option(\"keyCols\", …)"))
-      val opts = Map("table" -> t.path, "keyCols" -> keyCols) ++
-        Option(options.get("startingVersion")).map("startingVersion" -> _) ++
-        Option(options.get("startingTimestamp")).map("startingTimestamp" -> _)
-      StreamingRelation(DataSource(spark, className = "graft-cdf",
-        options = opts))
+      lower(t.name(), t.path, t.pinned, t.props, options)
   }
 }
 
