@@ -221,7 +221,8 @@ object EtlPipeline {
         .map(_.toInt).getOrElse(16)
       for (n <- allServed if isVersioned(n)
            if WarehouseFs.versionSpanDirs(spark, tablePath(n)).exists(_ > spanMax)) {
-        graft.operators.ScaleJoins.compactParquet(spark, tablePath(n))
+        graft.operators.ScaleJoins.compactParquet(spark, tablePath(n),
+          keepVersions = memberKeep)
         touched = true
       }
       if (touched) {

@@ -48,7 +48,7 @@ object ScaleJoins {
     * Returns the new partition count.
     */
   def compactParquet(spark: org.apache.spark.sql.SparkSession, dir: String,
-                     targetMB: Int = 128): Int = {
+                     targetMB: Int = 128, keepVersions: Int = 2): Int = {
     // follow the table's publish flavor: a manifest-committed table
     // compacts its CURRENT version dir and commits a new version (no
     // directory rename — the object-store-safe path); a plain table goes
@@ -87,7 +87,8 @@ object ScaleJoins {
       // commits between our read and this publish would otherwise be
       // silently reverted by a rebuild of the older snapshot
       graft.sources.WarehouseFs.publishVersioned(compacted, dir,
-        partitionBy = partCols, collectStats = hasStats,
+        partitionBy = partCols, keepVersions = keepVersions,
+        collectStats = hasStats,
         bloomIndexCols = bloomCols, zoneMapCols = zoneCols,
         expectedVersion = current.map(_._1))
     } else
@@ -216,7 +217,8 @@ object ScaleJoins {
     * plain range-sort. CAS-pinned against concurrent DML. Returns the
     * target file count. */
   def zOrderCompact(spark: org.apache.spark.sql.SparkSession, dir: String,
-                    zCols: Seq[String], targetMB: Int = 128): Int = {
+                    zCols: Seq[String], targetMB: Int = 128,
+                    keepVersions: Int = 2): Int = {
     import graft.sources.WarehouseFs
     require(zCols.nonEmpty, "zOrderCompact: ZORDER BY needs ≥ 1 column")
     val current = WarehouseFs.currentVersion(spark, dir).getOrElse(
@@ -256,6 +258,7 @@ object ScaleJoins {
     // queries will prune by from now on
     val (bloomCols, zoneCols, hasStats) = WarehouseFs.versionMetadata(spark, dir)
     WarehouseFs.publishVersioned(clustered, dir, partitionBy = partCols,
+      keepVersions = keepVersions,
       collectStats = hasStats, bloomIndexCols = bloomCols,
       zoneMapCols = (zoneCols ++ zCols).distinct,
       expectedVersion = Some(current._1))

@@ -22,7 +22,9 @@ import graft.sources.WarehouseFs
   *   OPTIMIZE graft.t ZORDER BY (a, b)   -- same fold, rows re-clustered
   *                                          on the Morton curve; zone maps
   *                                          rebuilt over (a, b)
-  *   VACUUM graft.t RETAIN 3 VERSIONS    -- tighten retention + GC now
+  *   VACUUM graft.t [RETAIN 3 VERSIONS]  -- tighten retention + GC now
+  *                                          (bare: the table's stored
+  *                                          keepVersions governs)
   *   DESCRIBE HISTORY graft.t            -- retained versions: commit
   *                                          time, manifest format, files,
   *                                          bytes
@@ -44,6 +46,8 @@ class GraftMaintenanceParser(delegate: ParserInterface) extends ParserInterface 
     """(?is)\s*OPTIMIZE\s+(.+?)\s*;?\s*""".r
   private val VacuumRe =
     """(?is)\s*VACUUM\s+(.+?)\s+RETAIN\s+(\d+)\s+VERSIONS\s*;?\s*""".r
+  private val VacuumDefaultRe =
+    """(?is)\s*VACUUM\s+(.+?)\s*;?\s*""".r
   private val HistoryRe =
     """(?is)\s*DESCRIBE\s+HISTORY\s+(.+?)\s*;?\s*""".r
   private val DetailRe =
@@ -54,7 +58,8 @@ class GraftMaintenanceParser(delegate: ParserInterface) extends ParserInterface 
       cols.split(',').map(c => c.trim.stripPrefix("`").stripSuffix("`"))
         .filter(_.nonEmpty).toSeq)
     case OptimizeRe(ident) => GraftOptimizeCommand(tablePath(ident))
-    case VacuumRe(ident, n) => GraftVacuumCommand(tablePath(ident), n.toInt)
+    case VacuumRe(ident, n) => GraftVacuumCommand(tablePath(ident), Some(n.toInt))
+    case VacuumDefaultRe(ident) => GraftVacuumCommand(tablePath(ident), None)
     case HistoryRe(ident) => GraftDescribeHistoryCommand(tablePath(ident))
     case DetailRe(ident) => GraftDescribeDetailCommand(tablePath(ident))
     case _ => delegate.parsePlan(sqlText)
@@ -127,22 +132,35 @@ case class GraftOptimizeCommand(path: String, zorderBy: Seq[String] = Nil)
     // the SQL surface promises versioned semantics (a new version row)
     require(WarehouseFs.currentVersion(spark, path).isDefined,
       s"OPTIMIZE: $path is not a versioned table")
+    // the table's STORED retention governs the fold's GC — an OPTIMIZE
+    // defaulting to 2 would silently expire versions the table asked
+    // to keep (the same rule every DML write path follows)
+    val keep = graft.sources.GraftCatalog.keepVersionsOf(
+      graft.sources.GraftCatalog.readProps(spark, path))
     val parts =
-      if (zorderBy.isEmpty) graft.operators.ScaleJoins.compactParquet(spark, path)
-      else graft.operators.ScaleJoins.zOrderCompact(spark, path, zorderBy)
+      if (zorderBy.isEmpty)
+        graft.operators.ScaleJoins.compactParquet(spark, path,
+          keepVersions = keep)
+      else graft.operators.ScaleJoins.zOrderCompact(spark, path, zorderBy,
+        keepVersions = keep)
     val v = WarehouseFs.currentVersion(spark, path).map(_._1).get
     Seq(Row(v, parts))
   }
 }
 
-/** `VACUUM t RETAIN n VERSIONS` → [[WarehouseFs.vacuum]]. Returns the
+/** `VACUUM t [RETAIN n VERSIONS]` → [[WarehouseFs.vacuum]]. Without a
+  * RETAIN clause the table's own stored `keepVersions` governs (the
+  * retention every write path already honors — a bare VACUUM is "GC to
+  * my declared window NOW", never a surprise tightening). Returns the
   * retained version numbers. */
-case class GraftVacuumCommand(path: String, keep: Int)
+case class GraftVacuumCommand(path: String, keep: Option[Int])
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("retained_version", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
-    WarehouseFs.vacuum(spark, path, keep)
+    val n = keep.getOrElse(graft.sources.GraftCatalog.keepVersionsOf(
+      graft.sources.GraftCatalog.readProps(spark, path)))
+    WarehouseFs.vacuum(spark, path, n)
     WarehouseFs.listVersions(spark, path).map(Row(_))
   }
 }

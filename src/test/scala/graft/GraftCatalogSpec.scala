@@ -389,10 +389,17 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.table(s"graft.$t").count() === 999)
     assert(WarehouseFs.bloomCandidateFiles(spark, s"$wh/$t", "id", Seq(9L))
       .isDefined, "OPTIMIZE must keep the bloom index")
-    // VACUUM tightens retention and GCs unreferenced dirs now
+    // a BARE vacuum GCs to the table's own stored retention (5): with
+    // only one retained version left it provably removes nothing
+    spark.sql(s"INSERT INTO graft.$t VALUES (5000, 'x')") // v5
+    spark.sql(s"VACUUM graft.$t")
+    assert(WarehouseFs.listVersions(spark, s"$wh/$t") ===
+      Seq(1L, 2L, 3L, 4L, 5L),
+      "bare VACUUM must honor the stored keepVersions, not a default")
+    // VACUUM RETAIN tightens retention and GCs unreferenced dirs now
     spark.sql(s"VACUUM graft.$t RETAIN 1 VERSIONS")
-    assert(WarehouseFs.listVersions(spark, s"$wh/$t") === Seq(4L))
-    assert(spark.table(s"graft.$t").count() === 999)
+    assert(WarehouseFs.listVersions(spark, s"$wh/$t") === Seq(5L))
+    assert(spark.table(s"graft.$t").count() === 1000)
     // everything else still parses through the delegate
     assert(spark.sql("SELECT 1 AS x").head().getInt(0) === 1)
     intercept[Exception] { spark.sql("OPTIMIZE graft.nope_missing").collect() }
