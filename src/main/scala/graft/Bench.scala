@@ -121,10 +121,18 @@ object Bench {
     * question. join_asof: the 0.25 s floor was a page-cache-warm rep
     * from the 131-query-registry era; the plan was re-audited in r10
     * (BroadcastHashJoin, probe-side scan pruned, one codegen span — the
-    * right 100 TB shape) and its quiet steady state is ~0.45 s. The pin
-    * RAISES the effective prior to that audited value, so only a real
-    * regression beyond it re-measures. */
-  val PinnedPrior: Map[String, Double] = Map("join_asof" -> 0.45)
+    * right 100 TB shape) and its quiet steady state is ~0.45 s.
+    * text_crossdoc_dup: plan re-audited r11/r12 (one hashed-gram
+    * shuffle join, 8-byte keys); its quiet steady state is ~1.8 s and
+    * the sub-1.8 history minima are warm-cache reps — it flagged as a
+    * load-noise suspect two rounds running on a closed question. The
+    * pin RAISES the effective prior to the audited value, so only a
+    * real regression beyond it re-measures; each APPLIED pin (pin >
+    * history minimum) is published in the artifact's `pinned` map, so
+    * a future steady-state improvement below the pin is visible in the
+    * output rather than silently masked — drop the pin then. */
+  val PinnedPrior: Map[String, Double] =
+    Map("join_asof" -> 0.45, "text_crossdoc_dup" -> 1.8)
 
   /** Queries needing a verification re-run: rep-spread suspects (one
     * starved rep) plus cross-round regressions (sustained contention —
@@ -205,7 +213,10 @@ object Bench {
         ++ readIfThere(historyPath).toSeq.flatMap(_.linesIterator))
         // only same-scale-factor priors are a valid regression baseline
         .filter(t => sfOf(t).contains(sfDir)))
-    // audited steady-state pins RAISE the floor over stale history minima
+    // audited steady-state pins RAISE the floor over stale history minima;
+    // applied pins are published below (provenance — see PinnedPrior)
+    val appliedPins = PinnedPrior.filter { case (k, v) =>
+      v > prior0.getOrElse(k, Double.MaxValue) }
     val prior = prior0 ++ PinnedPrior.map { case (k, v) =>
       k -> math.max(v, prior0.getOrElse(k, 0.0)) }
     val toRetry = retryCandidates(ok, prior)
@@ -255,7 +266,9 @@ object Bench {
         again.map(r(_).toString).getOrElse("null") + "}" }.mkString("{", ",", "}")
     val total = r(finalTimes.map(_._2).sum)
     val scalingFrag = scaling.map("," + _).getOrElse("")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"raw":$raws,"errors":$errs,"suspect":$susp,"retried":$retr,"load_avg":{"before":${r(loadBefore)},"after":${r(loadAfter)},"cpus":${Runtime.getRuntime.availableProcessors}}$scalingFrag,"reps":$reps,"sf":"$sfDir"}"""
+    val pins = appliedPins.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + r(v) }.mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"raw":$raws,"errors":$errs,"suspect":$susp,"retried":$retr,"pinned":$pins,"load_avg":{"before":${r(loadBefore)},"after":${r(loadAfter)},"cpus":${Runtime.getRuntime.availableProcessors}}$scalingFrag,"reps":$reps,"sf":"$sfDir"}"""
     // the file copy FIRST: it is always complete and parseable even if
     // the process dies mid-print, and it is what a log-tail capture
     // should be pointed at

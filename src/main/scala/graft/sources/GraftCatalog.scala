@@ -360,10 +360,12 @@ object GraftCatalog {
   * `INSERT INTO` / `df.writeTo(…).append()` commit an append-only CoW
   * version, `INSERT OVERWRITE` / `writeTo(…).overwrite(lit(true))` /
   * truncate publish a full new version with the stored partitioning and
-  * index properties re-applied; `INSERT OVERWRITE … PARTITION (col=v)`
-  * replaces exactly those partitions as a CoW commit (all other files
-  * carried by reference). Other partial overwrites (a non-partition
-  * overwrite filter) are refused loudly — use MERGE / DELETE. */
+  * index properties re-applied; `INSERT OVERWRITE … PARTITION (col=v, …)`
+  * with EVERY partition column pinned replaces exactly that partition as
+  * a CoW commit (all other files carried by reference; an empty source
+  * truncates it — the ANSI contract). Partial specs on multi-level
+  * partitioning and non-partition overwrite filters are refused loudly —
+  * use dynamic mode, MERGE, or DELETE. */
 case class GraftCatalogTable(spark: SparkSession, path: String,
                              schemaArg: StructType,
                              props: Map[String, String],
@@ -485,7 +487,7 @@ case class GraftCatalogTable(spark: SparkSession, path: String,
         "current version")
     new WriteBuilder with SupportsTruncate with SupportsOverwrite {
       private var overwriteAll = false
-      private var overwriteStaticParts = false
+      private var staticSpec: Option[Map[String, Any]] = None
 
       override def truncate(): WriteBuilder = { overwriteAll = true; this }
 
@@ -493,15 +495,17 @@ case class GraftCatalogTable(spark: SparkSession, path: String,
         if (filters.isEmpty || filters.forall(_.isInstanceOf[AlwaysTrue])) truncate()
         else {
           // STATIC partition overwrite (`INSERT OVERWRITE t PARTITION
-          // (day=5) SELECT …`): the filters are equality constraints on
-          // partition columns and the incoming data carries exactly
-          // those partition values — the CoW partition-overwrite verb
-          // replaces precisely them, every other partition's files carry
-          // by reference. (The one divergence from ANSI: an EMPTY
-          // source leaves the partition in place instead of truncating
-          // it — overwritePartitions provably changes nothing on empty
-          // input.) Anything that is not a pure partition-equality
-          // overwrite stays refused.
+          // (day=5) SELECT …`): the filters are equality constraints
+          // pinning EVERY partition column — the OverwriteByExpression
+          // contract is "delete every row matching the spec, then
+          // insert", which [[WarehouseFs.overwriteStaticPartition]]
+          // implements exactly (spec-derived touched set, so an empty
+          // source truncates the named partition). A PARTIAL spec on a
+          // multi-level table (`PARTITION (a=1)` with b dynamic) must
+          // refuse: the data-derived dynamic verb would silently keep
+          // a=1 rows whose b values are absent from the data — wrong
+          // table state under the static contract. Anything that is not
+          // a full partition-equality spec stays refused.
           val partBy = {
             val stored = GraftCatalog.colListOf(props, "partitionBy")
             if (stored.nonEmpty) stored
@@ -509,20 +513,23 @@ case class GraftCatalogTable(spark: SparkSession, path: String,
           }
           // static specs arrive as EqualNullSafe (a PARTITION value is a
           // literal, so null-safety is irrelevant here)
-          val eqCols = filters.collect {
-            case e: org.apache.spark.sql.sources.EqualTo => e.attribute
+          val eqs = filters.collect {
+            case e: org.apache.spark.sql.sources.EqualTo
+                if e.value != null => e.attribute -> e.value
             case e: org.apache.spark.sql.sources.EqualNullSafe
-                if e.value != null => e.attribute
+                if e.value != null => e.attribute -> e.value
           }
-          if (partBy.nonEmpty && eqCols.length == filters.length &&
-              eqCols.forall(partBy.contains)) {
-            overwriteStaticParts = true; this
+          if (partBy.nonEmpty && eqs.length == filters.length &&
+              eqs.map(_._1).toSet == partBy.toSet &&
+              eqs.map(_._1).distinct.length == eqs.length) {
+            staticSpec = Some(eqs.toMap); this
           } else throw new UnsupportedOperationException(
             s"graft catalog: partial INSERT OVERWRITE (filters " +
               s"${filters.mkString(", ")}) is not supported — only " +
-              "whole-partition overwrites (PARTITION (col=value) on " +
-              "partition columns); use MERGE INTO or DELETE + INSERT " +
-              "for row-level changes")
+              "whole-partition overwrites (PARTITION (col=value, …) " +
+              "pinning EVERY partition column); use dynamic " +
+              "partitionOverwriteMode, MERGE INTO, or DELETE + INSERT " +
+              "for anything narrower")
         }
 
       override def build(): Write = new V1Write {
@@ -531,12 +538,12 @@ case class GraftCatalogTable(spark: SparkSession, path: String,
             override def insert(data: DataFrame, overwrite: Boolean): Unit = {
               val keep = GraftCatalog.keepVersionsOf(props)
               val partBy = GraftCatalog.colListOf(props, "partitionBy")
-              if (overwriteStaticParts) {
+              if (staticSpec.isDefined) {
                 val cols =
                   if (partBy.nonEmpty) partBy
                   else WarehouseFs.layoutPartitionCols(spark, path)
-                WarehouseFs.overwritePartitions(data, path, cols,
-                  keepVersions = keep)
+                WarehouseFs.overwriteStaticPartition(data, path, cols,
+                  staticSpec.get, keepVersions = keep)
               } else if (overwrite || overwriteAll) {
                 // an API-published table has no props sidecar — fall back
                 // to the LIVE layout and index columns, or the overwrite

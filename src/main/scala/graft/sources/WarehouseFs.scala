@@ -160,9 +160,13 @@ object WarehouseFs {
   // the filesystem the writer sealed on, and a distcp / backup-restore /
   // object-store migration rewrites mtimes — silently shifting every
   // historical timestamp. Manifests from before this header fall back to
-  // mtime (legacy behavior). Parsers ignore unknown `ts:` lines never
-  // collide with content: data-dir names start with `v`, file paths with
-  // their version dir.
+  // mtime (legacy behavior). `ts:` lines never collide with content:
+  // data-dir names start with `v`, file paths with their version dir.
+  // COMPATIBILITY is one-way: this parser reads headerless (pre-`ts:`)
+  // manifests, but a pre-header parser misreads a `ts:` line as a
+  // carried file path (and can miss a following `partcols:` header) —
+  // in a mixed-version or external-reader deployment, upgrade every
+  // reader before the first header-writing writer runs.
   private final case class ResolvedVersion(version: Long, dirName: String,
                                            files: Option[Seq[String]],
                                            declaredPartCols: Seq[String] = Nil,
@@ -1717,6 +1721,79 @@ object WarehouseFs {
         // through one task
         publishCoW(spark, table, r,
           alignToSchema(rewritten, schemaV, "overwritePartitions"),
+          touched, all.diff(touched), keepVersions, refreshStats,
+          coalesceTo = Some(0), partColsHint = partCols)
+    }
+  }
+
+  /** STATIC partition overwrite — `INSERT OVERWRITE t PARTITION
+    * (a=1, b=2) SELECT …` with EVERY partition column pinned to a
+    * literal. Unlike [[overwritePartitions]] (dynamic mode: partitions
+    * PRESENT IN THE DATA replace), the replaced partition here is the
+    * one the SPEC names — which is the ANSI contract: "delete every row
+    * matching the spec, then insert", so an EMPTY source truncates the
+    * named partition instead of silently leaving it in place. Touched
+    * files resolve by path arithmetic from the spec values (exact for
+    * layout-encoded files; flat legacy files keep their out-of-spec
+    * rows via an anti-join). One copy-on-write commit; every other
+    * partition's files carry by reference. Callers must pin ALL
+    * partition columns — a partial spec (`PARTITION (a=1)` on an (a,b)
+    * table with b dynamic) has delete-by-prefix semantics this verb
+    * does not implement and must refuse upstream. */
+  def overwriteStaticPartition(data: DataFrame, table: String,
+                               partCols: Seq[String], spec: Map[String, Any],
+                               keepVersions: Int = 2,
+                               refreshStats: Boolean = true): Unit = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
+    require(partCols.nonEmpty && spec.keySet == partCols.toSet,
+      s"overwriteStaticPartition: the spec (${spec.keySet.mkString(", ")}) " +
+        s"must pin exactly the partition columns (${partCols.mkString(", ")})")
+    require(spec.values.forall(_ != null),
+      "overwriteStaticPartition: null partition values are not supported")
+    val spark = data.sparkSession
+    resolveVersion(spark, table, None) match {
+      case None =>
+        publishVersioned(data, table, partitionBy = partCols,
+          keepVersions = keepVersions, collectStats = refreshStats)
+      case Some(r) =>
+        val (fs, t) = fsFor(spark, table)
+        val all = versionFiles(fs, t, r)
+        val schemaV = versionSchema(spark, table, r)
+        val tableCols = schemaV.fieldNames.toSeq
+        require(data.columns.toSet == tableCols.toSet,
+          s"overwriteStaticPartition: data columns ${data.columns.toSet} " +
+            s"must equal table columns ${tableCols.toSet}")
+        def dtOf(c: String) = schemaV.find(_.name == c).map(_.dataType)
+          .getOrElse(throw new IllegalArgumentException(
+            s"overwriteStaticPartition: $c is not a column of $table"))
+        // TIMESTAMP partition paths are session-zone-dependent — same
+        // loud refusal as the dynamic verb
+        partCols.foreach { c =>
+          require(dtOf(c) != org.apache.spark.sql.types.TimestampType,
+            s"overwriteStaticPartition: partition column $c is TIMESTAMP — " +
+              "partition by a DATE or formatted-string projection instead")
+        }
+        // the touched set comes from the SPEC, not the data — this is
+        // what makes the empty-source truncate exact
+        val touched = partCols.map { c =>
+          partitionCandidates(spark, all, c, Seq(spec(c)), dtOf(c)).toSet
+        }.reduce(_ intersect _).toSeq.sorted
+        // flat legacy files may mix partitions: keep their rows OUTSIDE
+        // the replaced tuple (layout-encoded touched files hold exactly
+        // the replaced tuple → zero survivors from them)
+        val tupleDf = spark.range(1)
+          .select(partCols.map(c => lit(spec(c)).cast(dtOf(c)).as(c)): _*)
+        val survivors =
+          if (touched.isEmpty) None
+          else Some(readFilesGrouped(spark, table, touched)
+            .join(broadcast(tupleDf), partCols, "left_anti"))
+        if (touched.isEmpty && data.isEmpty) return // spec names nothing, nothing arrives
+        val rewritten = survivors
+          .fold(data.select(tableCols.map(col): _*))(
+            _.select(tableCols.map(col): _*)
+              .unionByName(data.select(tableCols.map(col): _*)))
+        publishCoW(spark, table, r,
+          alignToSchema(rewritten, schemaV, "overwriteStaticPartition"),
           touched, all.diff(touched), keepVersions, refreshStats,
           coalesceTo = Some(0), partColsHint = partCols)
     }

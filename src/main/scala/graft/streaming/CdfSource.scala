@@ -79,9 +79,32 @@ object CdfSource {
       .add("_change_type", StringType, nullable = false)
       .add("_commit_version", LongType, nullable = false)
 
+  /** Accepted `startingTimestamp` spellings → epoch millis: raw epoch
+    * millis, ISO-8601 with an offset/`Z` (`2021-03-01T00:00:00Z`, exact
+    * instant), ISO-8601 `T` without a zone and the legacy space form
+    * (`2021-03-01[T ]00:00:00[.f]`, the JVM's zone), and date-only
+    * (`2021-03-01`, local midnight). Anything else fails with a message
+    * naming the option and these forms — not a raw parse stack. */
+  private[streaming] def parseInstantMillis(s0: String): Long = {
+    val s = s0.trim
+    def attempt[A](f: => A): Option[A] =
+      try Some(f) catch { case _: RuntimeException => None }
+    s.toLongOption
+      .orElse(attempt(java.time.Instant.parse(s).toEpochMilli))
+      .orElse(attempt(java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+        .atZone(java.time.ZoneId.systemDefault()).toInstant.toEpochMilli))
+      .orElse(attempt(java.time.LocalDate.parse(s)
+        .atStartOfDay(java.time.ZoneId.systemDefault()).toInstant.toEpochMilli))
+      .orElse(attempt(java.sql.Timestamp.valueOf(s).getTime))
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft-cdf: cannot parse option startingTimestamp '$s0' — accepted " +
+          "forms: epoch millis, 'yyyy-MM-dd', 'yyyy-MM-dd HH:mm:ss[.f]', " +
+          "ISO-8601 with 'T' (optionally zoned, e.g. 2021-03-01T00:00:00Z)"))
+  }
+
   /** Resolve the starting-point options: `startingVersion` verbatim, or
-    * `startingTimestamp` (epoch millis, or a `yyyy-MM-dd HH:mm:ss[.f]`
-    * local timestamp) as the EARLIEST retained version committed at or
+    * `startingTimestamp` ([[parseInstantMillis]] spellings) as the
+    * EARLIEST retained version committed at or
     * after the instant — commit instants come from the manifest bodies
     * ([[WarehouseFs.describeHistory]]), so a store migration cannot
     * shift the resolution. A timestamp past the latest retained commit
@@ -96,8 +119,7 @@ object CdfSource {
     require(sv.isEmpty || st.isEmpty,
       "graft-cdf: startingVersion and startingTimestamp are mutually exclusive")
     sv.map(_.toLong).orElse(st.map { s =>
-      val tsMillis = s.trim.toLongOption.getOrElse(
-        java.sql.Timestamp.valueOf(s.trim).getTime)
+      val tsMillis = parseInstantMillis(s)
       val hist = WarehouseFs.describeHistory(sqlContext.sparkSession, table)
       hist.find(_._2.getTime >= tsMillis).map(_._1).getOrElse(
         throw new IllegalArgumentException(

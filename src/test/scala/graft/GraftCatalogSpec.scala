@@ -243,6 +243,44 @@ class GraftCatalogSpec extends SparkSpec {
     assert(e.getMessage.contains("not supported"), s"got: ${e.getMessage}")
   }
 
+  test("static INSERT OVERWRITE: full two-level spec replaces; partial spec refuses; empty source truncates") {
+    val t = fresh("cat_statovr2")
+    spark.sql(s"CREATE TABLE graft.$t (id BIGINT, a INT, b INT) " +
+      "PARTITIONED BY (a, b) TBLPROPERTIES('keepVersions'='8')")
+    spark.sql(s"INSERT INTO graft.$t " +
+      "SELECT id, CAST(id % 2 AS INT), CAST(id % 3 AS INT) FROM range(120)")
+    // full spec: exactly (a=1, b=2) replaced, every other tuple carried
+    val before = spark.table(s"graft.$t").filter(col("a") === 1 && col("b") === 2).count()
+    assert(before === 20)
+    spark.sql(s"INSERT OVERWRITE graft.$t PARTITION (a = 1, b = 2) " +
+      "SELECT id FROM range(3)")
+    assert(spark.table(s"graft.$t").filter(col("a") === 1 && col("b") === 2)
+      .count() === 3)
+    assert(spark.table(s"graft.$t").count() === 103)
+    // PARTIAL static spec (a pinned, b dynamic): the OverwriteByExpression
+    // contract is "delete everything under a=1 then insert" — rows under
+    // a=1 with b values absent from the data would silently survive the
+    // dynamic verb, so this must refuse loudly
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT OVERWRITE graft.$t PARTITION (a = 1) " +
+        "SELECT id, CAST(0 AS INT) FROM range(2)")
+    }
+    assert(e.getMessage.contains("partial INSERT OVERWRITE"), s"got: ${e.getMessage}")
+    // ANSI empty-source truncate: the named partition empties, the rest
+    // stays — the touched set derives from the SPEC, not the data
+    spark.sql(s"INSERT OVERWRITE graft.$t PARTITION (a = 1, b = 2) " +
+      "SELECT id FROM range(5) WHERE id < 0")
+    assert(spark.table(s"graft.$t").filter(col("a") === 1 && col("b") === 2)
+      .count() === 0, "empty source must truncate the named partition")
+    assert(spark.table(s"graft.$t").count() === 100, "other partitions intact")
+    // a spec naming a partition that never existed, with an empty source:
+    // provably nothing to do, no version bump
+    val v0 = WarehouseFs.currentVersion(spark, s"$wh/$t").get._1
+    spark.sql(s"INSERT OVERWRITE graft.$t PARTITION (a = 7, b = 7) " +
+      "SELECT id FROM range(5) WHERE id < 0")
+    assert(WarehouseFs.currentVersion(spark, s"$wh/$t").get._1 === v0)
+  }
+
   test("SQL MERGE: multiple conditional matched clauses fold first-match-wins (ANSI order)") {
     val t = fresh("cat_merge_multi")
     WarehouseFs.publishVersioned(
