@@ -33,6 +33,11 @@ import graft.sources.WarehouseFs
   * history.
   *
   * Options: `table` (path), `keyCols` (comma-separated), optional
+  * `maxVersionsPerTrigger` (catch-up rate limit: a lagging stream
+  * drains at most this many versions per micro-batch instead of
+  * unioning every pending version's feed into one giant plan; content
+  * across the drain is identical — per-step feeds never depended on
+  * batch boundaries), optional
   * `startingVersion` (first version whose ARRIVAL the stream reports;
   * default = versions committed after stream start) or
   * `startingTimestamp` (resolved to the earliest retained version
@@ -64,9 +69,16 @@ class CdfSourceProvider extends StreamSourceProvider with DataSourceRegister {
     val keyCols = parameters.getOrElse("keyCols",
       throw new IllegalArgumentException("graft-cdf: option 'keyCols' required"))
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val maxVersions = parameters.get("maxVersionsPerTrigger").map { s =>
+      val n = s.trim.toLongOption.getOrElse(throw new IllegalArgumentException(
+        s"graft-cdf: maxVersionsPerTrigger must be a positive integer, got '$s'"))
+      require(n >= 1L,
+        s"graft-cdf: maxVersionsPerTrigger must be ≥ 1, got $n")
+      n
+    }
     new CdfSource(sqlContext, tableOf(parameters), keyCols,
       CdfSource.startingVersionOf(sqlContext, tableOf(parameters), parameters),
-      Some(metadataPath))
+      Some(metadataPath), maxVersions)
   }
 }
 
@@ -169,7 +181,14 @@ class GraftStreamTableRule(spark: org.apache.spark.sql.SparkSession)
         s"graft-cdf: streaming $name needs its key columns — declare " +
           "TBLPROPERTIES('keyCols'='…') at CREATE (or ALTER … SET " +
           "TBLPROPERTIES), or pass .option(\"keyCols\", …)"))
-    val opts = Map("table" -> path, "keyCols" -> keyCols) ++
+    // readStream.table defaults the catch-up rate limit (the raw source
+    // spelling stays unbounded unless asked — its callers pass the
+    // option explicitly): a lagging stream must drain in bounded
+    // batches, not one plan unioning every pending version's feed
+    val opts = Map("table" -> path, "keyCols" -> keyCols,
+      "maxVersionsPerTrigger" ->
+        Option(options.get("maxVersionsPerTrigger"))
+          .getOrElse(GraftStreamTableRule.DefaultMaxVersionsPerTrigger)) ++
       Option(options.get("startingVersion")).map("startingVersion" -> _) ++
       Option(options.get("startingTimestamp")).map("startingTimestamp" -> _)
     StreamingRelation(DataSource(spark, className = "graft-cdf",
@@ -187,9 +206,19 @@ class GraftStreamTableRule(spark: org.apache.spark.sql.SparkSession)
   }
 }
 
+object GraftStreamTableRule {
+  /** Default catch-up bound for `readStream.table("graft.t")`: 128
+    * versions per micro-batch — a plan of ≤128 per-step feed relations
+    * stays well under driver plan-size trouble while a lagging stream
+    * still drains quickly (128 commits/batch ≫ any sane commit rate).
+    * Override with `.option("maxVersionsPerTrigger", n)`. */
+  val DefaultMaxVersionsPerTrigger: String = "128"
+}
+
 class CdfSource(sqlContext: SQLContext, table: String, keyCols: Seq[String],
                 startingVersion: Option[Long],
-                metadataPath: Option[String] = None) extends Source {
+                metadataPath: Option[String] = None,
+                maxVersionsPerTrigger: Option[Long] = None) extends Source {
   private val spark = sqlContext.sparkSession
 
   override val schema: StructType = CdfSource.feedSchema(sqlContext, table)
@@ -262,9 +291,27 @@ class CdfSource(sqlContext: SQLContext, table: String, keyCols: Seq[String],
     }
   }
 
+  /** Highest version the engine has asked this source to serve — the
+    * rate-limit base. Advanced ONLY by [[getBatch]]: on restart the
+    * engine replays/initializes with a getBatch of the recovered range
+    * before the next getOffset (the documented v1 contract KafkaSource's
+    * own rate limit relies on), so the base can never regress below a
+    * committed offset and re-deliver versions. */
+  private var servedThrough: Long = floor
+
+  /** Offsets ARE versions, so rate limiting is one `min`: cap the
+    * reported offset at `maxVersionsPerTrigger` past the last served
+    * version. Without a cap, a stream restarted after a long lag
+    * against a high-churn table would union EVERY pending version's
+    * feed into one micro-batch — a plan of hundreds of relations and a
+    * giant first batch. With it, catch-up drains in bounded batches;
+    * content is identical because per-step feeds never depended on the
+    * batch boundary. */
   override def getOffset: Option[V1Offset] = {
     val cur = WarehouseFs.currentVersion(spark, table).map(_._1).getOrElse(0L)
-    if (cur > floor) Some(LongOffset(cur)) else None
+    val capped = maxVersionsPerTrigger.fold(cur)(m =>
+      math.min(cur, servedThrough + m))
+    if (capped > servedThrough) Some(LongOffset(capped)) else None
   }
 
   private def versionOf(o: V1Offset): Long = o match {
@@ -275,6 +322,7 @@ class CdfSource(sqlContext: SQLContext, table: String, keyCols: Seq[String],
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val to = versionOf(end)
     val from = start.map(versionOf).getOrElse(floor)
+    servedThrough = math.max(servedThrough, to)
     val ordered = schema.fieldNames.toSeq
     val steps = (from until to).map { v =>
       // Initial-snapshot semantics (the lakehouse-CDF convention): when

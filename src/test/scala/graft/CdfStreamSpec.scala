@@ -277,6 +277,80 @@ class CdfStreamSpec extends SparkSpec {
     assert(e.getMessage.contains("keyCols"), s"got: ${e.getMessage}")
   }
 
+  test("maxVersionsPerTrigger drains a lagging stream in bounded batches, content-identical") {
+    val t = tmpTable()
+    WarehouseFs.publishVersioned(
+      Seq((0L, "seed")).toDF("id", "user"), t,
+      keepVersions = 30, bloomIndexCols = Seq("id"))            // v1
+    (1 to 20).foreach { i =>                                    // v2..v21
+      WarehouseFs.upsertRows(Seq((i.toLong, s"u$i")).toDF("id", "user"),
+        t, "id", keepVersions = 30)
+    }
+    // unbounded reference content: every step's delta from the floor
+    var batches = 0
+    def drain(max: Option[String]): Set[(Long, String, String, Long)] = {
+      batches = 0
+      sinkRows.synchronized(sinkRows.clear())
+      val reader = spark.readStream
+        .format("graft.streaming.CdfSourceProvider")
+        .option("table", t).option("keyCols", "id")
+        .option("startingVersion", "2")
+      val q = max.fold(reader)(m => reader.option("maxVersionsPerTrigger", m))
+        .load()
+        .writeStream.foreachBatch {
+          (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            if (!b.isEmpty) batches += 1
+            b.select("id", "user", "_change_type", "_commit_version")
+              .collect().foreach(r => sinkRows.synchronized {
+                sinkRows += ((r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))) })
+        }.start()
+      try { q.processAllAvailable() } finally q.stop()
+      sinkRows.synchronized(sinkRows.toSet)
+    }
+    val unbounded = drain(None)
+    assert(batches === 1, "no cap → the 20-version lag arrives as one batch")
+    val bounded = drain(Some("5"))
+    assert(batches === 4, "20 pending versions at 5/trigger → exactly 4 batches")
+    assert(bounded === unbounded, "rate limiting must not change content")
+    assert(bounded.map(_._4) === (2L to 21L).toSet)
+  }
+
+  test("rate-limited catch-up resumes correctly across a mid-drain restart") {
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    val t = tmpTable()
+    WarehouseFs.publishVersioned(Seq((0L, "seed")).toDF("id", "user"), t,
+      keepVersions = 30, bloomIndexCols = Seq("id"))            // v1
+    (1 to 12).foreach { i =>                                    // v2..v13
+      WarehouseFs.upsertRows(Seq((i.toLong, s"u$i")).toDF("id", "user"),
+        t, "id", keepVersions = 30)
+    }
+    val meta = java.nio.file.Files.createTempDirectory("graft_cdf_meta_").toString
+    val s1 = new CdfSource(spark.sqlContext, t, Seq("id"), Some(2L),
+      Some(meta), Some(5L))
+    val o1 = s1.getOffset.get.asInstanceOf[LongOffset].offset
+    assert(o1 === 6L, "floor 1 + 5 per trigger")
+    // (content parity across the drain is asserted end-to-end in the
+    // foreachBatch test above; here the OFFSET mechanics are the point)
+    assert(s1.getBatch(None, LongOffset(o1)).isStreaming)
+    val o2 = s1.getOffset.get.asInstanceOf[LongOffset].offset
+    assert(o2 === 11L)
+    s1.getBatch(Some(LongOffset(o1)), LongOffset(o2))
+    // "crash" after the engine committed through o2; a restarted source
+    // first replays the recovered range (the v1 restart contract), and
+    // the NEXT offset continues from there — never re-capped from the
+    // floor, never skipping
+    val s2 = new CdfSource(spark.sqlContext, t, Seq("id"), Some(2L),
+      Some(meta), Some(5L))
+    s2.getBatch(Some(LongOffset(o1)), LongOffset(o2)) // engine replay/init
+    val o3 = s2.getOffset.get.asInstanceOf[LongOffset].offset
+    assert(o3 === 13L, "cap from the replayed offset 11, bounded by head 13")
+    assert(s2.getBatch(Some(LongOffset(o2)), LongOffset(o3)).isStreaming)
+    assert(s2.getOffset.isEmpty, "drained")
+  }
+
+  private val sinkRows =
+    scala.collection.mutable.Set.empty[(Long, String, String, Long)]
+
   test("startingTimestamp resolves the earliest commit at or after the instant") {
     val t = tmpTable()
     WarehouseFs.publishVersioned(
