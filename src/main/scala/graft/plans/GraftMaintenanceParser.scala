@@ -25,6 +25,11 @@ import graft.sources.WarehouseFs
   *   VACUUM graft.t [RETAIN 3 VERSIONS]  -- tighten retention + GC now
   *                                          (bare: the table's stored
   *                                          keepVersions governs)
+  *   VACUUM graft.t RETAIN 7 DAYS        -- TIME retention: versions
+  *                                          committed within the window
+  *                                          survive regardless of count
+  *                                          (also HOURS; commit instants
+  *                                          from the manifest bodies)
   *   DESCRIBE HISTORY graft.t            -- retained versions: commit
   *                                          time, manifest format, files,
   *                                          bytes
@@ -46,6 +51,8 @@ class GraftMaintenanceParser(delegate: ParserInterface) extends ParserInterface 
     """(?is)\s*OPTIMIZE\s+(.+?)\s*;?\s*""".r
   private val VacuumRe =
     """(?is)\s*VACUUM\s+(.+?)\s+RETAIN\s+(\d+)\s+VERSIONS\s*;?\s*""".r
+  private val VacuumTimeRe =
+    """(?is)\s*VACUUM\s+(.+?)\s+RETAIN\s+(\d+(?:\.\d+)?)\s+(DAYS?|HOURS?)\s*;?\s*""".r
   private val VacuumDefaultRe =
     """(?is)\s*VACUUM\s+(.+?)\s*;?\s*""".r
   private val HistoryRe =
@@ -59,6 +66,11 @@ class GraftMaintenanceParser(delegate: ParserInterface) extends ParserInterface 
         .filter(_.nonEmpty).toSeq)
     case OptimizeRe(ident) => GraftOptimizeCommand(tablePath(ident))
     case VacuumRe(ident, n) => GraftVacuumCommand(tablePath(ident), Some(n.toInt))
+    case VacuumTimeRe(ident, n, unit) =>
+      val days =
+        if (unit.toUpperCase.startsWith("HOUR")) n.toDouble / 24.0
+        else n.toDouble
+      GraftVacuumCommand(tablePath(ident), None, Some(days))
     case VacuumDefaultRe(ident) => GraftVacuumCommand(tablePath(ident), None)
     case HistoryRe(ident) => GraftDescribeHistoryCommand(tablePath(ident))
     case DetailRe(ident) => GraftDescribeDetailCommand(tablePath(ident))
@@ -148,19 +160,26 @@ case class GraftOptimizeCommand(path: String, zorderBy: Seq[String] = Nil)
   }
 }
 
-/** `VACUUM t [RETAIN n VERSIONS]` → [[WarehouseFs.vacuum]]. Without a
-  * RETAIN clause the table's own stored `keepVersions` governs (the
-  * retention every write path already honors — a bare VACUUM is "GC to
-  * my declared window NOW", never a surprise tightening). Returns the
-  * retained version numbers. */
-case class GraftVacuumCommand(path: String, keep: Option[Int])
+/** `VACUUM t [RETAIN n VERSIONS | RETAIN n DAYS/HOURS]` →
+  * [[WarehouseFs.vacuum]]. Without a RETAIN clause the table's own
+  * stored `keepVersions` + `keepDays` govern (the retention every write
+  * path already honors — a bare VACUUM is "GC to my declared window
+  * NOW", never a surprise tightening). Mixed semantics are a UNION —
+  * the stricter rule wins: `RETAIN n VERSIONS` keeps the newest n AND
+  * whatever the stored `keepDays` window keeps; `RETAIN n DAYS` keeps
+  * the window AND whatever the stored `keepVersions` count keeps. A
+  * compaction storm of k versions inside a time window therefore GCs
+  * nothing — that is the point of time retention. Returns the retained
+  * version numbers. */
+case class GraftVacuumCommand(path: String, keep: Option[Int],
+                              retainDays: Option[Double] = None)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("retained_version", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val n = keep.getOrElse(graft.sources.GraftCatalog.keepVersionsOf(
       graft.sources.GraftCatalog.readProps(spark, path)))
-    WarehouseFs.vacuum(spark, path, n)
+    WarehouseFs.vacuum(spark, path, n, retainDays)
     WarehouseFs.listVersions(spark, path).map(Row(_))
   }
 }
@@ -185,6 +204,9 @@ case class GraftDescribeDetailCommand(path: String)
     AttributeReference("has_stats", org.apache.spark.sql.types.BooleanType,
       nullable = false)(),
     AttributeReference("retained_versions", IntegerType, nullable = false)(),
+    // the time-travel floor: a compliance reader checks THIS instant
+    // against its retention requirement, not the version count
+    AttributeReference("oldest_retained_at", TimestampType, nullable = false)(),
     AttributeReference("properties", StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val hist = WarehouseFs.describeHistory(spark, path)
@@ -198,7 +220,8 @@ case class GraftDescribeDetailCommand(path: String)
       .toSeq.sortBy(_._1).map { case (k, value) => s"$k=$value" }
       .mkString(",")
     Seq(Row(path, fmt, v, ts, nf, bytes, partCols.mkString(","),
-      bloom.mkString(","), zone.mkString(","), hasStats, hist.size, props))
+      bloom.mkString(","), zone.mkString(","), hasStats, hist.size,
+      hist.head._2, props))
   }
 }
 

@@ -50,7 +50,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *
   * Table properties understood at CREATE (stored in `_meta/props`, a
   * tiny k=v sidecar): `bloomIndexCols`, `zoneMapCols` (comma-lists),
-  * `keepVersions`. `PARTITIONED BY (identity cols)` persists the same
+  * `keepVersions`, `keepDays` (TIME retention: versions committed
+  * within the window survive every GC regardless of count — the
+  * stricter rule wins; see [[WarehouseFs.vacuum]]).
+  * `PARTITIONED BY (identity cols)` persists the same
   * way and re-applies on every full publish and on the first non-empty
   * append. */
 class GraftCatalog extends TableCatalog with SupportsNamespaces {
@@ -215,8 +218,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         throw new UnsupportedOperationException(
           s"graft catalog: TBLPROPERTIES ${rejected.mkString(", ")} cannot " +
             "be altered (persistable: bloomIndexCols, zoneMapCols, " +
-            "keepVersions, keyCols; partitioning is fixed by the written " +
-            "layout)")
+            "keepVersions, keepDays, keyCols; partitioning is fixed by the " +
+            "written layout)")
       GraftCatalog.writeProps(spark, path,
         GraftCatalog.readProps(spark, path) ++ propSets)
     }
@@ -309,7 +312,7 @@ object GraftCatalog {
     * `keyCols` declares the table's logical key for streaming reads
     * (`readStream.table` → the change-feed source). */
   private val OwnKeys =
-    Set("bloomindexcols", "zonemapcols", "keepversions", "keycols")
+    Set("bloomindexcols", "zonemapcols", "keepversions", "keepdays", "keycols")
 
   def ownProps(properties: util.Map[String, String]): Map[String, String] = {
     val b = Map.newBuilder[String, String]

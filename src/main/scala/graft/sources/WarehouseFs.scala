@@ -375,13 +375,29 @@ object WarehouseFs {
     * references (carried ancestors of retained CoW versions survive) —
     * the SQL `VACUUM … RETAIN n VERSIONS` verb. Runs the exact GC every
     * publish runs; safe at any time (retained reads are unaffected,
-    * expired time travel resolves to None — the documented contract). */
-  def vacuum(spark: SparkSession, table: String, keepVersions: Int = 2): Unit = {
+    * expired time travel resolves to None — the documented contract).
+    *
+    * TIME-based retention composes as a UNION (the stricter rule wins —
+    * GC never deletes a version either rule keeps): a version survives
+    * when it is within the newest `keepVersions` OR its commit instant
+    * (the manifest `ts:` header) is within the retention window —
+    * `retainDays` here (the SQL `RETAIN n DAYS`/`HOURS` verb), or the
+    * table's stored `keepDays` property, which EVERY write path's GC
+    * honors automatically. Version-count retention alone destroys the
+    * time-travel window under a bursty writer (one compaction storm = n
+    * versions in an hour); a stored `keepDays` makes "7 days of history"
+    * a real guarantee at the cost of unbounded versions within the
+    * window. An explicit `retainDays` overrides the stored time rule
+    * for this vacuum only; the count rule stays whatever the caller
+    * passed. */
+  def vacuum(spark: SparkSession, table: String, keepVersions: Int = 2,
+             retainDays: Option[Double] = None): Unit = {
     require(keepVersions >= 1, "vacuum: keepVersions >= 1")
+    retainDays.foreach(d => require(d >= 0.0, "vacuum: retainDays >= 0"))
     val (fs, t) = fsFor(spark, table)
     require(fs.exists(versionsDir(t)),
       s"vacuum: $table is not a versioned table")
-    gcVersions(fs, t, keepVersions)
+    gcVersions(fs, t, keepVersions, retainDays)
   }
 
   /** One row per RETAINED version, newest last — the `DESCRIBE HISTORY`
@@ -550,15 +566,47 @@ object WarehouseFs {
   // attempt-unique "vNNNNNNNN-<nonce>" (CoW commits)
   private val DataDirName = "^v\\d{8}(-[0-9a-f]+)?$".r
 
-  private def gcVersions(fs: FileSystem, t: Path, keepVersions: Int): Unit = {
+  /** The table's stored `keepDays` retention property (the `_meta/props`
+    * sidecar the graft catalog writes), if any — read HERE rather than
+    * threaded through every verb so a stored time guarantee binds every
+    * write path's GC, not just the catalog's. One small-file read. */
+  private def storedKeepDays(fs: FileSystem, t: Path): Option[Double] = {
+    val f = new Path(t, "_meta/props")
+    if (!fs.exists(f)) return None
+    val in = fs.open(f)
+    val text =
+      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+      finally in.close()
+    text.linesIterator.map(_.trim).collectFirst {
+      case l if l.toLowerCase.startsWith("keepdays=") =>
+        l.drop(l.indexOf('=') + 1).trim
+    }.flatMap(_.toDoubleOption)
+  }
+
+  private def gcVersions(fs: FileSystem, t: Path, keepVersions: Int,
+                         retainDaysOverride: Option[Double] = None): Unit = {
     val vd = versionsDir(t)
-    val manifests = fs.listStatus(vd).map(_.getPath.getName)
-      .filter(n => ManifestName.matches(n)).sorted
-    val (expired, kept) = manifests.splitAt(math.max(0, manifests.length - keepVersions))
-    expired.foreach(n => fs.delete(new Path(vd, n), false))
+    val statuses = fs.listStatus(vd)
+      .filter(st => ManifestName.matches(st.getPath.getName))
+      .sortBy(_.getPath.getName)
+    val manifests = statuses.map(_.getPath.getName)
+    // time rule: versions committed within the window survive regardless
+    // of count (union semantics — see [[vacuum]]); commit instants come
+    // from the manifest body, mtime only as the pre-`ts:` fallback
+    val cutoff = retainDaysOverride.orElse(storedKeepDays(fs, t))
+      .map(d => System.currentTimeMillis() - math.round(d * 86400000.0))
+    val byCount = manifests.takeRight(keepVersions).toSet
+    val parsedAll = statuses.map { st =>
+      val n = st.getPath.getName
+      val r = parseManifest(n.toLong, readManifest(fs, st.getPath))
+      (n, r, r.commitTsMillis.getOrElse(st.getModificationTime))
+    }
+    val (kept0, expired) = parsedAll.partition { case (n, _, ts) =>
+      byCount(n) || cutoff.exists(ts >= _)
+    }
+    expired.foreach(p => fs.delete(new Path(vd, p._1), false))
     // one parse per kept manifest feeds both liveness sets
-    val parsed = kept.map(n =>
-      parseManifest(n.toLong, readManifest(fs, new Path(vd, n))))
+    val parsed = kept0.map(_._2)
     val referenced = parsed.flatMap(referencedDirs).toSet
     fs.listStatus(t).map(_.getPath.getName)
       .filter(n => DataDirName.matches(n) && !referenced.contains(n))

@@ -443,6 +443,34 @@ class GraftCatalogSpec extends SparkSpec {
     intercept[Exception] { spark.sql("OPTIMIZE graft.nope_missing").collect() }
   }
 
+  test("time retention: keepDays survives a compaction storm; RETAIN n DAYS/HOURS from commit instants") {
+    val t = fresh("cat_timeret")
+    spark.sql(s"CREATE TABLE graft.$t (id BIGINT) " +
+      "TBLPROPERTIES('keepVersions'='2', 'keepDays'='7')")
+    // a storm: 6 versions within seconds — count retention (2) alone
+    // would GC four of them and destroy the time-travel window
+    (1 to 5).foreach(i => spark.sql(s"INSERT INTO graft.$t VALUES ($i)"))
+    assert(WarehouseFs.listVersions(spark, s"$wh/$t") === (1L to 6L),
+      "every write path's GC must honor the stored keepDays window")
+    // bare VACUUM and even an explicit COUNT tightening cannot break the
+    // stored time guarantee (union semantics — the stricter rule wins)
+    spark.sql(s"VACUUM graft.$t")
+    spark.sql(s"VACUUM graft.$t RETAIN 1 VERSIONS")
+    assert(WarehouseFs.listVersions(spark, s"$wh/$t") === (1L to 6L))
+    // HOURS spelling parses and resolves from manifest commit instants
+    spark.sql(s"VACUUM graft.$t RETAIN 1 HOURS")
+    assert(WarehouseFs.listVersions(spark, s"$wh/$t") === (1L to 6L))
+    // DESCRIBE DETAIL surfaces the time-travel floor
+    val d = spark.sql(s"DESCRIBE DETAIL graft.$t").collect().head
+    assert(d.getAs[java.sql.Timestamp]("oldest_retained_at").getTime <=
+      d.getAs[java.sql.Timestamp]("committed_at").getTime)
+    assert(d.getAs[Int]("retained_versions") === 6)
+    // an explicit zero-width window overrides the stored time rule for
+    // this vacuum; the count rule (stored keepVersions = 2) remains
+    WarehouseFs.vacuum(spark, s"$wh/$t", keepVersions = 2, retainDays = Some(0.0))
+    assert(WarehouseFs.listVersions(spark, s"$wh/$t") === Seq(5L, 6L))
+  }
+
   test("OPTIMIZE ZORDER BY: a scattered table gets selective zone pruning back") {
     val t = fresh("cat_zopt")
     val path = s"$wh/$t"
