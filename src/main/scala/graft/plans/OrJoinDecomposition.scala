@@ -65,5 +65,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // OPTIMIZE / VACUUM / DESCRIBE HISTORY maintenance statements
     e.injectParser((_, delegate) =>
       new org.apache.spark.sql.graft.GraftMaintenanceParser(delegate))
+    // SELECT * FROM table_changes('graft.t', from[, to]) — batch change feed
+    e.injectTableFunction(GraftTableChanges.description)
   }
 }

@@ -2194,6 +2194,60 @@ object WarehouseFs {
     joined.select(explode(changes).as("__r")).select(col("__r.*"))
   }
 
+  /** Commit instant of one retained version (manifest `ts:` header,
+    * mtime fallback) — one small-file read. None when not retained. */
+  def commitInstant(spark: SparkSession, table: String,
+                    version: Long): Option[Long] =
+    resolveVersion(spark, table, Some(version)).map { r =>
+      val (fs, t) = fsFor(spark, table)
+      r.commitTsMillis.getOrElse(fs.getFileStatus(
+        new Path(versionsDir(t), vname(version))).getModificationTime)
+    }
+
+  /** Batch change feed across a RANGE of commits — the API behind the
+    * SQL `table_changes('t', from[, to])` TVF (the lakehouse-CDF
+    * convention): one row per change committed IN versions
+    * `[fromVersion, toVersion]` inclusive, stamped `_change_type`,
+    * `_commit_version` and `_commit_timestamp` (the manifest commit
+    * instant). Version 1's "change" is its full content as inserts
+    * (v0 never existed); any other step whose predecessor is GC'd
+    * refuses loudly with the retained window — a feed can never
+    * silently skip history. Cost follows [[changeFeed]]: each step
+    * diffs only the files its DML touched. */
+  def tableChanges(spark: SparkSession, table: String, keyCols: Seq[String],
+                   fromVersion: Long,
+                   toVersion: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(keyCols.nonEmpty, "tableChanges: key columns required")
+    val cur = currentVersion(spark, table).map(_._1).getOrElse(
+      throw new IllegalArgumentException(
+        s"tableChanges: $table is not a versioned table"))
+    val to = toVersion.getOrElse(cur)
+    require(fromVersion >= 1L && fromVersion <= to,
+      s"tableChanges: need 1 <= from ($fromVersion) <= to ($to)")
+    require(to <= cur,
+      s"tableChanges: end version $to is after the current version $cur of $table")
+    def refuse(v: Long): Nothing = throw new IllegalArgumentException(
+      s"tableChanges: the change of version $v needs version ${v - 1}, " +
+        s"which is no longer retained (retained: " +
+        s"${listVersions(spark, table).mkString(", ")}) — feeds cannot " +
+        "skip over GC'd history; widen keepVersions/keepDays or re-seed " +
+        "from a snapshot")
+    val steps = (fromVersion to to).map { v =>
+      val step =
+        if (v == 1L) // v0 never existed: the initial commit is all inserts
+          readTableVersion(spark, table, 1L)
+            .map(_.withColumn("_change_type", lit("insert")))
+            .getOrElse(refuse(v))
+        else changeFeed(spark, table, keyCols, v - 1, v).getOrElse(refuse(v))
+      val ts = new java.sql.Timestamp(commitInstant(spark, table, v).get)
+      step.withColumn("_commit_version", lit(v))
+        .withColumn("_commit_timestamp", lit(ts))
+    }
+    val ordered = steps.head.columns.toSeq
+    steps.map(_.select(ordered.map(col): _*)).reduce(_.unionByName(_))
+  }
+
   /** [[changeFeed]] for a table of a COMMIT SET ([[publishAtomicAll]]
     * or [[publishAtomicVersioned]] layout): the delta of `table`
     * between two retained commits. A carried-forward table resolves

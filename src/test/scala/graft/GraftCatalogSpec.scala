@@ -443,6 +443,61 @@ class GraftCatalogSpec extends SparkSpec {
     intercept[Exception] { spark.sql("OPTIMIZE graft.nope_missing").collect() }
   }
 
+  test("table_changes TVF: SQL feed ≡ API feed, timestamp bounds via commit instants, retention refuses") {
+    val t = fresh("cat_tvf")
+    spark.sql(s"CREATE TABLE graft.$t (id BIGINT, v STRING) " +
+      "TBLPROPERTIES('keyCols'='id', 'keepVersions'='10', " +
+      "'bloomIndexCols'='id')")                                       // v1
+    spark.sql(s"INSERT INTO graft.$t VALUES (1, 'a'), (2, 'b')")      // v2
+    Thread.sleep(20); val betweenMs = System.currentTimeMillis(); Thread.sleep(20)
+    spark.sql(s"UPDATE graft.$t SET v = 'a2' WHERE id = 1")           // v3
+    spark.sql(s"DELETE FROM graft.$t WHERE id = 2")                   // v4
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "v", "_change_type", "_commit_version")
+        .collect().map(_.toSeq).toSet
+    // SQL feed ≡ API feed over an explicit version range
+    val sqlFeed = spark.sql(s"SELECT * FROM table_changes('graft.$t', 2, 4)")
+    val apiFeed = WarehouseFs.tableChanges(spark, s"$wh/$t", Seq("id"), 2L, Some(4L))
+    assert(canon(sqlFeed) === canon(apiFeed))
+    assert(canon(sqlFeed) === Set(
+      Seq(1L, "a", "insert", 2L), Seq(2L, "b", "insert", 2L),
+      Seq(1L, "a", "update_preimage", 3L), Seq(1L, "a2", "update_postimage", 3L),
+      Seq(2L, "b", "delete", 4L)))
+    // the commit-instant stamp rides along and is monotone
+    val stamps = sqlFeed.select("_commit_version", "_commit_timestamp")
+      .distinct().collect().map(r => r.getLong(0) -> r.getTimestamp(1).getTime)
+      .toMap
+    assert(stamps.keySet === Set(2L, 3L, 4L) && stamps(2L) <= stamps(4L))
+    // omitted `to` = current version; version 1 arrives as the initial
+    // (empty-table) snapshot
+    assert(spark.sql(s"SELECT * FROM table_changes('graft.$t', 1)")
+      .count() === 5, "v1 is the created-empty snapshot: zero rows of it")
+    // a version bound past the current head refuses at analysis
+    val e0 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM table_changes('graft.$t', 2, 99)").collect()
+    }
+    assert(e0.getMessage.contains("after the current version"), s"got: ${e0.getMessage}")
+    // TIMESTAMP bounds resolve through the manifest commit instants:
+    // from = earliest commit at-or-after the instant
+    val tsFeed2 = spark.sql(s"SELECT * FROM table_changes('graft.$t', '$betweenMs')")
+    assert(tsFeed2.select("_commit_version").distinct()
+      .as[Long].collect().toSet === Set(3L, 4L),
+      "a timestamp between v2 and v3 starts the feed at v3")
+    // out-of-retention refuses loudly (v2's predecessor GC'd)
+    spark.sql(s"VACUUM graft.$t RETAIN 2 VERSIONS")
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM table_changes('graft.$t', 2, 4)").collect()
+    }
+    assert(e.getMessage.contains("no longer retained"), s"got: ${e.getMessage}")
+    // a table with no keyCols property refuses with guidance
+    val t2 = fresh("cat_tvf2")
+    spark.sql(s"CREATE TABLE graft.$t2 (id BIGINT)")
+    val e2 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM table_changes('graft.$t2', 1)").collect()
+    }
+    assert(e2.getMessage.contains("keyCols"), s"got: ${e2.getMessage}")
+  }
+
   test("time retention: keepDays survives a compaction storm; RETAIN n DAYS/HOURS from commit instants") {
     val t = fresh("cat_timeret")
     spark.sql(s"CREATE TABLE graft.$t (id BIGINT) " +
