@@ -15,6 +15,12 @@ import graft.sources.WarehouseFs
   * for the regime it pins:
   *
   *   - `dml_point_delete`   — 3-key delete (driver-probe point regime)
+  *   - `dml_scattered_delete_cow` — 3k keys spread across ALL 64 files,
+  *                            copy-on-write: the honest full-rewrite
+  *                            baseline for the GDPR-erasure shape
+  *   - `dml_scattered_delete` — the same shape as a deletion-vector
+  *                            commit: two key-column scans + one tiny
+  *                            sidecar, ZERO data files written
   *   - `dml_merge_10k`      — 10k-key clustered merge (point regime
   *                            ceiling: key collect + bloom/zone probe)
   *   - `dml_merge_1m`       — 1.2M-key merge (bulk regime: bloom defers
@@ -86,6 +92,21 @@ object BenchDml {
         WarehouseFs.deleteWhere(spark, t, "id",
           Seq(rows / 7, rows / 3, rows - 2), keepVersions = keep,
           refreshStats = false)
+      }
+      // scattered keys — one per ~rows/3000 across ALL 64 range files:
+      // CoW must rewrite every file (the honest baseline); the
+      // deletion-vector leg commits a sidecar instead
+      val scatterCow: Seq[Any] =
+        (0L until rows by math.max(1L, rows / 3000L)).toVector
+      val scatterMor: Seq[Any] =
+        (1L until rows by math.max(1L, rows / 3000L)).toVector
+      legs += "dml_scattered_delete_cow" -> timed {
+        WarehouseFs.deleteWhere(spark, t, "id", scatterCow,
+          keepVersions = keep, refreshStats = false)
+      }
+      legs += "dml_scattered_delete" -> timed {
+        WarehouseFs.deleteWhereVectors(spark, t, "id", scatterMor,
+          keepVersions = keep)
       }
       // 10k contiguous keys — the point regime at its collect ceiling,
       // clustered so the touched set SHOULD stay small

@@ -259,16 +259,30 @@ object GraftDmlRule extends Rule[LogicalPlan] with PredicateHelper {
     * asked to keep). */
   private[graft] def keepVersionsOf(spark: SparkSession, path: String): Int =
     GraftCatalog.keepVersionsOf(GraftCatalog.readProps(spark, path))
+
+  /** `TBLPROPERTIES('dmlMode'='mor')` routes SQL DELETE/UPDATE onto the
+    * merge-on-read (deletion-vector) verbs: point DML commits sidecars
+    * instead of rewriting every touched file — the right default for
+    * scattered-key workloads; OPTIMIZE folds the masks back. MERGE and
+    * the IN-subquery lowerings stay copy-on-write either way. */
+  private[graft] def morOf(spark: SparkSession, path: String): Boolean =
+    GraftCatalog.readProps(spark, path).exists { case (k, v) =>
+      k.equalsIgnoreCase("dmlMode") && v.equalsIgnoreCase("mor") }
 }
 
-/** `DELETE FROM graft.t WHERE cond` → [[WarehouseFs.deleteMatching]]. */
+/** `DELETE FROM graft.t WHERE cond` → [[WarehouseFs.deleteMatching]]
+  * (copy-on-write), or [[WarehouseFs.deleteMatchingVectors]] when the
+  * table declares `dmlMode=mor`. */
 case class GraftDeleteCommand(path: String, targetOutput: Seq[Attribute],
                               cond: Expression) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    WarehouseFs.deleteMatching(spark, path,
-      GraftDmlRule.recolumn(cond, AttributeSet(targetOutput)),
-      keepVersions = GraftDmlRule.keepVersionsOf(spark, path),
-      pruning = GraftDmlRule.probesOf(cond))
+    val c = GraftDmlRule.recolumn(cond, AttributeSet(targetOutput))
+    val keep = GraftDmlRule.keepVersionsOf(spark, path)
+    val probes = GraftDmlRule.probesOf(cond)
+    if (GraftDmlRule.morOf(spark, path))
+      WarehouseFs.deleteMatchingVectors(spark, path, c, keep, probes)
+    else
+      WarehouseFs.deleteMatching(spark, path, c, keep, pruning = probes)
     Seq.empty
   }
 }
@@ -346,10 +360,13 @@ case class GraftUpdateCommand(path: String, targetOutput: Seq[Attribute],
       }
     }.toMap
     val condition = cond.getOrElse(Literal(true))
-    WarehouseFs.updateMatching(spark, path,
-      GraftDmlRule.recolumn(condition, tgt), set,
-      keepVersions = GraftDmlRule.keepVersionsOf(spark, path),
-      pruning = GraftDmlRule.probesOf(condition))
+    val c = GraftDmlRule.recolumn(condition, tgt)
+    val keep = GraftDmlRule.keepVersionsOf(spark, path)
+    val probes = GraftDmlRule.probesOf(condition)
+    if (GraftDmlRule.morOf(spark, path))
+      WarehouseFs.updateMatchingVectors(spark, path, c, set, keep, probes)
+    else
+      WarehouseFs.updateMatching(spark, path, c, set, keep, pruning = probes)
     Seq.empty
   }
 }

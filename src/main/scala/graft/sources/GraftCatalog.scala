@@ -218,8 +218,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         throw new UnsupportedOperationException(
           s"graft catalog: TBLPROPERTIES ${rejected.mkString(", ")} cannot " +
             "be altered (persistable: bloomIndexCols, zoneMapCols, " +
-            "keepVersions, keepDays, keyCols; partitioning is fixed by the " +
-            "written layout)")
+            "keepVersions, keepDays, keyCols, dmlMode; partitioning is " +
+            "fixed by the written layout)")
       GraftCatalog.writeProps(spark, path,
         GraftCatalog.readProps(spark, path) ++ propSets)
     }
@@ -312,7 +312,8 @@ object GraftCatalog {
     * `keyCols` declares the table's logical key for streaming reads
     * (`readStream.table` → the change-feed source). */
   private val OwnKeys =
-    Set("bloomindexcols", "zonemapcols", "keepversions", "keepdays", "keycols")
+    Set("bloomindexcols", "zonemapcols", "keepversions", "keepdays",
+      "keycols", "dmlmode")
 
   def ownProps(properties: util.Map[String, String]): Map[String, String] = {
     val b = Map.newBuilder[String, String]

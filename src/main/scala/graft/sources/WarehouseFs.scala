@@ -222,6 +222,16 @@ object WarehouseFs {
     * evolution surface the added columns as NULL. */
   private def readResolved(spark: SparkSession, table: String,
                            r: ResolvedVersion): DataFrame = r.files match {
+    case Some(fl) => readFilesGroupedDv(spark, table, fl, r)
+    case None =>
+      reconcileDeclared(spark, table, spark.read.parquet(s"$table/${r.dirName}"))
+  }
+
+  /** [[readResolved]] WITHOUT the deletion-vector mask — for callers
+    * that only need the physical schema (identical masked or not) and
+    * must not pay the mask's metadata probe on every call. */
+  private def readResolvedRaw(spark: SparkSession, table: String,
+                              r: ResolvedVersion): DataFrame = r.files match {
     case Some(fl) => readFilesGrouped(spark, table, fl)
     case None =>
       reconcileDeclared(spark, table, spark.read.parquet(s"$table/${r.dirName}"))
@@ -615,7 +625,7 @@ object WarehouseFs {
     // (a carried dir's metadata rows were merged into the carrying
     // version's relation)
     val owned = parsed.map(_.dirName).toSet
-    Seq(statsDir(t), indexDir(t), zonesDir(t)).foreach { sd =>
+    Seq(statsDir(t), indexDir(t), zonesDir(t), dvDir(t)).foreach { sd =>
       if (fs.exists(sd))
         fs.listStatus(sd).map(_.getPath.getName)
           .filter(n => !n.startsWith(".") && !owned.contains(n))
@@ -733,7 +743,7 @@ object WarehouseFs {
           val df =
             if (files.size == all.size) readResolved(spark, table, r)
             else if (files.isEmpty) readResolved(spark, table, r).limit(0)
-            else readFilesGrouped(spark, table, files)
+            else readFilesGroupedDv(spark, table, files, r)
           (df, files.size, all.size)
         }
       case None if version.isEmpty && hasData(spark, table) =>
@@ -920,7 +930,7 @@ object WarehouseFs {
   private def versionSchema(spark: SparkSession, table: String,
                             r: ResolvedVersion)
       : org.apache.spark.sql.types.StructType =
-    readResolved(spark, table, r).schema
+    readResolvedRaw(spark, table, r).schema
 
   /** Align `df` to the table's committed schema by SAFE upcasts only
     * (int→long, float→double, …): a CoW rewrite whose new file stores a
@@ -993,7 +1003,7 @@ object WarehouseFs {
         case Some(Nil) => // no file can match: empty, schema preserved
           exact(readResolved(spark, table, r)).limit(0)
         case Some(files) if r.isFileList => // paths are table-root-relative
-          exact(readFilesGrouped(spark, table, files))
+          exact(readFilesGroupedDv(spark, table, files, r))
         case Some(files) => // paths are version-dir-relative
           val p = s"$table/${r.dirName}"
           exact(reconcileDeclared(spark, table, spark.read.option("basePath", p)
@@ -1068,7 +1078,7 @@ object WarehouseFs {
         case None => exact(readResolved(spark, table, r))
         case Some(Nil) => exact(readResolved(spark, table, r)).limit(0)
         case Some(files) if r.isFileList =>
-          exact(readFilesGrouped(spark, table, files))
+          exact(readFilesGroupedDv(spark, table, files, r))
         case Some(files) =>
           val p = s"$table/${r.dirName}"
           exact(reconcileDeclared(spark, table, spark.read.option("basePath", p)
@@ -1076,6 +1086,133 @@ object WarehouseFs {
       }
     }
   }
+
+  // ---- deletion vectors (merge-on-read point DML) -----------------------
+  //
+  // Copy-on-write rewrites every file that holds a touched key — right
+  // when keys cluster (the file count stays small), but a SCATTERED-key
+  // workload (GDPR erasure of 1M users spread across ~every file of a
+  // 100 TB table) degenerates to a full-table rewrite. The merge-on-read
+  // answer is a deletion vector: a tiny per-version sidecar of
+  // (file, row-position) pairs masking deleted rows, written under the
+  // same CAS commit discipline as stats/indexes — ZERO data files
+  // rewritten. Layout: `_dv/<dataDirName>` holds the version's COMPLETE
+  // deletion state (each DV commit unions the carried entries with its
+  // own), so every retained version reads with exactly its own mask —
+  // time travel and change feeds stay value-exact for free, and GC
+  // retires DV relations with their owning manifests like any other
+  // per-version metadata. Positions are parquet row indexes
+  // (`_metadata.row_index`), recorded and re-derived by the same
+  // expression, so the mask is stable across readers.
+  //
+  // Read cost: only files WITH masked rows pay the (file, pos)
+  // anti-join — clean files read exactly as before — and `OPTIMIZE`
+  // folds the vectors into a clean rewrite, which is the maintenance
+  // cadence's job once masks accumulate. Every CoW rewrite reads
+  // MASKED data and drops the rewritten files' entries, so the two DML
+  // tiers compose on one chain.
+
+  private def dvDir(table: Path) = new Path(table, "_dv")
+
+  /** The version's deletion-vector relation — (file STRING
+    * table-root-relative, pos LONG parquet row index) — if it carries
+    * one. One `exists` probe; dir-format versions never do (only DV/CoW
+    * commits write them). */
+  private def readDvRelation(spark: SparkSession, table: String,
+                             r: ResolvedVersion): Option[DataFrame] = {
+    val (fs, t) = fsFor(spark, table)
+    val p = new Path(dvDir(t), r.dirName)
+    if (r.isFileList && fs.exists(p)) Some(spark.read.parquet(p.toString))
+    else None
+  }
+
+  /** Does `table`@`version` (current by default) mask rows through a
+    * deletion vector? Metadata-only — the DSv2 read rule keys on it. */
+  def hasDeletionVectors(spark: SparkSession, table: String,
+                         version: Option[Long] = None): Boolean =
+    resolveVersion(spark, table, version)
+      .exists(r => readDvRelationExists(spark, table, r))
+
+  private def readDvRelationExists(spark: SparkSession, table: String,
+                                   r: ResolvedVersion): Boolean = {
+    val (fs, t) = fsFor(spark, table)
+    r.isFileList && fs.exists(new Path(dvDir(t), r.dirName))
+  }
+
+  /** Rows masked by the CURRENT version's deletion vector (0 when
+    * none) — the OPTIMIZE-cadence signal beside [[versionSpanDirs]]. */
+  def deletionVectorRows(spark: SparkSession, table: String): Long =
+    resolveVersion(spark, table, None)
+      .flatMap(readDvRelation(spark, table, _)).map(_.count()).getOrElse(0L)
+
+  /** Read `files` with each row's (root-relative file, parquet row
+    * index) tagged as `__dv_file`/`__dv_pos` and `dv`'s pairs ALREADY
+    * masked away — the shared core of the masked read (tags dropped)
+    * and the DV-writing verbs (tags become the next vector's entries;
+    * reading masked here is what makes re-deleting a masked row a
+    * provable no-op and updating one impossible). Only files named in
+    * the vector pay the anti-join. */
+  private def taggedMaskedRead(spark: SparkSession, table: String,
+                               files: Seq[String],
+                               dv: Option[DataFrame]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val decl = declaredSchema(spark, table)
+    val dvFiles: Set[String] = dv.map(_.select("file").distinct()
+      .collect().map(_.getString(0)).toSet).getOrElse(Set.empty)
+    val groups = files.groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1)
+    val perGroup = groups.map { case (dir, fs0) =>
+      val marker = s"/$dir/"
+      val rel = expr(s"concat('$dir/', substring(_metadata.file_path, " +
+        s"instr(_metadata.file_path, '$marker') + ${marker.length}))")
+      val raw = spark.read.option("basePath", s"$table/$dir")
+        .parquet(fs0.map(f => s"$table/$f"): _*)
+      val tagged = raw.select(Seq(rel.as("__dv_file"),
+        expr("_metadata.row_index").as("__dv_pos")) ++
+        raw.columns.map(col).toSeq: _*)
+      val masked =
+        if (!fs0.exists(dvFiles)) tagged // no masked rows in this group
+        else tagged.join(
+          dv.get.select(col("file").as("__dv_file"), col("pos").as("__dv_pos")),
+          Seq("__dv_file", "__dv_pos"), "left_anti")
+      // reconcile the DATA columns to the declared width before the
+      // union (see [[readFilesGrouped]]); the tags ride in front
+      val dataCols = masked.columns.filterNot(Set("__dv_file", "__dv_pos"))
+      decl match {
+        case Some(d) if dataCols.toSet.subsetOf(d.fieldNames.toSet) &&
+            dataCols.toSet != d.fieldNames.toSet =>
+          masked.select(col("__dv_file") +: col("__dv_pos") +: d.map(f =>
+            if (dataCols.contains(f.name)) col(f.name)
+            else org.apache.spark.sql.functions.lit(null)
+              .cast(f.dataType).as(f.name)): _*)
+        case _ => masked
+      }
+    }
+    perGroup.reduce(_.unionByName(_))
+  }
+
+  /** [[readFilesGrouped]] with the version's deletion vector applied —
+    * the LOGICAL content read every consumer resolves through. */
+  private def readFilesGroupedDv(spark: SparkSession, table: String,
+                                 files: Seq[String],
+                                 r: ResolvedVersion): DataFrame =
+    readDvRelation(spark, table, r) match {
+      case None => readFilesGrouped(spark, table, files)
+      case Some(dv) =>
+        // split: clean files read plain (no metadata columns, no join),
+        // masked files pay the anti-join
+        val dvFiles = dv.select("file").distinct()
+          .collect().map(_.getString(0)).toSet
+        val (masked, clean) = files.partition(dvFiles)
+        val parts =
+          Seq(
+            if (clean.nonEmpty) Some(readFilesGrouped(spark, table, clean)) else None,
+            if (masked.nonEmpty)
+              Some(taggedMaskedRead(spark, table, masked, Some(dv))
+                .drop("__dv_file", "__dv_pos"))
+            else None).flatten
+        if (parts.isEmpty) readFilesGrouped(spark, table, files)
+        else parts.reduce(_.unionByName(_))
+    }
 
   // ---- copy-on-write row-level DML -------------------------------------
   //
@@ -1326,7 +1463,8 @@ object WarehouseFs {
                          touched: Seq[String], carried: Seq[String],
                          keepVersions: Int, refreshStats: Boolean,
                          coalesceTo: Option[Int] = None,
-                         partColsHint: Seq[String] = Nil): Unit = {
+                         partColsHint: Seq[String] = Nil,
+                         extraDv: Option[DataFrame] = None): Unit = {
     val (fs, t) = fsFor(spark, table)
     val next = prior.version + 1L
     val dirName = // unconditional uniqueness: nanoTime is per-JVM-origin
@@ -1392,6 +1530,29 @@ object WarehouseFs {
         bloomIndexDf(spark, s"$table/$dirName", dirName, cols, utc = priorUtc))
     carryFileMetadata(spark, fs, zonesDir(t), prior, dirName, carried,
       "min_", (cols, _) => zoneMapDf(spark, s"$table/$dirName", dirName, cols))
+    // deletion vectors compose across the chain: carried files keep
+    // their masked rows; touched files were rewritten FROM the masked
+    // read, so their entries retire with the old files; `extraDv` adds
+    // this commit's own masks (the merge-on-read UPDATE path). An empty
+    // union writes no sidecar — the version is then provably mask-free
+    // and every read takes the plain path. (Bloom/zone rows of masked
+    // rows stay: indexes are supersets, the mask re-applies at read.)
+    import org.apache.spark.sql.functions.{col => colF}
+    val dvCarried = readDvRelation(spark, table, prior).map { p =>
+      if (touched.isEmpty) p
+      else p.filter(!colF("file").isInCollection(touched))
+    }
+    val dvNew: Option[DataFrame] = (dvCarried, extraDv) match {
+      case (Some(a), Some(b)) => Some(a.unionByName(b))
+      case (a, b) => a.orElse(b)
+    }
+    val dvWritten = dvNew.exists { d =>
+      val any = !d.isEmpty
+      if (any)
+        d.coalesce(1).write.mode(SaveMode.Overwrite)
+          .parquet(new Path(dvDir(t), dirName).toString)
+      any
+    }
     // table statistics do NOT maintain incrementally (NDV/min/max cannot
     // retract). When the prior version carried stats: refreshStats=true
     // recomputes them with one aggregation pass over the WHOLE resolved
@@ -1402,7 +1563,14 @@ object WarehouseFs {
     val priorStats = new Path(statsDir(t), prior.dirName)
     if (fs.exists(priorStats)) {
       if (refreshStats) {
-        val resolved = readFilesGrouped(spark, table, newFiles ++ carried)
+        val files0 = newFiles ++ carried
+        // profile the version's LOGICAL content: masked rows are not rows
+        val resolved =
+          if (dvWritten)
+            taggedMaskedRead(spark, table, files0,
+              Some(spark.read.parquet(new Path(dvDir(t), dirName).toString)))
+              .drop("__dv_file", "__dv_pos")
+          else readFilesGrouped(spark, table, files0)
         graft.operators.Quality
           .profileWithCount(resolved, resolved.columns.toSeq, exact = false)
           .coalesce(1).write.mode(SaveMode.Overwrite)
@@ -1490,7 +1658,7 @@ object WarehouseFs {
       .map(f => partitionCandidates(spark, bloomT, column, values, f.dataType))
       .getOrElse(bloomT)
     if (touched.isEmpty) return
-    val rewritten = readFilesGrouped(spark, table, touched)
+    val rewritten = readFilesGroupedDv(spark, table, touched, r)
       .filter(!col(column).isin(values: _*) || col(column).isNull)
     publishCoW(spark, table, r, rewritten, touched,
       all.diff(touched), keepVersions, refreshStats)
@@ -1519,7 +1687,7 @@ object WarehouseFs {
       .getOrElse(bloomT)
     if (touched.isEmpty) return
     val matched = col(column).isin(values: _*)
-    val base = readFilesGrouped(spark, table, touched)
+    val base = readFilesGroupedDv(spark, table, touched, r)
     require(set.keySet.subsetOf(base.columns.toSet),
       s"updateWhere: unknown SET columns ${set.keySet -- base.columns}")
     val rewritten = base.select(base.columns.toSeq.map { c =>
@@ -1581,7 +1749,7 @@ object WarehouseFs {
           .getOrElse(all)
     val survivors =
       if (touched.isEmpty) None
-      else Some(readFilesGrouped(spark, table, touched)
+      else Some(readFilesGroupedDv(spark, table, touched, r)
         .join(updates.select(keyCol).distinct(), Seq(keyCol), "left_anti"))
     // schema parity is a hard error, not a silent drop: an updates frame
     // with extra columns means the caller intended an evolution this path
@@ -1757,7 +1925,7 @@ object WarehouseFs {
         // their rows outside the replaced partitions
         val survivors =
           if (touched.isEmpty) None
-          else Some(readFilesGrouped(spark, table, touched)
+          else Some(readFilesGroupedDv(spark, table, touched, r)
             .join(broadcast(tupleRel), partCols, "left_anti"))
         val rewritten = survivors
           .fold(data.select(tableCols.map(col): _*))(
@@ -1833,7 +2001,7 @@ object WarehouseFs {
           .select(partCols.map(c => lit(spec(c)).cast(dtOf(c)).as(c)): _*)
         val survivors =
           if (touched.isEmpty) None
-          else Some(readFilesGrouped(spark, table, touched)
+          else Some(readFilesGroupedDv(spark, table, touched, r)
             .join(broadcast(tupleDf), partCols, "left_anti"))
         if (touched.isEmpty && data.isEmpty) return // spec names nothing, nothing arrives
         val rewritten = survivors
@@ -1868,7 +2036,7 @@ object WarehouseFs {
         s"deleteMatching: $table is not a versioned table"))
     val (touched, all) = prunedFileCore(spark, table, r, pruning._1, pruning._2)
     if (touched.isEmpty) return
-    val rewritten = readFilesGrouped(spark, table, touched)
+    val rewritten = readFilesGroupedDv(spark, table, touched, r)
       .filter(!coalesce(cond, lit(false)))
     publishCoW(spark, table, r, rewritten, touched,
       all.diff(touched), keepVersions, refreshStats)
@@ -1893,7 +2061,7 @@ object WarehouseFs {
     val (touched, all) = prunedFileCore(spark, table, r, pruning._1, pruning._2)
     if (touched.isEmpty) return
     val matched = coalesce(cond, lit(false))
-    val base = readFilesGrouped(spark, table, touched)
+    val base = readFilesGroupedDv(spark, table, touched, r)
     require(set.keySet.subsetOf(base.columns.toSet),
       s"updateMatching: unknown SET columns ${set.keySet -- base.columns}")
     val rewritten = base.select(base.columns.toSeq.map { c =>
@@ -1905,6 +2073,156 @@ object WarehouseFs {
     publishCoW(spark, table, r,
       alignToSchema(rewritten, base.schema, "updateMatching"),
       touched, all.diff(touched), keepVersions, refreshStats)
+  }
+
+  /** Carry one per-file metadata relation VERBATIM across a DV-only
+    * commit (the file set is unchanged): prior rows re-point to the new
+    * version key, root-relativized once for dir-format priors. */
+  private def carryMetaVerbatim(spark: SparkSession, fs: FileSystem,
+                                metaDir: Path, prior: ResolvedVersion,
+                                dirName: String): Unit = {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val pm = new Path(metaDir, prior.dirName)
+    if (!fs.exists(pm)) return
+    val prev = spark.read.parquet(pm.toString)
+    val rooted =
+      if (prior.isFileList) prev
+      else prev.withColumn("file", concat(lit(s"${prior.dirName}/"), col("file")))
+    rooted.coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(new Path(metaDir, dirName).toString)
+  }
+
+  /** Commit a DELETION-VECTOR-ONLY version: the manifest carries every
+    * prior file by reference and the new version's `_dv` sidecar is the
+    * prior mask plus `freshDv` — ZERO data files written. Indexes and
+    * zone maps carry verbatim (they are supersets; the mask re-applies
+    * at read); stats copy forward (their counts now overcount the
+    * masked rows — the `refreshStats = false` staleness class, re-
+    * profiled by the next OPTIMIZE). Same attempt-unique-dir + CAS
+    * commit discipline as [[publishCoW]]. */
+  private def publishDvOnly(spark: SparkSession, table: String,
+                            prior: ResolvedVersion, freshDv: DataFrame,
+                            keepVersions: Int): Unit = {
+    val (fs, t) = fsFor(spark, table)
+    val next = prior.version + 1L
+    val dirName =
+      s"v${vname(next)}-${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val all = versionFiles(fs, t, prior)
+    val combined = readDvRelation(spark, table, prior) match {
+      // distinct: fresh entries derive from the MASKED read so overlap
+      // is impossible by construction — cheap insurance on a tiny relation
+      case Some(p) => p.unionByName(freshDv).distinct()
+      case None => freshDv
+    }
+    combined.coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(new Path(dvDir(t), dirName).toString)
+    carryMetaVerbatim(spark, fs, indexDir(t), prior, dirName)
+    carryMetaVerbatim(spark, fs, zonesDir(t), prior, dirName)
+    val priorStats = new Path(statsDir(t), prior.dirName)
+    if (fs.exists(priorStats))
+      org.apache.hadoop.fs.FileUtil.copy(fs, priorStats, fs,
+        new Path(statsDir(t), dirName), false,
+        spark.sessionState.newHadoopConf())
+    val partCols = {
+      val derived = partitionColsOf(all)
+      if (derived.nonEmpty) derived else prior.declaredPartCols
+    }
+    val partColsHeader =
+      if (partCols.nonEmpty) Seq(s"partcols:${partCols.mkString(",")}") else Nil
+    val vd = versionsDir(t)
+    fs.mkdirs(vd)
+    val tmp = new Path(vd, s".tmp-${vname(next)}")
+    val out = fs.create(tmp, true)
+    val body =
+      (s"files:$dirName" +: s"ts:${System.currentTimeMillis()}" +:
+        (partColsHeader ++ all)).mkString("\n")
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    require(!fs.exists(new Path(vd, vname(next))),
+      s"publishDvOnly: $table advanced past version ${prior.version} — retry the DML")
+    require(fs.rename(tmp, new Path(vd, vname(next))),
+      s"publishDvOnly: commit of version $next lost a concurrent race on $table")
+    gcVersions(fs, t, keepVersions)
+  }
+
+  /** Merge-on-read DELETE: rows matching `cond` are MASKED through a
+    * per-version deletion-vector sidecar — zero data files rewritten,
+    * the scattered-key regime copy-on-write cannot serve (a 1M-user
+    * GDPR erasure spread across every file of a 100 TB table commits as
+    * one tiny sidecar instead of a full-table rewrite). Pruning
+    * contract is [[deleteMatching]]'s; the candidate scan reads MASKED
+    * (an already-deleted row can never re-enter the vector), and a
+    * match-free candidate set provably commits nothing. Reads, change
+    * feeds, and time travel are value-exact against the CoW verb; the
+    * trade is read-side: masked files pay a (file, pos) anti-join per
+    * scan until `OPTIMIZE` folds the vectors into a clean rewrite.
+    * The candidate files scan twice (match probe + vector write) —
+    * still O(candidates), never O(table). */
+  def deleteMatchingVectors(spark: SparkSession, table: String, cond: Column,
+                            keepVersions: Int = 2,
+                            pruning: (Map[String, Seq[Any]], Map[String, (Any, Any)]) =
+                              (Map.empty, Map.empty)): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val r = resolveVersion(spark, table, None).getOrElse(
+      throw new IllegalArgumentException(
+        s"deleteMatchingVectors: $table is not a versioned table"))
+    val (cand, _) = prunedFileCore(spark, table, r, pruning._1, pruning._2)
+    if (cand.isEmpty) return
+    val dv = readDvRelation(spark, table, r)
+    def fresh() = taggedMaskedRead(spark, table, cand, dv)
+      .filter(coalesce(cond, lit(false)))
+      .select(col("__dv_file").as("file"), col("__dv_pos").as("pos"))
+    if (fresh().isEmpty) return // provably nothing to delete → no version
+    publishDvOnly(spark, table, r, fresh(), keepVersions)
+  }
+
+  /** [[deleteMatchingVectors]]' IN-list fast path — the merge-on-read
+    * sibling of [[deleteWhere]], with the same bloom/partition touched-
+    * set resolution driving the candidate scan. */
+  def deleteWhereVectors(spark: SparkSession, table: String, column: String,
+                         values: Seq[Any], keepVersions: Int = 2): Unit = {
+    import org.apache.spark.sql.functions.col
+    require(values.nonEmpty && !values.contains(null),
+      "deleteWhereVectors: keys must be non-empty and non-null")
+    deleteMatchingVectors(spark, table, col(column).isin(values: _*),
+      keepVersions, pruning = (Map(column -> values), Map.empty))
+  }
+
+  /** Merge-on-read UPDATE: matched rows are masked through the deletion
+    * vector and their UPDATED images land as the new version's own
+    * (small) files — every pre-existing file carries by reference, so a
+    * scattered-key update writes O(matched rows), not O(touched files).
+    * SET expressions evaluate on the old row ([[updateMatching]]'s
+    * contract); a widening SET refuses loudly. */
+  def updateMatchingVectors(spark: SparkSession, table: String, cond: Column,
+                            set: Map[String, Column],
+                            keepVersions: Int = 2,
+                            pruning: (Map[String, Seq[Any]], Map[String, (Any, Any)]) =
+                              (Map.empty, Map.empty)): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    require(set.nonEmpty, "updateMatchingVectors: at least one SET column required")
+    val r = resolveVersion(spark, table, None).getOrElse(
+      throw new IllegalArgumentException(
+        s"updateMatchingVectors: $table is not a versioned table"))
+    val (cand, all) = prunedFileCore(spark, table, r, pruning._1, pruning._2)
+    if (cand.isEmpty) return
+    val dv = readDvRelation(spark, table, r)
+    def matched() = taggedMaskedRead(spark, table, cand, dv)
+      .filter(coalesce(cond, lit(false)))
+    val dataCols = matched().columns
+      .filterNot(Set("__dv_file", "__dv_pos")).toSeq
+    require(set.keySet.subsetOf(dataCols.toSet),
+      s"updateMatchingVectors: unknown SET columns ${set.keySet -- dataCols}")
+    if (matched().isEmpty) return
+    val updated = matched().select(dataCols.map { c =>
+      set.get(c).map(_.as(c)).getOrElse(col(c))
+    }: _*)
+    val extra = matched().select(
+      col("__dv_file").as("file"), col("__dv_pos").as("pos"))
+    publishCoW(spark, table, r,
+      alignToSchema(updated, versionSchema(spark, table, r),
+        "updateMatchingVectors"),
+      touched = Nil, carried = all, keepVersions, refreshStats = false,
+      extraDv = Some(extra))
   }
 
   /** Multi-clause MERGE — the lakehouse verb that subsumes
@@ -2059,7 +2377,7 @@ object WarehouseFs {
     val srcP = source.select(source.columns.map(c => col(c).as(s"src_$c")).toSeq: _*)
     val target =
       if (touched.isEmpty) None
-      else Some(readFilesGrouped(spark, table, touched))
+      else Some(readFilesGroupedDv(spark, table, touched, r))
 
     val rewrittenTarget = target.map { tg =>
       val cond = keyCols.map(c => tg(c) === col(s"src_$c")).reduce(_ && _)
@@ -2152,7 +2470,24 @@ object WarehouseFs {
       val (fs, t) = fsFor(spark, table)
       val of = versionFiles(fs, t, ro)
       val nf = versionFiles(fs, t, rn)
-      val shared = nf.toSet.intersect(of.toSet)
+      // a file both manifests reference is only CONTENT-identical when
+      // its deletion-vector entries also agree — a DV-only commit
+      // changes logical rows while sharing every path, so files whose
+      // mask differs between the versions re-enter the diff (each side
+      // read under ITS version's mask → the masked rows classify as
+      // deletes/inserts exactly like a rewrite would)
+      val dvo = readDvRelation(spark, table, ro)
+      val dvn = readDvRelation(spark, table, rn)
+      val dvChanged: Set[String] =
+        if (dvo.isEmpty && dvn.isEmpty) Set.empty
+        else {
+          val empty = dvo.orElse(dvn).get.limit(0)
+          val a = dvo.getOrElse(empty)
+          val b = dvn.getOrElse(empty)
+          a.exceptAll(b).unionByName(b.exceptAll(a))
+            .select("file").distinct().collect().map(_.getString(0)).toSet
+        }
+      val shared = nf.toSet.intersect(of.toSet).diff(dvChanged)
       def side(r: ResolvedVersion, own: Seq[String]): DataFrame = {
         val distinct = own.filterNot(shared)
         if (distinct.isEmpty)
@@ -2160,7 +2495,7 @@ object WarehouseFs {
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             versionSchema(spark, table, r))
         else if (distinct.size == own.size) readResolved(spark, table, r)
-        else readFilesGrouped(spark, table, distinct)
+        else readFilesGroupedDv(spark, table, distinct, r)
       }
       rowDiff(side(ro, of), side(rn, nf), keyCols,
         s"v$fromVersion and v$toVersion of $table")
@@ -2384,7 +2719,7 @@ object WarehouseFs {
         s"replica columns ${tableCols.toSet}")
     val survivors =
       if (touched.isEmpty) None
-      else Some(readFilesGrouped(spark, table, touched)
+      else Some(readFilesGroupedDv(spark, table, touched, r)
         .join(affected, keyCols, "left_anti"))
     // stale-feed deletes for keys no file can hold, and nothing to
     // insert → provably no effect, no version bump

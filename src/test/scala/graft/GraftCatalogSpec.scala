@@ -443,6 +443,45 @@ class GraftCatalogSpec extends SparkSpec {
     intercept[Exception] { spark.sql("OPTIMIZE graft.nope_missing").collect() }
   }
 
+  test("dmlMode=mor: SQL DELETE/UPDATE commit deletion vectors; DSv2 SELECT reconciles them") {
+    val t = fresh("cat_mor")
+    spark.sql(s"CREATE TABLE graft.$t (id BIGINT, user STRING) " +
+      "TBLPROPERTIES('dmlMode'='mor', 'bloomIndexCols'='id', " +
+      "'keepVersions'='8', 'keyCols'='id')")
+    spark.sql(s"INSERT INTO graft.$t " +
+      "SELECT id, CONCAT('u', id) FROM range(4000)")                  // v2
+    spark.sql(s"DELETE FROM graft.$t WHERE id IN (5, 1005, 2005)")    // v3: sidecar only
+    assert(WarehouseFs.hasDeletionVectors(spark, s"$wh/$t"))
+    assert(!new java.io.File(
+      WarehouseFs.currentVersion(spark, s"$wh/$t").get._2).exists(),
+      "a mor DELETE must commit zero data files")
+    // DSv2 SELECT reconciles the mask (the DvRead rule)
+    assert(spark.table(s"graft.$t").count() === 3997)
+    assert(spark.sql(s"SELECT * FROM graft.$t WHERE id = 1005").count() === 0)
+    assert(spark.sql(s"SELECT user FROM graft.$t WHERE id = 1006")
+      .as[String].head() === "u1006")
+    // aggregate answers stay honest (no stale metadata count)
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM graft.$t").head().getLong(0) === 3997)
+    // mor UPDATE: mask + one small file of updated images
+    spark.sql(s"UPDATE graft.$t SET user = 'zz' WHERE id = 8")        // v4
+    assert(spark.sql(s"SELECT user FROM graft.$t WHERE id = 8")
+      .as[String].collect().toSeq === Seq("zz"))
+    assert(spark.table(s"graft.$t").count() === 3997)
+    // time travel reads each version's own mask
+    assert(spark.sql(s"SELECT * FROM graft.$t VERSION AS OF 2").count() === 4000)
+    assert(spark.sql(s"SELECT * FROM graft.$t VERSION AS OF 3").count() === 3997)
+    // the batch feed classifies from the DV delta
+    assert(spark.sql(s"SELECT * FROM table_changes('graft.$t', 3, 3)")
+      .select("id", "_change_type").as[(Long, String)].collect().toSet ===
+      Set((5L, "delete"), (1005L, "delete"), (2005L, "delete")))
+    // OPTIMIZE folds the vectors; the steady-state DSv2 scan returns
+    spark.sql(s"OPTIMIZE graft.$t")
+    assert(!WarehouseFs.hasDeletionVectors(spark, s"$wh/$t"))
+    assert(spark.table(s"graft.$t").count() === 3997)
+    assert(spark.sql(s"SELECT user FROM graft.$t WHERE id = 8")
+      .as[String].collect().toSeq === Seq("zz"))
+  }
+
   test("table_changes TVF: SQL feed ≡ API feed, timestamp bounds via commit instants, retention refuses") {
     val t = fresh("cat_tvf")
     spark.sql(s"CREATE TABLE graft.$t (id BIGINT, v STRING) " +

@@ -863,4 +863,93 @@ class WarehouseDmlSpec extends SparkSpec {
     assert(refs.count(_.contains(s"/${currentDir(t)}/")) <= 2,
       "the exact scan must confine the rewrite to the wide file(s)")
   }
+
+  test("deletion vectors: a scattered 1k-key delete commits ZERO data files, value-exact vs CoW") {
+    val t = tmpTable(); val tCow = tmpTable()
+    publishFixture(t, keepVersions = 6); publishFixture(tCow, keepVersions = 6)
+    // every 8th id: 125 keys in EACH of the 8 range files — the
+    // GDPR-erasure shape where copy-on-write degenerates to a full rewrite
+    val keys: Seq[Any] = (0L until 8000L by 8L).toVector
+    WarehouseFs.deleteWhereVectors(spark, t, "id", keys, keepVersions = 6)
+    WarehouseFs.deleteWhere(spark, tCow, "id", keys, keepVersions = 6)
+    // the CoW sibling rewrote every file — the regime DVs exist for
+    assert(dirFileCount(tCow, currentDir(tCow)) === 8)
+    // the DV commit wrote NO data files at all: sidecar only
+    assert(!new java.io.File(s"$t/${currentDir(t)}").exists(),
+      "a DV-only commit must not create a data dir")
+    assert(WarehouseFs.hasDeletionVectors(spark, t))
+    assert(WarehouseFs.deletionVectorRows(spark, t) === 1000L)
+    // reads are value-exact against the CoW path
+    val a = WarehouseFs.readTable(spark, t).get.collect().map(_.toSeq).toSet
+    val b = WarehouseFs.readTable(spark, tCow).get.collect().map(_.toSeq).toSet
+    assert(a === b && a.size === 7000)
+    // time travel reads each version's OWN mask: v1 is unmasked
+    assert(WarehouseFs.readTableVersion(spark, t, 1).get.count() === 8000)
+    // the change feed classifies from the DV delta — exact vs the CoW feed
+    def feedSet(p: String) = WarehouseFs.changeFeed(spark, p, Seq("id"), 1, 2)
+      .get.select("id", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(feedSet(t) === feedSet(tCow))
+    assert(feedSet(t).size === 1000 && feedSet(t).forall(_._2 == "delete"))
+    // a masked row cannot re-delete: provably nothing to do, no version
+    val v0 = WarehouseFs.currentVersion(spark, t).get._1
+    WarehouseFs.deleteWhereVectors(spark, t, "id", Seq(8L), keepVersions = 6)
+    assert(WarehouseFs.currentVersion(spark, t).get._1 === v0)
+    // OPTIMIZE folds the vectors into a clean rewrite and retires them
+    graft.operators.ScaleJoins.compactParquet(spark, t, keepVersions = 6)
+    assert(!WarehouseFs.hasDeletionVectors(spark, t))
+    assert(WarehouseFs.readTable(spark, t).get.count() === 7000)
+    assert(WarehouseFs.readTable(spark, t).get.select("id").as[Long]
+      .collect().toSet === a.map(_.head.asInstanceOf[Long]))
+  }
+
+  test("deletion vectors compose with CoW DML and MoR updates on one chain") {
+    val t = tmpTable()
+    publishFixture(t, keepVersions = 10)
+    WarehouseFs.deleteWhereVectors(spark, t, "id", Seq(5L), keepVersions = 10)      // v2
+    WarehouseFs.deleteWhereVectors(spark, t, "id", Seq(6L, 7L), keepVersions = 10)  // v3: masks accumulate
+    assert(WarehouseFs.deletionVectorRows(spark, t) === 3L)
+    // bloom-pruned point reads honor the mask
+    assert(WarehouseFs.readBloomPruned(spark, t, "id", Seq(5L)).get.count() === 0)
+    assert(WarehouseFs.readBloomPruned(spark, t, "id", Seq(8L)).get.count() === 1)
+    // a CoW update rewriting the masked rows' file: the rewrite reads
+    // MASKED (5/6/7 stay deleted) and that file's DV entries retire
+    WarehouseFs.updateWhere(spark, t, "id", Seq(10L),
+      Map("user" -> lit("X")), keepVersions = 10)
+    val got = WarehouseFs.readTable(spark, t).get
+    assert(got.filter(col("id").isin(5L, 6L, 7L)).count() === 0,
+      "a CoW rewrite must not resurrect masked rows")
+    assert(got.filter(col("id") === 10L).select("user").head().getString(0) === "X")
+    assert(!WarehouseFs.hasDeletionVectors(spark, t),
+      "all masked rows lived in the rewritten file — the vector retires with it")
+    // merge-on-read UPDATE: mask + one small new file, zero rewrites
+    val before = currentDir(t)
+    WarehouseFs.updateMatchingVectors(spark, t, col("id") === 20L,
+      Map("user" -> lit("Y")), keepVersions = 10,
+      pruning = (Map("id" -> Seq(20L)), Map.empty))
+    assert(WarehouseFs.hasDeletionVectors(spark, t))
+    assert(dirFileCount(t, currentDir(t)) === 1,
+      "the MoR update writes exactly the updated rows' file")
+    val after = WarehouseFs.readTable(spark, t).get
+    assert(after.count() === 7997)
+    assert(after.filter(col("id") === 20L).select("user").as[String]
+      .collect().toSeq === Seq("Y"), "exactly one (updated) image of the row")
+    // the feed across the MoR update is a clean pre/post pair
+    val v = WarehouseFs.currentVersion(spark, t).get._1
+    val feed = WarehouseFs.changeFeed(spark, t, Seq("id"), v - 1, v).get
+      .select("id", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(feed === Set((20L, "update_preimage"), (20L, "update_postimage")))
+    // DV commits count toward the span-dir budget (each adds its
+    // version's dir to the referenced set), so the EtlPipeline nightly
+    // fold — which keys on versionSpanDirs — retires long mask chains
+    // exactly like long CoW chains
+    val spanBefore = WarehouseFs.versionSpanDirs(spark, t).get
+    WarehouseFs.deleteWhereVectors(spark, t, "id", Seq(30L), keepVersions = 10)
+    assert(WarehouseFs.versionSpanDirs(spark, t).get === spanBefore + 1)
+    graft.operators.ScaleJoins.compactParquet(spark, t, keepVersions = 10)
+    assert(WarehouseFs.versionSpanDirs(spark, t).get === 1)
+    assert(!WarehouseFs.hasDeletionVectors(spark, t))
+    assert(WarehouseFs.readTable(spark, t).get.count() === 7996)
+  }
 }
