@@ -137,6 +137,8 @@ class GraftV2ScanBuilder(
       case None => false
     }
 
+  private var scanPartCols: Seq[String] = Nil
+
   private def mkDelegate(exprs: Seq[Expression]): ParquetScanBuilder = {
     val v1 = exprs.flatMap(e =>
       DataSourceStrategy.translateFilter(e, supportNestedPredicatePushdown = true))
@@ -146,6 +148,7 @@ class GraftV2ScanBuilder(
         .getOrElse(throw new IllegalStateException(
           s"graft source: $table vanished between schema and scan"))
     pruneEvidence = (kept, total)
+    scanPartCols = partCols
     val fileIndex = GraftV2ScanBuilder.fileIndex(spark, files, partCols, tableSchema)
     val dataSchema = StructType(tableSchema.filterNot(f => partCols.contains(f.name)))
     ParquetScanBuilder(spark, fileIndex, tableSchema, dataSchema,
@@ -187,11 +190,29 @@ class GraftV2ScanBuilder(
     // committed table statistics ride into Catalyst when the scan is
     // UNPRUNED (a pruned scan's row count is unknown; its byte size from
     // the surviving files is already exact via the delegate)
-    val rowCount =
+    val committed =
       if (pruneEvidence._1 == pruneEvidence._2)
-        graft.sources.WarehouseFs.readStats(spark, table, version).map(_.rowCount)
+        graft.sources.WarehouseFs.readStats(spark, table, version)
       else None
-    rowCount.fold(scan: Scan)(n => new GraftStatsScan(scan, n))
+    // storage-partitioned joins: a layout-partitioned table reports
+    // KeyGroupedPartitioning so two co-partitioned graft tables joined
+    // on their partition keys skip BOTH Exchanges. Double-gated — on
+    // Spark's own SPJ switch (v2 bucketing) AND an explicit graft
+    // opt-in — because honest key grouping costs scan-split freedom:
+    // each partition value's files must land in ONE task group, so a
+    // plain full scan of a table with few large partitions would lose
+    // its parallelism. That is exactly Iceberg's posture
+    // (`preserve-data-grouping`, default off): enable it for the
+    // sessions running co-partitioned fact-fact joins, where one
+    // eliminated shuffle dwarfs the grouped-scan cost.
+    val spjSchema =
+      if (spark.sessionState.conf.v2BucketingEnabled && scanPartCols.nonEmpty &&
+          spark.conf.getOption("spark.graft.planning.preserveDataGrouping")
+            .exists(_.toBoolean))
+        Some(StructType(scanPartCols.flatMap(c => tableSchema.find(_.name == c))))
+      else None
+    if (committed.isEmpty && spjSchema.isEmpty) scan
+    else GraftMetaScan(scan, committed, tableSchema, spjSchema)
   }
 }
 
@@ -253,22 +274,59 @@ case class GraftStatsAggScan(table: String, schemaArg: StructType,
     s"graft agg-from-stats($table: ${schemaArg.fieldNames.mkString(", ")})"
 }
 
-/** Delegating scan that reports graft's COMMITTED row count
-  * ([[graft.sources.WarehouseFs.readStats]]) alongside the parquet
-  * scan's exact byte size, so Catalyst's join planning sees real
-  * cardinality without a manual `readTableStatsHinted` call. Everything
-  * else — batches, columnar mode, metrics — is the delegate's. */
-case class GraftStatsScan(delegate: Scan, committedRows: Long)
-    extends Scan with SupportsReportStatistics {
+/** Delegating scan carrying graft's COMMITTED metadata into Catalyst:
+  *
+  *   - statistics: the committed row count and per-column NDV / null
+  *     count / min / max ([[graft.sources.WarehouseFs.readStats]])
+  *     report through DSv2 [[Statistics.columnStats]] alongside the
+  *     parquet scan's exact byte size, so CBO join reordering and
+  *     broadcast decisions at 100× run on committed truth instead of
+  *     compressed-byte guesses;
+  *   - partitioning: when the session enables v2 bucketing, a
+  *     layout-partitioned table reports [[KeyGroupedPartitioning]] over
+  *     its partition columns and the batch regroups the parquet splits
+  *     so each partition value's files form one keyed input partition
+  *     ([[GraftKeyedBatch]]) — Spark's storage-partitioned-join
+  *     machinery then elides BOTH Exchanges when two co-partitioned
+  *     graft tables join on their partition keys, THE shuffle
+  *     eliminator for fact-fact joins at 100 TB.
+  *
+  * Everything else — readers, columnar mode, metrics — is the
+  * delegate's. */
+case class GraftMetaScan(delegate: Scan,
+                         committed: Option[graft.sources.WarehouseFs.TableStats],
+                         tableSchema: StructType,
+                         spjSchema: Option[StructType])
+    extends Scan with SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+  import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+  import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
+  import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
+
   override def readSchema(): StructType = delegate.readSchema()
   override def description(): String = s"graft(${delegate.description()})"
-  override def toBatch: Batch = delegate.toBatch
   override def supportedCustomMetrics(): Array[CustomMetric] =
     delegate.supportedCustomMetrics()
   override def reportDriverMetrics(): Array[CustomTaskMetric] =
     delegate.reportDriverMetrics()
   override def columnarSupportMode(): Scan.ColumnarSupportMode =
     delegate.columnarSupportMode()
+
+  // one batch instance: outputPartitioning's partition count and
+  // planInputPartitions' length must agree
+  private lazy val keyedBatch: Option[GraftKeyedBatch] =
+    spjSchema.map(ps => new GraftKeyedBatch(delegate.toBatch, ps))
+
+  override def toBatch: Batch = keyedBatch.getOrElse(delegate.toBatch)
+
+  override def outputPartitioning(): Partitioning = keyedBatch match {
+    case Some(kb) => new KeyGroupedPartitioning(
+      spjSchema.get.fieldNames.map(Expressions.identity(_):
+        org.apache.spark.sql.connector.expressions.Expression),
+      kb.planInputPartitions().length)
+    case None => new UnknownPartitioning(0)
+  }
+
   override def estimateStatistics(): Statistics = {
     val base = delegate match {
       case s: SupportsReportStatistics => s.estimateStatistics()
@@ -277,7 +335,105 @@ case class GraftStatsScan(delegate: Scan, committedRows: Long)
     new Statistics {
       override def sizeInBytes(): OptionalLong =
         if (base == null) OptionalLong.empty() else base.sizeInBytes()
-      override def numRows(): OptionalLong = OptionalLong.of(committedRows)
+      override def numRows(): OptionalLong =
+        committed.fold(OptionalLong.empty())(s => OptionalLong.of(s.rowCount))
+      override def columnStats(): java.util.Map[NamedReference, ColumnStatistics] = {
+        val m = new java.util.HashMap[NamedReference, ColumnStatistics]()
+        for {
+          ts <- committed
+          cs <- ts.columns
+          f <- tableSchema.find(_.name == cs.name)
+        } m.put(Expressions.column(cs.name),
+          GraftMetaScan.columnStatistics(cs, ts.rowCount, f.dataType))
+        m
+      }
     }
   }
+}
+
+object GraftMetaScan {
+  /** One committed column profile as DSv2 [[ColumnStatistics]]: NDV and
+    * null count verbatim; min/max re-typed from their profiled string
+    * forms through a UTC cast (CATALYST-internal values, as the
+    * [[org.apache.spark.sql.catalyst.plans.logical.ColumnStat]]
+    * conversion expects) — a value that does not round-trip its type
+    * simply reports no bound, never a wrong one. */
+  private[graft] def columnStatistics(
+      cs: graft.sources.WarehouseFs.ColumnStats, rowCount: Long,
+      dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.connector.read.colstats.ColumnStatistics = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    def typed(s: Option[String]): java.util.Optional[Object] =
+      s.flatMap { v =>
+        scala.util.Try(Cast(Literal(v), dt, Some("UTC")).eval()).toOption
+          .flatMap(Option(_))
+      } match {
+        case Some(v) => java.util.Optional.of(v.asInstanceOf[Object])
+        case None => java.util.Optional.empty[Object]()
+      }
+    val minV = typed(cs.minStr)
+    val maxV = typed(cs.maxStr)
+    new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+      override def distinctCount(): OptionalLong =
+        cs.nDistinct.fold(OptionalLong.empty())(OptionalLong.of)
+      override def nullCount(): OptionalLong =
+        OptionalLong.of(math.max(0L, rowCount - cs.nNonNull))
+      override def min(): java.util.Optional[Object] = minV
+      override def max(): java.util.Optional[Object] = maxV
+    }
+  }
+}
+
+/** A parquet batch regrouped on partition VALUES: every file of one
+  * partition tuple lands in one [[HasPartitionKey]] input partition, so
+  * the exec can key-group them for a storage-partitioned join. Readers
+  * delegate to the parquet factory with the inner [[FilePartition]]
+  * unwrapped — vectorized/columnar paths untouched. */
+class GraftKeyedBatch(delegate: Batch,
+                      partSchema: StructType) extends Batch {
+  import org.apache.spark.sql.catalyst.util.InternalRowComparableWrapper
+  import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+  import org.apache.spark.sql.execution.datasources.FilePartition
+
+  private lazy val grouped: Array[InputPartition] = {
+    val raw = delegate.planInputPartitions()
+    val fileParts = raw.collect { case fp: FilePartition => fp }
+    if (fileParts.length != raw.length) raw // unexpected shape: pass through
+    else {
+      val types = partSchema.map(_.dataType)
+      fileParts.flatMap(_.files)
+        .groupBy(f => new InternalRowComparableWrapper(f.partitionValues, types))
+        .toSeq.sortBy(_._2.head.urlEncodedPath)
+        .zipWithIndex.map { case ((key, files), i) =>
+          GraftKeyedFilePartition(FilePartition(i, files), key.row)
+            : InputPartition
+        }.toArray
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = grouped
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val inner = delegate.createReaderFactory()
+    new PartitionReaderFactory {
+      private def unwrap(p: InputPartition): InputPartition = p match {
+        case k: GraftKeyedFilePartition => k.delegate
+        case other => other
+      }
+      override def createReader(p: InputPartition) = inner.createReader(unwrap(p))
+      override def createColumnarReader(p: InputPartition) =
+        inner.createColumnarReader(unwrap(p))
+      override def supportColumnarReads(p: InputPartition): Boolean =
+        inner.supportColumnarReads(unwrap(p))
+    }
+  }
+}
+
+case class GraftKeyedFilePartition(
+    delegate: org.apache.spark.sql.execution.datasources.FilePartition,
+    key: InternalRow)
+    extends org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow = key
+  override def preferredLocations(): Array[String] =
+    delegate.preferredLocations()
 }

@@ -443,6 +443,55 @@ class GraftCatalogSpec extends SparkSpec {
     intercept[Exception] { spark.sql("OPTIMIZE graft.nope_missing").collect() }
   }
 
+  test("storage-partitioned join: co-partitioned graft tables join with ZERO Exchanges") {
+    val a = fresh("cat_spj_a"); val b = fresh("cat_spj_b")
+    for (t <- Seq(a, b)) {
+      spark.sql(s"CREATE TABLE graft.$t (id BIGINT, v STRING, day INT) " +
+        "PARTITIONED BY (day) TBLPROPERTIES('keepVersions'='4')")
+      spark.sql(s"INSERT INTO graft.$t " +
+        s"SELECT id, CONCAT('$t', id), CAST(id % 8 AS INT) FROM range(4000)")
+    }
+    def joined = spark.sql(
+      s"""SELECT x.day AS day, COUNT(*) AS n
+         |FROM graft.$a x JOIN graft.$b y ON x.day = y.day
+         |GROUP BY x.day""".stripMargin)
+    // the baseline plan shuffles both sides on day
+    val shuffled = joined.collect().map(_.toSeq).toSet
+    withConf("spark.sql.sources.v2.bucketing.enabled" -> "true",
+             "spark.graft.planning.preserveDataGrouping" -> "true",
+             "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val plan = joined.queryExecution.executedPlan.toString()
+      assert(!plan.contains("Exchange"),
+        s"two day-partitioned graft tables joined on day must not shuffle:\n$plan")
+      assert(joined.collect().map(_.toSeq).toSet === shuffled,
+        "the storage-partitioned plan must be value-identical to the shuffled one")
+    }
+  }
+
+  test("committed column stats reach the CBO: NDV/null/min-max from the stats sidecar") {
+    val t = fresh("cat_cbo")
+    val path = s"$wh/$t"
+    WarehouseFs.publishVersioned(
+      spark.range(1000).select(col("id"), (col("id") % 13).as("grp"),
+        concat(lit("u"), col("id")).as("user")),
+      path, keepVersions = 4, collectStats = true, zoneMapCols = Seq("id"))
+    withConf("spark.sql.cbo.enabled" -> "true") {
+      val rel = spark.table(s"graft.$t").queryExecution.optimizedPlan
+        .collect { case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r }
+        .head
+      val stats = rel.computeStats()
+      assert(stats.rowCount.contains(BigInt(1000)))
+      val byName = stats.attributeStats.map { case (k, v) => k.name -> v }
+      assert(byName.contains("grp"), s"got attrs: ${byName.keySet}")
+      val grp = byName("grp")
+      assert(grp.distinctCount.exists(d => d >= 12 && d <= 14),
+        s"approx NDV of grp must be ~13, got ${grp.distinctCount}")
+      assert(grp.nullCount.contains(BigInt(0)))
+      assert(byName("id").min.contains(0L) && byName("id").max.contains(999L),
+        s"id bounds from the committed profile, got ${byName("id")}")
+    }
+  }
+
   test("dmlMode=mor: SQL DELETE/UPDATE commit deletion vectors; DSv2 SELECT reconciles them") {
     val t = fresh("cat_mor")
     spark.sql(s"CREATE TABLE graft.$t (id BIGINT, user STRING) " +
