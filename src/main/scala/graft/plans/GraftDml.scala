@@ -260,11 +260,13 @@ object GraftDmlRule extends Rule[LogicalPlan] with PredicateHelper {
   private[graft] def keepVersionsOf(spark: SparkSession, path: String): Int =
     GraftCatalog.keepVersionsOf(GraftCatalog.readProps(spark, path))
 
-  /** `TBLPROPERTIES('dmlMode'='mor')` routes SQL DELETE/UPDATE onto the
-    * merge-on-read (deletion-vector) verbs: point DML commits sidecars
-    * instead of rewriting every touched file — the right default for
-    * scattered-key workloads; OPTIMIZE folds the masks back. MERGE and
-    * the IN-subquery lowerings stay copy-on-write either way. */
+  /** `TBLPROPERTIES('dmlMode'='mor')` routes SQL DELETE/UPDATE/MERGE
+    * (and the IN-subquery lowerings) onto the merge-on-read
+    * (deletion-vector) verbs: point DML commits sidecars + small image
+    * files instead of rewriting every touched file — the right default
+    * for scattered-key workloads; OPTIMIZE folds the masks back. The
+    * one CoW holdout is MERGE's NOT MATCHED BY SOURCE clause, whose
+    * unmatched-target mask could be table-sized. */
   private[graft] def morOf(spark: SparkSession, path: String): Boolean =
     GraftCatalog.readProps(spark, path).exists { case (k, v) =>
       k.equalsIgnoreCase("dmlMode") && v.equalsIgnoreCase("mor") }
@@ -302,11 +304,16 @@ case class GraftDeleteInCommand(path: String, targetOutput: Seq[Attribute],
     val guard = residual
       .map(e => GraftDmlRule.recolumn(e, AttributeSet(targetOutput)))
       .getOrElse(lit(true))
-    WarehouseFs.mergeIntoKeys(
-      GraftDmlRule.stagedKeysDf(spark, keyCols, keys), path, keyCols,
-      whenMatchedDelete = Some(guard),
-      whenNotMatchedInsert = false,
-      keepVersions = GraftDmlRule.keepVersionsOf(spark, path))
+    val staged = GraftDmlRule.stagedKeysDf(spark, keyCols, keys)
+    val keep = GraftDmlRule.keepVersionsOf(spark, path)
+    if (GraftDmlRule.morOf(spark, path))
+      WarehouseFs.mergeIntoKeysVectors(staged, path, keyCols,
+        whenMatchedDelete = Some(guard), whenNotMatchedInsert = false,
+        keepVersions = keep)
+    else
+      WarehouseFs.mergeIntoKeys(staged, path, keyCols,
+        whenMatchedDelete = Some(guard), whenNotMatchedInsert = false,
+        keepVersions = keep)
     Seq.empty
   }
 }
@@ -337,11 +344,16 @@ case class GraftUpdateInCommand(path: String, targetOutput: Seq[Attribute],
       case Some(g) => set.map { case (c, v) =>
         c -> when(g, v).otherwise(col(c)) }
     }
-    WarehouseFs.mergeIntoKeys(
-      GraftDmlRule.stagedKeysDf(spark, keyCols, keys), path, keyCols,
-      whenMatchedUpdate = guarded,
-      whenNotMatchedInsert = false,
-      keepVersions = GraftDmlRule.keepVersionsOf(spark, path))
+    val staged = GraftDmlRule.stagedKeysDf(spark, keyCols, keys)
+    val keep = GraftDmlRule.keepVersionsOf(spark, path)
+    if (GraftDmlRule.morOf(spark, path))
+      WarehouseFs.mergeIntoKeysVectors(staged, path, keyCols,
+        whenMatchedUpdate = guarded, whenNotMatchedInsert = false,
+        keepVersions = keep)
+    else
+      WarehouseFs.mergeIntoKeys(staged, path, keyCols,
+        whenMatchedUpdate = guarded, whenNotMatchedInsert = false,
+        keepVersions = keep)
     Seq.empty
   }
 }
@@ -523,14 +535,26 @@ case class GraftMergeCommand(path: String, targetOutput: Seq[Attribute],
         "DELETE is supported)")
     }
 
-    WarehouseFs.mergeIntoKeys(
-      GraftDmlRule.sourceDf(spark, source), path, keyCols,
-      whenMatchedUpdate = updateMap,
-      whenMatchedDelete = deleteCond,
-      whenNotMatchedInsert = insert,
-      whenNotMatchedBySourceDelete = bySourceDelete,
-      keepVersions = GraftDmlRule.keepVersionsOf(spark, path),
-      whenNotMatchedInsertCond = insertCond)
+    val srcDf = GraftDmlRule.sourceDf(spark, source)
+    val keep = GraftDmlRule.keepVersionsOf(spark, path)
+    // a mor table's MERGE masks matched rows instead of rewriting their
+    // files — except the full-sync clause (NOT MATCHED BY SOURCE), whose
+    // unmatched-target mask could be table-sized: that shape stays CoW
+    if (GraftDmlRule.morOf(spark, path) && bySourceDelete.isEmpty)
+      WarehouseFs.mergeIntoKeysVectors(srcDf, path, keyCols,
+        whenMatchedUpdate = updateMap,
+        whenMatchedDelete = deleteCond,
+        whenNotMatchedInsert = insert,
+        keepVersions = keep,
+        whenNotMatchedInsertCond = insertCond)
+    else
+      WarehouseFs.mergeIntoKeys(srcDf, path, keyCols,
+        whenMatchedUpdate = updateMap,
+        whenMatchedDelete = deleteCond,
+        whenNotMatchedInsert = insert,
+        whenNotMatchedBySourceDelete = bySourceDelete,
+        keepVersions = keep,
+        whenNotMatchedInsertCond = insertCond)
     Seq.empty
   }
 }

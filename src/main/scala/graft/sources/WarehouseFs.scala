@@ -2225,6 +2225,41 @@ object WarehouseFs {
       extraDv = Some(extra))
   }
 
+  /** Touched-candidate resolution for KEY-driven DML (merge, feed
+    * apply, MoR merge): the point regime (≤ `maxPointKeys` distinct
+    * tuples) collects the keys and intersects per-column bloom and
+    * partition-path candidates; above it the set resolves
+    * DISTRIBUTIVELY ([[candidatesDistributed]]) with the full-rewrite
+    * fallback only on unindexed tables. Always a SUPERSET of the files
+    * holding any key — bloom has no false negatives. */
+  private def candidatesForKeys(spark: SparkSession, table: String,
+                                r: ResolvedVersion, all: Seq[String],
+                                keyCols: Seq[String], keySource: DataFrame,
+                                nDistinct: Long,
+                                maxPointKeys: Int): Seq[String] = {
+    import org.apache.spark.sql.functions.col
+    if (nDistinct <= maxPointKeys) {
+      val keyRows = keySource.select(keyCols.map(col): _*).distinct().collect()
+      val schemaV = if (all.nonEmpty) Some(versionSchema(spark, table, r)) else None
+      var cand: Set[String] = all.toSet
+      var pruned = false
+      keyCols.zipWithIndex.foreach { case (c, i) =>
+        val vs = keyRows.map(_.get(i)).distinct.toSeq
+        candidatesRootRelative(spark, table, r, c, vs).foreach { cs =>
+          pruned = true; cand = cand.intersect(cs.toSet)
+        }
+        // a key column that is also a partition column prunes by PATH
+        schemaV.flatMap(_.find(_.name == c)).foreach { f =>
+          val pc = partitionCandidates(spark, all, c, vs, f.dataType).toSet
+          if (pc.size < all.size) { pruned = true; cand = cand.intersect(pc) }
+        }
+      }
+      if (pruned) all.filter(cand) else all
+    } else
+      candidatesDistributed(spark, table, r, keyCols, keySource, nDistinct)
+        .getOrElse(all)
+  }
+
   /** Multi-clause MERGE — the lakehouse verb that subsumes
     * [[upsertRows]] / [[deleteWhere]] / [[updateWhere]] in one commit:
     * for each source row, a target row with the same key is updated
@@ -2329,30 +2364,12 @@ object WarehouseFs {
         "a key matching twice makes the merge order-dependent")
 
     val touched =
-      if (whenNotMatchedBySourceDelete.isEmpty && nDistinct <= maxPointKeys) {
-        val keyRows = source.select(keyCols.map(col): _*).distinct().collect()
-        val schemaV = if (all.nonEmpty) Some(versionSchema(spark, table, r)) else None
-        var cand: Set[String] = all.toSet
-        var pruned = false
-        keyCols.zipWithIndex.foreach { case (c, i) =>
-          val vs = keyRows.map(_.get(i)).distinct.toSeq
-          candidatesRootRelative(spark, table, r, c, vs).foreach { cs =>
-            pruned = true; cand = cand.intersect(cs.toSet)
-          }
-          // a key column that is also a partition column prunes by PATH
-          schemaV.flatMap(_.find(_.name == c)).foreach { f =>
-            val pc = partitionCandidates(spark, all, c, vs, f.dataType).toSet
-            if (pc.size < all.size) { pruned = true; cand = cand.intersect(pc) }
-          }
-        }
-        if (pruned) all.filter(cand) else all
-      } else if (whenNotMatchedBySourceDelete.isEmpty)
-        // bulk regime: resolve the touched set distributively against
-        // the bloom index — a 100k-key merge whose keys cluster in a few
-        // files still rewrites only those files; unindexed tables fall
-        // back to the honest full rewrite
-        candidatesDistributed(spark, table, r, keyCols, source, nDistinct)
-          .getOrElse(all)
+      if (whenNotMatchedBySourceDelete.isEmpty)
+        // point regime ≤ maxPointKeys (keys collect, bloom/partition
+        // probes); bulk regime resolves distributively — see
+        // [[candidatesForKeys]]
+        candidatesForKeys(spark, table, r, all, keyCols, source,
+          nDistinct, maxPointKeys)
       else all // an unmatched target row can live in ANY file
 
     val tableSchema =
@@ -2418,6 +2435,110 @@ object WarehouseFs {
     val aligned = tableSchema.fold(rewritten)(alignToSchema(rewritten, _, "mergeInto"))
     publishCoW(spark, table, r, aligned, touched,
       all.diff(touched), keepVersions, refreshStats)
+  }
+
+  /** Merge-on-read MERGE — [[mergeIntoKeys]]' semantics with deletion-
+    * vector economics: matched target rows MASK through the version's
+    * `_dv` sidecar (their updated images — for non-delete clauses —
+    * plus the inserts land as the new version's own small file), and
+    * every pre-existing file carries by reference, so a scattered-key
+    * CDC batch against a 100 TB table writes O(batch), never O(touched
+    * files). Unmatched target rows are never even read for rewrite —
+    * the candidate scan only feeds the inner match join and the insert
+    * anti-join. Same touched-set resolution, source-cardinality rules,
+    * and clause scope (`src_` prefixes) as the CoW verb; value-
+    * equivalent by construction. `whenNotMatchedBySourceDelete` is NOT
+    * offered here: masking every unmatched target row could write a
+    * vector the size of the table — a full sync is honestly a rewrite,
+    * use the CoW verb. `OPTIMIZE` folds the masks on the normal
+    * cadence. */
+  def mergeIntoKeysVectors(source: DataFrame, table: String,
+                           keyCols: Seq[String],
+                           whenMatchedUpdate: Map[String, Column] = Map.empty,
+                           whenMatchedDelete: Option[Column] = None,
+                           whenNotMatchedInsert: Boolean = true,
+                           maxPointKeys: Int = 10000,
+                           keepVersions: Int = 2,
+                           whenNotMatchedInsertCond: Option[Column] = None): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, col, count, count_distinct, lit, when}
+    require(keyCols.nonEmpty, "mergeIntoKeysVectors: key columns required")
+    require(whenMatchedUpdate.nonEmpty || whenMatchedDelete.nonEmpty ||
+      whenNotMatchedInsert, "mergeIntoKeysVectors: at least one clause required")
+    require(keyCols.forall(source.columns.contains),
+      s"mergeIntoKeysVectors: source lacks key columns " +
+        s"${keyCols.filterNot(source.columns.contains)}")
+    val spark = source.sparkSession
+    val r = resolveVersion(spark, table, None).getOrElse(
+      throw new IllegalArgumentException(
+        s"mergeIntoKeysVectors: $table is not a versioned table"))
+    val (fs, t) = fsFor(spark, table)
+    val all = versionFiles(fs, t, r)
+    // same one-pass source audit as the CoW verb (ANSI cardinality rule)
+    val allNonNull = keyCols.map(col(_).isNotNull).reduce(_ && _)
+    val ks = source.agg(count(lit(1)), count(when(allNonNull, lit(1))),
+      count_distinct(col(keyCols.head), keyCols.tail.map(col): _*)).head()
+    val (nRows, nKeys, nDistinct) = (ks.getLong(0), ks.getLong(1), ks.getLong(2))
+    if (nRows == 0L) return
+    require(nKeys == nRows,
+      s"mergeIntoKeysVectors: source has ${nRows - nKeys} null keys")
+    require(nDistinct == nKeys,
+      s"mergeIntoKeysVectors: source keys must be unique ($nKeys rows, " +
+        s"$nDistinct keys) — a key matching twice makes the merge order-dependent")
+    val touched = candidatesForKeys(spark, table, r, all, keyCols, source,
+      nDistinct, maxPointKeys)
+    val tableSchema =
+      if (all.nonEmpty) Some(versionSchema(spark, table, r)) else None
+    val tableCols = tableSchema.map(_.fieldNames.toSeq)
+      .getOrElse(source.columns.toSeq)
+    require(!tableCols.exists(_.startsWith("src_")),
+      "mergeIntoKeysVectors: target columns may not start with src_")
+    if (whenNotMatchedInsert)
+      require(tableCols.toSet.subsetOf(source.columns.toSet),
+        s"mergeIntoKeysVectors: with inserts enabled, the source must carry " +
+          s"every table column — missing ${tableCols.toSet -- source.columns}")
+    require(whenMatchedUpdate.keySet.subsetOf(tableCols.toSet),
+      s"mergeIntoKeysVectors: unknown SET columns " +
+        s"${whenMatchedUpdate.keySet -- tableCols}")
+    val srcP = source.select(
+      source.columns.map(c => col(c).as(s"src_$c")).toSeq: _*)
+    val dv = readDvRelation(spark, table, r)
+    val tagged =
+      if (touched.isEmpty) None
+      else Some(taggedMaskedRead(spark, table, touched, dv))
+    // INNER match join: only matched rows mask/rewrite — unmatched
+    // target rows are exactly the ones merge-on-read never touches
+    val joined = tagged.map { tg =>
+      val cond = keyCols.map(c => tg(c) === col(s"src_$c")).reduce(_ && _)
+      tg.join(srcP, cond, "inner")
+    }
+    val deleteC = whenMatchedDelete
+      .map(c => coalesce(c, lit(false))).getOrElse(lit(false))
+    val dvEntries = joined.map(_.select(
+      col("__dv_file").as("file"), col("__dv_pos").as("pos")))
+    val images = joined.map(_.filter(!deleteC).select(tableCols.map { c =>
+      whenMatchedUpdate.get(c).map(_.as(c)).getOrElse(col(c))
+    }: _*))
+    val inserts =
+      if (!whenNotMatchedInsert) None
+      else {
+        val gated = whenNotMatchedInsertCond.fold(source)(c =>
+          source.filter(coalesce(c, lit(false))))
+        // exact: bloom pruning has no false negatives, so any source key
+        // present anywhere in the table is present in `touched`
+        val ins = tagged.fold(gated)(tg =>
+          gated.join(tg.select(keyCols.map(col): _*), keyCols, "left_anti"))
+        Some(ins.select(tableCols.map(col): _*))
+      }
+    val rewritten = (images, inserts) match {
+      case (Some(a), Some(b)) => a.unionByName(b)
+      case (Some(a), None) => a
+      case (None, Some(b)) => b
+      case (None, None) => return // no matched file, no inserts → no-op
+    }
+    val aligned = tableSchema.fold(rewritten)(
+      alignToSchema(rewritten, _, "mergeIntoKeysVectors"))
+    publishCoW(spark, table, r, aligned, touched = Nil, carried = all,
+      keepVersions, refreshStats = false, extraDv = dvEntries)
   }
 
   // ---- change-data feed between committed versions ---------------------
@@ -2689,26 +2810,8 @@ object WarehouseFs {
         "version-by-version")
 
     val affected = effective.select(keyCols.map(col): _*)
-    val touched =
-      if (nDistinct <= maxPointKeys) {
-        val keyRows = affected.distinct().collect()
-        val schemaV = if (all.nonEmpty) Some(versionSchema(spark, table, r)) else None
-        var cand: Set[String] = all.toSet
-        var pruned = false
-        keyCols.zipWithIndex.foreach { case (c, i) =>
-          val vs = keyRows.map(_.get(i)).distinct.toSeq
-          candidatesRootRelative(spark, table, r, c, vs).foreach { cs =>
-            pruned = true; cand = cand.intersect(cs.toSet)
-          }
-          schemaV.flatMap(_.find(_.name == c)).foreach { f =>
-            val pc = partitionCandidates(spark, all, c, vs, f.dataType).toSet
-            if (pc.size < all.size) { pruned = true; cand = cand.intersect(pc) }
-          }
-        }
-        if (pruned) all.filter(cand) else all
-      } else // bulk regime: distributed index probe, see [[mergeIntoKeys]]
-        candidatesDistributed(spark, table, r, keyCols, affected, nDistinct)
-          .getOrElse(all)
+    val touched = candidatesForKeys(spark, table, r, all, keyCols, affected,
+      nDistinct, maxPointKeys)
     val tableSchema =
       if (all.nonEmpty) Some(versionSchema(spark, table, r))
       else None

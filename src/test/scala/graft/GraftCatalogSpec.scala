@@ -523,10 +523,27 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql(s"SELECT * FROM table_changes('graft.$t', 3, 3)")
       .select("id", "_change_type").as[(Long, String)].collect().toSet ===
       Set((5L, "delete"), (1005L, "delete"), (2005L, "delete")))
+    // mor MERGE: matched rows mask + images/inserts land as one small
+    // file; no pre-existing file rewrites
+    Seq((7L, "m7"), (99999L, "ins")).toDF("id", "user")
+      .createOrReplaceTempView("mor_src")
+    // inputFiles of a masked read includes the _dv sidecar, which is
+    // per-version by design — compare DATA files only
+    val filesBefore = spark.table(s"graft.$t").inputFiles
+      .filterNot(_.contains("/_dv/")).toSet
+    spark.sql(s"""MERGE INTO graft.$t g USING mor_src s ON g.id = s.id
+                  WHEN MATCHED THEN UPDATE SET user = s.user
+                  WHEN NOT MATCHED THEN INSERT *""")            // v5
+    assert(spark.sql(s"SELECT user FROM graft.$t WHERE id IN (7, 99999)")
+      .as[String].collect().sorted.toSeq === Seq("ins", "m7"))
+    assert(spark.table(s"graft.$t").count() === 3998)
+    assert(filesBefore.subsetOf(spark.table(s"graft.$t").inputFiles
+        .filterNot(_.contains("/_dv/")).toSet),
+      "a mor MERGE must carry every pre-existing data file by reference")
     // OPTIMIZE folds the vectors; the steady-state DSv2 scan returns
     spark.sql(s"OPTIMIZE graft.$t")
     assert(!WarehouseFs.hasDeletionVectors(spark, s"$wh/$t"))
-    assert(spark.table(s"graft.$t").count() === 3997)
+    assert(spark.table(s"graft.$t").count() === 3998)
     assert(spark.sql(s"SELECT user FROM graft.$t WHERE id = 8")
       .as[String].collect().toSeq === Seq("zz"))
   }

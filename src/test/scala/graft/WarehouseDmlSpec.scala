@@ -952,4 +952,45 @@ class WarehouseDmlSpec extends SparkSpec {
     assert(!WarehouseFs.hasDeletionVectors(spark, t))
     assert(WarehouseFs.readTable(spark, t).get.count() === 7996)
   }
+
+  test("merge-on-read MERGE: masks + one image file, value-equivalent to the CoW merge") {
+    val t = tmpTable(); val tCow = tmpTable()
+    publishFixture(t, keepVersions = 6); publishFixture(tCow, keepVersions = 6)
+    // scattered source: one key per range file updates, one deletes, plus inserts
+    val src = Seq(
+      (100L, "m100", 0L), (1100L, "m1100", 0L), (2100L, "m2100", 0L),
+      (3100L, "del", -1L), (4100L, "del", -1L),
+      (9000L, "new9000", 9L), (9001L, "new9001", 9L))
+      .toDF("id", "user", "grp")
+    def run(path: String, mor: Boolean): Unit = {
+      val update = Map("user" -> col("src_user"))
+      val del = Some(col("src_grp") === -1L)
+      if (mor) WarehouseFs.mergeIntoKeysVectors(src, path, Seq("id"),
+        whenMatchedUpdate = update, whenMatchedDelete = del,
+        keepVersions = 6)
+      else WarehouseFs.mergeInto(src, path, "id",
+        whenMatchedUpdate = update, whenMatchedDelete = del,
+        keepVersions = 6)
+    }
+    run(t, mor = true); run(tCow, mor = false)
+    // value equivalence across the two tiers
+    val a = WarehouseFs.readTable(spark, t).get.collect().map(_.toSeq).toSet
+    val b = WarehouseFs.readTable(spark, tCow).get.collect().map(_.toSeq).toSet
+    assert(a === b && a.size === 8000 - 2 + 2)
+    // MoR economics: one small image file, all 8 originals carried
+    assert(dirFileCount(t, currentDir(t)) === 1,
+      "updated images + inserts land as ONE new file")
+    assert(dirFileCount(t, "v00000001") === 8, "originals carried, not rewritten")
+    assert(WarehouseFs.deletionVectorRows(spark, t) === 5L,
+      "3 updated + 2 deleted matched rows mask")
+    // the CoW twin rewrote the matched keys' files (sampled range
+    // boundaries may co-locate two keys — several files either way)
+    assert(dirFileCount(tCow, currentDir(tCow)) >= 4)
+    // feed across the MoR merge classifies updates/deletes/inserts exactly
+    val feed = WarehouseFs.changeFeed(spark, t, Seq("id"), 1, 2).get
+      .groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(feed === Map("update_preimage" -> 3L, "update_postimage" -> 3L,
+      "delete" -> 2L, "insert" -> 2L))
+  }
 }
