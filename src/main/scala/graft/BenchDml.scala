@@ -93,21 +93,6 @@ object BenchDml {
           Seq(rows / 7, rows / 3, rows - 2), keepVersions = keep,
           refreshStats = false)
       }
-      // scattered keys — one per ~rows/3000 across ALL 64 range files:
-      // CoW must rewrite every file (the honest baseline); the
-      // deletion-vector leg commits a sidecar instead
-      val scatterCow: Seq[Any] =
-        (0L until rows by math.max(1L, rows / 3000L)).toVector
-      val scatterMor: Seq[Any] =
-        (1L until rows by math.max(1L, rows / 3000L)).toVector
-      legs += "dml_scattered_delete_cow" -> timed {
-        WarehouseFs.deleteWhere(spark, t, "id", scatterCow,
-          keepVersions = keep, refreshStats = false)
-      }
-      legs += "dml_scattered_delete" -> timed {
-        WarehouseFs.deleteWhereVectors(spark, t, "id", scatterMor,
-          keepVersions = keep)
-      }
       // 10k contiguous keys — the point regime at its collect ceiling,
       // clustered so the touched set SHOULD stay small
       val lo10k = rows / 2
@@ -133,6 +118,24 @@ object BenchDml {
       }
       legs += "dml_feed_fold" -> timed {
         WarehouseFs.changeFeedLatest(spark, t, Seq("id")).get.count()
+      }
+      // scattered keys — one per ~rows/3000 across ALL 64 range files:
+      // CoW must rewrite every file (the honest baseline); the
+      // deletion-vector leg commits a sidecar instead. These legs run
+      // LAST on the flat fixture: the MoR commit leaves a mask on the
+      // table, and running earlier would make every later leg pay DV
+      // reconciliation — shifting their meaning vs their own history
+      val scatterCow: Seq[Any] =
+        (0L until rows by math.max(1L, rows / 3000L)).toVector
+      val scatterMor: Seq[Any] =
+        (1L until rows by math.max(1L, rows / 3000L)).toVector
+      legs += "dml_scattered_delete_cow" -> timed {
+        WarehouseFs.deleteWhere(spark, t, "id", scatterCow,
+          keepVersions = keep, refreshStats = false)
+      }
+      legs += "dml_scattered_delete" -> timed {
+        WarehouseFs.deleteWhereVectors(spark, t, "id", scatterMor,
+          keepVersions = keep)
       }
       legs += "dml_overwrite_day" -> timed {
         WarehouseFs.overwritePartitions(
