@@ -30,6 +30,12 @@ import graft.sources.WarehouseFs
   *                                          survive regardless of count
   *                                          (also HOURS; commit instants
   *                                          from the manifest bodies)
+  *   ANALYZE TABLE graft.t COMPUTE STATISTICS
+  *                                       -- (re)profile committed stats
+  *                                          (row count, per-column NDV/
+  *                                          null/min/max) for the CBO —
+  *                                          no rewrite; non-graft idents
+  *                                          delegate to Spark's own verb
   *   DESCRIBE HISTORY graft.t            -- retained versions: commit
   *                                          time, manifest format, files,
   *                                          bytes
@@ -55,6 +61,8 @@ class GraftMaintenanceParser(delegate: ParserInterface) extends ParserInterface 
     """(?is)\s*VACUUM\s+(.+?)\s+RETAIN\s+(\d+(?:\.\d+)?)\s+(DAYS?|HOURS?)\s*;?\s*""".r
   private val VacuumDefaultRe =
     """(?is)\s*VACUUM\s+(.+?)\s*;?\s*""".r
+  private val AnalyzeRe =
+    """(?is)\s*ANALYZE\s+TABLE\s+(.+?)\s+COMPUTE\s+STATISTICS\s*(?:FOR\s+ALL\s+COLUMNS\s*)?;?\s*""".r
   private val HistoryRe =
     """(?is)\s*DESCRIBE\s+HISTORY\s+(.+?)\s*;?\s*""".r
   private val DetailRe =
@@ -72,10 +80,25 @@ class GraftMaintenanceParser(delegate: ParserInterface) extends ParserInterface 
         else n.toDouble
       GraftVacuumCommand(tablePath(ident), None, Some(days))
     case VacuumDefaultRe(ident) => GraftVacuumCommand(tablePath(ident), None)
+    // ANALYZE exists in Spark's own grammar — claim it ONLY for graft
+    // catalog identifiers; everything else parses through the delegate
+    // untouched (the session catalog's ANALYZE keeps working)
+    case AnalyzeRe(ident) if graftIdent(ident) =>
+      GraftAnalyzeCommand(tablePath(ident))
     case HistoryRe(ident) => GraftDescribeHistoryCommand(tablePath(ident))
     case DetailRe(ident) => GraftDescribeDetailCommand(tablePath(ident))
     case _ => delegate.parsePlan(sqlText)
   }
+
+  /** Does `identText` name a table of a REGISTERED graft catalog?
+    * (The gate for shadowing statements Spark's own grammar also has.) */
+  private def graftIdent(identText: String): Boolean =
+    try {
+      val parts = delegate.parseMultipartIdentifier(identText)
+      parts.length > 1 && SparkSession.active.conf
+        .getOption(s"spark.sql.catalog.${parts.head}")
+        .contains(classOf[graft.sources.GraftCatalog].getName)
+    } catch { case _: Exception => false }
 
   /** `graft.ns.t` (a registered graft catalog) → warehouse path;
     * anything else joins as a direct path (backticks supported). */
@@ -181,6 +204,26 @@ case class GraftVacuumCommand(path: String, keep: Option[Int],
       graft.sources.GraftCatalog.readProps(spark, path)))
     WarehouseFs.vacuum(spark, path, n, retainDays)
     WarehouseFs.listVersions(spark, path).map(Row(_))
+  }
+}
+
+/** `ANALYZE TABLE graft.t COMPUTE STATISTICS` →
+  * [[WarehouseFs.refreshCommittedStats]]: one aggregation pass over the
+  * current version's LOGICAL content (masked rows excluded) rewrites
+  * the `_stats` sidecar the DSv2 scan reports to the CBO — the verb
+  * that un-stales stats after `refreshStats = false` DML chains and
+  * deletion-vector commits, without a data rewrite. */
+case class GraftAnalyzeCommand(path: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("row_count", LongType, nullable = false)(),
+    AttributeReference("columns", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val stats = WarehouseFs.refreshCommittedStats(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"ANALYZE: $path is not a versioned table"))
+    val v = WarehouseFs.currentVersion(spark, path).map(_._1).getOrElse(0L)
+    Seq(Row(v, stats.rowCount, stats.columns.size))
   }
 }
 

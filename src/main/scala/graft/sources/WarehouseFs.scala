@@ -2979,6 +2979,26 @@ object WarehouseFs {
       }
     }
 
+  /** (Re)profile the CURRENT version's LOGICAL content into the
+    * `_stats` sidecar — the SQL `ANALYZE TABLE … COMPUTE STATISTICS`
+    * verb. Point DML with `refreshStats = false` and deletion-vector
+    * commits copy stats forward (stale counts — the documented
+    * ANALYZE-cadence trade); this refresh restores profiled truth with
+    * ONE aggregation pass and no rewrite. Masked rows are not rows:
+    * the profile runs over the masked read. Returns the fresh stats;
+    * None for non-versioned tables. */
+  def refreshCommittedStats(spark: SparkSession,
+                            table: String): Option[TableStats] =
+    resolveVersion(spark, table, None).map { r =>
+      val (fs, t) = fsFor(spark, table)
+      val resolved = readResolved(spark, table, r)
+      graft.operators.Quality
+        .profileWithCount(resolved, resolved.columns.toSeq, exact = false)
+        .coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(new Path(statsDir(t), r.dirName).toString)
+      parseStats(spark, fs, new Path(statsDir(t), r.dirName)).get
+    }
+
   private def parseStats(spark: SparkSession, fs: FileSystem,
                          p: Path): Option[TableStats] = {
     if (!fs.exists(p)) return None

@@ -603,6 +603,28 @@ class GraftCatalogSpec extends SparkSpec {
     assert(e2.getMessage.contains("keyCols"), s"got: ${e2.getMessage}")
   }
 
+  test("ANALYZE TABLE refreshes committed stats after stale-copy commits; non-graft delegates") {
+    val t = fresh("cat_analyze")
+    val path = s"$wh/$t"
+    WarehouseFs.publishVersioned(
+      spark.range(1000).select(col("id"), (col("id") % 7).as("grp")),
+      path, keepVersions = 5, collectStats = true, bloomIndexCols = Seq("id"))
+    // a DV commit copies stats forward — the recorded row count goes stale
+    WarehouseFs.deleteWhereVectors(spark, path, "id",
+      (0L until 100L).toVector, keepVersions = 5)
+    assert(WarehouseFs.readStats(spark, path).get.rowCount === 1000L,
+      "copied-forward stats overcount the masked rows (the documented trade)")
+    val row = spark.sql(s"ANALYZE TABLE graft.$t COMPUTE STATISTICS").collect().head
+    assert(row.getLong(1) === 900L, "ANALYZE re-profiles the LOGICAL content")
+    assert(WarehouseFs.readStats(spark, path).get.rowCount === 900L)
+    assert(WarehouseFs.readStats(spark, path).get.column("grp")
+      .exists(_.nDistinct.exists(d => d >= 6 && d <= 8)))
+    // the session catalog's own ANALYZE still parses through the delegate
+    spark.sql("CREATE TABLE IF NOT EXISTS sc_analyze_probe (id INT) USING parquet")
+    try spark.sql("ANALYZE TABLE sc_analyze_probe COMPUTE STATISTICS")
+    finally spark.sql("DROP TABLE IF EXISTS sc_analyze_probe")
+  }
+
   test("time retention: keepDays survives a compaction storm; RETAIN n DAYS/HOURS from commit instants") {
     val t = fresh("cat_timeret")
     spark.sql(s"CREATE TABLE graft.$t (id BIGINT) " +
