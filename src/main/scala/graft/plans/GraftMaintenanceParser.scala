@@ -246,6 +246,9 @@ case class GraftDescribeDetailCommand(path: String)
     AttributeReference("zone_map_columns", StringType, nullable = false)(),
     AttributeReference("has_stats", org.apache.spark.sql.types.BooleanType,
       nullable = false)(),
+    // rows masked by the current version's deletion vector — 0 in the
+    // steady state; the OPTIMIZE-cadence signal beside the span count
+    AttributeReference("masked_rows", LongType, nullable = false)(),
     AttributeReference("retained_versions", IntegerType, nullable = false)(),
     // the time-travel floor: a compliance reader checks THIS instant
     // against its retention requirement, not the version count
@@ -263,7 +266,8 @@ case class GraftDescribeDetailCommand(path: String)
       .toSeq.sortBy(_._1).map { case (k, value) => s"$k=$value" }
       .mkString(",")
     Seq(Row(path, fmt, v, ts, nf, bytes, partCols.mkString(","),
-      bloom.mkString(","), zone.mkString(","), hasStats, hist.size,
+      bloom.mkString(","), zone.mkString(","), hasStats,
+      WarehouseFs.deletionVectorRows(spark, path), hist.size,
       hist.head._2, props))
   }
 }
