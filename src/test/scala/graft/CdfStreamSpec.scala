@@ -351,6 +351,38 @@ class CdfStreamSpec extends SparkSpec {
   private val sinkRows =
     scala.collection.mutable.Set.empty[(Long, String, String, Long)]
 
+  test("the stream classifies deletion-vector commits exactly like rewrites") {
+    val t = tmpTable()
+    WarehouseFs.publishVersioned(
+      spark.range(10).select(col("id"), concat(lit("u"), col("id")).as("user")),
+      t, keepVersions = 10, bloomIndexCols = Seq("id"))
+    val q = spark.readStream
+      .format("graft.streaming.CdfSourceProvider")
+      .option("table", t).option("keyCols", "id")
+      .option("startingVersion", "2")
+      .load()
+      .writeStream.format("memory").queryName("cdf_dv_sink").start()
+    try {
+      // a merge-on-read delete commits a sidecar, zero data files — the
+      // feed diff classifies from the mask delta, so the stream sees the
+      // same delete rows a CoW rewrite would have produced
+      WarehouseFs.deleteWhereVectors(spark, t, "id", Seq(5L), keepVersions = 10)
+      q.processAllAvailable()
+      assert(collectSink("cdf_dv_sink") === Set((5L, "u5", "delete", 2L)))
+      // and a MoR update streams the pre/post pair
+      WarehouseFs.updateMatchingVectors(spark, t, col("id") === 3L,
+        Map("user" -> lit("x3")), keepVersions = 10,
+        pruning = (Map("id" -> Seq(3L)), Map.empty))
+      q.processAllAvailable()
+      assert(collectSink("cdf_dv_sink") === Set(
+        (5L, "u5", "delete", 2L),
+        (3L, "u3", "update_preimage", 3L), (3L, "x3", "update_postimage", 3L)))
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS cdf_dv_sink")
+    }
+  }
+
   test("startingTimestamp resolves the earliest commit at or after the instant") {
     val t = tmpTable()
     WarehouseFs.publishVersioned(
