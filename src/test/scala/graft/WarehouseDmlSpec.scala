@@ -930,6 +930,14 @@ class WarehouseDmlSpec extends SparkSpec {
     assert(WarehouseFs.hasDeletionVectors(spark, t))
     assert(dirFileCount(t, currentDir(t)) === 1,
       "the MoR update writes exactly the updated rows' file")
+    // plan audit: the mask reconciles as a BROADCAST anti-join (the
+    // sidecar is tiny) — a shuffle here would tax every read of a
+    // masked version with an Exchange of the whole table
+    val maskedPlan = WarehouseFs.readTable(spark, t).get
+      .queryExecution.executedPlan.toString()
+    assert(maskedPlan.contains("BroadcastHashJoin") &&
+      !maskedPlan.contains("SortMergeJoin"),
+      s"the DV anti-join must broadcast the sidecar:\n$maskedPlan")
     val after = WarehouseFs.readTable(spark, t).get
     assert(after.count() === 7997)
     assert(after.filter(col("id") === 20L).select("user").as[String]
