@@ -72,6 +72,9 @@ object WarehouseFs {
   /** Delete `path` recursively if present. */
   def deleteIfExists(spark: SparkSession, path: String): Unit = {
     val (fs, p) = fsFor(spark, path)
+    // a dropped-and-recreated table may reuse (path, version) pairs — the
+    // one staleness hazard of the deletion-vector presence cache
+    invalidateDvPresence(spark, path)
     if (fs.exists(p)) { fs.delete(p, true); () }
   }
 
@@ -1114,6 +1117,62 @@ object WarehouseFs {
 
   private def dvDir(table: Path) = new Path(table, "_dv")
 
+  /** The URI-escaped spelling of a root-relative file path — the form
+    * `_metadata.file_path` uses, and therefore the form deletion-vector
+    * `file` entries are written in (they derive from it). Manifests and
+    * FileSystem listings carry the RAW on-disk name instead; any
+    * comparison between the two sides (the masked/clean file split, the
+    * anti-join gate, retiring a touched file's mask entries) must route
+    * the raw side through this one canonical form — a partition value
+    * with URI-escapable characters (space, `%`, `#`) spells differently
+    * in the two worlds, and a missed match would silently resurrect
+    * deleted rows. Hadoop's own Path→URI encoding is the reference
+    * implementation, so encode with it rather than re-deriving the
+    * escape table. */
+  private[graft] def relUriSpelling(rel: String): String =
+    new Path("/" + rel).toUri.getRawPath.stripPrefix("/")
+
+  // ---- deletion-vector presence cache ------------------------------------
+  //
+  // `hasDeletionVectors` is probed inside analyzer/scan-build paths that
+  // can run several times per query (rule fixed points, one per relation)
+  // — on an object store each probe is metadata RPC latency. A committed
+  // version is IMMUTABLE, so its answer can never go stale: memoize per
+  // (qualified table path, version). The only way a (path, version) pair
+  // can recur with different content is dropping and recreating a table
+  // at the same path — `deleteIfExists` (the one deletion choke point)
+  // invalidates the path's entries.
+  private val dvPresenceCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), java.lang.Boolean]()
+  /** Uncached-probe counter — spec observability for the memoization. */
+  private[graft] val dvProbeCount = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def qualifiedTableKey(spark: SparkSession, table: String): String = {
+    val (fs, t) = fsFor(spark, table)
+    fs.makeQualified(t).toString
+  }
+
+  private[graft] def invalidateDvPresence(spark: SparkSession, path: String): Unit = {
+    val q = qualifiedTableKey(spark, path)
+    dvPresenceCache.keySet.removeIf(k => k._1 == q || k._1.startsWith(q + "/"))
+  }
+
+  /** Refuse non-deterministic DML expressions — the rule every lakehouse
+    * engine enforces for row-level DML. The merge-on-read verbs derive
+    * TWO artifacts from the matched set (the deletion-vector entries and
+    * the re-inserted images), and on a real cluster any stage can be
+    * recomputed after executor loss; a predicate like `rand() < 0.1`
+    * could mask one row set and re-insert a different one, silently
+    * losing or duplicating rows. Checked on the ANALYZED plan, where
+    * `rand()`/`uuid()` have resolved to their nondeterministic forms —
+    * an unresolved-function check would miss them. */
+  private def requireDeterministicPlan(df: DataFrame, verb: String): Unit =
+    require(!df.queryExecution.analyzed.exists(
+        p => p.expressions.exists(e => !e.deterministic)),
+      s"$verb: DML predicates and SET expressions must be deterministic — " +
+        "the masked row set and the re-inserted images come from separate " +
+        "physical evaluations that must agree row-for-row")
+
   /** The version's deletion-vector relation — (file STRING
     * table-root-relative, pos LONG parquet row index) — if it carries
     * one. One `exists` probe; dir-format versions never do (only DV/CoW
@@ -1127,11 +1186,24 @@ object WarehouseFs {
   }
 
   /** Does `table`@`version` (current by default) mask rows through a
-    * deletion vector? Metadata-only — the DSv2 read rule keys on it. */
+    * deletion vector? Metadata-only, and memoized per (table, version)
+    * — versions are immutable, so the steady no-DV state costs one
+    * probe per (table, version) per session, not one per analyzer pass
+    * per relation. */
   def hasDeletionVectors(spark: SparkSession, table: String,
                          version: Option[Long] = None): Boolean =
-    resolveVersion(spark, table, version)
-      .exists(r => readDvRelationExists(spark, table, r))
+    resolveVersion(spark, table, version).exists { r =>
+      val key = (qualifiedTableKey(spark, table), r.version)
+      val cached = dvPresenceCache.get(key)
+      if (cached != null) cached.booleanValue()
+      else {
+        dvProbeCount.incrementAndGet()
+        if (dvPresenceCache.size() > 65536) dvPresenceCache.clear()
+        val v = readDvRelationExists(spark, table, r)
+        dvPresenceCache.put(key, java.lang.Boolean.valueOf(v))
+        v
+      }
+    }
 
   private def readDvRelationExists(spark: SparkSession, table: String,
                                    r: ResolvedVersion): Boolean = {
@@ -1170,7 +1242,9 @@ object WarehouseFs {
         expr("_metadata.row_index").as("__dv_pos")) ++
         raw.columns.map(col).toSeq: _*)
       val masked =
-        if (!fs0.exists(dvFiles)) tagged // no masked rows in this group
+        // fs0 carries manifest (raw) spellings, dvFiles the URI spelling
+        if (!fs0.exists(f => dvFiles.contains(relUriSpelling(f))))
+          tagged // no masked rows in this group
         else tagged.join(
           dv.get.select(col("file").as("__dv_file"), col("pos").as("__dv_pos")),
           Seq("__dv_file", "__dv_pos"), "left_anti")
@@ -1202,7 +1276,8 @@ object WarehouseFs {
         // masked files pay the anti-join
         val dvFiles = dv.select("file").distinct()
           .collect().map(_.getString(0)).toSet
-        val (masked, clean) = files.partition(dvFiles)
+        val (masked, clean) =
+          files.partition(f => dvFiles.contains(relUriSpelling(f)))
         val parts =
           Seq(
             if (clean.nonEmpty) Some(readFilesGrouped(spark, table, clean)) else None,
@@ -1540,7 +1615,8 @@ object WarehouseFs {
     import org.apache.spark.sql.functions.{col => colF}
     val dvCarried = readDvRelation(spark, table, prior).map { p =>
       if (touched.isEmpty) p
-      else p.filter(!colF("file").isInCollection(touched))
+      // dv `file` entries are URI-spelled; `touched` is manifest-spelled
+      else p.filter(!colF("file").isInCollection(touched.map(relUriSpelling)))
     }
     val dvNew: Option[DataFrame] = (dvCarried, extraDv) match {
       case (Some(a), Some(b)) => Some(a.unionByName(b))
@@ -2168,11 +2244,17 @@ object WarehouseFs {
     val (cand, _) = prunedFileCore(spark, table, r, pruning._1, pruning._2)
     if (cand.isEmpty) return
     val dv = readDvRelation(spark, table, r)
-    def fresh() = taggedMaskedRead(spark, table, cand, dv)
+    val fresh = taggedMaskedRead(spark, table, cand, dv)
       .filter(coalesce(cond, lit(false)))
       .select(col("__dv_file").as("file"), col("__dv_pos").as("pos"))
-    if (fresh().isEmpty) return // provably nothing to delete → no version
-    publishDvOnly(spark, table, r, fresh(), keepVersions)
+    requireDeterministicPlan(fresh, "deleteMatchingVectors")
+    // ONE evaluation feeds both the no-op probe and the sidecar write —
+    // the candidate files scan once, not twice
+    fresh.persist()
+    try {
+      if (fresh.isEmpty) return // provably nothing to delete → no version
+      publishDvOnly(spark, table, r, fresh, keepVersions)
+    } finally { fresh.unpersist(); () }
   }
 
   /** [[deleteMatchingVectors]]' IN-list fast path — the merge-on-read
@@ -2206,23 +2288,31 @@ object WarehouseFs {
     val (cand, all) = prunedFileCore(spark, table, r, pruning._1, pruning._2)
     if (cand.isEmpty) return
     val dv = readDvRelation(spark, table, r)
-    def matched() = taggedMaskedRead(spark, table, cand, dv)
+    val matched = taggedMaskedRead(spark, table, cand, dv)
       .filter(coalesce(cond, lit(false)))
-    val dataCols = matched().columns
+    val dataCols = matched.columns
       .filterNot(Set("__dv_file", "__dv_pos")).toSeq
     require(set.keySet.subsetOf(dataCols.toSet),
       s"updateMatchingVectors: unknown SET columns ${set.keySet -- dataCols}")
-    if (matched().isEmpty) return
-    val updated = matched().select(dataCols.map { c =>
+    val updated = matched.select(dataCols.map { c =>
       set.get(c).map(_.as(c)).getOrElse(col(c))
     }: _*)
-    val extra = matched().select(
-      col("__dv_file").as("file"), col("__dv_pos").as("pos"))
-    publishCoW(spark, table, r,
-      alignToSchema(updated, versionSchema(spark, table, r),
-        "updateMatchingVectors"),
-      touched = Nil, carried = all, keepVersions, refreshStats = false,
-      extraDv = Some(extra))
+    requireDeterministicPlan(updated, "updateMatchingVectors")
+    // the updated images and the deletion-vector entries MUST come from
+    // one evaluation of the matched set: materialize it once (a stage
+    // retry of two independent jobs could otherwise mask one row set
+    // and re-insert another, silently losing or duplicating rows)
+    matched.persist()
+    try {
+      if (matched.isEmpty) return
+      val extra = matched.select(
+        col("__dv_file").as("file"), col("__dv_pos").as("pos"))
+      publishCoW(spark, table, r,
+        alignToSchema(updated, versionSchema(spark, table, r),
+          "updateMatchingVectors"),
+        touched = Nil, carried = all, keepVersions, refreshStats = false,
+        extraDv = Some(extra))
+    } finally { matched.unpersist(); () }
   }
 
   /** Touched-candidate resolution for KEY-driven DML (merge, feed
@@ -2509,7 +2599,10 @@ object WarehouseFs {
     // target rows are exactly the ones merge-on-read never touches
     val joined = tagged.map { tg =>
       val cond = keyCols.map(c => tg(c) === col(s"src_$c")).reduce(_ && _)
-      tg.join(srcP, cond, "inner")
+      // one evaluation feeds both the mask entries and the re-inserted
+      // images — see [[updateMatchingVectors]] for why this must not be
+      // two independent jobs over a lazy plan
+      tg.join(srcP, cond, "inner").persist()
     }
     val deleteC = whenMatchedDelete
       .map(c => coalesce(c, lit(false))).getOrElse(lit(false))
@@ -2518,6 +2611,7 @@ object WarehouseFs {
     val images = joined.map(_.filter(!deleteC).select(tableCols.map { c =>
       whenMatchedUpdate.get(c).map(_.as(c)).getOrElse(col(c))
     }: _*))
+    images.foreach(requireDeterministicPlan(_, "mergeIntoKeysVectors"))
     val inserts =
       if (!whenNotMatchedInsert) None
       else {
@@ -2537,8 +2631,9 @@ object WarehouseFs {
     }
     val aligned = tableSchema.fold(rewritten)(
       alignToSchema(rewritten, _, "mergeIntoKeysVectors"))
-    publishCoW(spark, table, r, aligned, touched = Nil, carried = all,
+    try publishCoW(spark, table, r, aligned, touched = Nil, carried = all,
       keepVersions, refreshStats = false, extraDv = dvEntries)
+    finally { joined.foreach(_.unpersist()); () }
   }
 
   // ---- change-data feed between committed versions ---------------------

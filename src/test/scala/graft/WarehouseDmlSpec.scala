@@ -1001,4 +1001,101 @@ class WarehouseDmlSpec extends SparkSpec {
     assert(feed === Map("update_preimage" -> 3L, "update_postimage" -> 3L,
       "delete" -> 2L, "insert" -> 2L))
   }
+
+  test("deletion vectors survive URI-escapable partition values (space, %, #)") {
+    // `_metadata.file_path` spells a dir `p=a b` as `p=a%20b` and the
+    // on-disk `p=100%25` (value "100%") as `p=100%2525`; manifests carry
+    // the raw spelling. Before relUriSpelling, the exists-gate compared
+    // the two spellings directly, skipped the anti-join, and deleted
+    // rows silently resurfaced.
+    val t = tmpTable()
+    WarehouseFs.publishVersioned(
+      spark.range(90).select(col("id"),
+        when(col("id") % 3 === 0, "a b")
+          .when(col("id") % 3 === 1, "100%").otherwise("x#y").as("p")),
+      t, partitionBy = Seq("p"), keepVersions = 8, bloomIndexCols = Seq("id"))
+    WarehouseFs.deleteMatchingVectors(spark, t,
+      col("p") === "a b" && col("id") < 30, keepVersions = 8)
+    WarehouseFs.deleteMatchingVectors(spark, t,
+      col("p") === "100%" && col("id") < 10, keepVersions = 8)
+    assert(WarehouseFs.hasDeletionVectors(spark, t))
+    val got = WarehouseFs.readTable(spark, t).get
+    assert(got.count() === 90 - 10 - 3,
+      "masked rows must not resurface under escaped partition spellings")
+    assert(got.filter(col("p") === "a b" && col("id") < 30).count() === 0)
+    assert(got.filter(col("p") === "100%" && col("id") < 10).count() === 0)
+    // a CoW rewrite of ANOTHER partition must not resurrect the masks
+    // (retiring touched files' entries also compares the two spellings)
+    WarehouseFs.updateMatching(spark, t, col("p") === "x#y" && col("id") === 2L,
+      Map("id" -> lit(9002L)), keepVersions = 8,
+      pruning = (Map.empty, Map.empty))
+    val after = WarehouseFs.readTable(spark, t).get
+    assert(after.count() === 77)
+    assert(after.filter(col("p") === "a b" && col("id") < 30).count() === 0)
+    assert(after.filter(col("id") === 9002L).count() === 1)
+    // and the fold to a clean version keeps the same logical content
+    graft.operators.ScaleJoins.compactParquet(spark, t, keepVersions = 8)
+    assert(!WarehouseFs.hasDeletionVectors(spark, t))
+    assert(WarehouseFs.readTable(spark, t).get.count() === 77)
+  }
+
+  test("hasDeletionVectors memoizes per (table, version) and invalidates on drop") {
+    val t = tmpTable()
+    publishFixture(t, keepVersions = 8)
+    def probes[T](body: => T): (T, Long) = {
+      val before = WarehouseFs.dvProbeCount.get()
+      val r = body
+      (r, WarehouseFs.dvProbeCount.get() - before)
+    }
+    val (first, n1) = probes(WarehouseFs.hasDeletionVectors(spark, t))
+    assert(!first && n1 === 1L, "first call pays exactly one probe")
+    val (_, n2) = probes {
+      (1 to 10).foreach(_ => assert(!WarehouseFs.hasDeletionVectors(spark, t)))
+    }
+    assert(n2 === 0L, "repeat calls on an immutable version are cache hits")
+    // a new commit = a new version = one fresh probe, then cached again
+    WarehouseFs.deleteWhereVectors(spark, t, "id", Seq(3L), keepVersions = 8)
+    val (second, n3) = probes(WarehouseFs.hasDeletionVectors(spark, t))
+    assert(second && n3 === 1L)
+    val (_, n4) = probes(WarehouseFs.hasDeletionVectors(spark, t))
+    assert(n4 === 0L)
+    // a pinned probe of an already-cached version is a hit too
+    val (v1has, n5) = probes(WarehouseFs.hasDeletionVectors(spark, t, Some(1L)))
+    assert(!v1has && n5 === 0L)
+    // drop + recreate at the SAME path may reuse (path, version) pairs —
+    // the delete choke point must invalidate
+    WarehouseFs.deleteIfExists(spark, t)
+    publishFixture(t, keepVersions = 8)
+    val (fresh, n6) = probes(WarehouseFs.hasDeletionVectors(spark, t, Some(1L)))
+    assert(!fresh && n6 === 1L, "recreated table must re-probe, not reuse")
+  }
+
+  test("merge-on-read DML refuses non-deterministic predicates and SET expressions") {
+    val t = tmpTable()
+    publishFixture(t, keepVersions = 4)
+    // a predicate that can disagree between two physical evaluations
+    // could mask one row set and re-insert another — refuse loudly, the
+    // posture of every lakehouse engine
+    val e1 = intercept[IllegalArgumentException] {
+      WarehouseFs.deleteMatchingVectors(spark, t, rand() < 0.5, keepVersions = 4)
+    }
+    assert(e1.getMessage.contains("deterministic"))
+    val e2 = intercept[IllegalArgumentException] {
+      WarehouseFs.updateMatchingVectors(spark, t, col("id") === 1L,
+        Map("user" -> concat(lit("u"), (rand() * 100).cast("int"))),
+        keepVersions = 4)
+    }
+    assert(e2.getMessage.contains("deterministic"))
+    val e3 = intercept[IllegalArgumentException] {
+      WarehouseFs.mergeIntoKeysVectors(
+        spark.range(3).select(col("id"), lit("z").as("user"),
+          lit(0L).as("grp")),
+        t, Seq("id"), whenMatchedUpdate = Map("user" -> lit("z")),
+        whenMatchedDelete = Some(rand() < 0.5), keepVersions = 4)
+    }
+    assert(e3.getMessage.contains("deterministic"))
+    // the table is untouched by all three refusals
+    assert(WarehouseFs.currentVersion(spark, t).get._1 === 1L)
+    assert(WarehouseFs.readTable(spark, t).get.count() === 8000)
+  }
 }
