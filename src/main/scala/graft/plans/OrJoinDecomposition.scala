@@ -60,8 +60,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     org.apache.spark.sql.graft.TopKPerGroupOp.install(e)
     // SQL MERGE/UPDATE/DELETE over graft catalog tables → the CoW verbs
     e.injectResolutionRule(_ => org.apache.spark.sql.graft.GraftDmlRule)
-    // deletion-vector reconciliation for DSv2 reads of masked versions
-    e.injectResolutionRule(s => new org.apache.spark.sql.graft.GraftDvReadRule(s))
+    // (deletion vectors reconcile INSIDE the DSv2 scan — GraftDvScan —
+    // so no plan-swap rule is needed for masked versions anymore)
     // spark.readStream.table("graft.t") → the graft-cdf change-feed source
     e.injectResolutionRule(s => new graft.streaming.GraftStreamTableRule(s))
     // OPTIMIZE / VACUUM / DESCRIBE HISTORY maintenance statements

@@ -1,0 +1,297 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
+import org.apache.spark.sql.connector.metric.{CustomMetric, CustomTaskMetric}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan}
+import org.apache.spark.sql.execution.datasources.FilePartition
+import org.apache.spark.sql.execution.datasources.PartitionedFile
+import org.apache.spark.sql.execution.vectorized.{OnHeapColumnVector, WritableColumnVector}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+
+/** Deletion-vector masking INSIDE the DSv2 scan.
+  *
+  * A version carrying a merge-on-read mask used to surrender the whole
+  * DSv2 fast path to a V1 anti-join plan (bloom/zone file pruning,
+  * committed statistics and aggregate pushdown all lost for the MoR
+  * window). This wrapper keeps the pruned, columnar parquet scan and
+  * applies the (file, row-position) mask per task instead — the
+  * Delta/Iceberg position-delete posture, built from two public Spark
+  * mechanisms:
+  *
+  *   - the parquet readers materialize TRUE file row indexes (row-group
+  *     and page skipping accounted for) when the read schema carries the
+  *     `ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME` long column —
+  *     the same mechanism `_metadata.row_index` rides on (the builder
+  *     appends it to the delegate's data schema);
+  *   - masked files are re-planned as single-file input partitions, each
+  *     carrying its OWN sorted position array ([[GraftDvFilePartition]]),
+  *     so a task never ships another file's mask and the row-index →
+  *     position membership test is one binary search per row.
+  *
+  * Partitions of unmasked files keep the delegate's grouping and pay
+  * only a zero-copy column strip; masked files' batches are filtered by
+  * a selective copy into fresh on-heap vectors (atomic types — a table
+  * with nested columns falls back to row-based reads for the MoR
+  * window, still masked, still file-pruned). Values are exactly the V1
+  * masked read's: the mask entries and the row indexes both derive from
+  * parquet row positions of immutable files. */
+case class GraftDvScan(delegate: Scan, fullSchema: StructType, idxPos: Int,
+                       maskByFile: Map[String, Array[Long]]) extends Scan {
+
+  private val outSchema = StructType(fullSchema.fields.patch(idxPos, Nil, 1))
+
+  override def readSchema(): StructType = outSchema
+  override def description(): String =
+    s"graft-dv(maskedFiles=${maskByFile.size}, ${delegate.description()})"
+  override def supportedCustomMetrics(): Array[CustomMetric] =
+    delegate.supportedCustomMetrics()
+  override def reportDriverMetrics(): Array[CustomTaskMetric] =
+    delegate.reportDriverMetrics()
+
+  // a nested-typed column cannot take the selective columnar copy: force
+  // the row path for the (OPTIMIZE-bounded) MoR window — still masked,
+  // still file-pruned, only columnar exec lost, and only for such tables
+  override def columnarSupportMode(): Scan.ColumnarSupportMode =
+    if (outSchema.fields.forall(f => GraftDvScan.copyable(f.dataType)))
+      delegate.columnarSupportMode()
+    else Scan.ColumnarSupportMode.UNSUPPORTED
+
+  override def toBatch: Batch =
+    new GraftDvBatch(delegate.toBatch, fullSchema, idxPos, maskByFile)
+}
+
+/** One masked FILE as one input partition, carrying its own sorted
+  * masked-position array — the mask ships with the task, not broadcast
+  * to every executor. */
+case class GraftDvFilePartition(delegate: FilePartition, mask: Array[Long])
+    extends InputPartition {
+  override def preferredLocations(): Array[String] =
+    delegate.preferredLocations()
+}
+
+class GraftDvBatch(inner: Batch, fullSchema: StructType, idxPos: Int,
+                   maskByFile: Map[String, Array[Long]]) extends Batch {
+
+  /** The URI-spelled root-relative path of a planned file — the DV key
+    * spelling — recovered by the same first-occurrence version-dir
+    * surgery the mask entries were written with. */
+  private def relOf(pf: PartitionedFile, dirs: Set[String]): Option[String] = {
+    val p = pf.filePath.urlEncoded
+    dirs.iterator.flatMap { d =>
+      val m = s"/$d/"
+      val i = p.indexOf(m)
+      if (i < 0) None else Some(d + "/" + p.substring(i + m.length))
+    }.nextOption()
+  }
+
+  private lazy val partitions: Array[InputPartition] = {
+    val raw = inner.planInputPartitions()
+    if (maskByFile.isEmpty) raw
+    else {
+      val dirs = maskByFile.keysIterator.map(_.takeWhile(_ != '/')).toSet
+      val out = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
+      raw.foreach {
+        case fp: FilePartition =>
+          val (masked, clean) = fp.files.partition(f =>
+            relOf(f, dirs).exists(maskByFile.contains))
+          if (masked.isEmpty) out += fp
+          else {
+            if (clean.nonEmpty) out += FilePartition(fp.index, clean)
+            masked.foreach { f =>
+              out += GraftDvFilePartition(FilePartition(fp.index, Array(f)),
+                maskByFile(relOf(f, dirs).get))
+            }
+          }
+        case other => throw new IllegalStateException(
+          "graft DV scan: expected FilePartitions under a masked version, " +
+            s"got ${other.getClass.getName}")
+      }
+      out.toArray
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = partitions
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftDvReaderFactory(inner.createReaderFactory(), fullSchema, idxPos)
+}
+
+class GraftDvReaderFactory(inner: PartitionReaderFactory,
+                           fullSchema: StructType, idxPos: Int)
+    extends PartitionReaderFactory {
+
+  private def unwrap(p: InputPartition): InputPartition = p match {
+    case g: GraftDvFilePartition => g.delegate
+    case other => other
+  }
+  private def maskOf(p: InputPartition): Array[Long] = p match {
+    case g: GraftDvFilePartition => g.mask
+    case _ => null
+  }
+
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    inner.supportColumnarReads(unwrap(p))
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new GraftDvRowReader(inner.createReader(unwrap(p)), maskOf(p),
+      fullSchema, idxPos)
+
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[ColumnarBatch] =
+    new GraftDvColumnarReader(inner.createColumnarReader(unwrap(p)),
+      maskOf(p), fullSchema, idxPos)
+}
+
+/** Row-path wrapper: drop masked rows (binary search per row on the
+  * file's sorted positions), project away the row-index column. */
+private[graft] class GraftDvRowReader(
+    inner: PartitionReader[InternalRow], mask: Array[Long],
+    fullSchema: StructType, idxPos: Int)
+    extends PartitionReader[InternalRow] {
+
+  private val proj = UnsafeProjection.create(
+    fullSchema.indices.filterNot(_ == idxPos).map(i =>
+      BoundReference(i, fullSchema(i).dataType, fullSchema(i).nullable)))
+  private var cur: InternalRow = _
+
+  override def next(): Boolean = {
+    while (inner.next()) {
+      val r = inner.get()
+      if (mask == null ||
+          java.util.Arrays.binarySearch(mask, r.getLong(idxPos)) < 0) {
+        cur = proj(r)
+        return true
+      }
+    }
+    false
+  }
+  override def get(): InternalRow = cur
+  override def close(): Unit = inner.close()
+  override def currentMetricsValues(): Array[CustomTaskMetric] =
+    inner.currentMetricsValues()
+}
+
+/** Columnar-path wrapper. Unmasked batches (every clean file, and a
+  * masked file's batches that happen to contain no masked row) pass
+  * through as a zero-copy column subset; batches that lose rows take a
+  * selective copy into fresh on-heap vectors sized to the survivors. */
+private[graft] class GraftDvColumnarReader(
+    inner: PartitionReader[ColumnarBatch], mask: Array[Long],
+    fullSchema: StructType, idxPos: Int)
+    extends PartitionReader[ColumnarBatch] {
+
+  private val outSchema = StructType(fullSchema.fields.patch(idxPos, Nil, 1))
+  private var allocated: ColumnarBatch = null
+  private var cur: ColumnarBatch = null
+
+  override def next(): Boolean = {
+    val has = inner.next()
+    if (has) cur = transform(inner.get())
+    has
+  }
+  override def get(): ColumnarBatch = cur
+
+  private def transform(b: ColumnarBatch): ColumnarBatch = {
+    val n = b.numRows()
+    var survivors: Array[Int] = null
+    if (mask != null) {
+      val idxVec = b.column(idxPos)
+      val keep = new Array[Int](n)
+      var k = 0
+      var i = 0
+      while (i < n) {
+        if (java.util.Arrays.binarySearch(mask, idxVec.getLong(i)) < 0) {
+          keep(k) = i; k += 1
+        }
+        i += 1
+      }
+      if (k < n) survivors = java.util.Arrays.copyOf(keep, k)
+    }
+    if (survivors == null) {
+      // zero-copy strip of the row-index column
+      val cols = Array.tabulate[ColumnVector](b.numCols() - 1)(j =>
+        b.column(if (j < idxPos) j else j + 1))
+      new ColumnarBatch(cols, n)
+    } else {
+      closeAllocated()
+      val vecs = OnHeapColumnVector.allocateColumns(
+        math.max(1, survivors.length), outSchema)
+      var j = 0
+      var src = 0
+      while (src < b.numCols()) {
+        if (src != idxPos) {
+          GraftDvScan.copyRows(b.column(src), outSchema(j).dataType,
+            survivors, vecs(j))
+          j += 1
+        }
+        src += 1
+      }
+      allocated =
+        new ColumnarBatch(vecs.map(v => v: ColumnVector), survivors.length)
+      allocated
+    }
+  }
+
+  private def closeAllocated(): Unit =
+    if (allocated != null) { allocated.close(); allocated = null }
+
+  override def close(): Unit = { closeAllocated(); inner.close() }
+  override def currentMetricsValues(): Array[CustomTaskMetric] =
+    inner.currentMetricsValues()
+}
+
+object GraftDvScan {
+
+  /** Types the selective columnar copy handles — the full set the
+    * vectorized parquet reader produces for FLAT schemas. */
+  private[graft] def copyable(dt: DataType): Boolean = dt match {
+    case BooleanType | ByteType | ShortType | IntegerType | DateType |
+         LongType | TimestampType | TimestampNTZType | FloatType |
+         DoubleType | StringType | BinaryType => true
+    case _: DecimalType => true
+    case _: YearMonthIntervalType => true
+    case _: DayTimeIntervalType => true
+    case _ => false
+  }
+
+  /** Copy `sel`'s rows of `src` into `dst` (pre-sized), by type. */
+  private[graft] def copyRows(src: ColumnVector, dt: DataType,
+                              sel: Array[Int],
+                              dst: WritableColumnVector): Unit = {
+    val n = sel.length
+    var i = 0
+    def nullOr(put: Int => Unit): Unit = {
+      while (i < n) {
+        if (src.isNullAt(sel(i))) dst.putNull(i) else put(sel(i))
+        i += 1
+      }
+    }
+    dt match {
+      case BooleanType => nullOr(s => dst.putBoolean(i, src.getBoolean(s)))
+      case ByteType => nullOr(s => dst.putByte(i, src.getByte(s)))
+      case ShortType => nullOr(s => dst.putShort(i, src.getShort(s)))
+      case IntegerType | DateType | _: YearMonthIntervalType =>
+        nullOr(s => dst.putInt(i, src.getInt(s)))
+      case LongType | TimestampType | TimestampNTZType |
+           _: DayTimeIntervalType =>
+        nullOr(s => dst.putLong(i, src.getLong(s)))
+      case FloatType => nullOr(s => dst.putFloat(i, src.getFloat(s)))
+      case DoubleType => nullOr(s => dst.putDouble(i, src.getDouble(s)))
+      case d: DecimalType =>
+        nullOr(s => dst.putDecimal(i, src.getDecimal(s, d.precision, d.scale),
+          d.precision))
+      case StringType => nullOr { s =>
+        val bytes = src.getUTF8String(s).getBytes
+        dst.putByteArray(i, bytes, 0, bytes.length); ()
+      }
+      case BinaryType => nullOr { s =>
+        val bytes = src.getBinary(s)
+        dst.putByteArray(i, bytes, 0, bytes.length); ()
+      }
+      case other => throw new IllegalStateException(
+        s"graft DV scan: unexpected columnar type $other")
+    }
+  }
+}

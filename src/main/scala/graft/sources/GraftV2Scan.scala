@@ -138,6 +138,27 @@ class GraftV2ScanBuilder(
     }
 
   private var scanPartCols: Seq[String] = Nil
+  private var scanRelFiles: Seq[String] = Nil
+
+  // whether THIS version carries a deletion vector decides the scan
+  // shape up front (the read schema gains the parquet row-index column
+  // the per-task mask keys on) — one memoized metadata probe
+  private lazy val dvActive: Boolean =
+    graft.sources.WarehouseFs.hasDeletionVectors(spark, table, version)
+
+  // the parquet readers GENERATE this column (true file row indexes,
+  // row-group skipping accounted) when the read schema carries Spark's
+  // temporary row-index name; it must be nullable so the requested-
+  // schema clip treats it as OPTIONAL (the file itself never has it)
+  // rather than erroring on a required-but-missing column
+  private def rowIdxField: org.apache.spark.sql.types.StructField =
+    org.apache.spark.sql.types.StructField(
+      org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+        .ROW_INDEX_TEMPORARY_COLUMN_NAME,
+      org.apache.spark.sql.types.LongType, nullable = true)
+
+  private def withRowIdx(s: StructType): StructType =
+    if (dvActive) StructType(s.fields :+ rowIdxField) else s
 
   private def mkDelegate(exprs: Seq[Expression]): ParquetScanBuilder = {
     val v1 = exprs.flatMap(e =>
@@ -149,9 +170,10 @@ class GraftV2ScanBuilder(
           s"graft source: $table vanished between schema and scan"))
     pruneEvidence = (kept, total)
     scanPartCols = partCols
+    scanRelFiles = files.map(_.stripPrefix(s"$table/"))
     val fileIndex = GraftV2ScanBuilder.fileIndex(spark, files, partCols, tableSchema)
     val dataSchema = StructType(tableSchema.filterNot(f => partCols.contains(f.name)))
-    ParquetScanBuilder(spark, fileIndex, tableSchema, dataSchema,
+    ParquetScanBuilder(spark, fileIndex, tableSchema, withRowIdx(dataSchema),
       CaseInsensitiveStringMap.empty())
   }
 
@@ -162,7 +184,7 @@ class GraftV2ScanBuilder(
     // partition schema, translates, and pushes row-group filters into
     // parquet; its residual answer is ignored because we re-apply ALL
     d.pushFilters(filters)
-    required.foreach(d.pruneColumns)
+    required.foreach(r => d.pruneColumns(withRowIdx(r)))
     delegate = Some(d)
     filters
   }
@@ -172,7 +194,7 @@ class GraftV2ScanBuilder(
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     required = Some(requiredSchema)
-    delegate.foreach(_.pruneColumns(requiredSchema))
+    delegate.foreach(_.pruneColumns(withRowIdx(requiredSchema)))
   }
 
   override def build(): Scan = pushedAgg match {
@@ -183,10 +205,24 @@ class GraftV2ScanBuilder(
   private def buildFileScan(): Scan = {
     val d = delegate.getOrElse {
       val x = mkDelegate(Nil)
-      required.foreach(x.pruneColumns)
+      required.foreach(r => x.pruneColumns(withRowIdx(r)))
       delegate = Some(x); x
     }
-    val scan = d.build()
+    val parquetScan = d.build()
+    // deletion-vector masking stays INSIDE the scan: the delegate reads
+    // the parquet row-index column and [[GraftDvScan]] drops each file's
+    // masked positions per task — bloom/zone file pruning, columnar
+    // batches and committed stats all survive the MoR window
+    val scan =
+      if (!dvActive) parquetScan
+      else {
+        val full = parquetScan.readSchema()
+        val idxPos = full.fieldIndex(rowIdxField.name)
+        val mask = graft.sources.WarehouseFs
+          .dvMaskForScan(spark, table, version, scanRelFiles)
+          .getOrElse(Map.empty)
+        GraftDvScan(parquetScan, full, idxPos, mask)
+      }
     // committed table statistics ride into Catalyst when the scan is
     // UNPRUNED (a pruned scan's row count is unknown; its byte size from
     // the surviving files is already exact via the delegate)
@@ -205,8 +241,13 @@ class GraftV2ScanBuilder(
     // (`preserve-data-grouping`, default off): enable it for the
     // sessions running co-partitioned fact-fact joins, where one
     // eliminated shuffle dwarfs the grouped-scan cost.
+    // SPJ pauses for the MoR window: masked files re-plan as single-file
+    // partitions, which the key-grouped regrouping cannot absorb — a
+    // DV'd version reports unknown partitioning until OPTIMIZE folds the
+    // mask (SPJ is an explicit opt-in for clean fact-fact joins anyway)
     val spjSchema =
-      if (spark.sessionState.conf.v2BucketingEnabled && scanPartCols.nonEmpty &&
+      if (!dvActive &&
+          spark.sessionState.conf.v2BucketingEnabled && scanPartCols.nonEmpty &&
           spark.conf.getOption("spark.graft.planning.preserveDataGrouping")
             .exists(_.toBoolean))
         Some(StructType(scanPartCols.flatMap(c => tableSchema.find(_.name == c))))

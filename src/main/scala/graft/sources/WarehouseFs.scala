@@ -170,10 +170,22 @@ object WarehouseFs {
   // carried file path (and can miss a following `partcols:` header) —
   // in a mixed-version or external-reader deployment, upgrade every
   // reader before the first header-writing writer runs.
+  // A third header class, `dv:<root-relative sidecar parquet>`, lists the
+  // version's deletion-vector DELTA files BY REFERENCE — the same
+  // economics as the data-file list: each merge-on-read commit writes
+  // only its OWN (file, pos) entries and carries every prior delta by
+  // reference, so n scattered deletes cost O(own rows) sidecar I/O each
+  // instead of an O(accumulated) single-task rewrite per commit. The
+  // version's mask is the union of the listed deltas; entries whose data
+  // file has since been rewritten are harmless (retired file names never
+  // recur, so they match nothing) and OPTIMIZE drops them at the fold.
+  // Pre-header versions keep the legacy whole-mask `_dv/<dirName>/` dir;
+  // the same one-way compatibility note as `ts:` applies.
   private final case class ResolvedVersion(version: Long, dirName: String,
                                            files: Option[Seq[String]],
                                            declaredPartCols: Seq[String] = Nil,
-                                           commitTsMillis: Option[Long] = None) {
+                                           commitTsMillis: Option[Long] = None,
+                                           dvFiles: Seq[String] = Nil) {
     def isFileList: Boolean = files.isDefined
   }
 
@@ -187,14 +199,16 @@ object WarehouseFs {
     val all = content.split("\n").map(_.trim).filter(_.nonEmpty)
     val ts = all.find(_.startsWith("ts:"))
       .flatMap(_.stripPrefix("ts:").toLongOption)
-    val lines = all.filterNot(_.startsWith("ts:"))
+    val dvRefs = all.filter(_.startsWith("dv:"))
+      .map(_.stripPrefix("dv:")).toSeq
+    val lines = all.filterNot(l => l.startsWith("ts:") || l.startsWith("dv:"))
     if (lines.head.startsWith("files:")) {
       val partCols = lines.tail.headOption.filter(_.startsWith("partcols:"))
         .map(_.stripPrefix("partcols:").split(',').map(_.trim)
           .filter(_.nonEmpty).toSeq).getOrElse(Nil)
       val fileLines = lines.tail.dropWhile(_.startsWith("partcols:"))
       ResolvedVersion(version, lines.head.stripPrefix("files:"),
-        Some(fileLines.toSeq), partCols, ts)
+        Some(fileLines.toSeq), partCols, ts, dvRefs)
     } else ResolvedVersion(version, lines.head, None, commitTsMillis = ts)
   }
 
@@ -609,17 +623,22 @@ object WarehouseFs {
     val cutoff = retainDaysOverride.orElse(storedKeepDays(fs, t))
       .map(d => System.currentTimeMillis() - math.round(d * 86400000.0))
     val byCount = manifests.takeRight(keepVersions).toSet
-    val parsedAll = statuses.map { st =>
-      val n = st.getPath.getName
-      val r = parseManifest(n.toLong, readManifest(fs, st.getPath))
-      (n, r, r.commitTsMillis.getOrElse(st.getModificationTime))
+    // parse manifest bodies LAZILY: without a time cutoff, expiry is
+    // decided by the count rule alone and only KEPT manifests need
+    // their bodies (for the liveness sets) — a keepDays-retained chain
+    // of hundreds of versions would otherwise pay O(total) small-file
+    // reads on every publish. With a cutoff, each manifest parses at
+    // most once (memoized) to read its commit instant.
+    val parseMemo = scala.collection.mutable.HashMap.empty[String, ResolvedVersion]
+    def parseOf(st: org.apache.hadoop.fs.FileStatus): ResolvedVersion =
+      parseMemo.getOrElseUpdate(st.getPath.getName,
+        parseManifest(st.getPath.getName.toLong, readManifest(fs, st.getPath)))
+    val (kept0, expired) = statuses.partition { st =>
+      byCount(st.getPath.getName) || cutoff.exists(c =>
+        parseOf(st).commitTsMillis.getOrElse(st.getModificationTime) >= c)
     }
-    val (kept0, expired) = parsedAll.partition { case (n, _, ts) =>
-      byCount(n) || cutoff.exists(ts >= _)
-    }
-    expired.foreach(p => fs.delete(new Path(vd, p._1), false))
-    // one parse per kept manifest feeds both liveness sets
-    val parsed = kept0.map(_._2)
+    expired.foreach(st => fs.delete(st.getPath, false))
+    val parsed = kept0.map(parseOf)
     val referenced = parsed.flatMap(referencedDirs).toSet
     fs.listStatus(t).map(_.getPath.getName)
       .filter(n => DataDirName.matches(n) && !referenced.contains(n))
@@ -628,12 +647,21 @@ object WarehouseFs {
     // (a carried dir's metadata rows were merged into the carrying
     // version's relation)
     val owned = parsed.map(_.dirName).toSet
-    Seq(statsDir(t), indexDir(t), zonesDir(t), dvDir(t)).foreach { sd =>
+    Seq(statsDir(t), indexDir(t), zonesDir(t)).foreach { sd =>
       if (fs.exists(sd))
         fs.listStatus(sd).map(_.getPath.getName)
           .filter(n => !n.startsWith(".") && !owned.contains(n))
           .foreach(n => fs.delete(new Path(sd, n), true))
     }
+    // deletion-vector deltas are carried BY REFERENCE across commits
+    // (`dv:` header), so a kept manifest keeps every referenced delta's
+    // dir alive — exactly the data-file liveness rule
+    val dvLive = owned ++ parsed.flatMap(_.dvFiles.flatMap(
+      _.split('/').drop(1).headOption))
+    if (fs.exists(dvDir(t)))
+      fs.listStatus(dvDir(t)).map(_.getPath.getName)
+        .filter(n => !n.startsWith(".") && !dvLive.contains(n))
+        .foreach(n => fs.delete(new Path(dvDir(t), n), true))
     ()
   }
 
@@ -1175,14 +1203,33 @@ object WarehouseFs {
 
   /** The version's deletion-vector relation — (file STRING
     * table-root-relative, pos LONG parquet row index) — if it carries
-    * one. One `exists` probe; dir-format versions never do (only DV/CoW
-    * commits write them). */
+    * one: the union of the manifest's `dv:` delta references, or the
+    * legacy whole-mask `_dv/<dirName>/` dir for pre-header versions
+    * (then one `exists` probe). Dir-format versions never carry one
+    * (only DV/CoW commits write them). */
   private def readDvRelation(spark: SparkSession, table: String,
                              r: ResolvedVersion): Option[DataFrame] = {
+    if (!r.isFileList) return None
+    if (r.dvFiles.nonEmpty)
+      return Some(spark.read.parquet(r.dvFiles.map(f => s"$table/$f"): _*))
     val (fs, t) = fsFor(spark, table)
     val p = new Path(dvDir(t), r.dirName)
-    if (r.isFileList && fs.exists(p)) Some(spark.read.parquet(p.toString))
-    else None
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  /** The version's deletion-vector delta files as root-relative refs —
+    * what the NEXT commit carries by reference. Manifest header when
+    * present; a legacy whole-mask dir lists its parquet files. */
+  private def dvFileRefs(spark: SparkSession, table: String,
+                         r: ResolvedVersion): Seq[String] = {
+    if (!r.isFileList) return Nil
+    if (r.dvFiles.nonEmpty) return r.dvFiles
+    val (fs, t) = fsFor(spark, table)
+    val p = new Path(dvDir(t), r.dirName)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.endsWith(".parquet")).sorted
+      .map(n => s"_dv/${r.dirName}/$n").toSeq
   }
 
   /** Does `table`@`version` (current by default) mask rows through a
@@ -1206,16 +1253,52 @@ object WarehouseFs {
     }
 
   private def readDvRelationExists(spark: SparkSession, table: String,
-                                   r: ResolvedVersion): Boolean = {
-    val (fs, t) = fsFor(spark, table)
-    r.isFileList && fs.exists(new Path(dvDir(t), r.dirName))
-  }
+                                   r: ResolvedVersion): Boolean =
+    r.isFileList && (r.dvFiles.nonEmpty || {
+      val (fs, t) = fsFor(spark, table)
+      fs.exists(new Path(dvDir(t), r.dirName))
+    })
+
+  /** Per-file masked row positions for a scan over `relFiles` (manifest
+    * spelling, table-root-relative) of `table`@`version`: keys are the
+    * URI spelling a scan task derives from its PartitionedFile path
+    * ([[relUriSpelling]]), values sorted ascending for binary search.
+    * None when the version carries no vector; an empty map when it does
+    * but no scanned file is masked (the wrapper then only strips the
+    * row-index column). Collected at scan planning and shipped per
+    * input partition — each task carries only its own file's positions,
+    * and the driver-side footprint is the same class as the broadcast
+    * anti-join this replaces (bounded by the OPTIMIZE cadence that
+    * folds masks away). */
+  def dvMaskForScan(spark: SparkSession, table: String,
+                    version: Option[Long],
+                    relFiles: Seq[String])
+      : Option[Map[String, Array[Long]]] =
+    resolveVersion(spark, table, version).flatMap { r =>
+      readDvRelation(spark, table, r).map { dv =>
+        val wanted = relFiles.iterator.map(relUriSpelling).toSet
+        dv.select("file", "pos").collect().iterator
+          .map(e => (e.getString(0), e.getLong(1)))
+          .filter(e => wanted.contains(e._1))
+          .toArray.groupBy(_._1)
+          .map { case (f, ps) => f -> ps.map(_._2).sorted }
+      }
+    }
 
   /** Rows masked by the CURRENT version's deletion vector (0 when
-    * none) — the OPTIMIZE-cadence signal beside [[versionSpanDirs]]. */
+    * none) — the OPTIMIZE-cadence signal beside [[versionSpanDirs]].
+    * Counts LIVE entries only: a carried delta may hold entries for
+    * since-rewritten files, which mask nothing. */
   def deletionVectorRows(spark: SparkSession, table: String): Long =
-    resolveVersion(spark, table, None)
-      .flatMap(readDvRelation(spark, table, _)).map(_.count()).getOrElse(0L)
+    resolveVersion(spark, table, None).flatMap { r =>
+      readDvRelation(spark, table, r).map { dv =>
+        val (fs, t) = fsFor(spark, table)
+        val live = versionFiles(fs, t, r).map(relUriSpelling).toSet
+        dv.groupBy("file").count().collect()
+          .filter(e => live.contains(e.getString(0)))
+          .map(_.getLong(1)).sum
+      }
+    }.getOrElse(0L)
 
   /** Read `files` with each row's (root-relative file, parquet row
     * index) tagged as `__dv_file`/`__dv_pos` and `dv`'s pairs ALREADY
@@ -1605,30 +1688,38 @@ object WarehouseFs {
         bloomIndexDf(spark, s"$table/$dirName", dirName, cols, utc = priorUtc))
     carryFileMetadata(spark, fs, zonesDir(t), prior, dirName, carried,
       "min_", (cols, _) => zoneMapDf(spark, s"$table/$dirName", dirName, cols))
-    // deletion vectors compose across the chain: carried files keep
-    // their masked rows; touched files were rewritten FROM the masked
-    // read, so their entries retire with the old files; `extraDv` adds
-    // this commit's own masks (the merge-on-read UPDATE path). An empty
-    // union writes no sidecar — the version is then provably mask-free
-    // and every read takes the plain path. (Bloom/zone rows of masked
-    // rows stay: indexes are supersets, the mask re-applies at read.)
+    // deletion vectors compose across the chain. An untouched-files
+    // commit (append, MoR update/merge) carries the prior mask DELTAS by
+    // reference at zero sidecar I/O and writes at most its OWN entries
+    // (`extraDv`); a commit that REWRITES files consolidates instead —
+    // it filters the touched files' entries out (they were rewritten
+    // FROM the masked read, so they retire with the old files) and
+    // writes one fresh delta, which also drops any stale entries the
+    // carry chain accumulated. An empty result writes no sidecar and no
+    // header — the version is then provably mask-free and every read
+    // takes the plain path. (Bloom/zone rows of masked rows stay:
+    // indexes are supersets, the mask re-applies at read.)
     import org.apache.spark.sql.functions.{col => colF}
-    val dvCarried = readDvRelation(spark, table, prior).map { p =>
-      if (touched.isEmpty) p
-      // dv `file` entries are URI-spelled; `touched` is manifest-spelled
-      else p.filter(!colF("file").isInCollection(touched.map(relUriSpelling)))
+    val priorDvRefs = dvFileRefs(spark, table, prior)
+    val (dvToWrite, dvCarriedRefs): (Option[DataFrame], Seq[String]) =
+      if (touched.nonEmpty && priorDvRefs.nonEmpty) {
+        // dv `file` entries are URI-spelled; `touched` is manifest-spelled
+        val live = readDvRelation(spark, table, prior).get
+          .filter(!colF("file").isInCollection(touched.map(relUriSpelling)))
+        (Some(extraDv.fold(live)(live.unionByName)), Nil)
+      } else (extraDv, priorDvRefs)
+    val dvOwnRefs: Seq[String] = dvToWrite match {
+      case Some(d) if !d.isEmpty =>
+        val deltaDir = new Path(dvDir(t), dirName)
+        d.coalesce(DvDeltaWriteTasks).write.mode(SaveMode.Overwrite)
+          .parquet(deltaDir.toString)
+        fs.listStatus(deltaDir).map(_.getPath.getName)
+          .filter(_.endsWith(".parquet")).sorted
+          .map(n => s"_dv/$dirName/$n").toSeq
+      case _ => Nil
     }
-    val dvNew: Option[DataFrame] = (dvCarried, extraDv) match {
-      case (Some(a), Some(b)) => Some(a.unionByName(b))
-      case (a, b) => a.orElse(b)
-    }
-    val dvWritten = dvNew.exists { d =>
-      val any = !d.isEmpty
-      if (any)
-        d.coalesce(1).write.mode(SaveMode.Overwrite)
-          .parquet(new Path(dvDir(t), dirName).toString)
-      any
-    }
+    val dvRefs = dvCarriedRefs ++ dvOwnRefs
+    val dvWritten = dvRefs.nonEmpty
     // table statistics do NOT maintain incrementally (NDV/min/max cannot
     // retract). When the prior version carried stats: refreshStats=true
     // recomputes them with one aggregation pass over the WHOLE resolved
@@ -1644,7 +1735,7 @@ object WarehouseFs {
         val resolved =
           if (dvWritten)
             taggedMaskedRead(spark, table, files0,
-              Some(spark.read.parquet(new Path(dvDir(t), dirName).toString)))
+              Some(spark.read.parquet(dvRefs.map(f => s"$table/$f"): _*)))
               .drop("__dv_file", "__dv_pos")
           else readFilesGrouped(spark, table, files0)
         graft.operators.Quality
@@ -1665,7 +1756,7 @@ object WarehouseFs {
       if (partCols.nonEmpty) Seq(s"partcols:${partCols.mkString(",")}") else Nil
     val body =
       (s"files:$dirName" +: s"ts:${System.currentTimeMillis()}" +:
-        (partColsHeader ++ newFiles ++ carried))
+        (partColsHeader ++ dvRefs.map("dv:" + _) ++ newFiles ++ carried))
         .mkString("\n")
     try out.write(body.getBytes("UTF-8")) finally out.close()
     require(!fs.exists(new Path(vd, vname(next))),
@@ -2168,14 +2259,23 @@ object WarehouseFs {
       .parquet(new Path(metaDir, dirName).toString)
   }
 
+  /** Writer parallelism for a deletion-vector delta: enough tasks that a
+    * large erasure backlog does not serialize through one writer, few
+    * enough that routine point deletes stay one or two small files
+    * (coalesce never RAISES a small frame's partition count). */
+  private val DvDeltaWriteTasks = 8
+
   /** Commit a DELETION-VECTOR-ONLY version: the manifest carries every
-    * prior file by reference and the new version's `_dv` sidecar is the
-    * prior mask plus `freshDv` — ZERO data files written. Indexes and
-    * zone maps carry verbatim (they are supersets; the mask re-applies
-    * at read); stats copy forward (their counts now overcount the
-    * masked rows — the `refreshStats = false` staleness class, re-
-    * profiled by the next OPTIMIZE). Same attempt-unique-dir + CAS
-    * commit discipline as [[publishCoW]]. */
+    * prior data file AND every prior mask delta by reference, and the
+    * new version's `_dv` dir holds ONLY this commit's own entries —
+    * ZERO data files written, O(own rows) sidecar I/O (n scattered
+    * deletes no longer rewrite the accumulated mask n times; OPTIMIZE
+    * consolidates the delta chain at the fold). Indexes and zone maps
+    * carry verbatim (they are supersets; the mask re-applies at read);
+    * stats copy forward (their counts now overcount the masked rows —
+    * the `refreshStats = false` staleness class, re-profiled by the
+    * next OPTIMIZE). Same attempt-unique-dir + CAS commit discipline as
+    * [[publishCoW]]. */
   private def publishDvOnly(spark: SparkSession, table: String,
                             prior: ResolvedVersion, freshDv: DataFrame,
                             keepVersions: Int): Unit = {
@@ -2184,14 +2284,13 @@ object WarehouseFs {
     val dirName =
       s"v${vname(next)}-${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val all = versionFiles(fs, t, prior)
-    val combined = readDvRelation(spark, table, prior) match {
-      // distinct: fresh entries derive from the MASKED read so overlap
-      // is impossible by construction — cheap insurance on a tiny relation
-      case Some(p) => p.unionByName(freshDv).distinct()
-      case None => freshDv
-    }
-    combined.coalesce(1).write.mode(SaveMode.Overwrite)
-      .parquet(new Path(dvDir(t), dirName).toString)
+    val deltaDir = new Path(dvDir(t), dirName)
+    freshDv.coalesce(DvDeltaWriteTasks).write.mode(SaveMode.Overwrite)
+      .parquet(deltaDir.toString)
+    val ownRefs = fs.listStatus(deltaDir).map(_.getPath.getName)
+      .filter(_.endsWith(".parquet")).sorted
+      .map(n => s"_dv/$dirName/$n").toSeq
+    val dvRefs = dvFileRefs(spark, table, prior) ++ ownRefs
     carryMetaVerbatim(spark, fs, indexDir(t), prior, dirName)
     carryMetaVerbatim(spark, fs, zonesDir(t), prior, dirName)
     val priorStats = new Path(statsDir(t), prior.dirName)
@@ -2211,7 +2310,7 @@ object WarehouseFs {
     val out = fs.create(tmp, true)
     val body =
       (s"files:$dirName" +: s"ts:${System.currentTimeMillis()}" +:
-        (partColsHeader ++ all)).mkString("\n")
+        (partColsHeader ++ dvRefs.map("dv:" + _) ++ all)).mkString("\n")
     try out.write(body.getBytes("UTF-8")) finally out.close()
     require(!fs.exists(new Path(vd, vname(next))),
       s"publishDvOnly: $table advanced past version ${prior.version} — retry the DML")

@@ -253,4 +253,75 @@ class GraftDataSourceSpec extends SparkSpec {
       === Array(1L))
     spark.sql("DROP VIEW graft_ds_w")
   }
+
+  test("deletion vectors mask INSIDE the DSv2 scan: same pruning, columnar plan, exact values") {
+    import org.apache.spark.sql.execution.datasources.FilePartition
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import org.apache.spark.sql.graft.GraftDvFilePartition
+    val t = tmpTable()
+    // fixture with nulls, a double and a date — the selective columnar
+    // copy must round-trip every type class the tables use
+    WarehouseFs.publishVersioned(
+      spark.range(8000).select(col("id"),
+        when(col("id") % 11 === 0, lit(null)).otherwise(concat(lit("u"), col("id")))
+          .as("user"),
+        (col("id") * 1.5).as("score"),
+        date_add(lit("2026-01-01"), (col("id") % 300).cast("int")).as("d"))
+        .repartitionByRange(8, col("id")),
+      t, keepVersions = 5, bloomIndexCols = Seq("id"), zoneMapCols = Seq("id"))
+    def read() = spark.read.format("graft").option("table", t).load()
+    def scanOf(df: org.apache.spark.sql.DataFrame): BatchScanExec =
+      df.queryExecution.executedPlan.collectFirst { case b: BatchScanExec => b }.get
+    def filesOf(b: BatchScanExec): Set[String] = b.inputPartitions.flatMap {
+      case g: GraftDvFilePartition => g.delegate.files.map(_.filePath.urlEncoded)
+      case f: FilePartition => f.files.map(_.filePath.urlEncoded)
+      case other => fail(s"unexpected partition ${other.getClass}")
+    }.toSet
+    def rangeQ() = read().filter(col("id") >= 2000L && col("id") <= 2100L)
+    val cleanScan = scanOf(rangeQ())
+    val cleanFiles = filesOf(cleanScan)
+    assert(cleanFiles.size < 8 && cleanScan.supportsColumnar)
+
+    // the scattered-key regime: every 8th id masks in EVERY file
+    WarehouseFs.deleteWhereVectors(spark, t, "id",
+      (0L until 8000L by 8L).toVector, keepVersions = 5)
+    assert(WarehouseFs.hasDeletionVectors(spark, t))
+
+    // SAME zone-pruned file subset, SAME columnar posture, NO join node
+    // (the old reconciliation swapped in a V1 anti-join plan)
+    val dvScan = scanOf(rangeQ())
+    assert(filesOf(dvScan) === cleanFiles,
+      "a DV'd version must keep bloom/zone file pruning in the scan")
+    assert(dvScan.supportsColumnar,
+      "a DV'd version must keep the columnar parquet path")
+    val planStr = rangeQ().queryExecution.executedPlan.toString
+    assert(!planStr.contains("Join"),
+      s"the mask must apply inside the scan, not as a plan-level join:\n$planStr")
+    assert(planStr.contains("graft-dv"), "the scan advertises the mask")
+
+    // values ≡ the V1 masked read, on every column type
+    val v1 = WarehouseFs.readTable(spark, t).get.collect().map(_.toSeq).toSet
+    val v2 = read().collect().map(_.toSeq).toSet
+    assert(v2 === v1 && v2.size === 7000)
+    assert(rangeQ().collect().map(_.toSeq).toSet ===
+      WarehouseFs.readTable(spark, t).get
+        .filter(col("id") >= 2000L && col("id") <= 2100L)
+        .collect().map(_.toSeq).toSet)
+    // point reads across the mask boundary
+    assert(read().filter(col("id") === 8L).count() === 0)
+    assert(read().filter(col("id") === 9L).select("user").as[String]
+      .collect().toSeq === Seq("u9"))
+    // committed stats still ride along (estimate-only overcount is the
+    // documented refreshStats=false staleness class) and aggregates
+    // stay honest: COUNT(*) refuses the stale metadata answer
+    assert(read().count() === 7000)
+    // time travel: the pre-DV version reads unmasked through the scan
+    assert(spark.read.format("graft").option("table", t)
+      .option("version", "1").load().count() === 8000)
+    // OPTIMIZE folds the mask; the wrapper disappears from the plan
+    graft.operators.ScaleJoins.compactParquet(spark, t, keepVersions = 5)
+    assert(!WarehouseFs.hasDeletionVectors(spark, t))
+    assert(!read().queryExecution.executedPlan.toString.contains("graft-dv"))
+    assert(read().count() === 7000)
+  }
 }

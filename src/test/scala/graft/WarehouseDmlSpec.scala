@@ -1002,6 +1002,57 @@ class WarehouseDmlSpec extends SparkSpec {
       "delete" -> 2L, "insert" -> 2L))
   }
 
+  test("per-commit deletion-vector deltas: each MoR commit writes O(own rows) sidecar") {
+    val t = tmpTable()
+    publishFixture(t, keepVersions = 10)
+    def dvRowsInDir(dirName: String): Long =
+      spark.read.parquet(s"$t/_dv/$dirName").count()
+    WarehouseFs.deleteWhereVectors(spark, t, "id",
+      (0L until 8000L by 8L).toVector, keepVersions = 10)              // v2
+    val d2 = currentDir(t)
+    assert(dvRowsInDir(d2) === 1000)
+    WarehouseFs.deleteWhereVectors(spark, t, "id", Seq(1L, 9L),
+      keepVersions = 10)                                               // v3
+    assert(dvRowsInDir(currentDir(t)) === 2,
+      "a delta holds only its OWN entries — not the accumulated mask")
+    WarehouseFs.deleteWhereVectors(spark, t, "id", Seq(17L),
+      keepVersions = 10)                                               // v4
+    assert(dvRowsInDir(currentDir(t)) === 1)
+    // the union of the referenced deltas is the full mask
+    assert(WarehouseFs.deletionVectorRows(spark, t) === 1003)
+    assert(WarehouseFs.readTable(spark, t).get.count() === 8000 - 1003)
+    assert(spark.read.format("graft").option("table", t).load()
+      .count() === 6997, "the DSv2 in-scan mask resolves the delta chain")
+    // time travel: each version's mask is exactly ITS chain prefix
+    assert(WarehouseFs.readTableVersion(spark, t, 2).get.count() === 7000)
+    assert(WarehouseFs.readTableVersion(spark, t, 3).get.count() === 6998)
+    // an append carries the chain BY REFERENCE: no sidecar write at all
+    WarehouseFs.appendRows(
+      spark.range(8000, 8010).select(col("id"),
+        concat(lit("u"), col("id")).as("user"), (col("id") % 7).as("grp")),
+      t, keepVersions = 10)                                            // v5
+    assert(!new java.io.File(s"$t/_dv/${currentDir(t)}").exists(),
+      "an untouched-files commit must write zero mask bytes")
+    assert(WarehouseFs.readTable(spark, t).get.count() === 7007)
+    assert(WarehouseFs.deletionVectorRows(spark, t) === 1003)
+    // a CoW rewrite CONSOLIDATES: the touched file's entries retire
+    WarehouseFs.updateWhere(spark, t, "id", Seq(3L),
+      Map("user" -> lit("X")), keepVersions = 10)                      // v6
+    val after = WarehouseFs.readTable(spark, t).get
+    assert(after.count() === 7007)
+    assert(after.filter(col("id") === 3L).select("user").as[String]
+      .collect().toSeq === Seq("X"))
+    assert(after.filter(col("id").isin(8L, 16L, 1L, 9L, 17L)).count() === 0,
+      "the rewrite must not resurrect masked rows")
+    assert(WarehouseFs.deletionVectorRows(spark, t) < 1003,
+      "the rewritten file's mask entries retire at consolidation")
+    // GC keeps every delta dir a retained manifest references
+    WarehouseFs.vacuum(spark, t, keepVersions = 2)
+    assert(WarehouseFs.readTable(spark, t).get.count() === 7007)
+    assert(spark.read.format("graft").option("table", t).load()
+      .count() === 7007)
+  }
+
   test("deletion vectors survive URI-escapable partition values (space, %, #)") {
     // `_metadata.file_path` spells a dir `p=a b` as `p=a%20b` and the
     // on-disk `p=100%25` (value "100%") as `p=100%2525`; manifests carry
@@ -1024,6 +1075,13 @@ class WarehouseDmlSpec extends SparkSpec {
       "masked rows must not resurface under escaped partition spellings")
     assert(got.filter(col("p") === "a b" && col("id") < 30).count() === 0)
     assert(got.filter(col("p") === "100%" && col("id") < 10).count() === 0)
+    // the DSv2 in-scan mask resolves the same spellings (its per-file
+    // position lookup works on the URI-escaped PartitionedFile path)
+    val v2 = spark.read.format("graft").option("table", t).load()
+    assert(v2.count() === 77)
+    assert(v2.filter(col("p") === "a b" && col("id") < 30).count() === 0)
+    assert(v2.filter(col("p") === "a b").count() ===
+      got.filter(col("p") === "a b").count())
     // a CoW rewrite of ANOTHER partition must not resurrect the masks
     // (retiring touched files' entries also compares the two spellings)
     WarehouseFs.updateMatching(spark, t, col("p") === "x#y" && col("id") === 2L,
