@@ -223,8 +223,22 @@ object EtlPipeline {
       // both sides (nothing is shared with the pre-fold version).
       val spanMax = spark.conf.getOption("spark.graft.etl.compactSpanDirs")
         .map(_.toInt).getOrElse(16)
+      // second trigger, same fold: accumulated MASK ROWS. A
+      // high-frequency merge-on-read delete workload can mask thousands
+      // of rows while staying within a small dir span (deltas are tiny
+      // files) — every read then pays the per-row mask check for rows
+      // that will never come back. When the live mask exceeds the
+      // budget, fold now rather than waiting for the span rule.
+      val maskedMaxDefault = spark.conf
+        .getOption("spark.graft.etl.compactMaskedRows")
+        .map(_.toLong).getOrElse(100000L)
+      def maskedMaxOf(n: String): Long = WarehouseFs
+        .storedCompactMaskedRows(spark, tablePath(n)) // per-table property
+        .getOrElse(maskedMaxDefault)
       for (n <- allServed if isVersioned(n)
-           if WarehouseFs.versionSpanDirs(spark, tablePath(n)).exists(_ > spanMax)) {
+           if WarehouseFs.versionSpanDirs(spark, tablePath(n)).exists(_ > spanMax) ||
+             (WarehouseFs.hasDeletionVectors(spark, tablePath(n)) &&
+               WarehouseFs.deletionVectorRows(spark, tablePath(n)) > maskedMaxOf(n))) {
         graft.operators.ScaleJoins.compactParquet(spark, tablePath(n),
           keepVersions = memberKeep)
         touched = true

@@ -115,3 +115,81 @@ object GraftTableChanges {
       .queryExecution.analyzed
   }
 }
+
+/** The COMMIT-SET sibling of `table_changes`: the nightly pipeline
+  * publishes atomic multi-table commits ([[WarehouseFs.publishAtomicVersioned]]),
+  * and a consumer keyed on COMMIT numbers (the only coordinates that
+  * are transactionally consistent across members) reads one member's
+  * delta between two of them:
+  *
+  * {{{
+  *   SELECT * FROM commit_changes('graft', 'rep_fraud', 3, 7)
+  *   SELECT * FROM commit_changes('graft', 'rep_fraud', 3)  -- …current
+  * }}}
+  *
+  * Lowers onto [[WarehouseFs.changeFeedCommitted]], inheriting its
+  * economics verbatim: a carried-forward member resolves both commits
+  * to the same entry and the feed is EMPTY without scanning anything;
+  * version-pinned members diff file-granularly through the member
+  * chain. The first argument is a graft catalog name (its configured
+  * warehouse) or a direct warehouse path; key columns come from the
+  * member table's stored `keyCols` property. */
+object GraftCommitChanges {
+
+  val description: (FunctionIdentifier, ExpressionInfo,
+      GraftTableChanges.TableFunctionBuilder) = (
+    FunctionIdentifier("commit_changes"),
+    new ExpressionInfo(GraftCommitChanges.getClass.getCanonicalName,
+      "commit_changes"),
+    (args: Seq[Expression]) => build(args))
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"commit_changes: $msg")
+
+  private def warehousePath(ident: String): String = {
+    val conf = SparkSession.active.conf
+    if (ident.contains('/')) return ident
+    val catKey = s"spark.sql.catalog.$ident"
+    conf.getOption(catKey) match {
+      case Some(cls) if cls == classOf[graft.sources.GraftCatalog].getName =>
+        conf.getOption(s"$catKey.warehouse").getOrElse(
+          fail(s"catalog '$ident' is a graft catalog but " +
+            s"$catKey.warehouse is not set"))
+      case _ => fail(s"'$ident' is neither a graft catalog name nor a " +
+        "warehouse path (no '/')")
+    }
+  }
+
+  private def longArg(e: Expression, what: String): Long = e match {
+    case Literal(v, IntegerType) => v.asInstanceOf[Int].toLong
+    case Literal(v, LongType) => v.asInstanceOf[Long]
+    case other => fail(s"$what must be a commit number literal, got $other")
+  }
+
+  private def build(args: Seq[Expression]): LogicalPlan = {
+    val spark = SparkSession.active
+    if (args.size < 3 || args.size > 4)
+      fail("usage: commit_changes(warehouse, table, fromCommit[, toCommit])")
+    val wh = args.head match {
+      case Literal(s, StringType) => warehousePath(s.toString)
+      case other => fail(s"the warehouse argument must be a string literal, got $other")
+    }
+    val table = args(1) match {
+      case Literal(s, StringType) => s.toString
+      case other => fail(s"the table argument must be a string literal, got $other")
+    }
+    val keyCols = GraftCatalog.colListOf(
+      GraftCatalog.readProps(spark, s"$wh/$table"), "keyCols")
+    if (keyCols.isEmpty)
+      fail(s"$wh/$table declares no key columns — set " +
+        "TBLPROPERTIES('keyCols'='…')")
+    val from = longArg(args(2), "fromCommit")
+    val to = args.lift(3).map(longArg(_, "toCommit")).getOrElse(
+      WarehouseFs.currentCommit(spark, wh).map(_._1).getOrElse(
+        fail(s"$wh has no commit set")))
+    WarehouseFs.changeFeedCommitted(spark, wh, table, keyCols, from, to)
+      .getOrElse(fail(s"commits $from..$to of $wh do not both retain " +
+        s"'$table' — widen retention or re-seed from a snapshot"))
+      .queryExecution.analyzed
+  }
+}

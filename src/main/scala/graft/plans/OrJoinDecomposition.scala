@@ -69,5 +69,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.graft.GraftMaintenanceParser(delegate))
     // SELECT * FROM table_changes('graft.t', from[, to]) — batch change feed
     e.injectTableFunction(GraftTableChanges.description)
+    // SELECT * FROM commit_changes('graft', 't', from[, to]) — the
+    // atomic COMMIT-SET feed (transactionally consistent across members)
+    e.injectTableFunction(GraftCommitChanges.description)
   }
 }

@@ -218,8 +218,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         throw new UnsupportedOperationException(
           s"graft catalog: TBLPROPERTIES ${rejected.mkString(", ")} cannot " +
             "be altered (persistable: bloomIndexCols, zoneMapCols, " +
-            "keepVersions, keepDays, keyCols, dmlMode; partitioning is " +
-            "fixed by the written layout)")
+            "keepVersions, keepDays, keyCols, dmlMode, compactMaskedRows; " +
+            "partitioning is fixed by the written layout)")
       GraftCatalog.writeProps(spark, path,
         GraftCatalog.readProps(spark, path) ++ propSets)
     }
@@ -313,7 +313,7 @@ object GraftCatalog {
     * (`readStream.table` → the change-feed source). */
   private val OwnKeys =
     Set("bloomindexcols", "zonemapcols", "keepversions", "keepdays",
-      "keycols", "dmlmode")
+      "keycols", "dmlmode", "compactmaskedrows")
 
   def ownProps(properties: util.Map[String, String]): Map[String, String] = {
     val b = Map.newBuilder[String, String]

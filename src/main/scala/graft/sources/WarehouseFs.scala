@@ -597,17 +597,29 @@ object WarehouseFs {
     * sidecar the graft catalog writes), if any — read HERE rather than
     * threaded through every verb so a stored time guarantee binds every
     * write path's GC, not just the catalog's. One small-file read. */
-  private def storedKeepDays(fs: FileSystem, t: Path): Option[Double] = {
+  private def storedProp(fs: FileSystem, t: Path, key: String): Option[String] = {
     val f = new Path(t, "_meta/props")
     if (!fs.exists(f)) return None
     val in = fs.open(f)
     val text =
       try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
       finally in.close()
+    val prefix = key.toLowerCase + "="
     text.linesIterator.map(_.trim).collectFirst {
-      case l if l.toLowerCase.startsWith("keepdays=") =>
+      case l if l.toLowerCase.startsWith(prefix) =>
         l.drop(l.indexOf('=') + 1).trim
-    }.flatMap(_.toDoubleOption)
+    }
+  }
+
+  private def storedKeepDays(fs: FileSystem, t: Path): Option[Double] =
+    storedProp(fs, t, "keepDays").flatMap(_.toDoubleOption)
+
+  /** The table's own mask-row fold budget (`compactMaskedRows` table
+    * property), overriding the session-level
+    * `spark.graft.etl.compactMaskedRows` for this table. */
+  def storedCompactMaskedRows(spark: SparkSession, table: String): Option[Long] = {
+    val (fs, t) = fsFor(spark, table)
+    storedProp(fs, t, "compactMaskedRows").flatMap(_.toLongOption)
   }
 
   private def gcVersions(fs: FileSystem, t: Path, keepVersions: Int,
@@ -640,8 +652,20 @@ object WarehouseFs {
     expired.foreach(st => fs.delete(st.getPath, false))
     val parsed = kept0.map(parseOf)
     val referenced = parsed.flatMap(referencedDirs).toSet
+    // an IN-FLIGHT writer's attempt dirs target version curMax+1 (or,
+    // mid-rebase, curMax itself): unreferenced dirs numbered >= curMax
+    // are spared, or this GC — running inside the WINNER's commit —
+    // would delete a concurrent loser's data out from under its rebase.
+    // A crashed attempt's zombie dir ages out at the next commit (its
+    // number drops below the new max).
+    val curMax = manifests.lastOption.map(_.toLong).getOrElse(0L)
+    def inFlight(n: String): Boolean = {
+      val digits = n.stripPrefix("v").takeWhile(_.isDigit)
+      digits.nonEmpty && digits.toLong >= curMax
+    }
     fs.listStatus(t).map(_.getPath.getName)
-      .filter(n => DataDirName.matches(n) && !referenced.contains(n))
+      .filter(n => DataDirName.matches(n) && !referenced.contains(n) &&
+        !inFlight(n))
       .foreach(n => fs.delete(new Path(t, n), true))
     // stats/index/zones survive only for dirs whose OWN manifest survives
     // (a carried dir's metadata rows were merged into the carrying
@@ -650,17 +674,20 @@ object WarehouseFs {
     Seq(statsDir(t), indexDir(t), zonesDir(t)).foreach { sd =>
       if (fs.exists(sd))
         fs.listStatus(sd).map(_.getPath.getName)
-          .filter(n => !n.startsWith(".") && !owned.contains(n))
+          .filter(n => !n.startsWith(".") && !owned.contains(n) &&
+            !inFlight(n))
           .foreach(n => fs.delete(new Path(sd, n), true))
     }
     // deletion-vector deltas are carried BY REFERENCE across commits
     // (`dv:` header), so a kept manifest keeps every referenced delta's
-    // dir alive — exactly the data-file liveness rule
+    // dir alive — exactly the data-file liveness rule (in-flight
+    // attempt deltas spared for the same reason as data dirs)
     val dvLive = owned ++ parsed.flatMap(_.dvFiles.flatMap(
       _.split('/').drop(1).headOption))
     if (fs.exists(dvDir(t)))
       fs.listStatus(dvDir(t)).map(_.getPath.getName)
-        .filter(n => !n.startsWith(".") && !dvLive.contains(n))
+        .filter(n => !n.startsWith(".") && !dvLive.contains(n) &&
+          !inFlight(n))
         .foreach(n => fs.delete(new Path(dvDir(t), n), true))
     ()
   }
@@ -1608,25 +1635,157 @@ object WarehouseFs {
       .parquet(new Path(metaDir, dirName).toString)
   }
 
+  /** Bounded optimistic retries of a lost manifest CAS before giving
+    * up — each retry is metadata-only (the data dir wrote once). */
+  private val MaxCommitAttempts = 4
+
+  /** Test seam: runs ONCE right before a DML's first commit attempt —
+    * a spec installs a competing DML here to force a deterministic CAS
+    * race (thread timing would make the interleaving flaky). */
+  private[graft] var casTestHook: Option[() => Unit] = None
+  private def fireCasTestHook(): Unit = casTestHook match {
+    case Some(h) => casTestHook = None; h()
+    case None =>
+  }
+
+  /** CAS-loss arbitration — the optimistic-concurrency core. A DML that
+    * lost the manifest race may REBASE onto the winner (re-point its
+    * carried files at the winner's file list and recommit, reusing the
+    * already-written data) exactly when the two commits are disjoint:
+    *
+    *   1. every file this DML READ (rewrote, masked, or match-probed)
+    *      is still in the winner's file list — a winner that rewrote
+    *      one made this DML's rewrite/row-positions stale;
+    *   2. the winner did not change the deletion-vector mask of any
+    *      file this DML read (checked only when `checkMask` — a pure
+    *      MoR delete composes with extra masks by union, but a commit
+    *      that re-inserts images would resurrect winner-deleted rows);
+    *   3. the schema did not change underneath (an ALTER race);
+    *   4. no file the winner ADDED can match this DML's predicate —
+    *      decided by the verb's `conflictProbe` over the winner's
+    *      committed bloom/partition metadata (no probe ⇒ any added
+    *      file refuses: the conservative posture).
+    *
+    * True overlap refuses loudly — the caller re-runs against the new
+    * current version, which is the serial execution. This is the
+    * write-serializable arbitration Delta/Iceberg apply: disjoint
+    * commits auto-rebase, conflicting ones surface. Returns the
+    * winner's resolved version; throws on conflict. */
+  private def arbitrateRebase(spark: SparkSession, table: String,
+                              verb: String, base: ResolvedVersion,
+                              readFiles: Seq[String], checkMask: Boolean,
+                              conflictProbe: Option[(ResolvedVersion, Seq[String]) => Seq[String]])
+      : ResolvedVersion = {
+    import org.apache.spark.sql.functions.{col => colF}
+    val (fs, t) = fsFor(spark, table)
+    def refuse(why: String): Nothing = throw new IllegalStateException(
+      s"$verb: concurrent write conflict on $table — $why; " +
+        "re-run the DML against the current version")
+    val winner = resolveVersion(spark, table, None).getOrElse(
+      refuse("the table vanished mid-commit"))
+    val winnerFiles = versionFiles(fs, t, winner)
+    val winnerSet = winnerFiles.toSet
+    val gone = readFiles.filterNot(winnerSet)
+    if (gone.nonEmpty)
+      refuse(s"the competing commit rewrote ${gone.size} file(s) this DML " +
+        s"read (e.g. ${gone.head})")
+    if (checkMask && readFiles.nonEmpty) {
+      val baseRefs = dvFileRefs(spark, table, base)
+      val winnerRefs = dvFileRefs(spark, table, winner)
+      if (winnerRefs != baseRefs) {
+        val readUri = readFiles.map(relUriSpelling)
+        def maskOn(refs: Seq[String]): Option[DataFrame] =
+          if (refs.isEmpty) None
+          else Some(spark.read.parquet(refs.map(f => s"$table/$f"): _*)
+            .filter(colF("file").isInCollection(readUri)))
+        val changed = (maskOn(baseRefs), maskOn(winnerRefs)) match {
+          case (None, None) => false
+          case (Some(a), Some(b)) =>
+            !b.except(a).isEmpty || !a.except(b).isEmpty
+          case (None, Some(b)) => !b.isEmpty
+          case (Some(a), None) => !a.isEmpty
+        }
+        if (changed)
+          refuse("the competing commit changed the deletion-vector mask " +
+            "of files this DML read")
+      }
+    }
+    if (versionSchema(spark, table, base) != versionSchema(spark, table, winner))
+      refuse("the table schema changed underneath (ALTER race)")
+    val baseSet = versionFiles(fs, t, base).toSet
+    val added = winnerFiles.filterNot(baseSet)
+    if (added.nonEmpty) {
+      val possible = conflictProbe.map(_(winner, added)).getOrElse(added)
+      if (possible.nonEmpty)
+        refuse(s"the competing commit added ${possible.size} file(s) that " +
+          s"may hold rows matching this DML (e.g. ${possible.head})")
+    }
+    winner
+  }
+
+  /** Conflict probe for DML keyed on point VALUES: of the winner's
+    * ADDED files, those that might hold any probe value — decided from
+    * the winner's committed bloom index and partition paths, the same
+    * candidate-resolution metadata the DML itself prunes with (bloom
+    * has no false negatives, so an empty answer proves the rebase
+    * safe). Unindexed columns keep every added file: conservative. */
+  private def pointProbe(spark: SparkSession, table: String,
+                         point: Map[String, Seq[Any]])
+      : Option[(ResolvedVersion, Seq[String]) => Seq[String]] =
+    if (point.isEmpty) None
+    else Some { (winner, added) =>
+      var cand = added.toSet
+      val schemaV =
+        if (added.nonEmpty) Some(versionSchema(spark, table, winner)) else None
+      point.foreach { case (c, vs) =>
+        candidatesRootRelative(spark, table, winner, c, vs).foreach { cs =>
+          cand = cand.intersect(cs.toSet)
+        }
+        schemaV.flatMap(_.find(_.name == c)).foreach { f =>
+          val pc = partitionCandidates(spark, added, c, vs, f.dataType).toSet
+          if (pc.size < added.size) cand = cand.intersect(pc)
+        }
+      }
+      added.filter(cand)
+    }
+
+  /** [[pointProbe]]'s sibling for source-keyed DML (merge/upsert): the
+    * winner's added files that might hold any source key, through the
+    * same two-regime resolution the verbs use ([[candidatesForKeys]] —
+    * driver probe under `maxPointKeys`, distributed above it). */
+  private def keysProbe(spark: SparkSession, table: String,
+                        keyCols: Seq[String], keySource: DataFrame,
+                        nDistinct: Long, maxPointKeys: Int)
+      : Option[(ResolvedVersion, Seq[String]) => Seq[String]] =
+    Some { (winner, added) =>
+      val addedSet = added.toSet
+      candidatesForKeys(spark, table, winner, added, keyCols, keySource,
+        nDistinct, maxPointKeys)
+        .filter(addedSet) // the bulk leg may answer version-wide
+    }
+
   /** Concurrency: two CoW writers racing from the same prior version
     * write to ATTEMPT-UNIQUE data dirs (`vNNNNNNNN-<nonce>`), so the
     * loser's files can never clobber the winner's already-committed
-    * ones — the loser fails on the manifest rename and its whole dir is
-    * an orphan the next GC removes (the lock-free optimistic-commit
-    * discipline of a transaction log; dir-format [[publishVersioned]]
-    * keeps deterministic names because its retry-reclaim semantics
-    * depend on them — serialize full-rewrite publishers externally). */
+    * ones — the loser recommits against the winner when the commits are
+    * provably disjoint ([[arbitrateRebase]]) and fails loudly on true
+    * overlap, its whole dir an orphan the next GC removes (the
+    * lock-free optimistic-commit discipline of a transaction log;
+    * dir-format [[publishVersioned]] keeps deterministic names because
+    * its retry-reclaim semantics depend on them — serialize
+    * full-rewrite publishers externally). */
   private def publishCoW(spark: SparkSession, table: String,
                          prior: ResolvedVersion, rewritten: DataFrame,
                          touched: Seq[String], carried: Seq[String],
                          keepVersions: Int, refreshStats: Boolean,
                          coalesceTo: Option[Int] = None,
                          partColsHint: Seq[String] = Nil,
-                         extraDv: Option[DataFrame] = None): Unit = {
+                         extraDv: Option[DataFrame] = None,
+                         readFiles: Seq[String] = Nil,
+                         conflictProbe: Option[(ResolvedVersion, Seq[String]) => Seq[String]] = None): Unit = {
     val (fs, t) = fsFor(spark, table)
-    val next = prior.version + 1L
-    val dirName = // unconditional uniqueness: nanoTime is per-JVM-origin
-      s"v${vname(next)}-${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val dirName = // unconditional uniqueness: the nonce is per-attempt
+      s"v${vname(prior.version + 1L)}-${java.util.UUID.randomUUID().toString.replace("-", "")}"
     // a Hive-partitioned prior keeps its layout: the rewrite lands under
     // the same key=value structure (rows whose partition VALUE changed
     // simply land in their new subdir — partition-moving updates are
@@ -1681,89 +1840,119 @@ object WarehouseFs {
       require(newFiles.nonEmpty,
         s"publishCoW: empty-state write of $table produced no schema file")
     }
-    // bloom index + zone map: carry untouched files' rows, re-derive only
-    // the new dir
-    carryFileMetadata(spark, fs, indexDir(t), prior, dirName, carried,
-      "b_", (cols, priorUtc) =>
-        bloomIndexDf(spark, s"$table/$dirName", dirName, cols, utc = priorUtc))
-    carryFileMetadata(spark, fs, zonesDir(t), prior, dirName, carried,
-      "min_", (cols, _) => zoneMapDf(spark, s"$table/$dirName", dirName, cols))
-    // deletion vectors compose across the chain. An untouched-files
-    // commit (append, MoR update/merge) carries the prior mask DELTAS by
-    // reference at zero sidecar I/O and writes at most its OWN entries
-    // (`extraDv`); a commit that REWRITES files consolidates instead —
-    // it filters the touched files' entries out (they were rewritten
-    // FROM the masked read, so they retire with the old files) and
-    // writes one fresh delta, which also drops any stale entries the
-    // carry chain accumulated. An empty result writes no sidecar and no
-    // header — the version is then provably mask-free and every read
-    // takes the plain path. (Bloom/zone rows of masked rows stay:
-    // indexes are supersets, the mask re-applies at read.)
-    import org.apache.spark.sql.functions.{col => colF}
-    val priorDvRefs = dvFileRefs(spark, table, prior)
-    val (dvToWrite, dvCarriedRefs): (Option[DataFrame], Seq[String]) =
-      if (touched.nonEmpty && priorDvRefs.nonEmpty) {
-        // dv `file` entries are URI-spelled; `touched` is manifest-spelled
-        val live = readDvRelation(spark, table, prior).get
-          .filter(!colF("file").isInCollection(touched.map(relUriSpelling)))
-        (Some(extraDv.fold(live)(live.unionByName)), Nil)
-      } else (extraDv, priorDvRefs)
-    val dvOwnRefs: Seq[String] = dvToWrite match {
-      case Some(d) if !d.isEmpty =>
-        val deltaDir = new Path(dvDir(t), dirName)
-        d.coalesce(DvDeltaWriteTasks).write.mode(SaveMode.Overwrite)
-          .parquet(deltaDir.toString)
-        fs.listStatus(deltaDir).map(_.getPath.getName)
-          .filter(_.endsWith(".parquet")).sorted
-          .map(n => s"_dv/$dirName/$n").toSeq
-      case _ => Nil
+    // commit tail — runs against a BASE version and may re-run against
+    // the CAS winner after [[arbitrateRebase]] clears the rebase: every
+    // step is metadata-class work (the data dir above wrote exactly
+    // once), recomputed so index/zone/mask/stats carries come from the
+    // version actually being extended.
+    def commitAgainst(base: ResolvedVersion, carriedNow: Seq[String]): Boolean = {
+      // bloom index + zone map: carry untouched files' rows, re-derive
+      // only the new dir
+      carryFileMetadata(spark, fs, indexDir(t), base, dirName, carriedNow,
+        "b_", (cols, priorUtc) =>
+          bloomIndexDf(spark, s"$table/$dirName", dirName, cols, utc = priorUtc))
+      carryFileMetadata(spark, fs, zonesDir(t), base, dirName, carriedNow,
+        "min_", (cols, _) => zoneMapDf(spark, s"$table/$dirName", dirName, cols))
+      // deletion vectors compose across the chain. An untouched-files
+      // commit (append, MoR update/merge) carries the prior mask DELTAS
+      // by reference at zero sidecar I/O and writes at most its OWN
+      // entries (`extraDv`); a commit that REWRITES files consolidates
+      // instead — it filters the touched files' entries out (they were
+      // rewritten FROM the masked read, so they retire with the old
+      // files) and writes one fresh delta, which also drops any stale
+      // entries the carry chain accumulated. An empty result writes no
+      // sidecar and no header — the version is then provably mask-free
+      // and every read takes the plain path. (Bloom/zone rows of masked
+      // rows stay: indexes are supersets, the mask re-applies at read.)
+      import org.apache.spark.sql.functions.{col => colF}
+      val priorDvRefs = dvFileRefs(spark, table, base)
+      val (dvToWrite, dvCarriedRefs): (Option[DataFrame], Seq[String]) =
+        if (touched.nonEmpty && priorDvRefs.nonEmpty) {
+          // dv `file` entries are URI-spelled; `touched` is manifest-spelled
+          val live = readDvRelation(spark, table, base).get
+            .filter(!colF("file").isInCollection(touched.map(relUriSpelling)))
+          (Some(extraDv.fold(live)(live.unionByName)), Nil)
+        } else (extraDv, priorDvRefs)
+      val dvOwnRefs: Seq[String] = dvToWrite match {
+        case Some(d) if !d.isEmpty =>
+          val deltaDir = new Path(dvDir(t), dirName)
+          d.coalesce(DvDeltaWriteTasks).write.mode(SaveMode.Overwrite)
+            .parquet(deltaDir.toString)
+          fs.listStatus(deltaDir).map(_.getPath.getName)
+            .filter(_.endsWith(".parquet")).sorted
+            .map(n => s"_dv/$dirName/$n").toSeq
+        case _ => Nil
+      }
+      val dvRefs = (dvCarriedRefs ++ dvOwnRefs).distinct
+      val dvWritten = dvRefs.nonEmpty
+      // table statistics do NOT maintain incrementally (NDV/min/max
+      // cannot retract). When the prior version carried stats:
+      // refreshStats=true recomputes them with one aggregation pass over
+      // the WHOLE resolved table — an O(table) cost a point-update
+      // caller may not want — while refreshStats=false copies the prior
+      // stats file forward (slightly stale counts, the usual
+      // ANALYZE-cadence trade), so hinted reads never silently lose
+      // their statistics either way.
+      val priorStats = new Path(statsDir(t), base.dirName)
+      if (fs.exists(priorStats)) {
+        if (refreshStats) {
+          val files0 = newFiles ++ carriedNow
+          // profile the version's LOGICAL content: masked rows are not rows
+          val resolved =
+            if (dvWritten)
+              taggedMaskedRead(spark, table, files0,
+                Some(spark.read.parquet(dvRefs.map(f => s"$table/$f"): _*)))
+                .drop("__dv_file", "__dv_pos")
+            else readFilesGrouped(spark, table, files0)
+          graft.operators.Quality
+            .profileWithCount(resolved, resolved.columns.toSeq, exact = false)
+            .coalesce(1).write.mode(SaveMode.Overwrite)
+            .parquet(new Path(statsDir(t), dirName).toString)
+        } else {
+          val dst = new Path(statsDir(t), dirName)
+          if (fs.exists(dst)) fs.delete(dst, true) // a prior attempt's copy
+          org.apache.hadoop.fs.FileUtil.copy(fs, priorStats, fs, dst, false,
+            spark.sessionState.newHadoopConf())
+          ()
+        }
+      }
+      // commit: file-list manifest under the usual tmp → rename
+      // discipline; occupancy or a lost rename = CAS loss, not an error
+      val next = base.version + 1L
+      val vd = versionsDir(t)
+      fs.mkdirs(vd)
+      val tmp = new Path(vd, s".tmp-${vname(next)}")
+      val out = fs.create(tmp, true)
+      val partColsHeader =
+        if (partCols.nonEmpty) Seq(s"partcols:${partCols.mkString(",")}") else Nil
+      val body =
+        (s"files:$dirName" +: s"ts:${System.currentTimeMillis()}" +:
+          (partColsHeader ++ dvRefs.map("dv:" + _) ++ newFiles ++ carriedNow))
+          .mkString("\n")
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+      if (fs.exists(new Path(vd, vname(next)))) { fs.delete(tmp, false); false }
+      else if (!fs.rename(tmp, new Path(vd, vname(next)))) false
+      else { gcVersions(fs, t, keepVersions); true }
     }
-    val dvRefs = dvCarriedRefs ++ dvOwnRefs
-    val dvWritten = dvRefs.nonEmpty
-    // table statistics do NOT maintain incrementally (NDV/min/max cannot
-    // retract). When the prior version carried stats: refreshStats=true
-    // recomputes them with one aggregation pass over the WHOLE resolved
-    // table — an O(table) cost a point-update caller may not want —
-    // while refreshStats=false copies the prior stats file forward
-    // (slightly stale counts, the usual ANALYZE-cadence trade), so
-    // hinted reads never silently lose their statistics either way.
-    val priorStats = new Path(statsDir(t), prior.dirName)
-    if (fs.exists(priorStats)) {
-      if (refreshStats) {
-        val files0 = newFiles ++ carried
-        // profile the version's LOGICAL content: masked rows are not rows
-        val resolved =
-          if (dvWritten)
-            taggedMaskedRead(spark, table, files0,
-              Some(spark.read.parquet(dvRefs.map(f => s"$table/$f"): _*)))
-              .drop("__dv_file", "__dv_pos")
-          else readFilesGrouped(spark, table, files0)
-        graft.operators.Quality
-          .profileWithCount(resolved, resolved.columns.toSeq, exact = false)
-          .coalesce(1).write.mode(SaveMode.Overwrite)
-          .parquet(new Path(statsDir(t), dirName).toString)
-      } else
-        org.apache.hadoop.fs.FileUtil.copy(fs, priorStats, fs,
-          new Path(statsDir(t), dirName), false,
-          spark.sessionState.newHadoopConf())
+    val readSet = if (readFiles.nonEmpty) readFiles else touched
+    val touchedSet = touched.toSet
+    fireCasTestHook()
+    var base = prior
+    var carriedNow = carried
+    var attempts = 1
+    while (!commitAgainst(base, carriedNow)) {
+      if (attempts >= MaxCommitAttempts)
+        throw new IllegalStateException(
+          s"publishCoW: lost $attempts manifest races on $table — " +
+            "retry the DML under lower contention")
+      attempts += 1
+      // the commit that re-inserts row images must refuse when the
+      // winner masked rows it read (checkMask); its carried set
+      // re-points at the winner's file list
+      base = arbitrateRebase(spark, table, "publishCoW", base, readSet,
+        checkMask = true, conflictProbe)
+      carriedNow = versionFiles(fs, t, base).filterNot(touchedSet)
     }
-    // commit: file-list manifest under the usual tmp → rename discipline
-    val vd = versionsDir(t)
-    fs.mkdirs(vd)
-    val tmp = new Path(vd, s".tmp-${vname(next)}")
-    val out = fs.create(tmp, true)
-    val partColsHeader =
-      if (partCols.nonEmpty) Seq(s"partcols:${partCols.mkString(",")}") else Nil
-    val body =
-      (s"files:$dirName" +: s"ts:${System.currentTimeMillis()}" +:
-        (partColsHeader ++ dvRefs.map("dv:" + _) ++ newFiles ++ carried))
-        .mkString("\n")
-    try out.write(body.getBytes("UTF-8")) finally out.close()
-    require(!fs.exists(new Path(vd, vname(next))),
-      s"publishCoW: $table advanced past version ${prior.version} — retry the DML")
-    require(fs.rename(tmp, new Path(vd, vname(next))),
-      s"publishCoW: commit of version $next lost a concurrent race on $table")
-    gcVersions(fs, t, keepVersions)
   }
 
   /** Total parquet bytes of the CURRENT committed version's resolved file
@@ -1828,7 +2017,8 @@ object WarehouseFs {
     val rewritten = readFilesGroupedDv(spark, table, touched, r)
       .filter(!col(column).isin(values: _*) || col(column).isNull)
     publishCoW(spark, table, r, rewritten, touched,
-      all.diff(touched), keepVersions, refreshStats)
+      all.diff(touched), keepVersions, refreshStats,
+      conflictProbe = pointProbe(spark, table, Map(column -> values)))
   }
 
   /** SQL-UPDATE form: for rows whose `column` is one of `values`, set
@@ -1866,7 +2056,8 @@ object WarehouseFs {
     // a SET expression that widens the column's type would land a file
     // physically incompatible with the carried ones
     publishCoW(spark, table, r, alignToSchema(rewritten, base.schema, "updateWhere"),
-      touched, all.diff(touched), keepVersions, refreshStats)
+      touched, all.diff(touched), keepVersions, refreshStats,
+      conflictProbe = pointProbe(spark, table, Map(column -> values)))
   }
 
   /** Upsert: rows of `updates` replace same-key rows and append new keys.
@@ -1939,7 +2130,9 @@ object WarehouseFs {
         alignToSchema(rewritten, versionSchema(spark, table, r), "upsertRows")
       else rewritten
     publishCoW(spark, table, r, aligned, touched,
-      all.diff(touched), keepVersions, refreshStats)
+      all.diff(touched), keepVersions, refreshStats,
+      conflictProbe =
+        keysProbe(spark, table, Seq(keyCol), updates, nDistinct, maxPointKeys))
   }
 
   /** Append-only commit: `rows` land as the new version's own files and
@@ -2206,7 +2399,8 @@ object WarehouseFs {
     val rewritten = readFilesGroupedDv(spark, table, touched, r)
       .filter(!coalesce(cond, lit(false)))
     publishCoW(spark, table, r, rewritten, touched,
-      all.diff(touched), keepVersions, refreshStats)
+      all.diff(touched), keepVersions, refreshStats,
+      conflictProbe = pointProbe(spark, table, pruning._1))
   }
 
   /** SET each target column for rows satisfying an ARBITRARY predicate —
@@ -2239,7 +2433,8 @@ object WarehouseFs {
     }: _*)
     publishCoW(spark, table, r,
       alignToSchema(rewritten, base.schema, "updateMatching"),
-      touched, all.diff(touched), keepVersions, refreshStats)
+      touched, all.diff(touched), keepVersions, refreshStats,
+      conflictProbe = pointProbe(spark, table, pruning._1))
   }
 
   /** Carry one per-file metadata relation VERBATIM across a DV-only
@@ -2278,45 +2473,65 @@ object WarehouseFs {
     * [[publishCoW]]. */
   private def publishDvOnly(spark: SparkSession, table: String,
                             prior: ResolvedVersion, freshDv: DataFrame,
-                            keepVersions: Int): Unit = {
+                            keepVersions: Int,
+                            readFiles: Seq[String] = Nil,
+                            conflictProbe: Option[(ResolvedVersion, Seq[String]) => Seq[String]] = None): Unit = {
     val (fs, t) = fsFor(spark, table)
-    val next = prior.version + 1L
     val dirName =
-      s"v${vname(next)}-${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val all = versionFiles(fs, t, prior)
+      s"v${vname(prior.version + 1L)}-${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    // phase 1 (once): this commit's OWN mask entries
     val deltaDir = new Path(dvDir(t), dirName)
     freshDv.coalesce(DvDeltaWriteTasks).write.mode(SaveMode.Overwrite)
       .parquet(deltaDir.toString)
     val ownRefs = fs.listStatus(deltaDir).map(_.getPath.getName)
       .filter(_.endsWith(".parquet")).sorted
       .map(n => s"_dv/$dirName/$n").toSeq
-    val dvRefs = dvFileRefs(spark, table, prior) ++ ownRefs
-    carryMetaVerbatim(spark, fs, indexDir(t), prior, dirName)
-    carryMetaVerbatim(spark, fs, zonesDir(t), prior, dirName)
-    val priorStats = new Path(statsDir(t), prior.dirName)
-    if (fs.exists(priorStats))
-      org.apache.hadoop.fs.FileUtil.copy(fs, priorStats, fs,
-        new Path(statsDir(t), dirName), false,
-        spark.sessionState.newHadoopConf())
-    val partCols = {
-      val derived = partitionColsOf(all)
-      if (derived.nonEmpty) derived else prior.declaredPartCols
+    def commitAgainst(base: ResolvedVersion): Boolean = {
+      val all = versionFiles(fs, t, base)
+      val dvRefs = (dvFileRefs(spark, table, base) ++ ownRefs).distinct
+      carryMetaVerbatim(spark, fs, indexDir(t), base, dirName)
+      carryMetaVerbatim(spark, fs, zonesDir(t), base, dirName)
+      val priorStats = new Path(statsDir(t), base.dirName)
+      if (fs.exists(priorStats)) {
+        val dst = new Path(statsDir(t), dirName)
+        if (fs.exists(dst)) fs.delete(dst, true) // a prior attempt's copy
+        org.apache.hadoop.fs.FileUtil.copy(fs, priorStats, fs, dst, false,
+          spark.sessionState.newHadoopConf())
+      }
+      val partCols = {
+        val derived = partitionColsOf(all)
+        if (derived.nonEmpty) derived else base.declaredPartCols
+      }
+      val partColsHeader =
+        if (partCols.nonEmpty) Seq(s"partcols:${partCols.mkString(",")}") else Nil
+      val next = base.version + 1L
+      val vd = versionsDir(t)
+      fs.mkdirs(vd)
+      val tmp = new Path(vd, s".tmp-${vname(next)}")
+      val out = fs.create(tmp, true)
+      val body =
+        (s"files:$dirName" +: s"ts:${System.currentTimeMillis()}" +:
+          (partColsHeader ++ dvRefs.map("dv:" + _) ++ all)).mkString("\n")
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+      if (fs.exists(new Path(vd, vname(next)))) { fs.delete(tmp, false); false }
+      else if (!fs.rename(tmp, new Path(vd, vname(next)))) false
+      else { gcVersions(fs, t, keepVersions); true }
     }
-    val partColsHeader =
-      if (partCols.nonEmpty) Seq(s"partcols:${partCols.mkString(",")}") else Nil
-    val vd = versionsDir(t)
-    fs.mkdirs(vd)
-    val tmp = new Path(vd, s".tmp-${vname(next)}")
-    val out = fs.create(tmp, true)
-    val body =
-      (s"files:$dirName" +: s"ts:${System.currentTimeMillis()}" +:
-        (partColsHeader ++ dvRefs.map("dv:" + _) ++ all)).mkString("\n")
-    try out.write(body.getBytes("UTF-8")) finally out.close()
-    require(!fs.exists(new Path(vd, vname(next))),
-      s"publishDvOnly: $table advanced past version ${prior.version} — retry the DML")
-    require(fs.rename(tmp, new Path(vd, vname(next))),
-      s"publishDvOnly: commit of version $next lost a concurrent race on $table")
-    gcVersions(fs, t, keepVersions)
+    fireCasTestHook()
+    var base = prior
+    var attempts = 1
+    while (!commitAgainst(base)) {
+      if (attempts >= MaxCommitAttempts)
+        throw new IllegalStateException(
+          s"publishDvOnly: lost $attempts manifest races on $table — " +
+            "retry the DML under lower contention")
+      attempts += 1
+      // a pure mask commit composes with a winner's extra masks by
+      // union, so checkMask=false: only rewritten read-files (stale
+      // row positions) and possibly-matching added files refuse
+      base = arbitrateRebase(spark, table, "publishDvOnly", base, readFiles,
+        checkMask = false, conflictProbe)
+    }
   }
 
   /** Merge-on-read DELETE: rows matching `cond` are MASKED through a
@@ -2352,7 +2567,8 @@ object WarehouseFs {
     fresh.persist()
     try {
       if (fresh.isEmpty) return // provably nothing to delete → no version
-      publishDvOnly(spark, table, r, fresh, keepVersions)
+      publishDvOnly(spark, table, r, fresh, keepVersions,
+        readFiles = cand, conflictProbe = pointProbe(spark, table, pruning._1))
     } finally { fresh.unpersist(); () }
   }
 
@@ -2410,7 +2626,8 @@ object WarehouseFs {
         alignToSchema(updated, versionSchema(spark, table, r),
           "updateMatchingVectors"),
         touched = Nil, carried = all, keepVersions, refreshStats = false,
-        extraDv = Some(extra))
+        extraDv = Some(extra), readFiles = cand,
+        conflictProbe = pointProbe(spark, table, pruning._1))
     } finally { matched.unpersist(); () }
   }
 
@@ -2623,7 +2840,9 @@ object WarehouseFs {
     // file whose physical types differ from the carried files'
     val aligned = tableSchema.fold(rewritten)(alignToSchema(rewritten, _, "mergeInto"))
     publishCoW(spark, table, r, aligned, touched,
-      all.diff(touched), keepVersions, refreshStats)
+      all.diff(touched), keepVersions, refreshStats,
+      conflictProbe =
+        keysProbe(spark, table, keyCols, source, nDistinct, maxPointKeys))
   }
 
   /** Merge-on-read MERGE — [[mergeIntoKeys]]' semantics with deletion-
@@ -2731,7 +2950,10 @@ object WarehouseFs {
     val aligned = tableSchema.fold(rewritten)(
       alignToSchema(rewritten, _, "mergeIntoKeysVectors"))
     try publishCoW(spark, table, r, aligned, touched = Nil, carried = all,
-      keepVersions, refreshStats = false, extraDv = dvEntries)
+      keepVersions, refreshStats = false, extraDv = dvEntries,
+      readFiles = touched,
+      conflictProbe =
+        keysProbe(spark, table, keyCols, source, nDistinct, maxPointKeys))
     finally { joined.foreach(_.unpersist()); () }
   }
 
@@ -2877,6 +3099,19 @@ object WarehouseFs {
       s"tableChanges: need 1 <= from ($fromVersion) <= to ($to)")
     require(to <= cur,
       s"tableChanges: end version $to is after the current version $cur of $table")
+    // plan-width guard: one union arm per version step, so a wide range
+    // over a keepDays-retained history builds a giant many-relation plan
+    // — the batch twin of the hazard `maxVersionsPerTrigger` bounds on
+    // the stream (and the same 128 default). Chunk wide feeds, or raise
+    // the cap deliberately.
+    val maxSteps = spark.conf
+      .getOption("spark.graft.cdf.maxBatchVersions").map(_.toLong)
+      .getOrElse(128L)
+    require(to - fromVersion < maxSteps,
+      s"tableChanges: range $fromVersion..$to spans ${to - fromVersion + 1} " +
+        s"versions — one plan arm each; beyond $maxSteps the plan itself " +
+        "becomes the bottleneck. Feed in chunks, or raise " +
+        "spark.graft.cdf.maxBatchVersions deliberately")
     def refuse(v: Long): Nothing = throw new IllegalArgumentException(
       s"tableChanges: the change of version $v needs version ${v - 1}, " +
         s"which is no longer retained (retained: " +
@@ -2895,7 +3130,16 @@ object WarehouseFs {
         .withColumn("_commit_timestamp", lit(ts))
     }
     val ordered = steps.head.columns.toSeq
-    steps.map(_.select(ordered.map(col): _*)).reduce(_.unionByName(_))
+    // balanced union tree: O(log n) plan depth instead of a left-deep
+    // O(n) chain — the analyzer recurses per node, and a 100-step feed
+    // under a left fold measurably drags resolution
+    def union(parts: IndexedSeq[DataFrame]): DataFrame =
+      if (parts.length == 1) parts.head
+      else {
+        val (a, b) = parts.splitAt(parts.length / 2)
+        union(a).unionByName(union(b))
+      }
+    union(steps.map(_.select(ordered.map(col): _*)).toIndexedSeq)
   }
 
   /** [[changeFeed]] for a table of a COMMIT SET ([[publishAtomicAll]]
@@ -2988,8 +3232,11 @@ object WarehouseFs {
     val (fs, t) = fsFor(spark, table)
     val all = versionFiles(fs, t, r)
     val effective = feed.filter(col("_change_type") =!= "update_preimage")
+    // the stamp columns a feed rides with (`_commit_version`,
+    // `_commit_timestamp`) are provenance, not content — drop them here
+    // so any changeFeed / table_changes / graft-cdf output applies as-is
     val upserts = effective.filter(col("_change_type") =!= "delete")
-      .drop("_change_type")
+      .drop("_change_type", "_commit_version", "_commit_timestamp")
     // one pass over the effective rows: cardinality + uniqueness (a key
     // changing twice in one batch is not a version-pair feed)
     val allNonNull = keyCols.map(col(_).isNotNull).reduce(_ && _)

@@ -90,6 +90,8 @@ object CdfSource {
         s"graft-cdf: $table is not a versioned table")).schema
       .add("_change_type", StringType, nullable = false)
       .add("_commit_version", LongType, nullable = false)
+      .add("_commit_timestamp", org.apache.spark.sql.types.TimestampType,
+        nullable = false)
 
   /** Accepted `startingTimestamp` spellings → epoch millis: raw epoch
     * millis, ISO-8601 with an offset/`Z` (`2021-03-01T00:00:00Z`, exact
@@ -350,7 +352,15 @@ class CdfSource(sqlContext: SQLContext, table: String, keyCols: Seq[String],
             s"(retained versions: ${WarehouseFs.listVersions(spark, table)
               .mkString(", ")}) — keepVersions must exceed the stream's lag, " +
             "and startingVersion must be a retained version"))
+      // batch-TVF parity: the manifest commit instant rides along, so a
+      // stream consumer can join against time-bounded audits without
+      // re-resolving versions by hand
+      val instantMs = WarehouseFs.commitInstant(spark, table, v + 1)
+        .getOrElse(throw new IllegalStateException(
+          s"graft-cdf: version ${v + 1} of $table vanished mid-batch"))
       feed.withColumn("_commit_version", lit(v + 1L))
+        .withColumn("_commit_timestamp",
+          lit(new java.sql.Timestamp(instantMs)))
         .select(ordered.map(col): _*)
     }
     org.apache.spark.sql.graft.StreamingInternal.asStreaming(

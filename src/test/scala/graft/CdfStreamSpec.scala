@@ -431,4 +431,35 @@ class CdfStreamSpec extends SparkSpec {
       "startingTimestamp" -> betweenMs.toString)
       .contains("mutually exclusive"))
   }
+
+  test("the stream stamps _commit_timestamp ≡ the manifest commit instants (batch-TVF parity)") {
+    val t = tmpTable()
+    WarehouseFs.publishVersioned(
+      spark.range(20).select(col("id"), concat(lit("u"), col("id")).as("user")),
+      t, keepVersions = 10, bloomIndexCols = Seq("id"))
+    WarehouseFs.deleteWhere(spark, t, "id", Seq(3L), keepVersions = 10)  // v2
+    WarehouseFs.upsertRows(Seq((5L, "x5")).toDF("id", "user"), t, "id",
+      keepVersions = 10)                                                 // v3
+    val q = spark.readStream
+      .format("graft.streaming.CdfSourceProvider")
+      .option("table", t).option("keyCols", "id")
+      .option("startingVersion", "2")
+      .load()
+      .writeStream.format("memory").queryName("cdf_ts_sink").start()
+    try {
+      q.processAllAvailable()
+      val stamped = spark.table("cdf_ts_sink")
+        .select("_commit_version", "_commit_timestamp").distinct()
+        .collect().map(r => r.getLong(0) -> r.getTimestamp(1).getTime).toMap
+      // one instant per version, equal to DESCRIBE HISTORY's
+      val hist = WarehouseFs.describeHistory(spark, t)
+        .map(h => h._1 -> h._2.getTime).toMap
+      assert(stamped.keySet === Set(2L, 3L))
+      stamped.foreach { case (v, ts) => assert(ts === hist(v),
+        s"version $v: stream stamp $ts must equal the manifest instant ${hist(v)}") }
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS cdf_ts_sink")
+    }
+  }
 }

@@ -370,6 +370,28 @@ class EtlPipelineSpec extends SparkSpec {
     assert(pinOf(t4("dwh_fact_pssprt_blcklst")) >
       pinOf(t3("dwh_fact_pssprt_blcklst")),
       "the commit must pin the compacted version")
+
+    // mask-budget trigger: a merge-on-read delete masks rows while the
+    // dir span stays AT the budget (a high-frequency MoR workload can
+    // mask thousands of rows in tiny deltas without ever tripping the
+    // span rule) — `compactMaskedRows` folds it clean at the next run
+    val keyC = WarehouseFs.readTable(spark, blPath).get.columns.head
+    val vKey = WarehouseFs.readTable(spark, blPath).get
+      .select(keyC).head().get(0)
+    WarehouseFs.deleteMatchingVectors(spark, blPath,
+      org.apache.spark.sql.functions.col(keyC) === vKey, keepVersions = 4)
+    assert(WarehouseFs.hasDeletionVectors(spark, blPath))
+    withConf("spark.graft.etl.compactMaskedRows" -> "0",
+      "spark.graft.etl.compactSpanDirs" -> "64") {
+      EtlPipeline.run(spark, s"$tmp/feeds_3", whV, None, Some(asOf(3)))
+    }
+    assert(!WarehouseFs.hasDeletionVectors(spark, blPath),
+      "the mask-row budget must trip the fold even inside the span budget")
+    // content: the run's sync re-reconciles to the day-3 feed (the
+    // source of truth re-inserts the out-of-band-deleted row), and the
+    // fold preserves exactly that state
+    assert(WarehouseFs.readTable(spark, blPath).get
+      .collect().map(_.toSeq).toSet === rowsBefore)
   }
 
   test("a legacy plain-dir warehouse upgrades in place on its first default (atomic) run") {

@@ -506,6 +506,37 @@ class WarehouseFsSpec extends SparkSpec {
     assert(WarehouseFs.changeFeedCommitted(spark, w, "mart", Seq("k"), 0, 2).isEmpty)
   }
 
+  test("commit_changes TVF: SQL commit-set feed ≡ changeFeedCommitted, carried member empty") {
+    val w = tmpDir()
+    val mart1 = Seq((1L, 100L), (2L, 200L)).toDF("k", "amt")
+    val bl = Seq(("p1", 1)).toDF("passport", "flag")
+    WarehouseFs.publishAtomicAll(Map("mart" -> mart1, "bl" -> bl), w, keepCommits = 5)
+    val mart2 = Seq((1L, 150L), (2L, 200L), (3L, 300L)).toDF("k", "amt")
+    WarehouseFs.publishAtomicAll(Map("mart" -> mart2), w, keepCommits = 5,
+      carryForward = Set("bl"))
+    graft.sources.GraftCatalog.writeProps(spark, s"$w/mart", Map("keyCols" -> "k"))
+    graft.sources.GraftCatalog.writeProps(spark, s"$w/bl",
+      Map("keyCols" -> "passport"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    // explicit range ≡ the API feed
+    val sqlFeed = spark.sql(s"SELECT * FROM commit_changes('$w', 'mart', 1, 2)")
+    val apiFeed = WarehouseFs.changeFeedCommitted(spark, w, "mart", Seq("k"), 1, 2).get
+    assert(canon(sqlFeed) === canon(apiFeed) && sqlFeed.count() === 3)
+    // omitted toCommit = the current commit
+    assert(canon(spark.sql(s"SELECT * FROM commit_changes('$w', 'mart', 1)")) ===
+      canon(apiFeed))
+    // the carried member inherits the scan-free empty: same schema, zero rows
+    val blSql = spark.sql(s"SELECT * FROM commit_changes('$w', 'bl', 1, 2)")
+    assert(blSql.count() === 0)
+    assert(blSql.columns.toSeq === Seq("passport", "flag", "_change_type"))
+    // missing keyCols / unknown member refuse loudly
+    val e1 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM commit_changes('$w', 'nope', 1, 2)").collect()
+    }
+    assert(e1.getMessage.contains("keyCols") || e1.getMessage.contains("retain"))
+  }
+
   test("versioned commit sets: pins flip atomically; a 1-row DML feeds file-granular") {
     val w = tmpDir()
     // commit 1: both members publish through their own file-list chains
