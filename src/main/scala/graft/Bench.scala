@@ -145,7 +145,33 @@ object Bench {
     (spreadSuspects(ok) ++ regressed).distinct
   }
 
+  /** Pre-run quiet gate: a loaded machine contaminates every rep at
+    * once, and the retry machinery can only dilute — not remove — that
+    * bias. If the 1-minute load average is above the threshold, WAIT
+    * (bounded) for it to drain before measuring, so the committed
+    * artifact is the quiet run rather than a number that needs the
+    * history file to trust. Opt out with SPARK_GRAFT_BENCH_NO_WAIT=1
+    * (the fast-iteration knob); the wait never exceeds
+    * [[QuietWaitMaxMillis]] and the artifact's `load_avg.before` still
+    * reports whatever the run actually started at. */
+  val QuietLoadThreshold = 1.0
+  val QuietWaitMaxMillis = 600000L
+
+  private[graft] def awaitQuiet(): Unit = {
+    if (sys.env.get("SPARK_GRAFT_BENCH_NO_WAIT").exists(_ == "1")) return
+    val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val deadline = System.currentTimeMillis() + QuietWaitMaxMillis
+    var load = os.getSystemLoadAverage
+    while (load > QuietLoadThreshold && System.currentTimeMillis() < deadline) {
+      System.err.println(f"[bench] load $load%.2f > $QuietLoadThreshold — " +
+        "waiting for the machine to quiet down")
+      Thread.sleep(15000L)
+      load = os.getSystemLoadAverage
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    awaitQuiet()
     // read the pre-run load FIRST: it exists to answer "was the machine
     // quiet when the bench started" — read after session startup + the
     // warmup pass (which saturates every core for ~a minute), the 1-min

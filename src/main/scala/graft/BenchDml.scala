@@ -40,6 +40,7 @@ import graft.sources.WarehouseFs
   * appends to `bench_history.jsonl`. */
 object BenchDml {
   def main(args: Array[String]): Unit = {
+    Bench.awaitQuiet() // same quiet gate as the main bench
     val loadBefore = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     val rows = sys.env.getOrElse("SPARK_GRAFT_DML_ROWS", "20000000").toLong

@@ -40,6 +40,53 @@ object Quality {
                        exact: Boolean = true): DataFrame =
     profileImpl(df, cols, exact, withCount = true)
 
+  /** Equi-height histograms for the NUMERIC columns of `cols` — the
+    * ANALYZE-grade selectivity input min/max alone cannot give on
+    * skewed data. Two aggregation passes over one scan each (the
+    * standard ANALYZE shape): approx percentiles fix the `bins`
+    * boundaries, then per-bin approx NDVs land in ONE wide conditional
+    * aggregation (bins × columns HLL sketches — bounded memory, no
+    * Expand). Returns col → bins as (lo, hi, ndv); all-null and
+    * non-numeric columns are absent. Restricted to numeric types: the
+    * CBO compares bin bounds in each type's own double domain, and
+    * date/timestamp scale mismatches would mis-estimate silently. */
+  def equiHeightHistograms(df: DataFrame, cols: Seq[String], bins: Int)
+      : Map[String, Seq[(Double, Double, Long)]] = {
+    import org.apache.spark.sql.types.NumericType
+    require(bins >= 2 && bins <= 1000, s"histogram bins out of range: $bins")
+    val numeric = cols.filter(c => df.schema(c).dataType match {
+      case _: NumericType => true
+      case _ => false
+    })
+    if (numeric.isEmpty) return Map.empty
+    val pcts = (0 to bins).map(i => i.toDouble / bins)
+    val pctAggs = numeric.map(c =>
+      expr(s"approx_percentile(cast(`$c` AS double), " +
+        s"array(${pcts.mkString(",")}), 10000)").as(s"${c}__p"))
+    val prow = df.agg(pctAggs.head, pctAggs.tail: _*).head()
+    val boundaries: Seq[(String, Seq[Double])] = numeric.flatMap { c =>
+      val i = prow.fieldIndex(s"${c}__p")
+      if (prow.isNullAt(i)) None // all-null column
+      else Some(c -> prow.getSeq[Double](i))
+    }
+    if (boundaries.isEmpty) return Map.empty
+    val ndvAggs = boundaries.flatMap { case (c, bs) =>
+      val v = col(c).cast("double")
+      (0 until bins).map { i =>
+        // Spark's bin convention: (lo, hi] with the first bin closed
+        val inBin =
+          if (i == 0) v >= bs(0) && v <= bs(1)
+          else v > bs(i) && v <= bs(i + 1)
+        approx_count_distinct(when(inBin, v)).as(s"${c}__b$i")
+      }
+    }
+    val nrow = df.agg(ndvAggs.head, ndvAggs.tail: _*).head()
+    boundaries.map { case (c, bs) =>
+      c -> (0 until bins).map(i =>
+        (bs(i), bs(i + 1), nrow.getLong(nrow.fieldIndex(s"${c}__b$i"))))
+    }.toMap
+  }
+
   private def profileImpl(df: DataFrame, cols: Seq[String], exact: Boolean,
                           withCount: Boolean): DataFrame = {
     val aggs = cols.flatMap { c =>

@@ -414,6 +414,31 @@ object GraftMetaScan {
       }
     val minV = typed(cs.minStr)
     val maxV = typed(cs.maxStr)
+    // ANALYZE-computed equi-height histogram (numeric columns): rides
+    // through the same DSv2 colstats surface into Catalyst's ColumnStat,
+    // where FilterEstimation prefers bins over min/max on skewed
+    // predicates
+    val histV: java.util.Optional[
+        org.apache.spark.sql.connector.read.colstats.Histogram] =
+      cs.histogram.filter(_.nonEmpty) match {
+        case Some(bs) =>
+          val binArr = bs.map { case (lo0, hi0, ndv0) =>
+            new org.apache.spark.sql.connector.read.colstats.HistogramBin {
+              override def lo(): Double = lo0
+              override def hi(): Double = hi0
+              override def ndv(): Long = ndv0
+            }
+          }.toArray
+          java.util.Optional.of(
+            new org.apache.spark.sql.connector.read.colstats.Histogram {
+              override def height(): Double =
+                cs.nNonNull.toDouble / binArr.length
+              override def bins(): Array[
+                  org.apache.spark.sql.connector.read.colstats.HistogramBin] =
+                binArr
+            })
+        case None => java.util.Optional.empty()
+      }
     new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
       override def distinctCount(): OptionalLong =
         cs.nDistinct.fold(OptionalLong.empty())(OptionalLong.of)
@@ -421,6 +446,8 @@ object GraftMetaScan {
         OptionalLong.of(math.max(0L, rowCount - cs.nNonNull))
       override def min(): java.util.Optional[Object] = minV
       override def max(): java.util.Optional[Object] = maxV
+      override def histogram(): java.util.Optional[
+          org.apache.spark.sql.connector.read.colstats.Histogram] = histV
     }
   }
 }

@@ -3352,7 +3352,9 @@ object WarehouseFs {
 
   final case class ColumnStats(name: String, nNonNull: Long,
                                nDistinct: Option[Long],
-                               minStr: Option[String], maxStr: Option[String])
+                               minStr: Option[String], maxStr: Option[String],
+                               histogram: Option[Seq[(Double, Double, Long)]] =
+                                 None)
   final case class TableStats(rowCount: Long, columns: Seq[ColumnStats]) {
     def column(name: String): Option[ColumnStats] = columns.find(_.name == name)
   }
@@ -3431,11 +3433,35 @@ object WarehouseFs {
   def refreshCommittedStats(spark: SparkSession,
                             table: String): Option[TableStats] =
     resolveVersion(spark, table, None).map { r =>
+      import org.apache.spark.sql.functions.{col => colF, lit => litF, when => whenF}
       val (fs, t) = fsFor(spark, table)
       val resolved = readResolved(spark, table, r)
-      graft.operators.Quality
+      val profile = graft.operators.Quality
         .profileWithCount(resolved, resolved.columns.toSeq, exact = false)
-        .coalesce(1).write.mode(SaveMode.Overwrite)
+      // ANALYZE-grade histograms under Spark's OWN switches — the same
+      // opt-in every Spark warehouse already configures: with
+      // spark.sql.statistics.histogram.enabled, numeric columns get
+      // spark.sql.statistics.histogram.numBins equi-height bins, and
+      // the DSv2 scan reports them to the CBO where min/max alone
+      // mispredicts skewed predicates
+      val withHist =
+        if (!spark.conf.get("spark.sql.statistics.histogram.enabled", "false")
+            .toBoolean)
+          profile.withColumn("histogram", litF(null).cast("string"))
+        else {
+          val bins = spark.conf
+            .get("spark.sql.statistics.histogram.numBins", "254").toInt
+          val hm = graft.operators.Quality
+            .equiHeightHistograms(resolved, resolved.columns.toSeq, bins)
+          val enc = hm.map { case (c, bs) =>
+            c -> bs.map(b => s"${b._1}:${b._2}:${b._3}").mkString(";") }
+          val encCol = enc.foldLeft(litF(null).cast("string")) {
+            case (acc, (c, v)) => whenF(colF("col_name") === c, litF(v))
+              .otherwise(acc)
+          }
+          profile.withColumn("histogram", encCol)
+        }
+      withHist.coalesce(1).write.mode(SaveMode.Overwrite)
         .parquet(new Path(statsDir(t), r.dirName).toString)
       parseStats(spark, fs, new Path(statsDir(t), r.dirName)).get
     }
@@ -3443,11 +3469,19 @@ object WarehouseFs {
   private def parseStats(spark: SparkSession, fs: FileSystem,
                          p: Path): Option[TableStats] = {
     if (!fs.exists(p)) return None
-    val rows = spark.read.parquet(p.toString).collect()
+    val df = spark.read.parquet(p.toString)
+    val hasHist = df.columns.contains("histogram") // pre-histogram sidecars lack it
+    val rows = df.collect()
+    def histOf(r: org.apache.spark.sql.Row): Option[Seq[(Double, Double, Long)]] =
+      if (!hasHist) None
+      else Option(r.getAs[String]("histogram")).map(_.split(';').toSeq.map { b =>
+        val parts = b.split(':')
+        (parts(0).toDouble, parts(1).toDouble, parts(2).toLong)
+      })
     val cols = rows.filter(_.getString(0) != "*").map(r => ColumnStats(
       r.getString(0), r.getLong(1),
       if (r.isNullAt(2)) None else Some(r.getLong(2)),
-      Option(r.getString(3)), Option(r.getString(4)))).toSeq
+      Option(r.getString(3)), Option(r.getString(4)), histOf(r))).toSeq
     rows.find(_.getString(0) == "*").map(r => TableStats(r.getLong(1), cols))
   }
 
