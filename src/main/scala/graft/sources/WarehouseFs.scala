@@ -217,6 +217,15 @@ object WarehouseFs {
   private def referencedDirs(r: ResolvedVersion): Set[String] =
     Set(r.dirName) ++ r.files.getOrElse(Nil).map(f => f.takeWhile(_ != '/'))
 
+  // Committed manifests are IMMUTABLE (tmp → rename, never rewritten in
+  // place), so their parses memoize per (qualified table, version) —
+  // the same argument and the same invalidation point (deleteIfExists,
+  // the drop-recreate choke) as the deletion-vector presence cache.
+  // Existence is still checked per call: GC deletes expired manifests,
+  // and a cached parse must never resurrect a vacuumed version.
+  private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), ResolvedVersion]()
+
   private def resolveVersion(spark: SparkSession, table: String,
                              version: Option[Long]): Option[ResolvedVersion] = {
     val (fs, t) = fsFor(spark, table)
@@ -229,7 +238,17 @@ object WarehouseFs {
           .filter(n => ManifestName.matches(n))
         if (committed.isEmpty) None else Some(committed.max.toLong)
     }
-    v.map(v0 => parseManifest(v0, readManifest(fs, new Path(vd, vname(v0)))))
+    v.map { v0 =>
+      val key = (fs.makeQualified(t).toString, v0)
+      val cached = manifestCache.get(key)
+      if (cached != null) cached
+      else {
+        if (manifestCache.size() > 16384) manifestCache.clear()
+        val r = parseManifest(v0, readManifest(fs, new Path(vd, vname(v0))))
+        manifestCache.put(key, r)
+        r
+      }
+    }
   }
 
   /** The DataFrame of a resolved version — file-list manifests read their
@@ -1210,6 +1229,7 @@ object WarehouseFs {
   private[graft] def invalidateDvPresence(spark: SparkSession, path: String): Unit = {
     val q = qualifiedTableKey(spark, path)
     dvPresenceCache.keySet.removeIf(k => k._1 == q || k._1.startsWith(q + "/"))
+    manifestCache.keySet.removeIf(k => k._1 == q || k._1.startsWith(q + "/"))
   }
 
   /** Refuse non-deterministic DML expressions — the rule every lakehouse

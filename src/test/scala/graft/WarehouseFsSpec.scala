@@ -506,6 +506,26 @@ class WarehouseFsSpec extends SparkSpec {
     assert(WarehouseFs.changeFeedCommitted(spark, w, "mart", Seq("k"), 0, 2).isEmpty)
   }
 
+  test("tableChanges refuses ranges wider than the plan budget (batch twin of maxVersionsPerTrigger)") {
+    val t = s"${tmpDir()}/tbl"
+    WarehouseFs.publishVersioned(Seq((1L, "a")).toDF("k", "v"), t,
+      keepVersions = 10, bloomIndexCols = Seq("k"))
+    (2 to 6).foreach(i => WarehouseFs.upsertRows(
+      Seq((i.toLong, s"v$i")).toDF("k", "v"), t, "k", keepVersions = 10))
+    withConf("spark.graft.cdf.maxBatchVersions" -> "3") {
+      val e = intercept[IllegalArgumentException] {
+        WarehouseFs.tableChanges(spark, t, Seq("k"), 1L, Some(6L))
+      }
+      assert(e.getMessage.contains("maxBatchVersions"))
+      // within the budget the feed works (and unions as a balanced tree)
+      assert(WarehouseFs.tableChanges(spark, t, Seq("k"), 4L, Some(6L))
+        .count() === 3)
+    }
+    // the default budget (128) admits this whole history
+    assert(WarehouseFs.tableChanges(spark, t, Seq("k"), 1L, Some(6L))
+      .count() === 6)
+  }
+
   test("commit_changes TVF: SQL commit-set feed ≡ changeFeedCommitted, carried member empty") {
     val w = tmpDir()
     val mart1 = Seq((1L, 100L), (2L, 200L)).toDF("k", "amt")
