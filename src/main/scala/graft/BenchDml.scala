@@ -138,6 +138,18 @@ object BenchDml {
         WarehouseFs.deleteWhereVectors(spark, t, "id", scatterMor,
           keepVersions = keep)
       }
+      // the merge-on-read READ tax: a masked version's DSv2 scan keeps
+      // the columnar fast path and drops positions in-scan (GraftDvScan)
+      // — this leg prices the whole MoR window for readers, against the
+      // same table's aggregate one commit earlier (clean read ≈ this
+      // minus the mask). A zone-pruned point read rides along: file
+      // pruning must survive the mask.
+      legs += "dml_mor_read" -> timed {
+        val df = spark.read.format("graft").option("table", t).load()
+        df.agg(org.apache.spark.sql.functions.sum("score"),
+          org.apache.spark.sql.functions.count(lit(1))).head()
+        df.filter(col("id") === (rows / 2 + 11)).count()
+      }
       legs += "dml_overwrite_day" -> timed {
         WarehouseFs.overwritePartitions(
           spark.range(0, rows / 128).select(col("id"),
