@@ -196,18 +196,30 @@ private[graft] class GraftDvColumnarReader(
   private def transform(b: ColumnarBatch): ColumnarBatch = {
     val n = b.numRows()
     var survivors: Array[Int] = null
-    if (mask != null) {
+    if (mask != null && n > 0) {
       val idxVec = b.column(idxPos)
-      val keep = new Array[Int](n)
-      var k = 0
-      var i = 0
-      while (i < n) {
-        if (java.util.Arrays.binarySearch(mask, idxVec.getLong(i)) < 0) {
-          keep(k) = i; k += 1
-        }
-        i += 1
+      // row indexes ascend within a batch: a sparse mask misses most
+      // batches entirely, and the [first, last] window check skips the
+      // per-row search for all of them
+      val lo = idxVec.getLong(0)
+      val hi = idxVec.getLong(n - 1)
+      val overlaps = lo <= mask(mask.length - 1) && hi >= mask(0) && {
+        val p = java.util.Arrays.binarySearch(mask, lo)
+        val from = if (p >= 0) p else -(p + 1)
+        from < mask.length && mask(from) <= hi
       }
-      if (k < n) survivors = java.util.Arrays.copyOf(keep, k)
+      if (overlaps) {
+        val keep = new Array[Int](n)
+        var k = 0
+        var i = 0
+        while (i < n) {
+          if (java.util.Arrays.binarySearch(mask, idxVec.getLong(i)) < 0) {
+            keep(k) = i; k += 1
+          }
+          i += 1
+        }
+        if (k < n) survivors = java.util.Arrays.copyOf(keep, k)
+      }
     }
     if (survivors == null) {
       // zero-copy strip of the row-index column

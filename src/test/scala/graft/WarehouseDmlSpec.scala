@@ -1121,11 +1121,17 @@ class WarehouseDmlSpec extends SparkSpec {
     val (v1has, n5) = probes(WarehouseFs.hasDeletionVectors(spark, t, Some(1L)))
     assert(!v1has && n5 === 0L)
     // drop + recreate at the SAME path may reuse (path, version) pairs —
-    // the delete choke point must invalidate
+    // the delete choke point must invalidate BOTH caches (DV presence
+    // and manifest parses): recreate with DIFFERENT content to prove
+    // reads never serve the dropped table's cached manifest
     WarehouseFs.deleteIfExists(spark, t)
-    publishFixture(t, keepVersions = 8)
+    WarehouseFs.publishVersioned(
+      spark.range(5).select(col("id"), lit("n").as("user"), lit(0L).as("grp")),
+      t, keepVersions = 8, bloomIndexCols = Seq("id"))
     val (fresh, n6) = probes(WarehouseFs.hasDeletionVectors(spark, t, Some(1L)))
     assert(!fresh && n6 === 1L, "recreated table must re-probe, not reuse")
+    assert(WarehouseFs.readTableVersion(spark, t, 1L).get.count() === 5L,
+      "a recreated table's v1 read must be the NEW content, not a cached parse")
   }
 
   test("merge-on-read DML refuses non-deterministic predicates and SET expressions") {
