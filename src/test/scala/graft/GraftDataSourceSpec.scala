@@ -324,4 +324,37 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(!read().queryExecution.executedPlan.toString.contains("graft-dv"))
     assert(read().count() === 7000)
   }
+
+  test("in-scan DV masking composes with additive schema evolution (pre-ALTER files NULL-fill)") {
+    val t = tmpTable()
+    WarehouseFs.publishVersioned(
+      spark.range(2000).select(col("id"), concat(lit("u"), col("id")).as("user")),
+      t, keepVersions = 6, bloomIndexCols = Seq("id"))
+    // ALTER adds a column the v1 files don't have, then append post-ALTER
+    // rows that do — the masked scan must serve BOTH widths: the
+    // generated row-index column and the NULL-filled declared column
+    // come from two different reader mechanisms in the same scan
+    WarehouseFs.alterAddColumns(spark, t,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("tag",
+          org.apache.spark.sql.types.StringType))))
+    WarehouseFs.appendRows(
+      spark.range(2000, 2400).select(col("id"),
+        concat(lit("u"), col("id")).as("user"), lit("new").as("tag")),
+      t, keepVersions = 6)
+    // masks land in BOTH width regimes
+    WarehouseFs.deleteWhereVectors(spark, t, "id", Seq(7L, 2007L),
+      keepVersions = 6)
+    val df = spark.read.format("graft").option("table", t).load()
+    assert(df.columns.toSeq === Seq("id", "user", "tag"))
+    assert(df.count() === 2398)
+    assert(df.filter(col("id").isin(7L, 2007L)).count() === 0)
+    assert(df.filter(col("id") === 8L).select("tag").head().isNullAt(0),
+      "pre-ALTER rows NULL-fill the added column through the masked scan")
+    assert(df.filter(col("id") === 2008L).select("tag").as[String]
+      .head() === "new")
+    // parity with the V1 masked read
+    assert(df.collect().map(_.toSeq).toSet ===
+      WarehouseFs.readTable(spark, t).get.collect().map(_.toSeq).toSet)
+  }
 }
