@@ -249,6 +249,11 @@ case class GraftDescribeDetailCommand(path: String)
     // rows masked by the current version's deletion vector — 0 in the
     // steady state; the OPTIMIZE-cadence signal beside the span count
     AttributeReference("masked_rows", LongType, nullable = false)(),
+    // length of the carried delta chain (sidecar FILES the manifest
+    // references) — each merge-on-read commit appends one; the fold
+    // consolidates. A long chain with few masked rows means many tiny
+    // mask reads per scan: the second OPTIMIZE signal
+    AttributeReference("dv_delta_files", IntegerType, nullable = false)(),
     AttributeReference("retained_versions", IntegerType, nullable = false)(),
     // the time-travel floor: a compliance reader checks THIS instant
     // against its retention requirement, not the version count
@@ -267,7 +272,8 @@ case class GraftDescribeDetailCommand(path: String)
       .mkString(",")
     Seq(Row(path, fmt, v, ts, nf, bytes, partCols.mkString(","),
       bloom.mkString(","), zone.mkString(","), hasStats,
-      WarehouseFs.deletionVectorRows(spark, path), hist.size,
+      WarehouseFs.deletionVectorRows(spark, path),
+      WarehouseFs.deletionVectorDeltaFiles(spark, path), hist.size,
       hist.head._2, props))
   }
 }

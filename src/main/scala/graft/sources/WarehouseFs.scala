@@ -1332,6 +1332,14 @@ object WarehouseFs {
       }
     }
 
+  /** Number of deletion-vector delta FILES the current version carries
+    * by reference — the chain-length signal beside [[deletionVectorRows]]
+    * (a long chain of tiny deltas costs one small read per delta per
+    * scan; the fold consolidates). Metadata-only. */
+  def deletionVectorDeltaFiles(spark: SparkSession, table: String): Int =
+    resolveVersion(spark, table, None)
+      .map(dvFileRefs(spark, table, _).size).getOrElse(0)
+
   /** Rows masked by the CURRENT version's deletion vector (0 when
     * none) — the OPTIMIZE-cadence signal beside [[versionSpanDirs]].
     * Counts LIVE entries only: a carried delta may hold entries for

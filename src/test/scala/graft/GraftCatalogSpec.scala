@@ -557,9 +557,12 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql(s"SELECT user FROM graft.$t WHERE id = 8")
       .as[String].collect().toSeq === Seq("zz"))
     assert(spark.table(s"graft.$t").count() === 3997)
-    // DESCRIBE DETAIL surfaces the mask size (the OPTIMIZE signal)
-    assert(spark.sql(s"DESCRIBE DETAIL graft.$t").collect().head
-      .getAs[Long]("masked_rows") === 4L, "3 deletes + 1 update mask")
+    // DESCRIBE DETAIL surfaces the mask size AND the delta-chain length
+    // (the two OPTIMIZE signals)
+    val detail = spark.sql(s"DESCRIBE DETAIL graft.$t").collect().head
+    assert(detail.getAs[Long]("masked_rows") === 4L, "3 deletes + 1 update mask")
+    assert(detail.getAs[Int]("dv_delta_files") >= 2,
+      "each MoR commit contributes at least one carried delta file")
     // time travel reads each version's own mask
     assert(spark.sql(s"SELECT * FROM graft.$t VERSION AS OF 2").count() === 4000)
     assert(spark.sql(s"SELECT * FROM graft.$t VERSION AS OF 3").count() === 3997)
