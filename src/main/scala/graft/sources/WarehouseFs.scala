@@ -1173,21 +1173,26 @@ object WarehouseFs {
   // answer is a deletion vector: a tiny per-version sidecar of
   // (file, row-position) pairs masking deleted rows, written under the
   // same CAS commit discipline as stats/indexes — ZERO data files
-  // rewritten. Layout: `_dv/<dataDirName>` holds the version's COMPLETE
-  // deletion state (each DV commit unions the carried entries with its
-  // own), so every retained version reads with exactly its own mask —
-  // time travel and change feeds stay value-exact for free, and GC
-  // retires DV relations with their owning manifests like any other
-  // per-version metadata. Positions are parquet row indexes
-  // (`_metadata.row_index`), recorded and re-derived by the same
-  // expression, so the mask is stable across readers.
+  // rewritten. Layout: each commit's OWN entries land as a delta under
+  // `_dv/<dataDirName>/` and the manifest carries the full chain BY
+  // REFERENCE (`dv:` header lines) — the version's mask is the union of
+  // its referenced deltas, so every retained version reads with exactly
+  // its own mask (time travel and change feeds stay value-exact for
+  // free) at O(own rows) sidecar I/O per commit, and GC keeps
+  // referenced delta dirs alive exactly like data dirs. Positions are
+  // parquet row indexes (`_metadata.row_index`), recorded and
+  // re-derived by the same expression, so the mask is stable across
+  // readers.
   //
-  // Read cost: only files WITH masked rows pay the (file, pos)
-  // anti-join — clean files read exactly as before — and `OPTIMIZE`
-  // folds the vectors into a clean rewrite, which is the maintenance
-  // cadence's job once masks accumulate. Every CoW rewrite reads
-  // MASKED data and drops the rewritten files' entries, so the two DML
-  // tiers compose on one chain.
+  // Read cost: the DSv2 scan drops masked positions IN-SCAN on the
+  // columnar fast path (GraftDvScan — bloom/zone pruning, committed
+  // stats and aggregate honesty all survive the MoR window); API reads
+  // pay a (file, pos) anti-join on masked files only — clean files
+  // read exactly as before. `OPTIMIZE` (or the compactMaskedRows
+  // budget) folds the vectors into a clean rewrite on the maintenance
+  // cadence. Every CoW rewrite reads MASKED data and drops the
+  // rewritten files' entries, so the two DML tiers compose on one
+  // chain.
 
   private def dvDir(table: Path) = new Path(table, "_dv")
 
@@ -1702,7 +1707,8 @@ object WarehouseFs {
   private def arbitrateRebase(spark: SparkSession, table: String,
                               verb: String, base: ResolvedVersion,
                               readFiles: Seq[String], checkMask: Boolean,
-                              conflictProbe: Option[(ResolvedVersion, Seq[String]) => Seq[String]])
+                              conflictProbe: Option[(ResolvedVersion, Seq[String]) => Seq[String]],
+                              blindAppend: Boolean = false)
       : ResolvedVersion = {
     import org.apache.spark.sql.functions.{col => colF}
     val (fs, t) = fsFor(spark, table)
@@ -1742,7 +1748,10 @@ object WarehouseFs {
       refuse("the table schema changed underneath (ALTER race)")
     val baseSet = versionFiles(fs, t, base).toSet
     val added = winnerFiles.filterNot(baseSet)
-    if (added.nonEmpty) {
+    // a BLIND append read nothing, so files the winner added cannot
+    // invalidate it — concurrent appends always compose (the one
+    // reordering every lakehouse engine admits under write-serializable)
+    if (added.nonEmpty && !blindAppend) {
       val possible = conflictProbe.map(_(winner, added)).getOrElse(added)
       if (possible.nonEmpty)
         refuse(s"the competing commit added ${possible.size} file(s) that " +
@@ -1810,7 +1819,8 @@ object WarehouseFs {
                          partColsHint: Seq[String] = Nil,
                          extraDv: Option[DataFrame] = None,
                          readFiles: Seq[String] = Nil,
-                         conflictProbe: Option[(ResolvedVersion, Seq[String]) => Seq[String]] = None): Unit = {
+                         conflictProbe: Option[(ResolvedVersion, Seq[String]) => Seq[String]] = None,
+                         blindAppend: Boolean = false): Unit = {
     val (fs, t) = fsFor(spark, table)
     val dirName = // unconditional uniqueness: the nonce is per-attempt
       s"v${vname(prior.version + 1L)}-${java.util.UUID.randomUUID().toString.replace("-", "")}"
@@ -1978,7 +1988,7 @@ object WarehouseFs {
       // winner masked rows it read (checkMask); its carried set
       // re-points at the winner's file list
       base = arbitrateRebase(spark, table, "publishCoW", base, readSet,
-        checkMask = true, conflictProbe)
+        checkMask = true, conflictProbe, blindAppend = blindAppend)
       carriedNow = versionFiles(fs, t, base).filterNot(touchedSet)
     }
   }
@@ -2213,7 +2223,7 @@ object WarehouseFs {
         else
           publishCoW(spark, table, r, aligned, touched = Nil, carried = all,
             keepVersions, refreshStats, coalesceTo = Some(0),
-            partColsHint = partitionByHint)
+            partColsHint = partitionByHint, blindAppend = true)
     }
   }
 
@@ -2571,10 +2581,13 @@ object WarehouseFs {
     * (an already-deleted row can never re-enter the vector), and a
     * match-free candidate set provably commits nothing. Reads, change
     * feeds, and time travel are value-exact against the CoW verb; the
-    * trade is read-side: masked files pay a (file, pos) anti-join per
-    * scan until `OPTIMIZE` folds the vectors into a clean rewrite.
-    * The candidate files scan twice (match probe + vector write) —
-    * still O(candidates), never O(table). */
+    * read-side trade is small and bounded: the DSv2 scan drops masked
+    * positions IN-SCAN on the columnar path (GraftDvScan — file pruning
+    * and committed stats survive), API reads pay a (file, pos)
+    * anti-join on masked files only, and `OPTIMIZE` (or the
+    * compactMaskedRows budget) folds the vectors into a clean rewrite.
+    * The candidate files scan ONCE (the persisted match probe doubles
+    * as the vector write) — O(candidates), never O(table). */
   def deleteMatchingVectors(spark: SparkSession, table: String, cond: Column,
                             keepVersions: Int = 2,
                             pruning: (Map[String, Seq[Any]], Map[String, (Any, Any)]) =

@@ -123,6 +123,26 @@ class WarehouseConcurrencySpec extends SparkSpec {
     assert(WarehouseFs.deletionVectorRows(spark, t2) === 2L)
   }
 
+  test("concurrent blind appends always compose: both land, no refusal, nothing lost") {
+    val t = tmpTable(); publishFixture(t)
+    WarehouseFs.casTestHook = Some(() =>
+      WarehouseFs.appendRows(
+        Seq((90001L, "w1", 0L)).toDF("id", "user", "grp"), t, keepVersions = 8))
+    WarehouseFs.appendRows(
+      Seq((90002L, "w2", 0L)).toDF("id", "user", "grp"), t, keepVersions = 8)
+    assert(WarehouseFs.currentVersion(spark, t).get._1 === 3L,
+      "an append reads nothing — the loser must rebase over ANY winner")
+    val s = state(t)
+    assert(s(90001L) === "w1" && s(90002L) === "w2" && s.size === 8002)
+    // and an append rebases over a racing DML too (delete elsewhere)
+    WarehouseFs.casTestHook = Some(() =>
+      WarehouseFs.deleteWhere(spark, t, "id", Seq(100L), keepVersions = 8))
+    WarehouseFs.appendRows(
+      Seq((90003L, "w3", 0L)).toDF("id", "user", "grp"), t, keepVersions = 8)
+    val s2 = state(t)
+    assert(!s2.contains(100L) && s2(90003L) === "w3" && s2.size === 8002)
+  }
+
   test("a racing full publish refuses the DML: every file it read was replaced") {
     // (an ALTER ADD COLUMNS race is benign by design — it commits no
     // manifest, and additive evolution NULL-fills old-width files — so
@@ -196,7 +216,17 @@ class WarehouseConcurrencySpec extends SparkSpec {
         else apply(apply(m0, winner), loser)
       val got = state(t)
       import Prop.propBoolean
-      val serialBoth = winner.fileIdx != loser.fileIdx
+      // the fixture hash-partitions buckets (repartition(8, bucket)):
+      // two bucket values can collide into ONE physical file, where a
+      // refusal is the CORRECT outcome — disjointness is at the
+      // physical-file level, i.e. the hash-partition level
+      def partOf(b: Int): Int = {
+        val h = org.apache.spark.sql.catalyst.expressions.Murmur3Hash(
+          Seq(org.apache.spark.sql.catalyst.expressions.Literal(b)), 42)
+          .eval(null).asInstanceOf[Int]
+        ((h % 8) + 8) % 8
+      }
+      val serialBoth = partOf(winner.fileIdx) != partOf(loser.fileIdx)
       ((got == expected) :| s"state mismatch (refused=$refused)") &&
         ((!serialBoth || !refused) :|
           "file-disjoint ops must both commit (not refuse)")
