@@ -161,6 +161,37 @@ class WarehouseConcurrencySpec extends SparkSpec {
     assert(state(t).size === 50, "the full publish stands; the DML refused")
   }
 
+  test("a streaming graft-sink micro-batch racing ad-hoc DML rebases: both commit") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // the routine 100 TB collision: a continuous CoW upsert sink, a
+    // nightly ETL, and an operator's ad-hoc DML all writing one table —
+    // before optimistic rebase the sink batch threw and the stream died
+    val t = tmpTable(); publishFixture(t)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String, Long)]
+    val q = ms.toDF().toDF("id", "user", "grp")
+      .writeStream.format("graft")
+      .option("table", t).option("keyCol", "id")
+      .option("keepVersions", "8")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_sinkrace_").toString)
+      .start()
+    try {
+      WarehouseFs.casTestHook = Some(() =>
+        WarehouseFs.deleteWhere(spark, t, "id", Seq(100L), keepVersions = 8))
+      ms.addData((90001L, "stream", 0L))
+      q.processAllAvailable()
+      assert(WarehouseFs.casTestHook.isEmpty, "the race must have fired")
+      assert(WarehouseFs.currentVersion(spark, t).get._1 === 3L,
+        "ad-hoc DML commits v2, the rebased sink batch commits v3")
+      val s = state(t)
+      assert(!s.contains(100L) && s(90001L) === "stream" && s.size === 8000)
+    } finally {
+      q.stop()
+      WarehouseFs.casTestHook = None
+    }
+  }
+
   /** ScalaCheck interleaving property over the driver-side model: any
     * (winner, loser) pair of single-file delete/update ops either BOTH
     * commit with content ≡ serial winner-then-loser (file-disjoint), or
