@@ -1082,6 +1082,13 @@ class WarehouseDmlSpec extends SparkSpec {
     assert(v2.filter(col("p") === "a b" && col("id") < 30).count() === 0)
     assert(v2.filter(col("p") === "a b").count() ===
       got.filter(col("p") === "a b").count())
+    // projection to PARTITION columns only: the parquet data schema is
+    // then just the generated row-index column — the mask must still
+    // apply (per-partition counts equal the V1 masked read's)
+    assert(v2.groupBy("p").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      got.groupBy("p").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap)
     // a CoW rewrite of ANOTHER partition must not resurrect the masks
     // (retiring touched files' entries also compares the two spellings)
     WarehouseFs.updateMatching(spark, t, col("p") === "x#y" && col("id") === 2L,
