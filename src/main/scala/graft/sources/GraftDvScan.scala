@@ -71,13 +71,12 @@ case class GraftDvFilePartition(delegate: FilePartition, mask: Array[Long])
     delegate.preferredLocations()
 }
 
-class GraftDvBatch(inner: Batch, fullSchema: StructType, idxPos: Int,
-                   maskByFile: Map[String, Array[Long]]) extends Batch {
-
-  /** The URI-spelled root-relative path of a planned file — the DV key
-    * spelling — recovered by the same first-occurrence version-dir
-    * surgery the mask entries were written with. */
-  private def relOf(pf: PartitionedFile, dirs: Set[String]): Option[String] = {
+/** Shared path arithmetic for scan-side file matching: recover a
+  * planned [[PartitionedFile]]'s URI-spelled root-relative path by the
+  * same first-occurrence version-dir surgery the deletion-vector
+  * entries (and [[graft.sources.WarehouseFs.relUriSpelling]]) use. */
+private[graft] object GraftScanPaths {
+  def relOf(pf: PartitionedFile, dirs: Set[String]): Option[String] = {
     val p = pf.filePath.urlEncoded
     dirs.iterator.flatMap { d =>
       val m = s"/$d/"
@@ -85,6 +84,42 @@ class GraftDvBatch(inner: Batch, fullSchema: StructType, idxPos: Int,
       if (i < 0) None else Some(d + "/" + p.substring(i + m.length))
     }.nextOption()
   }
+}
+
+/** The runtime-filtered batch behind [[SupportsRuntimeV2Filtering]]:
+  * keeps only planned files in `survivors` (URI-spelled root-relative
+  * set from the index re-probe with the JOIN-side values). A file whose
+  * rel path cannot be recovered is KEPT — runtime pruning is strictly a
+  * file-skip optimization and must never lose rows. */
+private[graft] class GraftRuntimeFilteredBatch(inner: Batch,
+                                               survivors: Set[String],
+                                               allDirs: Set[String])
+    extends Batch {
+  private def keep(pf: PartitionedFile): Boolean =
+    GraftScanPaths.relOf(pf, allDirs).forall(survivors.contains)
+
+  private lazy val partitions: Array[InputPartition] =
+    inner.planInputPartitions().flatMap {
+      case g: GraftDvFilePartition =>
+        if (g.delegate.files.forall(keep)) Some(g) else None
+      case fp: FilePartition =>
+        val kept = fp.files.filter(keep)
+        if (kept.isEmpty) None
+        else if (kept.length == fp.files.length) Some(fp)
+        else Some(FilePartition(fp.index, kept))
+      case other => Some(other) // unknown shape: never prune blindly
+    }
+
+  override def planInputPartitions(): Array[InputPartition] = partitions
+  override def createReaderFactory(): PartitionReaderFactory =
+    inner.createReaderFactory()
+}
+
+class GraftDvBatch(inner: Batch, fullSchema: StructType, idxPos: Int,
+                   maskByFile: Map[String, Array[Long]]) extends Batch {
+
+  private def relOf(pf: PartitionedFile, dirs: Set[String]): Option[String] =
+    GraftScanPaths.relOf(pf, dirs)
 
   private lazy val partitions: Array[InputPartition] = {
     val raw = inner.planInputPartitions()

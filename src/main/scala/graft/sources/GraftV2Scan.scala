@@ -252,8 +252,28 @@ class GraftV2ScanBuilder(
             .exists(_.toBoolean))
         Some(StructType(scanPartCols.flatMap(c => tableSchema.find(_.name == c))))
       else None
-    if (committed.isEmpty && spjSchema.isEmpty) scan
-    else GraftMetaScan(scan, committed, tableSchema, spjSchema)
+    // runtime (DPP-style) file pruning: declare the columns the indexes
+    // can prune on — partition-layout columns plus bloom/zone-indexed
+    // ones — and re-run the SAME candidate resolution with the join's
+    // runtime values. Over-declaring never mis-prunes (an unprunable
+    // probe keeps every file); it only costs the broadcast reuse.
+    val partColsNow = scanPartCols
+    val filterable = () => {
+      val (bloomCols, zoneCols, _) =
+        graft.sources.WarehouseFs.versionMetadata(spark, table)
+      (partColsNow ++ bloomCols ++ zoneCols).distinct
+    }
+    val relFilesNow = scanRelFiles
+    val runtimePrune: Map[String, Seq[Any]] => Option[(Set[String], Set[String])] =
+      point => graft.sources.WarehouseFs
+        .prunedFiles(spark, table, point, Map.empty, version)
+        .map { case (files, _, _, _) =>
+          (files.map(f => graft.sources.WarehouseFs
+            .relUriSpelling(f.stripPrefix(s"$table/"))).toSet,
+            relFilesNow.map(_.takeWhile(_ != '/')).toSet)
+        }
+    GraftMetaScan(scan, committed, tableSchema, spjSchema,
+      filterable, runtimePrune)
   }
 }
 
@@ -337,9 +357,12 @@ case class GraftStatsAggScan(table: String, schemaArg: StructType,
 case class GraftMetaScan(delegate: Scan,
                          committed: Option[graft.sources.WarehouseFs.TableStats],
                          tableSchema: StructType,
-                         spjSchema: Option[StructType])
+                         spjSchema: Option[StructType],
+                         filterable: () => Seq[String] = () => Nil,
+                         runtimePrune: Map[String, Seq[Any]] => Option[(Set[String], Set[String])] = null)
     extends Scan with SupportsReportStatistics
-    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
   import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
   import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
@@ -353,12 +376,57 @@ case class GraftMetaScan(delegate: Scan,
   override def columnarSupportMode(): Scan.ColumnarSupportMode =
     delegate.columnarSupportMode()
 
+  // ---- runtime (DPP-style) FILE pruning ---------------------------------
+  //
+  // Dynamic partition pruning, generalized to graft's file indexes: when
+  // a broadcast join's build side resolves, Spark hands the join-key
+  // values here ([[SupportsRuntimeV2Filtering]]) and the probe-side scan
+  // re-prunes its FILE set through the same bloom/zone/partition probes
+  // the planner used — a fact-dim join at 100 TB opens only the fact
+  // files that might hold the dim's surviving keys, decided by metadata.
+  // Strictly a file-skip optimization (bloom has no false negatives and
+  // the join re-applies the condition), disabled under SPJ (the keyed
+  // grouping pins its partition count at planning).
+
+  /** (kept files, planned files) of the LAST runtime prune — test
+    * observability, mirrors the builder's [[GraftV2ScanBuilder.prunedCounts]]. */
+  @volatile var runtimeEvidence: Option[(Int, Int)] = None
+
+  @volatile private var survivors: Option[(Set[String], Set[String])] = None
+
+  // resolved LAZILY: the filterable-column set costs index-footer reads
+  // (versionMetadata), which only a join shape the PartitionPruning rule
+  // probes should ever pay — a plain scan build stays metadata-free
+  private lazy val filterableCols: Seq[String] = filterable()
+
+  override def filterAttributes(): Array[NamedReference] =
+    if (spjSchema.isDefined || runtimePrune == null) Array.empty
+    else filterableCols.map(Expressions.column).toArray
+
+  override def filter(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    val point = GraftMetaScan.pointValuesOf(predicates)
+    if (point.nonEmpty && runtimePrune != null)
+      survivors = runtimePrune(point)
+  }
+
   // one batch instance: outputPartitioning's partition count and
   // planInputPartitions' length must agree
   private lazy val keyedBatch: Option[GraftKeyedBatch] =
     spjSchema.map(ps => new GraftKeyedBatch(delegate.toBatch, ps))
 
-  override def toBatch: Batch = keyedBatch.getOrElse(delegate.toBatch)
+  override def toBatch: Batch = keyedBatch.getOrElse {
+    survivors match {
+      case Some((files, allDirs)) =>
+        val inner = delegate.toBatch
+        val filtered = new GraftRuntimeFilteredBatch(inner, files, allDirs)
+        runtimeEvidence =
+          Some((filtered.planInputPartitions().length,
+            inner.planInputPartitions().length))
+        filtered
+      case None => delegate.toBatch
+    }
+  }
 
   override def outputPartitioning(): Partitioning = keyedBatch match {
     case Some(kb) => new KeyGroupedPartitioning(
@@ -393,6 +461,40 @@ case class GraftMetaScan(delegate: Scan,
 }
 
 object GraftMetaScan {
+  /** Extract column → point values from runtime V2 predicates: `IN` and
+    * `=` shapes over a single column, literal values converted back to
+    * their EXTERNAL Scala forms (the domain the index probes
+    * canonicalize from). Anything else contributes nothing — runtime
+    * pruning silently degrades to a no-op, never to a wrong skip. */
+  private[graft] def pointValuesOf(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Map[String, Seq[Any]] = {
+    import org.apache.spark.sql.connector.expressions.{FieldReference, LiteralValue}
+    def externalOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[Any] = e match {
+      case l: LiteralValue[_] => Option(
+        CatalystTypeConverters.convertToScala(l.value, l.dataType))
+      case _ => None
+    }
+    predicates.toSeq.flatMap { p =>
+      val kids = p.children()
+      p.name() match {
+        case "IN" | "=" if kids.nonEmpty =>
+          kids.head match {
+            case f: FieldReference if f.fieldNames().length == 1 =>
+              val vs = kids.tail.flatMap(externalOf)
+              // every value must convert, or the probe would silently
+              // narrow the match set
+              if (vs.length == kids.length - 1 && vs.nonEmpty)
+                Some(f.fieldNames()(0) -> vs.toSeq)
+              else None
+            case _ => None
+          }
+        case _ => None
+      }
+    }.groupMapReduce(_._1)(_._2)((a, b) => (a ++ b).distinct)
+  }
+
   /** One committed column profile as DSv2 [[ColumnStatistics]]: NDV and
     * null count verbatim; min/max re-typed from their profiled string
     * forms through a UTC cast (CATALYST-internal values, as the

@@ -1208,7 +1208,7 @@ object WarehouseFs {
     * deleted rows. Hadoop's own Path→URI encoding is the reference
     * implementation, so encode with it rather than re-deriving the
     * escape table. */
-  private[graft] def relUriSpelling(rel: String): String =
+  def relUriSpelling(rel: String): String =
     new Path("/" + rel).toUri.getRawPath.stripPrefix("/")
 
   // ---- deletion-vector presence cache ------------------------------------

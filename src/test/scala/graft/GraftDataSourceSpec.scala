@@ -14,6 +14,15 @@ class GraftDataSourceSpec extends SparkSpec {
   private def tmpTable() =
     s"${java.nio.file.Files.createTempDirectory("graft_ds_")}/t"
 
+  /** Unwrap graft's scan decorators (stats/SPJ/runtime-filter wrapper,
+    * DV masking wrapper) down to the parquet FileScan. */
+  private def unwrapScan(s: org.apache.spark.sql.connector.read.Scan)
+      : org.apache.spark.sql.connector.read.Scan = s match {
+    case m: org.apache.spark.sql.graft.GraftMetaScan => unwrapScan(m.delegate)
+    case d: org.apache.spark.sql.graft.GraftDvScan => unwrapScan(d.delegate)
+    case other => other
+  }
+
   private def publish(t: String): Unit =
     WarehouseFs.publishVersioned(
       spark.range(8000)
@@ -141,7 +150,7 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(point.count() === 1)
     val pointScan = point.queryExecution.executedPlan
       .collectFirst { case b: BatchScanExec => b }.get
-    val scanned = pointScan.scan
+    val scanned = unwrapScan(pointScan.scan)
       .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScan]
       .fileIndex.inputFiles.length
     assert(scanned < 8, s"bloom/zone pruning must reach the V2 scan ($scanned of 8 files)")
@@ -216,8 +225,8 @@ class GraftDataSourceSpec extends SparkSpec {
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
     val q = ds.filter(col("day") === 1)
     assert(q.count() === 100)
-    val scan = q.queryExecution.executedPlan
-      .collectFirst { case b: BatchScanExec => b }.get.scan
+    val scan = unwrapScan(q.queryExecution.executedPlan
+      .collectFirst { case b: BatchScanExec => b }.get.scan)
       .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScan]
     assert(scan.fileIndex.partitionSchema.fieldNames.toSeq === Seq("day"))
   }
@@ -323,6 +332,45 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(!WarehouseFs.hasDeletionVectors(spark, t))
     assert(!read().queryExecution.executedPlan.toString.contains("graft-dv"))
     assert(read().count() === 7000)
+  }
+
+  test("runtime file pruning: a broadcast dim join re-prunes fact FILES via the bloom index") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val t = tmpTable(); publish(t) // 8 range files, bloom on id/user, zone on id
+    // the dim must be a real source with a surviving selective Filter
+    // node — a local relation folds the predicate away and the
+    // PartitionPruning rule then sees nothing selective to derive from
+    val dimPath = s"${java.nio.file.Files.createTempDirectory("graft_rt_dim_")}/d"
+    Seq((100L, "x"), (4242L, "y"), (7777L, "z")).toDF("id", "tag")
+      .write.parquet(dimPath)
+    spark.read.parquet(dimPath).createOrReplaceTempView("rt_dim")
+    spark.read.format("graft").option("table", t).load()
+      .createOrReplaceTempView("rt_fact")
+    val q = spark.sql(
+      """SELECT f.id, f.user, d.tag
+        |FROM rt_fact f JOIN rt_dim d ON f.id = d.id
+        |WHERE d.tag = 'x'""".stripMargin)
+    val rows = q.collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((100L, "u100")))
+    // AQE wraps the join: query stages are LEAF nodes, so descend into
+    // them (and the adaptive root) explicitly
+    def allScans(p: org.apache.spark.sql.execution.SparkPlan): Seq[BatchScanExec] = {
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      p.collect {
+        case b: BatchScanExec => Seq(b)
+        case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+        case qs: QueryStageExec => allScans(qs.plan)
+      }.flatten
+    }
+    val scanExec = allScans(q.queryExecution.executedPlan).head
+    assert(scanExec.runtimeFilters.nonEmpty,
+      s"DPP must inject a runtime filter into the graft scan:\n" +
+        q.queryExecution.executedPlan)
+    val meta = scanExec.scan.asInstanceOf[org.apache.spark.sql.graft.GraftMetaScan]
+    assert(meta.runtimeEvidence.exists { case (kept, total) =>
+      kept < total && kept >= 1 },
+      s"the runtime bloom probe must drop fact files, got ${meta.runtimeEvidence}")
   }
 
   test("in-scan DV masking composes with additive schema evolution (pre-ALTER files NULL-fill)") {
