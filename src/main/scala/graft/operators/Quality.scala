@@ -40,38 +40,47 @@ object Quality {
                        exact: Boolean = true): DataFrame =
     profileImpl(df, cols, exact, withCount = true)
 
-  /** Equi-height histograms for the NUMERIC columns of `cols` — the
-    * ANALYZE-grade selectivity input min/max alone cannot give on
-    * skewed data. Two aggregation passes over one scan each (the
-    * standard ANALYZE shape): approx percentiles fix the `bins`
-    * boundaries, then per-bin approx NDVs land in ONE wide conditional
-    * aggregation (bins × columns HLL sketches — bounded memory, no
-    * Expand). Returns col → bins as (lo, hi, ndv); all-null and
-    * non-numeric columns are absent. Restricted to numeric types: the
-    * CBO compares bin bounds in each type's own double domain, and
-    * date/timestamp scale mismatches would mis-estimate silently. */
+  /** Equi-height histograms for the NUMERIC, DATE, and TIMESTAMP
+    * columns of `cols` — the ANALYZE-grade selectivity input min/max
+    * alone cannot give on skewed data. Two aggregation passes over one
+    * scan each (the standard ANALYZE shape): approx percentiles fix
+    * the `bins` boundaries, then per-bin approx NDVs land in ONE wide
+    * conditional aggregation (bins × columns HLL sketches — bounded
+    * memory, no Expand). Returns col → bins as (lo, hi, ndv); all-null
+    * and other-typed columns are absent. Bin bounds live in each
+    * type's CBO double domain — numerics as themselves, dates as DAYS
+    * since epoch (`unix_date`), timestamps as MICROSECONDS since epoch
+    * (`unix_micros`): exactly the values Catalyst's FilterEstimation
+    * compares literals in, so a skewed `report_dt`/`trans_date` filter
+    * estimates bins-accurate instead of uniform. The scale conversion
+    * happens ONCE here; everything downstream is already double. */
   def equiHeightHistograms(df: DataFrame, cols: Seq[String], bins: Int)
       : Map[String, Seq[(Double, Double, Long)]] = {
-    import org.apache.spark.sql.types.NumericType
+    import org.apache.spark.sql.types.{DateType, NumericType, TimestampType}
     require(bins >= 2 && bins <= 1000, s"histogram bins out of range: $bins")
-    val numeric = cols.filter(c => df.schema(c).dataType match {
-      case _: NumericType => true
-      case _ => false
-    })
+    def numSql(c: String): Option[String] = df.schema(c).dataType match {
+      case _: NumericType => Some(s"cast(`$c` AS double)")
+      case DateType => Some(s"cast(unix_date(`$c`) AS double)")
+      case TimestampType => Some(s"cast(unix_micros(`$c`) AS double)")
+      case _ => None
+    }
+    val numeric = cols.flatMap(c => numSql(c).map(c -> _))
     if (numeric.isEmpty) return Map.empty
     val pcts = (0 to bins).map(i => i.toDouble / bins)
-    val pctAggs = numeric.map(c =>
-      expr(s"approx_percentile(cast(`$c` AS double), " +
-        s"array(${pcts.mkString(",")}), 10000)").as(s"${c}__p"))
+    val pctAggs = numeric.map { case (c, v) =>
+      expr(s"approx_percentile($v, " +
+        s"array(${pcts.mkString(",")}), 10000)").as(s"${c}__p")
+    }
     val prow = df.agg(pctAggs.head, pctAggs.tail: _*).head()
-    val boundaries: Seq[(String, Seq[Double])] = numeric.flatMap { c =>
-      val i = prow.fieldIndex(s"${c}__p")
-      if (prow.isNullAt(i)) None // all-null column
-      else Some(c -> prow.getSeq[Double](i))
+    val boundaries: Seq[(String, String, Seq[Double])] = numeric.flatMap {
+      case (c, vSql) =>
+        val i = prow.fieldIndex(s"${c}__p")
+        if (prow.isNullAt(i)) None // all-null column
+        else Some((c, vSql, prow.getSeq[Double](i)))
     }
     if (boundaries.isEmpty) return Map.empty
-    val ndvAggs = boundaries.flatMap { case (c, bs) =>
-      val v = col(c).cast("double")
+    val ndvAggs = boundaries.flatMap { case (c, vSql, bs) =>
+      val v = expr(vSql)
       (0 until bins).map { i =>
         // Spark's bin convention: (lo, hi] with the first bin closed
         val inBin =
@@ -81,7 +90,7 @@ object Quality {
       }
     }
     val nrow = df.agg(ndvAggs.head, ndvAggs.tail: _*).head()
-    boundaries.map { case (c, bs) =>
+    boundaries.map { case (c, _, bs) =>
       c -> (0 until bins).map(i =>
         (bs(i), bs(i + 1), nrow.getLong(nrow.fieldIndex(s"${c}__b$i"))))
     }.toMap

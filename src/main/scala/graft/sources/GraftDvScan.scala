@@ -25,18 +25,24 @@ import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
   *     `ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME` long column —
   *     the same mechanism `_metadata.row_index` rides on (the builder
   *     appends it to the delegate's data schema);
-  *   - masked files are re-planned as single-file input partitions, each
-  *     carrying its OWN sorted position array ([[GraftDvFilePartition]]),
-  *     so a task never ships another file's mask and the row-index →
-  *     position membership test is one binary search per row.
+  *   - the delegate's partition GROUPING is preserved exactly: a
+  *     partition containing any masked split becomes a
+  *     [[GraftDvMaskedPartition]] carrying per-split position arrays
+  *     aligned with its files (a file's row indexes are file-global, so
+  *     every split of a masked file shares its array by reference), and
+  *     the reader factory chains one wrapped reader per split — the
+  *     same per-split reader opens the delegate itself performs. A
+  *     large masked file keeps its split parallelism; a task never
+  *     ships another partition's mask; the row-index → position
+  *     membership test is one binary search per row.
   *
-  * Partitions of unmasked files keep the delegate's grouping and pay
-  * only a zero-copy column strip; masked files' batches are filtered by
-  * a selective copy into fresh on-heap vectors (atomic types — a table
-  * with nested columns falls back to row-based reads for the MoR
-  * window, still masked, still file-pruned). Values are exactly the V1
-  * masked read's: the mask entries and the row indexes both derive from
-  * parquet row positions of immutable files. */
+  * Partitions with no masked split pay only a zero-copy column strip;
+  * batches that lose rows take a selective copy into fresh on-heap
+  * vectors (atomic types — a table with nested columns falls back to
+  * row-based reads for the MoR window, still masked, still
+  * file-pruned). Values are exactly the V1 masked read's: the mask
+  * entries and the row indexes both derive from parquet row positions
+  * of immutable files. */
 case class GraftDvScan(delegate: Scan, fullSchema: StructType, idxPos: Int,
                        maskByFile: Map[String, Array[Long]]) extends Scan {
 
@@ -62,10 +68,13 @@ case class GraftDvScan(delegate: Scan, fullSchema: StructType, idxPos: Int,
     new GraftDvBatch(delegate.toBatch, fullSchema, idxPos, maskByFile)
 }
 
-/** One masked FILE as one input partition, carrying its own sorted
-  * masked-position array — the mask ships with the task, not broadcast
-  * to every executor. */
-case class GraftDvFilePartition(delegate: FilePartition, mask: Array[Long])
+/** One delegate [[FilePartition]] whose files include at least one
+  * masked split: `masks(i)` is the sorted masked-position array of
+  * `delegate.files(i)`'s file (null for a clean split). The mask ships
+  * with the task — never broadcast — and the delegate's grouping (and
+  * with it split parallelism over large masked files) is untouched. */
+case class GraftDvMaskedPartition(delegate: FilePartition,
+                                  masks: Array[Array[Long]])
     extends InputPartition {
   override def preferredLocations(): Array[String] =
     delegate.preferredLocations()
@@ -93,15 +102,25 @@ private[graft] object GraftScanPaths {
   * file-skip optimization and must never lose rows. */
 private[graft] class GraftRuntimeFilteredBatch(inner: Batch,
                                                survivors: Set[String],
-                                               allDirs: Set[String])
+                                               allDirs: Set[String],
+                                               onPlanned: (Int, Int) => Unit = null)
     extends Batch {
   private def keep(pf: PartitionedFile): Boolean =
     GraftScanPaths.relOf(pf, allDirs).forall(survivors.contains)
 
-  private lazy val partitions: Array[InputPartition] =
-    inner.planInputPartitions().flatMap {
-      case g: GraftDvFilePartition =>
-        if (g.delegate.files.forall(keep)) Some(g) else None
+  private lazy val partitions: Array[InputPartition] = {
+    val raw = inner.planInputPartitions()
+    rawCount = raw.length
+    raw.flatMap {
+      case g: GraftDvMaskedPartition =>
+        val keptIdx =
+          g.delegate.files.indices.filter(i => keep(g.delegate.files(i)))
+        if (keptIdx.isEmpty) None
+        else if (keptIdx.length == g.delegate.files.length) Some(g)
+        else Some(GraftDvMaskedPartition(
+          FilePartition(g.delegate.index,
+            keptIdx.map(g.delegate.files).toArray),
+          keptIdx.map(g.masks).toArray))
       case fp: FilePartition =>
         val kept = fp.files.filter(keep)
         if (kept.isEmpty) None
@@ -109,8 +128,18 @@ private[graft] class GraftRuntimeFilteredBatch(inner: Batch,
         else Some(FilePartition(fp.index, kept))
       case other => Some(other) // unknown shape: never prune blindly
     }
+  }
 
-  override def planInputPartitions(): Array[InputPartition] = partitions
+  /** (kept, planned) partition counts — reported to `onPlanned` the
+    * first time Spark plans this batch, so the evidence derives from
+    * the ONE planning pass instead of a second driver-side re-plan. */
+  private lazy val evidence: Unit =
+    if (onPlanned != null) onPlanned(partitions.length, rawCount)
+  @volatile private var rawCount: Int = 0
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    partitions; evidence; partitions
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     inner.createReaderFactory()
 }
@@ -126,24 +155,16 @@ class GraftDvBatch(inner: Batch, fullSchema: StructType, idxPos: Int,
     if (maskByFile.isEmpty) raw
     else {
       val dirs = maskByFile.keysIterator.map(_.takeWhile(_ != '/')).toSet
-      val out = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
-      raw.foreach {
+      raw.map {
         case fp: FilePartition =>
-          val (masked, clean) = fp.files.partition(f =>
-            relOf(f, dirs).exists(maskByFile.contains))
-          if (masked.isEmpty) out += fp
-          else {
-            if (clean.nonEmpty) out += FilePartition(fp.index, clean)
-            masked.foreach { f =>
-              out += GraftDvFilePartition(FilePartition(fp.index, Array(f)),
-                maskByFile(relOf(f, dirs).get))
-            }
-          }
+          val masks = fp.files.map(f =>
+            relOf(f, dirs).flatMap(maskByFile.get).orNull)
+          if (masks.forall(_ == null)) fp: InputPartition
+          else GraftDvMaskedPartition(fp, masks): InputPartition
         case other => throw new IllegalStateException(
           "graft DV scan: expected FilePartitions under a masked version, " +
             s"got ${other.getClass.getName}")
       }
-      out.toArray
     }
   }
 
@@ -158,25 +179,83 @@ class GraftDvReaderFactory(inner: PartitionReaderFactory,
     extends PartitionReaderFactory {
 
   private def unwrap(p: InputPartition): InputPartition = p match {
-    case g: GraftDvFilePartition => g.delegate
+    case g: GraftDvMaskedPartition => g.delegate
     case other => other
   }
-  private def maskOf(p: InputPartition): Array[Long] = p match {
-    case g: GraftDvFilePartition => g.mask
-    case _ => null
-  }
+
+  private def singleSplit(g: GraftDvMaskedPartition, i: Int): FilePartition =
+    FilePartition(g.delegate.index, Array(g.delegate.files(i)))
 
   override def supportColumnarReads(p: InputPartition): Boolean =
     inner.supportColumnarReads(unwrap(p))
 
+  // a masked partition chains one wrapped reader per split, each with
+  // its OWN file's mask — the same per-split reader opens the
+  // delegate's FilePartitionReader performs internally, so file row
+  // indexes never collide across files sharing one partition. Clean
+  // partitions take a single wrapper that only strips the row-index
+  // column (mask = null).
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new GraftDvRowReader(inner.createReader(unwrap(p)), maskOf(p),
-      fullSchema, idxPos)
+    p match {
+      case g: GraftDvMaskedPartition =>
+        new GraftDvChainedReader[InternalRow](g.delegate.files.length, i =>
+          new GraftDvRowReader(inner.createReader(singleSplit(g, i)),
+            g.masks(i), fullSchema, idxPos))
+      case other =>
+        new GraftDvRowReader(inner.createReader(other), null,
+          fullSchema, idxPos)
+    }
 
   override def createColumnarReader(p: InputPartition)
       : PartitionReader[ColumnarBatch] =
-    new GraftDvColumnarReader(inner.createColumnarReader(unwrap(p)),
-      maskOf(p), fullSchema, idxPos)
+    p match {
+      case g: GraftDvMaskedPartition =>
+        new GraftDvChainedReader[ColumnarBatch](g.delegate.files.length, i =>
+          new GraftDvColumnarReader(
+            inner.createColumnarReader(singleSplit(g, i)),
+            g.masks(i), fullSchema, idxPos))
+      case other =>
+        new GraftDvColumnarReader(inner.createColumnarReader(other), null,
+          fullSchema, idxPos)
+    }
+}
+
+/** Sequential chain of per-split readers over one masked partition.
+  * Metrics accumulate across finished splits so the scan's custom
+  * metrics match a single-reader partition's. */
+private[graft] class GraftDvChainedReader[T](n: Int,
+    mk: Int => PartitionReader[T]) extends PartitionReader[T] {
+
+  private var i = 0
+  private var cur: PartitionReader[T] = if (n > 0) mk(0) else null
+  private val finished =
+    scala.collection.mutable.ArrayBuffer.empty[Array[CustomTaskMetric]]
+
+  override def next(): Boolean = {
+    while (cur != null) {
+      if (cur.next()) return true
+      finished += cur.currentMetricsValues()
+      cur.close()
+      i += 1
+      cur = if (i < n) mk(i) else null
+    }
+    false
+  }
+  override def get(): T = cur.get()
+  override def close(): Unit =
+    if (cur != null) { cur.close(); cur = null }
+  override def currentMetricsValues(): Array[CustomTaskMetric] = {
+    val live =
+      if (cur != null) cur.currentMetricsValues() else Array.empty[CustomTaskMetric]
+    if (finished.isEmpty) live
+    else (finished.flatten ++ live).groupBy(_.name()).map { case (nm, ms) =>
+      val total = ms.map(_.value()).sum
+      new CustomTaskMetric {
+        override def name(): String = nm
+        override def value(): Long = total
+      }: CustomTaskMetric
+    }.toArray
+  }
 }
 
 /** Row-path wrapper: drop masked rows (binary search per row on the

@@ -45,6 +45,18 @@ class GraftV2ScanBuilder(
   extends ScanBuilder with SupportsPushDownCatalystFilters
   with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
+  // ONE version resolution per scan, at builder construction: an
+  // unpinned read that re-resolved per probe (file list, DV presence,
+  // DV mask, stats) would let a DML committing between two probes apply
+  // a NEWER version's mask to an OLDER planned file list — worst case a
+  // concurrent CoW/OPTIMIZE retires a masked file's entries and the
+  // scan resurrects deleted rows. Every metadata probe below threads
+  // this concrete snapshot, so file list + mask + stats always come
+  // from the same committed version.
+  private val snapshotVersion: Option[Long] =
+    version.orElse(
+      graft.sources.WarehouseFs.currentVersion(spark, table).map(_._1))
+
   private var delegate: Option[ParquetScanBuilder] = None
   private var required: Option[StructType] = None
   private var pruneEvidence: (Int, Int) = (0, 0)
@@ -94,10 +106,10 @@ class GraftV2ScanBuilder(
       .distinct.toSeq
     val rowCount =
       if (!needs.flatten.contains(RowCount)) Some(0L)
-      else graft.sources.WarehouseFs.exactCommittedRowCount(spark, table, version)
+      else graft.sources.WarehouseFs.exactCommittedRowCount(spark, table, snapshotVersion)
     val minMax =
       if (mmCols.isEmpty) Some(Map.empty[String, (Any, Any)])
-      else graft.sources.WarehouseFs.exactCommittedMinMax(spark, table, mmCols, version)
+      else graft.sources.WarehouseFs.exactCommittedMinMax(spark, table, mmCols, snapshotVersion)
     if (rowCount.isEmpty || minMax.isEmpty) return None
     def dt(c: String) = tableSchema(c).dataType
     def internal(v: Any, c: String): Any =
@@ -144,7 +156,7 @@ class GraftV2ScanBuilder(
   // shape up front (the read schema gains the parquet row-index column
   // the per-task mask keys on) — one memoized metadata probe
   private lazy val dvActive: Boolean =
-    graft.sources.WarehouseFs.hasDeletionVectors(spark, table, version)
+    graft.sources.WarehouseFs.hasDeletionVectors(spark, table, snapshotVersion)
 
   // the parquet readers GENERATE this column (true file row indexes,
   // row-group skipping accounted) when the read schema carries Spark's
@@ -165,7 +177,7 @@ class GraftV2ScanBuilder(
       DataSourceStrategy.translateFilter(e, supportNestedPredicatePushdown = true))
     val (point, ranges) = probes(v1.toArray)
     val (files, partCols, kept, total) =
-      graft.sources.WarehouseFs.prunedFiles(spark, table, point, ranges, version)
+      graft.sources.WarehouseFs.prunedFiles(spark, table, point, ranges, snapshotVersion)
         .getOrElse(throw new IllegalStateException(
           s"graft source: $table vanished between schema and scan"))
     pruneEvidence = (kept, total)
@@ -219,7 +231,7 @@ class GraftV2ScanBuilder(
         val full = parquetScan.readSchema()
         val idxPos = full.fieldIndex(rowIdxField.name)
         val mask = graft.sources.WarehouseFs
-          .dvMaskForScan(spark, table, version, scanRelFiles)
+          .dvMaskForScan(spark, table, snapshotVersion, scanRelFiles)
           .getOrElse(Map.empty)
         GraftDvScan(parquetScan, full, idxPos, mask)
       }
@@ -228,7 +240,7 @@ class GraftV2ScanBuilder(
     // the surviving files is already exact via the delegate)
     val committed =
       if (pruneEvidence._1 == pruneEvidence._2)
-        graft.sources.WarehouseFs.readStats(spark, table, version)
+        graft.sources.WarehouseFs.readStats(spark, table, snapshotVersion)
       else None
     // storage-partitioned joins: a layout-partitioned table reports
     // KeyGroupedPartitioning so two co-partitioned graft tables joined
@@ -264,9 +276,9 @@ class GraftV2ScanBuilder(
       (partColsNow ++ bloomCols ++ zoneCols).distinct
     }
     val relFilesNow = scanRelFiles
-    val runtimePrune: Map[String, Seq[Any]] => Option[(Set[String], Set[String])] =
-      point => graft.sources.WarehouseFs
-        .prunedFiles(spark, table, point, Map.empty, version)
+    val runtimePrune: (Map[String, Seq[Any]], Map[String, (Any, Any)]) => Option[(Set[String], Set[String])] =
+      (point, ranges) => graft.sources.WarehouseFs
+        .prunedFiles(spark, table, point, ranges, snapshotVersion)
         .map { case (files, _, _, _) =>
           (files.map(f => graft.sources.WarehouseFs
             .relUriSpelling(f.stripPrefix(s"$table/"))).toSet,
@@ -359,7 +371,7 @@ case class GraftMetaScan(delegate: Scan,
                          tableSchema: StructType,
                          spjSchema: Option[StructType],
                          filterable: () => Seq[String] = () => Nil,
-                         runtimePrune: Map[String, Seq[Any]] => Option[(Set[String], Set[String])] = null)
+                         runtimePrune: (Map[String, Seq[Any]], Map[String, (Any, Any)]) => Option[(Set[String], Set[String])] = null)
     extends Scan with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
@@ -406,8 +418,17 @@ case class GraftMetaScan(delegate: Scan,
   override def filter(predicates: Array[
       org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
     val point = GraftMetaScan.pointValuesOf(predicates)
-    if (point.nonEmpty && runtimePrune != null)
-      survivors = runtimePrune(point)
+    // range-shaped pruning rides the SAME zone maps the planner probes:
+    // explicit comparison predicates contribute their bounds, and every
+    // point-value set ALSO contributes its [min, max] span — a
+    // zone-mapped (but bloom-unindexed) column then still skips files
+    // whose zones miss the build side's value range entirely
+    val ranges = GraftMetaScan.rangeBoundsOf(predicates) ++
+      point.flatMap { case (c, vs) =>
+        GraftMetaScan.spanOf(vs).map(c -> _)
+      }
+    if ((point.nonEmpty || ranges.nonEmpty) && runtimePrune != null)
+      survivors = runtimePrune(point, ranges)
   }
 
   // one batch instance: outputPartitioning's partition count and
@@ -415,18 +436,27 @@ case class GraftMetaScan(delegate: Scan,
   private lazy val keyedBatch: Option[GraftKeyedBatch] =
     spjSchema.map(ps => new GraftKeyedBatch(delegate.toBatch, ps))
 
-  override def toBatch: Batch = keyedBatch.getOrElse {
-    survivors match {
-      case Some((files, allDirs)) =>
-        val inner = delegate.toBatch
-        val filtered = new GraftRuntimeFilteredBatch(inner, files, allDirs)
-        runtimeEvidence =
-          Some((filtered.planInputPartitions().length,
-            inner.planInputPartitions().length))
-        filtered
-      case None => delegate.toBatch
+  // memoized PER runtime-filter state: a toBatch call before filter()
+  // must not freeze the unfiltered batch, and repeated calls after it
+  // must not rebuild. The filtered batch reports its (kept, planned)
+  // evidence from its OWN single planning pass — no second driver-side
+  // re-plan of the inner batch, and no side effects in toBatch itself.
+  @volatile private var builtFor: (Option[(Set[String], Set[String])], Batch) =
+    null
+
+  override def toBatch: Batch = keyedBatch.getOrElse(synchronized {
+    val s = survivors
+    if (builtFor == null || (builtFor._1 ne s)) {
+      val b = s match {
+        case Some((files, allDirs)) =>
+          new GraftRuntimeFilteredBatch(delegate.toBatch, files, allDirs,
+            onPlanned = (kept, total) => runtimeEvidence = Some((kept, total)))
+        case None => delegate.toBatch
+      }
+      builtFor = (s, b)
     }
-  }
+    builtFor._2
+  })
 
   override def outputPartitioning(): Partitioning = keyedBatch match {
     case Some(kb) => new KeyGroupedPartitioning(
@@ -494,6 +524,81 @@ object GraftMetaScan {
       }
     }.groupMapReduce(_._1)(_._2)((a, b) => (a ++ b).distinct)
   }
+
+  /** The [min, max] span of a point-value set, when its values carry a
+    * usable ordering (every external form the index probes see — numbers,
+    * strings, java.sql dates/timestamps — is Comparable). None otherwise:
+    * a span-less set simply skips the zone probe, never mis-prunes. */
+  private[graft] def spanOf(vs: Seq[Any]): Option[(Any, Any)] =
+    if (vs.isEmpty) None
+    else scala.util.Try {
+      val ord = new Ordering[Any] {
+        override def compare(a: Any, b: Any): Int =
+          a.asInstanceOf[Comparable[Any]].compareTo(b)
+      }
+      (vs.min(ord), vs.max(ord))
+    }.toOption
+
+  /** Column → closed [lo, hi] bounds from comparison-shaped runtime V2
+    * predicates (`>`, `>=`, `<`, `<=` over one column and a literal,
+    * either operand order). Only BOTH-bounded columns emit — the zone
+    * probe needs a closed span — and bounds tighten conservatively
+    * (max of lowers, min of uppers); strict comparisons widen to their
+    * inclusive superset, which can only keep extra files. Unparseable
+    * shapes contribute nothing. */
+  private[graft] def rangeBoundsOf(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Map[String, (Any, Any)] = {
+    import org.apache.spark.sql.connector.expressions.{FieldReference, LiteralValue}
+    val lows = scala.collection.mutable.Map.empty[String, Any]
+    val highs = scala.collection.mutable.Map.empty[String, Any]
+    def tighten(m: scala.collection.mutable.Map[String, Any], c: String,
+                v: Any, keepGreater: Boolean): Unit =
+      m.get(c) match {
+        case None => m(c) = v
+        case Some(prev) =>
+          scala.util.Try(
+            v.asInstanceOf[Comparable[Any]].compareTo(prev)).toOption match {
+            case Some(cmp) if (cmp > 0) == keepGreater => m(c) = v
+            case Some(_) => // prior bound already tighter
+            case None => m.remove(c) // incomparable: drop the column, safe
+          }
+      }
+    predicates.foreach { p =>
+      val kids = p.children()
+      if (kids.length == 2) {
+        val parsed = (kids(0), kids(1)) match {
+          case (f: FieldReference, l: LiteralValue[_])
+              if f.fieldNames().length == 1 =>
+            Some((f.fieldNames()(0), l, false))
+          case (l: LiteralValue[_], f: FieldReference)
+              if f.fieldNames().length == 1 =>
+            Some((f.fieldNames()(0), l, true))
+          case _ => None
+        }
+        val side = p.name() match {
+          case ">" | ">=" => Some(true) // col > lit ⇒ lit is a lower bound
+          case "<" | "<=" => Some(false)
+          case _ => None // not a comparison: contributes nothing
+        }
+        for {
+          (c, l, flipped) <- parsed
+          colOnGreaterSide <- side.map(_ != flipped)
+          v <- Option(CatalystTypeConverters.convertToScala(l.value, l.dataType))
+        } {
+          if (colOnGreaterSide) tighten(lows, c, v, keepGreater = true)
+          else tighten(highs, c, v, keepGreater = false)
+        }
+      }
+    }
+    emitBoth(lows, highs)
+  }
+
+  private def emitBoth(lows: scala.collection.mutable.Map[String, Any],
+                       highs: scala.collection.mutable.Map[String, Any])
+      : Map[String, (Any, Any)] =
+    lows.keySet.intersect(highs.keySet)
+      .map(c => c -> (lows(c), highs(c))).toMap
 
   /** One committed column profile as DSv2 [[ColumnStatistics]]: NDV and
     * null count verbatim; min/max re-typed from their profiled string

@@ -126,22 +126,131 @@ object WarehouseFs {
   //     v00000001/part-*.parquet     <- immutable version dirs
   //     v00000002/part-*.parquet
   //
-  // A writer streams the new state into a FRESH version dir, then commits
-  // by materializing one new small manifest file (written to a dot-tmp
-  // name and renamed — a single-object rename, atomic on HDFS/local and
-  // an atomic PUT on S3 with strong consistency; never an overwrite of an
-  // existing object). Readers list `_versions` (one RPC), take the
-  // highest committed name, and read the version dir it names. A crash
-  // before the manifest rename leaves only orphans readers never look at
-  // — the pointer can never reference incomplete data — and the next
-  // publish reuses/garbage-collects them. Two concurrent publishers race
-  // on the same manifest name; the loser's single-file rename fails
-  // loudly instead of silently clobbering (optimistic concurrency, the
-  // same discipline as a transaction-log commit).
+  // A writer streams the new state into a FRESH version dir, then
+  // commits by materializing one new small manifest file under its
+  // final `_versions/NNNNNNNN` name through [[commitManifest]] — the
+  // compare-and-set primitive below. Readers list `_versions` (one
+  // RPC), take the highest committed name, and read the version dir it
+  // names. A crash before the manifest commit leaves only orphans
+  // readers never look at — the pointer can never reference incomplete
+  // data — and the next publish reuses/garbage-collects them. Two
+  // concurrent publishers race on the same manifest name; the loser's
+  // commit reports the CAS loss instead of silently clobbering
+  // (optimistic concurrency, the same discipline as a transaction-log
+  // commit).
 
   private def versionsDir(table: Path) = new Path(table, "_versions")
   private def vname(n: Long) = f"$n%08d"
   private val ManifestName = "^\\d{8}$".r
+
+  // ---- the manifest-commit primitive (a true compare-and-set) ----------
+  //
+  // Every commit in this file funnels through [[commitManifest]]:
+  // atomically publish the COMPLETE manifest body under its final name
+  // iff nothing is committed there, answering honestly WHOSE body is the
+  // committed one. "Write a dot-tmp, check the destination is free,
+  // rename" is NOT that primitive everywhere: HDFS rejects a rename onto
+  // an existing destination server-side (a true CAS), but POSIX
+  // rename(2) — and with it Hadoop's RawLocal/Local file systems —
+  // silently REPLACES the destination and returns true, and S3A's
+  // "rename" is a client-side copy behind a non-atomic existence check.
+  // Two writers that both pass the optimistic exists-check before either
+  // publishes would BOTH report success while the second clobbered the
+  // first's manifest — a lost update, the one failure the optimistic-
+  // concurrency tier above this exists to prevent. The guard dispatches:
+  //
+  //   file://  — stage the body in a dot-tmp, then hard-LINK it to the
+  //              final name: link(2) fails with EEXIST atomically in the
+  //              kernel, and a successful link makes the destination
+  //              appear with its complete content (no torn-read window).
+  //              The tmp unlinks either way.
+  //   others   — dot-tmp (attempt-unique name) + rename — on HDFS a
+  //              server-side atomic no-replace, the canonical
+  //              transaction-log commit — then read the final manifest
+  //              BACK and require it byte-identical to what this writer
+  //              staged. On a store whose rename replaces, the read-back
+  //              converts a replaced writer's silent success into a
+  //              detected CAS loss (it narrows the window to the
+  //              rename→read-back gap rather than closing it); a store
+  //              with no atomic no-replace primitive at all should
+  //              install a [[ConditionalPutCommitGuard]], which closes
+  //              the window at the store itself.
+
+  private[graft] trait ManifestCommitGuard {
+    /** Atomically publish `body` at `dest` iff `dest` does not exist.
+      * True exactly when THIS writer's body is the committed one; false
+      * is a CAS loss. Must never replace an existing `dest` and never
+      * leave a torn or partial `dest` visible to a reader. */
+    def commit(fs: FileSystem, dest: Path, body: Array[Byte]): Boolean
+  }
+
+  private[graft] object HadoopCommitGuard extends ManifestCommitGuard {
+    override def commit(fs: FileSystem, dest: Path,
+                        body: Array[Byte]): Boolean = {
+      val nonce = java.util.UUID.randomUUID().toString.take(8)
+      if (fs.getScheme == "file") {
+        import java.nio.file.{FileAlreadyExistsException, Files, Paths}
+        val destNio = Paths.get(fs.makeQualified(dest).toUri)
+        val tmpNio = destNio.resolveSibling(s".tmp-${dest.getName}-$nonce")
+        Files.createDirectories(destNio.getParent)
+        Files.write(tmpNio, body)
+        try { Files.createLink(destNio, tmpNio); true }
+        catch { case _: FileAlreadyExistsException => false }
+        finally Files.deleteIfExists(tmpNio)
+      } else {
+        if (fs.exists(dest)) return false
+        val tmp = new Path(dest.getParent, s".tmp-${dest.getName}-$nonce")
+        val out = fs.create(tmp, true)
+        try out.write(body) finally out.close()
+        if (!fs.rename(tmp, dest)) { fs.delete(tmp, false); false }
+        else {
+          val in = fs.open(dest)
+          val got =
+            try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+            finally in.close()
+          java.util.Arrays.equals(got, body)
+        }
+      }
+    }
+  }
+
+  /** [[ManifestCommitGuard]] over an object store's conditional create
+    * (S3 `If-None-Match: *`, GCS `ifGenerationMatch=0`, an ABFS ETag
+    * precondition): `putIfAbsent(uri, body)` must atomically create the
+    * FULL object iff absent and answer whether THIS call created it —
+    * the store arbitrates, so there is no tmp object and no window at
+    * all. The production adapter wires the store SDK's conditional PUT;
+    * the contract spec drives a fake store through the same seam. */
+  private[graft] final class ConditionalPutCommitGuard(
+      putIfAbsent: (String, Array[Byte]) => Boolean)
+      extends ManifestCommitGuard {
+    override def commit(fs: FileSystem, dest: Path,
+                        body: Array[Byte]): Boolean =
+      putIfAbsent(fs.makeQualified(dest).toUri.toString, body)
+  }
+
+  /** The installed commit primitive — swap for an object-store
+    * deployment (or a spec's fake store). */
+  @volatile private[graft] var commitGuard: ManifestCommitGuard =
+    HadoopCommitGuard
+
+  /** [[casTestHook]]'s sibling seam: fires ONCE inside
+    * [[commitManifest]], AFTER every caller's optimistic exists-check
+    * and BEFORE the atomic publish — the sub-millisecond window where a
+    * naive exists+rename pair loses updates. A spec installs a
+    * competing committer here to prove the PRIMITIVE, not the check,
+    * arbitrates: two racers can never both report success. */
+  private[graft] var casWindowHook: Option[() => Unit] = None
+  private def fireCasWindowHook(): Unit = casWindowHook match {
+    case Some(h) => casWindowHook = None; h()
+    case None =>
+  }
+
+  private def commitManifest(fs: FileSystem, dest: Path,
+                             body: String): Boolean = {
+    fireCasWindowHook()
+    commitGuard.commit(fs, dest, body.getBytes("UTF-8"))
+  }
 
   // Two manifest formats share the `_versions/NNNNNNNN` pointer file:
   //   dir format   — content is one data-dir name ("v00000002"): the
@@ -306,6 +415,134 @@ object WarehouseFs {
   // bytes and refuse loudly.
 
   private def schemaFile(t: Path) = new Path(t, "_meta/schema.json")
+
+  // ---- ID-free column mapping (RENAME / DROP without rewrite) ----------
+  //
+  // A renamed or dropped column must not rewrite a byte of a 100 TB
+  // table. The declared-schema sidecar grows into a COLUMN MAPPING: each
+  // declared field may carry `graft.physical` metadata naming the
+  // spelling the committed files store (fixed at column creation, like
+  // Delta's name-mode mapping — every writer keeps writing the physical
+  // spelling, so one column has ONE spelling across every file forever).
+  // RENAME rewrites only the sidecar (logical name changes, physical
+  // stays); DROP removes the field from the declaration (files keep the
+  // bytes; reads stop selecting them). A mapping-ACTIVE declaration —
+  // marked by every field carrying `graft.physical` — makes reads
+  // produce EXACTLY the declared columns, each resolved from its
+  // physical spelling (NULL where a file predates the column). Type
+  // changes still refuse: they would reinterpret written bytes.
+  // Metadata probes (bloom/zone/partition indexes, built from raw
+  // files) key on PHYSICAL spellings; the probe entry points translate
+  // logical names once, and everything unmatched fails SAFE (no prune,
+  // no pushdown — never a wrong answer). The first full publish whose
+  // columns cover the declaration retires the sidecar: its files then
+  // store the logical spellings and the mapping dissolves.
+
+  private[graft] val PhysicalKey = "graft.physical"
+
+  /** The physical (as-written) spelling of a declared field. */
+  private def physicalOf(f: org.apache.spark.sql.types.StructField): String =
+    if (f.metadata.contains(PhysicalKey)) f.metadata.getString(PhysicalKey)
+    else f.name
+
+  private def mappingActive(d: org.apache.spark.sql.types.StructType): Boolean =
+    d.fields.exists(_.metadata.contains(PhysicalKey))
+
+  /** logical → physical column renames of `table`'s declaration
+    * (identity entries omitted); empty when no mapping is active. */
+  def columnMapping(spark: SparkSession, table: String): Map[String, String] =
+    declaredSchema(spark, table).map { d =>
+      d.fields.iterator.map(f => f.name -> physicalOf(f))
+        .filter { case (l, p) => l != p }.toMap
+    }.getOrElse(Map.empty)
+
+  /** The physical spelling of `name` — identity unless renamed. */
+  def physicalColumn(spark: SparkSession, table: String,
+                     name: String): String =
+    columnMapping(spark, table).getOrElse(name, name)
+
+  /** `ALTER TABLE … RENAME COLUMN` at O(one sidecar write): the logical
+    * name changes, the physical spelling is pinned to what the files
+    * already store, and every read/DML surface resolves through the
+    * mapping from now on. The new name must be free among BOTH current
+    * logical names and pinned physical spellings — a collision would
+    * let one file column feed two logical columns. */
+  def alterRenameColumn(spark: SparkSession, table: String,
+                        from: String, to: String): Unit = {
+    val decl = currentDeclaration(spark, table)
+    require(decl.fieldNames.contains(from),
+      s"alterRenameColumn: $table has no column '$from'")
+    val taken = decl.fieldNames.toSet ++ decl.fields.map(physicalOf)
+    require(from == to || !taken.contains(to),
+      s"alterRenameColumn: '$to' collides with an existing logical name " +
+        "or a pinned physical spelling")
+    writeMappedDeclaration(spark, table,
+      org.apache.spark.sql.types.StructType(decl.fields.map { f =>
+        if (f.name == from) withPhysical(f, physicalOf(f)).copy(name = to)
+        else f
+      }))
+  }
+
+  /** `ALTER TABLE … DROP COLUMN` at O(one sidecar write): the field
+    * leaves the declaration, files keep their bytes, reads stop
+    * selecting the physical column. Partition-layout columns refuse
+    * (the directory structure encodes them); so does dropping the last
+    * column. */
+  def alterDropColumn(spark: SparkSession, table: String,
+                      name: String): Unit = {
+    val decl = currentDeclaration(spark, table)
+    require(decl.fieldNames.contains(name),
+      s"alterDropColumn: $table has no column '$name'")
+    require(decl.fields.length > 1,
+      s"alterDropColumn: cannot drop the last column of $table")
+    val r = resolveVersion(spark, table, None).getOrElse(
+      throw new IllegalArgumentException(
+        s"alterDropColumn: $table is not a versioned table"))
+    val (fs, t) = fsFor(spark, table)
+    val partCols = partitionColsOf(versionFiles(fs, t, r)) ++
+      r.declaredPartCols
+    require(!partCols.contains(physicalColumn(spark, table, name)) &&
+        !partCols.contains(name),
+      s"alterDropColumn: '$name' is a partition-layout column — the " +
+        "directory structure encodes it; repartition via a full publish " +
+        "instead")
+    writeMappedDeclaration(spark, table,
+      org.apache.spark.sql.types.StructType(
+        decl.fields.filterNot(_.name == name)))
+  }
+
+  /** The table's current LOGICAL declaration: the sidecar when present,
+    * else the committed schema (which is then both logical and
+    * physical). */
+  private def currentDeclaration(spark: SparkSession, table: String)
+      : org.apache.spark.sql.types.StructType =
+    declaredSchema(spark, table).getOrElse {
+      val r = resolveVersion(spark, table, None).getOrElse(
+        throw new IllegalArgumentException(
+          s"$table is not a versioned table"))
+      versionSchema(spark, table, r)
+    }
+
+  private def withPhysical(f: org.apache.spark.sql.types.StructField,
+                           physical: String)
+      : org.apache.spark.sql.types.StructField =
+    f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+      .withMetadata(f.metadata).putString(PhysicalKey, physical).build())
+
+  /** Persist a mapped declaration: EVERY field gets its physical
+    * spelling pinned (identity included) — the uniform marker reads key
+    * mapping-active behavior on, so a pure DROP (no renames) still
+    * prunes the dropped physical column from every read. */
+  private def writeMappedDeclaration(spark: SparkSession, table: String,
+      decl: org.apache.spark.sql.types.StructType): Unit = {
+    val (fs, t) = fsFor(spark, table)
+    val pinned = org.apache.spark.sql.types.StructType(
+      decl.fields.map(f => withPhysical(f, physicalOf(f))))
+    val f = schemaFile(t)
+    fs.mkdirs(f.getParent)
+    val out = fs.create(f, true)
+    try out.write(pinned.json.getBytes("UTF-8")) finally out.close()
+  }
 
   /** The declared (post-ALTER) schema, when one exists. One small-file
     * read — the same cost class as the manifest read beside it. */
@@ -579,13 +816,10 @@ object WarehouseFs {
       s"publishVersioned: $table advanced past version ${next - 1} — " +
         "re-derive from the current version and retry")
     fs.mkdirs(vd)
-    val tmp = new Path(vd, s".tmp-${vname(next)}")
-    val out = fs.create(tmp, true)
     // the commit instant travels IN the manifest body — mtime survives
     // neither distcp nor backup-restore (see the format comment above)
-    try out.write(s"$dataName\nts:${System.currentTimeMillis()}"
-      .getBytes("UTF-8")) finally out.close()
-    require(fs.rename(tmp, new Path(vd, vname(next))),
+    require(commitManifest(fs, new Path(vd, vname(next)),
+        s"$dataName\nts:${System.currentTimeMillis()}"),
       s"publishVersioned: commit of version $next lost a concurrent race on $table")
     // a FULL publish materializes the complete schema in its own files —
     // a declared-schema sidecar ([[alterAddColumns]]) is now redundant
@@ -641,6 +875,16 @@ object WarehouseFs {
     storedProp(fs, t, "compactMaskedRows").flatMap(_.toLongOption)
   }
 
+  /** How long an unreferenced ATTEMPT-UNIQUE dir is presumed to belong
+    * to an in-flight (possibly rebasing) writer and spared by GC,
+    * measured from its last modification. Must exceed the longest
+    * plausible commit tail — the gap between a DML's data write and its
+    * manifest publish, which a `refreshStats` re-profile of a large
+    * table dominates. Crashed attempts' zombies live at most this long
+    * past the next commit; the trade is Delta's vacuum-retention trade,
+    * sized far smaller because only UNCOMMITTED attempt dirs wait. */
+  @volatile private[graft] var gcInFlightGraceMs: Long = 6L * 3600 * 1000
+
   private def gcVersions(fs: FileSystem, t: Path, keepVersions: Int,
                          retainDaysOverride: Option[Double] = None): Unit = {
     val vd = versionsDir(t)
@@ -668,6 +912,13 @@ object WarehouseFs {
       byCount(st.getPath.getName) || cutoff.exists(c =>
         parseOf(st).commitTsMillis.getOrElse(st.getModificationTime) >= c)
     }
+    // dirs an expiring manifest referenced are DEFINITIVELY dead unless
+    // a kept manifest still references them — parse before deleting, so
+    // the in-flight grace below never postpones collecting a dir whose
+    // committed provenance this very GC established (the grace exists
+    // for dirs of UNKNOWN provenance: a rebasing loser's attempt vs a
+    // crashed one's zombie are indistinguishable by name)
+    val expiredDead = expired.flatMap(st => referencedDirs(parseOf(st))).toSet
     expired.foreach(st => fs.delete(st.getPath, false))
     val parsed = kept0.map(parseOf)
     val referenced = parsed.flatMap(referencedDirs).toSet
@@ -675,27 +926,42 @@ object WarehouseFs {
     // mid-rebase, curMax itself): unreferenced dirs numbered >= curMax
     // are spared, or this GC — running inside the WINNER's commit —
     // would delete a concurrent loser's data out from under its rebase.
-    // A crashed attempt's zombie dir ages out at the next commit (its
-    // number drops below the new max).
+    // The number test alone is NOT enough under 3+ writers: a loser
+    // rebasing from version n holds a dir numbered n+1 while two other
+    // winners advance the table to n+2 — its still-in-flight dir drops
+    // below the new max mid-rebase. So unreferenced ATTEMPT-UNIQUE
+    // (nonce'd) dirs younger than [[gcInFlightGraceMs]] are spared by
+    // modification time as well; a crashed attempt's zombie ages out of
+    // the grace window and collects at a later commit. (Deterministic
+    // `vNNNNNNNN` dirs keep the pure number rule — full-rewrite
+    // publishers are serialized externally and their crash-reclaim
+    // semantics depend on same-name reuse.) The rebase commit ALSO
+    // re-verifies its own dirs exist right before publishing
+    // ([[publishCoW]]/[[publishDvOnly]]), so even a grace-window
+    // overrun refuses loudly instead of committing dangling refs.
     val curMax = manifests.lastOption.map(_.toLong).getOrElse(0L)
-    def inFlight(n: String): Boolean = {
+    val now = System.currentTimeMillis()
+    def inFlight(st: org.apache.hadoop.fs.FileStatus): Boolean = {
+      val n = st.getPath.getName
+      if (expiredDead.contains(n)) return false
       val digits = n.stripPrefix("v").takeWhile(_.isDigit)
-      digits.nonEmpty && digits.toLong >= curMax
+      (digits.nonEmpty && digits.toLong >= curMax) ||
+        (n.contains('-') && now - st.getModificationTime < gcInFlightGraceMs)
     }
-    fs.listStatus(t).map(_.getPath.getName)
-      .filter(n => DataDirName.matches(n) && !referenced.contains(n) &&
-        !inFlight(n))
-      .foreach(n => fs.delete(new Path(t, n), true))
+    fs.listStatus(t)
+      .filter(st => DataDirName.matches(st.getPath.getName) &&
+        !referenced.contains(st.getPath.getName) && !inFlight(st))
+      .foreach(st => fs.delete(st.getPath, true))
     // stats/index/zones survive only for dirs whose OWN manifest survives
     // (a carried dir's metadata rows were merged into the carrying
     // version's relation)
     val owned = parsed.map(_.dirName).toSet
     Seq(statsDir(t), indexDir(t), zonesDir(t)).foreach { sd =>
       if (fs.exists(sd))
-        fs.listStatus(sd).map(_.getPath.getName)
-          .filter(n => !n.startsWith(".") && !owned.contains(n) &&
-            !inFlight(n))
-          .foreach(n => fs.delete(new Path(sd, n), true))
+        fs.listStatus(sd)
+          .filter(st => !st.getPath.getName.startsWith(".") &&
+            !owned.contains(st.getPath.getName) && !inFlight(st))
+          .foreach(st => fs.delete(st.getPath, true))
     }
     // deletion-vector deltas are carried BY REFERENCE across commits
     // (`dv:` header), so a kept manifest keeps every referenced delta's
@@ -704,10 +970,17 @@ object WarehouseFs {
     val dvLive = owned ++ parsed.flatMap(_.dvFiles.flatMap(
       _.split('/').drop(1).headOption))
     if (fs.exists(dvDir(t)))
-      fs.listStatus(dvDir(t)).map(_.getPath.getName)
-        .filter(n => !n.startsWith(".") && !dvLive.contains(n) &&
-          !inFlight(n))
-        .foreach(n => fs.delete(new Path(dvDir(t), n), true))
+      fs.listStatus(dvDir(t))
+        .filter(st => !st.getPath.getName.startsWith(".") &&
+          !dvLive.contains(st.getPath.getName) && !inFlight(st))
+        .foreach(st => fs.delete(st.getPath, true))
+    // a crashed commit attempt's staged `.tmp-*` manifest (attempt-
+    // unique names since the CAS-primitive rework) ages out of the
+    // grace window and collects here — readers never match dot-names
+    fs.listStatus(vd)
+      .filter(st => st.getPath.getName.startsWith(".tmp-") &&
+        now - st.getModificationTime >= gcInFlightGraceMs)
+      .foreach(st => fs.delete(st.getPath, false))
     ()
   }
 
@@ -1317,25 +1590,38 @@ object WarehouseFs {
     * ([[relUriSpelling]]), values sorted ascending for binary search.
     * None when the version carries no vector; an empty map when it does
     * but no scanned file is masked (the wrapper then only strips the
-    * row-index column). Collected at scan planning and shipped per
-    * input partition — each task carries only its own file's positions,
-    * and the driver-side footprint is the same class as the broadcast
-    * anti-join this replaces (bounded by the OPTIMIZE cadence that
-    * folds masks away). */
+    * row-index column). The scanned-file membership is pushed INTO the
+    * sidecar read (an `InSet` probe evaluated where the delta files are
+    * scanned), so the driver materializes O(scanned files' masks) —
+    * never the table's whole live mask — and ships each task only its
+    * own files' positions; the residual driver footprint is bounded by
+    * the OPTIMIZE / `compactMaskedRows` cadence that folds masks away. */
   def dvMaskForScan(spark: SparkSession, table: String,
                     version: Option[Long],
                     relFiles: Seq[String])
       : Option[Map[String, Array[Long]]] =
     resolveVersion(spark, table, version).flatMap { r =>
       readDvRelation(spark, table, r).map { dv =>
-        val wanted = relFiles.iterator.map(relUriSpelling).toSet
-        dv.select("file", "pos").collect().iterator
+        import org.apache.spark.sql.functions.col
+        val wanted = relFiles.map(relUriSpelling)
+        val rows =
+          if (wanted.isEmpty) Array.empty[org.apache.spark.sql.Row]
+          else dv.select("file", "pos")
+            .where(col("file").isInCollection(wanted))
+            .collect()
+        dvMaskCollectedEntries.addAndGet(rows.length)
+        rows.iterator
           .map(e => (e.getString(0), e.getLong(1)))
-          .filter(e => wanted.contains(e._1))
           .toArray.groupBy(_._1)
           .map { case (f, ps) => f -> ps.map(_._2).sorted }
       }
     }
+
+  /** Mask entries [[dvMaskForScan]] has collected driver-side since
+    * process start — spec observability that scan planning materializes
+    * only the SCANNED files' entries, not the table's whole mask. */
+  private[graft] val dvMaskCollectedEntries =
+    new java.util.concurrent.atomic.AtomicLong
 
   /** Number of deletion-vector delta FILES the current version carries
     * by reference — the chain-length signal beside [[deletionVectorRows]]
@@ -1884,6 +2170,14 @@ object WarehouseFs {
     // once), recomputed so index/zone/mask/stats carries come from the
     // version actually being extended.
     def commitAgainst(base: ResolvedVersion, carriedNow: Seq[String]): Boolean = {
+      // self-verification up front AND right before the publish: a
+      // concurrent commit's GC racing this writer (despite the
+      // in-flight grace) may have collected the attempt dir — refuse
+      // loudly rather than fail confusingly mid-carry or, worse,
+      // commit a manifest referencing deleted files
+      require(fs.exists(new Path(t, dirName)),
+        s"publishCoW: this attempt's data dir $dirName was garbage-" +
+          s"collected by a concurrent commit on $table — re-run the DML")
       // bloom index + zone map: carry untouched files' rows, re-derive
       // only the new dir
       carryFileMetadata(spark, fs, indexDir(t), base, dirName, carriedNow,
@@ -1954,23 +2248,34 @@ object WarehouseFs {
           ()
         }
       }
-      // commit: file-list manifest under the usual tmp → rename
-      // discipline; occupancy or a lost rename = CAS loss, not an error
+      // commit: file-list manifest through [[commitManifest]];
+      // occupancy or a lost CAS = loss to arbitrate, not an error
       val next = base.version + 1L
       val vd = versionsDir(t)
       fs.mkdirs(vd)
-      val tmp = new Path(vd, s".tmp-${vname(next)}")
-      val out = fs.create(tmp, true)
       val partColsHeader =
         if (partCols.nonEmpty) Seq(s"partcols:${partCols.mkString(",")}") else Nil
       val body =
         (s"files:$dirName" +: s"ts:${System.currentTimeMillis()}" +:
           (partColsHeader ++ dvRefs.map("dv:" + _) ++ newFiles ++ carriedNow))
           .mkString("\n")
-      try out.write(body.getBytes("UTF-8")) finally out.close()
-      if (fs.exists(new Path(vd, vname(next)))) { fs.delete(tmp, false); false }
-      else if (!fs.rename(tmp, new Path(vd, vname(next)))) false
-      else { gcVersions(fs, t, keepVersions); true }
+      if (fs.exists(new Path(vd, vname(next)))) false
+      else {
+        // last-moment self-verification: a rebasing loser's attempt dir
+        // is numbered below the table's new max, and a THIRD writer's
+        // GC (racing between this attempt's arbitration and its commit)
+        // could have collected it despite the in-flight grace — a
+        // commit would then reference deleted files. One exists probe
+        // per dir right before the publish keeps the manifest honest.
+        require(fs.exists(new Path(t, dirName)),
+          s"publishCoW: this attempt's data dir $dirName was garbage-" +
+            s"collected by a concurrent commit on $table — re-run the DML")
+        require(dvOwnRefs.isEmpty || fs.exists(new Path(dvDir(t), dirName)),
+          s"publishCoW: this attempt's deletion-vector delta $dirName was " +
+            s"garbage-collected by a concurrent commit on $table — re-run the DML")
+        if (!commitManifest(fs, new Path(vd, vname(next)), body)) false
+        else { gcVersions(fs, t, keepVersions); true }
+      }
     }
     val readSet = if (readFiles.nonEmpty) readFiles else touched
     val touchedSet = touched.toSet
@@ -1989,6 +2294,14 @@ object WarehouseFs {
       // re-points at the winner's file list
       base = arbitrateRebase(spark, table, "publishCoW", base, readSet,
         checkMask = true, conflictProbe, blindAppend = blindAppend)
+      // a rebase reuses the already-written attempt dir — verify a
+      // concurrent commit's GC didn't collect it while this writer was
+      // between attempts (the grace window makes this rare; the check
+      // makes it loud instead of a dangling-ref commit or a confusing
+      // read failure mid-carry)
+      require(fs.exists(new Path(t, dirName)),
+        s"publishCoW: this attempt's data dir $dirName was garbage-" +
+          s"collected by a concurrent commit on $table — re-run the DML")
       carriedNow = versionFiles(fs, t, base).filterNot(touchedSet)
     }
   }
@@ -2545,15 +2858,21 @@ object WarehouseFs {
       val next = base.version + 1L
       val vd = versionsDir(t)
       fs.mkdirs(vd)
-      val tmp = new Path(vd, s".tmp-${vname(next)}")
-      val out = fs.create(tmp, true)
       val body =
         (s"files:$dirName" +: s"ts:${System.currentTimeMillis()}" +:
           (partColsHeader ++ dvRefs.map("dv:" + _) ++ all)).mkString("\n")
-      try out.write(body.getBytes("UTF-8")) finally out.close()
-      if (fs.exists(new Path(vd, vname(next)))) { fs.delete(tmp, false); false }
-      else if (!fs.rename(tmp, new Path(vd, vname(next)))) false
-      else { gcVersions(fs, t, keepVersions); true }
+      if (fs.exists(new Path(vd, vname(next)))) false
+      else {
+        // same last-moment self-verification as [[publishCoW]]: the
+        // delta dir must still exist or the manifest would carry
+        // dangling `dv:` refs after a third writer's GC race
+        require(fs.exists(deltaDir),
+          s"publishDvOnly: this attempt's deletion-vector delta $dirName " +
+            s"was garbage-collected by a concurrent commit on $table — " +
+            "re-run the DML")
+        if (!commitManifest(fs, new Path(vd, vname(next)), body)) false
+        else { gcVersions(fs, t, keepVersions); true }
+      }
     }
     fireCasTestHook()
     var base = prior
@@ -2569,6 +2888,11 @@ object WarehouseFs {
       // row positions) and possibly-matching added files refuse
       base = arbitrateRebase(spark, table, "publishDvOnly", base, readFiles,
         checkMask = false, conflictProbe)
+      // same between-attempts GC self-verification as [[publishCoW]]
+      require(fs.exists(deltaDir),
+        s"publishDvOnly: this attempt's deletion-vector delta $dirName " +
+          s"was garbage-collected by a concurrent commit on $table — " +
+          "re-run the DML")
     }
   }
 
@@ -3726,10 +4050,7 @@ object WarehouseFs {
                             touched: Iterable[String]): Unit = {
     val cd = commitsDir(w)
     fs.mkdirs(cd)
-    val tmp = new Path(cd, s".tmp-${vname(next)}")
-    val out = fs.create(tmp, true)
-    try out.write(body.getBytes("UTF-8")) finally out.close()
-    require(fs.rename(tmp, new Path(cd, vname(next))),
+    require(commitManifest(fs, new Path(cd, vname(next)), body),
       s"publishAtomic: commit $next lost a concurrent race on $warehouse")
     val commits = fs.listStatus(cd).map(_.getPath.getName)
       .filter(n => ManifestName.matches(n)).sorted

@@ -1,0 +1,254 @@
+package graft
+
+import java.util.concurrent.{ConcurrentHashMap, CountDownLatch, Executors, TimeUnit}
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.functions._
+
+import graft.sources.WarehouseFs
+
+/** The manifest-commit CAS primitive itself — the layer BELOW the
+  * optimistic-concurrency arbitration. `casTestHook` fires a competitor
+  * before the loser's first exists-check, so those specs never enter
+  * the exists-check → publish window; `casWindowHook` fires INSIDE it,
+  * proving the primitive (hard link on file://, conditional PUT on a
+  * guard-equipped object store) arbitrates where a naive exists+rename
+  * pair would let both racers report success and the second silently
+  * replace the winner's manifest (POSIX rename semantics). */
+class CommitPrimitiveSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpTable() =
+    s"${java.nio.file.Files.createTempDirectory("graft_cas_")}/t"
+
+  private def localFs: FileSystem =
+    new Path("/tmp").getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def publishFixture(t: String): Unit =
+    WarehouseFs.publishVersioned(
+      spark.range(8000)
+        .select(col("id"), concat(lit("u"), col("id")).as("user"),
+          (col("id") % 7).as("grp")),
+      t, keepVersions = 8, bloomIndexCols = Seq("id"))
+
+  private def state(t: String): Map[Long, String] =
+    WarehouseFs.readTable(spark, t).get.select("id", "user")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  // ---- the raw guard ----------------------------------------------------
+
+  test("HadoopCommitGuard: a second commit of the same name is a CAS loss, " +
+      "never a replace (the empirical local-rename hazard, closed)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_guard_").toString
+    val fs = localFs
+    val dest = new Path(s"$dir/00000007")
+    assert(WarehouseFs.HadoopCommitGuard.commit(fs, dest,
+      "winner".getBytes("UTF-8")))
+    // under exists+rename this returned true and REPLACED the winner
+    assert(!WarehouseFs.HadoopCommitGuard.commit(fs, dest,
+      "usurper".getBytes("UTF-8")))
+    val in = fs.open(dest)
+    val got = try new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+      finally in.close()
+    assert(got === "winner", "the committed body must be the winner's")
+    // no staging debris survives either attempt
+    assert(!fs.listStatus(new Path(dir))
+      .exists(_.getPath.getName.startsWith(".tmp-")))
+  }
+
+  test("HadoopCommitGuard: N simultaneous racers — exactly one success, " +
+      "committed body is the winner's") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_guard_").toString
+    val fs = localFs
+    val dest = new Path(s"$dir/00000001")
+    val n = 16
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(n)
+    val wins = new AtomicInteger(0)
+    val winnerBody = new java.util.concurrent.atomic.AtomicReference[String]()
+    try {
+      val futures = (0 until n).map { i =>
+        pool.submit(new Runnable {
+          override def run(): Unit = {
+            start.await()
+            val body = s"body-$i"
+            if (WarehouseFs.HadoopCommitGuard.commit(fs, dest,
+                body.getBytes("UTF-8"))) {
+              wins.incrementAndGet(); winnerBody.set(body)
+            }
+          }
+        })
+      }
+      start.countDown()
+      futures.foreach(_.get(60, TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    assert(wins.get() === 1, "exactly one racer may ever report success")
+    val in = fs.open(dest)
+    val got = try new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+      finally in.close()
+    assert(got === winnerBody.get())
+  }
+
+  test("ConditionalPutCommitGuard contract: the store arbitrates, " +
+      "exactly one racer creates the object") {
+    val store = new ConcurrentHashMap[String, Array[Byte]]()
+    val guard = new WarehouseFs.ConditionalPutCommitGuard(
+      (key, body) => store.putIfAbsent(key, body) == null)
+    val fs = localFs
+    val dest = new Path(
+      s"${java.nio.file.Files.createTempDirectory("graft_s3_")}/00000001")
+    val n = 16
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(n)
+    val wins = new AtomicInteger(0)
+    try {
+      val futures = (0 until n).map { i =>
+        pool.submit(new Runnable {
+          override def run(): Unit = {
+            start.await()
+            if (guard.commit(fs, dest, s"body-$i".getBytes("UTF-8")))
+              wins.incrementAndGet()
+          }
+        })
+      }
+      start.countDown()
+      futures.foreach(_.get(60, TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    assert(wins.get() === 1)
+    assert(store.size() === 1, "one full object, visible atomically")
+  }
+
+  // ---- the window itself, driven through real DML -----------------------
+
+  test("a competitor committing INSIDE the exists-check→publish window " +
+      "loses the loser nothing: CAS loss, rebase, serial content") {
+    val t = tmpTable(); publishFixture(t)
+    WarehouseFs.casWindowHook = Some(() =>
+      WarehouseFs.deleteWhere(spark, t, "id", Seq(5000L), keepVersions = 8))
+    try WarehouseFs.deleteWhere(spark, t, "id", Seq(100L), keepVersions = 8)
+    finally WarehouseFs.casWindowHook = None
+    assert(WarehouseFs.casWindowHook.isEmpty, "the window hook must have fired")
+    assert(WarehouseFs.currentVersion(spark, t).get._1 === 3L,
+      "winner commits v2 in the window, the loser detects the loss and " +
+        "rebases to v3")
+    val s = state(t)
+    assert(!s.contains(100L) && !s.contains(5000L) && s.size === 7998)
+    // the winner's manifest was never clobbered: v2 is winner-only
+    val v2 = WarehouseFs.readTableVersion(spark, t, 2).get
+    assert(v2.filter(col("id") === 5000L).count() === 0)
+    assert(v2.filter(col("id") === 100L).count() === 1)
+  }
+
+  test("publishVersioned racing inside the window fails loudly; the " +
+      "in-window winner's state is what readers see") {
+    val t = tmpTable()
+    publishFixture(t)
+    val winnerDf = spark.range(10).select(col("id"),
+      lit("winner").as("user"), lit(0L).as("grp"))
+    val loserDf = spark.range(20).select(col("id"),
+      lit("loser").as("user"), lit(0L).as("grp"))
+    WarehouseFs.casWindowHook = Some(() =>
+      WarehouseFs.publishVersioned(winnerDf, t, keepVersions = 8))
+    val e = intercept[IllegalArgumentException] {
+      try WarehouseFs.publishVersioned(loserDf, t, keepVersions = 8)
+      finally WarehouseFs.casWindowHook = None
+    }
+    assert(e.getMessage.contains("lost a concurrent race"))
+    assert(WarehouseFs.currentVersion(spark, t).get._1 === 2L)
+    assert(WarehouseFs.readTable(spark, t).get.count() === 10,
+      "the committed version must be the in-window winner's, not the loser's")
+  }
+
+  test("a conditional-PUT guard drives the same DML race end-to-end " +
+      "(the pluggable object-store seam)") {
+    // fake object store: the map arbitrates (conditional create); the
+    // winner writes through to the local fs so readers resolve normally
+    val store = new ConcurrentHashMap[String, Array[Byte]]()
+    val guard = new WarehouseFs.ConditionalPutCommitGuard((key, body) =>
+      if (store.putIfAbsent(key, body) != null) false
+      else {
+        val p = java.nio.file.Paths.get(java.net.URI.create(key))
+        java.nio.file.Files.write(p, body,
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        true
+      })
+    val t = tmpTable(); publishFixture(t)
+    val prev = WarehouseFs.commitGuard
+    WarehouseFs.commitGuard = guard
+    try {
+      WarehouseFs.casWindowHook = Some(() =>
+        WarehouseFs.deleteWhere(spark, t, "id", Seq(5000L), keepVersions = 8))
+      try WarehouseFs.deleteWhere(spark, t, "id", Seq(100L), keepVersions = 8)
+      finally WarehouseFs.casWindowHook = None
+      assert(WarehouseFs.currentVersion(spark, t).get._1 === 3L)
+      val s = state(t)
+      assert(!s.contains(100L) && !s.contains(5000L) && s.size === 7998)
+      assert(store.size() === 2, "v2 and v3 both committed through the store")
+    } finally WarehouseFs.commitGuard = prev
+  }
+
+  // ---- GC vs in-flight attempt dirs -------------------------------------
+
+  test("GC spares a recent unreferenced attempt dir below curMax " +
+      "(the 3-writer rebase window) until the grace expires") {
+    val t = tmpTable(); publishFixture(t)
+    WarehouseFs.appendRows(
+      Seq((9001L, "x", 0L)).toDF("id", "user", "grp"), t, keepVersions = 8)
+    WarehouseFs.appendRows(
+      Seq((9002L, "y", 0L)).toDF("id", "user", "grp"), t, keepVersions = 8)
+    // a third writer still in flight from v1: its attempt dir targets
+    // v2, now below curMax=3
+    val fs = localFs
+    val zombie = new Path(s"$t/v00000002-feedfacefeedface")
+    Seq((1L, "z", 0L)).toDF("id", "user", "grp")
+      .write.parquet(zombie.toString)
+    WarehouseFs.appendRows(
+      Seq((9003L, "w", 0L)).toDF("id", "user", "grp"), t, keepVersions = 8)
+    assert(fs.exists(zombie),
+      "a recent attempt dir numbered below curMax must survive GC — a " +
+        "rebasing loser still references it")
+    val savedGrace = WarehouseFs.gcInFlightGraceMs
+    WarehouseFs.gcInFlightGraceMs = 0L
+    try {
+      WarehouseFs.appendRows(
+        Seq((9004L, "v", 0L)).toDF("id", "user", "grp"), t, keepVersions = 8)
+      assert(!fs.exists(zombie),
+        "past the grace window the crashed attempt's zombie collects")
+    } finally WarehouseFs.gcInFlightGraceMs = savedGrace
+  }
+
+  test("a rebase whose attempt dir was GC'd under it refuses loudly " +
+      "instead of committing dangling file refs") {
+    val t = tmpTable(); publishFixture(t)
+    val fs = localFs
+    WarehouseFs.casTestHook = Some { () =>
+      // a competitor wins v2…
+      WarehouseFs.deleteWhere(spark, t, "id", Seq(5000L), keepVersions = 8)
+      // …and a (simulated) third writer's GC collects the loser's
+      // still-unreferenced attempt dir before the loser rebases
+      // only the dir NO committed manifest owns is the loser's
+      val dirInUse = WarehouseFs.currentVersion(spark, t).get._2
+        .stripPrefix(s"$t/")
+      fs.listStatus(new Path(t))
+        .map(_.getPath)
+        .filter(p => p.getName.matches("v\\d{8}-[0-9a-f]+") &&
+          p.getName != dirInUse)
+        .foreach(p => fs.delete(p, true))
+    }
+    val e = intercept[IllegalArgumentException] {
+      try WarehouseFs.deleteWhere(spark, t, "id", Seq(100L), keepVersions = 8)
+      finally WarehouseFs.casTestHook = None
+    }
+    assert(e.getMessage.contains("garbage-collected"),
+      s"expected the self-verification refusal, got: ${e.getMessage}")
+    assert(WarehouseFs.currentVersion(spark, t).get._1 === 2L,
+      "only the winner committed; no manifest references deleted files")
+    assert(state(t).size === 7999)
+    // the refused DML re-runs cleanly
+    WarehouseFs.deleteWhere(spark, t, "id", Seq(100L), keepVersions = 8)
+    assert(state(t).size === 7998)
+  }
+}

@@ -533,6 +533,48 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("ANALYZE histograms on DATE and TIMESTAMP columns: the pipeline's " +
+      "own skew dimension estimates bins-accurate") {
+    val t = fresh("cat_hist_dt")
+    val path = s"$wh/$t"
+    // the report_dt shape: 99% of dates in a 50-day window, 1% at day
+    // 900 — min/max-uniform mispredicts a recent-date filter by ~89×
+    val dayOff = when(col("id") % 100 === 0, lit(900))
+      .otherwise((col("id") % 50).cast("int")).cast("int")
+    WarehouseFs.publishVersioned(
+      spark.range(10000).select(col("id"),
+        date_add(lit("2026-01-01").cast("date"), dayOff).as("report_dt"),
+        timestamp_seconds(lit(1767225600L) + dayOff.cast("long") * 86400L)
+          .as("evt_ts")),
+      path, keepVersions = 4, collectStats = true)
+    withConf("spark.sql.cbo.enabled" -> "true",
+             "spark.sql.statistics.histogram.enabled" -> "true",
+             "spark.sql.statistics.histogram.numBins" -> "16") {
+      spark.sql(s"ANALYZE TABLE graft.$t COMPUTE STATISTICS")
+      val rel = spark.table(s"graft.$t").queryExecution.optimizedPlan
+        .collect { case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r }
+        .head
+      val stats = rel.computeStats().attributeStats
+      def statOf(n: String) =
+        stats.collectFirst { case (k, s) if k.name == n => s }.get
+      assert(statOf("report_dt").histogram.isDefined,
+        "DATE columns must publish equi-height bins (days since epoch)")
+      assert(statOf("evt_ts").histogram.isDefined,
+        "TIMESTAMP columns must publish equi-height bins (µs since epoch)")
+      // truth = 100 rows (the 1% tail); uniform says ~8900
+      val estD = spark.table(s"graft.$t")
+        .filter(col("report_dt") > lit("2026-04-15").cast("date"))
+        .queryExecution.optimizedPlan.stats.rowCount
+      assert(estD.exists(_ < BigInt(2000)),
+        s"date histogram estimate must beat uniform (~8900), got $estD")
+      val estT = spark.table(s"graft.$t")
+        .filter(col("evt_ts") > timestamp_seconds(lit(1767225600L + 104L * 86400L)))
+        .queryExecution.optimizedPlan.stats.rowCount
+      assert(estT.exists(_ < BigInt(2000)),
+        s"timestamp histogram estimate must beat uniform (~8900), got $estT")
+    }
+  }
+
   test("dmlMode=mor: SQL DELETE/UPDATE commit deletion vectors; DSv2 SELECT reconciles them") {
     val t = fresh("cat_mor")
     spark.sql(s"CREATE TABLE graft.$t (id BIGINT, user STRING) " +

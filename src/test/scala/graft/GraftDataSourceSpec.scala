@@ -266,7 +266,7 @@ class GraftDataSourceSpec extends SparkSpec {
   test("deletion vectors mask INSIDE the DSv2 scan: same pruning, columnar plan, exact values") {
     import org.apache.spark.sql.execution.datasources.FilePartition
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
-    import org.apache.spark.sql.graft.GraftDvFilePartition
+    import org.apache.spark.sql.graft.GraftDvMaskedPartition
     val t = tmpTable()
     // fixture with nulls, a double and a date — the selective columnar
     // copy must round-trip every type class the tables use
@@ -282,7 +282,7 @@ class GraftDataSourceSpec extends SparkSpec {
     def scanOf(df: org.apache.spark.sql.DataFrame): BatchScanExec =
       df.queryExecution.executedPlan.collectFirst { case b: BatchScanExec => b }.get
     def filesOf(b: BatchScanExec): Set[String] = b.inputPartitions.flatMap {
-      case g: GraftDvFilePartition => g.delegate.files.map(_.filePath.urlEncoded)
+      case g: GraftDvMaskedPartition => g.delegate.files.map(_.filePath.urlEncoded)
       case f: FilePartition => f.files.map(_.filePath.urlEncoded)
       case other => fail(s"unexpected partition ${other.getClass}")
     }.toSet
@@ -373,6 +373,72 @@ class GraftDataSourceSpec extends SparkSpec {
       s"the runtime bloom probe must drop fact files, got ${meta.runtimeEvidence}")
   }
 
+  test("range-shaped runtime pruning: comparison predicates probe the " +
+      "zone maps and open only in-range files") {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val t = tmpTable()
+    // zone maps ONLY — the point-value bloom probe cannot serve here
+    WarehouseFs.publishVersioned(
+      spark.range(8000)
+        .select(col("id"), concat(lit("u"), col("id")).as("user"))
+        .repartitionByRange(8, col("id")),
+      t, keepVersions = 5, zoneMapCols = Seq("id"))
+    val df = spark.read.format("graft").option("table", t).load()
+    val meta = df.queryExecution.executedPlan
+      .collectFirst { case b: BatchScanExec => b }.get
+      .scan.asInstanceOf[org.apache.spark.sql.graft.GraftMetaScan]
+    def pred(name: String, v: Long) = new Predicate(name,
+      Array[org.apache.spark.sql.connector.expressions.Expression](
+        Expressions.column("id"), Expressions.literal(v)))
+    meta.filter(Array(pred(">=", 2000L), pred("<=", 2100L)))
+    val kept = meta.toBatch.planInputPartitions().length
+    assert(meta.runtimeEvidence.exists { case (k, total) =>
+      k < total && k >= 1 },
+      s"a [2000, 2100] runtime range must drop zone-missed files, " +
+        s"got ${meta.runtimeEvidence}")
+    assert(kept <= 2, s"8 range files, one in-range: kept $kept")
+  }
+
+  test("runtime pruning derives [min,max] from IN values: a zone-mapped, " +
+      "bloom-unindexed fact still skips out-of-span files under DPP") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val t = tmpTable()
+    WarehouseFs.publishVersioned(
+      spark.range(8000)
+        .select(col("id"), concat(lit("u"), col("id")).as("user"))
+        .repartitionByRange(8, col("id")),
+      t, keepVersions = 5, zoneMapCols = Seq("id"))
+    val dimPath =
+      s"${java.nio.file.Files.createTempDirectory("graft_rr_dim_")}/d"
+    Seq((2000L, "x"), (2050L, "x"), (2100L, "x"), (9999L, "other"))
+      .toDF("id", "tag").write.parquet(dimPath)
+    spark.read.parquet(dimPath).createOrReplaceTempView("rr_dim")
+    spark.read.format("graft").option("table", t).load()
+      .createOrReplaceTempView("rr_fact")
+    val q = spark.sql(
+      """SELECT f.id, f.user FROM rr_fact f JOIN rr_dim d ON f.id = d.id
+        |WHERE d.tag = 'x'""".stripMargin)
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(2000L, 2050L, 2100L))
+    def allScans(p: org.apache.spark.sql.execution.SparkPlan): Seq[BatchScanExec] = {
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      p.collect {
+        case b: BatchScanExec => Seq(b)
+        case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+        case qs: QueryStageExec => allScans(qs.plan)
+      }.flatten
+    }
+    val factScan = allScans(q.queryExecution.executedPlan)
+      .find(_.scan.isInstanceOf[org.apache.spark.sql.graft.GraftMetaScan]).get
+    val meta = factScan.scan.asInstanceOf[org.apache.spark.sql.graft.GraftMetaScan]
+    assert(meta.runtimeEvidence.exists { case (kept, total) =>
+      kept < total && kept >= 1 },
+      s"the IN-derived span must zone-prune fact files, got " +
+        s"${meta.runtimeEvidence}")
+  }
+
   test("in-scan DV masking composes with additive schema evolution (pre-ALTER files NULL-fill)") {
     val t = tmpTable()
     WarehouseFs.publishVersioned(
@@ -404,5 +470,51 @@ class GraftDataSourceSpec extends SparkSpec {
     // parity with the V1 masked read
     assert(df.collect().map(_.toSeq).toSet ===
       WarehouseFs.readTable(spark, t).get.collect().map(_.toSeq).toSet)
+  }
+
+  test("DV masking preserves the delegate's partition grouping: a multi-" +
+      "split masked file keeps its split parallelism, values exact") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val t = tmpTable()
+    // ONE file big enough that the scan must split it
+    WarehouseFs.publishVersioned(
+      spark.range(2000000L).select(col("id"),
+        concat(lit("user_payload_padding_padding_"), col("id")).as("user"))
+        .coalesce(1),
+      t, keepVersions = 5, bloomIndexCols = Seq("id"))
+    def read() = spark.read.format("graft").option("table", t).load()
+    def scanOf(df: org.apache.spark.sql.DataFrame): BatchScanExec =
+      df.queryExecution.executedPlan
+        .collectFirst { case b: BatchScanExec => b }.get
+    withConf("spark.sql.files.maxPartitionBytes" -> (1 << 20).toString,
+        "spark.sql.files.openCostInBytes" -> "0") {
+      val cleanParts = scanOf(read()).inputPartitions.length
+      assert(cleanParts > 1, "fixture must be multi-split to prove anything")
+      WarehouseFs.deleteWhereVectors(spark, t, "id",
+        Seq(5L, 1000000L, 1999999L), keepVersions = 5)
+      val df = read()
+      assert(scanOf(df).inputPartitions.length === cleanParts,
+        "a masked file must keep the clean scan's split grouping — " +
+          "single-file re-planning loses its parallelism")
+      assert(df.count() === 2000000L - 3)
+      assert(df.filter(col("id").isin(5L, 1000000L, 1999999L)).count() === 0)
+      assert(df.filter(col("id").isin(4L, 6L, 1999998L)).count() === 3)
+    }
+  }
+
+  test("scan planning materializes only the SCANNED files' mask entries " +
+      "driver-side, never the table's whole mask") {
+    val t = tmpTable(); publish(t) // 8 range files, bloom + zones on id
+    // every 8th id masks: 125 entries in each of the 8 files
+    WarehouseFs.deleteWhereVectors(spark, t, "id",
+      (0L until 8000L by 8L).toVector, keepVersions = 5)
+    val before = WarehouseFs.dvMaskCollectedEntries.get()
+    val pruned = spark.read.format("graft").option("table", t).load()
+      .filter(col("id") === 2001L)
+    assert(pruned.count() === 1)
+    val delta = WarehouseFs.dvMaskCollectedEntries.get() - before
+    assert(delta > 0 && delta <= 250,
+      s"a 1-file pruned scan must collect ~125 of the 1000 mask entries, " +
+        s"collected $delta")
   }
 }
