@@ -160,11 +160,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       .withColumns(columns).withPartitions(partitions)
       .withProperties(properties).build())
 
-  /** `ALTER TABLE … ADD COLUMNS` — additive, nullable evolution at
-    * O(one sidecar write); existing rows surface NULL for the added
-    * columns ([[WarehouseFs.alterAddColumns]]). Property changes update
-    * the stored sidecar (e.g. `SET TBLPROPERTIES('keepVersions'='5')`).
-    * Renames, drops, and type changes refuse loudly — they would
+  /** `ALTER TABLE …` evolution, all at O(one sidecar write):
+    * ADD COLUMNS (additive, nullable — existing rows surface NULL,
+    * [[WarehouseFs.alterAddColumns]]), RENAME COLUMN and DROP COLUMN
+    * (column-mapping metadata — files keep their bytes and keep
+    * serving, [[WarehouseFs.alterRenameColumn]]), and property changes
+    * (`SET TBLPROPERTIES('keepVersions'='5')`; `check.<name>` /
+    * `notNullCols` constraint declarations validate existing rows
+    * before persisting). Type changes refuse loudly — they would
     * reinterpret already-written bytes. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     if (!exists(ident)) throw new NoSuchTableException(ident)
@@ -197,29 +200,73 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val propSets = changes.collect {
       case p: TableChange.SetProperty => p.property() -> p.value()
     }
+    // RENAME/DROP COLUMN lower onto the column-mapping sidecar — one
+    // metadata write, zero data I/O; old files keep serving through the
+    // logical→physical resolution ([[WarehouseFs.alterRenameColumn]])
+    val renames = changes.collect {
+      case r: TableChange.RenameColumn =>
+        if (r.fieldNames().length != 1)
+          throw new UnsupportedOperationException(
+            s"graft catalog: RENAME of a nested field " +
+              s"(${r.fieldNames().mkString(".")}) is not supported")
+        r.fieldNames()(0) -> r.newName()
+    }
+    val drops = changes.collect {
+      case d: TableChange.DeleteColumn =>
+        if (d.fieldNames().length != 1)
+          throw new UnsupportedOperationException(
+            s"graft catalog: DROP of a nested field " +
+              s"(${d.fieldNames().mkString(".")}) is not supported")
+        d.fieldNames()(0)
+    }
     val unsupported = changes.filterNot(c =>
       c.isInstanceOf[TableChange.AddColumn] ||
-        c.isInstanceOf[TableChange.SetProperty])
+        c.isInstanceOf[TableChange.SetProperty] ||
+        c.isInstanceOf[TableChange.RenameColumn] ||
+        c.isInstanceOf[TableChange.DeleteColumn])
     if (unsupported.nonEmpty)
       throw new UnsupportedOperationException(
-        s"graft catalog: only ADD COLUMNS and SET TBLPROPERTIES are " +
-          s"supported — got ${unsupported.mkString(", ")} (renames/drops/" +
-          "type changes would reinterpret already-written bytes)")
+        s"graft catalog: only ADD COLUMNS, RENAME COLUMN, DROP COLUMN " +
+          s"and SET TBLPROPERTIES are supported — got " +
+          s"${unsupported.mkString(", ")} (type changes would " +
+          "reinterpret already-written bytes)")
     if (adds.nonEmpty)
       WarehouseFs.alterAddColumns(spark, path,
         org.apache.spark.sql.types.StructType(adds))
+    renames.foreach { case (from, to) =>
+      WarehouseFs.alterRenameColumn(spark, path, from, to) }
+    drops.foreach(c => WarehouseFs.alterDropColumn(spark, path, c))
     if (propSets.nonEmpty) {
       // refuse what will not persist — a silently-dropped property (a
       // typo, or partitionBy, whose layout is fixed by written files)
       // reads as success while changing nothing
       val rejected = propSets.map(_._1)
-        .filterNot(k => GraftCatalog.OwnKeys(k.toLowerCase))
+        .filterNot(GraftCatalog.persistable)
       if (rejected.nonEmpty)
         throw new UnsupportedOperationException(
           s"graft catalog: TBLPROPERTIES ${rejected.mkString(", ")} cannot " +
             "be altered (persistable: bloomIndexCols, zoneMapCols, " +
-            "keepVersions, keepDays, keyCols, dmlMode, compactMaskedRows; " +
-            "partitioning is fixed by the written layout)")
+            "keepVersions, keepDays, keyCols, dmlMode, compactMaskedRows, " +
+            "check.<name>, notNullCols; partitioning is fixed by the " +
+            "written layout)")
+      // a NEW constraint must hold on the rows already committed — one
+      // aggregated pass; a violating declaration refuses and persists
+      // nothing (write-time enforcement then never trips on legacy rows)
+      val newChecks = propSets.collect {
+        case (k, v) if k.toLowerCase.startsWith("check.") =>
+          (k.drop("check.".length), v)
+      } ++ propSets.collectFirst {
+        case (k, v) if k.equalsIgnoreCase("notNullCols") => v
+      }.toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+        .map(c => (s"$c is not null", s"`$c` IS NOT NULL"))
+      if (newChecks.nonEmpty) {
+        val bad = WarehouseFs.validateChecks(spark, path, newChecks)
+        if (bad.nonEmpty)
+          throw new IllegalStateException(
+            s"graft catalog: constraint(s) ${bad.mkString(", ")} are " +
+              s"violated by existing rows of $ident — fix the data first; " +
+              "nothing was persisted")
+      }
       GraftCatalog.writeProps(spark, path,
         GraftCatalog.readProps(spark, path) ++ propSets)
     }
@@ -315,9 +362,16 @@ object GraftCatalog {
     Set("bloomindexcols", "zonemapcols", "keepversions", "keepdays",
       "keycols", "dmlmode", "compactmaskedrows")
 
+  /** Constraint properties persist too: `check.<name>` carries a boolean
+    * SQL expression enforced on every write, `notNullCols` the NOT NULL
+    * sugar ([[WarehouseFs.storedChecks]]). */
+  private def persistable(k: String): Boolean =
+    OwnKeys(k.toLowerCase) || k.toLowerCase.startsWith("check.") ||
+      k.equalsIgnoreCase("notNullCols")
+
   def ownProps(properties: util.Map[String, String]): Map[String, String] = {
     val b = Map.newBuilder[String, String]
-    properties.forEach((k, v) => if (OwnKeys(k.toLowerCase)) b += (k -> v))
+    properties.forEach((k, v) => if (persistable(k)) b += (k -> v))
     b.result()
   }
 

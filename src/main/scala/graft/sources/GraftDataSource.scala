@@ -79,37 +79,58 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
   }
 
   /** `writeStream.format("graft")`: each micro-batch upserts into a
-    * versioned table through the copy-on-write path (the declarative
-    * face of [[graft.streaming.EventStreams.upsertSinkCoW]]) — per-batch
-    * write cost is O(files touched by the batch's keys) on a
-    * bloom-indexed table, never the snapshot rewrite. Update and Append
-    * modes both land as upserts (at-least-once: replays re-put the same
-    * key/value pairs, so the sink is value-idempotent provided each
-    * batch carries one row per key — dedupe upstream with
-    * `dropDuplicates`/`latestPerKey`). Stats refresh is skipped per
-    * batch; run a scheduled publish/compaction to re-profile. */
+    * versioned table — by default through the copy-on-write path (the
+    * declarative face of
+    * [[graft.streaming.EventStreams.upsertSinkCoW]]), per-batch write
+    * cost O(files touched by the batch's keys) on a bloom-indexed
+    * table, never the snapshot rewrite. With `dmlMode=mor` (sink option
+    * or the table's stored property) each micro-batch lands
+    * MERGE-ON-READ instead: matched keys MASK through a deletion-vector
+    * delta and the batch's images append as one small file — O(batch)
+    * I/O per trigger regardless of how many files the keys scatter
+    * across, the right shape for high-frequency small batches; the
+    * `compactMaskedRows` budget folds the accumulated masks on cadence.
+    * Update and Append modes both land as upserts (at-least-once:
+    * replays re-put the same key/value pairs, so the sink is
+    * value-idempotent provided each batch carries one row per key —
+    * dedupe upstream with `dropDuplicates`/`latestPerKey`). Stats
+    * refresh is skipped per batch; run a scheduled publish/compaction
+    * to re-profile. */
   override def createSink(sqlContext: SQLContext,
                           parameters: Map[String, String],
                           partitionColumns: Seq[String],
                           outputMode: org.apache.spark.sql.streaming.OutputMode)
       : org.apache.spark.sql.execution.streaming.Sink = {
     require(partitionColumns.isEmpty,
-      "graft sink: row-level CoW needs an unpartitioned table")
+      "graft sink: row-level upserts need an unpartitioned table")
     val table = tableOf(parameters)
     val keyCol = parameters.getOrElse("keyCol",
       throw new IllegalArgumentException("graft sink: option 'keyCol' required"))
     val keep = parameters.get("keepVersions").map(_.toInt).getOrElse(2)
+    val sinkMode = parameters.get("dmlMode").map(_.toLowerCase)
     new org.apache.spark.sql.execution.streaming.Sink {
       override def addBatch(batchId: Long, data: DataFrame): Unit = {
         val pinned = org.apache.spark.sql.graft.StreamingInternal.asBatch(data)
         pinned.persist()
         try {
-          if (!pinned.isEmpty)
-            WarehouseFs.upsertRows(pinned, table, keyCol, keep,
-              refreshStats = false)
+          if (!pinned.isEmpty) {
+            val mor = sinkMode
+              .orElse(WarehouseFs.storedDmlMode(data.sparkSession, table))
+              .contains("mor")
+            if (mor) {
+              import org.apache.spark.sql.functions.col
+              WarehouseFs.mergeIntoKeysVectors(pinned, table, Seq(keyCol),
+                whenMatchedUpdate = pinned.columns.filterNot(_ == keyCol)
+                  .map(c => c -> col(s"src_$c")).toMap,
+                whenNotMatchedInsert = true, keepVersions = keep)
+            } else
+              WarehouseFs.upsertRows(pinned, table, keyCol, keep,
+                refreshStats = false)
+          }
         } finally pinned.unpersist()
       }
-      override def toString: String = s"GraftCoWSink($table, key=$keyCol)"
+      override def toString: String =
+        s"GraftCoWSink($table, key=$keyCol${sinkMode.fold("")(m => s", $m")})"
     }
   }
 

@@ -57,6 +57,30 @@ class GraftV2ScanBuilder(
     version.orElse(
       graft.sources.WarehouseFs.currentVersion(spark, table).map(_._1))
 
+  // column mapping: `tableSchema` is LOGICAL (what users see); committed
+  // files store PHYSICAL spellings. The delegate parquet machinery works
+  // entirely in the physical domain (schemas, pushed filters, file
+  // index), index probes take logical names (the probe leaves translate
+  // themselves), and the final scan re-labels its output physical →
+  // logical — a pure name change, zero-cost on rows and batches.
+  private val l2p: Map[String, String] =
+    graft.sources.WarehouseFs.columnMapping(spark, table)
+  private val p2l: Map[String, String] = l2p.map(_.swap)
+  private def phys(n: String): String = l2p.getOrElse(n, n)
+  private val physTableSchema: StructType =
+    if (l2p.isEmpty) tableSchema
+    else StructType(tableSchema.map(f => f.copy(name = phys(f.name))))
+  private def physExprs(exprs: Seq[Expression]): Seq[Expression] =
+    if (l2p.isEmpty) exprs
+    else exprs.map(_.transform {
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
+          if l2p.contains(a.name) =>
+        a.copy(name = phys(a.name))(a.exprId, a.qualifier)
+    })
+  private def physStruct(s: StructType): StructType =
+    if (l2p.isEmpty) s
+    else StructType(s.map(f => f.copy(name = phys(f.name))))
+
   private var delegate: Option[ParquetScanBuilder] = None
   private var required: Option[StructType] = None
   private var pruneEvidence: (Int, Int) = (0, 0)
@@ -183,9 +207,11 @@ class GraftV2ScanBuilder(
     pruneEvidence = (kept, total)
     scanPartCols = partCols
     scanRelFiles = files.map(_.stripPrefix(s"$table/"))
-    val fileIndex = GraftV2ScanBuilder.fileIndex(spark, files, partCols, tableSchema)
-    val dataSchema = StructType(tableSchema.filterNot(f => partCols.contains(f.name)))
-    ParquetScanBuilder(spark, fileIndex, tableSchema, withRowIdx(dataSchema),
+    val fileIndex =
+      GraftV2ScanBuilder.fileIndex(spark, files, partCols, physTableSchema)
+    val dataSchema =
+      StructType(physTableSchema.filterNot(f => partCols.contains(f.name)))
+    ParquetScanBuilder(spark, fileIndex, physTableSchema, withRowIdx(dataSchema),
       CaseInsensitiveStringMap.empty())
   }
 
@@ -195,8 +221,8 @@ class GraftV2ScanBuilder(
     // the delegate splits partition vs data filters against the REAL
     // partition schema, translates, and pushes row-group filters into
     // parquet; its residual answer is ignored because we re-apply ALL
-    d.pushFilters(filters)
-    required.foreach(r => d.pruneColumns(withRowIdx(r)))
+    d.pushFilters(physExprs(filters))
+    required.foreach(r => d.pruneColumns(withRowIdx(physStruct(r))))
     delegate = Some(d)
     filters
   }
@@ -206,7 +232,7 @@ class GraftV2ScanBuilder(
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     required = Some(requiredSchema)
-    delegate.foreach(_.pruneColumns(withRowIdx(requiredSchema)))
+    delegate.foreach(_.pruneColumns(withRowIdx(physStruct(requiredSchema))))
   }
 
   override def build(): Scan = pushedAgg match {
@@ -217,7 +243,7 @@ class GraftV2ScanBuilder(
   private def buildFileScan(): Scan = {
     val d = delegate.getOrElse {
       val x = mkDelegate(Nil)
-      required.foreach(r => x.pruneColumns(withRowIdx(r)))
+      required.foreach(r => x.pruneColumns(withRowIdx(physStruct(r))))
       delegate = Some(x); x
     }
     val parquetScan = d.build()
@@ -262,7 +288,8 @@ class GraftV2ScanBuilder(
           spark.sessionState.conf.v2BucketingEnabled && scanPartCols.nonEmpty &&
           spark.conf.getOption("spark.graft.planning.preserveDataGrouping")
             .exists(_.toBoolean))
-        Some(StructType(scanPartCols.flatMap(c => tableSchema.find(_.name == c))))
+        Some(StructType(scanPartCols.flatMap(c =>
+          tableSchema.find(_.name == p2l.getOrElse(c, c)))))
       else None
     // runtime (DPP-style) file pruning: declare the columns the indexes
     // can prune on — partition-layout columns plus bloom/zone-indexed
@@ -273,7 +300,10 @@ class GraftV2ScanBuilder(
     val filterable = () => {
       val (bloomCols, zoneCols, _) =
         graft.sources.WarehouseFs.versionMetadata(spark, table)
+      // index metadata names PHYSICAL spellings; runtime-filter columns
+      // are declared against the scan's (logical) output
       (partColsNow ++ bloomCols ++ zoneCols).distinct
+        .map(c => p2l.getOrElse(c, c))
     }
     val relFilesNow = scanRelFiles
     val runtimePrune: (Map[String, Seq[Any]], Map[String, (Any, Any)]) => Option[(Set[String], Set[String])] =
@@ -285,7 +315,7 @@ class GraftV2ScanBuilder(
             relFilesNow.map(_.takeWhile(_ != '/')).toSet)
         }
     GraftMetaScan(scan, committed, tableSchema, spjSchema,
-      filterable, runtimePrune)
+      filterable, runtimePrune, renames = p2l)
   }
 }
 
@@ -371,7 +401,8 @@ case class GraftMetaScan(delegate: Scan,
                          tableSchema: StructType,
                          spjSchema: Option[StructType],
                          filterable: () => Seq[String] = () => Nil,
-                         runtimePrune: (Map[String, Seq[Any]], Map[String, (Any, Any)]) => Option[(Set[String], Set[String])] = null)
+                         runtimePrune: (Map[String, Seq[Any]], Map[String, (Any, Any)]) => Option[(Set[String], Set[String])] = null,
+                         renames: Map[String, String] = Map.empty)
     extends Scan with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
@@ -379,7 +410,14 @@ case class GraftMetaScan(delegate: Scan,
   import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
   import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 
-  override def readSchema(): StructType = delegate.readSchema()
+  // under a column mapping the delegate reads PHYSICAL spellings; the
+  // scan's contract with Spark is the LOGICAL names it was asked to
+  // prune to — a pure re-label, rows and batches untouched
+  override def readSchema(): StructType = {
+    val s = delegate.readSchema()
+    if (renames.isEmpty) s
+    else StructType(s.map(f => f.copy(name = renames.getOrElse(f.name, f.name))))
+  }
   override def description(): String = s"graft(${delegate.description()})"
   override def supportedCustomMetrics(): Array[CustomMetric] =
     delegate.supportedCustomMetrics()
@@ -481,8 +519,11 @@ case class GraftMetaScan(delegate: Scan,
         for {
           ts <- committed
           cs <- ts.columns
-          f <- tableSchema.find(_.name == cs.name)
-        } m.put(Expressions.column(cs.name),
+          // stats sidecars may carry physical (publish-time profile) or
+          // logical (post-rename ANALYZE) spellings — report logical
+          logical = renames.getOrElse(cs.name, cs.name)
+          f <- tableSchema.find(_.name == logical)
+        } m.put(Expressions.column(logical),
           GraftMetaScan.columnStatistics(cs, ts.rowCount, f.dataType))
         m
       }

@@ -410,9 +410,9 @@ object WarehouseFs {
   // missing-column handling; the API paths from [[reconcileDeclared]]).
   // The first full publishVersioned after an ALTER re-materializes the
   // whole schema in its own files and DROPS the sidecar — files become
-  // the complete truth again. Additive and nullable ONLY: renames, type
-  // changes, and drops would change the meaning of already-written
-  // bytes and refuse loudly.
+  // the complete truth again. RENAME and DROP ride the same sidecar as
+  // a column MAPPING (next section); TYPE changes alone refuse — they
+  // would reinterpret already-written bytes.
 
   private def schemaFile(t: Path) = new Path(t, "_meta/schema.json")
 
@@ -506,9 +506,39 @@ object WarehouseFs {
       s"alterDropColumn: '$name' is a partition-layout column — the " +
         "directory structure encodes it; repartition via a full publish " +
         "instead")
+    recordDropped(fs, t,
+      decl.fields.find(_.name == name).map(physicalOf).get)
     writeMappedDeclaration(spark, table,
       org.apache.spark.sql.types.StructType(
         decl.fields.filterNot(_.name == name)))
+  }
+
+  // Dropped PHYSICAL spellings tombstone: committed files still store a
+  // dropped column's bytes, so re-ADDing that spelling would silently
+  // resurrect them as the "new" column's values in every old file. The
+  // `_meta/dropped` sidecar remembers the spellings until a full publish
+  // rewrites the files (which retires it with the schema sidecar).
+  private def droppedFile(t: Path) = new Path(t, "_meta/dropped")
+
+  private def droppedSpellings(fs: FileSystem, t: Path): Set[String] = {
+    val f = droppedFile(t)
+    if (!fs.exists(f)) Set.empty
+    else {
+      val in = fs.open(f)
+      val text =
+        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+        finally in.close()
+      text.linesIterator.map(_.trim).filter(_.nonEmpty).toSet
+    }
+  }
+
+  private def recordDropped(fs: FileSystem, t: Path, physical: String): Unit = {
+    val all = droppedSpellings(fs, t) + physical
+    val f = droppedFile(t)
+    fs.mkdirs(f.getParent)
+    val out = fs.create(f, true)
+    try out.write(all.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
   }
 
   /** The table's current LOGICAL declaration: the sidecar when present,
@@ -564,11 +594,21 @@ object WarehouseFs {
   /** NULL-fill `df` up to the declared schema (declared order); a df
     * already carrying every declared column — or one WIDER than a stale
     * declaration (a full publish that evolved further) — passes through
-    * untouched. */
+    * untouched. Under an ACTIVE column mapping the contract tightens:
+    * the result is EXACTLY the declared columns, each resolved from its
+    * physical spelling (NULL where the file predates the column) — the
+    * strictness is what makes a DROP hide bytes and a RENAME re-label
+    * them. */
   private def reconcileTo(decl: Option[org.apache.spark.sql.types.StructType],
                           df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     decl match {
+      case Some(d) if mappingActive(d) =>
+        df.select(d.map { f =>
+          val p = physicalOf(f)
+          if (df.columns.contains(p)) col(p).as(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+        }: _*)
       case Some(d) if df.columns.toSet.subsetOf(d.fieldNames.toSet) &&
           df.columns.toSet != d.fieldNames.toSet =>
         df.select(d.map(f =>
@@ -601,19 +641,33 @@ object WarehouseFs {
       throw new IllegalArgumentException(
         s"alterAddColumns: $table is not a versioned table"))
     val current = versionSchema(spark, table, r)
-    val clash = newCols.map(_.name.toLowerCase)
-      .intersect(current.map(_.name.toLowerCase))
+    val declNow = declaredSchema(spark, table)
+    // the new name must be free among logical names AND pinned physical
+    // spellings — a file column may still back a renamed logical column,
+    // and an ADD reusing that spelling would feed one file column into
+    // two logical columns
+    val (fsA, tA) = fsFor(spark, table)
+    val taken = (current.map(_.name) ++
+      declNow.toSeq.flatMap(_.fields.map(physicalOf)) ++
+      droppedSpellings(fsA, tA)).map(_.toLowerCase)
+    val clash = newCols.map(_.name.toLowerCase).intersect(taken)
     require(clash.isEmpty,
       s"alterAddColumns: column(s) ${clash.mkString(", ")} already exist " +
-        "(renames/type changes are not supported — they would reinterpret " +
-        "already-written bytes)")
-    val (fs, t) = fsFor(spark, table)
-    val f = schemaFile(t)
-    fs.mkdirs(f.getParent)
-    val out = fs.create(f, true)
-    try out.write(org.apache.spark.sql.types.StructType(current ++ newCols)
-      .json.getBytes("UTF-8"))
-    finally out.close()
+        "as a logical name or a pinned physical spelling (type changes " +
+        "are not supported — they would reinterpret already-written bytes)")
+    declNow match {
+      case Some(d) if mappingActive(d) =>
+        writeMappedDeclaration(spark, table,
+          org.apache.spark.sql.types.StructType(d.fields ++ newCols))
+      case _ =>
+        val (fs, t) = fsFor(spark, table)
+        val f = schemaFile(t)
+        fs.mkdirs(f.getParent)
+        val out = fs.create(f, true)
+        try out.write(org.apache.spark.sql.types.StructType(current ++ newCols)
+          .json.getBytes("UTF-8"))
+        finally out.close()
+    }
   }
 
   /** Partition columns encoded in a root-relative file path's layout
@@ -782,9 +836,13 @@ object WarehouseFs {
     val dataName = s"v${vname(next)}"
     // phase 1 (long): write the full new state to the fresh version dir.
     // Overwrite mode clears a same-numbered orphan from a crashed attempt.
-    val w = df.write.mode(SaveMode.Overwrite)
+    // Stored CHECK / NOT NULL constraints observe this same pass and a
+    // violation aborts before the commit (the dir is then an orphan).
+    val (guardedDf, checkObs) = attachChecks(spark, table, df)
+    val w = guardedDf.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(new Path(t, dataName).toString)
+    assertChecks(table, checkObs)
     // phase 1b (stats): profile the version's OWN committed files — the
     // stats describe exactly the bytes the manifest will reference, and
     // approx NDV keeps the pass free of countDistinct's Expand blowup
@@ -795,17 +853,25 @@ object WarehouseFs {
         .coalesce(1).write.mode(SaveMode.Overwrite)
         .parquet(new Path(statsDir(t), dataName).toString)
     }
+    // a full publish writes the frame's own (logical) spellings — and
+    // retires any column mapping below. Index columns may arrive in the
+    // PHYSICAL spelling (a compaction re-publishing versionMetadata's
+    // cols); translate to the frame's spelling so the rebuild finds them
+    val reverseMap = columnMapping(spark, table).map(_.swap)
+    def frameCol(c: String): String =
+      if (df.columns.contains(c)) c else reverseMap.getOrElse(c, c)
     // phase 1c (bloom file index): same pre-commit discipline as stats —
     // a committed version either has its index or was published without
     // one, never a torn half. One scan of the version files builds every
     // indexed column's per-file bitset.
     if (bloomIndexCols.nonEmpty)
-      buildBloomIndex(spark, t, dataName, bloomIndexCols)
+      buildBloomIndex(spark, t, dataName, bloomIndexCols.map(frameCol))
     // phase 1d (zone map): per-file min/max per column — one small-
     // metadata read replaces thousands of parquet footer opens when a
     // range predicate prunes files at 100 TB; same pre-commit discipline
     if (zoneMapCols.nonEmpty)
-      zoneMapDf(spark, new Path(t, dataName).toString, dataName, zoneMapCols)
+      zoneMapDf(spark, new Path(t, dataName).toString, dataName,
+        zoneMapCols.map(frameCol))
         .coalesce(1).write.mode(SaveMode.Overwrite)
         .parquet(new Path(zonesDir(t), dataName).toString)
     // phase 2 (commit): materialize the manifest under its final name.
@@ -831,8 +897,12 @@ object WarehouseFs {
     // declared width instead of silently losing the evolution
     if (fs.exists(schemaFile(t)) &&
         declaredSchema(spark, table).forall(
-          _.fieldNames.forall(df.columns.contains)))
+          _.fieldNames.forall(df.columns.contains))) {
       fs.delete(schemaFile(t), false)
+      // the full publish rewrote every file: dropped spellings no
+      // longer exist anywhere and their tombstones retire with it
+      if (fs.exists(droppedFile(t))) fs.delete(droppedFile(t), false)
+    }
     gcVersions(fs, t, keepVersions)
   }
 
@@ -874,6 +944,108 @@ object WarehouseFs {
     val (fs, t) = fsFor(spark, table)
     storedProp(fs, t, "compactMaskedRows").flatMap(_.toLongOption)
   }
+
+  /** The table's stored `dmlMode` property, lowercased ("mor"/"cow") —
+    * read by the streaming sink so a MoR-declared table gets O(batch)
+    * mask+append micro-batches without a per-stream option. */
+  def storedDmlMode(spark: SparkSession, table: String): Option[String] = {
+    val (fs, t) = fsFor(spark, table)
+    storedProp(fs, t, "dmlMode").map(_.toLowerCase)
+  }
+
+  // ---- CHECK / NOT NULL constraints ------------------------------------
+  //
+  // Declarative row constraints stored as table properties
+  // (`check.<name> = <boolean SQL expr>`, plus `notNullCols = a,b`
+  // sugar) and enforced on EVERY write path's rows with one
+  // `observe()`-style pass: the constraint aggregates ride the write's
+  // own scan as CollectMetrics — no second scan — and a violation
+  // aborts BEFORE the manifest commit, so the orphaned attempt dir GCs
+  // and the table is untouched. ANSI semantics: a NULL-valued CHECK
+  // passes (only FALSE violates); use notNullCols for null rejection.
+  // Setting a constraint validates EXISTING rows first (the catalog
+  // refuses the ALTER otherwise), so carried rows re-checked by a later
+  // rewrite don't trip on legacy data.
+
+  /** (name, boolean SQL expr) constraints stored on `table`. */
+  def storedChecks(spark: SparkSession, table: String)
+      : Seq[(String, String)] = {
+    val (fs, t) = fsFor(spark, table)
+    val f = new Path(t, "_meta/props")
+    if (!fs.exists(f)) return Nil
+    val in = fs.open(f)
+    val text =
+      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+      finally in.close()
+    val pairs = text.linesIterator.map(_.trim).filter(_.contains("="))
+      .map { l =>
+        val i = l.indexOf('='); (l.take(i).trim, l.drop(i + 1).trim)
+      }.toSeq
+    val checks = pairs.collect {
+      case (k, v) if k.toLowerCase.startsWith("check.") && v.nonEmpty =>
+        (k.drop("check.".length), v)
+    }
+    val notNull = pairs.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("notNullCols") => v
+    }.toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+      .map(c => (s"$c is not null", s"`$c` IS NOT NULL"))
+    checks ++ notNull
+  }
+
+  /** The per-constraint violation-count aggregates (ANSI: NULL passes). */
+  private def checkAggs(checks: Seq[(String, String)]): Seq[Column] = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not, sum, when}
+    checks.map { case (n, e) =>
+      sum(when(not(coalesce(expr(e), lit(true))), 1L).otherwise(0L)).as(n)
+    }
+  }
+
+  /** Attach the stored constraints to `df` as observed metrics — the
+    * caller writes the returned frame, then [[assertChecks]] right
+    * after the action and BEFORE any commit. */
+  private def attachChecks(spark: SparkSession, table: String, df: DataFrame)
+      : (DataFrame, Option[(org.apache.spark.sql.Observation, Seq[(String, String)])]) = {
+    val checks = storedChecks(spark, table)
+    if (checks.isEmpty) (df, None)
+    else {
+      val o = new org.apache.spark.sql.Observation(
+        "graft_check_" + java.util.UUID.randomUUID().toString.take(8))
+      val aggs = checkAggs(checks)
+      (df.observe(o, aggs.head, aggs.tail: _*), Some((o, checks)))
+    }
+  }
+
+  private def assertChecks(table: String,
+      obs: Option[(org.apache.spark.sql.Observation, Seq[(String, String)])])
+      : Unit =
+    obs.foreach { case (o, checks) =>
+      val m = o.get
+      val bad = checks.filter { case (n, _) =>
+        m.get(n).exists { case l: Long => l > 0L; case _ => false } }
+      if (bad.nonEmpty)
+        throw new IllegalStateException(
+          s"CHECK constraint violated on $table: " +
+            bad.map { case (n, e) => s"'$n' ($e): ${m(n)} row(s)" }
+              .mkString("; ") +
+            " — write aborted before commit, the table is unchanged")
+    }
+
+  /** One-pass validation of `table`'s EXISTING rows against `checks` —
+    * the catalog runs this before persisting a new constraint so a
+    * declaration can never contradict committed data. Returns the
+    * violating constraint names (empty = valid). */
+  def validateChecks(spark: SparkSession, table: String,
+                     checks: Seq[(String, String)]): Seq[String] =
+    if (checks.isEmpty) Nil
+    else readTable(spark, table) match {
+      case None => Nil
+      case Some(df) =>
+        val aggs = checkAggs(checks)
+        val row = df.agg(aggs.head, aggs.tail: _*).head()
+        checks.zipWithIndex.collect {
+          case ((n, _), i) if !row.isNullAt(i) && row.getLong(i) > 0L => n
+        }
+    }
 
   /** How long an unreferenced ATTEMPT-UNIQUE dir is presumed to belong
     * to an in-flight (possibly rebasing) writer and spared by GC,
@@ -1147,7 +1319,7 @@ object WarehouseFs {
         // a point predicate on a partition column prunes by path alone
         if (all.nonEmpty) schemaV.find(_.name == c).foreach { f =>
           cand = cand.intersect(
-            partitionCandidates(spark, all, c, vs, f.dataType).toSet)
+            partitionCandidates(spark, table, all, c, vs, f.dataType).toSet)
         }
       }
     }
@@ -1208,12 +1380,15 @@ object WarehouseFs {
     * by a date/string derivative instead (timestamp-typed partition
     * columns are an antipattern at any scale for exactly this
     * reason). */
-  private def partitionCandidates(spark: SparkSession, files: Seq[String],
-                                  column: String, values: Seq[Any],
+  private def partitionCandidates(spark: SparkSession, table: String,
+                                  files: Seq[String],
+                                  column0: String, values: Seq[Any],
                                   colType: org.apache.spark.sql.types.DataType)
       : Seq[String] = {
     import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
     import org.apache.spark.sql.types.StringType
+    // paths encode PHYSICAL spellings; callers probe by logical name
+    val column = physicalColumn(spark, table, column0)
     // session tz: the dynamic-partition writer stringified the path
     // values under it, so the probe must match (see [[bloomHitExpr]])
     val tz = Some(spark.sessionState.conf.sessionLocalTimeZone)
@@ -1314,17 +1489,20 @@ object WarehouseFs {
       case Some(v) => readTableVersionPath(spark, table, v)
       case None => currentVersion(spark, table).map(_._2)
     }).map(p => p.substring(p.lastIndexOf('/') + 1))
+    // the index was built from raw files → PHYSICAL spelling; the type
+    // lookup resolves through the reconciled (logical) schema
+    val physCol = physicalColumn(spark, table, column)
     dataName.flatMap { dn =>
       val idx = new Path(indexDir(t), dn)
       if (!fs.exists(idx)) None
       else {
         val index = spark.read.parquet(idx.toString)
-        if (!index.columns.contains(s"b_$column")) None
+        if (!index.columns.contains(s"b_$physCol")) None
         else {
           val colType = resolveVersion(spark, table, version)
             .map(versionSchema(spark, table, _))
             .flatMap(_.find(_.name == column)).map(_.dataType)
-          bloomHitExpr(spark, column, values, colType,
+          bloomHitExpr(spark, physCol, values, colType,
               index.columns.contains("__utc")).map(hit =>
             index.filter(hit).select("file").collect().map(_.getString(0)).toSeq)
         }
@@ -1399,14 +1577,16 @@ object WarehouseFs {
                          version: Option[Long] = None): Option[Seq[String]] = {
     import org.apache.spark.sql.functions.{col, lit}
     val (fs, t) = fsFor(spark, table)
+    // zones were folded from raw files → PHYSICAL spelling
+    val physCol = physicalColumn(spark, table, column)
     resolveVersion(spark, table, version).flatMap { r =>
       val zp = new Path(zonesDir(t), r.dirName)
       if (!fs.exists(zp)) None
       else {
         val zones = spark.read.parquet(zp.toString)
-        if (!zones.columns.contains(s"min_$column")) None
+        if (!zones.columns.contains(s"min_$physCol")) None
         else Some(zones
-          .filter(col(s"max_$column") >= lit(lo) && col(s"min_$column") <= lit(hi))
+          .filter(col(s"max_$physCol") >= lit(lo) && col(s"min_$physCol") <= lit(hi))
           .select("file").collect().map(_.getString(0)).toSeq)
       }
     }
@@ -1681,6 +1861,14 @@ object WarehouseFs {
       // union (see [[readFilesGrouped]]); the tags ride in front
       val dataCols = masked.columns.filterNot(Set("__dv_file", "__dv_pos"))
       decl match {
+        case Some(d) if mappingActive(d) =>
+          // strict mapped resolution (see [[reconcileTo]]); tags in front
+          masked.select(col("__dv_file") +: col("__dv_pos") +: d.map { f =>
+            val p = physicalOf(f)
+            if (dataCols.contains(p)) col(p).as(f.name)
+            else org.apache.spark.sql.functions.lit(null)
+              .cast(f.dataType).as(f.name)
+          }: _*)
         case Some(d) if dataCols.toSet.subsetOf(d.fieldNames.toSet) &&
             dataCols.toSet != d.fieldNames.toSet =>
           masked.select(col("__dv_file") +: col("__dv_pos") +: d.map(f =>
@@ -2065,7 +2253,7 @@ object WarehouseFs {
           cand = cand.intersect(cs.toSet)
         }
         schemaV.flatMap(_.find(_.name == c)).foreach { f =>
-          val pc = partitionCandidates(spark, added, c, vs, f.dataType).toSet
+          val pc = partitionCandidates(spark, table, added, c, vs, f.dataType).toSet
           if (pc.size < added.size) cand = cand.intersect(pc)
         }
       }
@@ -2132,9 +2320,23 @@ object WarehouseFs {
       case Some(0) => rewritten
       case Some(n) => rewritten.coalesce(math.max(1, n))
     }
-    val writer = shaped.write.mode(SaveMode.Overwrite)
+    // a column-mapped table's files store PHYSICAL spellings: the DML
+    // frame (logical — it came through the mapped read, or from the
+    // user) translates ONCE at this write boundary, so every file keeps
+    // one spelling per column forever and the whole verb layer stays in
+    // the logical domain
+    val mapping = columnMapping(spark, table)
+    def toPhysicalCols(df: DataFrame): DataFrame =
+      if (mapping.isEmpty) df
+      else df.select(df.columns.map(c =>
+        org.apache.spark.sql.functions.col(c).as(mapping.getOrElse(c, c))): _*)
+    // stored CHECK / NOT NULL constraints ride the write's own scan as
+    // observed metrics (one pass); a violation aborts before the commit
+    val (guarded, checkObs) = attachChecks(spark, table, shaped)
+    val writer = toPhysicalCols(guarded).write.mode(SaveMode.Overwrite)
     (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
       .parquet(new Path(t, dirName).toString)
+    assertChecks(table, checkObs)
     def listNew(): Seq[String] = {
       val base = new Path(t, dirName)
       val out = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -2158,7 +2360,8 @@ object WarehouseFs {
       // persist as ordinary columns of the empty file, so the logical
       // schema survives; the layout itself survives via the manifest's
       // `partcols:` header, which the next non-empty publish reapplies).
-      rewritten.limit(0).coalesce(1).write.mode(SaveMode.Overwrite)
+      toPhysicalCols(rewritten.limit(0)).coalesce(1)
+        .write.mode(SaveMode.Overwrite)
         .parquet(new Path(t, dirName).toString)
       newFiles = listNew()
       require(newFiles.nonEmpty,
@@ -2362,7 +2565,7 @@ object WarehouseFs {
     val bloomT = candidatesRootRelative(spark, table, r, column, values)
       .getOrElse(all)
     val touched = versionSchema(spark, table, r).find(_.name == column)
-      .map(f => partitionCandidates(spark, bloomT, column, values, f.dataType))
+      .map(f => partitionCandidates(spark, table, bloomT, column, values, f.dataType))
       .getOrElse(bloomT)
     if (touched.isEmpty) return
     val rewritten = readFilesGroupedDv(spark, table, touched, r)
@@ -2391,7 +2594,7 @@ object WarehouseFs {
     val bloomT = candidatesRootRelative(spark, table, r, column, values)
       .getOrElse(all)
     val touched = versionSchema(spark, table, r).find(_.name == column)
-      .map(f => partitionCandidates(spark, bloomT, column, values, f.dataType))
+      .map(f => partitionCandidates(spark, table, bloomT, column, values, f.dataType))
       .getOrElse(bloomT)
     if (touched.isEmpty) return
     val matched = col(column).isin(values: _*)
@@ -2451,7 +2654,7 @@ object WarehouseFs {
         val bloomT = candidatesRootRelative(spark, table, r, keyCol, keys)
           .getOrElse(all)
         versionSchema(spark, table, r).find(_.name == keyCol)
-          .map(f => partitionCandidates(spark, bloomT, keyCol, keys, f.dataType))
+          .map(f => partitionCandidates(spark, table, bloomT, keyCol, keys, f.dataType))
           .getOrElse(bloomT)
       } else
         candidatesDistributed(spark, table, r, Seq(keyCol), updates, nDistinct)
@@ -2626,7 +2829,7 @@ object WarehouseFs {
             val dt = schemaV.find(_.name == c).map(_.dataType).getOrElse(
               throw new IllegalArgumentException(
                 s"overwritePartitions: $c is not a column of $table"))
-            partitionCandidates(spark, all, c, Seq(row.get(i)), dt).toSet
+            partitionCandidates(spark, table, all, c, Seq(row.get(i)), dt).toSet
           }.reduce(_ intersect _)
         }.distinct.sorted
         val tupleRel = spark.createDataFrame(
@@ -2703,7 +2906,7 @@ object WarehouseFs {
         // the touched set comes from the SPEC, not the data — this is
         // what makes the empty-source truncate exact
         val touched = partCols.map { c =>
-          partitionCandidates(spark, all, c, Seq(spec(c)), dtOf(c)).toSet
+          partitionCandidates(spark, table, all, c, Seq(spec(c)), dtOf(c)).toSet
         }.reduce(_ intersect _).toSeq.sorted
         // flat legacy files may mix partitions: keep their rows OUTSIDE
         // the replaced tuple (layout-encoded touched files hold exactly
@@ -3021,7 +3224,7 @@ object WarehouseFs {
         }
         // a key column that is also a partition column prunes by PATH
         schemaV.flatMap(_.find(_.name == c)).foreach { f =>
-          val pc = partitionCandidates(spark, all, c, vs, f.dataType).toSet
+          val pc = partitionCandidates(spark, table, all, c, vs, f.dataType).toSet
           if (pc.size < all.size) { pruned = true; cand = cand.intersect(pc) }
         }
       }
@@ -3774,11 +3977,15 @@ object WarehouseFs {
       val zp = new Path(zonesDir(t), r.dirName)
       if (!fs.exists(zp) || columns.isEmpty) None
       else {
+        // zones fold raw files → PHYSICAL spellings; answers key by the
+        // caller's (logical) names — a rename never changes the values
+        val physOfC = columns.map(c => c -> physicalColumn(spark, table, c)).toMap
         val zones = spark.read.parquet(zp.toString)
-        if (!columns.forall(c => zones.columns.contains(s"min_$c"))) None
+        if (!columns.forall(c => zones.columns.contains(s"min_${physOfC(c)}")))
+          None
         else {
           val aggs = columns.flatMap(c =>
-            Seq(min(col(s"min_$c")), max(col(s"max_$c"))))
+            Seq(min(col(s"min_${physOfC(c)}")), max(col(s"max_${physOfC(c)}"))))
           val row = zones.agg(aggs.head, aggs.tail: _*).head()
           Some(columns.zipWithIndex.map { case (c, i) =>
             c -> ((row.get(2 * i), row.get(2 * i + 1)))

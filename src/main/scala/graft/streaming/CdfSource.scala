@@ -58,10 +58,19 @@ class CdfSourceProvider extends StreamSourceProvider with DataSourceRegister {
     parameters.getOrElse("table",
       throw new IllegalArgumentException("graft-cdf: option 'table' required"))
 
+  // `commitTimestamp=false` restores the pre-`_commit_timestamp` feed
+  // schema: adding the column was a BREAKING change for streams
+  // restarted from existing checkpoints into schema-enforcing or
+  // position-binding sinks — such streams opt out; new streams get the
+  // stamp by default
+  private def withCommitTs(parameters: Map[String, String]): Boolean =
+    !parameters.get("commitTimestamp").exists(_.equalsIgnoreCase("false"))
+
   override def sourceSchema(sqlContext: SQLContext,
                             schema: Option[StructType], providerName: String,
                             parameters: Map[String, String]): (String, StructType) =
-    (shortName(), CdfSource.feedSchema(sqlContext, tableOf(parameters)))
+    (shortName(), CdfSource.feedSchema(sqlContext, tableOf(parameters),
+      withCommitTs(parameters)))
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
                             schema: Option[StructType], providerName: String,
@@ -78,20 +87,25 @@ class CdfSourceProvider extends StreamSourceProvider with DataSourceRegister {
     }
     new CdfSource(sqlContext, tableOf(parameters), keyCols,
       CdfSource.startingVersionOf(sqlContext, tableOf(parameters), parameters),
-      Some(metadataPath), maxVersions)
+      Some(metadataPath), maxVersions,
+      commitTs = withCommitTs(parameters))
   }
 }
 
 object CdfSource {
-  /** Base table columns + the two feed columns. */
-  def feedSchema(sqlContext: SQLContext, table: String): StructType =
-    WarehouseFs.readTable(sqlContext.sparkSession, table).getOrElse(
+  /** Base table columns + the feed columns (`_commit_timestamp` gated
+    * by the `commitTimestamp` source option — see the provider note). */
+  def feedSchema(sqlContext: SQLContext, table: String,
+                 commitTs: Boolean = true): StructType = {
+    val base = WarehouseFs.readTable(sqlContext.sparkSession, table).getOrElse(
       throw new IllegalArgumentException(
         s"graft-cdf: $table is not a versioned table")).schema
       .add("_change_type", StringType, nullable = false)
       .add("_commit_version", LongType, nullable = false)
-      .add("_commit_timestamp", org.apache.spark.sql.types.TimestampType,
-        nullable = false)
+    if (!commitTs) base
+    else base.add("_commit_timestamp",
+      org.apache.spark.sql.types.TimestampType, nullable = false)
+  }
 
   /** Accepted `startingTimestamp` spellings → epoch millis: raw epoch
     * millis, ISO-8601 with an offset/`Z` (`2021-03-01T00:00:00Z`, exact
@@ -220,10 +234,12 @@ object GraftStreamTableRule {
 class CdfSource(sqlContext: SQLContext, table: String, keyCols: Seq[String],
                 startingVersion: Option[Long],
                 metadataPath: Option[String] = None,
-                maxVersionsPerTrigger: Option[Long] = None) extends Source {
+                maxVersionsPerTrigger: Option[Long] = None,
+                commitTs: Boolean = true) extends Source {
   private val spark = sqlContext.sparkSession
 
-  override val schema: StructType = CdfSource.feedSchema(sqlContext, table)
+  override val schema: StructType =
+    CdfSource.feedSchema(sqlContext, table, commitTs)
 
   /** Highest version already "seen" before the stream begins (changes
     * OF version v are reported once v commits, so the floor is v−1 of
@@ -355,13 +371,17 @@ class CdfSource(sqlContext: SQLContext, table: String, keyCols: Seq[String],
       // batch-TVF parity: the manifest commit instant rides along, so a
       // stream consumer can join against time-bounded audits without
       // re-resolving versions by hand
-      val instantMs = WarehouseFs.commitInstant(spark, table, v + 1)
-        .getOrElse(throw new IllegalStateException(
-          s"graft-cdf: version ${v + 1} of $table vanished mid-batch"))
-      feed.withColumn("_commit_version", lit(v + 1L))
-        .withColumn("_commit_timestamp",
-          lit(new java.sql.Timestamp(instantMs)))
-        .select(ordered.map(col): _*)
+      val versioned = feed.withColumn("_commit_version", lit(v + 1L))
+      val stamped =
+        if (!commitTs) versioned
+        else {
+          val instantMs = WarehouseFs.commitInstant(spark, table, v + 1)
+            .getOrElse(throw new IllegalStateException(
+              s"graft-cdf: version ${v + 1} of $table vanished mid-batch"))
+          versioned.withColumn("_commit_timestamp",
+            lit(new java.sql.Timestamp(instantMs)))
+        }
+      stamped.select(ordered.map(col): _*)
     }
     org.apache.spark.sql.graft.StreamingInternal.asStreaming(
       steps.reduceOption(_.unionByName(_)).getOrElse(

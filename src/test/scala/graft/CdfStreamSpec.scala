@@ -462,4 +462,88 @@ class CdfStreamSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS cdf_ts_sink")
     }
   }
+
+  test("writeStream.format(graft) with dmlMode=mor: micro-batches mask + " +
+      "append O(batch) files; end state = the CoW sink's; the fold retires masks") {
+    def fixture(): String = {
+      val t = tmpTable()
+      WarehouseFs.publishVersioned(
+        spark.range(8000)
+          .select(col("id"), concat(lit("u"), col("id")).as("v"))
+          .repartitionByRange(8, col("id")),
+        t, keepVersions = 12, bloomIndexCols = Seq("id"))
+      t
+    }
+    val tMor = fixture(); val tCow = fixture()
+    def run(t: String, mor: Boolean): Unit = {
+      val in = MemoryStream[(Long, String)](spark)
+      val w0 = in.toDF().toDF("id", "v")
+        .writeStream.format("graft")
+        .option("table", t).option("keyCol", "id")
+        .option("keepVersions", "12")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft_mor_ckpt_").toString)
+      val q = (if (mor) w0.option("dmlMode", "mor") else w0)
+        .outputMode("update").start()
+      try {
+        // scattered keys: each batch touches SEVERAL of the 8 range files
+        in.addData((100L, "x100"), (2100L, "x2100"), (7100L, "x7100"))
+        q.processAllAvailable()
+        in.addData((200L, "y200"), (4200L, "y4200"), (9001L, "new"))
+        q.processAllAvailable()
+        in.addData((300L, "z300"))
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    run(tMor, mor = true); run(tCow, mor = false)
+    // each MoR micro-batch commit wrote only the BATCH's images — its
+    // own version dir holds at most 2 data files even though the keys
+    // scatter across many of the 8 files (the CoW twin rewrites them)
+    val attemptDirs = new java.io.File(tMor).listFiles()
+      .filter(d => d.getName.matches("v\\d{8}-[0-9a-f]+"))
+    assert(attemptDirs.length === 3, s"3 micro-batch commits expected, " +
+      s"got ${attemptDirs.map(_.getName).mkString(", ")}")
+    attemptDirs.foreach { d =>
+      val n = java.nio.file.Files.walk(d.toPath).iterator()
+      var cnt = 0
+      while (n.hasNext) { if (n.next().toString.endsWith(".parquet")) cnt += 1 }
+      assert(cnt <= 2,
+        s"MoR micro-batch must append O(batch) files, ${d.getName} has $cnt")
+    }
+    assert(WarehouseFs.hasDeletionVectors(spark, tMor),
+      "matched keys mask through deletion vectors")
+    // value parity with the CoW sink
+    def state(t: String) = WarehouseFs.readTable(spark, t).get
+      .as[(Long, String)].collect().toSet
+    assert(state(tMor) === state(tCow))
+    assert(state(tMor).size === 8001)
+    // the fold retires the masks; values unchanged
+    graft.operators.ScaleJoins.compactParquet(spark, tMor, keepVersions = 12)
+    assert(!WarehouseFs.hasDeletionVectors(spark, tMor))
+    assert(state(tMor) === state(tCow))
+  }
+
+  test("commitTimestamp=false restores the pre-stamp feed schema — the " +
+      "opt-out for streams restarted from legacy checkpoints") {
+    val t = tmpTable()
+    WarehouseFs.publishVersioned(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "user"), t,
+      keepVersions = 10, bloomIndexCols = Seq("id"))
+    val stream = spark.readStream.format("graft-cdf")
+      .option("table", t).option("keyCols", "id")
+      .option("startingVersion", "1")
+      .option("commitTimestamp", "false").load()
+    assert(!stream.schema.fieldNames.contains("_commit_timestamp"),
+      "the opt-out must restore the two-column feed tail")
+    assert(stream.schema.fieldNames.takeRight(2).toSeq ===
+      Seq("_change_type", "_commit_version"))
+    val q = stream.writeStream.format("memory")
+      .queryName("cdf_nots_sink").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("cdf_nots_sink")
+      assert(!got.columns.contains("_commit_timestamp"))
+      assert(got.select("id").as[Long].collect().toSet === Set(1L, 2L))
+    } finally q.stop()
+  }
 }

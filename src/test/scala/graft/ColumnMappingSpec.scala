@@ -1,0 +1,203 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.WarehouseFs
+
+/** RENAME / DROP COLUMN without rewriting a byte: the declared-schema
+  * sidecar becomes a logical→physical column mapping (physical spelling
+  * fixed at creation, like Delta's name-mode mapping). Old files keep
+  * serving, DML keys on the new name, the change feed spans the rename,
+  * and DROP hides bytes files still store. */
+class ColumnMappingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpTable() =
+    s"${java.nio.file.Files.createTempDirectory("graft_map_")}/t"
+
+  private def publishFixture(t: String): Unit =
+    WarehouseFs.publishVersioned(
+      spark.range(8000)
+        .select(col("id"), concat(lit("u"), col("id")).as("user"),
+          (col("id") % 7).as("grp"))
+        .repartitionByRange(8, col("id")),
+      t, keepVersions = 8, bloomIndexCols = Seq("id", "user"),
+      zoneMapCols = Seq("id"))
+
+  test("RENAME COLUMN: zero data I/O, old+new files serve, DML keys on " +
+      "the new name, feed spans the rename") {
+    val t = tmpTable(); publishFixture(t)
+    val v1 = WarehouseFs.currentVersion(spark, t).get._1
+    WarehouseFs.alterRenameColumn(spark, t, "user", "username")
+    // metadata-only: no new version, no new data dir
+    assert(WarehouseFs.currentVersion(spark, t).get._1 === v1)
+    val df = WarehouseFs.readTable(spark, t).get
+    assert(df.columns.toSeq === Seq("id", "username", "grp"))
+    assert(df.filter(col("id") === 42L).select("username").as[String]
+      .head() === "u42")
+    // new rows arrive under the LOGICAL schema; the file stores the
+    // physical spelling, invisible to readers
+    WarehouseFs.appendRows(
+      Seq((9001L, "new9001", 0L)).toDF("id", "username", "grp"),
+      t, keepVersions = 8)
+    val df2 = WarehouseFs.readTable(spark, t).get
+    assert(df2.count() === 8001)
+    assert(df2.filter(col("id") === 9001L).select("username").as[String]
+      .head() === "new9001")
+    // DML keyed on the RENAMED column: the bloom index (built as 'user')
+    // still prunes through the mapping
+    val before = WarehouseFs.currentVersion(spark, t).get._1
+    WarehouseFs.deleteWhere(spark, t, "username", Seq("u100"), keepVersions = 8)
+    assert(WarehouseFs.currentVersion(spark, t).get._1 === before + 1)
+    val df3 = WarehouseFs.readTable(spark, t).get
+    assert(df3.count() === 8000)
+    assert(df3.filter(col("username") === "u100").count() === 0)
+    // change feed ACROSS the rename (v1 predates it) keys on the new name
+    val feed = WarehouseFs.changeFeed(spark, t, Seq("id"),
+      v1, WarehouseFs.currentVersion(spark, t).get._1).get
+    assert(feed.columns.contains("username"))
+    val deleted = feed.filter(col("_change_type") === "delete")
+      .select("username").as[String].collect().toSet
+    assert(deleted === Set("u100"))
+    // time travel: pre-rename versions read under the CURRENT declaration
+    assert(WarehouseFs.readTableVersion(spark, t, v1).get
+      .columns.toSeq === Seq("id", "username", "grp"))
+  }
+
+  test("DSv2 scan under a mapping: logical output, filters prune through " +
+      "physical indexes, stats/aggregates stay honest") {
+    val t = tmpTable(); publishFixture(t)
+    WarehouseFs.alterRenameColumn(spark, t, "id", "ident")
+    val ds = spark.read.format("graft").option("table", t).load()
+    assert(ds.columns.toSeq === Seq("ident", "user", "grp"))
+    // values + filters on the logical name
+    assert(ds.filter(col("ident") === 42L).select("user").as[String]
+      .head() === "u42")
+    assert(ds.count() === 8000)
+    // pushed point filter still FILE-prunes via the physical bloom/zone
+    // index (8 range files; one holds ident=42)
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val q = ds.filter(col("ident") === 42L)
+    val scan = q.queryExecution.executedPlan
+      .collectFirst { case b: BatchScanExec => b }.get
+    assert(scan.inputPartitions.length < 8,
+      "bloom/zone pruning must survive the rename (probe translates)")
+    assert(q.collect().map(_.getLong(0)).toSeq === Seq(42L))
+    // columnar path intact
+    assert(scan.supportsColumnar ||
+      q.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+  }
+
+  test("DROP COLUMN hides bytes without touching files; re-ADD of the " +
+      "dropped spelling refuses (no resurrection)") {
+    val t = tmpTable(); publishFixture(t)
+    val v = WarehouseFs.currentVersion(spark, t)
+    WarehouseFs.alterDropColumn(spark, t, "grp")
+    assert(WarehouseFs.currentVersion(spark, t) === v, "metadata-only")
+    val df = WarehouseFs.readTable(spark, t).get
+    assert(df.columns.toSeq === Seq("id", "user"))
+    // the bytes are still in the files — prove via a raw read
+    val rawDir = v.get._2
+    assert(spark.read.parquet(rawDir).columns.contains("grp"),
+      "DROP must not rewrite files")
+    // re-ADDing the dropped spelling would resurrect old bytes: refuse
+    val e = intercept[IllegalArgumentException] {
+      WarehouseFs.alterAddColumns(spark, t,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("grp",
+            org.apache.spark.sql.types.LongType))))
+    }
+    assert(e.getMessage.contains("grp"))
+    // a DIFFERENT added column null-fills as usual
+    WarehouseFs.alterAddColumns(spark, t,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("tag",
+          org.apache.spark.sql.types.StringType))))
+    val df2 = WarehouseFs.readTable(spark, t).get
+    assert(df2.columns.toSeq === Seq("id", "user", "tag"))
+    assert(df2.select("tag").filter(col("tag").isNotNull).count() === 0)
+    // DML on the narrowed table still works
+    WarehouseFs.deleteWhere(spark, t, "id", Seq(7L), keepVersions = 8)
+    assert(WarehouseFs.readTable(spark, t).get.count() === 7999)
+  }
+
+  test("SQL surface: ALTER TABLE RENAME/DROP COLUMN through the catalog; " +
+      "SHOW CREATE TABLE shows the new name; SQL DML keys on it") {
+    val n = s"map_sql_${System.nanoTime()}"
+    spark.sql(s"CREATE TABLE graft.$n (id BIGINT, user STRING, grp BIGINT) " +
+      "TBLPROPERTIES('bloomIndexCols'='id', 'keepVersions'='8')")
+    spark.sql(s"INSERT INTO graft.$n " +
+      "SELECT id, concat('u', id), id % 7 FROM range(2000)")
+    spark.sql(s"ALTER TABLE graft.$n RENAME COLUMN user TO username")
+    assert(spark.table(s"graft.$n").columns.toSeq ===
+      Seq("id", "username", "grp"))
+    val show = spark.sql(s"SHOW CREATE TABLE graft.$n")
+      .head().getString(0)
+    assert(show.contains("username") && !show.contains("'user'"),
+      s"SHOW CREATE TABLE must surface the new name:\n$show")
+    assert(spark.sql(
+      s"SELECT username FROM graft.$n WHERE id = 42").head()
+      .getString(0) === "u42")
+    // SQL DML keyed on the renamed column
+    spark.sql(s"DELETE FROM graft.$n WHERE username = 'u100'")
+    assert(spark.table(s"graft.$n").count() === 1999)
+    spark.sql(s"UPDATE graft.$n SET username = 'X' WHERE id = 7")
+    assert(spark.sql(s"SELECT username FROM graft.$n WHERE id = 7")
+      .head().getString(0) === "X")
+    // DROP COLUMN hides it from SELECT *
+    spark.sql(s"ALTER TABLE graft.$n DROP COLUMN grp")
+    assert(spark.table(s"graft.$n").columns.toSeq === Seq("id", "username"))
+    assert(spark.table(s"graft.$n").count() === 1999)
+    // INSERT under the narrowed, renamed schema
+    spark.sql(s"INSERT INTO graft.$n VALUES (90001, 'fresh')")
+    assert(spark.sql(
+      s"SELECT username FROM graft.$n WHERE id = 90001").head()
+      .getString(0) === "fresh")
+    spark.sql(s"DROP TABLE graft.$n")
+  }
+
+  test("a full publish retires the mapping: files re-materialize under " +
+      "logical spellings, sidecars dissolve") {
+    val t = tmpTable(); publishFixture(t)
+    WarehouseFs.alterRenameColumn(spark, t, "user", "username")
+    WarehouseFs.alterDropColumn(spark, t, "grp")
+    val resolved = WarehouseFs.readTable(spark, t).get
+    WarehouseFs.publishVersioned(resolved, t, keepVersions = 8,
+      expectedVersion = WarehouseFs.currentVersion(spark, t).map(_._1))
+    assert(WarehouseFs.columnMapping(spark, t).isEmpty,
+      "the mapping dissolves once files store the logical spellings")
+    val df = WarehouseFs.readTable(spark, t).get
+    assert(df.columns.toSeq === Seq("id", "username"))
+    assert(df.count() === 8000)
+    // the once-dropped spelling is free again after the rewrite
+    WarehouseFs.alterAddColumns(spark, t,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("grp",
+          org.apache.spark.sql.types.LongType))))
+    assert(WarehouseFs.readTable(spark, t).get
+      .filter(col("grp").isNotNull).count() === 0,
+      "re-added post-rewrite column must NOT resurrect old bytes")
+  }
+
+  test("rename collisions refuse: existing logical names and pinned " +
+      "physical spellings are taken") {
+    val t = tmpTable(); publishFixture(t)
+    WarehouseFs.alterRenameColumn(spark, t, "user", "username")
+    intercept[IllegalArgumentException] {
+      WarehouseFs.alterRenameColumn(spark, t, "grp", "username")
+    }
+    intercept[IllegalArgumentException] {
+      // 'user' is still the pinned physical spelling of username
+      WarehouseFs.alterRenameColumn(spark, t, "grp", "user")
+    }
+    intercept[IllegalArgumentException] {
+      WarehouseFs.alterRenameColumn(spark, t, "nope", "x")
+    }
+    // and ADD of a pinned physical spelling refuses too
+    intercept[IllegalArgumentException] {
+      WarehouseFs.alterAddColumns(spark, t,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("user",
+            org.apache.spark.sql.types.StringType))))
+    }
+  }
+}

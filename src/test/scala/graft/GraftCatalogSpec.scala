@@ -815,8 +815,10 @@ class GraftCatalogSpec extends SparkSpec {
       spark.sql(s"ALTER TABLE graft.$t ADD COLUMNS (v INT)")
     }
     assert(dup.getMessage.contains("already exist"), s"got: ${dup.getMessage}")
+    // renames are now column-mapping metadata (ColumnMappingSpec); TYPE
+    // changes still reinterpret written bytes and refuse
     intercept[Exception] {
-      spark.sql(s"ALTER TABLE graft.$t RENAME COLUMN v TO w")
+      spark.sql(s"ALTER TABLE graft.$t ALTER COLUMN score TYPE INT")
     }
     // NOT NULL would silently become nullable (existing rows have no
     // value); FIRST/AFTER would reorder committed files — both refuse
@@ -977,5 +979,54 @@ class GraftCatalogSpec extends SparkSpec {
       assert(spark.table(s"graft.$u").as[(Long, String)].collect().toSeq ===
         Seq((9L, "z")))
     } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", mode0)
+  }
+
+  test("CHECK / NOT NULL constraints: violating writes refuse pre-commit, " +
+      "the table is untouched; declarations validate existing rows") {
+    def rootMsg(t: Throwable): String = {
+      var c: Throwable = t; val sb = new StringBuilder
+      while (c != null) { sb.append(c.getMessage).append(" | "); c = c.getCause }
+      sb.toString
+    }
+    def refused(body: => Unit): String =
+      rootMsg(intercept[Throwable] { body })
+    val t = fresh("cat_check")
+    spark.sql(s"CREATE TABLE graft.$t (id BIGINT, amount BIGINT, user STRING) " +
+      "TBLPROPERTIES('keepVersions'='8', " +
+      "'check.positive_amount'='amount > 0', 'notNullCols'='user')")
+    spark.sql(s"INSERT INTO graft.$t VALUES (1, 10, 'a'), (2, 20, 'b')")
+    assert(spark.table(s"graft.$t").count() === 2)
+    val v = WarehouseFs.currentVersion(spark, s"$wh/$t").get._1
+    // violating INSERT refuses BEFORE the commit; nothing changes
+    val m1 = refused(spark.sql(s"INSERT INTO graft.$t VALUES (3, -5, 'c')"))
+    assert(m1.contains("positive_amount"), m1)
+    assert(WarehouseFs.currentVersion(spark, s"$wh/$t").get._1 === v,
+      "a refused write must not commit a version")
+    assert(spark.table(s"graft.$t").count() === 2)
+    // NOT NULL sugar
+    val m2 = refused(spark.sql(s"INSERT INTO graft.$t VALUES (4, 5, NULL)"))
+    assert(m2.contains("user"), m2)
+    assert(spark.table(s"graft.$t").count() === 2)
+    // compliant DML unaffected; violating DML refuses with state intact
+    spark.sql(s"UPDATE graft.$t SET amount = 30 WHERE id = 1")
+    assert(spark.sql(s"SELECT amount FROM graft.$t WHERE id = 1")
+      .head().getLong(0) === 30L)
+    val m3 = refused(spark.sql(s"UPDATE graft.$t SET amount = -1 WHERE id = 2"))
+    assert(m3.contains("positive_amount"), m3)
+    assert(spark.sql(s"SELECT amount FROM graft.$t WHERE id = 2")
+      .head().getLong(0) === 20L)
+    // a NEW declaration must hold on existing rows (id=1 has amount 30)
+    val m4 = refused(spark.sql(
+      s"ALTER TABLE graft.$t SET TBLPROPERTIES('check.small'='amount < 25')"))
+    assert(m4.contains("violated by existing rows"), m4)
+    // the refused declaration persisted nothing: a row it would ban passes
+    spark.sql(s"INSERT INTO graft.$t VALUES (5, 29, 'e')")
+    // a consistent declaration persists and enforces from then on
+    spark.sql(
+      s"ALTER TABLE graft.$t SET TBLPROPERTIES('check.cap'='amount <= 1000')")
+    val m5 = refused(spark.sql(s"INSERT INTO graft.$t VALUES (6, 2000, 'f')"))
+    assert(m5.contains("cap"), m5)
+    assert(spark.table(s"graft.$t").count() === 3)
+    spark.sql(s"DROP TABLE graft.$t")
   }
 }
