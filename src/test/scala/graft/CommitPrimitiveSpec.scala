@@ -220,6 +220,21 @@ class CommitPrimitiveSpec extends SparkSpec {
     } finally WarehouseFs.gcInFlightGraceMs = savedGrace
   }
 
+  test("a merge-on-read delete losing INSIDE the window rebases too: " +
+      "masks compose through the same primitive") {
+    val t = tmpTable(); publishFixture(t)
+    WarehouseFs.casWindowHook = Some(() =>
+      WarehouseFs.deleteWhereVectors(spark, t, "id", Seq(5000L),
+        keepVersions = 8))
+    try WarehouseFs.deleteWhereVectors(spark, t, "id", Seq(100L),
+      keepVersions = 8)
+    finally WarehouseFs.casWindowHook = None
+    assert(WarehouseFs.currentVersion(spark, t).get._1 === 3L)
+    val s = state(t)
+    assert(!s.contains(100L) && !s.contains(5000L) && s.size === 7998)
+    assert(WarehouseFs.hasDeletionVectors(spark, t))
+  }
+
   test("a rebase whose attempt dir was GC'd under it refuses loudly " +
       "instead of committing dangling file refs") {
     val t = tmpTable(); publishFixture(t)

@@ -216,7 +216,11 @@ class WarehouseConcurrencySpec extends SparkSpec {
       fl <- Gen.chooseNum(0, 7)
       w <- opGen(fw)
       l <- opGen(fl)
-    } yield (w, l)
+      // where the winner strikes: before the loser's first commit
+      // attempt (casTestHook) or INSIDE the exists-check → publish
+      // window (casWindowHook) — the lost-update window itself
+      window <- Gen.oneOf(false, true)
+    } yield (w, l, window)
     def run(t: String, op: Op): Unit = op match {
       case Del(_, _) =>
         WarehouseFs.deleteWhere(spark, t, "id", op.keys, keepVersions = 10)
@@ -230,18 +234,20 @@ class WarehouseConcurrencySpec extends SparkSpec {
         op.keys.foldLeft(m)((acc, k) =>
           if (acc.contains(k)) acc.updated(k, tag) else acc)
     }
-    val prop = Prop.forAll(pairGen) { case (winner, loser) =>
+    val prop = Prop.forAll(pairGen) { case (winner, loser, window) =>
       val t = tmpTable()
       WarehouseFs.publishVersioned(
         fixtureDf(t).select(col("id"), concat(lit("u"), col("id")).as("user"),
           (col("id") % 7).as("grp")),
         t, keepVersions = 10, bloomIndexCols = Seq("id"))
       val m0 = (0L until 8000L).map(k => k -> s"u$k").toMap
-      WarehouseFs.casTestHook = Some(() => run(t, winner))
+      if (window) WarehouseFs.casWindowHook = Some(() => run(t, winner))
+      else WarehouseFs.casTestHook = Some(() => run(t, winner))
       val refused =
         try { run(t, loser); false }
         catch { case _: IllegalStateException => true }
       WarehouseFs.casTestHook = None
+      WarehouseFs.casWindowHook = None
       val expected =
         if (refused) apply(m0, winner)
         else apply(apply(m0, winner), loser)
@@ -258,7 +264,7 @@ class WarehouseConcurrencySpec extends SparkSpec {
         ((h % 8) + 8) % 8
       }
       val serialBoth = partOf(winner.fileIdx) != partOf(loser.fileIdx)
-      ((got == expected) :| s"state mismatch (refused=$refused)") &&
+      ((got == expected) :| s"state mismatch (refused=$refused, window=$window)") &&
         ((!serialBoth || !refused) :|
           "file-disjoint ops must both commit (not refuse)")
     }
