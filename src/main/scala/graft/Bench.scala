@@ -289,8 +289,13 @@ object Bench {
             val sus = n.get("suspect")
             val before = Option(n.get("load_avg"))
               .flatMap(l => Option(l.get("before"))).map(_.asDouble())
+            // only SAME-REGISTRY runs set the bar: an old round's
+            // smaller registry (or a SPARK_GRAFT_BENCH_ONLY subset)
+            // totals far less and would force a pointless re-measure
+            val sameSize = Option(n.get("queries"))
+              .exists(_.size() == queries.size)
             if (sus != null && sus.size() == 0 && before.exists(_ < 1.5) &&
-                n.get("value") != null)
+                sameSize && n.get("value") != null)
               Some(n.get("value").asDouble())
             else None
           } catch { case _: Throwable => None }

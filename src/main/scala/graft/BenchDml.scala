@@ -171,7 +171,7 @@ object BenchDml {
     // same end gate as the read bench: best suspect-free quiet DML total
     // in history sets a +10% bar; a hot after-load or a regressed total
     // re-measures once after a cooldown and the better run ships
-    val quietHistoryBest: Option[Double] = {
+    def quietHistoryBest(legCount: Int): Option[Double] = {
       val m = new com.fasterxml.jackson.databind.ObjectMapper()
       (try scala.io.Source.fromFile(historyPath0, "UTF-8").getLines().toSeq
        catch { case _: Throwable => Seq.empty })
@@ -181,10 +181,15 @@ object BenchDml {
             val sus = n.get("suspect")
             val before = Option(n.get("load_avg"))
               .flatMap(l => Option(l.get("before"))).map(_.asDouble())
+            // leg sets grew across rounds — only same-leg-count runs
+            // are a comparable bar (see the read bench's sameSize note)
+            val sameSize = Option(n.get("queries"))
+              .exists(_.size() == legCount)
             if (n.get("metric") != null &&
                 n.get("metric").asText() == "dml_total" &&
                 Option(n.get("sf")).exists(_.asText() == s"dml:$rows") &&
-                sus != null && sus.size() == 0 && before.exists(_ < 1.5))
+                sus != null && sus.size() == 0 && before.exists(_ < 1.5) &&
+                sameSize)
               Option(n.get("value")).map(_.asDouble())
             else None
           } catch { case _: Throwable => None }
@@ -202,10 +207,11 @@ object BenchDml {
     var (byLeg, loadAfter) = measure()
     def totalOf(b: Seq[(String, Seq[Double])]): Double =
       b.map(_._2.min).sum
+    val histBest = quietHistoryBest(byLeg.length)
     var regated = false
     if (!sys.env.get("SPARK_GRAFT_BENCH_NO_ENDGATE").exists(_ == "1") &&
         (loadAfter > 1.5 ||
-          quietHistoryBest.exists(h => totalOf(byLeg) > h * 1.10))) {
+          histBest.exists(h => totalOf(byLeg) > h * 1.10))) {
       Thread.sleep(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_COOLDOWN_MS", "20000").toLong)
       val (b2, l2) = measure()
@@ -223,7 +229,7 @@ object BenchDml {
       .mkString("{", ",", "}")
     val susp = suspect.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = r(finalTimes.map(_._2).sum)
-    val json = s"""{"metric":"dml_total","value":$total,"unit":"sec","queries":$qs,"raw":$raws,"errors":[],"suspect":$susp,"load_avg":{"before":${r(loadBefore)},"after":${r(loadAfter)},"cpus":${Runtime.getRuntime.availableProcessors}},"end_gate":{"history_best":${quietHistoryBest.map(r(_).toString).getOrElse("null")},"remeasured":$regated},"reps":$reps,"sf":"dml:$rows"}"""
+    val json = s"""{"metric":"dml_total","value":$total,"unit":"sec","queries":$qs,"raw":$raws,"errors":[],"suspect":$susp,"load_avg":{"before":${r(loadBefore)},"after":${r(loadAfter)},"cpus":${Runtime.getRuntime.availableProcessors}},"end_gate":{"history_best":${histBest.map(r(_).toString).getOrElse("null")},"remeasured":$regated},"reps":$reps,"sf":"dml:$rows"}"""
     val out = sys.env.getOrElse("BENCH_OUT", "bench_dml_out.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (json + "\n").getBytes("UTF-8"))

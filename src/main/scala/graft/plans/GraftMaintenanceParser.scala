@@ -63,6 +63,10 @@ class GraftMaintenanceParser(delegate: ParserInterface) extends ParserInterface 
     """(?is)\s*VACUUM\s+(.+?)\s*;?\s*""".r
   private val AnalyzeRe =
     """(?is)\s*ANALYZE\s+TABLE\s+(.+?)\s+COMPUTE\s+STATISTICS\s*(?:FOR\s+ALL\s+COLUMNS\s*)?;?\s*""".r
+  private val AddConstraintRe =
+    """(?is)\s*ALTER\s+TABLE\s+(.+?)\s+ADD\s+CONSTRAINT\s+([A-Za-z_]\w*)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
+  private val DropConstraintRe =
+    """(?is)\s*ALTER\s+TABLE\s+(.+?)\s+DROP\s+CONSTRAINT\s+([A-Za-z_]\w*)\s*;?\s*""".r
   private val HistoryRe =
     """(?is)\s*DESCRIBE\s+HISTORY\s+(.+?)\s*;?\s*""".r
   private val DetailRe =
@@ -85,6 +89,13 @@ class GraftMaintenanceParser(delegate: ParserInterface) extends ParserInterface 
     // untouched (the session catalog's ANALYZE keeps working)
     case AnalyzeRe(ident) if graftIdent(ident) =>
       GraftAnalyzeCommand(tablePath(ident))
+    // ANSI constraint DDL as sugar over the `check.<name>` property —
+    // claimed only for graft catalog identifiers (Spark's own grammar
+    // keeps every other table)
+    case AddConstraintRe(ident, name, expr) if graftIdent(ident) =>
+      GraftAddConstraintCommand(tablePath(ident), name, expr.trim)
+    case DropConstraintRe(ident, name) if graftIdent(ident) =>
+      GraftDropConstraintCommand(tablePath(ident), name)
     case HistoryRe(ident) => GraftDescribeHistoryCommand(tablePath(ident))
     case DetailRe(ident) => GraftDescribeDetailCommand(tablePath(ident))
     case _ => delegate.parsePlan(sqlText)
@@ -258,6 +269,11 @@ case class GraftDescribeDetailCommand(path: String)
     // the time-travel floor: a compliance reader checks THIS instant
     // against its retention requirement, not the version count
     AttributeReference("oldest_retained_at", TimestampType, nullable = false)(),
+    // active logical→physical renames (empty = files store the logical
+    // spellings) and declared row constraints — the two metadata layers
+    // a reader can't infer from the files
+    AttributeReference("column_mapping", StringType, nullable = false)(),
+    AttributeReference("constraints", StringType, nullable = false)(),
     AttributeReference("properties", StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val hist = WarehouseFs.describeHistory(spark, path)
@@ -270,11 +286,15 @@ case class GraftDescribeDetailCommand(path: String)
     val props = graft.sources.GraftCatalog.readProps(spark, path)
       .toSeq.sortBy(_._1).map { case (k, value) => s"$k=$value" }
       .mkString(",")
+    val mapping = WarehouseFs.columnMapping(spark, path)
+      .toSeq.sorted.map { case (l, ph) => s"$l->$ph" }.mkString(",")
+    val checks = WarehouseFs.storedChecks(spark, path)
+      .map { case (n, e) => s"$n: $e" }.mkString("; ")
     Seq(Row(path, fmt, v, ts, nf, bytes, partCols.mkString(","),
       bloom.mkString(","), zone.mkString(","), hasStats,
       WarehouseFs.deletionVectorRows(spark, path),
       WarehouseFs.deletionVectorDeltaFiles(spark, path), hist.size,
-      hist.head._2, props))
+      hist.head._2, mapping, checks, props))
   }
 }
 
@@ -296,5 +316,43 @@ case class GraftDescribeHistoryCommand(path: String)
     rows.map { case (v, ts, dir, fmt, nf, bytes) =>
       Row(v, ts, dir, fmt, nf, bytes)
     }
+  }
+}
+
+/** `ALTER TABLE t ADD CONSTRAINT name CHECK (expr)` — ANSI sugar over
+  * the `check.<name>` table property: validates the table's EXISTING
+  * rows in one aggregated pass (a contradicting declaration refuses
+  * loudly and persists nothing), then stores the expression; every
+  * subsequent write path enforces it pre-commit
+  * ([[WarehouseFs.storedChecks]]). */
+case class GraftAddConstraintCommand(path: String, name: String,
+                                     expr: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    val bad = WarehouseFs.validateChecks(spark, path, Seq((name, expr)))
+    require(bad.isEmpty,
+      s"ADD CONSTRAINT: '$name' ($expr) is violated by existing rows of " +
+        s"$path — fix the data first; nothing was persisted")
+    graft.sources.GraftCatalog.writeProps(spark, path,
+      graft.sources.GraftCatalog.readProps(spark, path) +
+        (s"check.$name" -> expr))
+    Nil
+  }
+}
+
+/** `ALTER TABLE t DROP CONSTRAINT name` — removes the stored check;
+  * unknown names refuse (a typo'd drop that "succeeds" would leave the
+  * constraint silently enforced). */
+case class GraftDropConstraintCommand(path: String, name: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    val props = graft.sources.GraftCatalog.readProps(spark, path)
+    require(props.keys.exists(_.equalsIgnoreCase(s"check.$name")),
+      s"DROP CONSTRAINT: no constraint '$name' on $path")
+    graft.sources.GraftCatalog.writeProps(spark, path,
+      props.filter { case (k, _) => !k.equalsIgnoreCase(s"check.$name") })
+    Nil
   }
 }

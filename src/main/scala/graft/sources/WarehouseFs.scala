@@ -476,6 +476,7 @@ object WarehouseFs {
     require(from == to || !taken.contains(to),
       s"alterRenameColumn: '$to' collides with an existing logical name " +
         "or a pinned physical spelling")
+    refuseConstrainedColumn(spark, table, from, "alterRenameColumn")
     writeMappedDeclaration(spark, table,
       org.apache.spark.sql.types.StructType(decl.fields.map { f =>
         if (f.name == from) withPhysical(f, physicalOf(f)).copy(name = to)
@@ -495,6 +496,7 @@ object WarehouseFs {
       s"alterDropColumn: $table has no column '$name'")
     require(decl.fields.length > 1,
       s"alterDropColumn: cannot drop the last column of $table")
+    refuseConstrainedColumn(spark, table, name, "alterDropColumn")
     val r = resolveVersion(spark, table, None).getOrElse(
       throw new IllegalArgumentException(
         s"alterDropColumn: $table is not a versioned table"))
@@ -539,6 +541,28 @@ object WarehouseFs {
     val out = fs.create(f, true)
     try out.write(all.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
     finally out.close()
+  }
+
+  /** A rename or drop of a column a stored CHECK references would make
+    * every subsequent write fail resolving the constraint — refuse the
+    * DDL with guidance instead (drop the constraint, alter, re-declare
+    * under the new name). Constraint expressions parse lazily; an
+    * unparseable one blocks nothing here (it already fails loudly at
+    * write time). */
+  private def refuseConstrainedColumn(spark: SparkSession, table: String,
+                                      column: String, verb: String): Unit = {
+    val lower = column.toLowerCase
+    val referencing = storedChecks(spark, table).filter { case (_, e) =>
+      (try spark.sessionState.sqlParser.parseExpression(e).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.nameParts.head.toLowerCase
+      }.toSet
+      catch { case _: Exception => Set.empty[String] }).contains(lower)
+    }
+    require(referencing.isEmpty,
+      s"$verb: column '$column' is referenced by constraint(s) " +
+        s"${referencing.map(_._1).mkString(", ")} on $table — DROP " +
+        "CONSTRAINT first and re-declare it against the new schema")
   }
 
   /** The table's current LOGICAL declaration: the sidecar when present,

@@ -1029,4 +1029,49 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.table(s"graft.$t").count() === 3)
     spark.sql(s"DROP TABLE graft.$t")
   }
+
+  test("ADD/DROP CONSTRAINT SQL; DESCRIBE DETAIL surfaces mapping and " +
+      "constraints; constrained columns refuse rename/drop") {
+    def rootMsg(t: Throwable): String = {
+      var c: Throwable = t; val sb = new StringBuilder
+      while (c != null) { sb.append(c.getMessage).append(" | "); c = c.getCause }
+      sb.toString
+    }
+    val t = fresh("cat_cddl")
+    spark.sql(s"CREATE TABLE graft.$t (id BIGINT, amount BIGINT) " +
+      "TBLPROPERTIES('keepVersions'='8')")
+    spark.sql(s"INSERT INTO graft.$t VALUES (1, 10), (2, 20)")
+    spark.sql(
+      s"ALTER TABLE graft.$t ADD CONSTRAINT amount_pos CHECK (amount > 0)")
+    // enforced from now on
+    val m1 = rootMsg(intercept[Throwable] {
+      spark.sql(s"INSERT INTO graft.$t VALUES (3, -1)") })
+    assert(m1.contains("amount_pos"), m1)
+    assert(spark.table(s"graft.$t").count() === 2)
+    // a contradicting declaration refuses, persists nothing
+    val m2 = rootMsg(intercept[Throwable] {
+      spark.sql(
+        s"ALTER TABLE graft.$t ADD CONSTRAINT small CHECK (amount < 15)") })
+    assert(m2.contains("violated by existing rows"), m2)
+    // the operational summary names what the files can't show
+    spark.sql(s"ALTER TABLE graft.$t RENAME COLUMN id TO ident")
+    val d = spark.sql(s"DESCRIBE DETAIL graft.$t").collect().head
+    assert(d.getAs[String]("constraints").contains("amount_pos"))
+    assert(d.getAs[String]("column_mapping") === "ident->id")
+    // renaming/dropping a CONSTRAINED column refuses with guidance
+    val m3 = rootMsg(intercept[Throwable] {
+      spark.sql(s"ALTER TABLE graft.$t RENAME COLUMN amount TO amt") })
+    assert(m3.contains("amount_pos") && m3.contains("DROP CONSTRAINT"), m3)
+    val m4 = rootMsg(intercept[Throwable] {
+      spark.sql(s"ALTER TABLE graft.$t DROP COLUMN amount") })
+    assert(m4.contains("amount_pos"), m4)
+    // DROP CONSTRAINT frees the column; unknown names refuse
+    spark.sql(s"ALTER TABLE graft.$t DROP CONSTRAINT amount_pos")
+    intercept[Throwable] {
+      spark.sql(s"ALTER TABLE graft.$t DROP CONSTRAINT nope") }
+    spark.sql(s"ALTER TABLE graft.$t RENAME COLUMN amount TO amt")
+    spark.sql(s"INSERT INTO graft.$t VALUES (3, -1)")
+    assert(spark.table(s"graft.$t").count() === 3)
+    spark.sql(s"DROP TABLE graft.$t")
+  }
 }
