@@ -279,13 +279,13 @@ class GraftV2ScanBuilder(
     // (`preserve-data-grouping`, default off): enable it for the
     // sessions running co-partitioned fact-fact joins, where one
     // eliminated shuffle dwarfs the grouped-scan cost.
-    // SPJ pauses for the MoR window: masked files re-plan as single-file
-    // partitions, which the key-grouped regrouping cannot absorb — a
-    // DV'd version reports unknown partitioning until OPTIMIZE folds the
-    // mask (SPJ is an explicit opt-in for clean fact-fact joins anyway)
+    // SPJ composes with the MoR window since the grouped DV rework:
+    // masked splits keep FilePartition grouping and regroup by partition
+    // value WITH their per-split masks ([[GraftKeyedBatch]]), so a
+    // deletion-vectored fact still joins its co-partitioned twin with
+    // zero Exchanges
     val spjSchema =
-      if (!dvActive &&
-          spark.sessionState.conf.v2BucketingEnabled && scanPartCols.nonEmpty &&
+      if (spark.sessionState.conf.v2BucketingEnabled && scanPartCols.nonEmpty &&
           spark.conf.getOption("spark.graft.planning.preserveDataGrouping")
             .exists(_.toBoolean))
         Some(StructType(scanPartCols.flatMap(c =>
@@ -712,17 +712,35 @@ class GraftKeyedBatch(delegate: Batch,
   import org.apache.spark.sql.execution.datasources.FilePartition
 
   private lazy val grouped: Array[InputPartition] = {
+    import org.apache.spark.sql.execution.datasources.PartitionedFile
     val raw = delegate.planInputPartitions()
-    val fileParts = raw.collect { case fp: FilePartition => fp }
-    if (fileParts.length != raw.length) raw // unexpected shape: pass through
+    // flatten to (split, mask) pairs — clean splits carry a null mask,
+    // masked partitions contribute their per-split arrays, and a shape
+    // this regrouping doesn't know passes the whole plan through
+    val pairs =
+      scala.collection.mutable.ArrayBuffer.empty[(PartitionedFile, Array[Long])]
+    var known = true
+    raw.foreach {
+      case g: GraftDvMaskedPartition =>
+        g.delegate.files.indices.foreach(i =>
+          pairs += ((g.delegate.files(i), g.masks(i))))
+      case fp: FilePartition => fp.files.foreach(f => pairs += ((f, null)))
+      case _ => known = false
+    }
+    if (!known) raw
     else {
       val types = partSchema.map(_.dataType)
-      fileParts.flatMap(_.files)
-        .groupBy(f => new InternalRowComparableWrapper(f.partitionValues, types))
-        .toSeq.sortBy(_._2.head.urlEncodedPath)
-        .zipWithIndex.map { case ((key, files), i) =>
-          GraftKeyedFilePartition(FilePartition(i, files), key.row)
-            : InputPartition
+      pairs
+        .groupBy { case (f, _) =>
+          new InternalRowComparableWrapper(f.partitionValues, types) }
+        .toSeq.sortBy(_._2.head._1.urlEncodedPath)
+        .zipWithIndex.map { case ((key, fs), i) =>
+          val files = fs.map(_._1).toArray
+          val masks = fs.map(_._2).toArray
+          val inner: InputPartition =
+            if (masks.forall(_ == null)) FilePartition(i, files)
+            else GraftDvMaskedPartition(FilePartition(i, files), masks)
+          GraftKeyedFilePartition(inner, key.row): InputPartition
         }.toArray
     }
   }
@@ -746,7 +764,7 @@ class GraftKeyedBatch(delegate: Batch,
 }
 
 case class GraftKeyedFilePartition(
-    delegate: org.apache.spark.sql.execution.datasources.FilePartition,
+    delegate: org.apache.spark.sql.connector.read.InputPartition,
     key: InternalRow)
     extends org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow = key

@@ -468,6 +468,38 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("storage-partitioned join composes with the MoR window: masked " +
+      "co-partitioned tables still join with ZERO Exchanges") {
+    val a = fresh("cat_spjdv_a"); val b = fresh("cat_spjdv_b")
+    for (t <- Seq(a, b)) {
+      spark.sql(s"CREATE TABLE graft.$t (id BIGINT, v STRING, day INT) " +
+        "PARTITIONED BY (day) TBLPROPERTIES('keepVersions'='4')")
+      spark.sql(s"INSERT INTO graft.$t " +
+        s"SELECT id, CONCAT('$t', id), CAST(id % 8 AS INT) FROM range(4000)")
+    }
+    // deletion vectors on BOTH sides — pre-r14 this reported unknown
+    // partitioning and re-introduced both Exchanges for the MoR window
+    WarehouseFs.deleteWhereVectors(spark, s"$wh/$a", "id",
+      Seq(8L, 16L, 1000L), keepVersions = 4)
+    WarehouseFs.deleteWhereVectors(spark, s"$wh/$b", "id",
+      Seq(24L, 2000L), keepVersions = 4)
+    assert(WarehouseFs.hasDeletionVectors(spark, s"$wh/$a"))
+    def joined = spark.sql(
+      s"""SELECT x.day AS day, COUNT(*) AS n
+         |FROM graft.$a x JOIN graft.$b y ON x.day = y.day
+         |GROUP BY x.day""".stripMargin)
+    val shuffled = joined.collect().map(_.toSeq).toSet
+    withConf("spark.sql.sources.v2.bucketing.enabled" -> "true",
+             "spark.graft.planning.preserveDataGrouping" -> "true",
+             "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val plan = joined.queryExecution.executedPlan.toString()
+      assert(!plan.contains("Exchange"),
+        s"masked co-partitioned tables joined on day must not shuffle:\n$plan")
+      assert(joined.collect().map(_.toSeq).toSet === shuffled,
+        "the masked storage-partitioned plan must be value-identical")
+    }
+  }
+
   test("committed column stats reach the CBO: NDV/null/min-max from the stats sidecar") {
     val t = fresh("cat_cbo")
     val path = s"$wh/$t"
