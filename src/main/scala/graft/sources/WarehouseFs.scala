@@ -198,6 +198,17 @@ object WarehouseFs {
         catch { case _: FileAlreadyExistsException => false }
         finally Files.deleteIfExists(tmpNio)
       } else {
+        // KNOWN object stores have no atomic no-replace rename at all
+        // (S3A "renames" by client-side copy): the dot-tmp + rename +
+        // read-back below would only NARROW their lost-update window.
+        // Refuse loudly and name the fix — silent near-correctness is
+        // the one thing a commit primitive must never offer.
+        require(!ObjectStoreSchemes(fs.getScheme),
+          s"graft commit: the default commit guard cannot guarantee a " +
+            s"compare-and-set on '${fs.getScheme}://' — install a " +
+            "ConditionalPutCommitGuard (conditional create / " +
+            "If-None-Match) via WarehouseFs.commitGuard for object-store " +
+            "warehouses")
         if (fs.exists(dest)) return false
         val tmp = new Path(dest.getParent, s".tmp-${dest.getName}-$nonce")
         val out = fs.create(tmp, true)
@@ -212,6 +223,11 @@ object WarehouseFs {
         }
       }
     }
+
+    /** Schemes whose "rename" is a non-atomic client-side copy — the
+      * default guard refuses these rather than pretending. */
+    private[graft] val ObjectStoreSchemes: Set[String] =
+      Set("s3", "s3a", "s3n", "gs", "wasb", "wasbs", "oss", "cos")
   }
 
   /** [[ManifestCommitGuard]] over an object store's conditional create

@@ -121,6 +121,73 @@ class CommitPrimitiveSpec extends SparkSpec {
     assert(store.size() === 1, "one full object, visible atomically")
   }
 
+  test("the default guard refuses object-store schemes by name instead " +
+      "of narrowing their window") {
+    // a local FS wearing an s3a badge: rename semantics are whatever the
+    // subclass inherits — the guard must refuse on the SCHEME, before
+    // any rename happens
+    val fake = new org.apache.hadoop.fs.RawLocalFileSystem {
+      override def getScheme: String = "s3a"
+    }
+    fake.initialize(java.net.URI.create("file:///"),
+      spark.sessionState.newHadoopConf())
+    val dest = new Path(
+      s"${java.nio.file.Files.createTempDirectory("graft_os_")}/00000001")
+    val e = intercept[IllegalArgumentException] {
+      WarehouseFs.HadoopCommitGuard.commit(fake, dest, "x".getBytes("UTF-8"))
+    }
+    assert(e.getMessage.contains("ConditionalPutCommitGuard"),
+      s"the refusal must name the fix, got: ${e.getMessage}")
+  }
+
+  test("TRUE thread-parallel blind appends through the real primitive: " +
+      "every append lands exactly once, nothing lost") {
+    val t = tmpTable(); publishFixture(t)
+    val n = 6
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(n)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    try {
+      val futures = (0 until n).map { i =>
+        pool.submit(new Runnable {
+          override def run(): Unit = {
+            start.await()
+            val rows = spark.range(10000L + i * 10, 10000L + i * 10 + 10)
+              .select(col("id"), concat(lit("w"), col("id")).as("user"),
+                lit(i.toLong).as("grp"))
+            // bounded outer retries: MaxCommitAttempts caps the INNER
+            // rebase loop; under 6 genuinely parallel writers a loser
+            // can exhaust it and must re-run — the documented contract
+            var attempts = 0
+            var done = false
+            while (!done) {
+              try { WarehouseFs.appendRows(rows, t, keepVersions = 16); done = true }
+              catch {
+                case e: IllegalStateException
+                    if e.getMessage.contains("manifest races") && attempts < 8 =>
+                  attempts += 1
+                case other: Throwable => failures.add(other); done = true
+              }
+            }
+          }
+        })
+      }
+      start.countDown()
+      futures.foreach(_.get(300, TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    assert(failures.isEmpty, s"unexpected failures: ${failures}")
+    val got = WarehouseFs.readTable(spark, t).get
+    assert(got.count() === 8000L + n * 10,
+      "every thread's append must land — the CAS may delay, never lose")
+    val appended = got.filter(col("id") >= 10000L)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(appended === (0 until n).flatMap(i =>
+      (10000L + i * 10) until (10000L + i * 10 + 10)).sorted,
+      "exactly-once: no appended row lost, none duplicated")
+    assert(WarehouseFs.currentVersion(spark, t).get._1 === 1L + n,
+      "six appends = six committed versions after the base")
+  }
+
   // ---- the window itself, driven through real DML -----------------------
 
   test("a competitor committing INSIDE the exists-check→publish window " +
