@@ -63,6 +63,10 @@ class GraftMaintenanceParser(delegate: ParserInterface) extends ParserInterface 
     """(?is)\s*VACUUM\s+(.+?)\s*;?\s*""".r
   private val AnalyzeRe =
     """(?is)\s*ANALYZE\s+TABLE\s+(.+?)\s+COMPUTE\s+STATISTICS\s*(?:FOR\s+ALL\s+COLUMNS\s*)?;?\s*""".r
+  private val RestoreRe =
+    """(?is)\s*RESTORE\s+TABLE\s+(.+?)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+  private val RestoreTsRe =
+    """(?is)\s*RESTORE\s+TABLE\s+(.+?)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
   private val AddConstraintRe =
     """(?is)\s*ALTER\s+TABLE\s+(.+?)\s+ADD\s+CONSTRAINT\s+([A-Za-z_]\w*)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
   private val DropConstraintRe =
@@ -96,6 +100,10 @@ class GraftMaintenanceParser(delegate: ParserInterface) extends ParserInterface 
       GraftAddConstraintCommand(tablePath(ident), name, expr.trim)
     case DropConstraintRe(ident, name) if graftIdent(ident) =>
       GraftDropConstraintCommand(tablePath(ident), name)
+    case RestoreRe(ident, v) =>
+      GraftRestoreCommand(tablePath(ident), Left(v.toLong))
+    case RestoreTsRe(ident, ts) =>
+      GraftRestoreCommand(tablePath(ident), Right(ts))
     case HistoryRe(ident) => GraftDescribeHistoryCommand(tablePath(ident))
     case DetailRe(ident) => GraftDescribeDetailCommand(tablePath(ident))
     case _ => delegate.parsePlan(sqlText)
@@ -354,5 +362,32 @@ case class GraftDropConstraintCommand(path: String, name: String)
     graft.sources.GraftCatalog.writeProps(spark, path,
       props.filter { case (k, _) => !k.equalsIgnoreCase(s"check.$name") })
     Nil
+  }
+}
+
+/** `RESTORE TABLE t TO VERSION AS OF n` (or `TO TIMESTAMP AS OF 'ts'`,
+  * resolved against manifest commit instants) →
+  * [[WarehouseFs.restoreVersion]]: one new commit re-pointing at the
+  * retained target version's files and masks — zero data I/O, the
+  * rollback verb for a bad DML. Honors the table's stored retention. */
+case class GraftRestoreCommand(path: String, target: Either[Long, String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("restored_to_version", LongType, nullable = false)(),
+    AttributeReference("new_version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = target match {
+      case Left(n) => n
+      case Right(ts) =>
+        val ms = graft.streaming.CdfSource.parseInstantMillis(ts)
+        WarehouseFs.versionAtTimestamp(spark, path, ms).getOrElse(
+          throw new IllegalArgumentException(
+            s"RESTORE: no version of $path existed at '$ts' (before " +
+              "creation, or past the retention window)"))
+    }
+    val keep = graft.sources.GraftCatalog.keepVersionsOf(
+      graft.sources.GraftCatalog.readProps(spark, path))
+    WarehouseFs.restoreVersion(spark, path, v, keep)
+    Seq(Row(v, WarehouseFs.currentVersion(spark, path).get._1))
   }
 }

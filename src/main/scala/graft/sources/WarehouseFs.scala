@@ -3139,6 +3139,65 @@ object WarehouseFs {
     }
   }
 
+  /** `RESTORE TABLE … TO VERSION AS OF v` — roll the table back (or
+    * forward) to any RETAINED version as ONE NEW commit at ZERO data
+    * I/O: the manifest re-points at `v`'s exact file list and mask
+    * deltas (both kept alive by reference, the CoW carry economics),
+    * index/zone rows and stats copy from `v`'s entries, and the change
+    * feed across the restore is the file-granular REVERSE of what it
+    * undoes — downstream CDC consumers see the rollback as ordinary
+    * deltas. Every intermediate version stays time-travelable;
+    * retention governs how far back a restore can reach. A concurrent
+    * commit landing mid-restore refuses loudly (a restore REPLACES the
+    * whole state — there is no meaningful rebase). Restoring to the
+    * current version is a no-op. */
+  def restoreVersion(spark: SparkSession, table: String, version: Long,
+                     keepVersions: Int = 2): Unit = {
+    val (fs, t) = fsFor(spark, table)
+    val cur = resolveVersion(spark, table, None).getOrElse(
+      throw new IllegalArgumentException(
+        s"restore: $table is not a versioned table"))
+    if (cur.version == version) return
+    val r = resolveVersion(spark, table, Some(version)).getOrElse(
+      throw new IllegalArgumentException(
+        s"restore: version $version of $table is not retained " +
+          s"(retained: ${listVersions(spark, table).mkString(", ")}) — " +
+          "retention governs how far back a restore can reach"))
+    val files = versionFiles(fs, t, r)
+    val dvRefs = dvFileRefs(spark, table, r)
+    val dirName =
+      s"v${vname(cur.version + 1L)}-${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    // metadata rides along: the restored version's index/zone relations
+    // are exactly `v`'s (merged under this commit's own key), stats copy
+    carryMetaVerbatim(spark, fs, indexDir(t), r, dirName)
+    carryMetaVerbatim(spark, fs, zonesDir(t), r, dirName)
+    val oldStats = new Path(statsDir(t), r.dirName)
+    if (fs.exists(oldStats)) {
+      val dst = new Path(statsDir(t), dirName)
+      if (fs.exists(dst)) fs.delete(dst, true)
+      org.apache.hadoop.fs.FileUtil.copy(fs, oldStats, fs, dst, false,
+        spark.sessionState.newHadoopConf())
+      ()
+    }
+    val partCols = {
+      val derived = partitionColsOf(files)
+      if (derived.nonEmpty) derived else r.declaredPartCols
+    }
+    val partColsHeader =
+      if (partCols.nonEmpty) Seq(s"partcols:${partCols.mkString(",")}") else Nil
+    val next = cur.version + 1L
+    val vd = versionsDir(t)
+    fs.mkdirs(vd)
+    val body =
+      (s"files:$dirName" +: s"ts:${System.currentTimeMillis()}" +:
+        (partColsHeader ++ dvRefs.map("dv:" + _) ++ files)).mkString("\n")
+    require(!fs.exists(new Path(vd, vname(next))) &&
+        commitManifest(fs, new Path(vd, vname(next)), body),
+      s"restore: $table advanced past version ${cur.version} while the " +
+        "restore was preparing — re-run against the current state")
+    gcVersions(fs, t, keepVersions)
+  }
+
   /** Merge-on-read DELETE: rows matching `cond` are MASKED through a
     * per-version deletion-vector sidecar — zero data files rewritten,
     * the scattered-key regime copy-on-write cannot serve (a 1M-user

@@ -113,7 +113,7 @@ object CdfSource {
     * (`2021-03-01[T ]00:00:00[.f]`, the JVM's zone), and date-only
     * (`2021-03-01`, local midnight). Anything else fails with a message
     * naming the option and these forms — not a raw parse stack. */
-  private[graft] def parseInstantMillis(s0: String): Long = {
+  def parseInstantMillis(s0: String): Long = {
     val s = s0.trim
     def attempt[A](f: => A): Option[A] =
       try Some(f) catch { case _: RuntimeException => None }

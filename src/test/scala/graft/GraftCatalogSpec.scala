@@ -1106,4 +1106,63 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.table(s"graft.$t").count() === 3)
     spark.sql(s"DROP TABLE graft.$t")
   }
+
+  test("RESTORE TABLE rolls back a bad DML at zero data I/O: files " +
+      "re-point, the feed reverses, masks restore, time travel intact") {
+    val t = fresh("cat_restore")
+    spark.sql(s"CREATE TABLE graft.$t (id BIGINT, user STRING) " +
+      "TBLPROPERTIES('bloomIndexCols'='id', 'keepVersions'='12', " +
+      "'keyCols'='id')")                                          // v1
+    spark.sql(s"INSERT INTO graft.$t " +
+      s"SELECT id, CONCAT('u', id) FROM range(1000)")             // v2
+    spark.sql(s"DELETE FROM graft.$t WHERE id = 5")               // v3
+    spark.sql(s"UPDATE graft.$t SET user = 'X' WHERE id = 7")     // v4
+    val res = spark.sql(
+      s"RESTORE TABLE graft.$t TO VERSION AS OF 2").collect().head
+    assert(res.getLong(0) === 2L && res.getLong(1) === 5L)        // v5
+    val df = spark.table(s"graft.$t")
+    assert(df.count() === 1000)
+    assert(df.filter(col("id") === 5L).count() === 1)
+    assert(df.filter(col("id") === 7L).select("user").as[String]
+      .head() === "u7")
+    // ZERO data I/O: the restore commit owns no physical data dir —
+    // its manifest re-points at version 2's files by reference
+    assert(!new java.io.File(s"$wh/$t").listFiles()
+      .exists(_.getName.startsWith("v00000005-")),
+      "a restore must not write any data file")
+    // the change feed across the restore is the file-granular REVERSE
+    val feed = spark.sql(s"SELECT * FROM table_changes('graft.$t', 5, 5)")
+      .collect()
+    assert(feed.length < 600,
+      s"the restore feed must be file-granular, got ${feed.length} rows")
+    val inserted5 = feed.exists(r =>
+      r.getAs[Long]("id") == 5L && r.getAs[String]("_change_type") == "insert")
+    assert(inserted5, "undoing the delete surfaces id 5 as an insert")
+    // the bad era stays time-travelable
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft.$t VERSION AS OF 4")
+      .head().getLong(0) === 999L)
+    // masks restore too: a MoR delete, then a restore past it and back
+    WarehouseFs.deleteWhereVectors(spark, s"$wh/$t", "id", Seq(10L),
+      keepVersions = 12)                                          // v6
+    assert(WarehouseFs.hasDeletionVectors(spark, s"$wh/$t"))
+    spark.sql(s"RESTORE TABLE graft.$t TO VERSION AS OF 5")       // v7
+    assert(!WarehouseFs.hasDeletionVectors(spark, s"$wh/$t"))
+    assert(spark.table(s"graft.$t").count() === 1000)
+    spark.sql(s"RESTORE TABLE graft.$t TO VERSION AS OF 6")       // v8
+    assert(WarehouseFs.hasDeletionVectors(spark, s"$wh/$t"))
+    assert(spark.table(s"graft.$t").count() === 999)
+    assert(spark.table(s"graft.$t").filter(col("id") === 10L).count() === 0)
+    // the TIMESTAMP spelling resolves through manifest commit instants
+    val tsOfV2 = spark.sql(s"DESCRIBE HISTORY graft.$t").collect()
+      .find(_.getLong(0) == 2L).get.getTimestamp(1)
+    spark.sql(s"RESTORE TABLE graft.$t TO TIMESTAMP AS OF " +
+      s"'${tsOfV2.toInstant}'")                                   // v9
+    assert(spark.table(s"graft.$t").count() === 1000)
+    // out-of-retention targets refuse with guidance
+    val e = intercept[Exception] {
+      spark.sql(s"RESTORE TABLE graft.$t TO VERSION AS OF 99").collect() }
+    assert(e.getMessage.contains("not retained") ||
+      e.getMessage.contains("retention"), e.getMessage)
+    spark.sql(s"DROP TABLE graft.$t")
+  }
 }
