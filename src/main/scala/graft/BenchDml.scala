@@ -209,9 +209,11 @@ object BenchDml {
       b.map(_._2.min).sum
     val histBest = quietHistoryBest(byLeg.length)
     var regated = false
+    // unlike the read bench, the DML legs SATURATE every core right up
+    // to the end — `loadAfter` reflects our own burst, not a tenant, so
+    // only the history-regression signal triggers the re-measure here
     if (!sys.env.get("SPARK_GRAFT_BENCH_NO_ENDGATE").exists(_ == "1") &&
-        (loadAfter > 1.5 ||
-          histBest.exists(h => totalOf(byLeg) > h * 1.10))) {
+        histBest.exists(h => totalOf(byLeg) > h * 1.10)) {
       Thread.sleep(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_COOLDOWN_MS", "20000").toLong)
       val (b2, l2) = measure()
