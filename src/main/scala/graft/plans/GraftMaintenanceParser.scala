@@ -53,6 +53,8 @@ class GraftMaintenanceParser(delegate: ParserInterface) extends ParserInterface 
 
   private val OptimizeZRe =
     """(?is)\s*OPTIMIZE\s+(.+?)\s+ZORDER\s+BY\s*\(\s*([^)]+?)\s*\)\s*;?\s*""".r
+  private val OptimizeWhereRe =
+    """(?is)\s*OPTIMIZE\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*""".r
   private val OptimizeRe =
     """(?is)\s*OPTIMIZE\s+(.+?)\s*;?\s*""".r
   private val VacuumRe =
@@ -80,6 +82,8 @@ class GraftMaintenanceParser(delegate: ParserInterface) extends ParserInterface 
     case OptimizeZRe(ident, cols) => GraftOptimizeCommand(tablePath(ident),
       cols.split(',').map(c => c.trim.stripPrefix("`").stripSuffix("`"))
         .filter(_.nonEmpty).toSeq)
+    case OptimizeWhereRe(ident, cond) =>
+      GraftOptimizePartitionCommand(tablePath(ident), cond)
     case OptimizeRe(ident) => GraftOptimizeCommand(tablePath(ident))
     case VacuumRe(ident, n) => GraftVacuumCommand(tablePath(ident), Some(n.toInt))
     case VacuumTimeRe(ident, n, unit) =>
@@ -389,5 +393,35 @@ case class GraftRestoreCommand(path: String, target: Either[Long, String])
       graft.sources.GraftCatalog.readProps(spark, path))
     WarehouseFs.restoreVersion(spark, path, v, keep)
     Seq(Row(v, WarehouseFs.currentVersion(spark, path).get._1))
+  }
+}
+
+/** `OPTIMIZE t WHERE partCol = v [AND …]` →
+  * [[WarehouseFs.compactPartition]]: partition-scoped small-file fold —
+  * one CoW commit rewriting only the matching layout partitions, the
+  * rest carried by reference. The condition is a conjunction of
+  * `column = literal` equalities over layout partition columns (string
+  * literals quoted, numbers/dates bare or quoted — values canonicalize
+  * through the column's type). Returns (new_version, files_written). */
+case class GraftOptimizePartitionCommand(path: String, cond: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("files_written", IntegerType, nullable = false)())
+  private val EqRe =
+    """\s*`?([\w.]+)`?\s*=\s*(?:'([^']*)'|([\w.\-]+))\s*""".r
+  override def run(spark: SparkSession): Seq[Row] = {
+    val spec: Map[String, Any] = cond.split("(?i)\\s+AND\\s+").toSeq.map {
+      case EqRe(c, quoted, bare) =>
+        c -> (if (quoted != null) quoted else bare): (String, Any)
+      case other => throw new IllegalArgumentException(
+        s"OPTIMIZE … WHERE takes a conjunction of column = literal " +
+          s"equalities over partition columns, got: '$other'")
+    }.toMap
+    val keep = graft.sources.GraftCatalog.keepVersionsOf(
+      graft.sources.GraftCatalog.readProps(spark, path))
+    val written = WarehouseFs.compactPartition(spark, path, spec,
+      keepVersions = keep)
+    Seq(Row(WarehouseFs.currentVersion(spark, path).get._1, written))
   }
 }

@@ -3139,6 +3139,56 @@ object WarehouseFs {
     }
   }
 
+  /** `OPTIMIZE t WHERE partCol = v [AND …]` — PARTITION-SCOPED
+    * compaction: fold only the files whose Hive-layout path matches the
+    * spec into size-targeted files as ONE CoW commit, carrying every
+    * other file by reference — at 100 TB you compact the hot day's
+    * small-file debris, not the table. Touched files read MASKED, so
+    * their deletion-vector entries retire with the fold (the
+    * consolidation rule of any rewriting commit); bloom/zone/stats
+    * carry for the untouched rest. Spec columns must be layout
+    * partition columns (everything else would degrade to a full
+    * rewrite in disguise — refuse loudly instead); values canonicalize
+    * through the column type exactly like the DML partition probes.
+    * Returns the number of files written; a spec matching nothing
+    * commits nothing. */
+  def compactPartition(spark: SparkSession, table: String,
+                       spec: Map[String, Any], targetMB: Int = 128,
+                       keepVersions: Int = 2): Int = {
+    require(spec.nonEmpty, "compactPartition: an empty WHERE spec is a " +
+      "whole-table fold — use OPTIMIZE without WHERE")
+    val r = resolveVersion(spark, table, None).getOrElse(
+      throw new IllegalArgumentException(
+        s"compactPartition: $table is not a versioned table"))
+    val (fs, t) = fsFor(spark, table)
+    val all = versionFiles(fs, t, r)
+    val layout = (partitionColsOf(all) ++ r.declaredPartCols).toSet
+    val schemaV = versionSchema(spark, table, r)
+    spec.keys.foreach { c =>
+      require(layout.contains(physicalColumn(spark, table, c)) ||
+          layout.contains(c),
+        s"compactPartition: '$c' is not a layout partition column of " +
+          s"$table (layout: ${layout.mkString(", ")}) — OPTIMIZE WHERE " +
+          "prunes by the directory structure")
+      require(schemaV.exists(_.name == c),
+        s"compactPartition: unknown column '$c'")
+    }
+    var touched = all
+    spec.foreach { case (c, v) =>
+      val dt = schemaV.find(_.name == c).get.dataType
+      touched = partitionCandidates(spark, table, touched, c, Seq(v), dt)
+    }
+    if (touched.isEmpty) return 0
+    val bytes = touched.map(f => fs.getFileStatus(new Path(t, f)).getLen).sum
+    val parts = math.max(1,
+      math.ceil(bytes / (targetMB * 1024.0 * 1024.0)).toInt)
+    val rewritten =
+      readFilesGroupedDv(spark, table, touched, r).repartition(parts)
+    publishCoW(spark, table, r, rewritten, touched, all.diff(touched),
+      keepVersions, refreshStats = false, coalesceTo = Some(0))
+    parts
+  }
+
   /** `RESTORE TABLE … TO VERSION AS OF v` — roll the table back (or
     * forward) to any RETAINED version as ONE NEW commit at ZERO data
     * I/O: the manifest re-points at `v`'s exact file list and mask

@@ -1165,4 +1165,49 @@ class GraftCatalogSpec extends SparkSpec {
       e.getMessage.contains("retention"), e.getMessage)
     spark.sql(s"DROP TABLE graft.$t")
   }
+
+  test("OPTIMIZE ... WHERE folds one partition's small files as one CoW " +
+      "commit; every other partition carries by reference") {
+    val t = fresh("cat_optwhere")
+    spark.sql(s"CREATE TABLE graft.$t (id BIGINT, v STRING, day INT) " +
+      "PARTITIONED BY (day) TBLPROPERTIES('keepVersions'='8', 'keyCols'='id')")
+    // small-file debris in day=3: three separate appends
+    for (k <- 0 until 3)
+      spark.sql(s"INSERT INTO graft.$t " +
+        s"SELECT id + ${k * 100}, CONCAT('x', id), 3 FROM range(100)")
+    spark.sql(s"INSERT INTO graft.$t " +
+      s"SELECT id + 1000, CONCAT('y', id), CAST(id % 3 AS INT) FROM range(300)")
+    def files() = WarehouseFs.prunedFiles(spark, s"$wh/$t").get._1
+    val before = files()
+    val day3Before = before.filter(_.contains("day=3"))
+    val otherBefore = before.filterNot(_.contains("day=3")).toSet
+    assert(day3Before.size >= 3, s"debris fixture: ${day3Before.size} files")
+    val content = spark.table(s"graft.$t").collect().map(_.toSeq).toSet
+    // a masked row in day=3 folds away with the rewrite
+    WarehouseFs.deleteWhereVectors(spark, s"$wh/$t", "id", Seq(5L),
+      keepVersions = 8)
+    assert(WarehouseFs.hasDeletionVectors(spark, s"$wh/$t"))
+    val res = spark.sql(s"OPTIMIZE graft.$t WHERE day = 3").collect().head
+    assert(res.getInt(1) >= 1, "files_written")
+    val after = files()
+    val day3After = after.filter(_.contains("day=3"))
+    assert(day3After.size < day3Before.size,
+      s"day=3 must fold: ${day3Before.size} -> ${day3After.size}")
+    assert(after.filterNot(_.contains("day=3")).toSet === otherBefore,
+      "every other partition's files must carry by reference, unrewritten")
+    assert(!WarehouseFs.hasDeletionVectors(spark, s"$wh/$t"),
+      "the touched partition's mask entries retire with the fold")
+    assert(spark.table(s"graft.$t").collect().map(_.toSeq).toSet ===
+      content.filterNot(_.head == 5L), "values exact, masked row stays gone")
+    // non-partition columns refuse with guidance
+    val e = intercept[Exception] {
+      spark.sql(s"OPTIMIZE graft.$t WHERE id = 5").collect() }
+    assert(e.getMessage.contains("not a layout partition column"),
+      e.getMessage)
+    // a spec matching nothing commits nothing
+    val v = WarehouseFs.currentVersion(spark, s"$wh/$t").get._1
+    spark.sql(s"OPTIMIZE graft.$t WHERE day = 99").collect()
+    assert(WarehouseFs.currentVersion(spark, s"$wh/$t").get._1 === v)
+    spark.sql(s"DROP TABLE graft.$t")
+  }
 }
