@@ -90,7 +90,7 @@ object ScaleJoins {
         partitionBy = partCols, keepVersions = keepVersions,
         collectStats = hasStats,
         bloomIndexCols = bloomCols, zoneMapCols = zoneCols,
-        expectedVersion = current.map(_._1))
+        expectedVersion = current.map(_._1), op = "optimize")
     } else
       graft.sources.WarehouseFs.publish(compacted, dir, partitionBy = partCols)
     parts
@@ -261,7 +261,7 @@ object ScaleJoins {
       keepVersions = keepVersions,
       collectStats = hasStats, bloomIndexCols = bloomCols,
       zoneMapCols = (zoneCols ++ zCols).distinct,
-      expectedVersion = Some(current._1))
+      expectedVersion = Some(current._1), op = "optimize")
     parts
   }
 

@@ -310,12 +310,17 @@ case class GraftDescribeDetailCommand(path: String)
   }
 }
 
-/** `DESCRIBE HISTORY t` → [[WarehouseFs.describeHistory]]. */
+/** `DESCRIBE HISTORY t` → [[WarehouseFs.describeHistory]], each row
+  * stamped with the VERB that committed it ([[WarehouseFs.commitOperation]]
+  * — "full", "append", "delete", "merge", "restore", …; "-" for
+  * pre-`op:` manifests): the provenance that answers "which commit was
+  * the bad DML" before a RESTORE. */
 case class GraftDescribeHistoryCommand(path: String)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType, nullable = false)(),
     AttributeReference("committed_at", TimestampType, nullable = false)(),
+    AttributeReference("operation", StringType, nullable = false)(),
     AttributeReference("data_dir", StringType, nullable = false)(),
     AttributeReference("format", StringType, nullable = false)(),
     AttributeReference("files", IntegerType, nullable = false)(),
@@ -326,7 +331,8 @@ case class GraftDescribeHistoryCommand(path: String)
       s"DESCRIBE HISTORY: $path is not a versioned table (or has no " +
         "retained versions)")
     rows.map { case (v, ts, dir, fmt, nf, bytes) =>
-      Row(v, ts, dir, fmt, nf, bytes)
+      Row(v, ts, WarehouseFs.commitOperation(spark, path, v).getOrElse("-"),
+        dir, fmt, nf, bytes)
     }
   }
 }

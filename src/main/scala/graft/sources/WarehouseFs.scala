@@ -310,7 +310,8 @@ object WarehouseFs {
                                            files: Option[Seq[String]],
                                            declaredPartCols: Seq[String] = Nil,
                                            commitTsMillis: Option[Long] = None,
-                                           dvFiles: Seq[String] = Nil) {
+                                           dvFiles: Seq[String] = Nil,
+                                           op: Option[String] = None) {
     def isFileList: Boolean = files.isDefined
   }
 
@@ -326,15 +327,22 @@ object WarehouseFs {
       .flatMap(_.stripPrefix("ts:").toLongOption)
     val dvRefs = all.filter(_.startsWith("dv:"))
       .map(_.stripPrefix("dv:")).toSeq
-    val lines = all.filterNot(l => l.startsWith("ts:") || l.startsWith("dv:"))
+    // `op:` — the committing verb ("full", "append", "delete", …): the
+    // DESCRIBE HISTORY provenance RESTORE navigates by. Same one-way
+    // reader compatibility as the `ts:` header.
+    val op = all.find(_.startsWith("op:"))
+      .map(_.stripPrefix("op:").trim).filter(_.nonEmpty)
+    val lines = all.filterNot(l =>
+      l.startsWith("ts:") || l.startsWith("dv:") || l.startsWith("op:"))
     if (lines.head.startsWith("files:")) {
       val partCols = lines.tail.headOption.filter(_.startsWith("partcols:"))
         .map(_.stripPrefix("partcols:").split(',').map(_.trim)
           .filter(_.nonEmpty).toSeq).getOrElse(Nil)
       val fileLines = lines.tail.dropWhile(_.startsWith("partcols:"))
       ResolvedVersion(version, lines.head.stripPrefix("files:"),
-        Some(fileLines.toSeq), partCols, ts, dvRefs)
-    } else ResolvedVersion(version, lines.head, None, commitTsMillis = ts)
+        Some(fileLines.toSeq), partCols, ts, dvRefs, op)
+    } else
+      ResolvedVersion(version, lines.head, None, commitTsMillis = ts, op = op)
   }
 
   /** Every data-dir name a manifest keeps alive: its own dir plus, for a
@@ -784,6 +792,14 @@ object WarehouseFs {
     * comment — mtime would not survive a distcp or backup-restore);
     * pre-`ts:` manifests fall back to the file's modification time.
     * Metadata-only: listings + manifest parses, no data I/O. */
+  /** The verb that committed `version` ("full", "append", "delete",
+    * "update", "merge", "upsert", "sync", "optimize",
+    * "overwrite-partitions", "restore") — the provenance a RESTORE
+    * navigates by; None for pre-`op:` manifests. Metadata-only. */
+  def commitOperation(spark: SparkSession, table: String,
+                      version: Long): Option[String] =
+    resolveVersion(spark, table, Some(version)).flatMap(_.op)
+
   def describeHistory(spark: SparkSession, table: String)
       : Seq[(Long, java.sql.Timestamp, String, String, Int, Long)] = {
     val (fs, t) = fsFor(spark, table)
@@ -857,7 +873,8 @@ object WarehouseFs {
                        collectStats: Boolean = false,
                        bloomIndexCols: Seq[String] = Nil,
                        zoneMapCols: Seq[String] = Nil,
-                       expectedVersion: Option[Long] = None): Unit = {
+                       expectedVersion: Option[Long] = None,
+                       op: String = "full"): Unit = {
     require(keepVersions >= 1)
     val spark = df.sparkSession
     val (fs, t) = fsFor(spark, table)
@@ -925,7 +942,7 @@ object WarehouseFs {
     // the commit instant travels IN the manifest body — mtime survives
     // neither distcp nor backup-restore (see the format comment above)
     require(commitManifest(fs, new Path(vd, vname(next)),
-        s"$dataName\nts:${System.currentTimeMillis()}"),
+        s"$dataName\nts:${System.currentTimeMillis()}\nop:$op"),
       s"publishVersioned: commit of version $next lost a concurrent race on $table")
     // a FULL publish materializes the complete schema in its own files —
     // a declared-schema sidecar ([[alterAddColumns]]) is now redundant
@@ -2334,7 +2351,8 @@ object WarehouseFs {
                          extraDv: Option[DataFrame] = None,
                          readFiles: Seq[String] = Nil,
                          conflictProbe: Option[(ResolvedVersion, Seq[String]) => Seq[String]] = None,
-                         blindAppend: Boolean = false): Unit = {
+                         blindAppend: Boolean = false,
+                         op: String = "write"): Unit = {
     val (fs, t) = fsFor(spark, table)
     val dirName = // unconditional uniqueness: the nonce is per-attempt
       s"v${vname(prior.version + 1L)}-${java.util.UUID.randomUUID().toString.replace("-", "")}"
@@ -2500,6 +2518,7 @@ object WarehouseFs {
         if (partCols.nonEmpty) Seq(s"partcols:${partCols.mkString(",")}") else Nil
       val body =
         (s"files:$dirName" +: s"ts:${System.currentTimeMillis()}" +:
+          s"op:$op" +:
           (partColsHeader ++ dvRefs.map("dv:" + _) ++ newFiles ++ carriedNow))
           .mkString("\n")
       if (fs.exists(new Path(vd, vname(next)))) false
@@ -2612,7 +2631,8 @@ object WarehouseFs {
       .filter(!col(column).isin(values: _*) || col(column).isNull)
     publishCoW(spark, table, r, rewritten, touched,
       all.diff(touched), keepVersions, refreshStats,
-      conflictProbe = pointProbe(spark, table, Map(column -> values)))
+      conflictProbe = pointProbe(spark, table, Map(column -> values)),
+      op = "delete")
   }
 
   /** SQL-UPDATE form: for rows whose `column` is one of `values`, set
@@ -2651,7 +2671,8 @@ object WarehouseFs {
     // physically incompatible with the carried ones
     publishCoW(spark, table, r, alignToSchema(rewritten, base.schema, "updateWhere"),
       touched, all.diff(touched), keepVersions, refreshStats,
-      conflictProbe = pointProbe(spark, table, Map(column -> values)))
+      conflictProbe = pointProbe(spark, table, Map(column -> values)),
+      op = "update")
   }
 
   /** Upsert: rows of `updates` replace same-key rows and append new keys.
@@ -2726,7 +2747,8 @@ object WarehouseFs {
     publishCoW(spark, table, r, aligned, touched,
       all.diff(touched), keepVersions, refreshStats,
       conflictProbe =
-        keysProbe(spark, table, Seq(keyCol), updates, nDistinct, maxPointKeys))
+        keysProbe(spark, table, Seq(keyCol), updates, nDistinct, maxPointKeys),
+      op = "upsert")
   }
 
   /** Append-only commit: `rows` land as the new version's own files and
@@ -2775,11 +2797,12 @@ object WarehouseFs {
         if (emptyState)
           publishCoW(spark, table, r, aligned, touched = all, carried = Nil,
             keepVersions, refreshStats, coalesceTo = Some(0),
-            partColsHint = partitionByHint)
+            partColsHint = partitionByHint, op = "append")
         else
           publishCoW(spark, table, r, aligned, touched = Nil, carried = all,
             keepVersions, refreshStats, coalesceTo = Some(0),
-            partColsHint = partitionByHint, blindAppend = true)
+            partColsHint = partitionByHint, blindAppend = true,
+            op = "append")
     }
   }
 
@@ -2892,7 +2915,8 @@ object WarehouseFs {
         publishCoW(spark, table, r,
           alignToSchema(rewritten, schemaV, "overwritePartitions"),
           touched, all.diff(touched), keepVersions, refreshStats,
-          coalesceTo = Some(0), partColsHint = partCols)
+          coalesceTo = Some(0), partColsHint = partCols,
+          op = "overwrite-partitions")
     }
   }
 
@@ -2965,7 +2989,8 @@ object WarehouseFs {
         publishCoW(spark, table, r,
           alignToSchema(rewritten, schemaV, "overwriteStaticPartition"),
           touched, all.diff(touched), keepVersions, refreshStats,
-          coalesceTo = Some(0), partColsHint = partCols)
+          coalesceTo = Some(0), partColsHint = partCols,
+          op = "overwrite-partitions")
     }
   }
 
@@ -2994,7 +3019,8 @@ object WarehouseFs {
       .filter(!coalesce(cond, lit(false)))
     publishCoW(spark, table, r, rewritten, touched,
       all.diff(touched), keepVersions, refreshStats,
-      conflictProbe = pointProbe(spark, table, pruning._1))
+      conflictProbe = pointProbe(spark, table, pruning._1),
+      op = "delete")
   }
 
   /** SET each target column for rows satisfying an ARBITRARY predicate —
@@ -3028,7 +3054,8 @@ object WarehouseFs {
     publishCoW(spark, table, r,
       alignToSchema(rewritten, base.schema, "updateMatching"),
       touched, all.diff(touched), keepVersions, refreshStats,
-      conflictProbe = pointProbe(spark, table, pruning._1))
+      conflictProbe = pointProbe(spark, table, pruning._1),
+      op = "update")
   }
 
   /** Carry one per-file metadata relation VERBATIM across a DV-only
@@ -3069,7 +3096,8 @@ object WarehouseFs {
                             prior: ResolvedVersion, freshDv: DataFrame,
                             keepVersions: Int,
                             readFiles: Seq[String] = Nil,
-                            conflictProbe: Option[(ResolvedVersion, Seq[String]) => Seq[String]] = None): Unit = {
+                            conflictProbe: Option[(ResolvedVersion, Seq[String]) => Seq[String]] = None,
+                            op: String = "delete"): Unit = {
     val (fs, t) = fsFor(spark, table)
     val dirName =
       s"v${vname(prior.version + 1L)}-${java.util.UUID.randomUUID().toString.replace("-", "")}"
@@ -3103,6 +3131,7 @@ object WarehouseFs {
       fs.mkdirs(vd)
       val body =
         (s"files:$dirName" +: s"ts:${System.currentTimeMillis()}" +:
+          s"op:$op" +:
           (partColsHeader ++ dvRefs.map("dv:" + _) ++ all)).mkString("\n")
       if (fs.exists(new Path(vd, vname(next)))) false
       else {
@@ -3185,7 +3214,8 @@ object WarehouseFs {
     val rewritten =
       readFilesGroupedDv(spark, table, touched, r).repartition(parts)
     publishCoW(spark, table, r, rewritten, touched, all.diff(touched),
-      keepVersions, refreshStats = false, coalesceTo = Some(0))
+      keepVersions, refreshStats = false, coalesceTo = Some(0),
+      op = "optimize")
     parts
   }
 
@@ -3240,6 +3270,7 @@ object WarehouseFs {
     fs.mkdirs(vd)
     val body =
       (s"files:$dirName" +: s"ts:${System.currentTimeMillis()}" +:
+        s"op:restore" +:
         (partColsHeader ++ dvRefs.map("dv:" + _) ++ files)).mkString("\n")
     require(!fs.exists(new Path(vd, vname(next))) &&
         commitManifest(fs, new Path(vd, vname(next)), body),
@@ -3344,7 +3375,8 @@ object WarehouseFs {
           "updateMatchingVectors"),
         touched = Nil, carried = all, keepVersions, refreshStats = false,
         extraDv = Some(extra), readFiles = cand,
-        conflictProbe = pointProbe(spark, table, pruning._1))
+        conflictProbe = pointProbe(spark, table, pruning._1),
+        op = "update")
     } finally { matched.unpersist(); () }
   }
 
@@ -3559,7 +3591,8 @@ object WarehouseFs {
     publishCoW(spark, table, r, aligned, touched,
       all.diff(touched), keepVersions, refreshStats,
       conflictProbe =
-        keysProbe(spark, table, keyCols, source, nDistinct, maxPointKeys))
+        keysProbe(spark, table, keyCols, source, nDistinct, maxPointKeys),
+      op = "merge")
   }
 
   /** Merge-on-read MERGE — [[mergeIntoKeys]]' semantics with deletion-
@@ -3670,7 +3703,8 @@ object WarehouseFs {
       keepVersions, refreshStats = false, extraDv = dvEntries,
       readFiles = touched,
       conflictProbe =
-        keysProbe(spark, table, keyCols, source, nDistinct, maxPointKeys))
+        keysProbe(spark, table, keyCols, source, nDistinct, maxPointKeys),
+      op = "merge")
     finally { joined.foreach(_.unpersist()); () }
   }
 
@@ -3993,7 +4027,7 @@ object WarehouseFs {
     val aligned = tableSchema.fold(rewritten)(
       alignToSchema(rewritten, _, "applyChangeFeed"))
     publishCoW(spark, table, r, aligned, touched,
-      all.diff(touched), keepVersions, refreshStats)
+      all.diff(touched), keepVersions, refreshStats, op = "sync")
   }
 
   /** Reconcile a versioned table to a NEW full state in ONE
