@@ -134,6 +134,33 @@ object Bench {
   val PinnedPrior: Map[String, Double] =
     Map("join_asof" -> 0.45, "text_crossdoc_dup" -> 1.8)
 
+  /** Best suspect-free quiet total in `historyPath` matching `metric`,
+    * `sf`, and the CURRENT entry count — the end-gate bar both bench
+    * mains share. Size matching matters: an old round's smaller
+    * registry (or a dev-loop query subset) totals far less and would
+    * force a pointless re-measure; only like-for-like runs set the
+    * bar. Quiet = suspect-free with a sub-1.5 start load. */
+  def quietHistoryBest(historyPath: String, metric: String, sf: String,
+                       entryCount: Int): Option[Double] = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    (try scala.io.Source.fromFile(historyPath, "UTF-8").getLines().toSeq
+     catch { case _: Throwable => Seq.empty })
+      .flatMap { t =>
+        try {
+          val n = m.readTree(t)
+          val sus = n.get("suspect")
+          val before = Option(n.get("load_avg"))
+            .flatMap(l => Option(l.get("before"))).map(_.asDouble())
+          val ok =
+            Option(n.get("metric")).exists(_.asText() == metric) &&
+              Option(n.get("sf")).exists(_.asText() == sf) &&
+              sus != null && sus.size() == 0 && before.exists(_ < 1.5) &&
+              Option(n.get("queries")).exists(_.size() == entryCount)
+          if (ok) Option(n.get("value")).map(_.asDouble()) else None
+        } catch { case _: Throwable => None }
+      }.minOption
+  }
+
   /** Queries needing a verification re-run: rep-spread suspects (one
     * starved rep) plus cross-round regressions (sustained contention —
     * no spread, every rep slow). */
@@ -279,28 +306,8 @@ object Bench {
     // cooldown, and the better run is the artifact — trustworthy without
     // cross-referencing history by hand. Opt out (fast dev loops) with
     // SPARK_GRAFT_BENCH_NO_ENDGATE=1.
-    val quietHistoryBest: Option[Double] = {
-      val m = new com.fasterxml.jackson.databind.ObjectMapper()
-      readIfThere(historyPath).toSeq.flatMap(_.linesIterator)
-        .filter(t => sfOf(t).contains(sfDir))
-        .flatMap { t =>
-          try {
-            val n = m.readTree(t)
-            val sus = n.get("suspect")
-            val before = Option(n.get("load_avg"))
-              .flatMap(l => Option(l.get("before"))).map(_.asDouble())
-            // only SAME-REGISTRY runs set the bar: an old round's
-            // smaller registry (or a SPARK_GRAFT_BENCH_ONLY subset)
-            // totals far less and would force a pointless re-measure
-            val sameSize = Option(n.get("queries"))
-              .exists(_.size() == queries.size)
-            if (sus != null && sus.size() == 0 && before.exists(_ < 1.5) &&
-                sameSize && n.get("value") != null)
-              Some(n.get("value").asDouble())
-            else None
-          } catch { case _: Throwable => None }
-        }.minOption
-    }
+    val quietHistoryBest: Option[Double] =
+      Bench.quietHistoryBest(historyPath, "total", sfDir, queries.size)
     var a = attempt()
     var regated = false
     def hot(x: Attempt): Boolean =

@@ -171,30 +171,8 @@ object BenchDml {
     // same end gate as the read bench: best suspect-free quiet DML total
     // in history sets a +10% bar; a hot after-load or a regressed total
     // re-measures once after a cooldown and the better run ships
-    def quietHistoryBest(legCount: Int): Option[Double] = {
-      val m = new com.fasterxml.jackson.databind.ObjectMapper()
-      (try scala.io.Source.fromFile(historyPath0, "UTF-8").getLines().toSeq
-       catch { case _: Throwable => Seq.empty })
-        .flatMap { t =>
-          try {
-            val n = m.readTree(t)
-            val sus = n.get("suspect")
-            val before = Option(n.get("load_avg"))
-              .flatMap(l => Option(l.get("before"))).map(_.asDouble())
-            // leg sets grew across rounds — only same-leg-count runs
-            // are a comparable bar (see the read bench's sameSize note)
-            val sameSize = Option(n.get("queries"))
-              .exists(_.size() == legCount)
-            if (n.get("metric") != null &&
-                n.get("metric").asText() == "dml_total" &&
-                Option(n.get("sf")).exists(_.asText() == s"dml:$rows") &&
-                sus != null && sus.size() == 0 && before.exists(_ < 1.5) &&
-                sameSize)
-              Option(n.get("value")).map(_.asDouble())
-            else None
-          } catch { case _: Throwable => None }
-        }.minOption
-    }
+    def quietHistoryBest(legCount: Int): Option[Double] =
+      Bench.quietHistoryBest(historyPath0, "dml_total", s"dml:$rows", legCount)
     def measure(): (Seq[(String, Seq[Double])], Double) = {
       val all: Seq[Seq[(String, Double)]] = (1 to reps).map(_ => runOnce())
       val names = all.head.map(_._1)

@@ -408,12 +408,14 @@ case class GraftRestoreCommand(path: String, target: Either[Long, String])
   * rest carried by reference. The condition is a conjunction of
   * `column = literal` equalities over layout partition columns (string
   * literals quoted, numbers/dates bare or quoted — values canonicalize
-  * through the column's type). Returns (new_version, files_written). */
+  * through the column's type). Returns (new_version, partitions) —
+  * `partitions` is the fold's shuffle width (a partitioned layout may
+  * fan each task across several partition dirs), matching OPTIMIZE. */
 case class GraftOptimizePartitionCommand(path: String, cond: String)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType, nullable = false)(),
-    AttributeReference("files_written", IntegerType, nullable = false)())
+    AttributeReference("partitions", IntegerType, nullable = false)())
   private val EqRe =
     """\s*`?([\w.]+)`?\s*=\s*(?:'([^']*)'|([\w.\-]+))\s*""".r
   override def run(spark: SparkSession): Seq[Row] = {

@@ -64,7 +64,8 @@ class GraftV2ScanBuilder(
   // themselves), and the final scan re-labels its output physical →
   // logical — a pure name change, zero-cost on rows and batches.
   private val l2p: Map[String, String] =
-    graft.sources.WarehouseFs.columnMapping(spark, table)
+    graft.sources.WarehouseFs.pruneStaleMapping(spark, table, snapshotVersion,
+      graft.sources.WarehouseFs.columnMapping(spark, table))
   private val p2l: Map[String, String] = l2p.map(_.swap)
   private def phys(n: String): String = l2p.getOrElse(n, n)
   private val physTableSchema: StructType =

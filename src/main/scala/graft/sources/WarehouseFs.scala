@@ -227,7 +227,12 @@ object WarehouseFs {
     /** Schemes whose "rename" is a non-atomic client-side copy — the
       * default guard refuses these rather than pretending. */
     private[graft] val ObjectStoreSchemes: Set[String] =
-      Set("s3", "s3a", "s3n", "gs", "wasb", "wasbs", "oss", "cos")
+      Set("s3", "s3a", "s3n", "gs", "wasb", "wasbs", "oss", "cos", "cosn",
+        // ADLS Gen2 renames atomically ONLY under a hierarchical
+        // namespace, which the scheme alone cannot prove — refuse by
+        // default; an HNS deployment installs its own rename guard
+        // knowingly
+        "abfs", "abfss")
   }
 
   /** [[ManifestCommitGuard]] over an object store's conditional create
@@ -473,17 +478,64 @@ object WarehouseFs {
     d.fields.exists(_.metadata.contains(PhysicalKey))
 
   /** logical → physical column renames of `table`'s declaration
-    * (identity entries omitted); empty when no mapping is active. */
-  def columnMapping(spark: SparkSession, table: String): Map[String, String] =
-    declaredSchema(spark, table).map { d =>
-      d.fields.iterator.map(f => f.name -> physicalOf(f))
-        .filter { case (l, p) => l != p }.toMap
-    }.getOrElse(Map.empty)
+    * (identity entries omitted); empty when no mapping is active.
+    * Memoized per sidecar (modification time + length): the probe
+    * leaves call this once per column per probe, and a 100 TB table's
+    * planning path should pay one `getFileStatus` here, not a sidecar
+    * read per call. */
+  def columnMapping(spark: SparkSession, table: String): Map[String, String] = {
+    val (fs, t) = fsFor(spark, table)
+    val f = schemaFile(t)
+    val st = try Some(fs.getFileStatus(f)) catch { case _: Exception => None }
+    st match {
+      case None => Map.empty
+      case Some(status) =>
+        val key = (fs.makeQualified(t).toString,
+          status.getModificationTime, status.getLen)
+        val cached = mappingCache.get(key)
+        if (cached != null) cached
+        else {
+          if (mappingCache.size() > 16384) mappingCache.clear()
+          val m = declaredSchema(spark, table).map { d =>
+            d.fields.iterator.map(fl => fl.name -> physicalOf(fl))
+              .filter { case (l, p) => l != p }.toMap
+          }.getOrElse(Map.empty[String, String])
+          mappingCache.put(key, m)
+          m
+        }
+    }
+  }
+
+  private val mappingCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Map[String, String]]()
 
   /** The physical spelling of `name` — identity unless renamed. */
   def physicalColumn(spark: SparkSession, table: String,
                      name: String): String =
     columnMapping(spark, table).getOrElse(name, name)
+
+  /** Drop mapping entries a retiring full publish already materialized:
+    * if the version's files store the LOGICAL spelling and not the
+    * physical one, the crash window between the retiring manifest
+    * commit and the sidecar cleanup left a stale mapping behind — a
+    * physical-domain scan would read the absent spelling as NULL.
+    * Decided from the DIR-format version's own parquet schema (one
+    * footer-class read; file-list versions keep the mapping — they
+    * predate any retirement). Fail-open: an unreadable schema keeps the
+    * mapping unchanged. */
+  def pruneStaleMapping(spark: SparkSession, table: String,
+                        version: Option[Long],
+                        mapping: Map[String, String]): Map[String, String] =
+    if (mapping.isEmpty) mapping
+    else resolveVersion(spark, table, version) match {
+      case Some(r) if !r.isFileList =>
+        val raw =
+          try spark.read.parquet(s"$table/${r.dirName}").schema
+            .fieldNames.toSet
+          catch { case _: Exception => return mapping }
+        mapping.filter { case (l, p) => raw.contains(p) || !raw.contains(l) }
+      case _ => mapping
+    }
 
   /** `ALTER TABLE … RENAME COLUMN` at O(one sidecar write): the logical
     * name changes, the physical spelling is pinned to what the files
@@ -496,10 +548,15 @@ object WarehouseFs {
     val decl = currentDeclaration(spark, table)
     require(decl.fieldNames.contains(from),
       s"alterRenameColumn: $table has no column '$from'")
-    val taken = decl.fieldNames.toSet ++ decl.fields.map(physicalOf)
+    val (fsR, tR) = fsFor(spark, table)
+    // dropped spellings are taken too: committed files still store their
+    // bytes, and the mapped read's logical-spelling fallback would feed
+    // them into a column renamed onto that name
+    val taken = decl.fieldNames.toSet ++ decl.fields.map(physicalOf) ++
+      droppedSpellings(fsR, tR)
     require(from == to || !taken.contains(to),
-      s"alterRenameColumn: '$to' collides with an existing logical name " +
-        "or a pinned physical spelling")
+      s"alterRenameColumn: '$to' collides with an existing logical name, " +
+        "a pinned physical spelling, or a dropped column's spelling")
     refuseConstrainedColumn(spark, table, from, "alterRenameColumn")
     writeMappedDeclaration(spark, table,
       org.apache.spark.sql.types.StructType(decl.fields.map { f =>
@@ -532,6 +589,11 @@ object WarehouseFs {
       s"alterDropColumn: '$name' is a partition-layout column — the " +
         "directory structure encodes it; repartition via a full publish " +
         "instead")
+    // tombstone FIRST, declaration second — deliberately: a crash
+    // between the two leaves a spelling blocked that was never dropped
+    // (annoying, recoverable by a full publish), while the reverse
+    // order would let a later ADD resurrect dropped bytes (silent data
+    // corruption). Fail safe, not convenient.
     recordDropped(fs, t,
       decl.fields.find(_.name == name).map(physicalOf).get)
     writeMappedDeclaration(spark, table,
@@ -652,9 +714,16 @@ object WarehouseFs {
     import org.apache.spark.sql.functions.{col, lit}
     decl match {
       case Some(d) if mappingActive(d) =>
+        // physical spelling first; the LOGICAL spelling as fallback —
+        // files written by a retiring full publish store logical names,
+        // and a crash between its manifest commit and the sidecar
+        // cleanup leaves the mapping active over them (renaming TO a
+        // dropped spelling is refused, so a file's logical-named column
+        // can only ever be THIS column)
         df.select(d.map { f =>
           val p = physicalOf(f)
           if (df.columns.contains(p)) col(p).as(f.name)
+          else if (df.columns.contains(f.name)) col(f.name)
           else lit(null).cast(f.dataType).as(f.name)
         }: _*)
       case Some(d) if df.columns.toSet.subsetOf(d.fieldNames.toSet) &&
@@ -1919,10 +1988,12 @@ object WarehouseFs {
       val dataCols = masked.columns.filterNot(Set("__dv_file", "__dv_pos"))
       decl match {
         case Some(d) if mappingActive(d) =>
-          // strict mapped resolution (see [[reconcileTo]]); tags in front
+          // strict mapped resolution with the logical-spelling fallback
+          // (see [[reconcileTo]]); tags in front
           masked.select(col("__dv_file") +: col("__dv_pos") +: d.map { f =>
             val p = physicalOf(f)
             if (dataCols.contains(p)) col(p).as(f.name)
+            else if (dataCols.contains(f.name)) col(f.name)
             else org.apache.spark.sql.functions.lit(null)
               .cast(f.dataType).as(f.name)
           }: _*)
@@ -3179,8 +3250,9 @@ object WarehouseFs {
     * partition columns (everything else would degrade to a full
     * rewrite in disguise — refuse loudly instead); values canonicalize
     * through the column type exactly like the DML partition probes.
-    * Returns the number of files written; a spec matching nothing
-    * commits nothing. */
+    * Returns the fold's shuffle width (the writer may fan each task
+    * across several partition dirs); a spec matching nothing commits
+    * nothing. */
   def compactPartition(spark: SparkSession, table: String,
                        spec: Map[String, Any], targetMB: Int = 128,
                        keepVersions: Int = 2): Int = {
@@ -3230,7 +3302,11 @@ object WarehouseFs {
     * retention governs how far back a restore can reach. A concurrent
     * commit landing mid-restore refuses loudly (a restore REPLACES the
     * whole state — there is no meaningful rebase). Restoring to the
-    * current version is a no-op. */
+    * current version is a no-op. Declared-schema sidecars are
+    * TABLE-level and ride along unchanged (the time-travel posture):
+    * restoring across a mapping-retiring full publish surfaces the
+    * files' own spellings again, exactly as reading that version
+    * always did. */
   def restoreVersion(spark: SparkSession, table: String, version: Long,
                      keepVersions: Int = 2): Unit = {
     val (fs, t) = fsFor(spark, table)

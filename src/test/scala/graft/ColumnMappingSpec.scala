@@ -200,4 +200,31 @@ class ColumnMappingSpec extends SparkSpec {
             org.apache.spark.sql.types.StringType))))
     }
   }
+
+  test("a stale mapping left by a crashed retirement window resolves " +
+      "harmlessly: logical fallback (API) + stale-entry pruning (DSv2)") {
+    val t = tmpTable(); publishFixture(t)
+    WarehouseFs.alterRenameColumn(spark, t, "user", "username")
+    val sidecar = java.nio.file.Paths.get(s"$t/_meta/schema.json")
+    val staleBytes = java.nio.file.Files.readAllBytes(sidecar)
+    val cur = WarehouseFs.currentVersion(spark, t).map(_._1)
+    WarehouseFs.publishVersioned(WarehouseFs.readTable(spark, t).get, t,
+      keepVersions = 8, expectedVersion = cur)
+    assert(WarehouseFs.columnMapping(spark, t).isEmpty)
+    // simulate the crash BETWEEN the retiring manifest commit and the
+    // sidecar cleanup: the stale mapping reappears over logical files
+    java.nio.file.Files.write(sidecar, staleBytes)
+    assert(WarehouseFs.columnMapping(spark, t).nonEmpty, "window staged")
+    val df = WarehouseFs.readTable(spark, t).get
+    assert(df.columns.toSeq === Seq("id", "username", "grp"))
+    assert(df.filter(col("username").isNull).count() === 0,
+      "the logical-spelling fallback must resolve retired columns")
+    assert(df.filter(col("id") === 42L).select("username").as[String]
+      .head() === "u42")
+    val ds = spark.read.format("graft").option("table", t).load()
+    assert(ds.filter(col("username").isNull).count() === 0,
+      "the DSv2 scan must prune the stale mapping entry")
+    assert(ds.filter(col("username") === "u42").count() === 1)
+    java.nio.file.Files.deleteIfExists(sidecar)
+  }
 }
