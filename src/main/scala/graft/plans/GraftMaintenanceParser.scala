@@ -82,7 +82,11 @@ class GraftMaintenanceParser(delegate: ParserInterface) extends ParserInterface 
     case OptimizeZRe(ident, cols) => GraftOptimizeCommand(tablePath(ident),
       cols.split(',').map(c => c.trim.stripPrefix("`").stripSuffix("`"))
         .filter(_.nonEmpty).toSeq)
-    case OptimizeWhereRe(ident, cond) =>
+    // Delta ships the same `OPTIMIZE … WHERE` / `RESTORE TABLE` spellings:
+    // claim them only for graft catalog identifiers or a direct-path
+    // (single-part) identifier, so a co-installed extension's tables
+    // delegate instead of erroring in graft code
+    case OptimizeWhereRe(ident, cond) if graftClaim(ident) =>
       GraftOptimizePartitionCommand(tablePath(ident), cond)
     case OptimizeRe(ident) => GraftOptimizeCommand(tablePath(ident))
     case VacuumRe(ident, n) => GraftVacuumCommand(tablePath(ident), Some(n.toInt))
@@ -104,14 +108,24 @@ class GraftMaintenanceParser(delegate: ParserInterface) extends ParserInterface 
       GraftAddConstraintCommand(tablePath(ident), name, expr.trim)
     case DropConstraintRe(ident, name) if graftIdent(ident) =>
       GraftDropConstraintCommand(tablePath(ident), name)
-    case RestoreRe(ident, v) =>
+    case RestoreRe(ident, v) if graftClaim(ident) =>
       GraftRestoreCommand(tablePath(ident), Left(v.toLong))
-    case RestoreTsRe(ident, ts) =>
+    case RestoreTsRe(ident, ts) if graftClaim(ident) =>
       GraftRestoreCommand(tablePath(ident), Right(ts))
     case HistoryRe(ident) => GraftDescribeHistoryCommand(tablePath(ident))
     case DetailRe(ident) => GraftDescribeDetailCommand(tablePath(ident))
     case _ => delegate.parsePlan(sqlText)
   }
+
+  /** [[graftIdent]] OR the documented direct-path form (a single-part,
+    * usually backtick-quoted, identifier naming a table directory) —
+    * the claim gate for statements another extension (Delta) also
+    * parses: a multipart identifier outside every graft catalog falls
+    * through to the delegate instead of erroring in graft code. */
+  private def graftClaim(identText: String): Boolean =
+    graftIdent(identText) ||
+      (try delegate.parseMultipartIdentifier(identText).length == 1
+       catch { case _: Exception => false })
 
   /** Does `identText` name a table of a REGISTERED graft catalog?
     * (The gate for shadowing statements Spark's own grammar also has.) */
@@ -292,7 +306,7 @@ case class GraftDescribeDetailCommand(path: String)
     require(hist.nonEmpty,
       s"DESCRIBE DETAIL: $path is not a versioned table (or has no " +
         "retained versions)")
-    val (v, ts, _, fmt, nf, bytes) = hist.last
+    val (v, ts, _, fmt, nf, bytes, _) = hist.last
     val (bloom, zone, hasStats) = WarehouseFs.versionMetadata(spark, path)
     val partCols = WarehouseFs.layoutPartitionCols(spark, path)
     val props = graft.sources.GraftCatalog.readProps(spark, path)
@@ -330,9 +344,8 @@ case class GraftDescribeHistoryCommand(path: String)
     require(rows.nonEmpty,
       s"DESCRIBE HISTORY: $path is not a versioned table (or has no " +
         "retained versions)")
-    rows.map { case (v, ts, dir, fmt, nf, bytes) =>
-      Row(v, ts, WarehouseFs.commitOperation(spark, path, v).getOrElse("-"),
-        dir, fmt, nf, bytes)
+    rows.map { case (v, ts, dir, fmt, nf, bytes, op) =>
+      Row(v, ts, op, dir, fmt, nf, bytes)
     }
   }
 }

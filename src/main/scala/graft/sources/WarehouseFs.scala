@@ -870,7 +870,7 @@ object WarehouseFs {
     resolveVersion(spark, table, Some(version)).flatMap(_.op)
 
   def describeHistory(spark: SparkSession, table: String)
-      : Seq[(Long, java.sql.Timestamp, String, String, Int, Long)] = {
+      : Seq[(Long, java.sql.Timestamp, String, String, Int, Long, String)] = {
     val (fs, t) = fsFor(spark, table)
     listVersions(spark, table).flatMap { v =>
       resolveVersion(spark, table, Some(v)).map { r =>
@@ -878,8 +878,12 @@ object WarehouseFs {
           new Path(versionsDir(t), vname(v))).getModificationTime)
         val files = versionFiles(fs, t, r)
         val bytes = files.map(f => fs.getFileStatus(new Path(t, f)).getLen).sum
+        // the committing verb rides along from the SAME manifest parse —
+        // the SQL surface must not re-resolve each version (that would be
+        // O(n²) metadata RPCs on long histories)
         (v, new java.sql.Timestamp(committed), r.dirName,
-          if (r.isFileList) "file-list" else "dir", files.size, bytes)
+          if (r.isFileList) "file-list" else "dir", files.size, bytes,
+          r.op.getOrElse("-"))
       }
     }
   }
@@ -2413,6 +2417,31 @@ object WarehouseFs {
     * dir-format [[publishVersioned]] keeps deterministic names because
     * its retry-reclaim semantics depend on them — serialize
     * full-rewrite publishers externally). */
+  /** Last-moment manifest honesty check, shared by every file-list
+    * commit tail: immediately before [[commitManifest]], verify every
+    * DIRECTORY the manifest body is about to reference (its own data
+    * dir, each carried file's version dir, each mask delta's `_dv`
+    * dir) still exists. The GC in-flight grace window makes a sweep of
+    * a live writer's dirs rare, but a writer stalled PAST the grace —
+    * or a restore racing a concurrent VACUUM that expired its target —
+    * would otherwise commit a manifest naming deleted files: refuse
+    * loudly instead. O(distinct version dirs) exists-probes per commit,
+    * bounded by the carry-chain length (the same cost class as the
+    * metadata carries beside it). */
+  private def verifyReferencedDirs(fs: FileSystem, t: Path,
+                                   files: Seq[String], dvRefs: Seq[String],
+                                   verb: String): Unit = {
+    val dataDirs = files.iterator.map(_.takeWhile(_ != '/')).toSet
+    val dvDirs = dvRefs.iterator
+      .map(r => r.split('/').take(2).mkString("/")).toSet
+    (dataDirs ++ dvDirs).foreach { d =>
+      require(fs.exists(new Path(t, d)),
+        s"$verb: referenced dir $d was garbage-collected (a concurrent " +
+          s"commit or VACUUM expired it) before this commit sealed on " +
+          s"${t} — re-run against the current state")
+    }
+  }
+
   private def publishCoW(spark: SparkSession, table: String,
                          prior: ResolvedVersion, rewritten: DataFrame,
                          touched: Seq[String], carried: Seq[String],
@@ -2606,6 +2635,7 @@ object WarehouseFs {
         require(dvOwnRefs.isEmpty || fs.exists(new Path(dvDir(t), dirName)),
           s"publishCoW: this attempt's deletion-vector delta $dirName was " +
             s"garbage-collected by a concurrent commit on $table — re-run the DML")
+        verifyReferencedDirs(fs, t, newFiles ++ carriedNow, dvRefs, "publishCoW")
         if (!commitManifest(fs, new Path(vd, vname(next)), body)) false
         else { gcVersions(fs, t, keepVersions); true }
       }
@@ -3213,6 +3243,7 @@ object WarehouseFs {
           s"publishDvOnly: this attempt's deletion-vector delta $dirName " +
             s"was garbage-collected by a concurrent commit on $table — " +
             "re-run the DML")
+        verifyReferencedDirs(fs, t, all, dvRefs, "publishDvOnly")
         if (!commitManifest(fs, new Path(vd, vname(next)), body)) false
         else { gcVersions(fs, t, keepVersions); true }
       }
@@ -3280,7 +3311,19 @@ object WarehouseFs {
       touched = partitionCandidates(spark, table, touched, c, Seq(v), dt)
     }
     if (touched.isEmpty) return 0
-    val bytes = touched.map(f => fs.getFileStatus(new Path(t, f)).getLen).sum
+    // sizing: one listStatus per touched partition DIRECTORY, not one
+    // getFileStatus per file — a hot partition's 10k small files (the
+    // exact case this verb exists for) must not pay 10k sequential
+    // HEAD-class RPCs on an object store
+    val bytes = {
+      val byDir = touched.groupBy(f => new Path(t, f).getParent)
+      byDir.iterator.map { case (dir, fls) =>
+        val wanted = fls.map(f => new Path(t, f).getName).toSet
+        fs.listStatus(dir).iterator
+          .filter(st => wanted.contains(st.getPath.getName))
+          .map(_.getLen).sum
+      }.sum
+    }
     val parts = math.max(1,
       math.ceil(bytes / (targetMB * 1024.0 * 1024.0)).toInt)
     val rewritten =
@@ -3348,6 +3391,15 @@ object WarehouseFs {
       (s"files:$dirName" +: s"ts:${System.currentTimeMillis()}" +:
         s"op:restore" +:
         (partColsHeader ++ dvRefs.map("dv:" + _) ++ files)).mkString("\n")
+    // a concurrent VACUUM (which GCs without occupying a manifest slot)
+    // may have expired the TARGET version between resolve and commit —
+    // re-verify its manifest is still retained and its dirs still exist,
+    // or the restored current version would reference deleted files
+    require(fs.exists(new Path(vd, vname(version))),
+      s"restore: version $version of $table was expired by a concurrent " +
+        "VACUUM while the restore was preparing — re-run against the " +
+        "current retention window")
+    verifyReferencedDirs(fs, t, files, dvRefs, "restore")
     require(!fs.exists(new Path(vd, vname(next))) &&
         commitManifest(fs, new Path(vd, vname(next)), body),
       s"restore: $table advanced past version ${cur.version} while the " +

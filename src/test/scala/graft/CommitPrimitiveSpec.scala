@@ -333,4 +333,54 @@ class CommitPrimitiveSpec extends SparkSpec {
     WarehouseFs.deleteWhere(spark, t, "id", Seq(100L), keepVersions = 8)
     assert(state(t).size === 7998)
   }
+
+  test("a commit whose CARRIED dirs were swept mid-flight refuses loudly — " +
+      "never a manifest naming missing files (grace window = 0)") {
+    val t = tmpTable(); publishFixture(t)
+    val fs = localFs
+    val savedGrace = WarehouseFs.gcInFlightGraceMs
+    WarehouseFs.gcInFlightGraceMs = 0L
+    // the in-flight DML carries v1's files by reference; a (simulated)
+    // sweeper collects the base dir between the data write and the
+    // commit tail — the stalled-past-grace scenario the mtime window
+    // cannot protect
+    WarehouseFs.casTestHook = Some(() =>
+      fs.delete(new Path(s"$t/v00000001"), true))
+    val e = intercept[IllegalArgumentException] {
+      try WarehouseFs.deleteWhere(spark, t, "id", Seq(100L), keepVersions = 8)
+      finally {
+        WarehouseFs.casTestHook = None
+        WarehouseFs.gcInFlightGraceMs = savedGrace
+      }
+    }
+    assert(e.getMessage.contains("garbage-collected"),
+      s"expected the referenced-dirs refusal, got: ${e.getMessage}")
+    assert(WarehouseFs.currentVersion(spark, t).get._1 === 1L,
+      "nothing committed: no manifest may reference the swept dir")
+  }
+
+  test("RESTORE re-verifies the target's dirs right before its commit: " +
+      "a concurrently expired target aborts loudly") {
+    val t = tmpTable(); publishFixture(t) // v1
+    WarehouseFs.deleteWhere(spark, t, "id", Seq(1L), keepVersions = 8) // v2
+    WarehouseFs.deleteWhere(spark, t, "id", Seq(2L), keepVersions = 8) // v3
+    val fs = localFs
+    // simulate a concurrent VACUUM expiring part of the restore TARGET
+    // between resolution and commit: v2's own rewrite dir is gone while
+    // its manifest briefly lingers — a file-list manifest resolves
+    // without listing dirs, so only the pre-commit re-verification
+    // stands between this state and a committed dangling reference
+    val v2OwnDir = WarehouseFs.readTableVersion(spark, t, 2) // still resolvable
+    assert(v2OwnDir.isDefined)
+    fs.listStatus(new Path(t)).map(_.getPath)
+      .filter(_.getName.matches("v00000002-[0-9a-f]+"))
+      .foreach(p => fs.delete(p, true))
+    val e = intercept[IllegalArgumentException] {
+      WarehouseFs.restoreVersion(spark, t, 2L, keepVersions = 8)
+    }
+    assert(e.getMessage.contains("garbage-collected"),
+      s"expected the referenced-dirs refusal, got: ${e.getMessage}")
+    assert(WarehouseFs.currentVersion(spark, t).get._1 === 3L,
+      "the failed restore committed nothing")
+  }
 }

@@ -949,6 +949,22 @@ class GraftCatalogSpec extends SparkSpec {
       assert(e.getMessage.contains("not a graft catalog"),
         s"got: ${e.getMessage}")
     }
+    // RESTORE / OPTIMIZE … WHERE are Delta-compatible spellings: a
+    // multipart identifier outside every graft catalog must fall through
+    // to the DELEGATE parser (Spark's grammar → ParseException), never
+    // error inside graft code or shadow a co-installed extension
+    withConf("spark.sql.catalog.notgraft" -> "org.example.OtherCatalog") {
+      val e1 = intercept[Exception] {
+        spark.sql("RESTORE TABLE notgraft.db.t TO VERSION AS OF 1")
+      }
+      assert(e1.isInstanceOf[org.apache.spark.sql.catalyst.parser.ParseException],
+        s"expected delegate ParseException, got: $e1")
+      val e2 = intercept[Exception] {
+        spark.sql("OPTIMIZE notgraft.db.t WHERE day = 3")
+      }
+      assert(e2.isInstanceOf[org.apache.spark.sql.catalyst.parser.ParseException],
+        s"expected delegate ParseException, got: $e2")
+    }
   }
 
   test("SQL time travel: VERSION AS OF / TIMESTAMP AS OF pin retained versions") {
