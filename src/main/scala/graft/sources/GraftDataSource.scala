@@ -90,42 +90,80 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
     * I/O per trigger regardless of how many files the keys scatter
     * across, the right shape for high-frequency small batches; the
     * `compactMaskedRows` budget folds the accumulated masks on cadence.
-    * Update and Append modes both land as upserts (at-least-once:
-    * replays re-put the same key/value pairs, so the sink is
-    * value-idempotent provided each batch carries one row per key —
-    * dedupe upstream with `dropDuplicates`/`latestPerKey`). Stats
-    * refresh is skipped per batch; run a scheduled publish/compaction
-    * to re-profile. */
+    * Update and Append modes both land as upserts.
+    *
+    * COMMITS ARE EXACTLY-ONCE when the sink has a durable writer
+    * identity: each landed micro-batch stamps `txn:<batchId>:<appId>`
+    * into its manifest (appId = the `txnAppId` option, defaulting to
+    * the stream's `checkpointLocation` — stable across restarts by
+    * construction), and a batch replayed after a crash between the
+    * manifest commit and the checkpoint commit is SKIPPED
+    * ([[WarehouseFs.lastCommittedTxn]]): one image file, one history
+    * commit, zero mask growth per batch, no matter how many times the
+    * batch re-runs. Without either option (no checkpoint location in
+    * the options map) the sink degrades to at-least-once — replays
+    * re-put the same key/value pairs, so results stay value-idempotent
+    * provided each batch carries one row per key (dedupe upstream with
+    * `dropDuplicates`/`latestPerKey`), but a replay then appends a
+    * duplicate image file and history commit. Stats refresh is skipped
+    * per batch; run a scheduled publish/compaction to re-profile. */
   override def createSink(sqlContext: SQLContext,
                           parameters: Map[String, String],
                           partitionColumns: Seq[String],
                           outputMode: org.apache.spark.sql.streaming.OutputMode)
       : org.apache.spark.sql.execution.streaming.Sink = {
-    require(partitionColumns.isEmpty,
-      "graft sink: row-level upserts need an unpartitioned table")
     val table = tableOf(parameters)
+    // Hive-partitioned TARGETS are fine: both DML paths preserve the
+    // table's own key=value layout (rewrites land under it; MoR batch
+    // images append under it). A stream-side partitionBy() is accepted
+    // only when it AGREES with that layout — the table governs, and a
+    // silent disagreement would read as data loss to the caller
+    if (partitionColumns.nonEmpty) {
+      val layout = WarehouseFs.layoutPartitionCols(
+        sqlContext.sparkSession, table)
+      require(layout == partitionColumns,
+        s"graft sink: partitionBy(${partitionColumns.mkString(", ")}) " +
+          s"disagrees with $table's committed layout " +
+          s"(${if (layout.isEmpty) "unpartitioned" else layout.mkString(", ")}) " +
+          "— the table's own layout governs micro-batch upserts; drop " +
+          "the partitionBy or re-publish the table partitioned")
+    }
     val keyCol = parameters.getOrElse("keyCol",
       throw new IllegalArgumentException("graft sink: option 'keyCol' required"))
     val keep = parameters.get("keepVersions").map(_.toInt).getOrElse(2)
     val sinkMode = parameters.get("dmlMode").map(_.toLowerCase)
+    // the durable writer identity the exactly-once stamp keys on: the
+    // checkpoint location IS the stream's identity across restarts
+    // (replays come from exactly that checkpoint), overridable when one
+    // logical writer spans checkpoints
+    val txnApp = parameters.get("txnAppId")
+      .orElse(parameters.get("checkpointLocation"))
     new org.apache.spark.sql.execution.streaming.Sink {
       override def addBatch(batchId: Long, data: DataFrame): Unit = {
+        val spark = data.sparkSession
+        // replay gate FIRST — a batch this writer already landed (crash
+        // between manifest commit and checkpoint commit) must not re-run
+        // the DML: skipping here is what makes commits exactly-once
+        if (txnApp.exists(app =>
+            WarehouseFs.lastCommittedTxn(spark, table, app).exists(_ >= batchId)))
+          return
+        val txn = txnApp.map(app => (app, batchId))
         val pinned = org.apache.spark.sql.graft.StreamingInternal.asBatch(data)
         pinned.persist()
         try {
           if (!pinned.isEmpty) {
             val mor = sinkMode
-              .orElse(WarehouseFs.storedDmlMode(data.sparkSession, table))
+              .orElse(WarehouseFs.storedDmlMode(spark, table))
               .contains("mor")
             if (mor) {
               import org.apache.spark.sql.functions.col
               WarehouseFs.mergeIntoKeysVectors(pinned, table, Seq(keyCol),
                 whenMatchedUpdate = pinned.columns.filterNot(_ == keyCol)
                   .map(c => c -> col(s"src_$c")).toMap,
-                whenNotMatchedInsert = true, keepVersions = keep)
+                whenNotMatchedInsert = true, keepVersions = keep, txn = txn)
             } else
               WarehouseFs.upsertRows(pinned, table, keyCol, keep,
-                refreshStats = false)
+                refreshStats = false, txn = txn)
           }
         } finally pinned.unpersist()
       }

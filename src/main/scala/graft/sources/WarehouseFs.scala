@@ -316,7 +316,8 @@ object WarehouseFs {
                                            declaredPartCols: Seq[String] = Nil,
                                            commitTsMillis: Option[Long] = None,
                                            dvFiles: Seq[String] = Nil,
-                                           op: Option[String] = None) {
+                                           op: Option[String] = None,
+                                           txn: Option[(String, Long)] = None) {
     def isFileList: Boolean = files.isDefined
   }
 
@@ -337,17 +338,32 @@ object WarehouseFs {
     // reader compatibility as the `ts:` header.
     val op = all.find(_.startsWith("op:"))
       .map(_.stripPrefix("op:").trim).filter(_.nonEmpty)
+    // `txn:<batchId>:<appId>` — the idempotent-writer stamp (Delta's
+    // txnAppId/txnVersion shape): a streaming sink marks each landed
+    // micro-batch with its durable identity, and a batch replayed after
+    // a crash between the manifest commit and the checkpoint commit is
+    // SKIPPED instead of re-run (exactly-once commits, not
+    // at-least-once). batchId leads so appIds may contain ':' (they are
+    // usually checkpoint paths). Same one-way reader compatibility.
+    val txn = all.find(_.startsWith("txn:")).flatMap { l =>
+      val v = l.stripPrefix("txn:")
+      val cut = v.indexOf(':')
+      if (cut <= 0) None
+      else v.take(cut).toLongOption.map(b => (v.drop(cut + 1), b))
+    }
     val lines = all.filterNot(l =>
-      l.startsWith("ts:") || l.startsWith("dv:") || l.startsWith("op:"))
+      l.startsWith("ts:") || l.startsWith("dv:") || l.startsWith("op:") ||
+        l.startsWith("txn:"))
     if (lines.head.startsWith("files:")) {
       val partCols = lines.tail.headOption.filter(_.startsWith("partcols:"))
         .map(_.stripPrefix("partcols:").split(',').map(_.trim)
           .filter(_.nonEmpty).toSeq).getOrElse(Nil)
       val fileLines = lines.tail.dropWhile(_.startsWith("partcols:"))
       ResolvedVersion(version, lines.head.stripPrefix("files:"),
-        Some(fileLines.toSeq), partCols, ts, dvRefs, op)
+        Some(fileLines.toSeq), partCols, ts, dvRefs, op, txn)
     } else
-      ResolvedVersion(version, lines.head, None, commitTsMillis = ts, op = op)
+      ResolvedVersion(version, lines.head, None, commitTsMillis = ts, op = op,
+        txn = txn)
   }
 
   /** Every data-dir name a manifest keeps alive: its own dir plus, for a
@@ -868,6 +884,24 @@ object WarehouseFs {
   def commitOperation(spark: SparkSession, table: String,
                       version: Long): Option[String] =
     resolveVersion(spark, table, Some(version)).flatMap(_.op)
+
+  /** Highest batchId the idempotent writer `appId` has committed among
+    * the RETAINED manifests (`txn:` header) — the replay gate of the
+    * exactly-once streaming sink: a micro-batch at or below it already
+    * landed and must be skipped, not re-run. Metadata-only (manifest
+    * parses memoize), bounded by the retention window — which therefore
+    * must cover the stream's possible replay horizon: Spark replays only
+    * the LAST un-checkpointed batch, so any `keepVersions >= 1` covers a
+    * single-writer stream, and concurrent non-stream writers landing
+    * between the crash and the restart extend the window they need
+    * retention for anyway. */
+  def lastCommittedTxn(spark: SparkSession, table: String,
+                       appId: String): Option[Long] = {
+    val batches = listVersions(spark, table).flatMap(v =>
+      resolveVersion(spark, table, Some(v)).flatMap(_.txn)
+        .filter(_._1 == appId).map(_._2))
+    if (batches.isEmpty) None else Some(batches.max)
+  }
 
   def describeHistory(spark: SparkSession, table: String)
       : Seq[(Long, java.sql.Timestamp, String, String, Int, Long, String)] = {
@@ -2452,7 +2486,8 @@ object WarehouseFs {
                          readFiles: Seq[String] = Nil,
                          conflictProbe: Option[(ResolvedVersion, Seq[String]) => Seq[String]] = None,
                          blindAppend: Boolean = false,
-                         op: String = "write"): Unit = {
+                         op: String = "write",
+                         txn: Option[(String, Long)] = None): Unit = {
     val (fs, t) = fsFor(spark, table)
     val dirName = // unconditional uniqueness: the nonce is per-attempt
       s"v${vname(prior.version + 1L)}-${java.util.UUID.randomUUID().toString.replace("-", "")}"
@@ -2617,9 +2652,9 @@ object WarehouseFs {
       val partColsHeader =
         if (partCols.nonEmpty) Seq(s"partcols:${partCols.mkString(",")}") else Nil
       val body =
-        (s"files:$dirName" +: s"ts:${System.currentTimeMillis()}" +:
-          s"op:$op" +:
-          (partColsHeader ++ dvRefs.map("dv:" + _) ++ newFiles ++ carriedNow))
+        (Seq(s"files:$dirName", s"ts:${System.currentTimeMillis()}",
+          s"op:$op") ++ txn.map { case (app, b) => s"txn:$b:$app" } ++
+          partColsHeader ++ dvRefs.map("dv:" + _) ++ newFiles ++ carriedNow)
           .mkString("\n")
       if (fs.exists(new Path(vd, vname(next)))) false
       else {
@@ -2795,7 +2830,8 @@ object WarehouseFs {
   def upsertRows(updates: DataFrame, table: String, keyCol: String,
                  keepVersions: Int = 2,
                  refreshStats: Boolean = true,
-                 maxPointKeys: Int = 10000): Unit = {
+                 maxPointKeys: Int = 10000,
+                 txn: Option[(String, Long)] = None): Unit = {
     import org.apache.spark.sql.functions.{col, count, count_distinct, lit}
     val spark = updates.sparkSession
     val r = resolveVersion(spark, table, None).getOrElse(
@@ -2849,7 +2885,7 @@ object WarehouseFs {
       all.diff(touched), keepVersions, refreshStats,
       conflictProbe =
         keysProbe(spark, table, Seq(keyCol), updates, nDistinct, maxPointKeys),
-      op = "upsert")
+      op = "upsert", txn = txn)
   }
 
   /** Append-only commit: `rows` land as the new version's own files and
@@ -3198,7 +3234,8 @@ object WarehouseFs {
                             keepVersions: Int,
                             readFiles: Seq[String] = Nil,
                             conflictProbe: Option[(ResolvedVersion, Seq[String]) => Seq[String]] = None,
-                            op: String = "delete"): Unit = {
+                            op: String = "delete",
+                            txn: Option[(String, Long)] = None): Unit = {
     val (fs, t) = fsFor(spark, table)
     val dirName =
       s"v${vname(prior.version + 1L)}-${java.util.UUID.randomUUID().toString.replace("-", "")}"
@@ -3231,9 +3268,9 @@ object WarehouseFs {
       val vd = versionsDir(t)
       fs.mkdirs(vd)
       val body =
-        (s"files:$dirName" +: s"ts:${System.currentTimeMillis()}" +:
-          s"op:$op" +:
-          (partColsHeader ++ dvRefs.map("dv:" + _) ++ all)).mkString("\n")
+        (Seq(s"files:$dirName", s"ts:${System.currentTimeMillis()}",
+          s"op:$op") ++ txn.map { case (app, b) => s"txn:$b:$app" } ++
+          partColsHeader ++ dvRefs.map("dv:" + _) ++ all).mkString("\n")
       if (fs.exists(new Path(vd, vname(next)))) false
       else {
         // same last-moment self-verification as [[publishCoW]]: the
@@ -3745,7 +3782,8 @@ object WarehouseFs {
                            whenNotMatchedInsert: Boolean = true,
                            maxPointKeys: Int = 10000,
                            keepVersions: Int = 2,
-                           whenNotMatchedInsertCond: Option[Column] = None): Unit = {
+                           whenNotMatchedInsertCond: Option[Column] = None,
+                           txn: Option[(String, Long)] = None): Unit = {
     import org.apache.spark.sql.functions.{coalesce, col, count, count_distinct, lit, when}
     require(keyCols.nonEmpty, "mergeIntoKeysVectors: key columns required")
     require(whenMatchedUpdate.nonEmpty || whenMatchedDelete.nonEmpty ||
@@ -3832,7 +3870,7 @@ object WarehouseFs {
       readFiles = touched,
       conflictProbe =
         keysProbe(spark, table, keyCols, source, nDistinct, maxPointKeys),
-      op = "merge")
+      op = "merge", txn = txn)
     finally { joined.foreach(_.unpersist()); () }
   }
 

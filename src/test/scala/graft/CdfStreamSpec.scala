@@ -523,6 +523,147 @@ class CdfStreamSpec extends SparkSpec {
     assert(state(tMor) === state(tCow))
   }
 
+  test("MoR sink on a day-partitioned table: micro-batches keep the " +
+      "key=value layout, O(batch) files per trigger; partitionBy must " +
+      "agree with the committed layout") {
+    val t = tmpTable()
+    WarehouseFs.publishVersioned(
+      spark.range(8000)
+        .select(col("id"), (col("id") % 4).cast("int").as("day"),
+          concat(lit("u"), col("id")).as("v"))
+        .repartitionByRange(8, col("id")),
+      t, partitionBy = Seq("day"), keepVersions = 12,
+      bloomIndexCols = Seq("id"))
+    // a stream-side partitionBy disagreeing with the layout refuses loudly
+    val bad = intercept[IllegalArgumentException] {
+      MemoryStream[(Long, Int, String)](spark).toDF()
+        .toDF("id", "day", "v").writeStream.format("graft")
+        .option("table", t).option("keyCol", "id")
+        .option("dmlMode", "mor").partitionBy("v")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft_pmor_bad_").toString)
+        .outputMode("update").start()
+    }
+    assert(bad.getMessage.contains("committed layout"))
+    val in = MemoryStream[(Long, Int, String)](spark)
+    val q = in.toDF().toDF("id", "day", "v")
+      .writeStream.format("graft")
+      .option("table", t).option("keyCol", "id")
+      .option("keepVersions", "12").option("dmlMode", "mor")
+      .partitionBy("day") // agreeing declaration is accepted
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_pmor_ckpt_").toString)
+      .outputMode("update").start()
+    try {
+      // keys scattered across files AND days — 2101 also MOVES partition
+      // (its stored day is 1; the upsert's image carries day=3)
+      in.addData((100L, 0, "x100"), (2101L, 3, "x2101"), (7102L, 2, "x7102"))
+      q.processAllAvailable()
+      in.addData((200L, 0, "y200"), (9001L, 1, "new"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val attemptDirs = new java.io.File(t).listFiles()
+      .filter(d => d.getName.matches("v\\d{8}-[0-9a-f]+"))
+    assert(attemptDirs.length === 2, "2 micro-batch commits expected")
+    attemptDirs.foreach { d =>
+      val files = java.nio.file.Files.walk(d.toPath).iterator()
+      var perDay = Map.empty[String, Int]
+      while (files.hasNext) {
+        val p = files.next().toString
+        if (p.endsWith(".parquet")) {
+          val day = p.split('/').find(_.startsWith("day=")).getOrElse("flat")
+          perDay = perDay.updated(day, perDay.getOrElse(day, 0) + 1)
+        }
+      }
+      assert(!perDay.contains("flat"),
+        s"${d.getName}: batch images must land under the day= layout, got $perDay")
+      assert(perDay.values.sum <= 3 && perDay.values.forall(_ == 1),
+        s"${d.getName}: O(batch) files — one per touched day — got $perDay")
+    }
+    assert(WarehouseFs.hasDeletionVectors(spark, t),
+      "matched keys mask through deletion vectors")
+    val got = WarehouseFs.readTable(spark, t).get
+      .filter(col("id").isin(100L, 2101L, 7102L, 200L, 9001L, 101L))
+      .select("id", "v").as[(Long, String)].collect().toMap
+    assert(got === Map(100L -> "x100", 2101L -> "x2101", 7102L -> "x7102",
+      200L -> "y200", 9001L -> "new", 101L -> "u101"))
+    assert(WarehouseFs.readTable(spark, t).get.count() === 8001)
+    // the partition-moving upsert: day is part of the VALUE, so a key
+    // whose day changed lands in its new dir (free under the layout) —
+    // exactly one live image, in the NEW partition
+    val moved = WarehouseFs.readTable(spark, t).get
+      .filter(col("id") === 2101L).select("day").as[Int].collect().toSeq
+    assert(moved === Seq(3),
+      s"2101 must surface once, in its new partition, got $moved")
+  }
+
+  test("exactly-once sink commits: a batch replayed after a crash between " +
+      "the manifest commit and the checkpoint commit is SKIPPED — one image " +
+      "file, one history commit, zero mask growth (CoW and MoR)") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    def run(mor: Boolean): Unit = {
+      val t = tmpTable()
+      WarehouseFs.publishVersioned(
+        spark.range(8000)
+          .select(col("id"), concat(lit("u"), col("id")).as("v"))
+          .repartitionByRange(8, col("id")),
+        t, keepVersions = 12, bloomIndexCols = Seq("id"))
+      val base = java.nio.file.Files.createTempDirectory("graft_eo_").toString
+      val input = s"$base/in"; val ckpt = s"$base/ckpt"
+      val schema = StructType(Seq(
+        StructField("id", LongType), StructField("v", StringType)))
+      def addFile(rows: (Long, String)*): Unit =
+        rows.toSeq.toDF("id", "v").coalesce(1)
+          .write.mode("append").parquet(input)
+      def drain(): Unit = {
+        val w0 = spark.readStream.schema(schema).parquet(input)
+          .writeStream.format("graft")
+          .option("table", t).option("keyCol", "id")
+          .option("keepVersions", "12")
+          .option("checkpointLocation", ckpt)
+        val q = (if (mor) w0.option("dmlMode", "mor") else w0)
+          .outputMode("update").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      // batch 0 lands (scattered keys: several of the 8 files match)
+      addFile(100L -> "x100", 2100L -> "x2100", 9001L -> "new")
+      drain()
+      val vAfterBatch0 = WarehouseFs.currentVersion(spark, t).get._1
+      assert(vAfterBatch0 === 2L)
+      val masksAfterBatch0 = WarehouseFs.deletionVectorRows(spark, t)
+      def attemptDirs() = new java.io.File(t).listFiles()
+        .filter(d => d.getName.matches("v\\d{8}-[0-9a-f]+")).length
+      val dirsAfterBatch0 = attemptDirs()
+      // crash simulation: the manifest committed but the checkpoint
+      // commit marker did not — the exact at-least-once window
+      val last = new java.io.File(s"$ckpt/commits").listFiles()
+        .filter(f => !f.getName.startsWith(".")).maxBy(_.getName.toInt)
+      java.nio.file.Files.delete(last.toPath)
+      val crc = new java.io.File(last.getParent, s".${last.getName}.crc")
+      if (crc.exists()) java.nio.file.Files.delete(crc.toPath)
+      // restart replays batch 0 — the txn stamp must swallow it whole
+      drain()
+      assert(WarehouseFs.currentVersion(spark, t).get._1 === vAfterBatch0,
+        s"mor=$mor: the replayed batch must not commit a second version")
+      assert(attemptDirs() === dirsAfterBatch0,
+        s"mor=$mor: the replay must not append a duplicate image file")
+      assert(WarehouseFs.deletionVectorRows(spark, t) === masksAfterBatch0,
+        s"mor=$mor: the replay must not grow the mask")
+      // the gate never over-skips: a genuinely NEW batch still lands
+      addFile(200L -> "y200")
+      drain()
+      assert(WarehouseFs.currentVersion(spark, t).get._1 === vAfterBatch0 + 1,
+        s"mor=$mor: batch 1 must commit normally after the replay")
+      val got = WarehouseFs.readTable(spark, t).get
+        .filter(col("id").isin(100L, 2100L, 9001L, 200L, 101L))
+        .as[(Long, String)].collect().toMap
+      assert(got === Map(100L -> "x100", 2100L -> "x2100", 9001L -> "new",
+        200L -> "y200", 101L -> "u101"), s"mor=$mor: value parity")
+    }
+    run(mor = false); run(mor = true)
+  }
+
   test("commitTimestamp=false restores the pre-stamp feed schema — the " +
       "opt-out for streams restarted from legacy checkpoints") {
     val t = tmpTable()
