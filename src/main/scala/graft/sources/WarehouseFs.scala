@@ -449,17 +449,158 @@ object WarehouseFs {
   // ---- additive schema evolution ---------------------------------------
   //
   // ALTER TABLE … ADD COLUMNS without rewriting a byte: the evolved
-  // schema lives in a `_meta/schema.json` sidecar, committed files stay
+  // schema lives in a declared-schema sidecar, committed files stay
   // as written, and every read path NULL-fills the columns a file
   // predates (the DSv2 scan gets this from parquet's own
   // missing-column handling; the API paths from [[reconcileDeclared]]).
   // The first full publishVersioned after an ALTER re-materializes the
-  // whole schema in its own files and DROPS the sidecar — files become
+  // whole schema in its own files and RETIRES the sidecar — files become
   // the complete truth again. RENAME and DROP ride the same sidecar as
-  // a column MAPPING (next section); TYPE changes alone refuse — they
-  // would reinterpret already-written bytes.
+  // a column MAPPING (next section); narrowing TYPE changes refuse —
+  // they would reinterpret already-written bytes.
 
   private def schemaFile(t: Path) = new Path(t, "_meta/schema.json")
+
+  // ---- DDL state: CAS-committed schema epochs ---------------------------
+  //
+  // Schema DDL must not be last-writer-wins: two concurrent ALTERs
+  // racing a plain sidecar rewrite would silently lose one — and a lost
+  // DROP loses its dropped-spellings tombstone with it, resurrecting
+  // hidden column bytes on a later ADD. Every DDL therefore commits an
+  // IMMUTABLE epoch entry `_meta/schema/<NNNNNNNN>` through the SAME
+  // compare-and-set guard as the manifest commit: the loser of an epoch
+  // race fails loudly and re-reads, never clobbers. One entry carries
+  // the WHOLE DDL state — declaration AND dropped tombstones — so a
+  // DROP's two facts commit atomically (the legacy two-file layout had
+  // a crash window between them). Entries are immutable, so parses
+  // memoize per entry NAME: a cache can never serve a stale mapping, in
+  // this JVM or any other (a status-keyed cache could, when two
+  // same-length rewrites landed inside one mtime tick — scripted DDL
+  // does exactly that). Entry format is line-oriented like the
+  // manifests: zero or more `dropped:<physical>` lines, then either the
+  // declaration's StructType JSON on one line or the single word
+  // `retired` (a full publish materialized the declaration in its own
+  // files; files are the whole truth again).
+  //
+  // Legacy `_meta/schema.json` + `_meta/dropped` sidecars read as epoch
+  // 0 while no entry exists; the first epoch commit migrates their
+  // content and deletes them. One-way reader compatibility (the
+  // `ts:`/`op:` header rule): upgrade every reader before the first
+  // epoch-writing writer runs.
+
+  private def schemaEpochDir(t: Path) = new Path(t, "_meta/schema")
+
+  private final case class DdlState(
+      epoch: Long,
+      decl: Option[org.apache.spark.sql.types.StructType],
+      dropped: Set[String])
+
+  private val ddlCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DdlState]()
+
+  private def readSmall(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+    finally in.close()
+  }
+
+  private def parseStruct(json: String): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.DataType.fromJson(json)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+
+  /** The table's current DDL state: highest epoch entry, else the
+    * legacy sidecars as epoch 0. One dir listing (+ the entry read on a
+    * cache miss) — the planning-path cost class of the manifest listing
+    * beside it. */
+  private def ddlState(fs: FileSystem, t: Path): DdlState = {
+    val dir = schemaEpochDir(t)
+    val entries =
+      if (!fs.exists(dir)) Array.empty[String]
+      else fs.listStatus(dir).map(_.getPath.getName).filter(ManifestName.matches)
+    val qt = fs.makeQualified(t).toString
+    def memo(key: (String, String))(compute: => DdlState): DdlState = {
+      val hit = ddlCache.get(key)
+      if (hit != null) hit
+      else {
+        if (ddlCache.size() > 16384) ddlCache.clear()
+        val st = compute; ddlCache.put(key, st); st
+      }
+    }
+    if (entries.nonEmpty) {
+      val top = entries.max
+      memo((qt, top)) {
+        val lines = readSmall(fs, new Path(dir, top)).linesIterator
+          .map(_.trim).filter(_.nonEmpty).toSeq
+        DdlState(top.toLong,
+          lines.filterNot(l => l.startsWith("dropped:") || l == "retired")
+            .headOption.map(parseStruct),
+          lines.filter(_.startsWith("dropped:"))
+            .map(_.stripPrefix("dropped:")).toSet)
+      }
+    } else {
+      // legacy epoch-0 sidecars — frozen from here on (every new DDL
+      // commits an epoch entry), so the status-keyed memo cannot go stale
+      val sf = schemaFile(t); val dropF = droppedFile(t)
+      def stamp(p: Path): String =
+        try { val s = fs.getFileStatus(p); s"${s.getModificationTime}:${s.getLen}" }
+        catch { case _: Exception => "-" }
+      memo((qt, s"legacy:${stamp(sf)}:${stamp(dropF)}")) {
+        DdlState(0L,
+          if (!fs.exists(sf)) None else Some(parseStruct(readSmall(fs, sf))),
+          if (!fs.exists(dropF)) Set.empty[String]
+          else readSmall(fs, dropF).linesIterator.map(_.trim)
+            .filter(_.nonEmpty).toSet)
+      }
+    }
+  }
+
+  /** Commit the next DDL epoch — the CAS that serializes concurrent
+    * schema DDL. `base` is the state this mutation DERIVED from; a
+    * competing DDL that committed the next epoch first makes THIS
+    * commit return false (re-read and re-derive — the manifest
+    * discipline). A successful commit supersedes the legacy sidecars
+    * (deleted best-effort; epoch entries take precedence regardless)
+    * and prunes never-again-read entries below a short debug tail. */
+  /** [[casTestHook]]'s DDL sibling: fires ONCE inside [[commitDdl]],
+    * after the mutation derived from `base` and before its epoch
+    * commit — the window where a naive sidecar rewrite loses updates. A
+    * spec installs a competing ALTER here to prove the epoch CAS makes
+    * the loser refuse loudly instead. Self-clears before firing so the
+    * competitor's own commit runs hook-free. */
+  private[graft] var ddlTestHook: Option[() => Unit] = None
+
+  private def commitDdl(fs: FileSystem, t: Path, base: DdlState,
+                        decl: Option[org.apache.spark.sql.types.StructType],
+                        dropped: Set[String]): Boolean = {
+    val dir = schemaEpochDir(t)
+    fs.mkdirs(dir)
+    val body = (dropped.toSeq.sorted.map("dropped:" + _) ++
+      Seq(decl.fold("retired")(_.json))).mkString("\n")
+    ddlTestHook match {
+      case Some(h) => ddlTestHook = None; h()
+      case None =>
+    }
+    if (!commitGuard.commit(fs, new Path(dir, vname(base.epoch + 1L)),
+        body.getBytes("UTF-8"))) false
+    else {
+      if (fs.exists(schemaFile(t))) fs.delete(schemaFile(t), false)
+      if (fs.exists(droppedFile(t))) fs.delete(droppedFile(t), false)
+      val names = fs.listStatus(dir).map(_.getPath.getName)
+        .filter(ManifestName.matches).sorted
+      names.dropRight(16).foreach { n =>
+        try { fs.delete(new Path(dir, n), false); () }
+        catch { case _: Exception => }
+      }
+      true
+    }
+  }
+
+  private def requireDdlCommit(fs: FileSystem, t: Path, base: DdlState,
+      decl: Option[org.apache.spark.sql.types.StructType],
+      dropped: Set[String], verb: String): Unit =
+    require(commitDdl(fs, t, base, decl, dropped),
+      s"$verb: a concurrent DDL committed schema epoch ${base.epoch + 1} " +
+        s"of $t first — re-read the table's schema and retry")
 
   // ---- ID-free column mapping (RENAME / DROP without rewrite) ----------
   //
@@ -494,36 +635,17 @@ object WarehouseFs {
     d.fields.exists(_.metadata.contains(PhysicalKey))
 
   /** logical → physical column renames of `table`'s declaration
-    * (identity entries omitted); empty when no mapping is active.
-    * Memoized per sidecar (modification time + length): the probe
-    * leaves call this once per column per probe, and a 100 TB table's
-    * planning path should pay one `getFileStatus` here, not a sidecar
-    * read per call. */
+    * (identity entries omitted); empty when no mapping is active. The
+    * expensive part — the sidecar read + parse — memoizes inside
+    * [[ddlState]] per IMMUTABLE epoch entry, so a 100 TB table's
+    * planning path pays one small listing here, never a stale answer. */
   def columnMapping(spark: SparkSession, table: String): Map[String, String] = {
     val (fs, t) = fsFor(spark, table)
-    val f = schemaFile(t)
-    val st = try Some(fs.getFileStatus(f)) catch { case _: Exception => None }
-    st match {
-      case None => Map.empty
-      case Some(status) =>
-        val key = (fs.makeQualified(t).toString,
-          status.getModificationTime, status.getLen)
-        val cached = mappingCache.get(key)
-        if (cached != null) cached
-        else {
-          if (mappingCache.size() > 16384) mappingCache.clear()
-          val m = declaredSchema(spark, table).map { d =>
-            d.fields.iterator.map(fl => fl.name -> physicalOf(fl))
-              .filter { case (l, p) => l != p }.toMap
-          }.getOrElse(Map.empty[String, String])
-          mappingCache.put(key, m)
-          m
-        }
-    }
+    ddlState(fs, t).decl.map { d =>
+      d.fields.iterator.map(fl => fl.name -> physicalOf(fl))
+        .filter { case (l, p) => l != p }.toMap
+    }.getOrElse(Map.empty)
   }
-
-  private val mappingCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Map[String, String]]()
 
   /** The physical spelling of `name` — identity unless renamed. */
   def physicalColumn(spark: SparkSession, table: String,
@@ -561,24 +683,25 @@ object WarehouseFs {
     * let one file column feed two logical columns. */
   def alterRenameColumn(spark: SparkSession, table: String,
                         from: String, to: String): Unit = {
-    val decl = currentDeclaration(spark, table)
+    val (fsR, tR) = fsFor(spark, table)
+    val st = ddlState(fsR, tR)
+    val decl = st.decl.getOrElse(committedDeclaration(spark, table))
     require(decl.fieldNames.contains(from),
       s"alterRenameColumn: $table has no column '$from'")
-    val (fsR, tR) = fsFor(spark, table)
     // dropped spellings are taken too: committed files still store their
     // bytes, and the mapped read's logical-spelling fallback would feed
     // them into a column renamed onto that name
     val taken = decl.fieldNames.toSet ++ decl.fields.map(physicalOf) ++
-      droppedSpellings(fsR, tR)
+      st.dropped
     require(from == to || !taken.contains(to),
       s"alterRenameColumn: '$to' collides with an existing logical name, " +
         "a pinned physical spelling, or a dropped column's spelling")
     refuseConstrainedColumn(spark, table, from, "alterRenameColumn")
-    writeMappedDeclaration(spark, table,
+    requireDdlCommit(fsR, tR, st, Some(pinAll(
       org.apache.spark.sql.types.StructType(decl.fields.map { f =>
         if (f.name == from) withPhysical(f, physicalOf(f)).copy(name = to)
         else f
-      }))
+      }))), st.dropped, "alterRenameColumn")
   }
 
   /** `ALTER TABLE … DROP COLUMN` at O(one sidecar write): the field
@@ -588,7 +711,9 @@ object WarehouseFs {
     * column. */
   def alterDropColumn(spark: SparkSession, table: String,
                       name: String): Unit = {
-    val decl = currentDeclaration(spark, table)
+    val (fs, t) = fsFor(spark, table)
+    val st = ddlState(fs, t)
+    val decl = st.decl.getOrElse(committedDeclaration(spark, table))
     require(decl.fieldNames.contains(name),
       s"alterDropColumn: $table has no column '$name'")
     require(decl.fields.length > 1,
@@ -597,7 +722,6 @@ object WarehouseFs {
     val r = resolveVersion(spark, table, None).getOrElse(
       throw new IllegalArgumentException(
         s"alterDropColumn: $table is not a versioned table"))
-    val (fs, t) = fsFor(spark, table)
     val partCols = partitionColsOf(versionFiles(fs, t, r)) ++
       r.declaredPartCols
     require(!partCols.contains(physicalColumn(spark, table, name)) &&
@@ -605,45 +729,26 @@ object WarehouseFs {
       s"alterDropColumn: '$name' is a partition-layout column — the " +
         "directory structure encodes it; repartition via a full publish " +
         "instead")
-    // tombstone FIRST, declaration second — deliberately: a crash
-    // between the two leaves a spelling blocked that was never dropped
-    // (annoying, recoverable by a full publish), while the reverse
-    // order would let a later ADD resurrect dropped bytes (silent data
-    // corruption). Fail safe, not convenient.
-    recordDropped(fs, t,
-      decl.fields.find(_.name == name).map(physicalOf).get)
-    writeMappedDeclaration(spark, table,
+    // the dropped-spellings tombstone and the narrowed declaration are
+    // ONE epoch entry: no crash window can ever separate them, so a
+    // later ADD can never resurrect dropped bytes
+    requireDdlCommit(fs, t, st, Some(pinAll(
       org.apache.spark.sql.types.StructType(
-        decl.fields.filterNot(_.name == name)))
+        decl.fields.filterNot(_.name == name)))),
+      st.dropped + decl.fields.find(_.name == name).map(physicalOf).get,
+      "alterDropColumn")
   }
 
   // Dropped PHYSICAL spellings tombstone: committed files still store a
   // dropped column's bytes, so re-ADDing that spelling would silently
   // resurrect them as the "new" column's values in every old file. The
-  // `_meta/dropped` sidecar remembers the spellings until a full publish
-  // rewrites the files (which retires it with the schema sidecar).
+  // spellings ride the SAME epoch entry as the declaration (legacy
+  // tables keep them in `_meta/dropped` as epoch 0) until a full
+  // publish rewrites the files, which retires both.
   private def droppedFile(t: Path) = new Path(t, "_meta/dropped")
 
-  private def droppedSpellings(fs: FileSystem, t: Path): Set[String] = {
-    val f = droppedFile(t)
-    if (!fs.exists(f)) Set.empty
-    else {
-      val in = fs.open(f)
-      val text =
-        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
-        finally in.close()
-      text.linesIterator.map(_.trim).filter(_.nonEmpty).toSet
-    }
-  }
-
-  private def recordDropped(fs: FileSystem, t: Path, physical: String): Unit = {
-    val all = droppedSpellings(fs, t) + physical
-    val f = droppedFile(t)
-    fs.mkdirs(f.getParent)
-    val out = fs.create(f, true)
-    try out.write(all.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
-    finally out.close()
-  }
+  private def droppedSpellings(fs: FileSystem, t: Path): Set[String] =
+    ddlState(fs, t).dropped
 
   /** A rename or drop of a column a stored CHECK references would make
     * every subsequent write fail resolving the constraint — refuse the
@@ -667,17 +772,23 @@ object WarehouseFs {
         "CONSTRAINT first and re-declare it against the new schema")
   }
 
+  /** The COMMITTED (file-level) schema of the current version — the
+    * declaration fallback when no sidecar is active (files are then
+    * both logical and physical truth). */
+  private def committedDeclaration(spark: SparkSession, table: String)
+      : org.apache.spark.sql.types.StructType = {
+    val r = resolveVersion(spark, table, None).getOrElse(
+      throw new IllegalArgumentException(
+        s"$table is not a versioned table"))
+    versionSchema(spark, table, r)
+  }
+
   /** The table's current LOGICAL declaration: the sidecar when present,
-    * else the committed schema (which is then both logical and
-    * physical). */
+    * else the committed schema. */
   private def currentDeclaration(spark: SparkSession, table: String)
       : org.apache.spark.sql.types.StructType =
-    declaredSchema(spark, table).getOrElse {
-      val r = resolveVersion(spark, table, None).getOrElse(
-        throw new IllegalArgumentException(
-          s"$table is not a versioned table"))
-      versionSchema(spark, table, r)
-    }
+    declaredSchema(spark, table)
+      .getOrElse(committedDeclaration(spark, table))
 
   private def withPhysical(f: org.apache.spark.sql.types.StructField,
                            physical: String)
@@ -685,36 +796,22 @@ object WarehouseFs {
     f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
       .withMetadata(f.metadata).putString(PhysicalKey, physical).build())
 
-  /** Persist a mapped declaration: EVERY field gets its physical
-    * spelling pinned (identity included) — the uniform marker reads key
-    * mapping-active behavior on, so a pure DROP (no renames) still
-    * prunes the dropped physical column from every read. */
-  private def writeMappedDeclaration(spark: SparkSession, table: String,
-      decl: org.apache.spark.sql.types.StructType): Unit = {
-    val (fs, t) = fsFor(spark, table)
-    val pinned = org.apache.spark.sql.types.StructType(
+  /** Pin EVERY field's physical spelling (identity included) — the
+    * uniform marker reads key mapping-active behavior on, so a pure
+    * DROP (no renames) still prunes the dropped physical column from
+    * every read. */
+  private def pinAll(decl: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(
       decl.fields.map(f => withPhysical(f, physicalOf(f))))
-    val f = schemaFile(t)
-    fs.mkdirs(f.getParent)
-    val out = fs.create(f, true)
-    try out.write(pinned.json.getBytes("UTF-8")) finally out.close()
-  }
 
-  /** The declared (post-ALTER) schema, when one exists. One small-file
-    * read — the same cost class as the manifest read beside it. */
+  /** The declared (post-ALTER) schema, when one exists. One small
+    * listing (memoized parse) — the cost class of the manifest read
+    * beside it. */
   def declaredSchema(spark: SparkSession, table: String)
       : Option[org.apache.spark.sql.types.StructType] = {
     val (fs, t) = fsFor(spark, table)
-    val f = schemaFile(t)
-    if (!fs.exists(f)) None
-    else {
-      val in = fs.open(f)
-      val text =
-        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
-        finally in.close()
-      Some(org.apache.spark.sql.types.DataType.fromJson(text)
-        .asInstanceOf[org.apache.spark.sql.types.StructType])
-    }
+    ddlState(fs, t).decl
   }
 
   /** NULL-fill `df` up to the declared schema (declared order); a df
@@ -774,33 +871,28 @@ object WarehouseFs {
       throw new IllegalArgumentException(
         s"alterAddColumns: $table is not a versioned table"))
     val current = versionSchema(spark, table, r)
-    val declNow = declaredSchema(spark, table)
+    val (fsA, tA) = fsFor(spark, table)
+    val st = ddlState(fsA, tA)
+    val declNow = st.decl
     // the new name must be free among logical names AND pinned physical
     // spellings — a file column may still back a renamed logical column,
     // and an ADD reusing that spelling would feed one file column into
     // two logical columns
-    val (fsA, tA) = fsFor(spark, table)
     val taken = (current.map(_.name) ++
       declNow.toSeq.flatMap(_.fields.map(physicalOf)) ++
-      droppedSpellings(fsA, tA)).map(_.toLowerCase)
+      st.dropped).map(_.toLowerCase)
     val clash = newCols.map(_.name.toLowerCase).intersect(taken)
     require(clash.isEmpty,
       s"alterAddColumns: column(s) ${clash.mkString(", ")} already exist " +
         "as a logical name or a pinned physical spelling (type changes " +
         "are not supported — they would reinterpret already-written bytes)")
-    declNow match {
+    val evolved = declNow match {
       case Some(d) if mappingActive(d) =>
-        writeMappedDeclaration(spark, table,
-          org.apache.spark.sql.types.StructType(d.fields ++ newCols))
-      case _ =>
-        val (fs, t) = fsFor(spark, table)
-        val f = schemaFile(t)
-        fs.mkdirs(f.getParent)
-        val out = fs.create(f, true)
-        try out.write(org.apache.spark.sql.types.StructType(current ++ newCols)
-          .json.getBytes("UTF-8"))
-        finally out.close()
+        pinAll(org.apache.spark.sql.types.StructType(d.fields ++ newCols))
+      case _ => org.apache.spark.sql.types.StructType(current ++ newCols)
     }
+    requireDdlCommit(fsA, tA, st, Some(evolved), st.dropped,
+      "alterAddColumns")
   }
 
   /** Partition columns encoded in a root-relative file path's layout
@@ -1059,13 +1151,23 @@ object WarehouseFs {
     // version, so the CAS cannot see it) commits old-width files — the
     // sidecar must survive so those files keep reconciling to the
     // declared width instead of silently losing the evolution
-    if (fs.exists(schemaFile(t)) &&
-        declaredSchema(spark, table).forall(
-          _.fieldNames.forall(df.columns.contains))) {
-      fs.delete(schemaFile(t), false)
-      // the full publish rewrote every file: dropped spellings no
-      // longer exist anywhere and their tombstones retire with it
-      if (fs.exists(droppedFile(t))) fs.delete(droppedFile(t), false)
+    val ddlNow = ddlState(fs, t)
+    if (ddlNow.decl.isDefined &&
+        ddlNow.decl.forall(_.fieldNames.forall(df.columns.contains))) {
+      if (ddlNow.epoch == 0L) {
+        // legacy sidecars: plain deletes (this publish owns the table —
+        // it just won the manifest CAS)
+        if (fs.exists(schemaFile(t))) fs.delete(schemaFile(t), false)
+        if (fs.exists(droppedFile(t))) fs.delete(droppedFile(t), false)
+      } else {
+        // retire via the epoch CAS; a LOSS means a concurrent DDL
+        // evolved the declaration further — leave it standing (the
+        // coverage guard above would have blocked this retire too).
+        // The full publish rewrote every file, so dropped-spelling
+        // tombstones retire with the declaration.
+        commitDdl(fs, t, ddlNow, None, Set.empty)
+        ()
+      }
     }
     gcVersions(fs, t, keepVersions)
   }

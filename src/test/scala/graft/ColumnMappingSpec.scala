@@ -201,19 +201,87 @@ class ColumnMappingSpec extends SparkSpec {
     }
   }
 
+  test("concurrent schema DDL serializes through the epoch CAS: the " +
+      "loser refuses loudly, the winner's change survives whole, the " +
+      "refused DDL re-runs cleanly") {
+    val t = tmpTable(); publishFixture(t)
+    // the competitor's ALTER lands INSIDE the loser's derive→commit window
+    WarehouseFs.ddlTestHook = Some(() =>
+      WarehouseFs.alterRenameColumn(spark, t, "grp", "grp2"))
+    val e = intercept[IllegalArgumentException] {
+      try WarehouseFs.alterRenameColumn(spark, t, "user", "username")
+      finally WarehouseFs.ddlTestHook = None
+    }
+    assert(e.getMessage.contains("concurrent DDL"),
+      s"expected the epoch-CAS refusal, got: ${e.getMessage}")
+    // the winner's change is intact; the loser applied NOTHING — the
+    // exact lost-update the plain sidecar rewrite allowed
+    assert(WarehouseFs.readTable(spark, t).get.columns.toSeq ===
+      Seq("id", "user", "grp2"))
+    WarehouseFs.alterRenameColumn(spark, t, "user", "username")
+    assert(WarehouseFs.readTable(spark, t).get.columns.toSeq ===
+      Seq("id", "username", "grp2"))
+    assert(WarehouseFs.readTable(spark, t).get
+      .filter(col("id") === 42L).select("username").as[String]
+      .head() === "u42")
+  }
+
+  test("a DROP's tombstone and narrowed declaration are ONE epoch " +
+      "entry — no crash window can separate them; legacy sidecars " +
+      "migrate into the first epoch commit") {
+    val t = tmpTable(); publishFixture(t)
+    // stage a LEGACY pre-epoch table: schema.json + dropped, hand-written
+    val meta = java.nio.file.Paths.get(s"$t/_meta")
+    java.nio.file.Files.createDirectories(meta)
+    val legacyDecl = org.apache.spark.sql.types.StructType(
+      WarehouseFs.readTable(spark, t).get.schema.fields)
+    java.nio.file.Files.write(meta.resolve("schema.json"),
+      legacyDecl.json.getBytes("UTF-8"))
+    java.nio.file.Files.write(meta.resolve("dropped"),
+      "ghostcol".getBytes("UTF-8"))
+    // the first new DDL migrates: one atomic entry with declaration AND
+    // tombstones; legacy files delete
+    WarehouseFs.alterDropColumn(spark, t, "grp")
+    val dir = new java.io.File(s"$t/_meta/schema")
+    val entries = dir.listFiles().map(_.getName).filter(_.matches("\\d{8}")).sorted
+    assert(entries.toSeq === Seq("00000001"), s"got ${entries.toSeq}")
+    val body = new String(java.nio.file.Files.readAllBytes(
+      dir.toPath.resolve("00000001")), "UTF-8")
+    val lines = body.linesIterator.toSeq
+    assert(lines.count(_.startsWith("dropped:")) === 2 &&
+      lines.contains("dropped:grp") && lines.contains("dropped:ghostcol"),
+      s"tombstones must ride the same entry, got:\n$body")
+    assert(lines.exists(_.contains("\"fields\"")),
+      "the narrowed declaration must ride the same entry")
+    assert(!java.nio.file.Files.exists(meta.resolve("schema.json")) &&
+      !java.nio.file.Files.exists(meta.resolve("dropped")),
+      "legacy sidecars are superseded and deleted")
+    // semantics hold end-to-end: grp is hidden, ghostcol/grp blocked
+    assert(WarehouseFs.readTable(spark, t).get.columns.toSeq ===
+      Seq("id", "user"))
+    intercept[IllegalArgumentException] {
+      WarehouseFs.alterAddColumns(spark, t,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("ghostcol",
+            org.apache.spark.sql.types.StringType))))
+    }
+  }
+
   test("a stale mapping left by a crashed retirement window resolves " +
       "harmlessly: logical fallback (API) + stale-entry pruning (DSv2)") {
     val t = tmpTable(); publishFixture(t)
-    WarehouseFs.alterRenameColumn(spark, t, "user", "username")
-    val sidecar = java.nio.file.Paths.get(s"$t/_meta/schema.json")
-    val staleBytes = java.nio.file.Files.readAllBytes(sidecar)
+    WarehouseFs.alterRenameColumn(spark, t, "user", "username") // epoch 1
     val cur = WarehouseFs.currentVersion(spark, t).map(_._1)
     WarehouseFs.publishVersioned(WarehouseFs.readTable(spark, t).get, t,
-      keepVersions = 8, expectedVersion = cur)
+      keepVersions = 8, expectedVersion = cur) // retires via epoch 2
     assert(WarehouseFs.columnMapping(spark, t).isEmpty)
     // simulate the crash BETWEEN the retiring manifest commit and the
-    // sidecar cleanup: the stale mapping reappears over logical files
-    java.nio.file.Files.write(sidecar, staleBytes)
+    // retiring EPOCH commit: drop the retire entry — the stale mapping
+    // (epoch 1) reappears over logical files
+    val retireEntry = java.nio.file.Paths.get(s"$t/_meta/schema/00000002")
+    assert(java.nio.file.Files.exists(retireEntry),
+      "the retirement must have committed epoch 2")
+    java.nio.file.Files.delete(retireEntry)
     assert(WarehouseFs.columnMapping(spark, t).nonEmpty, "window staged")
     val df = WarehouseFs.readTable(spark, t).get
     assert(df.columns.toSeq === Seq("id", "username", "grp"))
@@ -225,6 +293,6 @@ class ColumnMappingSpec extends SparkSpec {
     assert(ds.filter(col("username").isNull).count() === 0,
       "the DSv2 scan must prune the stale mapping entry")
     assert(ds.filter(col("username") === "u42").count() === 1)
-    java.nio.file.Files.deleteIfExists(sidecar)
+    ()
   }
 }
