@@ -186,17 +186,19 @@ object BenchDml {
     def totalOf(b: Seq[(String, Seq[Double])]): Double =
       b.map(_._2.min).sum
     val histBest = quietHistoryBest(byLeg.length)
-    var regated = false
+    var regated = 0
     // unlike the read bench, the DML legs SATURATE every core right up
     // to the end — `loadAfter` reflects our own burst, not a tenant, so
-    // only the history-regression signal triggers the re-measure here
-    if (!sys.env.get("SPARK_GRAFT_BENCH_NO_ENDGATE").exists(_ == "1") &&
-        histBest.exists(h => totalOf(byLeg) > h * 1.10)) {
+    // only the history-regression signal triggers the re-measure here.
+    // Up to TWO re-measures (the read-bench rule): one retry under
+    // sustained load still ships a noisy number; the best run ships.
+    while (!sys.env.get("SPARK_GRAFT_BENCH_NO_ENDGATE").exists(_ == "1") &&
+        histBest.exists(h => totalOf(byLeg) > h * 1.10) && regated < 2) {
       Thread.sleep(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_COOLDOWN_MS", "20000").toLong)
       val (b2, l2) = measure()
       if (totalOf(b2) <= totalOf(byLeg)) { byLeg = b2; loadAfter = l2 }
-      regated = true
+      regated += 1
     }
     val suspect = Bench.spreadSuspects(byLeg)
 

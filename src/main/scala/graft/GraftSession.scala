@@ -16,6 +16,15 @@ object GraftSession {
 
   /** Idempotent per-session setup. */
   def attach(spark: SparkSession, sfDir: String): SparkSession = {
+    // cost-based optimization ON: committed graft statistics (row
+    // counts, NDV, null counts, equi-height histograms) reach Catalyst
+    // through the DSv2 scan, and the CBO is what CONSUMES them —
+    // FilterEstimation selectivity and stats-driven join reorder.
+    // Stat-less temp views are unaffected: reorder requires a row count
+    // on every join item and falls back to the left-deep syntactic
+    // order otherwise, which is exactly the pre-CBO behavior.
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
     TableNames.foreach {
       case "events" => // ns timestamps need the nanosAsLong conf (Tables.events)
         Tables.events(spark, sfDir).createOrReplaceTempView("events")

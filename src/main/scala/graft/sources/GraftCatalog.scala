@@ -167,8 +167,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     * serving, [[WarehouseFs.alterRenameColumn]]), and property changes
     * (`SET TBLPROPERTIES('keepVersions'='5')`; `check.<name>` /
     * `notNullCols` constraint declarations validate existing rows
-    * before persisting). Type changes refuse loudly — they would
-    * reinterpret already-written bytes. */
+    * before persisting), plus ALTER COLUMN TYPE along the safe
+    * widening lattice ([[WarehouseFs.alterWidenColumn]] — committed
+    * files keep their narrower bytes and upcast at read). Narrowing
+    * or reinterpreting type changes refuse loudly. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     if (!exists(ident)) throw new NoSuchTableException(ident)
     val path = tablePath(ident)
@@ -219,23 +221,36 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
               s"(${d.fieldNames().mkString(".")}) is not supported")
         d.fieldNames()(0)
     }
+    // `ALTER COLUMN c TYPE <wider>` lowers onto the safe-widening verb
+    // (byte→short→int→long, float→double, decimal precision growth at
+    // equal scale) — narrowing/reinterpreting refuses inside the verb
+    val widens = changes.collect {
+      case u: TableChange.UpdateColumnType =>
+        if (u.fieldNames().length != 1)
+          throw new UnsupportedOperationException(
+            s"graft catalog: ALTER COLUMN TYPE of a nested field " +
+              s"(${u.fieldNames().mkString(".")}) is not supported")
+        u.fieldNames()(0) -> u.newDataType()
+    }
     val unsupported = changes.filterNot(c =>
       c.isInstanceOf[TableChange.AddColumn] ||
         c.isInstanceOf[TableChange.SetProperty] ||
         c.isInstanceOf[TableChange.RenameColumn] ||
-        c.isInstanceOf[TableChange.DeleteColumn])
+        c.isInstanceOf[TableChange.DeleteColumn] ||
+        c.isInstanceOf[TableChange.UpdateColumnType])
     if (unsupported.nonEmpty)
       throw new UnsupportedOperationException(
-        s"graft catalog: only ADD COLUMNS, RENAME COLUMN, DROP COLUMN " +
-          s"and SET TBLPROPERTIES are supported — got " +
-          s"${unsupported.mkString(", ")} (type changes would " +
-          "reinterpret already-written bytes)")
+        s"graft catalog: only ADD COLUMNS, RENAME COLUMN, DROP COLUMN, " +
+          s"ALTER COLUMN TYPE (safe widening) and SET TBLPROPERTIES are " +
+          s"supported — got ${unsupported.mkString(", ")}")
     if (adds.nonEmpty)
       WarehouseFs.alterAddColumns(spark, path,
         org.apache.spark.sql.types.StructType(adds))
     renames.foreach { case (from, to) =>
       WarehouseFs.alterRenameColumn(spark, path, from, to) }
     drops.foreach(c => WarehouseFs.alterDropColumn(spark, path, c))
+    widens.foreach { case (c, to) =>
+      WarehouseFs.alterWidenColumn(spark, path, c, to) }
     if (propSets.nonEmpty) {
       // refuse what will not persist — a silently-dropped property (a
       // typo, or partitionBy, whose layout is fixed by written files)

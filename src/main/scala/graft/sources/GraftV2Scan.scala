@@ -137,8 +137,16 @@ class GraftV2ScanBuilder(
       else graft.sources.WarehouseFs.exactCommittedMinMax(spark, table, mmCols, snapshotVersion)
     if (rowCount.isEmpty || minMax.isEmpty) return None
     def dt(c: String) = tableSchema(c).dataType
-    def internal(v: Any, c: String): Any =
-      CatalystTypeConverters.createToCatalystConverter(dt(c))(v)
+    def internal(v: Any, c: String): Any = {
+      // a WIDENED column's committed zone rows may still carry the
+      // narrower pre-widen type (int min/max under a bigint
+      // declaration) — answer in the declared type via a catalyst
+      // Cast instead of crashing the converter
+      val lit = Literal(v)
+      if (lit.dataType == dt(c))
+        CatalystTypeConverters.createToCatalystConverter(dt(c))(v)
+      else Cast(lit, dt(c), Some("UTC")).eval()
+    }
     val fields = needs.flatten.map {
       case RowCount =>
         org.apache.spark.sql.types.StructField("count(*)",
@@ -511,8 +519,19 @@ case class GraftMetaScan(delegate: Scan,
       case _ => null
     }
     new Statistics {
-      override def sizeInBytes(): OptionalLong =
-        if (base == null) OptionalLong.empty() else base.sizeInBytes()
+      // with committed stats, size derives from ROW COUNT × estimated
+      // row width (Spark's own 8 + defaultSize rule) rather than the
+      // delegate's COMPRESSED file bytes: join build-side selection
+      // compares in-memory sizes, and an RLE-friendly 100M-row table
+      // whose files compress below a broadcast threshold must not get
+      // picked over a genuinely small dimension — committed cardinality
+      // is the truth file bytes only proxy
+      override def sizeInBytes(): OptionalLong = committed match {
+        case Some(s) =>
+          OptionalLong.of(s.rowCount * (8L + tableSchema.defaultSize))
+        case None =>
+          if (base == null) OptionalLong.empty() else base.sizeInBytes()
+      }
       override def numRows(): OptionalLong =
         committed.fold(OptionalLong.empty())(s => OptionalLong.of(s.rowCount))
       override def columnStats(): java.util.Map[NamedReference, ColumnStatistics] = {

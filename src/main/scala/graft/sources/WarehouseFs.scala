@@ -176,7 +176,7 @@ object WarehouseFs {
   //              install a [[ConditionalPutCommitGuard]], which closes
   //              the window at the store itself.
 
-  private[graft] trait ManifestCommitGuard {
+  trait ManifestCommitGuard {
     /** Atomically publish `body` at `dest` iff `dest` does not exist.
       * True exactly when THIS writer's body is the committed one; false
       * is a CAS loss. Must never replace an existing `dest` and never
@@ -242,7 +242,7 @@ object WarehouseFs {
     * the store arbitrates, so there is no tmp object and no window at
     * all. The production adapter wires the store SDK's conditional PUT;
     * the contract spec drives a fake store through the same seam. */
-  private[graft] final class ConditionalPutCommitGuard(
+  final class ConditionalPutCommitGuard(
       putIfAbsent: (String, Array[Byte]) => Boolean)
       extends ManifestCommitGuard {
     override def commit(fs: FileSystem, dest: Path,
@@ -254,6 +254,11 @@ object WarehouseFs {
     * deployment (or a spec's fake store). */
   @volatile private[graft] var commitGuard: ManifestCommitGuard =
     HadoopCommitGuard
+
+  /** Deployment entry point: install the commit primitive an object-
+    * store warehouse needs (see [[ObjectStoreCommit]] for reference
+    * adapters) — once per JVM, before the first commit. */
+  def installCommitGuard(g: ManifestCommitGuard): Unit = commitGuard = g
 
   /** [[casTestHook]]'s sibling seam: fires ONCE inside
     * [[commitManifest]], AFTER every caller's optimistic exists-check
@@ -739,6 +744,58 @@ object WarehouseFs {
       "alterDropColumn")
   }
 
+  /** `ALTER TABLE … ALTER COLUMN c TYPE <wider>` at O(one epoch
+    * commit): the declaration's type widens along the SAFE lattice
+    * (byte→short→int→long, float→double, decimal(p,s)→decimal(p+k,s))
+    * — committed files keep their narrower physical bytes and every
+    * read upcasts at the boundary (Spark's parquet reader natively
+    * serves INT32 under a LONG read schema, etc.; the API paths cast in
+    * [[reconcileTo]]), while subsequent writes land the wider type in
+    * their own files. Index probes stay sound: bloom values
+    * canonicalize through the column's STRING form, identical across
+    * the integral lattice and at equal decimal scale, and zone/
+    * partition comparisons coerce numerically — both remain supersets.
+    * Narrowing or reinterpreting refuses: bytes would lie. */
+  def alterWidenColumn(spark: SparkSession, table: String, name: String,
+      newType: org.apache.spark.sql.types.DataType): Unit = {
+    val (fs, t) = fsFor(spark, table)
+    val st = ddlState(fs, t)
+    val decl = st.decl.getOrElse(committedDeclaration(spark, table))
+    val f = decl.fields.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(
+        s"alterWidenColumn: $table has no column '$name'"))
+    require(widens(f.dataType, newType),
+      s"alterWidenColumn: ${f.dataType.simpleString} → " +
+        s"${newType.simpleString} is not a safe widening " +
+        "(byte→short→int→long, float→double, or decimal precision " +
+        "growth at equal scale) — a narrowing or reinterpreting change " +
+        "would corrupt already-written bytes")
+    val evolved = org.apache.spark.sql.types.StructType(decl.fields.map(fl =>
+      if (fl.name == name) fl.copy(dataType = newType) else fl))
+    requireDdlCommit(fs, t, st, Some(
+      if (mappingActive(decl)) pinAll(evolved) else evolved),
+      st.dropped, "alterWidenColumn")
+  }
+
+  /** The widening lattice [[alterWidenColumn]] accepts — deliberately
+    * narrower than `Cast.canUpCast` (no int→decimal, no
+    * anything→string): every member is a PHYSICAL-read-compatible
+    * widening of the parquet bytes already on disk. */
+  private def widens(from: org.apache.spark.sql.types.DataType,
+                     to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (a, b) if a == b => false
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (a: DecimalType, b: DecimalType) =>
+        b.scale == a.scale && b.precision > a.precision
+      case _ => false
+    }
+  }
+
   // Dropped PHYSICAL spellings tombstone: committed files still store a
   // dropped column's bytes, so re-ADDing that spelling would silently
   // resurrect them as the "new" column's values in every old file. The
@@ -825,6 +882,15 @@ object WarehouseFs {
   private def reconcileTo(decl: Option[org.apache.spark.sql.types.StructType],
                           df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
+    // a file narrower than a WIDENED declaration upcasts at this read
+    // boundary (int files under a bigint declaration); a file WIDER
+    // than a stale declaration (the table evolved further by a full
+    // publish) passes through untouched — a downcast would corrupt
+    def toDeclared(c: Column, from: org.apache.spark.sql.types.DataType,
+                   to: org.apache.spark.sql.types.DataType): Column =
+      if (from == to ||
+          !org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(from, to)) c
+      else c.cast(to)
     decl match {
       case Some(d) if mappingActive(d) =>
         // physical spelling first; the LOGICAL spelling as fallback —
@@ -835,14 +901,21 @@ object WarehouseFs {
         // can only ever be THIS column)
         df.select(d.map { f =>
           val p = physicalOf(f)
-          if (df.columns.contains(p)) col(p).as(f.name)
-          else if (df.columns.contains(f.name)) col(f.name)
-          else lit(null).cast(f.dataType).as(f.name)
+          val src =
+            if (df.columns.contains(p)) p
+            else if (df.columns.contains(f.name)) f.name
+            else ""
+          if (src.isEmpty) lit(null).cast(f.dataType).as(f.name)
+          else toDeclared(col(src), df.schema(src).dataType, f.dataType)
+            .as(f.name)
         }: _*)
       case Some(d) if df.columns.toSet.subsetOf(d.fieldNames.toSet) &&
-          df.columns.toSet != d.fieldNames.toSet =>
+          (df.columns.toSet != d.fieldNames.toSet ||
+            d.exists(f => df.schema(f.name).dataType != f.dataType)) =>
         df.select(d.map(f =>
-          if (df.columns.contains(f.name)) col(f.name)
+          if (df.columns.contains(f.name))
+            toDeclared(col(f.name), df.schema(f.name).dataType, f.dataType)
+              .as(f.name)
           else lit(null).cast(f.dataType).as(f.name)): _*)
       case _ => df
     }

@@ -257,6 +257,109 @@ class CommitPrimitiveSpec extends SparkSpec {
     } finally WarehouseFs.commitGuard = prev
   }
 
+  test("MULTI-PROCESS CAS: two JVMs hammering one _versions dir — " +
+      "exactly one winner per name over every round, committed body is " +
+      "the claimed winner's (kernel-side link(2) arbitration)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mp_cas_").toString
+    val rounds = 120
+    val javaBin = s"${sys.props("java.home")}/bin/java"
+    val cp = sys.props("java.class.path")
+    def spawn(id: String): Process =
+      new ProcessBuilder(javaBin, "-cp", cp, "graft.CasRaceChild",
+        dir, id, rounds.toString)
+        .redirectOutput(new java.io.File(s"$dir/child-$id.log"))
+        .redirectErrorStream(true).start()
+    val pa = spawn("A"); val pb = spawn("B")
+    // barrier drops once BOTH processes are live: the races overlap
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "start"),
+      Array.emptyByteArray)
+    assert(pa.waitFor(120, TimeUnit.SECONDS) && pb.waitFor(120, TimeUnit.SECONDS),
+      "children must finish")
+    def logOf(id: String) =
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, s"child-$id.log")), "UTF-8")
+    assert(pa.exitValue() === 0, s"child A failed:\n${logOf("A")}")
+    assert(pb.exitValue() === 0, s"child B failed:\n${logOf("B")}")
+    def winsOf(id: String): Set[Int] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(dir, s"wins-$id")).asScala
+        .filter(_.nonEmpty).map(_.toInt).toSet
+    }
+    val wa = winsOf("A"); val wb = winsOf("B")
+    assert(wa.intersect(wb).isEmpty,
+      s"no round may have TWO winners — both claimed ${wa.intersect(wb)}")
+    assert(wa.union(wb) === (0 until rounds).toSet,
+      "every round must have exactly one winner")
+    (0 until rounds).foreach { i =>
+      val body = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, f"$i%08d")), "UTF-8")
+      val claimed = if (wa(i)) "winner-A" else "winner-B"
+      assert(body === claimed,
+        s"round $i: committed body must be the claimed winner's, got $body")
+    }
+    // no staging debris from either process
+    assert(!new java.io.File(dir).listFiles()
+      .exists(_.getName.startsWith(".tmp-")))
+  }
+
+  test("the HTTP If-None-Match reference adapter drives a real DML race " +
+      "through an actual HTTP store (ObjectStoreCommit) — exactly-once " +
+      "arbitration, outages throw instead of guessing") {
+    import java.net.InetSocketAddress
+    val store = new ConcurrentHashMap[String, Array[Byte]]()
+    @volatile var outage = false
+    val srv = com.sun.net.httpserver.HttpServer.create(
+      new InetSocketAddress("127.0.0.1", 0), 0)
+    srv.createContext("/", (exch: com.sun.net.httpserver.HttpExchange) => {
+      val body = exch.getRequestBody.readAllBytes()
+      val key = exch.getRequestURI.getPath
+      val code = store.synchronized {
+        if (outage) 503
+        else if (exch.getRequestHeaders.getFirst("If-None-Match") != "*") 400
+        else if (store.containsKey(key)) 412
+        else {
+          store.put(key, body)
+          // the winner's object writes through to the local path, so
+          // filesystem readers resolve normally (the store IS the
+          // warehouse in production; here it fronts the local fs)
+          java.nio.file.Files.write(java.nio.file.Paths.get(key), body,
+            java.nio.file.StandardOpenOption.CREATE_NEW)
+          201
+        }
+      }
+      exch.sendResponseHeaders(code, -1); exch.close()
+    })
+    srv.start()
+    val endpoint = s"http://127.0.0.1:${srv.getAddress.getPort}"
+    val t = tmpTable(); publishFixture(t)
+    val prev = WarehouseFs.commitGuard
+    WarehouseFs.installCommitGuard(
+      graft.sources.ObjectStoreCommit.httpIfNoneMatchGuard(endpoint))
+    try {
+      WarehouseFs.casWindowHook = Some(() =>
+        WarehouseFs.deleteWhere(spark, t, "id", Seq(5000L), keepVersions = 8))
+      try WarehouseFs.deleteWhere(spark, t, "id", Seq(100L), keepVersions = 8)
+      finally WarehouseFs.casWindowHook = None
+      assert(WarehouseFs.currentVersion(spark, t).get._1 === 3L,
+        "winner commits v2 through HTTP, rebased loser commits v3")
+      val s = state(t)
+      assert(!s.contains(100L) && !s.contains(5000L) && s.size === 7998)
+      assert(store.size() === 2, "v2 and v3 both committed through the store")
+      // an outage THROWS — the primitive must never translate a 5xx
+      // into a silent loss or a silent win
+      outage = true
+      val e = intercept[Exception] {
+        WarehouseFs.deleteWhere(spark, t, "id", Seq(200L), keepVersions = 8)
+      }
+      assert(e.getMessage != null && e.getMessage.contains("HTTP 503"),
+        s"got: $e")
+    } finally {
+      WarehouseFs.commitGuard = prev
+      srv.stop(0)
+    }
+  }
+
   // ---- GC vs in-flight attempt dirs -------------------------------------
 
   test("GC spares a recent unreferenced attempt dir below curMax " +

@@ -257,4 +257,99 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("CBO: the join build side follows committed ROW COUNT, not file " +
+      "bytes — an RLE-compressed 400k-row table never broadcasts over a " +
+      "genuinely tiny dimension whose files happen to be fatter") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.WarehouseFs
+    val base = java.nio.file.Files.createTempDirectory("graft_cbo_").toString
+    // BIG: 400k rows, every column low-cardinality → parquet RLE/dict
+    // compresses the files far below the tiny table's. File bytes LIE.
+    def bigDf = spark.range(400000).select(
+      (col("id") % 997).as("k"),
+      lit("constant-padding-that-rle-compresses-away").as("pad"))
+    // SMALL: 3k rows of incompressible digests — files LIE fat
+    def smallDf = spark.range(3000).select(
+      (col("id") % 997).as("k"),
+      concat((1 to 20).map(i =>
+        sha2(concat(col("id").cast("string"), lit(i.toString)), 256)): _*)
+        .as("blob"))
+    def publish(suffix: String, stats: Boolean): (String, String) = {
+      val b = s"$base/big_$suffix"; val s = s"$base/small_$suffix"
+      WarehouseFs.publishVersioned(bigDf, b, keepVersions = 2,
+        collectStats = stats)
+      WarehouseFs.publishVersioned(smallDf, s, keepVersions = 2,
+        collectStats = stats)
+      (b, s)
+    }
+    def bytesOf(t: String): Long =
+      WarehouseFs.currentVersionBytes(spark, t).get
+    def buildSideOf(big: String, small: String): String = {
+      val b = spark.read.format("graft").option("table", big).load()
+      val s = spark.read.format("graft").option("table", small).load()
+      val j = b.join(s, "k").queryExecution.executedPlan
+      val bhj = j.collectFirst {
+        case x: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => x
+      }.getOrElse(fail(s"expected a BroadcastHashJoin, got:\n$j"))
+      val built = bhj.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildLeft => bhj.left
+        case org.apache.spark.sql.catalyst.optimizer.BuildRight => bhj.right
+      }
+      if (built.toString.contains("small_")) "small"
+      else if (built.toString.contains("big_")) "big"
+      else fail(s"cannot attribute the build side:\n$built")
+    }
+    val (bigS, smallS) = publish("stats", stats = true)
+    // the inversion must actually be staged, or the test proves nothing
+    assert(bytesOf(bigS) < bytesOf(smallS),
+      s"fixture: big files (${bytesOf(bigS)}) must compress below small " +
+        s"(${bytesOf(smallS)})")
+    // AQE off for the inspection: the static plan shows the
+    // statistics-driven choice itself, not AQE's runtime correction
+    withConf("spark.sql.cbo.enabled" -> "true",
+        "spark.sql.adaptive.enabled" -> "false") {
+      assert(buildSideOf(bigS, smallS) === "small",
+        "with committed stats, cardinality picks the build side")
+      // counterfactual: the SAME data without stats falls back to file
+      // bytes and builds on the compressed giant — the failure the
+      // committed statistics exist to prevent
+      val (bigN, smallN) = publish("nostats", stats = false)
+      assert(buildSideOf(bigN, smallN) === "big",
+        "without stats the size inversion fools the planner (fixture check)")
+    }
+  }
+
+  test("CBO join reorder: with committed stats a 3-way join probes the " +
+      "tiny dimension before the second fact, whatever the syntactic order") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.WarehouseFs
+    val base = java.nio.file.Files.createTempDirectory("graft_cbo_jr_").toString
+    def fact(n: Int) = spark.range(120000).select(
+      (col("id") % 1009).as("k"), (col("id") % 31).as(s"m$n"))
+    WarehouseFs.publishVersioned(fact(1), s"$base/f1", keepVersions = 2,
+      collectStats = true)
+    WarehouseFs.publishVersioned(fact(2), s"$base/f2", keepVersions = 2,
+      collectStats = true)
+    WarehouseFs.publishVersioned(
+      spark.range(40).select((col("id") % 1009).as("k"), col("id").as("d")),
+      s"$base/dim", keepVersions = 2, collectStats = true)
+    def rd(t: String) = spark.read.format("graft").option("table", s"$base/$t").load()
+    withConf("spark.sql.cbo.enabled" -> "true",
+        "spark.sql.cbo.joinReorder.enabled" -> "true") {
+      // syntactically fact ⋈ fact FIRST, dim last: the reorder must pull
+      // the 40-row dim inward so the fact-fact join sees a filtered side
+      val q = rd("f1").join(rd("f2"), "k").join(rd("dim"), "k")
+        .groupBy("d").agg(sum("m1"), sum("m2"))
+      val optimized = q.queryExecution.optimizedPlan.toString
+      val joins = q.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }
+      assert(joins.size === 2, optimized)
+      // the INNERMOST join (last collected) must touch the dim relation
+      val innermost = joins.last
+      assert(innermost.toString.contains("dim"),
+        s"stats-driven reorder must join the 40-row dim first, got:\n$optimized")
+    }
+  }
+
 }
