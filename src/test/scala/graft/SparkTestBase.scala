@@ -23,10 +23,37 @@ object SparkTestBase {
   }
 }
 
-abstract class SparkSpec extends AnyFunSuite {
+abstract class SparkSpec extends AnyFunSuite
+    with org.scalatest.BeforeAndAfterEach {
   lazy val spark: SparkSession = SparkTestBase.spark
   val sf0001 = "/root/testdata/sf0.001"
   val refDir = "/root/reference"
+
+  /** The warehouse's process-global test/deployment seams (commit
+    * guard, race hooks) are shared across every suite in the forked
+    * JVM: a test that leaks one poisons every LATER suite silently.
+    * Fail the leaking test by name here, then reset so the rest of the
+    * run stays healthy. */
+  override protected def afterEach(): Unit = {
+    import graft.sources.WarehouseFs
+    try {
+      val leaks = Seq(
+        (WarehouseFs.casTestHook.isDefined, "casTestHook") -> { () =>
+          WarehouseFs.casTestHook = None },
+        (WarehouseFs.casWindowHook.isDefined, "casWindowHook") -> { () =>
+          WarehouseFs.casWindowHook = None },
+        (WarehouseFs.ddlTestHook.isDefined, "ddlTestHook") -> { () =>
+          WarehouseFs.ddlTestHook = None },
+        ((WarehouseFs.commitGuard ne WarehouseFs.HadoopCommitGuard),
+          "commitGuard") -> { () =>
+          WarehouseFs.commitGuard = WarehouseFs.HadoopCommitGuard })
+      val fired = leaks.collect { case ((true, name), reset) =>
+        reset(); name }
+      assert(fired.isEmpty,
+        s"test leaked process-global warehouse seam(s): " +
+          s"${fired.mkString(", ")} — reset them in a finally block")
+    } finally super.afterEach()
+  }
 
   /** Run `body` with session confs temporarily set, restoring (or
     * unsetting) the previous values afterwards — the session is shared
