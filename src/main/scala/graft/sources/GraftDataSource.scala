@@ -139,14 +139,25 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
     val txnApp = parameters.get("txnAppId")
       .orElse(parameters.get("checkpointLocation"))
     new org.apache.spark.sql.execution.streaming.Sink {
+      // ONE history scan at stream start (memoized): this sink is the
+      // only writer stamping its appId, so after the first lookup the
+      // high-water batchId advances purely in-process — a per-trigger
+      // manifest scan would be pure metadata overhead on a
+      // high-frequency stream
+      @volatile private var txnFloor: Option[Option[Long]] = None
       override def addBatch(batchId: Long, data: DataFrame): Unit = {
         val spark = data.sparkSession
         // replay gate FIRST — a batch this writer already landed (crash
         // between manifest commit and checkpoint commit) must not re-run
         // the DML: skipping here is what makes commits exactly-once
-        if (txnApp.exists(app =>
-            WarehouseFs.lastCommittedTxn(spark, table, app).exists(_ >= batchId)))
-          return
+        val floor: Option[Long] = txnApp match {
+          case Some(app) =>
+            if (txnFloor.isEmpty)
+              txnFloor = Some(WarehouseFs.lastCommittedTxn(spark, table, app))
+            txnFloor.get
+          case None => None
+        }
+        if (floor.exists(_ >= batchId)) return
         val txn = txnApp.map(app => (app, batchId))
         val pinned = org.apache.spark.sql.graft.StreamingInternal.asBatch(data)
         pinned.persist()
@@ -165,6 +176,10 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
               WarehouseFs.upsertRows(pinned, table, keyCol, keep,
                 refreshStats = false, txn = txn)
           }
+          // the landed batch advances the in-process floor (empty
+          // batches commit nothing and may replay — harmlessly)
+          if (txnApp.isDefined && !pinned.isEmpty)
+            txnFloor = Some(Some(batchId))
         } finally pinned.unpersist()
       }
       override def toString: String =
