@@ -306,7 +306,7 @@ case class GraftDescribeDetailCommand(path: String)
     require(hist.nonEmpty,
       s"DESCRIBE DETAIL: $path is not a versioned table (or has no " +
         "retained versions)")
-    val (v, ts, _, fmt, nf, bytes, _) = hist.last
+    val (v, ts, _, fmt, nf, bytes, _, _) = hist.last
     val (bloom, zone, hasStats) = WarehouseFs.versionMetadata(spark, path)
     val partCols = WarehouseFs.layoutPartitionCols(spark, path)
     val props = graft.sources.GraftCatalog.readProps(spark, path)
@@ -335,6 +335,10 @@ case class GraftDescribeHistoryCommand(path: String)
     AttributeReference("version", LongType, nullable = false)(),
     AttributeReference("committed_at", TimestampType, nullable = false)(),
     AttributeReference("operation", StringType, nullable = false)(),
+    // the idempotent-writer stamp ("<appId>#<batchId>", "-" when none):
+    // which stream landed this commit, and which micro-batch — the
+    // exactly-once provenance beside the verb
+    AttributeReference("txn", StringType, nullable = false)(),
     AttributeReference("data_dir", StringType, nullable = false)(),
     AttributeReference("format", StringType, nullable = false)(),
     AttributeReference("files", IntegerType, nullable = false)(),
@@ -344,8 +348,8 @@ case class GraftDescribeHistoryCommand(path: String)
     require(rows.nonEmpty,
       s"DESCRIBE HISTORY: $path is not a versioned table (or has no " +
         "retained versions)")
-    rows.map { case (v, ts, dir, fmt, nf, bytes, op) =>
-      Row(v, ts, op, dir, fmt, nf, bytes)
+    rows.map { case (v, ts, dir, fmt, nf, bytes, op, txn) =>
+      Row(v, ts, op, txn, dir, fmt, nf, bytes)
     }
   }
 }

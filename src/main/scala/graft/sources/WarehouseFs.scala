@@ -1069,7 +1069,7 @@ object WarehouseFs {
   }
 
   def describeHistory(spark: SparkSession, table: String)
-      : Seq[(Long, java.sql.Timestamp, String, String, Int, Long, String)] = {
+      : Seq[(Long, java.sql.Timestamp, String, String, Int, Long, String, String)] = {
     val (fs, t) = fsFor(spark, table)
     listVersions(spark, table).flatMap { v =>
       resolveVersion(spark, table, Some(v)).map { r =>
@@ -1077,12 +1077,14 @@ object WarehouseFs {
           new Path(versionsDir(t), vname(v))).getModificationTime)
         val files = versionFiles(fs, t, r)
         val bytes = files.map(f => fs.getFileStatus(new Path(t, f)).getLen).sum
-        // the committing verb rides along from the SAME manifest parse —
-        // the SQL surface must not re-resolve each version (that would be
-        // O(n²) metadata RPCs on long histories)
+        // the committing verb and idempotent-writer stamp ride along
+        // from the SAME manifest parse — the SQL surface must not
+        // re-resolve each version (that would be O(n²) metadata RPCs on
+        // long histories)
         (v, new java.sql.Timestamp(committed), r.dirName,
           if (r.isFileList) "file-list" else "dir", files.size, bytes,
-          r.op.getOrElse("-"))
+          r.op.getOrElse("-"),
+          r.txn.fold("-") { case (app, b) => s"$app#$b" })
       }
     }
   }

@@ -655,6 +655,10 @@ class CdfStreamSpec extends SparkSpec {
       drain()
       assert(WarehouseFs.currentVersion(spark, t).get._1 === vAfterBatch0 + 1,
         s"mor=$mor: batch 1 must commit normally after the replay")
+      // the idempotent-writer stamp is DESCRIBE HISTORY provenance:
+      // which stream landed the commit, and which micro-batch
+      assert(WarehouseFs.describeHistory(spark, t).last._8 === s"$ckpt#1",
+        s"mor=$mor: history must carry the txn stamp")
       val got = WarehouseFs.readTable(spark, t).get
         .filter(col("id").isin(100L, 2100L, 9001L, 200L, 101L))
         .as[(Long, String)].collect().toMap

@@ -416,14 +416,16 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql(s"DELETE FROM graft.$t WHERE id = 7")
     val hist = spark.sql(s"DESCRIBE HISTORY graft.$t")
     assert(hist.columns.toSeq ===
-      Seq("version", "committed_at", "operation", "data_dir", "format",
-        "files", "bytes"))
+      Seq("version", "committed_at", "operation", "txn", "data_dir",
+        "format", "files", "bytes"))
     val rows = hist.collect()
     assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
     // the committing verb rides in the manifest — the provenance that
     // answers "which commit was the bad DML" before a RESTORE
     assert(rows.map(_.getString(2)).toSeq === Seq("full", "append", "delete"))
-    assert(rows.last.getString(4) === "file-list", "a CoW delete commits a file-list manifest")
+    // no streaming writer here → no idempotent-writer stamp
+    assert(rows.map(_.getString(3)).toSeq === Seq("-", "-", "-"))
+    assert(rows.last.getString(5) === "file-list", "a CoW delete commits a file-list manifest")
     // OPTIMIZE folds the CoW chain into one clean dir version,
     // preserving the bloom index through the rewrite
     val opt = spark.sql(s"OPTIMIZE graft.$t").collect()
