@@ -73,6 +73,8 @@ class GraftMaintenanceParser(delegate: ParserInterface) extends ParserInterface 
     """(?is)\s*ALTER\s+TABLE\s+(.+?)\s+ADD\s+CONSTRAINT\s+([A-Za-z_]\w*)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
   private val DropConstraintRe =
     """(?is)\s*ALTER\s+TABLE\s+(.+?)\s+DROP\s+CONSTRAINT\s+([A-Za-z_]\w*)\s*;?\s*""".r
+  private val ConvertRe =
+    """(?is)\s*CONVERT\s+TO\s+GRAFT\s+(?:PARQUET\s*\.\s*)?(.+?)\s*;?\s*""".r
   private val HistoryRe =
     """(?is)\s*DESCRIBE\s+HISTORY\s+(.+?)\s*;?\s*""".r
   private val DetailRe =
@@ -112,6 +114,8 @@ class GraftMaintenanceParser(delegate: ParserInterface) extends ParserInterface 
       GraftRestoreCommand(tablePath(ident), Left(v.toLong))
     case RestoreTsRe(ident, ts) if graftClaim(ident) =>
       GraftRestoreCommand(tablePath(ident), Right(ts))
+    case ConvertRe(ident) if graftClaim(ident) =>
+      GraftConvertCommand(tablePath(ident))
     case HistoryRe(ident) => GraftDescribeHistoryCommand(tablePath(ident))
     case DetailRe(ident) => GraftDescribeDetailCommand(tablePath(ident))
     case _ => delegate.parsePlan(sqlText)
@@ -389,6 +393,22 @@ case class GraftDropConstraintCommand(path: String, name: String)
     graft.sources.GraftCatalog.writeProps(spark, path,
       props.filter { case (k, _) => !k.equalsIgnoreCase(s"check.$name") })
     Nil
+  }
+}
+
+/** `CONVERT TO GRAFT [parquet.]`/path`` (or a graft catalog identifier
+  * naming a warehouse subdirectory) → [[WarehouseFs.convertToGraft]]:
+  * adopt an existing plain-parquet directory as a versioned table at
+  * zero data I/O — version 1 references the files where they already
+  * live. Returns (version, files adopted). */
+case class GraftConvertCommand(path: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("files", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = WarehouseFs.convertToGraft(spark, path)
+    val n = WarehouseFs.describeHistory(spark, path).last._5
+    Seq(Row(v, n))
   }
 }
 

@@ -444,9 +444,17 @@ object WarehouseFs {
   private def readFilesGrouped(spark: SparkSession, table: String,
                                files: Seq[String]): DataFrame = {
     val decl = declaredSchema(spark, table)
-    val groups = files.groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1)
+    // pre-conversion files ([[convertToGraft]]) live at the TABLE root
+    // rather than under a managed version dir: they form one group whose
+    // basePath is the table itself, so their `key=value` segments still
+    // surface as partition columns
+    val groups = files.groupBy { f =>
+      val seg = f.takeWhile(_ != '/')
+      if (DataDirName.matches(seg)) seg else ""
+    }.toSeq.sortBy(_._1)
     groups.map { case (dir, fs0) =>
-      reconcileTo(decl, spark.read.option("basePath", s"$table/$dir")
+      val base = if (dir.isEmpty) table else s"$table/$dir"
+      reconcileTo(decl, spark.read.option("basePath", base)
         .parquet(fs0.map(f => s"$table/$f"): _*))
     }.reduce(_.unionByName(_))
   }
@@ -969,10 +977,14 @@ object WarehouseFs {
   }
 
   /** Partition columns encoded in a root-relative file path's layout
-    * (`vNNN/day=3/part-….parquet` → Seq("day")); Nil for flat files. */
+    * (`vNNN/day=3/part-….parquet` → Seq("day")); Nil for flat files.
+    * Keyed on the `key=value` shape rather than path position, so
+    * pre-conversion files living at the TABLE root (`day=3/part.parquet`,
+    * no version-dir prefix — [[convertToGraft]]) resolve identically:
+    * version/attempt dir names never contain '='. */
   private def partitionColsOf(files: Seq[String]): Seq[String] =
     files.headOption.map { f =>
-      f.split('/').drop(1).dropRight(1)
+      f.split('/').dropRight(1)
         .filter(_.contains('=')).map(_.takeWhile(_ != '=')).toSeq
     }.getOrElse(Nil)
 
@@ -1245,6 +1257,89 @@ object WarehouseFs {
       }
     }
     gcVersions(fs, t, keepVersions)
+  }
+
+  /** `CONVERT TO GRAFT`: adopt an EXISTING plain-parquet directory
+    * (flat or Hive-partitioned) as a versioned table at ZERO data I/O —
+    * version 1 commits a file-list manifest referencing the files
+    * exactly where they already live; nothing is copied or rewritten,
+    * so converting a 100 TB directory costs one listing and one
+    * manifest write. From that commit on, the full surface applies:
+    * versioned reads, time travel, DSv2 scans with partition pruning,
+    * copy-on-write DML (pre-conversion files carry by reference like
+    * any CoW ancestor), change feeds, OPTIMIZE, SQL via the catalog's
+    * path form.
+    *
+    * Contract and limits (the honest ones, stated up front):
+    *   - the directory must not already be a versioned table and must
+    *     not contain managed `vNNNNNNNN` dirs (a half-managed layout
+    *     refuses);
+    *   - every file must share ONE partition layout (identical
+    *     `key=value` segment sequence) — mixed layouts refuse;
+    *   - pre-conversion files are never garbage-collected (GC only
+    *     collects managed version dirs), so files a later DML rewrote
+    *     linger on disk until an `OPTIMIZE` folds the table into
+    *     managed dirs — run one after heavy DML to reclaim;
+    *   - merge-on-read verbs refuse while pre-conversion files are
+    *     candidates (deletion-vector masks key on managed paths);
+    *     copy-on-write DML works immediately, and a single OPTIMIZE
+    *     upgrades the table to full MoR. */
+  def convertToGraft(spark: SparkSession, dir: String): Long = {
+    val (fs, t) = fsFor(spark, dir)
+    require(fs.exists(t) && fs.getFileStatus(t).isDirectory,
+      s"convertToGraft: $dir is not a directory")
+    require(!fs.exists(versionsDir(t)),
+      s"convertToGraft: $dir is already a versioned graft table")
+    val rootLen = fs.makeQualified(t).toString.length + 1
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = fs.listFiles(t, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val rel = fs.makeQualified(st.getPath).toString.drop(rootLen)
+      val segs = rel.split('/')
+      val hidden = segs.exists(s => s.startsWith("_") || s.startsWith("."))
+      if (!hidden && rel.endsWith(".parquet")) {
+        require(!segs.init.exists(DataDirName.matches(_)),
+          s"convertToGraft: $dir already contains a managed version dir " +
+            s"(in $rel) — refusing to adopt a half-managed layout")
+        out += rel
+      }
+    }
+    val files = out.sorted.toSeq
+    require(files.nonEmpty, s"convertToGraft: no parquet files under $dir")
+    val layouts = files.map(_.split('/').dropRight(1)
+      .filter(_.contains('=')).map(_.takeWhile(_ != '=')).toSeq).distinct
+    require(layouts.size == 1,
+      s"convertToGraft: inconsistent partition layouts " +
+        s"(${layouts.take(3).map(_.mkString("/")).mkString(" vs ")}) — " +
+        "a table has one layout")
+    val partCols = layouts.head
+    val partColsHeader =
+      if (partCols.nonEmpty) Seq(s"partcols:${partCols.mkString(",")}")
+      else Nil
+    val vd = versionsDir(t)
+    fs.mkdirs(vd)
+    val body = (Seq(s"files:v${vname(1L)}",
+      s"ts:${System.currentTimeMillis()}", "op:convert") ++
+      partColsHeader ++ files).mkString("\n")
+    require(commitManifest(fs, new Path(vd, vname(1L)), body),
+      s"convertToGraft: a concurrent commit claimed version 1 of $dir — " +
+        "the directory is (becoming) a versioned table already")
+    1L
+  }
+
+  /** Merge-on-read verbs key their masks on managed `vNNNNNNNN` paths;
+    * a candidate file still at the table root (pre-conversion,
+    * [[convertToGraft]]) refuses loudly with the upgrade path instead
+    * of writing a mask that the grouped readers would mis-spell. */
+  private def refuseUnmanagedMoR(files: Seq[String], verb: String): Unit = {
+    val unmanaged =
+      files.filterNot(f => DataDirName.matches(f.takeWhile(_ != '/')))
+    require(unmanaged.isEmpty,
+      s"$verb: ${unmanaged.size} candidate file(s) predate conversion " +
+        s"(e.g. '${unmanaged.headOption.getOrElse("")}') — deletion-vector " +
+        "masks key on managed version dirs; run OPTIMIZE once to fold " +
+        "pre-conversion files, or use the copy-on-write verb")
   }
 
   /** Phase-3 GC shared by [[publishVersioned]] and the DML publishes:
@@ -1739,7 +1834,9 @@ object WarehouseFs {
     val want = values.flatMap(canon(_)).toSet
     val seg = s"$column="
     files.filter { f =>
-      f.split('/').drop(1).dropRight(1).collectFirst {
+      // positional-prefix-free (see [[partitionColsOf]]): pre-conversion
+      // files encode their layout from the table root
+      f.split('/').dropRight(1).collectFirst {
         case s if s.startsWith(seg) => s.drop(seg.length)
       } match {
         case None => true
@@ -2183,6 +2280,12 @@ object WarehouseFs {
       .collect().map(_.getString(0)).toSet).getOrElse(Set.empty)
     val groups = files.groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1)
     val perGroup = groups.map { case (dir, fs0) =>
+      // masked files are always under managed dirs: the MoR verbs refuse
+      // pre-conversion candidates ([[refuseUnmanagedMoR]]) — a root-
+      // group file here would mis-anchor the marker and mis-spell masks
+      require(DataDirName.matches(dir),
+        s"taggedMaskedRead: unmanaged file group '$dir' cannot carry a " +
+          "deletion-vector mask (internal invariant)")
       val marker = s"/$dir/"
       val rel = expr(s"concat('$dir/', substring(_metadata.file_path, " +
         s"instr(_metadata.file_path, '$marker') + ${marker.length}))")
@@ -3647,6 +3750,7 @@ object WarehouseFs {
         s"deleteMatchingVectors: $table is not a versioned table"))
     val (cand, _) = prunedFileCore(spark, table, r, pruning._1, pruning._2)
     if (cand.isEmpty) return
+    refuseUnmanagedMoR(cand, "deleteMatchingVectors")
     val dv = readDvRelation(spark, table, r)
     val fresh = taggedMaskedRead(spark, table, cand, dv)
       .filter(coalesce(cond, lit(false)))
@@ -3692,6 +3796,7 @@ object WarehouseFs {
         s"updateMatchingVectors: $table is not a versioned table"))
     val (cand, all) = prunedFileCore(spark, table, r, pruning._1, pruning._2)
     if (cand.isEmpty) return
+    refuseUnmanagedMoR(cand, "updateMatchingVectors")
     val dv = readDvRelation(spark, table, r)
     val matched = taggedMaskedRead(spark, table, cand, dv)
       .filter(coalesce(cond, lit(false)))
@@ -3987,6 +4092,7 @@ object WarehouseFs {
         s"$nDistinct keys) — a key matching twice makes the merge order-dependent")
     val touched = candidatesForKeys(spark, table, r, all, keyCols, source,
       nDistinct, maxPointKeys)
+    if (touched.nonEmpty) refuseUnmanagedMoR(touched, "mergeIntoKeysVectors")
     val tableSchema =
       if (all.nonEmpty) Some(versionSchema(spark, table, r)) else None
     val tableCols = tableSchema.map(_.fieldNames.toSeq)
