@@ -58,9 +58,11 @@ class GraftMaintenanceParser(delegate: ParserInterface) extends ParserInterface 
   private val OptimizeRe =
     """(?is)\s*OPTIMIZE\s+(.+?)\s*;?\s*""".r
   private val VacuumRe =
-    """(?is)\s*VACUUM\s+(.+?)\s+RETAIN\s+(\d+)\s+VERSIONS\s*;?\s*""".r
+    """(?is)\s*VACUUM\s+(.+?)\s+RETAIN\s+(\d+)\s+VERSIONS(\s+DRY\s+RUN)?\s*;?\s*""".r
   private val VacuumTimeRe =
-    """(?is)\s*VACUUM\s+(.+?)\s+RETAIN\s+(\d+(?:\.\d+)?)\s+(DAYS?|HOURS?)\s*;?\s*""".r
+    """(?is)\s*VACUUM\s+(.+?)\s+RETAIN\s+(\d+(?:\.\d+)?)\s+(DAYS?|HOURS?)(\s+DRY\s+RUN)?\s*;?\s*""".r
+  private val VacuumDryRe =
+    """(?is)\s*VACUUM\s+(.+?)\s+DRY\s+RUN\s*;?\s*""".r
   private val VacuumDefaultRe =
     """(?is)\s*VACUUM\s+(.+?)\s*;?\s*""".r
   private val AnalyzeRe =
@@ -91,12 +93,15 @@ class GraftMaintenanceParser(delegate: ParserInterface) extends ParserInterface 
     case OptimizeWhereRe(ident, cond) if graftClaim(ident) =>
       GraftOptimizePartitionCommand(tablePath(ident), cond)
     case OptimizeRe(ident) => GraftOptimizeCommand(tablePath(ident))
-    case VacuumRe(ident, n) => GraftVacuumCommand(tablePath(ident), Some(n.toInt))
-    case VacuumTimeRe(ident, n, unit) =>
+    case VacuumRe(ident, n, dry) =>
+      GraftVacuumCommand(tablePath(ident), Some(n.toInt), dryRun = dry != null)
+    case VacuumTimeRe(ident, n, unit, dry) =>
       val days =
         if (unit.toUpperCase.startsWith("HOUR")) n.toDouble / 24.0
         else n.toDouble
-      GraftVacuumCommand(tablePath(ident), None, Some(days))
+      GraftVacuumCommand(tablePath(ident), None, Some(days), dryRun = dry != null)
+    case VacuumDryRe(ident) =>
+      GraftVacuumCommand(tablePath(ident), None, dryRun = true)
     case VacuumDefaultRe(ident) => GraftVacuumCommand(tablePath(ident), None)
     // ANALYZE exists in Spark's own grammar — claim it ONLY for graft
     // catalog identifiers; everything else parses through the delegate
@@ -236,15 +241,24 @@ case class GraftOptimizeCommand(path: String, zorderBy: Seq[String] = Nil)
   * nothing — that is the point of time retention. Returns the retained
   * version numbers. */
 case class GraftVacuumCommand(path: String, keep: Option[Int],
-                              retainDays: Option[Double] = None)
+                              retainDays: Option[Double] = None,
+                              dryRun: Boolean = false)
     extends LeafRunnableCommand {
-  override val output: Seq[Attribute] = Seq(
-    AttributeReference("retained_version", LongType, nullable = false)())
+  override val output: Seq[Attribute] =
+    if (dryRun) Seq(
+      AttributeReference("would_delete", StringType, nullable = false)())
+    else Seq(
+      AttributeReference("retained_version", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val n = keep.getOrElse(graft.sources.GraftCatalog.keepVersionsOf(
       graft.sources.GraftCatalog.readProps(spark, path)))
-    WarehouseFs.vacuum(spark, path, n, retainDays)
-    WarehouseFs.listVersions(spark, path).map(Row(_))
+    if (dryRun)
+      // `VACUUM … DRY RUN`: what the same rules WOULD delete — nothing is
+      WarehouseFs.vacuumDryRun(spark, path, n, retainDays).map(Row(_))
+    else {
+      WarehouseFs.vacuum(spark, path, n, retainDays)
+      WarehouseFs.listVersions(spark, path).map(Row(_))
+    }
   }
 }
 

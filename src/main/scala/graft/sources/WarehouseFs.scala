@@ -1047,6 +1047,24 @@ object WarehouseFs {
     gcVersions(fs, t, keepVersions, retainDays)
   }
 
+  /** [[vacuum]]'s pre-flight: the paths (manifests, data dirs,
+    * stats/index/zone entries, mask deltas, staged tmp files) the same
+    * rules WOULD delete — nothing is deleted. The operator's check
+    * before tightening retention: "what exactly does RETAIN 2 VERSIONS
+    * expire right now?" answered without risk. Same cost class as the
+    * vacuum itself (listings + manifest parses). */
+  def vacuumDryRun(spark: SparkSession, table: String, keepVersions: Int = 2,
+                   retainDays: Option[Double] = None): Seq[String] = {
+    require(keepVersions >= 1, "vacuum: keepVersions >= 1")
+    retainDays.foreach(d => require(d >= 0.0, "vacuum: retainDays >= 0"))
+    val (fs, t) = fsFor(spark, table)
+    require(fs.exists(versionsDir(t)),
+      s"vacuum: $table is not a versioned table")
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    gcVersions(fs, t, keepVersions, retainDays, dryRun = Some(buf))
+    buf.toSeq.sorted
+  }
+
   /** One row per RETAINED version, newest last — the `DESCRIBE HISTORY`
     * surface: (version, commit time, data dir, dir|file-list manifest
     * format, file count, resolved bytes). Commit time is the instant
@@ -1494,7 +1512,15 @@ object WarehouseFs {
   @volatile private[graft] var gcInFlightGraceMs: Long = 6L * 3600 * 1000
 
   private def gcVersions(fs: FileSystem, t: Path, keepVersions: Int,
-                         retainDaysOverride: Option[Double] = None): Unit = {
+                         retainDaysOverride: Option[Double] = None,
+                         dryRun: Option[scala.collection.mutable.ArrayBuffer[String]] = None): Unit = {
+    // dry run: record what WOULD delete instead of deleting — the
+    // operator's pre-flight for a retention tightening. The would-delete
+    // set is computed from the same rules as the real sweep.
+    def rm(p: Path, recursive: Boolean): Unit = dryRun match {
+      case Some(buf) => buf += p.toString; ()
+      case None => fs.delete(p, recursive); ()
+    }
     val vd = versionsDir(t)
     val statuses = fs.listStatus(vd)
       .filter(st => ManifestName.matches(st.getPath.getName))
@@ -1527,7 +1553,7 @@ object WarehouseFs {
     // for dirs of UNKNOWN provenance: a rebasing loser's attempt vs a
     // crashed one's zombie are indistinguishable by name)
     val expiredDead = expired.flatMap(st => referencedDirs(parseOf(st))).toSet
-    expired.foreach(st => fs.delete(st.getPath, false))
+    expired.foreach(st => rm(st.getPath, false))
     val parsed = kept0.map(parseOf)
     val referenced = parsed.flatMap(referencedDirs).toSet
     // an IN-FLIGHT writer's attempt dirs target version curMax+1 (or,
@@ -1559,7 +1585,7 @@ object WarehouseFs {
     fs.listStatus(t)
       .filter(st => DataDirName.matches(st.getPath.getName) &&
         !referenced.contains(st.getPath.getName) && !inFlight(st))
-      .foreach(st => fs.delete(st.getPath, true))
+      .foreach(st => rm(st.getPath, true))
     // stats/index/zones survive only for dirs whose OWN manifest survives
     // (a carried dir's metadata rows were merged into the carrying
     // version's relation)
@@ -1569,7 +1595,7 @@ object WarehouseFs {
         fs.listStatus(sd)
           .filter(st => !st.getPath.getName.startsWith(".") &&
             !owned.contains(st.getPath.getName) && !inFlight(st))
-          .foreach(st => fs.delete(st.getPath, true))
+          .foreach(st => rm(st.getPath, true))
     }
     // deletion-vector deltas are carried BY REFERENCE across commits
     // (`dv:` header), so a kept manifest keeps every referenced delta's
@@ -1581,14 +1607,14 @@ object WarehouseFs {
       fs.listStatus(dvDir(t))
         .filter(st => !st.getPath.getName.startsWith(".") &&
           !dvLive.contains(st.getPath.getName) && !inFlight(st))
-        .foreach(st => fs.delete(st.getPath, true))
+        .foreach(st => rm(st.getPath, true))
     // a crashed commit attempt's staged `.tmp-*` manifest (attempt-
     // unique names since the CAS-primitive rework) ages out of the
     // grace window and collects here — readers never match dot-names
     fs.listStatus(vd)
       .filter(st => st.getPath.getName.startsWith(".tmp-") &&
         now - st.getModificationTime >= gcInFlightGraceMs)
-      .foreach(st => fs.delete(st.getPath, false))
+      .foreach(st => rm(st.getPath, false))
     ()
   }
 

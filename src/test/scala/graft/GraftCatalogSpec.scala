@@ -937,6 +937,36 @@ class GraftCatalogSpec extends SparkSpec {
     assert(d.getAs[Int]("num_files") > 0 && d.getAs[Long]("size_bytes") > 0)
   }
 
+  test("VACUUM ... DRY RUN names what would expire and deletes NOTHING; " +
+      "the real VACUUM then deletes exactly the named paths") {
+    val t = fresh("cat_vacdry")
+    spark.sql(s"CREATE TABLE graft.$t (id BIGINT, v STRING) " +
+      "TBLPROPERTIES('keepVersions'='8')")
+    spark.sql(s"INSERT INTO graft.$t VALUES (1, 'a')") // v2
+    spark.sql(s"INSERT INTO graft.$t VALUES (2, 'b')") // v3
+    spark.sql(s"INSERT INTO graft.$t VALUES (3, 'c')") // v4
+    val path = s"/tmp/graft_catalog_warehouse/$t"
+    val before = WarehouseFs.listVersions(spark, path)
+    assert(before === Seq(1L, 2L, 3L, 4L))
+    val dry = spark.sql(s"VACUUM graft.$t RETAIN 1 VERSIONS DRY RUN")
+      .collect().map(_.getString(0)).toSeq
+    assert(dry.nonEmpty, "three expirable versions must name paths")
+    // the dry run deleted NOTHING: every named path still exists and
+    // every version is still retained and readable
+    val (fs, _) = WarehouseFs.fsFor(spark, path)
+    dry.foreach(p => assert(fs.exists(new org.apache.hadoop.fs.Path(p)),
+      s"dry run must not delete $p"))
+    assert(WarehouseFs.listVersions(spark, path) === before)
+    assert(WarehouseFs.readTableVersion(spark, path, 1L).isDefined)
+    // the real sweep with the same rules deletes exactly what was named
+    spark.sql(s"VACUUM graft.$t RETAIN 1 VERSIONS")
+    dry.foreach(p => assert(!fs.exists(new org.apache.hadoop.fs.Path(p)),
+      s"the real VACUUM must delete the dry run's $p"))
+    assert(WarehouseFs.listVersions(spark, path) === Seq(4L))
+    assert(spark.table(s"graft.$t").count() === 3)
+    spark.sql(s"DROP TABLE graft.$t")
+  }
+
   test("maintenance SQL: missing warehouse conf and foreign catalogs refuse with guidance") {
     withConf("spark.sql.catalog.gbad" ->
         classOf[graft.sources.GraftCatalog].getName) {
