@@ -513,9 +513,14 @@ object TextPipeline {
     * Crash-safety: foreachBatch is at-least-once — a batch can be
     * re-delivered after a restart — so state for batch N persists through
     * [[saveStateDelta]]'s two-phase layout: the batch's own delta lands
-    * first (idempotently overwritten on re-delivery — it is a pure
-    * function of state N−1 and batch N), then the batch=N labels marker
-    * rename commits the fold. Each night WRITES O(batch) delta bytes
+    * first, then the batch=N labels marker rename commits the fold. The
+    * marker doubles as the EXACTLY-ONCE replay gate: a re-delivered
+    * batch whose marker already exists (crash between the marker rename
+    * and the checkpoint commit) skips the whole recompute — no duplicate
+    * state bytes, no wasted fold. A crash BEFORE the marker rename
+    * re-runs the fold from state N−1, overwriting the half-written
+    * delta idempotently (it is a pure function of state N−1 and batch
+    * N). Each night WRITES O(batch) delta bytes
     * plus the narrow label table — never the O(corpus) signature store.
     * Superseded label markers older than N−1 are dropped after each
     * commit (N−1 survives because only the latest batch can be
@@ -530,15 +535,26 @@ object TextPipeline {
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
-      val st = loadStateBefore(spark, stateRoot, before = batchId)
-        .getOrElse(emptyState(spark))
-      val next = curateIncrement(st, batch, jaccard, semantic)
-      saveStateDelta(next, stateRoot, batchId)
-      graft.sources.WarehouseFs.listNames(spark, stateRoot)
-        .filter(_.startsWith("batch="))
-        .filter(_.stripPrefix("batch=").toLong < batchId - 1)
-        .foreach(n => graft.sources.WarehouseFs
-          .deleteIfExists(spark, s"$stateRoot/$n"))
+      // replay gate FIRST — the fold's own commit marker IS the txn
+      // stamp: a `batch=N` marker under the root means fold N committed
+      // and the crash fell between the marker rename and the checkpoint
+      // commit. Re-delivery then skips the WHOLE recompute: zero state
+      // writes, zero delta rewrites — exactly-once folds at O(1) replay
+      // cost, the foreachBatch twin of the graft sink's txn gate.
+      // (Marker GC keeps only N−1 and N, and Spark replays only the
+      // last un-checkpointed batch, so the listing probe stays O(1).)
+      if (!graft.sources.WarehouseFs.listNames(spark, stateRoot)
+          .contains(s"batch=$batchId")) {
+        val st = loadStateBefore(spark, stateRoot, before = batchId)
+          .getOrElse(emptyState(spark))
+        val next = curateIncrement(st, batch, jaccard, semantic)
+        saveStateDelta(next, stateRoot, batchId)
+        graft.sources.WarehouseFs.listNames(spark, stateRoot)
+          .filter(_.startsWith("batch="))
+          .filter(_.stripPrefix("batch=").toLong < batchId - 1)
+          .foreach(n => graft.sources.WarehouseFs
+            .deleteIfExists(spark, s"$stateRoot/$n"))
+      }
       ()
     }
 

@@ -83,16 +83,24 @@ class GraftMaintenanceParser(delegate: ParserInterface) extends ParserInterface 
     """(?is)\s*DESCRIBE\s+DETAIL\s+(.+?)\s*;?\s*""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
-    case OptimizeZRe(ident, cols) => GraftOptimizeCommand(tablePath(ident),
-      cols.split(',').map(c => c.trim.stripPrefix("`").stripSuffix("`"))
-        .filter(_.nonEmpty).toSeq)
-    // Delta ships the same `OPTIMIZE … WHERE` / `RESTORE TABLE` spellings:
-    // claim them only for graft catalog identifiers or a direct-path
-    // (single-part) identifier, so a co-installed extension's tables
-    // delegate instead of erroring in graft code
-    case OptimizeWhereRe(ident, cond) if graftClaim(ident) =>
-      GraftOptimizePartitionCommand(tablePath(ident), cond)
-    case OptimizeRe(ident) => GraftOptimizeCommand(tablePath(ident))
+    // Delta ships the same `OPTIMIZE [… ZORDER BY | … WHERE]` / `RESTORE
+    // TABLE` spellings: claim them only for graft catalog identifiers or
+    // a direct-path (single-part) identifier, and DELEGATE explicitly on
+    // a failed claim — a guard-only `case … if` would fall through to the
+    // broader OPTIMIZE pattern below, whose lazy `(.+?)` swallows the
+    // clause into the identifier and errors in graft code instead of
+    // reaching the co-installed extension's parser
+    case OptimizeZRe(ident, cols) =>
+      if (graftClaim(ident)) GraftOptimizeCommand(tablePath(ident),
+        cols.split(',').map(c => c.trim.stripPrefix("`").stripSuffix("`"))
+          .filter(_.nonEmpty).toSeq)
+      else delegate.parsePlan(sqlText)
+    case OptimizeWhereRe(ident, cond) =>
+      if (graftClaim(ident)) GraftOptimizePartitionCommand(tablePath(ident), cond)
+      else delegate.parsePlan(sqlText)
+    case OptimizeRe(ident) =>
+      if (graftClaim(ident)) GraftOptimizeCommand(tablePath(ident))
+      else delegate.parsePlan(sqlText)
     case VacuumRe(ident, n, dry) =>
       GraftVacuumCommand(tablePath(ident), Some(n.toInt), dryRun = dry != null)
     case VacuumTimeRe(ident, n, unit, dry) =>

@@ -100,7 +100,17 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
     * manifest commit and the checkpoint commit is SKIPPED
     * ([[WarehouseFs.lastCommittedTxn]]): one image file, one history
     * commit, zero mask growth per batch, no matter how many times the
-    * batch re-runs. Without either option (no checkpoint location in
+    * batch re-runs. CHECKPOINT-RECREATION HAZARD: deleting and
+    * recreating the checkpoint restarts batch numbering at 0 under the
+    * SAME writer identity — the sink refuses a stamped table's batch 0
+    * loudly (escape hatches: a fresh `txnAppId` for a reborn stream,
+    * `txnReset=true` for a genuine first-batch replay) rather than
+    * silently dropping the new stream's first batches as replays. The
+    * stamp assumes ONE live writer per (table, appId); concurrent
+    * writers sharing an appId are additionally caught by the commit
+    * loop's own floor re-check ([[WarehouseFs.publishCoW]]), which
+    * skips a batch another writer landed. Without either option (no
+    * checkpoint location in
     * the options map) the sink degrades to at-least-once — replays
     * re-put the same key/value pairs, so results stay value-idempotent
     * provided each batch carries one row per key (dedupe upstream with
@@ -138,6 +148,12 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
     // logical writer spans checkpoints
     val txnApp = parameters.get("txnAppId")
       .orElse(parameters.get("checkpointLocation"))
+    // escape hatch for the batch-0 refusal below — set ONLY when this
+    // genuinely is the original stream replaying its very first
+    // micro-batch (crash between the first manifest commit and the
+    // first checkpoint commit); a recreated checkpoint wants a fresh
+    // txnAppId instead, never this
+    val txnReset = parameters.get("txnReset").exists(_.toBoolean)
     new org.apache.spark.sql.execution.streaming.Sink {
       // ONE history scan at stream start (memoized): this sink is the
       // only writer stamping its appId, so after the first lookup the
@@ -157,6 +173,25 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
             txnFloor.get
           case None => None
         }
+        // a stamped table seeing batchId 0 is, overwhelmingly, a
+        // checkpoint DELETED AND RECREATED at the same location: Spark
+        // restarts batch numbering at 0 while the table's txn floor is
+        // high, so the silent replay-skip below would DROP the reborn
+        // stream's first floor+1 real batches as "already landed".
+        // Refuse loudly with the two escape hatches instead — the only
+        // legitimate batch-0 skip is the original stream replaying its
+        // very first micro-batch, which the caller affirms with
+        // txnReset=true
+        if (floor.isDefined && batchId == 0L && !txnReset)
+          throw new IllegalStateException(
+            s"graft sink: $table already carries commits from writer " +
+              s"'${txnApp.get}' up to batchId ${floor.get}, but this " +
+              "stream is starting at batchId 0 — a checkpoint recreated " +
+              "at the same location restarts numbering and would have " +
+              "its first batches silently dropped as replays. Pass a " +
+              "fresh 'txnAppId' to land this stream as a new writer, or " +
+              "'txnReset=true' only if this is the original stream " +
+              "replaying its first micro-batch")
         if (floor.exists(_ >= batchId)) return
         val txn = txnApp.map(app => (app, batchId))
         val pinned = org.apache.spark.sql.graft.StreamingInternal.asBatch(data)

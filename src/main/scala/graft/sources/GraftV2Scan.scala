@@ -519,16 +519,24 @@ case class GraftMetaScan(delegate: Scan,
       case _ => null
     }
     new Statistics {
-      // with committed stats, size derives from ROW COUNT × estimated
-      // row width (Spark's own 8 + defaultSize rule) rather than the
-      // delegate's COMPRESSED file bytes: join build-side selection
-      // compares in-memory sizes, and an RLE-friendly 100M-row table
-      // whose files compress below a broadcast threshold must not get
-      // picked over a genuinely small dimension — committed cardinality
-      // is the truth file bytes only proxy
+      // with committed stats, size is the MAX of two estimates — row
+      // count × estimated width (Spark's 8 + defaultSize rule) and the
+      // delegate's file bytes. Each signal alone can under-report in
+      // the direction that mis-picks a broadcast build side: compressed
+      // file bytes under-count an RLE-friendly 100M-row table (its
+      // in-memory size follows cardinality), while defaultSize prices
+      // every string at 20 bytes and under-counts a modest-row-count
+      // table of wide blobs (100k rows × 10 KB strings ≈ 1 GB reported
+      // as ~2.8 MB — a driver-OOM broadcast). Neither alone can
+      // under-report the max
       override def sizeInBytes(): OptionalLong = committed match {
         case Some(s) =>
-          OptionalLong.of(s.rowCount * (8L + tableSchema.defaultSize))
+          val byRows = s.rowCount * (8L + tableSchema.defaultSize)
+          val byFiles =
+            if (base == null) OptionalLong.empty() else base.sizeInBytes()
+          OptionalLong.of(
+            if (byFiles.isPresent) math.max(byRows, byFiles.getAsLong)
+            else byRows)
         case None =>
           if (base == null) OptionalLong.empty() else base.sizeInBytes()
       }

@@ -48,19 +48,61 @@ object ObjectStoreCommit {
     * must never translate an outage into a silent loss OR a silent win.
     * The manifest path (table dir + `_versions/NNNNNNNN`) maps onto the
     * endpoint URI path verbatim, so one endpoint serves a whole
-    * warehouse. */
+    * warehouse.
+    *
+    * CAPABILITY SELF-CHECK: before this guard's FIRST real commit it
+    * probes the endpoint — PUT a hidden sentinel name twice under the
+    * manifest's own parent dir, requiring the first to create (2xx) and
+    * the second to be REFUSED (409/412). A store that ignores
+    * `If-None-Match` answers 2xx to both, and against such a store BOTH
+    * racers of a real commit would think they won — the exact silent
+    * lost-update the guard exists to prevent — so the guard refuses
+    * loudly at the probe and never trusts the endpoint with a manifest.
+    * The sentinel is deleted best-effort (dot-prefixed, so a leftover
+    * is invisible to manifest listings either way); the probe runs once
+    * per guard instance. */
   def httpIfNoneMatchGuard(endpoint: String,
                            client: HttpClient = HttpClient.newHttpClient())
-      : WarehouseFs.ManifestCommitGuard =
-    new WarehouseFs.ConditionalPutCommitGuard((destUri, body) => {
-      val path = URI.create(destUri).getPath
+      : WarehouseFs.ManifestCommitGuard = {
+    def putConditional(path: String, body: Array[Byte]): Int = {
       val req = HttpRequest.newBuilder(
           URI.create(endpoint.stripSuffix("/") + path))
         .header("If-None-Match", "*")
         .PUT(HttpRequest.BodyPublishers.ofByteArray(body))
         .build()
-      val resp = client.send(req, HttpResponse.BodyHandlers.discarding())
-      resp.statusCode() match {
+      client.send(req, HttpResponse.BodyHandlers.discarding()).statusCode()
+    }
+    val probed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def probeOnce(destPath: String): Unit = {
+      if (probed.get()) return
+      val parent = destPath.take(math.max(0, destPath.lastIndexOf('/')))
+      val sentinel =
+        s"$parent/.graft-cas-probe-${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val payload = "graft conditional-create capability probe".getBytes("UTF-8")
+      val first = putConditional(sentinel, payload)
+      if (!(first >= 200 && first < 300)) throw new java.io.IOException(
+        s"conditional-create capability probe: first PUT of $sentinel " +
+          s"returned HTTP $first — endpoint unusable as a commit store")
+      val second = putConditional(sentinel, payload)
+      if (!(second == 409 || second == 412)) throw new IllegalStateException(
+        s"endpoint $endpoint IGNORES If-None-Match: a second PUT of the " +
+          s"same name returned HTTP $second (expected 409/412). Such a " +
+          "store cannot arbitrate commits — both racers of a manifest " +
+          "CAS would believe they won. Refusing the guard; front the " +
+          "store with a conditional-create-honoring proxy or pass an " +
+          "SDK putIfAbsent to ConditionalPutCommitGuard instead")
+      // best-effort cleanup; a store without DELETE keeps the hidden
+      // sentinel, which no listing surfaces
+      try client.send(HttpRequest.newBuilder(
+          URI.create(endpoint.stripSuffix("/") + sentinel)).DELETE().build(),
+        HttpResponse.BodyHandlers.discarding())
+      catch { case _: Exception => () }
+      probed.set(true)
+    }
+    new WarehouseFs.ConditionalPutCommitGuard((destUri, body) => {
+      val path = URI.create(destUri).getPath
+      probeOnce(path)
+      putConditional(path, body) match {
         case ok if ok >= 200 && ok < 300 => true
         case 409 | 412 => false
         case other => throw new java.io.IOException(
@@ -68,4 +110,5 @@ object ObjectStoreCommit {
             "to guess whether the commit landed")
       }
     })
+  }
 }

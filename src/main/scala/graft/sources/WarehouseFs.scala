@@ -763,7 +763,13 @@ object WarehouseFs {
     * canonicalize through the column's STRING form, identical across
     * the integral lattice and at equal decimal scale, and zone/
     * partition comparisons coerce numerically — both remain supersets.
-    * Narrowing or reinterpreting refuses: bytes would lie. */
+    * float→double is the ONE lattice member whose string form is NOT
+    * stable (`0.1f` → "0.1" but the same value as double →
+    * "0.10000000149011612"), so that widen first INVALIDATES the
+    * column's bloom bitsets ([[invalidateBloomColumn]] — pruning
+    * degrades, correctness holds; rebuild under the wide form with
+    * [[reindexCurrentVersion]]). Narrowing or reinterpreting refuses:
+    * bytes would lie. */
   def alterWidenColumn(spark: SparkSession, table: String, name: String,
       newType: org.apache.spark.sql.types.DataType): Unit = {
     val (fs, t) = fsFor(spark, table)
@@ -780,6 +786,12 @@ object WarehouseFs {
         "would corrupt already-written bytes")
     val evolved = org.apache.spark.sql.types.StructType(decl.fields.map(fl =>
       if (fl.name == name) fl.copy(dataType = newType) else fl))
+    // invalidate BEFORE the epoch commits: pre-widen, a dropped bitset
+    // is always safe (pruning lost, nothing else), while a committed
+    // widen racing a crash here would leave a false-negative index live
+    if (f.dataType == org.apache.spark.sql.types.FloatType &&
+        newType == org.apache.spark.sql.types.DoubleType)
+      invalidateBloomColumn(spark, table, name)
     requireDdlCommit(fs, t, st, Some(
       if (mappingActive(decl)) pinAll(evolved) else evolved),
       st.dropped, "alterWidenColumn")
@@ -1637,6 +1649,47 @@ object WarehouseFs {
 
   private def indexDir(table: Path) = new Path(table, "_index")
   private def zonesDir(table: Path) = new Path(table, "_zones")
+
+  /** Remove `column`'s bitsets from EVERY retained `_index` entry — the
+    * soundness valve for a widen whose STRING canonicalization is not
+    * stable across the change (float→double: `0.1f` indexed as "0.1",
+    * but the same bytes probe post-widen as "0.10000000149011612" — a
+    * bloom FALSE NEGATIVE, the one failure mode the index must never
+    * have). Losing the bitsets only costs pruning (callers degrade to a
+    * full read); [[reindexCurrentVersion]] rebuilds them under the wide
+    * canonical form. An entry left with no bitset columns is deleted
+    * outright. Zone maps and partition pruning stay: their probes
+    * coerce NUMERICALLY, and a float upcast to double is exact. */
+  private def invalidateBloomColumn(spark: SparkSession, table: String,
+                                    column: String): Unit = {
+    val (fs, t) = fsFor(spark, table)
+    val phys = physicalColumn(spark, table, column)
+    val idx = indexDir(t)
+    if (!fs.exists(idx)) return
+    fs.listStatus(idx).map(_.getPath)
+      .filterNot(_.getName.startsWith(".")).foreach { entry =>
+      val df = spark.read.parquet(entry.toString)
+      if (df.columns.contains(s"b_$phys")) {
+        val remaining =
+          df.columns.filter(c => c.startsWith("b_") && c != s"b_$phys")
+        if (remaining.isEmpty) fs.delete(entry, true)
+        else {
+          // rewrite beside, then swap: overwriting a path Spark is
+          // lazily reading from would race the scan with the delete. A
+          // crash between delete and rename leaves the entry absent —
+          // the degrade-to-full-read posture, never a stale index
+          val tmp = new Path(idx, s".${entry.getName}.widen")
+          if (fs.exists(tmp)) fs.delete(tmp, true)
+          df.drop(s"b_$phys").coalesce(1).write.mode(SaveMode.Overwrite)
+            .parquet(tmp.toString)
+          fs.delete(entry, true)
+          require(fs.rename(tmp, entry),
+            s"alterWidenColumn: could not swap rebuilt index entry " +
+              s"${entry.getName} on $table")
+        }
+      }
+    }
+  }
 
   /** Default bloom sizing: 2^17 bits (16 KiB) per file per column — ~1%
     * false positives at ~10k distinct keys/file with 7 probes; a 10k-file
@@ -2984,6 +3037,22 @@ object WarehouseFs {
     val readSet = if (readFiles.nonEmpty) readFiles else touched
     val touchedSet = touched.toSet
     fireCasTestHook()
+    // exactly-once across WRITERS, not just replays: two writers
+    // sharing a txnAppId (a copied checkpoint; one explicit appId
+    // reused across jobs) can both hold a stale in-process floor and
+    // try to land the same batchId. The base manifest is already
+    // parsed, so its own txn stamp is a FREE per-attempt floor probe;
+    // after a lost CAS — the window a concurrent same-app commit lands
+    // in — the full retained-history floor re-verifies before the
+    // retry. A batch found landed turns this publish into a no-op skip
+    // (the sink's replay semantics); the orphaned attempt dir falls to
+    // the next commit's GC past the in-flight grace.
+    def txnLanded(b: ResolvedVersion, full: Boolean): Boolean =
+      txn.exists { case (app, batch) =>
+        b.txn.exists { case (a, hi) => a == app && hi >= batch } ||
+          (full && lastCommittedTxn(spark, table, app).exists(_ >= batch))
+      }
+    if (txnLanded(prior, full = false)) return
     var base = prior
     var carriedNow = carried
     var attempts = 1
@@ -2993,6 +3062,13 @@ object WarehouseFs {
           s"publishCoW: lost $attempts manifest races on $table — " +
             "retry the DML under lower contention")
       attempts += 1
+      // the floor re-check runs BEFORE the conflict arbitration: a
+      // same-appId twin re-landing this exact batch touches the exact
+      // same files, so arbitrateRebase would refuse it as a read-write
+      // conflict — but an already-landed batch must SKIP, not refuse
+      if (txn.isDefined &&
+          resolveVersion(spark, table, None).exists(txnLanded(_, full = true)))
+        return
       // the commit that re-inserts row images must refuse when the
       // winner masked rows it read (checkMask); its carried set
       // re-points at the winner's file list
@@ -3592,6 +3668,16 @@ object WarehouseFs {
       }
     }
     fireCasTestHook()
+    // same cross-writer exactly-once guard as [[publishCoW]]: free
+    // base-manifest floor probe per attempt, full history floor after a
+    // lost CAS; a landed batch skips as a no-op (the orphaned delta dir
+    // falls to the next commit's GC past the in-flight grace)
+    def txnLanded(b: ResolvedVersion, full: Boolean): Boolean =
+      txn.exists { case (app, batch) =>
+        b.txn.exists { case (a, hi) => a == app && hi >= batch } ||
+          (full && lastCommittedTxn(spark, table, app).exists(_ >= batch))
+      }
+    if (txnLanded(prior, full = false)) return
     var base = prior
     var attempts = 1
     while (!commitAgainst(base)) {
@@ -3600,6 +3686,12 @@ object WarehouseFs {
           s"publishDvOnly: lost $attempts manifest races on $table — " +
             "retry the DML under lower contention")
       attempts += 1
+      // floor re-check BEFORE arbitration, as in [[publishCoW]]: a
+      // same-appId twin's batch reads the same files and would refuse
+      // as a conflict when it must skip as already-landed
+      if (txn.isDefined &&
+          resolveVersion(spark, table, None).exists(txnLanded(_, full = true)))
+        return
       // a pure mask commit composes with a winner's extra masks by
       // union, so checkMask=false: only rewritten read-files (stale
       // row positions) and possibly-matching added files refuse

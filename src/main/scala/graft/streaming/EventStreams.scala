@@ -232,25 +232,55 @@ object EventStreams {
     * VERSIONED table, so per-batch write cost is O(files touched by the
     * batch's keys) instead of the snapshot rewrite's O(state). The
     * 100 TB streaming-upsert shape: a micro-batch touching 100 keys
-    * rewrites a handful of files, never the table. Replays are
-    * value-idempotent (re-upserting the same rows replaces keys with
-    * identical values; only the version counter advances), matching the
-    * at-least-once contract of foreachBatch. The table must exist
-    * (bootstrap with `publishVersioned(empty-or-initial, table,
-    * bloomIndexCols = Seq(key))`); updates should be unique per key
-    * within a batch, as in [[upsertSink]]. */
+    * rewrites a handful of files, never the table.
+    *
+    * With `txnAppId` set, commits are EXACTLY-ONCE (the
+    * `writeStream.format("graft")` sink's discipline): each landed batch
+    * stamps `txn:<batchId>:<appId>` into its manifest, the floor reads
+    * once at stream start ([[graft.sources.WarehouseFs.lastCommittedTxn]])
+    * and advances in-process, and a batch replayed after a crash between
+    * the manifest commit and the checkpoint commit SKIPS — one image
+    * file, one history commit per batch. Use the stream's checkpoint
+    * location as the appId (stable across restarts by construction);
+    * ONE live writer per (table, appId) — the publish loop's own floor
+    * re-check backstops a violated assumption. Without `txnAppId`,
+    * replays degrade to value-idempotent at-least-once (re-upserting the
+    * same rows replaces keys with identical values; the version counter
+    * advances and a duplicate image file lands).
+    *
+    * The table must exist (bootstrap with
+    * `publishVersioned(empty-or-initial, table, bloomIndexCols =
+    * Seq(key))`); updates should be unique per key within a batch, as in
+    * [[upsertSink]]. */
   def upsertSinkCoW(updates: DataFrame, table: String, key: String,
-                    keepVersions: Int = 2)
-      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    updates.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      if (!batch.isEmpty)
+                    keepVersions: Int = 2,
+                    txnAppId: Option[String] = None)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    // ONE history scan at stream start, then in-process — the closure is
+    // the per-query writer instance, so the memo lives exactly as long
+    // as the stream run (the declarative sink's discipline)
+    @volatile var txnFloor: Option[Option[Long]] = None
+    updates.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      val floor: Option[Long] = txnAppId match {
+        case Some(app) =>
+          if (txnFloor.isEmpty)
+            txnFloor = Some(graft.sources.WarehouseFs
+              .lastCommittedTxn(spark, table, app))
+          txnFloor.get
+        case None => None
+      }
+      if (!floor.exists(_ >= batchId) && !batch.isEmpty) {
         // refreshStats=false: a per-micro-batch O(table) profiling pass
         // would defeat the file-granular sink; prior stats carry forward
         // (slightly stale counts — run a scheduled full publish or
         // compaction to re-profile)
         graft.sources.WarehouseFs.upsertRows(batch, table, key, keepVersions,
-          refreshStats = false)
+          refreshStats = false, txn = txnAppId.map(a => (a, batchId)))
+        if (txnAppId.isDefined) txnFloor = Some(Some(batchId))
+      }
     }
+  }
 
   /** File-source incremental load: the streaming replacement for the
     * reference's cron + glob + archive loop. `Trigger.AvailableNow`

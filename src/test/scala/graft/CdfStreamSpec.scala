@@ -616,12 +616,13 @@ class CdfStreamSpec extends SparkSpec {
       def addFile(rows: (Long, String)*): Unit =
         rows.toSeq.toDF("id", "v").coalesce(1)
           .write.mode("append").parquet(input)
-      def drain(): Unit = {
-        val w0 = spark.readStream.schema(schema).parquet(input)
+      def drain(reset: Boolean = false): Unit = {
+        val w1 = spark.readStream.schema(schema).parquet(input)
           .writeStream.format("graft")
           .option("table", t).option("keyCol", "id")
           .option("keepVersions", "12")
           .option("checkpointLocation", ckpt)
+        val w0 = if (reset) w1.option("txnReset", "true") else w1
         val q = (if (mor) w0.option("dmlMode", "mor") else w0)
           .outputMode("update").trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
@@ -642,8 +643,19 @@ class CdfStreamSpec extends SparkSpec {
       java.nio.file.Files.delete(last.toPath)
       val crc = new java.io.File(last.getParent, s".${last.getName}.crc")
       if (crc.exists()) java.nio.file.Files.delete(crc.toPath)
-      // restart replays batch 0 — the txn stamp must swallow it whole
-      drain()
+      // restart replays batch 0. A BARE batch-0 restart against a
+      // stamped table refuses (it is indistinguishable from a
+      // recreated checkpoint, whose first batches would silently drop
+      // as replays) — the caller affirms the genuine first-batch
+      // replay with txnReset, and the stamp then swallows it whole
+      val eBare = intercept[Exception] { drain() }
+      assert(Option(eBare.getMessage).exists(_.contains("txnReset")) ||
+          Option(eBare.getCause).exists(c =>
+            Option(c.getMessage).exists(_.contains("txnReset"))),
+        s"mor=$mor: bare batch-0 restart must refuse with guidance, got: $eBare")
+      assert(WarehouseFs.currentVersion(spark, t).get._1 === vAfterBatch0,
+        s"mor=$mor: the refused restart must not commit")
+      drain(reset = true)
       assert(WarehouseFs.currentVersion(spark, t).get._1 === vAfterBatch0,
         s"mor=$mor: the replayed batch must not commit a second version")
       assert(attemptDirs() === dirsAfterBatch0,
@@ -666,6 +678,64 @@ class CdfStreamSpec extends SparkSpec {
         200L -> "y200", 101L -> "u101"), s"mor=$mor: value parity")
     }
     run(mor = false); run(mor = true)
+  }
+
+  test("a checkpoint RECREATED at the same location refuses loudly " +
+      "instead of dropping the reborn stream's first batches as replays; " +
+      "a fresh txnAppId lands them as a new writer") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val t = tmpTable()
+    WarehouseFs.publishVersioned(
+      spark.range(100).select(col("id"), concat(lit("u"), col("id")).as("v")),
+      t, keepVersions = 12, bloomIndexCols = Seq("id"))
+    val base = java.nio.file.Files.createTempDirectory("graft_ckre_").toString
+    val input = s"$base/in"; val ckpt = s"$base/ckpt"
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    def addFile(rows: (Long, String)*): Unit =
+      rows.toSeq.toDF("id", "v").coalesce(1)
+        .write.mode("append").parquet(input)
+    def drain(appId: Option[String] = None): Unit = {
+      val w0 = spark.readStream.schema(schema).parquet(input)
+        .writeStream.format("graft")
+        .option("table", t).option("keyCol", "id")
+        .option("keepVersions", "12")
+        .option("checkpointLocation", ckpt)
+      val q = appId.fold(w0)(a => w0.option("txnAppId", a))
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // the original stream lands batches 0 and 1
+    addFile(1L -> "x1"); drain()
+    addFile(2L -> "x2"); drain()
+    val vStamped = WarehouseFs.currentVersion(spark, t).get._1
+    assert(vStamped === 3L)
+    // operator deletes the checkpoint — batch numbering restarts at 0
+    // while the table's floor for this writer identity is 1
+    def rmRf(p: String): Unit = {
+      val f = new java.io.File(p)
+      if (f.isDirectory) f.listFiles().foreach(c => rmRf(c.toString))
+      f.delete(); ()
+    }
+    rmRf(ckpt)
+    addFile(1003L -> "REBORN")
+    val e = intercept[Exception] { drain() }
+    val msgs = Seq(Option(e.getMessage), Option(e.getCause).flatMap(c =>
+      Option(c.getMessage))).flatten.mkString(" | ")
+    assert(msgs.contains("txnAppId") && msgs.contains("batchId 0"),
+      s"recreated checkpoint must refuse with both escape hatches, got: $msgs")
+    assert(WarehouseFs.currentVersion(spark, t).get._1 === vStamped,
+      "the refused stream must not commit")
+    assert(WarehouseFs.readTable(spark, t).get
+      .filter(col("id") === 1003L).count() === 0)
+    // the reborn stream declares itself a NEW writer — its batches land
+    drain(appId = Some("reborn-writer"))
+    assert(WarehouseFs.readTable(spark, t).get
+      .filter(col("id") === 1003L).select("v").as[String].head() === "REBORN")
+    assert(WarehouseFs.describeHistory(spark, t).last._8
+      .startsWith("reborn-writer#"),
+      "the new identity's stamp must ride the commit")
   }
 
   test("commitTimestamp=false restores the pre-stamp feed schema — the " +

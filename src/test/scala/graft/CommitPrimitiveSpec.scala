@@ -316,6 +316,12 @@ class CommitPrimitiveSpec extends SparkSpec {
       val key = exch.getRequestURI.getPath
       val code = store.synchronized {
         if (outage) 503
+        else if (exch.getRequestMethod == "DELETE") {
+          // capability-probe sentinel cleanup path
+          store.remove(key)
+          java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(key))
+          204
+        }
         else if (exch.getRequestHeaders.getFirst("If-None-Match") != "*") 400
         else if (store.containsKey(key)) 412
         else {
@@ -358,6 +364,88 @@ class CommitPrimitiveSpec extends SparkSpec {
       WarehouseFs.commitGuard = prev
       srv.stop(0)
     }
+  }
+
+  test("an If-None-Match-IGNORING store is refused by the capability " +
+      "probe before the first commit — never trusted with a manifest") {
+    import java.net.InetSocketAddress
+    import scala.jdk.CollectionConverters._
+    // a broken store: 200 to every PUT, overwrite or not — against it
+    // both racers of a real CAS would believe they won
+    val seen = new ConcurrentHashMap[String, Integer]()
+    val srv = com.sun.net.httpserver.HttpServer.create(
+      new InetSocketAddress("127.0.0.1", 0), 0)
+    srv.createContext("/", (exch: com.sun.net.httpserver.HttpExchange) => {
+      exch.getRequestBody.readAllBytes()
+      seen.merge(exch.getRequestURI.getPath, 1, (a, b) => a + b)
+      exch.sendResponseHeaders(200, -1); exch.close()
+    })
+    srv.start()
+    val endpoint = s"http://127.0.0.1:${srv.getAddress.getPort}"
+    val t = tmpTable(); publishFixture(t)
+    val prev = WarehouseFs.commitGuard
+    WarehouseFs.installCommitGuard(
+      graft.sources.ObjectStoreCommit.httpIfNoneMatchGuard(endpoint))
+    try {
+      val e = intercept[IllegalStateException] {
+        WarehouseFs.deleteWhere(spark, t, "id", Seq(100L), keepVersions = 8)
+      }
+      assert(e.getMessage.contains("IGNORES If-None-Match"), s"got: $e")
+      // the probe failed BEFORE any manifest reached the store: every
+      // request the endpoint ever saw is the probe's own sentinel
+      assert(seen.keySet.asScala.forall(_.contains(".graft-cas-probe-")),
+        s"manifest leaked to an unvetted store: ${seen.keySet.asScala}")
+      // and the table is untouched — v1, the deleted key still present
+      assert(WarehouseFs.currentVersion(spark, t).get._1 === 1L)
+      assert(state(t).contains(100L))
+    } finally {
+      WarehouseFs.commitGuard = prev
+      srv.stop(0)
+    }
+  }
+
+  test("two writers sharing a txnAppId cannot double-commit one batchId: " +
+      "the publish loop re-verifies the txn floor — free off the base " +
+      "manifest, full history after a lost CAS — and skips a landed batch") {
+    val t = tmpTable(); publishFixture(t)
+    // writer A lands (app, 7)
+    WarehouseFs.upsertRows(Seq((100L, "A7", 0L)).toDF("id", "user", "grp"),
+      t, "id", keepVersions = 8, refreshStats = false,
+      txn = Some(("app", 7L)))
+    val v2 = WarehouseFs.currentVersion(spark, t).get._1
+    // FREE PATH: a second writer whose in-process floor predates A's
+    // commit re-attempts batch 7 — the base manifest's own stamp stops
+    // it before any CAS, zero history scan
+    WarehouseFs.upsertRows(Seq((100L, "B7-dup", 0L)).toDF("id", "user", "grp"),
+      t, "id", keepVersions = 8, refreshStats = false,
+      txn = Some(("app", 7L)))
+    assert(WarehouseFs.currentVersion(spark, t).get._1 === v2,
+      "the duplicate batch must not commit a version")
+    assert(WarehouseFs.readTable(spark, t).get.filter(col("id") === 100L)
+      .select("user").as[String].head() === "A7",
+      "writer A's image must survive the duplicate attempt")
+    // RACE PATH: writer B is mid-commit on batch 8 when writer A (same
+    // appId, stale-floor twin) lands batch 8 INSIDE B's CAS window —
+    // B's rebase must find the floor and skip, not re-land the batch
+    WarehouseFs.casWindowHook = Some(() =>
+      WarehouseFs.upsertRows(Seq((200L, "A8", 0L)).toDF("id", "user", "grp"),
+        t, "id", keepVersions = 8, refreshStats = false,
+        txn = Some(("app", 8L))))
+    try WarehouseFs.upsertRows(Seq((300L, "B8", 0L)).toDF("id", "user", "grp"),
+      t, "id", keepVersions = 8, refreshStats = false,
+      txn = Some(("app", 8L)))
+    finally WarehouseFs.casWindowHook = None
+    val hist = WarehouseFs.describeHistory(spark, t)
+    assert(hist.count(_._8 === "app#8") === 1,
+      s"exactly ONE commit may carry app#8, got: ${hist.map(_._8)}")
+    val after = WarehouseFs.readTable(spark, t).get
+    assert(after.filter(col("id") === 200L).select("user").as[String]
+      .head() === "A8", "the in-window winner's image stands")
+    assert(after.filter(col("id") === 300L).select("user").as[String]
+      .head() === "u300",
+      "the loser's batch-8 image must not land — the batch was " +
+        "already committed under this appId")
+    assert(after.count() === 8000, "no duplicate rows from the skip")
   }
 
   // ---- GC vs in-flight attempt dirs -------------------------------------

@@ -981,21 +981,29 @@ class GraftCatalogSpec extends SparkSpec {
       assert(e.getMessage.contains("not a graft catalog"),
         s"got: ${e.getMessage}")
     }
-    // RESTORE / OPTIMIZE … WHERE are Delta-compatible spellings: a
+    // RESTORE / OPTIMIZE family are Delta-compatible spellings: a
     // multipart identifier outside every graft catalog must fall through
     // to the DELEGATE parser (Spark's grammar → ParseException), never
-    // error inside graft code or shadow a co-installed extension
+    // error inside graft code or shadow a co-installed extension. The
+    // ParseException must come from the delegate parsing the WHOLE
+    // statement (error at 'OPTIMIZE'/'RESTORE', the token Spark's
+    // grammar rejects) — a fallthrough to a broader graft pattern would
+    // ALSO raise ParseException, but from parseMultipartIdentifier
+    // choking on the swallowed clause ('WHERE'/'ZORDER'), which reads
+    // identically to a test that only checks the exception type
     withConf("spark.sql.catalog.notgraft" -> "org.example.OtherCatalog") {
-      val e1 = intercept[Exception] {
-        spark.sql("RESTORE TABLE notgraft.db.t TO VERSION AS OF 1")
+      def delegated(sql: String, rejectedToken: String): Unit = {
+        val e = intercept[Exception] { spark.sql(sql) }
+        assert(e.isInstanceOf[org.apache.spark.sql.catalyst.parser.ParseException],
+          s"expected delegate ParseException for '$sql', got: $e")
+        assert(e.getMessage.contains(rejectedToken),
+          s"'$sql' must reach the delegate whole (error at " +
+            s"'$rejectedToken'), got: ${e.getMessage}")
       }
-      assert(e1.isInstanceOf[org.apache.spark.sql.catalyst.parser.ParseException],
-        s"expected delegate ParseException, got: $e1")
-      val e2 = intercept[Exception] {
-        spark.sql("OPTIMIZE notgraft.db.t WHERE day = 3")
-      }
-      assert(e2.isInstanceOf[org.apache.spark.sql.catalyst.parser.ParseException],
-        s"expected delegate ParseException, got: $e2")
+      delegated("RESTORE TABLE notgraft.db.t TO VERSION AS OF 1", "RESTORE")
+      delegated("OPTIMIZE notgraft.db.t WHERE day = 3", "OPTIMIZE")
+      delegated("OPTIMIZE notgraft.db.t ZORDER BY (day)", "OPTIMIZE")
+      delegated("OPTIMIZE notgraft.db.t", "OPTIMIZE")
     }
   }
 

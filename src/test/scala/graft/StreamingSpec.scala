@@ -193,6 +193,62 @@ class StreamingSpec extends SparkSpec {
       s"a 2-key batch must rewrite at most its matched files, got $v2files")
   }
 
+  test("CoW upsert sink with txnAppId: a batch replayed after a crash " +
+      "between the manifest commit and the checkpoint commit SKIPS — " +
+      "the foreachBatch twin of the graft sink's exactly-once gate") {
+    import graft.sources.WarehouseFs
+    import org.apache.spark.sql.types._
+    val base = java.nio.file.Files.createTempDirectory("graft_upcow_eo_").toString
+    val table = s"$base/kv"; val input = s"$base/in"; val ckpt = s"$base/ckpt"
+    WarehouseFs.publishVersioned(
+      spark.range(1000).selectExpr("concat('K', id) AS k", "'init' AS v")
+        .repartitionByRange(4, org.apache.spark.sql.functions.col("k")),
+      table, keepVersions = 8, bloomIndexCols = Seq("k"))
+    val schema = StructType(Seq(
+      StructField("k", StringType), StructField("v", StringType)))
+    def addFile(rows: (String, String)*): Unit =
+      rows.toSeq.toDF("k", "v").coalesce(1)
+        .write.mode("append").parquet(input)
+    def drain(): Unit = {
+      // a file source (not MemoryStream, which drops committed batches)
+      // so the crash-simulated batch is genuinely re-deliverable
+      val q = EventStreams.upsertSinkCoW(
+          spark.readStream.schema(schema).parquet(input), table, "k",
+          keepVersions = 8, txnAppId = Some(ckpt))
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    addFile("K1" -> "a", "KNEW" -> "n")
+    drain()
+    val v1 = WarehouseFs.currentVersion(spark, table).get._1
+    def attemptDirs() = new java.io.File(table).listFiles()
+      .count(d => d.getName.matches("v\\d{8}-[0-9a-f]+"))
+    val dirs1 = attemptDirs()
+    // crash simulation: manifest committed, checkpoint commit marker lost
+    val last = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(f => !f.getName.startsWith(".")).maxBy(_.getName.toInt)
+    java.nio.file.Files.delete(last.toPath)
+    val crc = new java.io.File(last.getParent, s".${last.getName}.crc")
+    if (crc.exists()) java.nio.file.Files.delete(crc.toPath)
+    drain() // replays batch 0 — the txn floor must swallow it whole
+    assert(WarehouseFs.currentVersion(spark, table).get._1 === v1,
+      "the replayed batch must not commit a second version")
+    assert(attemptDirs() === dirs1,
+      "the replay must not write a duplicate image dir")
+    assert(WarehouseFs.describeHistory(spark, table).last._8 === s"$ckpt#0",
+      "the landed batch's txn stamp is the history provenance")
+    // the gate never over-skips: a genuinely new batch still lands
+    addFile("K1" -> "a2")
+    drain()
+    assert(WarehouseFs.currentVersion(spark, table).get._1 === v1 + 1)
+    val got = WarehouseFs.readTable(spark, table).get
+      .filter(org.apache.spark.sql.functions.col("k").isin("K1", "KNEW"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got === Map("K1" -> "a2", "KNEW" -> "n"))
+    assert(WarehouseFs.readTable(spark, table).get.count() === 1001)
+  }
+
   test("streaming near-dup suppression collapses sketch-identical documents") {
     val in = MemoryStream[(java.sql.Timestamp, Long, String)](spark)
     in.addData(

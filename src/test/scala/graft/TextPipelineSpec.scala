@@ -271,6 +271,67 @@ class TextPipelineSpec extends SparkSpec {
     assert(deltas.length === 3, deltas.toString)
   }
 
+  test("curation stream replay: a re-delivered batch whose marker already " +
+      "committed SKIPS the whole recompute — zero duplicate state bytes, " +
+      "and the fold continues exactly-once") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val docs = Tables.documents(spark, sf0001)
+    val parts = (0 to 1).map(i =>
+      docs.filter(pmod(col("doc_id"), lit(2)) === i).select("doc_id", "text"))
+    val root = java.nio.file.Files.createTempDirectory("graft_cur_eo_").toString
+    val stateRoot = s"$root/state"; val input = s"$root/in"
+    val ckpt = s"$root/ckpt"
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def addPart(i: Int): Unit =
+      parts(i).coalesce(1).write.mode("append").parquet(input)
+    def drain(): Unit = {
+      val q = TextPipeline.curateIncrementStream(
+          spark.readStream.schema(schema).parquet(input), stateRoot)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    addPart(0); drain()
+    // snapshot the whole persisted state: names AND mtimes — a replay
+    // that recomputes-but-overwrites would keep names while touching
+    // mtimes; the marker gate must touch NOTHING
+    def snapshot(): Map[String, Long] = {
+      val out = scala.collection.mutable.Map.empty[String, Long]
+      val it = java.nio.file.Files.walk(java.nio.file.Paths.get(stateRoot))
+        .iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        out(p.toString) = java.nio.file.Files.getLastModifiedTime(p).toMillis
+      }
+      out.toMap
+    }
+    val before = snapshot()
+    assert(before.keys.exists(_.contains("batch=0")))
+    // crash simulation: fold 0 committed its marker, the checkpoint
+    // commit did not land
+    val last = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(f => !f.getName.startsWith(".")).maxBy(_.getName.toInt)
+    java.nio.file.Files.delete(last.toPath)
+    val crc = new java.io.File(last.getParent, s".${last.getName}.crc")
+    if (crc.exists()) java.nio.file.Files.delete(crc.toPath)
+    drain() // re-delivers batch 0 — the marker gate must skip it whole
+    assert(snapshot() === before,
+      "the replayed fold must write NOTHING — same files, same mtimes")
+    // the gate never over-skips: night 2 folds normally on top
+    addPart(1); drain()
+    val st = TextPipeline.loadLatestState(spark, stateRoot).get
+    def keep(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "split").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(keep(TextPipeline.curatedFromState(st, docs)) ===
+      keep(TextPipeline.curate(docs)),
+      "fold-through-replay must equal the batch pipeline exactly")
+    assert(graft.sources.WarehouseFs.listNames(spark, stateRoot)
+      .count(_.startsWith("delta=")) === 2, "one delta per real fold")
+  }
+
   test("delta-layout state: 3 folds write O(batch) deltas; parity holds; uncommitted delta invisible") {
     val docs = Tables.documents(spark, sf0001)
     val root = java.nio.file.Files.createTempDirectory("graft_delta_state").toString

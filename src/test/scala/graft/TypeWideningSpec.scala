@@ -120,6 +120,59 @@ class TypeWideningSpec extends SparkSpec {
     spark.sql(s"DROP TABLE graft.$n")
   }
 
+  test("float→double widening INVALIDATES that column's bloom bitsets " +
+      "(the one lattice member whose string form is unstable) — key DML " +
+      "degrades to a full read instead of silently missing rows; other " +
+      "columns' bitsets survive") {
+    val t = tmpTable()
+    // FRACTIONAL float values: 0.1f canonicalizes as "0.1" pre-widen but
+    // its exact double reading is "0.10000000149011612" — the unstable
+    // case (the integral fixture above never exercises it)
+    WarehouseFs.publishVersioned(
+      spark.range(8000).select(
+        col("id").cast("int").as("id"),
+        (col("id") / 10.0).cast("float").as("score"))
+        .repartitionByRange(8, col("id")),
+      t, keepVersions = 8, collectStats = true,
+      bloomIndexCols = Seq("id", "score"), zoneMapCols = Seq("id"))
+    // pre-widen: both columns prune
+    assert(WarehouseFs.bloomCandidateFiles(spark, t, "score", Seq(0.1f))
+      .exists(fs0 => fs0.nonEmpty && fs0.size < 8))
+    assert(WarehouseFs.bloomCandidateFiles(spark, t, "id", Seq(42))
+      .exists(fs0 => fs0.nonEmpty && fs0.size < 8))
+    WarehouseFs.alterWidenColumn(spark, t, "score", DoubleType)
+    // the widened column's bitsets are GONE (None = no index: callers
+    // fall back to the full file set) — the alternative is a stale
+    // float-form index FALSE-NEGATIVING every fractional double probe
+    assert(WarehouseFs.bloomCandidateFiles(spark, t, "score",
+      Seq(0.1f.toDouble)).isEmpty,
+      "a float-built bitset must not survive a float→double widen")
+    // …while the untouched column still prunes
+    assert(WarehouseFs.bloomCandidateFiles(spark, t, "id", Seq(42))
+      .exists(fs0 => fs0.nonEmpty && fs0.size < 8),
+      "invalidation must be column-scoped")
+    // end-to-end: key DML on the widened column finds its rows through
+    // the degraded (full) candidate set — with a stale index this
+    // delete would prune away the containing files and remove NOTHING
+    val doomed = 0.1f.toDouble // what a post-widen reader naturally probes
+    WarehouseFs.deleteWhere(spark, t, "score", Seq(doomed), keepVersions = 8)
+    val after = WarehouseFs.readTable(spark, t).get
+    assert(after.count() === 7999,
+      "the row with score 0.1f must actually delete")
+    assert(after.filter(col("score") === doomed).count() === 0)
+    // a table whose ONLY bloom column widens drops the whole entry
+    val t2 = tmpTable()
+    WarehouseFs.publishVersioned(
+      spark.range(100).select(col("id").cast("int").as("id"),
+        (col("id") / 10.0).cast("float").as("score")),
+      t2, keepVersions = 4, bloomIndexCols = Seq("score"))
+    assert(WarehouseFs.bloomCandidateFiles(spark, t2, "score", Seq(0.1f))
+      .isDefined)
+    WarehouseFs.alterWidenColumn(spark, t2, "score", DoubleType)
+    assert(WarehouseFs.bloomCandidateFiles(spark, t2, "score",
+      Seq(0.1)).isEmpty)
+  }
+
   test("widening composes with RENAME: the mapped, widened column " +
       "serves old files under the new name and the new type") {
     val t = tmpTable(); publishFixture(t)
