@@ -77,6 +77,11 @@ class GraftMaintenanceParser(delegate: ParserInterface) extends ParserInterface 
     """(?is)\s*ALTER\s+TABLE\s+(.+?)\s+DROP\s+CONSTRAINT\s+([A-Za-z_]\w*)\s*;?\s*""".r
   private val ConvertRe =
     """(?is)\s*CONVERT\s+TO\s+GRAFT\s+(?:PARQUET\s*\.\s*)?(.+?)\s*;?\s*""".r
+  private val ReindexRe =
+    """(?is)\s*REINDEX\s+TABLE\s+(.+?)((?:\s+BLOOM\s*\([^)]*\)|\s+ZONE\s*\([^)]*\)|\s+STATS)*)\s*;?\s*""".r
+  private val ReindexBloomRe = """(?is)BLOOM\s*\(([^)]*)\)""".r
+  private val ReindexZoneRe = """(?is)ZONE\s*\(([^)]*)\)""".r
+  private val ReindexStatsRe = """(?is)\bSTATS\b""".r
   private val HistoryRe =
     """(?is)\s*DESCRIBE\s+HISTORY\s+(.+?)\s*;?\s*""".r
   private val DetailRe =
@@ -129,6 +134,14 @@ class GraftMaintenanceParser(delegate: ParserInterface) extends ParserInterface 
       GraftRestoreCommand(tablePath(ident), Right(ts))
     case ConvertRe(ident) if graftClaim(ident) =>
       GraftConvertCommand(tablePath(ident))
+    case ReindexRe(ident, opts) =>
+      def cols(re: scala.util.matching.Regex): Seq[String] =
+        re.findFirstMatchIn(opts).map(_.group(1).split(',')
+          .map(_.trim.stripPrefix("`").stripSuffix("`"))
+          .filter(_.nonEmpty).toSeq).getOrElse(Nil)
+      GraftReindexCommand(tablePath(ident),
+        cols(ReindexBloomRe), cols(ReindexZoneRe),
+        ReindexStatsRe.findFirstIn(opts).isDefined)
     case HistoryRe(ident) => GraftDescribeHistoryCommand(tablePath(ident))
     case DetailRe(ident) => GraftDescribeDetailCommand(tablePath(ident))
     case _ => delegate.parsePlan(sqlText)
@@ -431,6 +444,31 @@ case class GraftConvertCommand(path: String) extends LeafRunnableCommand {
     val v = WarehouseFs.convertToGraft(spark, path)
     val n = WarehouseFs.describeHistory(spark, path).last._5
     Seq(Row(v, n))
+  }
+}
+
+/** `REINDEX TABLE t [BLOOM (c1, c2)] [ZONE (c3)] [STATS]` →
+  * [[WarehouseFs.reindexCurrentVersion]]: bloom/zone/stats sidecars for
+  * the CURRENT version from one read-only scan — no data rewrite. The
+  * step-2 upgrade after `CONVERT TO GRAFT` (the adoption manifest
+  * carries no metadata; REINDEX gives the converted 100 TB directory
+  * point-lookup pruning and CBO statistics at metadata cost, where
+  * OPTIMIZE would rewrite everything it adopted), and the rebuild verb
+  * for a bloom index invalidated by a float→double widen. Bare form
+  * refreshes the coverage the version already carries. */
+case class GraftReindexCommand(path: String, bloom: Seq[String],
+                               zone: Seq[String], withStats: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("bloom_columns", StringType, nullable = false)(),
+    AttributeReference("zone_columns", StringType, nullable = false)(),
+    AttributeReference("stats", org.apache.spark.sql.types.BooleanType,
+      nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (v, b, z, s) = WarehouseFs.reindexCurrentVersion(
+      spark, path, bloom, zone, withStats)
+    Seq(Row(v, b.mkString(","), z.mkString(","), s))
   }
 }
 

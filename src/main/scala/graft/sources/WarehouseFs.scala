@@ -1697,6 +1697,142 @@ object WarehouseFs {
   val BloomIndexBits: Int = 1 << 17
   val BloomIndexHashes: Int = 7
 
+  /** `REINDEX`: build bloom / zone / stats sidecars for the CURRENT
+    * version from ONE read-only scan — zero data files written, zero
+    * rewritten. The upgrade path a freshly-CONVERTed table needs (its
+    * adoption manifest carries no metadata, and the only alternative is
+    * OPTIMIZE — a full rewrite of everything it adopted), and the
+    * rebuild verb for an index invalidated by a float→double widen.
+    *
+    * Column names are LOGICAL; entries key on the physical spelling
+    * like every publish-time build. Values canonicalize through the
+    * DECLARED type before hashing (`0.1f` under a widened double
+    * declaration indexes as "0.10000000149011612" — exactly what a
+    * post-widen probe canonicalizes to), so a REINDEX over mixed
+    * narrow/wide files is sound by construction. Bare call (no columns,
+    * no stats): refresh whatever coverage the current version already
+    * carries; refuses when there is nothing to refresh.
+    *
+    * Entries swap in via write-beside + rename: a concurrent reader
+    * either sees the old entry, the new entry, or (in the sub-second
+    * swap window) none — degrading to a full read, never probing a torn
+    * entry. A DML landing concurrently carries whichever entry its
+    * commit observes; both are supersets of their files. At 100 TB the
+    * cost is the one scan (bloom/zone aggregate map-side into
+    * per-file sketch rows) plus O(|files|) metadata bytes.
+    *
+    * Returns (version, bloom columns built, zone columns built, stats
+    * refreshed). */
+  def reindexCurrentVersion(spark: SparkSession, table: String,
+                            bloomCols: Seq[String] = Nil,
+                            zoneCols: Seq[String] = Nil,
+                            withStats: Boolean = false)
+      : (Long, Seq[String], Seq[String], Boolean) = {
+    import org.apache.spark.sql.functions.{col, expr, lit, max, min}
+    import org.apache.spark.sql.graft.BloomExpressions.bloom_build
+    val r = resolveVersion(spark, table, None).getOrElse(
+      throw new IllegalArgumentException(
+        s"REINDEX: $table is not a versioned table"))
+    val (fs, t) = fsFor(spark, table)
+    // bare form: refresh the coverage the version already carries
+    // (physical spellings in the entries → logical for the rebuild)
+    val physToLogical = columnMapping(spark, table).map(_.swap)
+    val (curB, curZ, curS) = versionMetadata(spark, table)
+    val bare = bloomCols.isEmpty && zoneCols.isEmpty && !withStats
+    val doBloom =
+      if (bare) curB.map(p => physToLogical.getOrElse(p, p)) else bloomCols
+    val doZone =
+      if (bare) curZ.map(p => physToLogical.getOrElse(p, p)) else zoneCols
+    val doStats = if (bare) curS else withStats
+    require(doBloom.nonEmpty || doZone.nonEmpty || doStats,
+      s"REINDEX: $table@v${r.version} carries no indexes or stats to " +
+        "refresh — name what to build: REINDEX TABLE t BLOOM (cols) " +
+        "ZONE (cols) STATS")
+    val logical = readTable(spark, table).getOrElse(
+      throw new IllegalArgumentException(
+        s"REINDEX: $table has no readable current version")).schema
+    (doBloom ++ doZone).foreach(c =>
+      require(logical.exists(_.name == c),
+        s"REINDEX: $table has no column '$c'"))
+    if (doBloom.nonEmpty || doZone.nonEmpty) {
+      // raw physical read of the resolved file set, with the `file`
+      // spelling the probes expect: table-root-relative for file-list
+      // manifests (CoW chains, CONVERTed adoptions), data-dir-relative
+      // for dir manifests. Masked rows may stay indexed — entries are
+      // supersets; the mask re-applies at read.
+      val (committed, rel) =
+        if (r.isFileList) {
+          val files = versionFiles(fs, t, r)
+          require(files.nonEmpty, s"REINDEX: $table@v${r.version} is empty")
+          val paths = files.map(f => new Path(t, f).toString)
+          // one single-file probe pins how THIS filesystem renders
+          // `_metadata.file_path` (scheme and slashing vary by FS) —
+          // the prefix then relativizes every row without string games
+          val probe = spark.read.parquet(paths.head)
+            .select(col("_metadata.file_path")).limit(1).head().getString(0)
+          require(probe.endsWith(files.head),
+            s"REINDEX: cannot relativize $probe against ${files.head}")
+          val prefixLen = probe.length - files.head.length
+          (spark.read.option("basePath", t.toString).parquet(paths: _*),
+            expr(s"substring(_metadata.file_path, ${prefixLen + 1})"))
+        } else {
+          val marker = s"/${r.dirName}/"
+          (spark.read.parquet(new Path(t, r.dirName).toString),
+            expr(s"substring(_metadata.file_path, " +
+              s"instr(_metadata.file_path, '$marker') + ${marker.length})"))
+        }
+      def physOf(c: String) = physicalColumn(spark, table, c)
+      def declared(c: String) = logical.find(_.name == c).get.dataType
+      // ONE aggregation pass builds both sketch families (the scan is
+      // the 100 TB cost; the per-file rows are metadata), split into
+      // their entries afterwards
+      val bloomAggs = doBloom.map { c =>
+        val p = physOf(c)
+        bloom_build(castString(col(p).cast(declared(c)), Some("UTC")),
+          BloomIndexBits, BloomIndexHashes).as(s"b_$p")
+      }
+      val zoneAggs = doZone.flatMap { c =>
+        val p = physOf(c)
+        Seq(min(col(p).cast(declared(c))).as(s"min_$p"),
+          max(col(p).cast(declared(c))).as(s"max_$p"))
+      }
+      val aggs = bloomAggs ++ zoneAggs
+      val physCols = (doBloom ++ doZone).map(physOf).distinct
+      val combined = committed
+        .select(rel.as("file") +: physCols.map(col): _*)
+        .groupBy("file").agg(aggs.head, aggs.tail: _*)
+        .cache()
+      try {
+        if (doBloom.nonEmpty)
+          swapInEntry(spark, fs,
+            combined.select(
+              ("file" +: doBloom.map(c => s"b_${physOf(c)}")).map(col): _*)
+              .withColumn("__utc", lit(true)),
+            new Path(indexDir(t), r.dirName), "REINDEX")
+        if (doZone.nonEmpty)
+          swapInEntry(spark, fs,
+            combined.select(("file" +: doZone.flatMap(c =>
+              Seq(s"min_${physOf(c)}", s"max_${physOf(c)}"))).map(col): _*),
+            new Path(zonesDir(t), r.dirName), "REINDEX")
+      } finally { combined.unpersist(); () }
+    }
+    if (doStats) refreshCommittedStats(spark, table)
+    (r.version, doBloom, doZone, doStats)
+  }
+
+  /** Write `df` beside `dest`, then swap it in — a live metadata entry
+    * is never overwritten in place (a reader racing the overwrite could
+    * probe a torn entry whose missing rows read as FALSE NEGATIVES; an
+    * ABSENT entry only degrades to a full read). */
+  private def swapInEntry(spark: SparkSession, fs: FileSystem,
+                          df: DataFrame, dest: Path, ctx: String): Unit = {
+    val tmp = new Path(dest.getParent, s".${dest.getName}.rebuild")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    if (fs.exists(dest)) fs.delete(dest, true)
+    require(fs.rename(tmp, dest), s"$ctx: could not swap entry $dest")
+  }
+
   /** One scan of the version's committed files → per-(file, column)
     * bitsets, wide layout: (file, b_<col1>, b_<col2>, …). `file` is
     * stored RELATIVE to the version dir so a relocated/renamed table

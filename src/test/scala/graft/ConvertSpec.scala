@@ -107,6 +107,62 @@ class ConvertSpec extends SparkSpec {
       .count() === 100)
   }
 
+  test("REINDEX upgrades a converted table at metadata cost: point " +
+      "lookups open ONE of 8 files, CBO sees committed row counts, zero " +
+      "data dirs written; sidecars GC with their version") {
+    val t = tmpDir()
+    spark.range(8000)
+      .select(col("id"), concat(lit("u"), col("id")).as("user"))
+      .repartitionByRange(8, col("id")).write.parquet(t)
+    WarehouseFs.convertToGraft(spark, t)
+    // the adoption manifest carries no metadata
+    assert(WarehouseFs.bloomCandidateFiles(spark, t, "id", Seq(42L)).isEmpty)
+    assert(WarehouseFs.readStats(spark, t).isEmpty)
+    // bare REINDEX refuses with guidance — nothing to refresh yet
+    val e = intercept[IllegalArgumentException] {
+      WarehouseFs.reindexCurrentVersion(spark, t) }
+    assert(e.getMessage.contains("BLOOM"), e.getMessage)
+    def topNames() = new java.io.File(t).listFiles().map(_.getName).toSet
+    val before = topNames()
+    val res = spark.sql(s"REINDEX TABLE `$t` BLOOM (id) ZONE (id) STATS")
+      .collect().head
+    assert(res.getLong(0) === 1L && res.getString(1) === "id" &&
+      res.getString(2) === "id" && res.getBoolean(3))
+    // METADATA cost only: nothing appeared but the sidecar dirs — no
+    // data dir was written, no adopted file touched
+    assert((topNames() -- before).subsetOf(Set("_index", "_zones", "_stats")),
+      s"unexpected new entries: ${topNames() -- before}")
+    // point lookup now opens one of the 8 adopted files
+    val hit = WarehouseFs.bloomCandidateFiles(spark, t, "id", Seq(42L)).get
+    assert(hit.size === 1, s"bloom must prune to the one file, got $hit")
+    val pruned = WarehouseFs.readBloomPruned(spark, t, "id", Seq(42L)).get
+    assert(pruned.select("user").as[String].collect().toSeq === Seq("u42"))
+    // range pruning over the range-clustered adoption
+    val zhit = WarehouseFs.zoneCandidateFiles(spark, t, "id", 10L, 20L).get
+    assert(zhit.size === 1, s"got $zhit")
+    // CBO input: committed row count from the stats sidecar
+    assert(WarehouseFs.readStats(spark, t).get.rowCount === 8000L)
+    // a subsequent CoW DML rides the new index (file-granular touched
+    // set) and CARRIES it forward
+    WarehouseFs.deleteWhere(spark, t, "id", Seq(42L), keepVersions = 2)
+    assert(WarehouseFs.readTable(spark, t).get.count() === 7999)
+    assert(WarehouseFs.bloomCandidateFiles(spark, t, "id", Seq(43L))
+      .exists(_.nonEmpty), "the carried index must keep pruning")
+    // bare REINDEX now has coverage to refresh — it rebuilds v2's entry
+    val (v2, b2, z2, s2) = WarehouseFs.reindexCurrentVersion(spark, t)
+    assert(v2 === 2L && b2 === Seq("id") && z2 === Seq("id") && s2)
+    // retention: once v1 expires, its sidecar entries die with it
+    WarehouseFs.deleteWhere(spark, t, "id", Seq(43L), keepVersions = 2) // v3: v1 GCs
+    val idxEntries = new java.io.File(s"$t/_index").listFiles()
+      .map(_.getName).filterNot(_.startsWith(".")).toSet
+    val retained = WarehouseFs.listVersions(spark, t)
+    assert(!retained.contains(1L), "v1 must have expired")
+    val liveDirs = retained.flatMap(v =>
+      WarehouseFs.describeHistory(spark, t).find(_._1 == v).map(_._3)).toSet
+    assert(idxEntries.forall(liveDirs.contains),
+      s"expired versions' index entries must GC: $idxEntries vs $liveDirs")
+  }
+
   test("refusals: empty dirs, mixed layouts, half-managed dirs") {
     val empty = tmpDir()
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(empty))

@@ -160,6 +160,17 @@ class TypeWideningSpec extends SparkSpec {
     assert(after.count() === 7999,
       "the row with score 0.1f must actually delete")
     assert(after.filter(col("score") === doomed).count() === 0)
+    // REINDEX rebuilds the invalidated column under the WIDE canonical
+    // form — pruning returns, and the index finds fractional doubles
+    val (rv, rb, _, _) =
+      WarehouseFs.reindexCurrentVersion(spark, t, bloomCols = Seq("score"))
+    assert(rb === Seq("score"))
+    val rebuilt = WarehouseFs.bloomCandidateFiles(spark, t, "score",
+      Seq(0.2f.toDouble))
+    assert(rebuilt.exists(fs0 => fs0.nonEmpty && fs0.size < 8),
+      s"the rebuilt index must prune on double probes, got $rebuilt")
+    assert(WarehouseFs.readBloomPruned(spark, t, "score", Seq(0.2f.toDouble))
+      .get.count() === 1, "and the pruned read finds the row exactly")
     // a table whose ONLY bloom column widens drops the whole entry
     val t2 = tmpTable()
     WarehouseFs.publishVersioned(
