@@ -201,17 +201,50 @@ object BenchDml {
       regated += 1
     }
     val suspect = Bench.spreadSuspects(byLeg)
+    // PER-LEG retry — the read bench's hygiene ported: a leg whose
+    // rep-minimum regressed past [[Bench.RegressFactor]] × its own
+    // suspect-free history minimum (or that a rep-spread flags as
+    // starved) gets one verification pass after a cooldown. DML legs
+    // are SEQUENCE-dependent (each mutates the fixture the next reads),
+    // so the retry is one extra full sequence covering every candidate
+    // at once; the final per-leg value is min(reps, retry) and the
+    // `retried` map publishes first-vs-retry provenance — a noisy day
+    // no longer ships a noisy leg unexamined. (No pinned priors yet:
+    // no DML leg has a known closed-question floor — add to
+    // [[Bench.PinnedPrior]]'s DML twin when one appears.)
+    val legPrior: Map[String, Double] = Bench.priorBest(
+      (try scala.io.Source.fromFile(historyPath0, "UTF-8").getLines().toSeq
+       catch { case _: Throwable => Seq.empty })
+        .filter(_.contains(s""""sf":"dml:$rows"""")))
+    val toRetry =
+      if (sys.env.get("SPARK_GRAFT_BENCH_NO_ENDGATE").exists(_ == "1")) Nil
+      else Bench.retryCandidates(byLeg, legPrior)
+    val retried: Map[String, (Double, Option[Double])] =
+      if (toRetry.isEmpty) Map.empty
+      else {
+        Thread.sleep(
+          sys.env.getOrElse("SPARK_GRAFT_BENCH_COOLDOWN_MS", "20000").toLong)
+        val again = runOnce().toMap
+        toRetry.map(k =>
+          k -> ((byLeg.toMap.apply(k).min, again.get(k)))).toMap
+      }
 
     def r(v: Double) = math.rint(v * 1e4) / 1e4
-    val finalTimes = byLeg.map { case (k, ts) => k -> ts.min }
+    val finalTimes = byLeg.map { case (k, ts) =>
+      k -> math.min(ts.min,
+        retried.get(k).flatMap(_._2).getOrElse(Double.MaxValue)) }
     val qs = finalTimes.map { case (k, t) => s"\"" + k + "\":" + r(t) }
       .mkString("{", ",", "}")
     val raws = byLeg.map { case (k, ts) =>
       s"\"" + k + "\":" + ts.map(r).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val susp = suspect.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val retr = retried.toSeq.sortBy(_._1).map { case (k, (first, again)) =>
+      s"\"" + k + "\":{\"first\":" + r(first) + ",\"retry\":" +
+        again.map(r(_).toString).getOrElse("null") + "}" }
+      .mkString("{", ",", "}")
     val total = r(finalTimes.map(_._2).sum)
-    val json = s"""{"metric":"dml_total","value":$total,"unit":"sec","queries":$qs,"raw":$raws,"errors":[],"suspect":$susp,"load_avg":{"before":${r(loadBefore)},"after":${r(loadAfter)},"cpus":${Runtime.getRuntime.availableProcessors}},"end_gate":{"history_best":${histBest.map(r(_).toString).getOrElse("null")},"remeasured":$regated},"reps":$reps,"sf":"dml:$rows"}"""
+    val json = s"""{"metric":"dml_total","value":$total,"unit":"sec","queries":$qs,"raw":$raws,"errors":[],"suspect":$susp,"retried":$retr,"load_avg":{"before":${r(loadBefore)},"after":${r(loadAfter)},"cpus":${Runtime.getRuntime.availableProcessors}},"end_gate":{"history_best":${histBest.map(r(_).toString).getOrElse("null")},"remeasured":$regated},"reps":$reps,"sf":"dml:$rows"}"""
     val out = sys.env.getOrElse("BENCH_OUT", "bench_dml_out.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (json + "\n").getBytes("UTF-8"))

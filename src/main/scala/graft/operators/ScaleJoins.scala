@@ -71,7 +71,16 @@ object ScaleJoins {
     // carried files live outside dataDir) — compaction is also how a long
     // DML chain folds back into one clean dir version
     val df = current match {
-      case Some(_) => graft.sources.WarehouseFs.readTable(spark, dir).get
+      case Some(_) =>
+        // a tracked table's fold must carry row IDENTITY through the
+        // rewrite: read with the stable id materialized into the hidden
+        // carrier column, which the fold then stores physically — the
+        // keyless change feed sees an OPTIMIZE as a no-op, not as a
+        // whole-table delete+insert
+        if (graft.sources.WarehouseFs.isRowTracked(spark, dir))
+          graft.sources.WarehouseFs.readWithRowId(spark, dir).get
+            .withColumnRenamed("_row_id", graft.sources.WarehouseFs.RowIdCol)
+        else graft.sources.WarehouseFs.readTable(spark, dir).get
       case None => spark.read.parquet(dataDir)
     }
     val compacted =
@@ -226,8 +235,14 @@ object ScaleJoins {
         s"zOrderCompact: $dir is not a versioned table"))
     val bytes = WarehouseFs.currentVersionBytes(spark, dir).getOrElse(0L)
     val parts = math.max(1, math.ceil(bytes / (targetMB * 1024.0 * 1024.0)).toInt)
-    val df = WarehouseFs.readTable(spark, dir).getOrElse(
-      throw new IllegalStateException(s"zOrderCompact: $dir vanished"))
+    // identity survives the re-clustering on tracked tables (see
+    // [[compactParquet]])
+    val df =
+      (if (WarehouseFs.isRowTracked(spark, dir))
+        WarehouseFs.readWithRowId(spark, dir)
+          .map(_.withColumnRenamed("_row_id", WarehouseFs.RowIdCol))
+       else WarehouseFs.readTable(spark, dir)).getOrElse(
+        throw new IllegalStateException(s"zOrderCompact: $dir vanished"))
     val partCols = WarehouseFs.layoutPartitionCols(spark, dir)
     val unknown = zCols.filterNot(df.columns.contains)
     require(unknown.isEmpty,

@@ -91,12 +91,16 @@ object GraftTableChanges {
       case other => fail(s"the table argument must be a string literal, " +
         s"got $other")
     }
+    // keyed when declared; KEYLESS (`_row_id` diff) when the table is
+    // row-tracked; otherwise refuse naming both enabling steps — the
+    // same resolution readStream.table uses
     val keyCols = GraftCatalog.colListOf(
       GraftCatalog.readProps(spark, path), "keyCols")
-    if (keyCols.isEmpty)
-      fail(s"$path declares no key columns — set " +
-        "TBLPROPERTIES('keyCols'='…') (the same contract as " +
-        "readStream.table)")
+    if (keyCols.isEmpty && !WarehouseFs.isRowTracked(spark, path))
+      fail(s"$path declares no key columns and is not row-tracked — set " +
+        "TBLPROPERTIES('keyCols'='…'), or " +
+        "TBLPROPERTIES('rowTracking'='true') for the keyless _row_id " +
+        "feed (the same contract as readStream.table)")
     val from = bound(args(1), "from") match {
       case Right(v) => v
       case Left(ms) => // earliest retained commit at or after the instant

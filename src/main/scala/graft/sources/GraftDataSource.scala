@@ -138,8 +138,24 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
           "— the table's own layout governs micro-batch upserts; drop " +
           "the partitionBy or re-publish the table partitioned")
     }
-    val keyCol = parameters.getOrElse("keyCol",
-      throw new IllegalArgumentException("graft sink: option 'keyCol' required"))
+    // keyCol present → per-batch upserts; ABSENT → the keyless
+    // append-only sink: each micro-batch lands as one blind-append
+    // commit (zero existing files touched) on a ROW-TRACKED table, so
+    // the appended rows get stable ids and the keyless change feed /
+    // replica chain works end to end. Tracking is required — an
+    // untracked keyless sink is usually a forgotten keyCol, and loud
+    // beats a silently key-free upsert pipeline.
+    val keyCol: Option[String] = parameters.get("keyCol")
+    if (keyCol.isEmpty) {
+      val sp = sqlContext.sparkSession
+      require(WarehouseFs.isRowTracked(sp, table) ||
+          GraftCatalog.readProps(sp, table).get("rowTracking")
+            .exists(_.equalsIgnoreCase("true")),
+        s"graft sink: no 'keyCol' option — the keyless append sink " +
+          s"needs $table row-tracked: set " +
+          "TBLPROPERTIES('rowTracking'='true') (ids backfill at the " +
+          "next commit), or pass keyCol for the upsert sink")
+    }
     val keep = parameters.get("keepVersions").map(_.toInt).getOrElse(2)
     val sinkMode = parameters.get("dmlMode").map(_.toLowerCase)
     // the durable writer identity the exactly-once stamp keys on: the
@@ -198,18 +214,24 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
         pinned.persist()
         try {
           if (!pinned.isEmpty) {
-            val mor = sinkMode
-              .orElse(WarehouseFs.storedDmlMode(spark, table))
-              .contains("mor")
-            if (mor) {
-              import org.apache.spark.sql.functions.col
-              WarehouseFs.mergeIntoKeysVectors(pinned, table, Seq(keyCol),
-                whenMatchedUpdate = pinned.columns.filterNot(_ == keyCol)
-                  .map(c => c -> col(s"src_$c")).toMap,
-                whenNotMatchedInsert = true, keepVersions = keep, txn = txn)
-            } else
-              WarehouseFs.upsertRows(pinned, table, keyCol, keep,
-                refreshStats = false, txn = txn)
+            keyCol match {
+              case None => // keyless append-only (row-tracked target)
+                WarehouseFs.appendRows(pinned, table, keep, txn = txn)
+              case Some(k) =>
+                val mor = sinkMode
+                  .orElse(WarehouseFs.storedDmlMode(spark, table))
+                  .contains("mor")
+                if (mor) {
+                  import org.apache.spark.sql.functions.col
+                  WarehouseFs.mergeIntoKeysVectors(pinned, table, Seq(k),
+                    whenMatchedUpdate = pinned.columns.filterNot(_ == k)
+                      .map(c => c -> col(s"src_$c")).toMap,
+                    whenNotMatchedInsert = true, keepVersions = keep,
+                    txn = txn)
+                } else
+                  WarehouseFs.upsertRows(pinned, table, k, keep,
+                    refreshStats = false, txn = txn)
+            }
           }
           // the landed batch advances the in-process floor (empty
           // batches commit nothing and may replay — harmlessly)
@@ -218,7 +240,8 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
         } finally pinned.unpersist()
       }
       override def toString: String =
-        s"GraftCoWSink($table, key=$keyCol${sinkMode.fold("")(m => s", $m")})"
+        s"GraftCoWSink($table, key=${keyCol.getOrElse("<row-id append>")}" +
+          s"${sinkMode.fold("")(m => s", $m")})"
     }
   }
 

@@ -316,14 +316,29 @@ object WarehouseFs {
   // recur, so they match nothing) and OPTIMIZE drops them at the fold.
   // Pre-header versions keep the legacy whole-mask `_dv/<dirName>/` dir;
   // the same one-way compatibility note as `ts:` applies.
+  // A fourth header class carries ROW TRACKING (opt-in via the
+  // `rowTracking` table property): `ridwm:<watermark>` plus one
+  // `rid:<base>:<root-relative file>` line per file. A row's STABLE id
+  // is `base(file) + row_index` for files written plainly, or the
+  // physically-stored `_graft_row_id` column for files a tracked CoW
+  // rewrite produced (the rewrite materializes survivors' ids so the
+  // identity survives the move; inserted rows store null and derive
+  // from the new file's base). Bases are allocated below the watermark
+  // once and carried forever; the watermark only grows. This is what
+  // lets a KEYLESS table serve change feeds, streaming reads, and
+  // replica maintenance — the diff keys on `_row_id` instead of
+  // declared key columns. Same one-way reader compatibility as `ts:`.
   private final case class ResolvedVersion(version: Long, dirName: String,
                                            files: Option[Seq[String]],
                                            declaredPartCols: Seq[String] = Nil,
                                            commitTsMillis: Option[Long] = None,
                                            dvFiles: Seq[String] = Nil,
                                            op: Option[String] = None,
-                                           txn: Option[(String, Long)] = None) {
+                                           txn: Option[(String, Long)] = None,
+                                           rowIdBases: Map[String, Long] = Map.empty,
+                                           rowIdWm: Option[Long] = None) {
     def isFileList: Boolean = files.isDefined
+    def rowTracked: Boolean = rowIdWm.isDefined
   }
 
   private def readManifest(fs: FileSystem, p: Path): String = {
@@ -356,19 +371,31 @@ object WarehouseFs {
       if (cut <= 0) None
       else v.take(cut).toLongOption.map(b => (v.drop(cut + 1), b))
     }
+    // `ridwm:` + `rid:<base>:<file>` — row-tracking bases (see the
+    // format comment at [[ResolvedVersion]])
+    val ridWm = all.find(_.startsWith("ridwm:"))
+      .flatMap(_.stripPrefix("ridwm:").toLongOption)
+    val ridBases: Map[String, Long] = all.iterator
+      .filter(_.startsWith("rid:")).flatMap { l =>
+        val v = l.stripPrefix("rid:")
+        val cut = v.indexOf(':')
+        if (cut <= 0) None
+        else v.take(cut).toLongOption.map(b => (v.drop(cut + 1), b))
+      }.toMap
     val lines = all.filterNot(l =>
       l.startsWith("ts:") || l.startsWith("dv:") || l.startsWith("op:") ||
-        l.startsWith("txn:"))
+        l.startsWith("txn:") || l.startsWith("ridwm:") || l.startsWith("rid:"))
     if (lines.head.startsWith("files:")) {
       val partCols = lines.tail.headOption.filter(_.startsWith("partcols:"))
         .map(_.stripPrefix("partcols:").split(',').map(_.trim)
           .filter(_.nonEmpty).toSeq).getOrElse(Nil)
       val fileLines = lines.tail.dropWhile(_.startsWith("partcols:"))
       ResolvedVersion(version, lines.head.stripPrefix("files:"),
-        Some(fileLines.toSeq), partCols, ts, dvRefs, op, txn)
+        Some(fileLines.toSeq), partCols, ts, dvRefs, op, txn,
+        ridBases, ridWm)
     } else
       ResolvedVersion(version, lines.head, None, commitTsMillis = ts, op = op,
-        txn = txn)
+        txn = txn, rowIdBases = ridBases, rowIdWm = ridWm)
   }
 
   /** Every data-dir name a manifest keeps alive: its own dir plus, for a
@@ -419,7 +446,8 @@ object WarehouseFs {
                            r: ResolvedVersion): DataFrame = r.files match {
     case Some(fl) => readFilesGroupedDv(spark, table, fl, r)
     case None =>
-      reconcileDeclared(spark, table, spark.read.parquet(s"$table/${r.dirName}"))
+      reconcileDeclared(spark, table,
+        spark.read.parquet(s"$table/${r.dirName}").drop(RowIdCol))
   }
 
   /** [[readResolved]] WITHOUT the deletion-vector mask — for callers
@@ -429,7 +457,8 @@ object WarehouseFs {
                               r: ResolvedVersion): DataFrame = r.files match {
     case Some(fl) => readFilesGrouped(spark, table, fl)
     case None =>
-      reconcileDeclared(spark, table, spark.read.parquet(s"$table/${r.dirName}"))
+      reconcileDeclared(spark, table,
+        spark.read.parquet(s"$table/${r.dirName}").drop(RowIdCol))
   }
 
   /** Read a root-relative file list with partition columns RESTORED:
@@ -454,8 +483,11 @@ object WarehouseFs {
     }.toSeq.sortBy(_._1)
     groups.map { case (dir, fs0) =>
       val base = if (dir.isEmpty) table else s"$table/$dir"
+      // the row-tracking carrier column is internal plumbing, never
+      // table content (dropped BEFORE reconcile so the declared-schema
+      // subset check still fires); untracked files no-op
       reconcileTo(decl, spark.read.option("basePath", base)
-        .parquet(fs0.map(f => s"$table/$f"): _*))
+        .parquet(fs0.map(f => s"$table/$f"): _*).drop(RowIdCol))
     }.reduce(_.unionByName(_))
   }
 
@@ -1255,10 +1287,25 @@ object WarehouseFs {
       s"publishVersioned: $table advanced past version ${next - 1} — " +
         "re-derive from the current version and retry")
     fs.mkdirs(vd)
+    // row tracking: a full publish is a new generation — every file
+    // gets a fresh base ABOVE the prior watermark (monotonic: ids never
+    // recycle), except files whose rows carry the physical id column (a
+    // tracked compaction/OPTIMIZE fold), which keep identity that way
+    val ridLines =
+      if (resolveVersion(spark, table, None).exists(_.rowTracked) ||
+          rowTrackingRequested(spark, table)) {
+        val newFiles = versionFiles(fs, t,
+          ResolvedVersion(next, dataName, None))
+        val priorWm = resolveVersion(spark, table, None)
+          .flatMap(_.rowIdWm).getOrElse(0L)
+        ridHeaders(fs, t, spark.sessionState.newHadoopConf(), newFiles,
+          Map.empty, priorWm)
+      } else Nil
     // the commit instant travels IN the manifest body — mtime survives
     // neither distcp nor backup-restore (see the format comment above)
     require(commitManifest(fs, new Path(vd, vname(next)),
-        s"$dataName\nts:${System.currentTimeMillis()}\nop:$op"),
+        (Seq(dataName, s"ts:${System.currentTimeMillis()}", s"op:$op") ++
+          ridLines).mkString("\n")),
       s"publishVersioned: commit of version $next lost a concurrent race on $table")
     // a FULL publish materializes the complete schema in its own files —
     // a declared-schema sidecar ([[alterAddColumns]]) is now redundant
@@ -2505,7 +2552,7 @@ object WarehouseFs {
       val rel = expr(s"concat('$dir/', substring(_metadata.file_path, " +
         s"instr(_metadata.file_path, '$marker') + ${marker.length}))")
       val raw = spark.read.option("basePath", s"$table/$dir")
-        .parquet(fs0.map(f => s"$table/$f"): _*)
+        .parquet(fs0.map(f => s"$table/$f"): _*).drop(RowIdCol)
       val tagged = raw.select(Seq(rel.as("__dv_file"),
         expr("_metadata.row_index").as("__dv_pos")) ++
         raw.columns.map(col).toSeq: _*)
@@ -2602,6 +2649,175 @@ object WarehouseFs {
       }
       out.sorted.toSeq
     }
+
+  // ---- row tracking (stable per-row identity without key columns) ------
+  //
+  // A keyless fact table — the append-heavy log-shaped case — cannot
+  // produce CDC by key diffing. Row tracking closes the gap: every row
+  // gets a STABLE 64-bit id, `base(file) + row_index` (bases are
+  // manifest-assigned per file, `rid:` headers), and a tracked CoW
+  // rewrite carries survivors' ids PHYSICALLY in a hidden
+  // `_graft_row_id` column so identity survives the move (deletion-
+  // vector commits never move rows, so MoR identity is free). The
+  // change feed, table_changes, the streaming CDF source, and replica
+  // maintenance then key on `_row_id` with the same file-granular diff
+  // as the keyed feed. Delta Lake's row-tracking shape, re-expressed
+  // over the manifest: bases in headers instead of a log action,
+  // materialization through the same CoW carry that moves data columns.
+
+  /** The hidden physical column a tracked rewrite stores carried ids
+    * in. Never visible to readers ([[readFilesGrouped]] and friends
+    * drop it); the PUBLIC feed column is `_row_id`. */
+  val RowIdCol = "_graft_row_id"
+
+  /** Is row tracking live on the table's current version? (Tracking
+    * turns on by setting the `rowTracking=true` table property — the
+    * next commit backfills bases for every file — and stays on from
+    * then no matter the property.) */
+  def isRowTracked(spark: SparkSession, table: String): Boolean =
+    resolveVersion(spark, table, None).exists(_.rowTracked)
+
+  private def rowTrackingRequested(spark: SparkSession,
+                                   table: String): Boolean =
+    GraftCatalog.readProps(spark, table).get("rowTracking")
+      .exists(_.equalsIgnoreCase("true"))
+
+  /** Parquet footer row count — one metadata read, no data I/O. */
+  private def parquetRowCount(fs: FileSystem, p: Path,
+                              conf: org.apache.hadoop.conf.Configuration): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(fs.makeQualified(p), conf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
+
+  /** The `ridwm:`/`rid:` header lines for a commit over `files`:
+    * carried files keep their bases verbatim; files WITHOUT one (this
+    * commit's own new files — or every file, when tracking was just
+    * enabled on an existing table) get fresh ranges above the
+    * watermark, one footer row-count read each (metadata-class, paid
+    * once per file ever). Over-allocation is fine: rows whose id is
+    * physically materialized simply never use their file's derived
+    * range. */
+  private def ridHeaders(fs: FileSystem, t: Path,
+                         conf: org.apache.hadoop.conf.Configuration,
+                         files: Seq[String], priorBases: Map[String, Long],
+                         priorWm: Long): Seq[String] = {
+    var wm = priorWm
+    val lines = files.sorted.map { f =>
+      priorBases.get(f) match {
+        case Some(b) => s"rid:$b:$f"
+        case None =>
+          val line = s"rid:$wm:$f"
+          wm += parquetRowCount(fs, new Path(t, f), conf)
+          line
+      }
+    }
+    s"ridwm:$wm" +: lines
+  }
+
+  /** Read `files` of a tracked version WITH the stable `_row_id`
+    * column: data columns reconcile to the version's logical schema
+    * (mapping-aware, widen-upcasting, NULL-filling), masked rows drop,
+    * and the id materializes as `coalesce(physical _graft_row_id,
+    * file base + row_index)`. The base lookup broadcasts (O(|files|)
+    * rows); everything else is the plain grouped scan. */
+  private def readFilesRowId(spark: SparkSession, table: String,
+                             files: Seq[String],
+                             r: ResolvedVersion): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(r.rowTracked,
+      s"readFilesRowId: $table@v${r.version} is not row-tracked — set " +
+        "TBLPROPERTIES('rowTracking'='true') and land one commit")
+    val target = versionSchema(spark, table, r)
+    val mapping = columnMapping(spark, table)
+    val dv = readDvRelation(spark, table, r)
+    val dvFiles: Set[String] = dv.map(_.select("file").distinct()
+      .collect().map(_.getString(0)).toSet).getOrElse(Set.empty)
+    val groups = files.groupBy { f =>
+      val seg = f.takeWhile(_ != '/')
+      if (DataDirName.matches(seg)) seg else ""
+    }.toSeq.sortBy(_._1)
+    val perGroup = groups.map { case (dir, fs0) =>
+      val basePath = if (dir.isEmpty) table else s"$table/$dir"
+      val raw = spark.read.option("basePath", basePath)
+        .parquet(fs0.map(f => s"$table/$f"): _*)
+      val rel: Column =
+        if (dir.isEmpty) {
+          // pre-conversion files at the table root: prefix-probe the
+          // filesystem's file_path rendering (the REINDEX discipline)
+          val probe = spark.read.parquet(s"$table/${fs0.head}")
+            .select(col("_metadata.file_path")).limit(1).head().getString(0)
+          require(probe.endsWith(fs0.head),
+            s"readFilesRowId: cannot relativize $probe against ${fs0.head}")
+          expr(s"substring(_metadata.file_path, " +
+            s"${probe.length - fs0.head.length + 1})")
+        } else expr(s"concat('$dir/', substring(_metadata.file_path, " +
+          s"instr(_metadata.file_path, '/$dir/') + ${dir.length + 2}))")
+      val phys: Column =
+        if (raw.columns.contains(RowIdCol)) col(RowIdCol)
+        else lit(null).cast("long")
+      // inline reconcile (the [[reconcileTo]] rules) so the helper
+      // columns survive beside the data columns
+      val dataCols = target.map { f =>
+        val p = mapping.getOrElse(f.name, f.name)
+        val src =
+          if (raw.columns.contains(p)) p
+          else if (raw.columns.contains(f.name)) f.name
+          else ""
+        if (src.isEmpty) lit(null).cast(f.dataType).as(f.name)
+        else {
+          val from = raw.schema(src).dataType
+          (if (from != f.dataType &&
+               org.apache.spark.sql.catalyst.expressions.Cast
+                 .canUpCast(from, f.dataType)) col(src).cast(f.dataType)
+           else col(src)).as(f.name)
+        }
+      }
+      raw.select(dataCols ++ Seq(rel.as("__rid_file"),
+        expr("_metadata.row_index").as("__rid_pos"),
+        phys.as("__rid_phys")): _*)
+    }
+    val tagged = perGroup.reduce(_.unionByName(_))
+    val masked = dv match {
+      case Some(d) if files.exists(f => dvFiles.contains(relUriSpelling(f))) =>
+        tagged.join(d.select(col("file").as("__rid_file"),
+            col("pos").as("__rid_pos")),
+          Seq("__rid_file", "__rid_pos"), "left_anti")
+      case _ => tagged
+    }
+    import spark.implicits._
+    val lookup = broadcast(r.rowIdBases.toSeq
+      .map { case (f, b) => (relUriSpelling(f), b) }
+      .toDF("__rid_file", "__rid_base"))
+    masked.join(lookup, Seq("__rid_file"), "left")
+      .withColumn("_row_id",
+        coalesce(col("__rid_phys"), col("__rid_base") + col("__rid_pos")))
+      .drop("__rid_file", "__rid_pos", "__rid_phys", "__rid_base")
+  }
+
+  /** The table's content WITH the stable `_row_id` column — the read a
+    * keyless replica applies feeds against. Refuses untracked tables
+    * with the enabling step. */
+  def readWithRowId(spark: SparkSession, table: String,
+                    version: Option[Long] = None): Option[DataFrame] =
+    resolveVersion(spark, table, version).map { r =>
+      val (fs, t) = fsFor(spark, table)
+      readFilesRowId(spark, table, versionFiles(fs, t, r), r)
+    }
+
+  /** The touched-file read a CoW rewrite starts from: on a TRACKED
+    * table, survivors carry their stable id in the physical carrier
+    * column — the rewrite then stores it, and identity survives the
+    * move (inserted rows leave it null and derive from the new file's
+    * base). Untracked tables read plain. */
+  private def readTouchedForRewrite(spark: SparkSession, table: String,
+                                    touched: Seq[String],
+                                    r: ResolvedVersion): DataFrame =
+    if (r.rowTracked)
+      readFilesRowId(spark, table, touched, r)
+        .withColumnRenamed("_row_id", RowIdCol)
+    else readFilesGroupedDv(spark, table, touched, r)
 
   /** [[bloomCandidateFiles]] normalized to table-root-relative paths
     * (dir-format versions store them dir-relative). */
@@ -3146,10 +3362,20 @@ object WarehouseFs {
       fs.mkdirs(vd)
       val partColsHeader =
         if (partCols.nonEmpty) Seq(s"partcols:${partCols.mkString(",")}") else Nil
+      // row tracking: carried files keep their bases; this commit's own
+      // files (and, on first tracked commit, every backfilled file) get
+      // fresh ranges — one footer read per newly-based file
+      val ridLines =
+        if (base.rowTracked || rowTrackingRequested(spark, table))
+          ridHeaders(fs, t, spark.sessionState.newHadoopConf(),
+            newFiles ++ carriedNow, base.rowIdBases,
+            base.rowIdWm.getOrElse(0L))
+        else Nil
       val body =
         (Seq(s"files:$dirName", s"ts:${System.currentTimeMillis()}",
           s"op:$op") ++ txn.map { case (app, b) => s"txn:$b:$app" } ++
-          partColsHeader ++ dvRefs.map("dv:" + _) ++ newFiles ++ carriedNow)
+          ridLines ++ partColsHeader ++ dvRefs.map("dv:" + _) ++
+          newFiles ++ carriedNow)
           .mkString("\n")
       if (fs.exists(new Path(vd, vname(next)))) false
       else {
@@ -3281,7 +3507,7 @@ object WarehouseFs {
       .map(f => partitionCandidates(spark, table, bloomT, column, values, f.dataType))
       .getOrElse(bloomT)
     if (touched.isEmpty) return
-    val rewritten = readFilesGroupedDv(spark, table, touched, r)
+    val rewritten = readTouchedForRewrite(spark, table, touched, r)
       .filter(!col(column).isin(values: _*) || col(column).isNull)
     publishCoW(spark, table, r, rewritten, touched,
       all.diff(touched), keepVersions, refreshStats,
@@ -3312,7 +3538,7 @@ object WarehouseFs {
       .getOrElse(bloomT)
     if (touched.isEmpty) return
     val matched = col(column).isin(values: _*)
-    val base = readFilesGroupedDv(spark, table, touched, r)
+    val base = readTouchedForRewrite(spark, table, touched, r)
     require(set.keySet.subsetOf(base.columns.toSet),
       s"updateWhere: unknown SET columns ${set.keySet -- base.columns}")
     val rewritten = base.select(base.columns.toSeq.map { c =>
@@ -3377,28 +3603,45 @@ object WarehouseFs {
           .getOrElse(all)
     val survivors =
       if (touched.isEmpty) None
-      else Some(readFilesGroupedDv(spark, table, touched, r)
+      else Some(readTouchedForRewrite(spark, table, touched, r)
         .join(updates.select(keyCol).distinct(), Seq(keyCol), "left_anti"))
     // schema parity is a hard error, not a silent drop: an updates frame
     // with extra columns means the caller intended an evolution this path
-    // does not do (mixed-schema files would poison the manifest)
-    val tableCols = survivors.map(_.columns.toSeq).orElse(
-      if (all.nonEmpty) Some(versionSchema(spark, table, r).fieldNames.toSeq)
-      else None)
+    // does not do (mixed-schema files would poison the manifest). The
+    // row-id carrier column is OURS, not the caller's — excluded from
+    // the parity check, null-filled on the updates side (fresh keys are
+    // new identities and derive from the new file's base)
+    val tableCols = survivors
+      .map(_.columns.toSeq.filterNot(_ == RowIdCol)).orElse(
+        if (all.nonEmpty) Some(versionSchema(spark, table, r).fieldNames.toSeq)
+        else None)
     tableCols.foreach { cols =>
       require(updates.columns.toSet == cols.toSet,
         s"upsertRows: updates columns ${updates.columns.toSet} must equal " +
           s"table columns ${cols.toSet} — evolve the schema with publishVersioned")
     }
     val rewritten = survivors match {
-      case Some(s) => s.unionByName(updates.select(s.columns.map(col): _*))
+      case Some(s) =>
+        val upd =
+          if (s.columns.contains(RowIdCol))
+            updates.withColumn(RowIdCol,
+              org.apache.spark.sql.functions.lit(null).cast("long"))
+          else updates
+        s.unionByName(upd.select(s.columns.map(col): _*))
       case None =>
         tableCols.fold(updates)(cols => updates.select(cols.map(col): _*))
     }
     val aligned =
-      if (all.nonEmpty)
-        alignToSchema(rewritten, versionSchema(spark, table, r), "upsertRows")
-      else rewritten
+      if (all.nonEmpty) {
+        val schemaV = versionSchema(spark, table, r)
+        val alignTarget =
+          if (rewritten.columns.contains(RowIdCol))
+            org.apache.spark.sql.types.StructType(schemaV :+
+              org.apache.spark.sql.types.StructField(RowIdCol,
+                org.apache.spark.sql.types.LongType, nullable = true))
+          else schemaV
+        alignToSchema(rewritten, alignTarget, "upsertRows")
+      } else rewritten
     publishCoW(spark, table, r, aligned, touched,
       all.diff(touched), keepVersions, refreshStats,
       conflictProbe =
@@ -3419,7 +3662,8 @@ object WarehouseFs {
                  createPartitionBy: Seq[String] = Nil,
                  createBloomIndexCols: Seq[String] = Nil,
                  createZoneMapCols: Seq[String] = Nil,
-                 partitionByHint: Seq[String] = Nil): Unit = {
+                 partitionByHint: Seq[String] = Nil,
+                 txn: Option[(String, Long)] = None): Unit = {
     val spark = rows.sparkSession
     resolveVersion(spark, table, None) match {
       case None =>
@@ -3452,12 +3696,12 @@ object WarehouseFs {
         if (emptyState)
           publishCoW(spark, table, r, aligned, touched = all, carried = Nil,
             keepVersions, refreshStats, coalesceTo = Some(0),
-            partColsHint = partitionByHint, op = "append")
+            partColsHint = partitionByHint, op = "append", txn = txn)
         else
           publishCoW(spark, table, r, aligned, touched = Nil, carried = all,
             keepVersions, refreshStats, coalesceTo = Some(0),
             partColsHint = partitionByHint, blindAppend = true,
-            op = "append")
+            op = "append", txn = txn)
     }
   }
 
@@ -3670,7 +3914,7 @@ object WarehouseFs {
         s"deleteMatching: $table is not a versioned table"))
     val (touched, all) = prunedFileCore(spark, table, r, pruning._1, pruning._2)
     if (touched.isEmpty) return
-    val rewritten = readFilesGroupedDv(spark, table, touched, r)
+    val rewritten = readTouchedForRewrite(spark, table, touched, r)
       .filter(!coalesce(cond, lit(false)))
     publishCoW(spark, table, r, rewritten, touched,
       all.diff(touched), keepVersions, refreshStats,
@@ -3697,7 +3941,7 @@ object WarehouseFs {
     val (touched, all) = prunedFileCore(spark, table, r, pruning._1, pruning._2)
     if (touched.isEmpty) return
     val matched = coalesce(cond, lit(false))
-    val base = readFilesGroupedDv(spark, table, touched, r)
+    val base = readTouchedForRewrite(spark, table, touched, r)
     require(set.keySet.subsetOf(base.columns.toSet),
       s"updateMatching: unknown SET columns ${set.keySet -- base.columns}")
     val rewritten = base.select(base.columns.toSeq.map { c =>
@@ -3785,10 +4029,19 @@ object WarehouseFs {
       val next = base.version + 1L
       val vd = versionsDir(t)
       fs.mkdirs(vd)
+      // a mask-only commit moves no rows: bases carry verbatim (zero
+      // footer reads in the steady state; a just-enabled table
+      // backfills here exactly like the CoW tail)
+      val ridLines =
+        if (base.rowTracked || rowTrackingRequested(spark, table))
+          ridHeaders(fs, t, spark.sessionState.newHadoopConf(), all,
+            base.rowIdBases, base.rowIdWm.getOrElse(0L))
+        else Nil
       val body =
         (Seq(s"files:$dirName", s"ts:${System.currentTimeMillis()}",
           s"op:$op") ++ txn.map { case (app, b) => s"txn:$b:$app" } ++
-          partColsHeader ++ dvRefs.map("dv:" + _) ++ all).mkString("\n")
+          ridLines ++ partColsHeader ++ dvRefs.map("dv:" + _) ++ all)
+          .mkString("\n")
       if (fs.exists(new Path(vd, vname(next)))) false
       else {
         // same last-moment self-verification as [[publishCoW]]: the
@@ -3898,7 +4151,7 @@ object WarehouseFs {
     val parts = math.max(1,
       math.ceil(bytes / (targetMB * 1024.0 * 1024.0)).toInt)
     val rewritten =
-      readFilesGroupedDv(spark, table, touched, r).repartition(parts)
+      readTouchedForRewrite(spark, table, touched, r).repartition(parts)
     publishCoW(spark, table, r, rewritten, touched, all.diff(touched),
       keepVersions, refreshStats = false, coalesceTo = Some(0),
       op = "optimize")
@@ -3958,10 +4211,18 @@ object WarehouseFs {
     val next = cur.version + 1L
     val vd = versionsDir(t)
     fs.mkdirs(vd)
+    // a restore re-points at the target's files — its row-id bases (and
+    // watermark) restore with them, so identity survives the rollback
+    val ridLines =
+      if (r.rowTracked)
+        s"ridwm:${r.rowIdWm.get}" +:
+          files.sorted.flatMap(f => r.rowIdBases.get(f).map(b => s"rid:$b:$f"))
+      else Nil
     val body =
       (s"files:$dirName" +: s"ts:${System.currentTimeMillis()}" +:
         s"op:restore" +:
-        (partColsHeader ++ dvRefs.map("dv:" + _) ++ files)).mkString("\n")
+        (ridLines ++ partColsHeader ++ dvRefs.map("dv:" + _) ++ files))
+        .mkString("\n")
     // a concurrent VACUUM (which GCs without occupying a manifest slot)
     // may have expired the TARGET version between resolve and commit —
     // re-verify its manifest is still retained and its dirs still exist,
@@ -4442,7 +4703,11 @@ object WarehouseFs {
     * longer retained. */
   def changeFeed(spark: SparkSession, table: String, keyCols: Seq[String],
                  fromVersion: Long, toVersion: Long): Option[DataFrame] = {
-    require(keyCols.nonEmpty, "changeFeed: key columns required")
+    // KEYLESS tables feed by stable row identity instead: `keyCols =
+    // Nil` diffs on `_row_id` (row tracking required — the output then
+    // carries the id column, which is what a replica apply keys on)
+    if (keyCols.isEmpty)
+      return changeFeedByRowId(spark, table, fromVersion, toVersion)
     for {
       ro <- resolveVersion(spark, table, Some(fromVersion))
       rn <- resolveVersion(spark, table, Some(toVersion))
@@ -4489,6 +4754,60 @@ object WarehouseFs {
         else readFilesGroupedDv(spark, table, distinct, r)
       }
       rowDiff(side(ro, of), side(rn, nf), keyCols,
+        s"v$fromVersion and v$toVersion of $table")
+    }
+  }
+
+  /** [[changeFeed]] for a KEYLESS table: the diff keys on the stable
+    * `_row_id` (row tracking), with the SAME file-granular economics —
+    * a file both manifests reference under an unchanged mask holds
+    * bit-identical rows under unchanged ids, so only non-shared (and
+    * mask-changed) files enter the diff. A CoW rewrite carries
+    * survivors' ids physically, so an untouched-but-co-located row
+    * diffs equal and emits nothing; a genuinely changed row emits an
+    * update pair under ONE identity. Output = data columns + `_row_id`
+    * + `_change_type` — a replica maintains itself by applying
+    * deletes/updates/inserts keyed on `_row_id`. */
+  def changeFeedByRowId(spark: SparkSession, table: String,
+                        fromVersion: Long,
+                        toVersion: Long): Option[DataFrame] = {
+    for {
+      ro <- resolveVersion(spark, table, Some(fromVersion))
+      rn <- resolveVersion(spark, table, Some(toVersion))
+    } yield {
+      require(ro.rowTracked && rn.rowTracked,
+        s"changeFeed: $table has no declared keys and versions " +
+          s"$fromVersion/$toVersion are not row-tracked — set " +
+          "TBLPROPERTIES('rowTracking'='true') (the next commit " +
+          "backfills ids) or pass key columns")
+      val (fs, t) = fsFor(spark, table)
+      val of = versionFiles(fs, t, ro)
+      val nf = versionFiles(fs, t, rn)
+      // mask-changed shared files re-enter the diff (see [[changeFeed]])
+      val dvo = readDvRelation(spark, table, ro)
+      val dvn = readDvRelation(spark, table, rn)
+      val dvChanged: Set[String] =
+        if (dvo.isEmpty && dvn.isEmpty) Set.empty
+        else {
+          val empty = dvo.orElse(dvn).get.limit(0)
+          val a = dvo.getOrElse(empty)
+          val b = dvn.getOrElse(empty)
+          a.exceptAll(b).unionByName(b.exceptAll(a))
+            .select("file").distinct().collect().map(_.getString(0)).toSet
+        }
+      val shared = nf.toSet.intersect(of.toSet).diff(dvChanged)
+      def side(r: ResolvedVersion, own: Seq[String]): DataFrame = {
+        val distinct = own.filterNot(shared)
+        if (distinct.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(
+              versionSchema(spark, table, r) :+
+                org.apache.spark.sql.types.StructField("_row_id",
+                  org.apache.spark.sql.types.LongType, nullable = true)))
+        else readFilesRowId(spark, table, distinct, r)
+      }
+      rowDiff(side(ro, of), side(rn, nf), Seq("_row_id"),
         s"v$fromVersion and v$toVersion of $table")
     }
   }
@@ -4544,7 +4863,9 @@ object WarehouseFs {
                    fromVersion: Long,
                    toVersion: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
-    require(keyCols.nonEmpty, "tableChanges: key columns required")
+    // keyCols = Nil → the KEYLESS (row-tracked) feed: each step diffs
+    // on `_row_id` ([[changeFeedByRowId]]) and the initial snapshot
+    // carries the ids, so consumers apply by identity end to end
     val cur = currentVersion(spark, table).map(_._1).getOrElse(
       throw new IllegalArgumentException(
         s"tableChanges: $table is not a versioned table"))
@@ -4575,7 +4896,8 @@ object WarehouseFs {
     val steps = (fromVersion to to).map { v =>
       val step =
         if (v == 1L) // v0 never existed: the initial commit is all inserts
-          readTableVersion(spark, table, 1L)
+          (if (keyCols.isEmpty) readWithRowId(spark, table, Some(1L))
+           else readTableVersion(spark, table, 1L))
             .map(_.withColumn("_change_type", lit("insert")))
             .getOrElse(refuse(v))
         else changeFeed(spark, table, keyCols, v - 1, v).getOrElse(refuse(v))

@@ -70,14 +70,18 @@ class CdfSourceProvider extends StreamSourceProvider with DataSourceRegister {
                             schema: Option[StructType], providerName: String,
                             parameters: Map[String, String]): (String, StructType) =
     (shortName(), CdfSource.feedSchema(sqlContext, tableOf(parameters),
-      withCommitTs(parameters)))
+      withCommitTs(parameters),
+      keyless = !parameters.get("keyCols").exists(_.trim.nonEmpty)))
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
                             schema: Option[StructType], providerName: String,
                             parameters: Map[String, String]): Source = {
-    val keyCols = parameters.getOrElse("keyCols",
-      throw new IllegalArgumentException("graft-cdf: option 'keyCols' required"))
-      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    // keyCols absent/empty → the KEYLESS feed: the stream diffs on the
+    // stable `_row_id` (row tracking required — [[CdfSource]] validates
+    // at construction) and the output carries the id column
+    val keyCols = parameters.get("keyCols")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
     val maxVersions = parameters.get("maxVersionsPerTrigger").map { s =>
       val n = s.trim.toLongOption.getOrElse(throw new IllegalArgumentException(
         s"graft-cdf: maxVersionsPerTrigger must be a positive integer, got '$s'"))
@@ -94,12 +98,17 @@ class CdfSourceProvider extends StreamSourceProvider with DataSourceRegister {
 
 object CdfSource {
   /** Base table columns + the feed columns (`_commit_timestamp` gated
-    * by the `commitTimestamp` source option — see the provider note). */
+    * by the `commitTimestamp` source option — see the provider note).
+    * A KEYLESS stream additionally carries `_row_id` — the stable
+    * identity its consumers apply changes by. */
   def feedSchema(sqlContext: SQLContext, table: String,
-                 commitTs: Boolean = true): StructType = {
-    val base = WarehouseFs.readTable(sqlContext.sparkSession, table).getOrElse(
+                 commitTs: Boolean = true,
+                 keyless: Boolean = false): StructType = {
+    val data = WarehouseFs.readTable(sqlContext.sparkSession, table).getOrElse(
       throw new IllegalArgumentException(
         s"graft-cdf: $table is not a versioned table")).schema
+    val base = (if (keyless) data.add("_row_id", LongType, nullable = true)
+                else data)
       .add("_change_type", StringType, nullable = false)
       .add("_commit_version", LongType, nullable = false)
     if (!commitTs) base
@@ -190,13 +199,20 @@ class GraftStreamTableRule(spark: org.apache.spark.sql.SparkSession)
       throw new UnsupportedOperationException(
         s"graft-cdf: $name is a time-travel read — a stream follows the " +
           "live version chain")
+    // keyed when declared; KEYLESS (row-id) when the table is tracked;
+    // otherwise refuse naming both enabling steps
     val keyCols = Option(options.get("keyCols")).filter(_.nonEmpty)
       .orElse(props.collectFirst {
         case (k, v) if k.equalsIgnoreCase("keyCols") => v })
-      .getOrElse(throw new IllegalArgumentException(
-        s"graft-cdf: streaming $name needs its key columns — declare " +
-          "TBLPROPERTIES('keyCols'='…') at CREATE (or ALTER … SET " +
-          "TBLPROPERTIES), or pass .option(\"keyCols\", …)"))
+      .getOrElse {
+        if (graft.sources.WarehouseFs.isRowTracked(spark, path)) ""
+        else throw new IllegalArgumentException(
+          s"graft-cdf: streaming $name needs either key columns — " +
+            "TBLPROPERTIES('keyCols'='…') or .option(\"keyCols\", …) — " +
+            "or row tracking (TBLPROPERTIES('rowTracking'='true'), " +
+            "stable ids backfill at the next commit) for the keyless " +
+            "_row_id feed")
+      }
     // readStream.table defaults the catch-up rate limit (the raw source
     // spelling stays unbounded unless asked — its callers pass the
     // option explicitly): a lagging stream must drain in bounded
@@ -238,8 +254,17 @@ class CdfSource(sqlContext: SQLContext, table: String, keyCols: Seq[String],
                 commitTs: Boolean = true) extends Source {
   private val spark = sqlContext.sparkSession
 
+  // keyless mode diffs on the stable row id — validate the enabling
+  // step at construction, not at the first micro-batch
+  if (keyCols.isEmpty)
+    require(WarehouseFs.isRowTracked(spark, table),
+      s"graft-cdf: $table has no key columns and is not row-tracked — " +
+        "set TBLPROPERTIES('rowTracking'='true') (the next commit " +
+        "backfills stable ids) or pass .option(\"keyCols\", …)")
+
   override val schema: StructType =
-    CdfSource.feedSchema(sqlContext, table, commitTs)
+    CdfSource.feedSchema(sqlContext, table, commitTs,
+      keyless = keyCols.isEmpty)
 
   /** Highest version already "seen" before the stream begins (changes
     * OF version v are reported once v commits, so the floor is v−1 of
@@ -359,7 +384,11 @@ class CdfSource(sqlContext: SQLContext, table: String, keyCols: Seq[String],
       val feed = WarehouseFs.changeFeed(spark, table, keyCols, v, v + 1)
         .orElse {
           if (snapshotHere)
-            WarehouseFs.readTableVersion(spark, table, v + 1)
+            // keyless snapshots carry the ids — the consumer's replica
+            // seeds under the same identities the deltas will key on
+            (if (keyCols.isEmpty)
+              WarehouseFs.readWithRowId(spark, table, Some(v + 1))
+             else WarehouseFs.readTableVersion(spark, table, v + 1))
               .map(_.withColumn("_change_type", lit("insert")))
           else None
         }

@@ -738,6 +738,123 @@ class CdfStreamSpec extends SparkSpec {
       "the new identity's stamp must ride the commit")
   }
 
+  test("KEYLESS stream: a row-tracked table streams _row_id deltas — " +
+      "deletes, update pairs under one identity; untracked keyless " +
+      "streams refuse with the enabling step") {
+    val t = tmpTable()
+    graft.sources.GraftCatalog.writeProps(spark, t,
+      Map("rowTracking" -> "true"))
+    WarehouseFs.publishVersioned(
+      spark.range(100).select(col("id"), concat(lit("u"), col("id")).as("user")),
+      t, keepVersions = 10, bloomIndexCols = Seq("id"))
+    val ids = WarehouseFs.readWithRowId(spark, t).get
+      .select("_row_id", "id").collect()
+      .map(r => r.getLong(1) -> r.getLong(0)).toMap
+    val q = spark.readStream
+      .format("graft.streaming.CdfSourceProvider")
+      .option("table", t) // NO keyCols: the _row_id feed
+      .option("startingVersion", "2")
+      .load()
+      .writeStream.format("memory").queryName("rid_cdf_sink").start()
+    try {
+      WarehouseFs.deleteWhere(spark, t, "id", Seq(7L), keepVersions = 10)
+      WarehouseFs.updateWhere(spark, t, "id", Seq(3L),
+        Map("user" -> lit("patched")), keepVersions = 10)
+      q.processAllAvailable()
+      val got = spark.table("rid_cdf_sink")
+        .select("_row_id", "id", "user", "_change_type", "_commit_version")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getString(3), r.getLong(4))).toSet
+      assert(got === Set(
+        (ids(7L), 7L, "u7", "delete", 2L),
+        (ids(3L), 3L, "u3", "update_preimage", 3L),
+        (ids(3L), 3L, "patched", "update_postimage", 3L)),
+        s"got: $got")
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS rid_cdf_sink")
+    }
+    // an UNTRACKED keyless stream refuses at creation, naming the step
+    val t2 = tmpTable()
+    WarehouseFs.publishVersioned(spark.range(5).toDF("id"), t2,
+      keepVersions = 4)
+    val e = intercept[IllegalArgumentException] {
+      new CdfSource(spark.sqlContext, t2, Nil, None, None)
+    }
+    assert(e.getMessage.contains("rowTracking"), e.getMessage)
+  }
+
+  test("KEYLESS sink: micro-batches append onto a row-tracked table " +
+      "with fresh stable ids, exactly-once under the txn stamp") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val t = tmpTable()
+    graft.sources.GraftCatalog.writeProps(spark, t,
+      Map("rowTracking" -> "true"))
+    WarehouseFs.publishVersioned(
+      spark.range(10).select(col("id"), lit("seed").as("v")),
+      t, keepVersions = 12)
+    val base = java.nio.file.Files.createTempDirectory("graft_ridsink_").toString
+    val input = s"$base/in"; val ckpt = s"$base/ckpt"
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    def addFile(rows: (Long, String)*): Unit =
+      rows.toSeq.toDF("id", "v").coalesce(1)
+        .write.mode("append").parquet(input)
+    def drain(reset: Boolean = false): Unit = {
+      val w0 = spark.readStream.schema(schema).parquet(input)
+        .writeStream.format("graft")
+        .option("table", t) // NO keyCol: append-only
+        .option("keepVersions", "12")
+        .option("checkpointLocation", ckpt)
+      val q = (if (reset) w0.option("txnReset", "true") else w0)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    addFile(100L -> "a", 101L -> "b")
+    drain()
+    val v2 = WarehouseFs.currentVersion(spark, t).get._1
+    assert(v2 === 2L)
+    val withIds = WarehouseFs.readWithRowId(spark, t).get
+      .select("_row_id").as[Long].collect()
+    assert(withIds.length === 12 && withIds.distinct.length === 12,
+      "appended rows must land with fresh unique ids")
+    // duplicate rows are FINE in an append-only keyless table — that is
+    // the point: two identical rows are two identities
+    addFile(100L -> "a")
+    drain()
+    assert(WarehouseFs.readTable(spark, t).get
+      .filter(col("id") === 100L).count() === 2)
+    // crash between manifest and checkpoint commit: the replay skips
+    val last = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(f => !f.getName.startsWith(".")).maxBy(_.getName.toInt)
+    java.nio.file.Files.delete(last.toPath)
+    val crc = new java.io.File(last.getParent, s".${last.getName}.crc")
+    if (crc.exists()) java.nio.file.Files.delete(crc.toPath)
+    val vBefore = WarehouseFs.currentVersion(spark, t).get._1
+    drain() // batch 1 replay — not batch 0, so no refusal needed
+    assert(WarehouseFs.currentVersion(spark, t).get._1 === vBefore,
+      "the replayed append must not land twice")
+    assert(WarehouseFs.readTable(spark, t).get
+      .filter(col("id") === 100L).count() === 2,
+      "no duplicate appends from the replay")
+    // an untracked keyless target refuses at sink creation
+    val t2 = tmpTable()
+    WarehouseFs.publishVersioned(spark.range(5)
+      .select(col("id"), lit("x").as("v")), t2, keepVersions = 4)
+    val e = intercept[Exception] {
+      val q = spark.readStream.schema(schema).parquet(input)
+        .writeStream.format("graft").option("table", t2)
+        .option("checkpointLocation", s"$base/ckpt2")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    val msg = Seq(Option(e.getMessage), Option(e.getCause).flatMap(c =>
+      Option(c.getMessage))).flatten.mkString(" | ")
+    assert(msg.contains("rowTracking"), msg)
+  }
+
   test("commitTimestamp=false restores the pre-stamp feed schema — the " +
       "opt-out for streams restarted from legacy checkpoints") {
     val t = tmpTable()
