@@ -176,10 +176,6 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val path = tablePath(ident)
     val adds = changes.collect {
       case a: TableChange.AddColumn =>
-        if (a.fieldNames().length != 1)
-          throw new UnsupportedOperationException(
-            s"graft catalog: ADD COLUMNS of a nested field " +
-              s"(${a.fieldNames().mkString(".")}) is not supported")
         // silently committing `ADD COLUMN x NOT NULL` as nullable would
         // be a contract change the user never asked for: existing rows
         // have no value for the column, so NULL-ability is forced —
@@ -196,8 +192,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
             s"graft catalog: ADD COLUMN ${a.fieldNames()(0)} with a " +
               "position (FIRST/AFTER) is not supported — added columns " +
               "append at the end (committed files are never rewritten)")
+        // multi-part names address STRUCT LEAVES (`meta.lang`) — the
+        // verb's dotted-spelling form
         org.apache.spark.sql.types.StructField(
-          a.fieldNames()(0), a.dataType(), nullable = true)
+          a.fieldNames().mkString("."), a.dataType(), nullable = true)
     }
     val propSets = changes.collect {
       case p: TableChange.SetProperty => p.property() -> p.value()
@@ -213,24 +211,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
               s"(${r.fieldNames().mkString(".")}) is not supported")
         r.fieldNames()(0) -> r.newName()
     }
+    // nested (multi-part) DROP lowers onto the dotted-leaf verb: the
+    // declaration's struct narrows, reads hide the leaf's bytes
     val drops = changes.collect {
-      case d: TableChange.DeleteColumn =>
-        if (d.fieldNames().length != 1)
-          throw new UnsupportedOperationException(
-            s"graft catalog: DROP of a nested field " +
-              s"(${d.fieldNames().mkString(".")}) is not supported")
-        d.fieldNames()(0)
+      case d: TableChange.DeleteColumn => d.fieldNames().mkString(".")
     }
     // `ALTER COLUMN c TYPE <wider>` lowers onto the safe-widening verb
     // (byte→short→int→long, float→double, decimal precision growth at
     // equal scale) — narrowing/reinterpreting refuses inside the verb
     val widens = changes.collect {
       case u: TableChange.UpdateColumnType =>
-        if (u.fieldNames().length != 1)
-          throw new UnsupportedOperationException(
-            s"graft catalog: ALTER COLUMN TYPE of a nested field " +
-              s"(${u.fieldNames().mkString(".")}) is not supported")
-        u.fieldNames()(0) -> u.newDataType()
+        u.fieldNames().mkString(".") -> u.newDataType()
     }
     val unsupported = changes.filterNot(c =>
       c.isInstanceOf[TableChange.AddColumn] ||

@@ -759,6 +759,25 @@ object WarehouseFs {
     val (fs, t) = fsFor(spark, table)
     val st = ddlState(fs, t)
     val decl = st.decl.getOrElse(committedDeclaration(spark, table))
+    // dotted names drop a STRUCT LEAF: the declaration's struct
+    // narrows, files keep the leaf's bytes, reads rebuild the struct
+    // without it ([[castToDeclared]]); the dotted spelling tombstones
+    // so a later nested ADD can never resurrect them
+    if (name.contains('.')) {
+      val parts = name.split('.').toSeq
+      require(leafAt(decl, parts).isDefined,
+        s"alterDropColumn: $table has no nested field '$name'")
+      val parentStruct = leafAt(decl, parts.dropRight(1)).get.dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      require(parentStruct.fields.length > 1,
+        s"alterDropColumn: '$name' is the last field of its struct — " +
+          "drop the whole column instead")
+      refuseConstrainedColumn(spark, table, parts.head, "alterDropColumn")
+      requireDdlCommit(fs, t, st,
+        Some(pinAll(withLeaf(decl, parts, _ => None))),
+        st.dropped + name, "alterDropColumn")
+      return
+    }
     require(decl.fieldNames.contains(name),
       s"alterDropColumn: $table has no column '$name'")
     require(decl.fields.length > 1,
@@ -807,6 +826,28 @@ object WarehouseFs {
     val (fs, t) = fsFor(spark, table)
     val st = ddlState(fs, t)
     val decl = st.decl.getOrElse(committedDeclaration(spark, table))
+    // dotted names widen a STRUCT LEAF along the same lattice: the
+    // declaration's leaf type grows, files keep narrow leaf bytes, and
+    // reads upcast through the field-wise struct rebuild
+    // ([[castToDeclared]]). Leaves are not bloom-indexable (indexes key
+    // on top-level columns), so no float→double invalidation applies.
+    if (name.contains('.')) {
+      val parts = name.split('.').toSeq
+      val leaf = leafAt(decl, parts).getOrElse(
+        throw new IllegalArgumentException(
+          s"alterWidenColumn: $table has no nested field '$name'"))
+      require(widens(leaf.dataType, newType),
+        s"alterWidenColumn: ${leaf.dataType.simpleString} → " +
+          s"${newType.simpleString} is not a safe widening " +
+          "(byte→short→int→long, float→double, or decimal precision " +
+          "growth at equal scale)")
+      val evolved = withLeaf(decl, parts,
+        fl => Some(fl.copy(dataType = newType)))
+      requireDdlCommit(fs, t, st, Some(
+        if (mappingActive(decl)) pinAll(evolved) else evolved),
+        st.dropped, "alterWidenColumn")
+      return
+    }
     val f = decl.fields.find(_.name == name).getOrElse(
       throw new IllegalArgumentException(
         s"alterWidenColumn: $table has no column '$name'"))
@@ -931,18 +972,47 @@ object WarehouseFs {
     * physical spelling (NULL where the file predates the column) — the
     * strictness is what makes a DROP hide bytes and a RENAME re-label
     * them. */
+  /** Resolve a file-typed column to its DECLARED type: safe upcasts
+    * cast whole (int files under a bigint declaration); STRUCT targets
+    * that plain casting cannot reach REBUILD field-wise — a nested ADD
+    * null-fills the new leaf, a nested DROP omits the hidden one, a
+    * nested widen upcasts the leaf — recursively, null-preserving (a
+    * null struct stays null, not a struct of nulls). Anything else
+    * passes through untouched (a file WIDER than a stale declaration —
+    * the table evolved further by a full publish — must never
+    * downcast). */
+  private def castToDeclared(c: Column,
+                             from: org.apache.spark.sql.types.DataType,
+                             to: org.apache.spark.sql.types.DataType): Column = {
+    import org.apache.spark.sql.functions.{lit, struct, when}
+    import org.apache.spark.sql.types.StructType
+    if (from == to) c
+    else if (org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(from, to))
+      c.cast(to)
+    else (from, to) match {
+      case (f: StructType, t: StructType) =>
+        val built = struct(t.map { tf =>
+          f.find(_.name == tf.name) match {
+            case Some(ff) =>
+              castToDeclared(c.getField(tf.name), ff.dataType, tf.dataType)
+                .as(tf.name)
+            case None => lit(null).cast(tf.dataType).as(tf.name)
+          }
+        }: _*)
+        when(c.isNull, lit(null).cast(to)).otherwise(built)
+      case _ => c
+    }
+  }
+
   private def reconcileTo(decl: Option[org.apache.spark.sql.types.StructType],
                           df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     // a file narrower than a WIDENED declaration upcasts at this read
-    // boundary (int files under a bigint declaration); a file WIDER
-    // than a stale declaration (the table evolved further by a full
-    // publish) passes through untouched — a downcast would corrupt
+    // boundary; nested (struct-leaf) evolution rebuilds field-wise —
+    // see [[castToDeclared]]
     def toDeclared(c: Column, from: org.apache.spark.sql.types.DataType,
                    to: org.apache.spark.sql.types.DataType): Column =
-      if (from == to ||
-          !org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(from, to)) c
-      else c.cast(to)
+      castToDeclared(c, from, to)
     decl match {
       case Some(d) if mappingActive(d) =>
         // physical spelling first; the LOGICAL spelling as fallback —
@@ -986,6 +1056,74 @@ object WarehouseFs {
     * aligning to [[versionSchema]] see the evolved width immediately,
     * so appends/upserts/merges must supply the new columns from then
     * on. */
+  // ---- nested (struct-leaf) declaration surgery ------------------------
+  //
+  // ADD / DROP / widen of a struct LEAF ride the same declared-schema
+  // epochs as top-level DDL: the declaration's StructType nests, files
+  // keep their bytes, and every read rebuilds structs field-wise to the
+  // declared shape ([[castToDeclared]] — a dropped leaf hides, an added
+  // leaf null-fills, a widened leaf upcasts). Dotted spellings
+  // (`meta.lang`) address leaves; RENAME of a leaf still refuses (it
+  // needs leaf-level physical mapping — the top-level mapping's model
+  // does not extend below the column boundary yet).
+
+  /** The leaf `path` addresses in `decl`, if any. */
+  private def leafAt(decl: org.apache.spark.sql.types.StructType,
+                     path: Seq[String])
+      : Option[org.apache.spark.sql.types.StructField] = path match {
+    case Seq(one) => decl.find(_.name == one)
+    case head +: rest => decl.find(_.name == head).flatMap(_.dataType match {
+      case s: org.apache.spark.sql.types.StructType => leafAt(s, rest)
+      case _ => None
+    })
+    case _ => None
+  }
+
+  /** Rebuild `decl` with the leaf at `path` transformed: `f` returning
+    * Some replaces it, None drops it; a missing intermediate struct
+    * refuses loudly. Appending a NEW leaf uses [[withNewLeaf]]. */
+  private def withLeaf(decl: org.apache.spark.sql.types.StructType,
+                       path: Seq[String],
+                       f: org.apache.spark.sql.types.StructField =>
+                         Option[org.apache.spark.sql.types.StructField])
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    path match {
+      case Seq(leaf) =>
+        StructType(decl.fields.flatMap(fl =>
+          if (fl.name == leaf) f(fl) else Some(fl)))
+      case head +: rest =>
+        StructType(decl.fields.map {
+          case fl if fl.name == head => fl.dataType match {
+            case s: StructType => fl.copy(dataType = withLeaf(s, rest, f))
+            case other => throw new IllegalArgumentException(
+              s"'${head}' is ${other.simpleString}, not a struct — cannot " +
+                s"address ${path.mkString(".")}")
+          }
+          case fl => fl
+        })
+    }
+  }
+
+  /** Append a new leaf under the struct `path` addresses. */
+  private def withNewLeaf(decl: org.apache.spark.sql.types.StructType,
+                          parent: Seq[String],
+                          leaf: org.apache.spark.sql.types.StructField)
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types.{StructType}
+    if (parent.isEmpty) StructType(decl.fields :+ leaf)
+    else StructType(decl.fields.map {
+      case fl if fl.name == parent.head => fl.dataType match {
+        case s: StructType =>
+          fl.copy(dataType = withNewLeaf(s, parent.tail, leaf))
+        case other => throw new IllegalArgumentException(
+          s"'${parent.head}' is ${other.simpleString}, not a struct — " +
+            "cannot add a nested field under it")
+      }
+      case fl => fl
+    })
+  }
+
   def alterAddColumns(spark: SparkSession, table: String,
                       newCols: org.apache.spark.sql.types.StructType): Unit = {
     require(newCols.nonEmpty, "alterAddColumns: no columns given")
@@ -999,6 +1137,10 @@ object WarehouseFs {
     val (fsA, tA) = fsFor(spark, table)
     val st = ddlState(fsA, tA)
     val declNow = st.decl
+    // dotted names address STRUCT LEAVES (`meta.lang`) — additive
+    // nested evolution through the same epoch, reads null-fill via the
+    // field-wise struct rebuild
+    val (nested, flat) = newCols.partition(_.name.contains('.'))
     // the new name must be free among logical names AND pinned physical
     // spellings — a file column may still back a renamed logical column,
     // and an ADD reusing that spelling would feed one file column into
@@ -1006,18 +1148,41 @@ object WarehouseFs {
     val taken = (current.map(_.name) ++
       declNow.toSeq.flatMap(_.fields.map(physicalOf)) ++
       st.dropped).map(_.toLowerCase)
-    val clash = newCols.map(_.name.toLowerCase).intersect(taken)
+    val clash = flat.map(_.name.toLowerCase).intersect(taken)
     require(clash.isEmpty,
       s"alterAddColumns: column(s) ${clash.mkString(", ")} already exist " +
         "as a logical name or a pinned physical spelling (type changes " +
         "are not supported — they would reinterpret already-written bytes)")
-    val evolved = declNow match {
-      case Some(d) if mappingActive(d) =>
-        pinAll(org.apache.spark.sql.types.StructType(d.fields ++ newCols))
-      case _ => org.apache.spark.sql.types.StructType(current ++ newCols)
+    val base0 = declNow.getOrElse(current)
+    nested.foreach { f =>
+      val parts = f.name.split('.').toSeq
+      val parent = parts.dropRight(1)
+      val leaf = parts.last
+      val parentField = leafAt(base0, parent)
+      require(parentField.exists(
+          _.dataType.isInstanceOf[org.apache.spark.sql.types.StructType]),
+        s"alterAddColumns: '${parent.mkString(".")}' is not a struct " +
+          s"column of $table — nested ADD addresses an existing struct")
+      val siblings = parentField.get.dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      require(!siblings.exists(_.name.equalsIgnoreCase(leaf)),
+        s"alterAddColumns: '${f.name}' already exists")
+      require(!st.dropped.exists(_.equalsIgnoreCase(f.name)),
+        s"alterAddColumns: '${f.name}' was DROPPED — committed files " +
+          "still store its bytes, and re-adding the spelling would " +
+          "silently resurrect them as the new field's values")
     }
-    requireDdlCommit(fsA, tA, st, Some(evolved), st.dropped,
-      "alterAddColumns")
+    var evolved = base0
+    nested.foreach { f =>
+      val parts = f.name.split('.').toSeq
+      evolved = withNewLeaf(evolved, parts.dropRight(1),
+        org.apache.spark.sql.types.StructField(parts.last, f.dataType,
+          nullable = true))
+    }
+    evolved = org.apache.spark.sql.types.StructType(evolved.fields ++ flat)
+    requireDdlCommit(fsA, tA, st,
+      Some(if (declNow.exists(mappingActive)) pinAll(evolved) else evolved),
+      st.dropped, "alterAddColumns")
   }
 
   /** Partition columns encoded in a root-relative file path's layout
@@ -2563,24 +2728,33 @@ object WarehouseFs {
         else tagged.join(
           dv.get.select(col("file").as("__dv_file"), col("pos").as("__dv_pos")),
           Seq("__dv_file", "__dv_pos"), "left_anti")
-      // reconcile the DATA columns to the declared width before the
-      // union (see [[readFilesGrouped]]); the tags ride in front
+      // reconcile the DATA columns to the declared width AND types
+      // before the union (see [[readFilesGrouped]] / [[castToDeclared]]
+      // — a widened or nested-evolved leaf must resolve on MASKED files
+      // exactly as on clean ones, or the union above mixes widths); the
+      // tags ride in front
       val dataCols = masked.columns.filterNot(Set("__dv_file", "__dv_pos"))
+      def declared(f: org.apache.spark.sql.types.StructField,
+                   src: String): Column =
+        castToDeclared(col(src), masked.schema(src).dataType, f.dataType)
+          .as(f.name)
       decl match {
         case Some(d) if mappingActive(d) =>
           // strict mapped resolution with the logical-spelling fallback
           // (see [[reconcileTo]]); tags in front
           masked.select(col("__dv_file") +: col("__dv_pos") +: d.map { f =>
             val p = physicalOf(f)
-            if (dataCols.contains(p)) col(p).as(f.name)
-            else if (dataCols.contains(f.name)) col(f.name)
+            if (dataCols.contains(p)) declared(f, p)
+            else if (dataCols.contains(f.name)) declared(f, f.name)
             else org.apache.spark.sql.functions.lit(null)
               .cast(f.dataType).as(f.name)
           }: _*)
         case Some(d) if dataCols.toSet.subsetOf(d.fieldNames.toSet) &&
-            dataCols.toSet != d.fieldNames.toSet =>
+            (dataCols.toSet != d.fieldNames.toSet ||
+              d.exists(f => dataCols.contains(f.name) &&
+                masked.schema(f.name).dataType != f.dataType)) =>
           masked.select(col("__dv_file") +: col("__dv_pos") +: d.map(f =>
-            if (dataCols.contains(f.name)) col(f.name)
+            if (dataCols.contains(f.name)) declared(f, f.name)
             else org.apache.spark.sql.functions.lit(null)
               .cast(f.dataType).as(f.name)): _*)
         case _ => masked

@@ -295,4 +295,111 @@ class ColumnMappingSpec extends SparkSpec {
     assert(ds.filter(col("username") === "u42").count() === 1)
     ()
   }
+
+  test("NESTED-field DDL: ADD / widen / DROP a struct leaf through the " +
+      "epoch — files keep their bytes, reads rebuild field-wise, old " +
+      "and new eras serve together, resurrection refuses") {
+    import org.apache.spark.sql.types._
+    val t = tmpTable()
+    // the multimodal `meta` shape: a struct column beside scalars
+    WarehouseFs.publishVersioned(
+      spark.range(2000).select(col("id"),
+        struct((col("id") % 100).cast("int").as("width"),
+          (col("id") % 50).cast("int").as("height"),
+          concat(lit("l"), col("id") % 3).as("lang")).as("meta"))
+        .repartitionByRange(4, col("id")),
+      t, keepVersions = 8, bloomIndexCols = Seq("id"))
+    // nested ADD: old rows read the new leaf as NULL
+    WarehouseFs.alterAddColumns(spark, t,
+      StructType(Seq(StructField("meta.score", DoubleType))))
+    val df1 = WarehouseFs.readTable(spark, t).get
+    assert(df1.schema("meta").dataType.asInstanceOf[StructType]
+      .fieldNames.toSeq === Seq("width", "height", "lang", "score"))
+    assert(df1.filter(col("meta.score").isNotNull).count() === 0)
+    // a new row carries the evolved struct; both eras serve together
+    WarehouseFs.appendRows(
+      spark.range(9000, 9001).select(col("id"),
+        struct(lit(7).as("width"), lit(8).as("height"),
+          lit("lx").as("lang"), lit(0.9).as("score")).as("meta")),
+      t, keepVersions = 8)
+    val mixed = WarehouseFs.readTable(spark, t).get
+    assert(mixed.count() === 2001)
+    assert(mixed.filter(col("meta.score").isNotNull).count() === 1)
+    assert(mixed.filter(col("id") === 9000L).select("meta.score")
+      .as[Double].head() === 0.9)
+    // nested WIDEN: int leaf under a long declaration, both eras exact
+    WarehouseFs.alterWidenColumn(spark, t, "meta.width", LongType)
+    val w = WarehouseFs.readTable(spark, t).get
+    assert(w.schema("meta").dataType.asInstanceOf[StructType]
+      .apply("width").dataType === LongType)
+    assert(w.filter(col("meta.width") === 42L).count() === 20,
+      "old int leaf bytes must serve under the widened declaration")
+    // narrowing a leaf refuses
+    intercept[IllegalArgumentException] {
+      WarehouseFs.alterWidenColumn(spark, t, "meta.height", ByteType) }
+    // nested DROP hides bytes the files still store
+    WarehouseFs.alterDropColumn(spark, t, "meta.lang")
+    val d = WarehouseFs.readTable(spark, t).get
+    assert(d.schema("meta").dataType.asInstanceOf[StructType]
+      .fieldNames.toSeq === Seq("width", "height", "score"))
+    // …and the raw bytes are untouched (the epoch is metadata-only)
+    val rawDirs = new java.io.File(t).listFiles()
+      .filter(f => f.getName.startsWith("v") && f.isDirectory)
+    val raw = spark.read.parquet(rawDirs.map(_.toString): _*)
+    assert(raw.select("meta.lang").limit(1).count() === 1,
+      "files must still store the dropped leaf's bytes")
+    // resurrection refuses; a DIFFERENT leaf adds fine and null-fills
+    val e = intercept[IllegalArgumentException] {
+      WarehouseFs.alterAddColumns(spark, t,
+        StructType(Seq(StructField("meta.lang", StringType)))) }
+    assert(e.getMessage.contains("resurrect"), e.getMessage)
+    WarehouseFs.alterAddColumns(spark, t,
+      StructType(Seq(StructField("meta.lang2", StringType))))
+    assert(WarehouseFs.readTable(spark, t).get
+      .filter(col("meta.lang2").isNotNull).count() === 0)
+    // DSv2 parity over the whole evolution
+    val ds = spark.read.format("graft").option("table", t).load()
+    assert(ds.schema("meta").dataType.asInstanceOf[StructType]
+      .fieldNames.toSeq === Seq("width", "height", "score", "lang2"))
+    assert(ds.filter(col("meta.width") === 42L).count() === 20)
+    assert(ds.filter(col("id") === 9000L).select("meta.score")
+      .as[Double].head() === 0.9)
+    // MoR: a masked file reconciles identically to clean ones (id 42's
+    // width IS 42 — masking it must drop exactly one width-42 row)
+    WarehouseFs.deleteWhereVectors(spark, t, "id", Seq(42L), keepVersions = 8)
+    val m = WarehouseFs.readTable(spark, t).get
+    assert(m.count() === 2000)
+    assert(m.filter(col("id") === 42L).count() === 0)
+    assert(m.schema("meta").dataType.asInstanceOf[StructType]
+      .fieldNames.toSeq === Seq("width", "height", "score", "lang2"))
+    assert(m.filter(col("meta.width") === 42L).count() === 19,
+      "the masked read must rebuild structs exactly like the clean one")
+  }
+
+  test("NESTED-field DDL through SQL: ADD COLUMNS (meta.x), ALTER " +
+      "COLUMN meta.w TYPE BIGINT, DROP COLUMN meta.y; leaf RENAME " +
+      "still refuses") {
+    import org.apache.spark.sql.types._
+    val n = s"nested_sql_${System.nanoTime()}"
+    spark.sql(s"CREATE TABLE graft.$n (id BIGINT, " +
+      "meta STRUCT<w: INT, h: INT>) TBLPROPERTIES('keepVersions'='6')")
+    spark.sql(s"INSERT INTO graft.$n VALUES (1, named_struct('w', 10, 'h', 20))")
+    spark.sql(s"ALTER TABLE graft.$n ADD COLUMNS (meta.x STRING)")
+    spark.sql(s"ALTER TABLE graft.$n ALTER COLUMN meta.w TYPE BIGINT")
+    spark.sql(s"ALTER TABLE graft.$n DROP COLUMN meta.h")
+    val got = spark.table(s"graft.$n")
+    assert(got.schema("meta").dataType.asInstanceOf[StructType]
+      .fields.map(f => (f.name, f.dataType)).toSeq ===
+      Seq(("w", LongType), ("x", StringType)))
+    assert(got.select("meta.w").as[Long].head() === 10L)
+    // the evolved schema writes through SQL too
+    spark.sql(s"INSERT INTO graft.$n VALUES " +
+      "(2, named_struct('w', CAST(99 AS BIGINT), 'x', 'hello'))")
+    assert(spark.sql(s"SELECT meta.x FROM graft.$n WHERE id = 2")
+      .head().getString(0) === "hello")
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.$n RENAME COLUMN meta.w TO wide") }
+    assert(e.getMessage.contains("nested"), e.getMessage)
+    spark.sql(s"DROP TABLE graft.$n")
+  }
 }
