@@ -14,8 +14,21 @@ object GraftSession {
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
 
+  // attach() is called at the top of every SQL-entry query, and each call
+  // was re-running `spark.read.parquet` (path listing + footer schema
+  // inference) for all ten tables plus ten view registrations — pure
+  // metadata overhead repeated per query invocation (guide §6: cache
+  // file-source metadata). The work is idempotent for a given (session,
+  // sfDir), so memoize it; a different sfDir on the same session (the
+  // bench's warmup pass runs sf0.001 before the timed sf0.1 pass)
+  // re-attaches. Weak keys: stopped test sessions drop out.
+  private val attachedDir = new java.util.WeakHashMap[SparkSession, String]
+
   /** Idempotent per-session setup. */
   def attach(spark: SparkSession, sfDir: String): SparkSession = {
+    attachedDir.synchronized {
+      if (attachedDir.get(spark) == sfDir) return spark
+    }
     // cost-based optimization ON: committed graft statistics (row
     // counts, NDV, null counts, equi-height histograms) reach Catalyst
     // through the DSv2 scan, and the CBO is what CONSUMES them —
@@ -38,6 +51,7 @@ object GraftSession {
     org.apache.spark.sql.graft.SketchExpressions.register(spark)
     org.apache.spark.sql.graft.BloomExpressions.register(spark)
     org.apache.spark.sql.graft.TopKSketch.register(spark)
+    attachedDir.synchronized { attachedDir.put(spark, sfDir) }
     spark
   }
 

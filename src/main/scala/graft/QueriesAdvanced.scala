@@ -198,17 +198,23 @@ object QueriesAdvanced {
 
     // Recursive CTE (Spark ≥4.0 WITH RECURSIVE): a recursive generator —
     // doubling quantity thresholds 1,2,4,…,64 — joined against the fact.
-    // Same SQL runs verbatim in DuckDB; exercises the UnionLoop iterative
-    // evaluation path the DataFrame API can't express.
+    // Exercises the UnionLoop iterative evaluation path the DataFrame API
+    // can't express. r16 (guide §2.3 "aggregate before you shuffle"): the
+    // fact side pre-aggregates to its ≤50 distinct l_quantity values
+    // BEFORE the ≤-join, so the broadcast-nested-loop compares 7×50 rows
+    // instead of fanning every lineitem row out to each qualifying level;
+    // SUM(n) over the bucket counts ≡ COUNT(*) over the fanned-out rows
+    // (inner join drops nothing: thr ≥ 1 ≤ min quantity on both forms).
     "sql_recursive_cte" -> ((s, d) => {
       GraftSession.attach(s, d)
       s.sql("""
         WITH RECURSIVE lvl(k, thr) AS (
           SELECT 0, 1
           UNION ALL
-          SELECT k + 1, thr * 2 FROM lvl WHERE k < 6)
-        SELECT l.k, l.thr, COUNT(*) AS n_below
-        FROM lvl l JOIN lineitem ON l_quantity <= l.thr
+          SELECT k + 1, thr * 2 FROM lvl WHERE k < 6),
+        q AS (SELECT l_quantity, COUNT(*) AS n FROM lineitem GROUP BY l_quantity)
+        SELECT l.k, l.thr, SUM(q.n) AS n_below
+        FROM lvl l JOIN q ON q.l_quantity <= l.thr
         GROUP BY l.k, l.thr""")
     }),
 

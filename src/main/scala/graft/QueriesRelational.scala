@@ -136,7 +136,11 @@ object QueriesRelational {
     // width², never lineitem²), and both sides are the same aggregate so
     // the exchange is computed once and reused. At 100 TB the support
     // filter is what keeps the output bounded; the shuffle key is the
-    // order id throughout.
+    // order id throughout. (r16 note: a collect_set + HOF pair-explosion
+    // rewrite was measured 1.8× SLOWER — collect_set is an
+    // ObjectHashAggregate that falls back to sort-based aggregation past
+    // 128 in-memory groups per partition, so the order-keyed set build
+    // pays a corpus sort the codegen'd join form never does. Kept as-is.)
     "join_basket_pairs" -> ((s, d) => {
       val ob = lineitem(s, d)
         .join(part(s, d), col("l_partkey") === col("p_partkey"))

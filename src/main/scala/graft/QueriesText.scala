@@ -444,27 +444,28 @@ object QueriesText {
     // complement of the WITHIN-doc gopher repetition signals): for each
     // doc, the fraction of its word 8-gram shingles that also occur in at
     // least one OTHER document. Shingle generation is a map-only HOF
-    // (sequence→transform→slice, codegen'd, no UDF); then one distinct on
-    // (doc_id, shingle), one count keyed by shingle, a shingle-keyed join
-    // back (both sides already hash-partitioned on shingle — AQE reuses
-    // the exchange), and a final doc_id rollup. At 100 TB the shingle
-    // string is replaced by xxhash64(shingle) — 8 bytes through every
-    // shuffle instead of ~50 — with the same plan shape; the string form
-    // here is what the cross-engine oracle can check.
+    // (sequence→transform→slice, codegen'd, no UDF). r16 shape (guide
+    // §2.3/§2.4): the per-doc `array_distinct` replaces the old global
+    // (doc_id, shingle) DISTINCT — the pair set is identical because doc
+    // ids differ across docs — deleting one corpus-wide exchange; the
+    // explicit `repartition(shingle)` then feeds BOTH the ndocs count and
+    // the probe side, so the scan+shingle subtree runs ONCE and the
+    // second consumer is a ReusedExchange (the old groupBy+join shape
+    // re-scanned the corpus and re-hashed every shingle for the probe).
+    // Join (not window) on the shingle key keeps the hot-shingle skew
+    // streaming + AQE-splittable at 100 TB. Shuffles carry
+    // xxhash64(shingle) — 8 bytes; a 64-bit collision could only merge
+    // two distinct shingles into one count bucket (odds ~n²/2^65; the
+    // sf0.01 hash gate confirms none at test scale).
     "text_crossdoc_dup" -> ((s, d) => {
       val words = split(col("text"), " ")
-      // the shingle string never reaches the output (per-doc counts
-      // only), so the two shuffles carry xxhash64(shingle) — 8 bytes
-      // instead of an 8-word string; a 64-bit collision could only
-      // merge two distinct shingles into one count bucket (odds
-      // ~n²/2^65; the sf0.01 hash gate confirms none at test scale)
-      val shingles = documents(s, d).select(
+      val ds = documents(s, d).select(
           col("doc_id"),
           explode(when(size(words) >= 8,
-              transform(sequence(lit(1), size(words) - lit(7)),
-                i => xxhash64(array_join(slice(words, i, lit(8)), " "))))
+              array_distinct(transform(sequence(lit(1), size(words) - lit(7)),
+                i => xxhash64(array_join(slice(words, i, lit(8)), " ")))))
             .otherwise(array().cast("array<bigint>"))).as("shingle"))
-      val ds = shingles.distinct()
+        .repartition(col("shingle"))
       val freq = ds.groupBy("shingle").agg(count(lit(1)).as("ndocs"))
       ds.join(freq, "shingle")
         .groupBy("doc_id")
@@ -501,6 +502,10 @@ object QueriesText {
     // STRING pipeline and the sf0.01 hash gate confirms identity.
     "text_repeated_spans" -> ((s, d) => {
       val words = split(col("text"), " ")
+      // r16 (guide §2.4): `repartition(gram)` feeds both the frequency
+      // count and the probe side of the join — the scan+shingle subtree
+      // runs ONCE and the probe is a ReusedExchange; the old shape
+      // re-scanned the corpus and re-hashed every gram for the probe.
       val grams = documents(s, d).select(
           col("doc_id"),
           posexplode(when(size(words) >= 8,
@@ -509,6 +514,7 @@ object QueriesText {
             .otherwise(array().cast("array<bigint>"))))
         .select(col("doc_id"), (col("pos") + lit(1)).cast(LongType).as("pos"),
           col("col").as("gram"))
+        .repartition(col("gram"))
       val freq = grams.groupBy("gram").agg(count(lit(1)).as("cnt"))
       val dup = grams.join(freq.filter(col("cnt") >= 2), "gram")
         .select("doc_id", "pos")
@@ -557,13 +563,15 @@ object QueriesText {
           col("word"))
       val grams = docs.select(
           col("doc_id"),
-          // hashed-gram shuffles, same rationale as text_repeated_spans
+          // hashed-gram shuffles + repartition-for-reuse, same rationale
+          // as text_repeated_spans
           posexplode(when(size(wordsArr) >= 8,
               transform(sequence(lit(1), size(wordsArr) - lit(7)),
                 i => xxhash64(array_join(slice(wordsArr, i, lit(8)), " "))))
             .otherwise(array().cast("array<bigint>"))))
         .select(col("doc_id"), (col("pos") + lit(1)).cast(LongType).as("pos"),
           col("col").as("gram"))
+        .repartition(col("gram"))
       val freq = grams.groupBy("gram").agg(count(lit(1)).as("cnt"))
       val dup = grams.join(freq.filter(col("cnt") >= 2), "gram")
         .select("doc_id", "pos")

@@ -13,8 +13,32 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * and remain prunable.
   */
 object Tables {
+  // Catalog-style METADATA memoization (guide §6: repeated listings are
+  // driver-side overhead — table formats cache file/schema metadata).
+  // `spark.read.parquet` re-lists the path and re-reads the parquet footer
+  // for schema inference on EVERY call; the bench/verify harnesses invoke
+  // each of the 162 queries repeatedly, so the same immutable testdata
+  // file was being re-inspected thousands of times per run. The memoized
+  // DataFrame pins the resolved relation (file listing + schema); every
+  // query still plans and EXECUTES from the parquet bytes — no results or
+  // intermediates are cached. Keyed weakly on the session so stopped test
+  // sessions drop their entries, and per-path so multi-SF runs coexist.
+  private val metaCache =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, DataFrame]]
+
+  private def cacheFor(spark: SparkSession) = metaCache.synchronized {
+    var m = metaCache.get(spark)
+    if (m == null) {
+      m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+      metaCache.put(spark, m)
+    }
+    m
+  }
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    cacheFor(spark).getOrElseUpdate(s"$sfDir/$name.parquet",
+      spark.read.parquet(s"$sfDir/$name.parquet"))
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
@@ -38,15 +62,16 @@ object Tables {
     * belongs on a partition column at 100 TB anyway (EtlPipeline's mart
     * layout), and every query here filters on derived day/window keys.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = table(s, d, "events")
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => raw
-      case _ => raw.withColumn("ts",
-        org.apache.spark.sql.functions.expr("unix_micros(cast(ts AS timestamp)) * 1000"))
-    }
-  }
+  def events(s: SparkSession, d: String): DataFrame =
+    cacheFor(s).getOrElseUpdate(s"$d/events.parquet#ns", {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = s.read.parquet(s"$d/events.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => raw
+        case _ => raw.withColumn("ts",
+          org.apache.spark.sql.functions.expr("unix_micros(cast(ts AS timestamp)) * 1000"))
+      }
+    })
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

@@ -88,4 +88,25 @@ object Graph {
     }
     rank.select("node", "r")
   }
+
+  /** [[pageRankInt]] for BOUNDED vertex domains (event types, status
+    * codes, categories — dozens of distinct values at any corpus size):
+    * the corpus-sized edge rollup stays distributed, but the sweeps run
+    * inside ONE expression call over the collect_list'd ≤|T|² aggregated
+    * edge table ([[org.apache.spark.sql.graft.GraphExpressions]]),
+    * replacing `iters` join+aggregate jobs (plus their checkpoints and
+    * per-sweep scheduling) with a single-task loop — guide §8's "decide
+    * with small rows" applied to the iteration itself. Bit-identical to
+    * [[pageRankInt]] (GraphSpec asserts equality); empty edge tables
+    * return empty instead of throwing.
+    */
+  def pageRankIntBounded(edges: DataFrame, iters: Int = 10,
+                         scale: Long = 1000000000000L,
+                         dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
+    import org.apache.spark.sql.graft.GraphExpressions.pagerank_sweeps
+    edges
+      .agg(collect_list(struct(col("src"), col("dst"), col("w"))).as("es"))
+      .select(explode(pagerank_sweeps(col("es"), iters, scale, dampNum, dampDen)).as("x"))
+      .select(col("x.node").as("node"), col("x.r").as("r"))
+  }
 }

@@ -56,4 +56,35 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(base === shuffled)
   }
+
+  test("pageRankIntBounded is bit-identical to pageRankInt on every pinned shape") {
+    // the single-expression bounded-domain form must replicate the
+    // distributed integer recurrence exactly — including dangling-mass
+    // redistribution and the teleport floor
+    val shapes = Seq(
+      Seq(("a", "b", 2L), ("b", "c", 1L), ("c", "a", 1L), ("b", "a", 1L)),
+      Seq(("a", "b", 1L)), // sink node b
+      Seq(("a", "b", 1L), ("a", "c", 1L), ("b", "a", 1L)), // sink c
+      Seq(("x", "x", 5L), ("x", "y", 3L), ("z", "y", 7L))) // self-loop + multi-in
+    shapes.foreach { es =>
+      val edges = es.toDF("src", "dst", "w")
+      val want = Graph.pageRankInt(edges).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val got = Graph.pageRankIntBounded(edges).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got === want, s"bounded form diverged on $es")
+    }
+    // iters/damping parameters thread through identically
+    val edges = shapes.head.toDF("src", "dst", "w")
+    val want = Graph.pageRankInt(edges, iters = 3, dampNum = 60).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = Graph.pageRankIntBounded(edges, iters = 3, dampNum = 60).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === want)
+  }
+
+  test("pageRankIntBounded on an empty edge table returns empty") {
+    val edges = Seq.empty[(String, String, Long)].toDF("src", "dst", "w")
+    assert(Graph.pageRankIntBounded(edges).collect().isEmpty)
+  }
 }
