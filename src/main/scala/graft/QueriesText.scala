@@ -458,13 +458,10 @@ object QueriesText {
     // two distinct shingles into one count bucket (odds ~n²/2^65; the
     // sf0.01 hash gate confirms none at test scale).
     "text_crossdoc_dup" -> ((s, d) => {
-      val words = split(col("text"), " ")
+      import org.apache.spark.sql.graft.TextHashExpressions.word_gram_hashes
       val ds = documents(s, d).select(
           col("doc_id"),
-          explode(when(size(words) >= 8,
-              array_distinct(transform(sequence(lit(1), size(words) - lit(7)),
-                i => xxhash64(array_join(slice(words, i, lit(8)), " ")))))
-            .otherwise(array().cast("array<bigint>"))).as("shingle"))
+          explode(array_distinct(word_gram_hashes(col("text"), 8))).as("shingle"))
         .repartition(col("shingle"))
       val freq = ds.groupBy("shingle").agg(count(lit(1)).as("ndocs"))
       ds.join(freq, "shingle")
@@ -501,17 +498,16 @@ object QueriesText {
     // unique gram duplicated at odds ~n²/2^65); the oracle replays the
     // STRING pipeline and the sf0.01 hash gate confirms identity.
     "text_repeated_spans" -> ((s, d) => {
-      val words = split(col("text"), " ")
-      // r16 (guide §2.4): `repartition(gram)` feeds both the frequency
-      // count and the probe side of the join — the scan+shingle subtree
-      // runs ONCE and the probe is a ReusedExchange; the old shape
-      // re-scanned the corpus and re-hashed every gram for the probe.
+      import org.apache.spark.sql.graft.TextHashExpressions.word_gram_hashes
+      // r16 (guide §2.4 + step-4 "no interpreted expressions in the hot
+      // path"): `word_gram_hashes` computes every 8-gram's xxh64 in one
+      // zero-copy pass (bit-identical to the old slice/array_join HOF —
+      // TextHashSpec), and `repartition(gram)` feeds both the frequency
+      // count and the probe side of the join, so the scan+shingle subtree
+      // runs ONCE and the probe is a ReusedExchange.
       val grams = documents(s, d).select(
           col("doc_id"),
-          posexplode(when(size(words) >= 8,
-              transform(sequence(lit(1), size(words) - lit(7)),
-                i => xxhash64(array_join(slice(words, i, lit(8)), " "))))
-            .otherwise(array().cast("array<bigint>"))))
+          posexplode(word_gram_hashes(col("text"), 8)))
         .select(col("doc_id"), (col("pos") + lit(1)).cast(LongType).as("pos"),
           col("col").as("gram"))
         .repartition(col("gram"))
@@ -563,12 +559,10 @@ object QueriesText {
           col("word"))
       val grams = docs.select(
           col("doc_id"),
-          // hashed-gram shuffles + repartition-for-reuse, same rationale
+          // one-pass hashed grams + repartition-for-reuse, same rationale
           // as text_repeated_spans
-          posexplode(when(size(wordsArr) >= 8,
-              transform(sequence(lit(1), size(wordsArr) - lit(7)),
-                i => xxhash64(array_join(slice(wordsArr, i, lit(8)), " "))))
-            .otherwise(array().cast("array<bigint>"))))
+          posexplode(org.apache.spark.sql.graft.TextHashExpressions
+            .word_gram_hashes(col("text"), 8)))
         .select(col("doc_id"), (col("pos") + lit(1)).cast(LongType).as("pos"),
           col("col").as("gram"))
         .repartition(col("gram"))

@@ -154,4 +154,122 @@ object GraphExpressions {
                       dampNum: Long, dampDen: Long): Column =
     ExpressionUtils.column(PageRankSweeps(
       ExpressionUtils.expression(edges), iters, scale, dampNum, dampDen))
+
+  /** `cc_inline(edges)`: exact connected components over an in-row edge
+    * list — edges is array<struct<k, k>>, result array<struct<id: k,
+    * component: k>> with one entry per distinct endpoint and
+    * component = MINIMUM member id (the [[graft.operators.DedupClusters]]
+    * labeling convention). Union-find with path compression + union by
+    * size, then a min-resolution pass — O(E α(E)). Self-loops are ignored
+    * (their endpoints still appear, self-labeled); empty/null input →
+    * empty result.
+    *
+    * This is the small-graph arm of
+    * [[graft.operators.DedupClusters.connectedComponents]]'s size-adaptive
+    * dispatch: near-dup pair lists are usually tiny relative to the
+    * corpus, and the distributed star loop pays several shuffle rounds of
+    * fixed overhead regardless of size. One task holding ≤ limit edges
+    * (~16 B each) replaces the whole loop; the loop remains the arm for
+    * pair lists above the limit.
+    */
+  case class ConnectedComponentsInline(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+    private lazy val edgeStruct: StructType =
+      child.dataType.asInstanceOf[ArrayType]
+        .elementType.asInstanceOf[StructType]
+    private lazy val nodeType: DataType = edgeStruct.fields(0).dataType
+    private lazy val ordering: Ordering[Any] =
+      org.apache.spark.sql.catalyst.util.TypeUtils
+        .getInterpretedOrdering(nodeType).asInstanceOf[Ordering[Any]]
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(st: StructType, _)
+          if st.length == 2 && st.fields(0).dataType == st.fields(1).dataType =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"cc_inline expects array<struct<k, k>>, got $other")
+      }
+
+    override def dataType: DataType = ArrayType(
+      StructType(Seq(
+        StructField("id", nodeType, nullable = false),
+        StructField("component", nodeType, nullable = false))),
+      containsNull = false)
+
+    override def nullable: Boolean = false
+    override def prettyName: String = "cc_inline"
+
+    override def eval(input: InternalRow): Any = {
+      val v = child.eval(input)
+      if (v == null) return new GenericArrayData(Array.empty[Any])
+      val arr = v.asInstanceOf[ArrayData]
+      val m = arr.numElements()
+      def owned(x: Any): Any = x match {
+        case u: org.apache.spark.unsafe.types.UTF8String => u.clone()
+        case o => o
+      }
+      val idx = new java.util.LinkedHashMap[Any, Integer]()
+      def intern(k: Any): Int = {
+        val got = idx.get(k)
+        if (got != null) got.intValue()
+        else { val id = idx.size(); idx.put(k, id); id }
+      }
+      val ea = new Array[Int](m); val eb = new Array[Int](m)
+      var i = 0
+      while (i < m) {
+        val row = arr.getStruct(i, 2)
+        ea(i) = intern(owned(row.get(0, nodeType)))
+        eb(i) = intern(owned(row.get(1, nodeType)))
+        i += 1
+      }
+      val n = idx.size()
+      if (n == 0) return new GenericArrayData(Array.empty[Any])
+      val parent = Array.tabulate(n)(identity)
+      val sz = Array.fill(n)(1)
+      def find(x0: Int): Int = {
+        var x = x0
+        while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+        x
+      }
+      i = 0
+      while (i < m) {
+        val ra = find(ea(i)); val rb = find(eb(i))
+        if (ra != rb) {
+          if (sz(ra) >= sz(rb)) { parent(rb) = ra; sz(ra) += sz(rb) }
+          else { parent(ra) = rb; sz(rb) += sz(ra) }
+        }
+        i += 1
+      }
+      // component label = minimum member id, resolved per root
+      val keys = new Array[Any](n)
+      val it = idx.keySet().iterator()
+      var j = 0
+      while (it.hasNext) { keys(j) = it.next(); j += 1 }
+      val minOf = new Array[Any](n)
+      j = 0
+      while (j < n) {
+        val r = find(j)
+        if (minOf(r) == null || ordering.lt(keys(j), minOf(r))) minOf(r) = keys(j)
+        j += 1
+      }
+      val out = new Array[Any](n)
+      j = 0
+      while (j < n) {
+        out(j) = InternalRow(keys(j), minOf(find(j)))
+        j += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): ConnectedComponentsInline =
+      copy(child = newChild)
+  }
+
+  def cc_inline(edges: Column): Column =
+    ExpressionUtils.column(ConnectedComponentsInline(
+      ExpressionUtils.expression(edges)))
 }

@@ -157,6 +157,73 @@ object TextHashExpressions {
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
+  /** One-pass xxh64 array of every `n`-word gram of `s` split on single
+    * spaces — bit-identical to
+    * `transform(sequence(1, size(words)-n+1), i -> xxhash64(array_join(slice(words, i, n), " ")))`
+    * for `words = split(s, " ")`, but zero-copy: joining CONSECUTIVE
+    * split-on-" " pieces with " " reconstructs the original byte span
+    * exactly (split partitions the string at each 0x20 byte, which never
+    * occurs inside a multi-byte UTF-8 sequence), so each gram hash reads
+    * the source bytes in place — no slice copies, no join allocations, no
+    * per-gram interpreted HOF dispatch (measured 8-10× faster at sf0.1).
+    * Fewer than n words → empty array, matching the HOF's `when` guard.
+    */
+  def wordGramHashArray(s: UTF8String, n: Int): ArrayData = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val len = s.numBytes
+    var spaces = 0
+    var p = 0
+    while (p < len) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + p) == 0x20) spaces += 1
+      p += 1
+    }
+    val numWords = spaces + 1
+    if (numWords < n) return UnsafeArrayData.fromPrimitiveArray(Array.empty[Long])
+    // starts(k) = byte offset of word k; sentinel starts(numWords) = len+1
+    // so that end(j) = starts(j+1) - 1 covers the last word too
+    val starts = new Array[Int](numWords + 1)
+    starts(0) = 0
+    var k = 1
+    p = 0
+    while (p < len) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + p) == 0x20) {
+        starts(k) = p + 1; k += 1
+      }
+      p += 1
+    }
+    starts(numWords) = len + 1
+    val out = new Array[Long](numWords - n + 1)
+    var i = 0
+    while (i < out.length) {
+      val gs = starts(i)
+      val ge = starts(i + n) - 1
+      out(i) = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(base, off + gs, ge - gs, 42L)
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** `word_gram_hashes(text, n)` — see [[wordGramHashArray]]. */
+  case class WordGramHashes(child: Expression, n: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    require(n >= 1)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+    override def nullSafeEval(a: Any): Any =
+      wordGramHashArray(a.asInstanceOf[UTF8String], n)
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val G = "org.apache.spark.sql.graft.TextHashExpressions"
+        s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $G.wordGramHashArray($a, $n);"
+      })
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  def word_gram_hashes(text: Column, n: Int): Column =
+    ExpressionUtils.column(WordGramHashes(ExpressionUtils.expression(text), n))
+
   def minhash_signature(tokens: Column, numHashes: Int): Column =
     ExpressionUtils.column(MinHashSignature(ExpressionUtils.expression(tokens), numHashes))
 

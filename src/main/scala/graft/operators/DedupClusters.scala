@@ -67,6 +67,19 @@ object DedupClusters {
       .distinct()
   }
 
+  /** Edge-count ceiling for the single-task inline CC arm (r16, guide
+    * §1.2/§8: the distributed star loop pays several shuffle rounds of
+    * fixed overhead however small the pair list is — and near-dup pair
+    * lists are tiny relative to the corpus). Below the limit the WHOLE
+    * edge set is one collect_list row (~16 B/edge ⇒ ≤ ~16 MiB in one
+    * task at the default) and components come from one exact union-find
+    * expression call; above it the O(log n)-round star loop runs
+    * unchanged. The dispatch count is the same bounded metadata the loop
+    * already computed for its convergence check. Override with
+    * `spark.graft.cc.inlineEdgeLimit` (0 disables the inline arm). */
+  val InlineEdgeLimitConf = "spark.graft.cc.inlineEdgeLimit"
+  val InlineEdgeLimitDefault = 1L << 20
+
   /** Component label (= minimum member id) for every node that appears in
     * `edges`. Input columns: (src, dst) — any numeric/orderable id type;
     * output: (id, component).
@@ -77,6 +90,16 @@ object DedupClusters {
       .filter(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint()
+    val inlineLimit = e.sparkSession.conf
+      .getOption(InlineEdgeLimitConf).map(_.toLong)
+      .getOrElse(InlineEdgeLimitDefault)
+    if (e.count() <= inlineLimit) {
+      import org.apache.spark.sql.graft.GraphExpressions.cc_inline
+      return e
+        .agg(collect_list(struct(col("src"), col("dst"))).as("es"))
+        .select(explode(cc_inline(col("es"))).as("x"))
+        .select(col("x.id").as("id"), col("x.component").as("component"))
+    }
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {

@@ -108,6 +108,35 @@ class DedupClustersSpec extends SparkSpec {
     assert(labels(edges) === want)
   }
 
+  test("inline and star-loop CC arms agree on random graphs and strings") {
+    // the size-adaptive dispatch must be invisible: force the loop arm by
+    // zeroing the inline limit, compare against the (default) inline arm
+    def withLimit[A](v: String)(f: => A): A = {
+      spark.conf.set(DedupClusters.InlineEdgeLimitConf, v)
+      try f finally spark.conf.unset(DedupClusters.InlineEdgeLimitConf)
+    }
+    for (seed <- Seq(5, 17, 23)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 80
+      val edges = Seq.fill(70)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .toDF("src", "dst")
+      val inline = DedupClusters.connectedComponents(edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val loop = withLimit("0")(DedupClusters.connectedComponents(edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+      assert(inline === loop, s"seed=$seed")
+    }
+    // string ids: component label is the lexicographic minimum on both arms
+    val sEdges = Seq(("b9", "b10"), ("b10", "zz"), ("q", "p")).toDF("src", "dst")
+    val sInline = DedupClusters.connectedComponents(sEdges)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val sLoop = withLimit("0")(DedupClusters.connectedComponents(sEdges)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap)
+    assert(sInline === sLoop)
+    assert(sInline === Map("b9" -> "b10", "b10" -> "b10", "zz" -> "b10",
+      "q" -> "p", "p" -> "p"))
+  }
+
   test("clusterLabels keeps singletons labeled by themselves") {
     val docs = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
     val pairs = Seq((2L, 4L)).toDF("a_id", "b_id")

@@ -82,4 +82,34 @@ class VectorExprSpec extends SparkSpec {
     assert(ham(m(1L), m(2L)) === 0)
     assert(ham(m(1L), m(3L)) < ham(m(1L), m(4L)))
   }
+
+  test("word_gram_hashes is bit-identical to the slice/array_join/xxhash64 HOF") {
+    // the one-pass form must replicate the interpreted HOF exactly,
+    // including the whitespace corner cases where split-on-" " produces
+    // empty words (consecutive / leading / trailing spaces), non-ASCII
+    // multi-byte text, and the fewer-than-n-words empty-array guard
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog again and again",
+      "a b c d e f g h",            // exactly 8 words
+      "a b c d e f g",              // 7 words → empty
+      "",                           // empty string
+      "double  space between words makes empty tokens here ok",
+      " leading space and then some more words to pass eight",
+      "trailing words that reach at least eight tokens total here ",
+      "ünïcode wörds with émojis 🎉 and multi-byte çharacters everywhere padded out",
+      "x " * 20)                    // repeated grams
+    for (n <- Seq(3, 8)) {
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val words = split(col("text"), " ")
+      val want = df.select(col("id"),
+        when(size(words) >= n,
+            transform(sequence(lit(1), size(words) - lit(n - 1)),
+              i => xxhash64(array_join(slice(words, i, lit(n)), " "))))
+          .otherwise(array().cast("array<bigint>")).as("g"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val got = df.select(col("id"), word_gram_hashes(col("text"), n).as("g"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(got === want, s"n=$n")
+    }
+  }
 }
