@@ -123,15 +123,34 @@ object QueriesBreadth {
           .as("n_orders_30d"))),
 
     // multiset set ops (bag semantics — duplicates preserved/subtracted).
-    "set_intersect_all" -> ((s, d) =>
-      orders(s, d).select(col("o_custkey").as("k"))
-        .intersectAll(lineitem(s, d).select(col("l_orderkey").as("k")))
-        .groupBy("k").agg(count(lit(1)).as("n"))),
+    // r16 (guide §2.3 "aggregate before you shuffle"): the declared result
+    // is the per-key COUNT of the multiset op, so it computes from the two
+    // sides' per-key counts directly — intersectAll's count per key is
+    // least(n_left, n_right) over keys in both, exceptAll's is
+    // n_left − n_right where positive (set arithmetic, row for row;
+    // oracle-verified). The built-in rewrites union BOTH raw inputs
+    // through one exchange, replicate rows with a Generate, and re-count;
+    // this form shuffles one pre-aggregated row per (partition, key) —
+    // map-side combine shrinks the exchanges ~4× here and unboundedly at
+    // 100 TB — and the join reuses the aggregates' partitioning.
+    "set_intersect_all" -> ((s, d) => {
+      val oc = orders(s, d).select(col("o_custkey").as("k"))
+        .groupBy("k").agg(count(lit(1)).as("n1"))
+      val lc = lineitem(s, d).select(col("l_orderkey").as("k"))
+        .groupBy("k").agg(count(lit(1)).as("n2"))
+      oc.join(lc, "k").select(col("k"), least(col("n1"), col("n2")).as("n"))
+    }),
 
-    "set_except_all" -> ((s, d) =>
-      orders(s, d).select(col("o_custkey").as("k"))
-        .exceptAll(lineitem(s, d).select(col("l_orderkey").as("k")))
-        .groupBy("k").agg(count(lit(1)).as("n"))),
+    "set_except_all" -> ((s, d) => {
+      val oc = orders(s, d).select(col("o_custkey").as("k"))
+        .groupBy("k").agg(count(lit(1)).as("n1"))
+      val lc = lineitem(s, d).select(col("l_orderkey").as("k"))
+        .groupBy("k").agg(count(lit(1)).as("n2"))
+      oc.join(lc, Seq("k"), "left_outer")
+        .select(col("k"),
+          (col("n1") - coalesce(col("n2"), lit(0L))).as("n"))
+        .filter(col("n") > 0)
+    }),
 
     // ordered string aggregation (string_agg parity via sorted collect).
     "agg_string_concat" -> ((s, d) =>

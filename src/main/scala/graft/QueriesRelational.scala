@@ -133,18 +133,25 @@ object QueriesRelational {
     // order, kept above a support threshold — the association-rules
     // co-occurrence primitive. The self-join runs on the DEDUPED
     // (order, brand) table keyed by order (pair fan-out bounded by order
-    // width², never lineitem²), and both sides are the same aggregate so
-    // the exchange is computed once and reused. At 100 TB the support
-    // filter is what keeps the output bounded; the shuffle key is the
-    // order id throughout. (r16 note: a collect_set + HOF pair-explosion
-    // rewrite was measured 1.8× SLOWER — collect_set is an
-    // ObjectHashAggregate that falls back to sort-based aggregation past
-    // 128 in-memory groups per partition, so the order-keyed set build
-    // pays a corpus sort the codegen'd join form never does. Kept as-is.)
+    // width², never lineitem²). At 100 TB the support filter is what
+    // keeps the output bounded; the shuffle key is the order id
+    // throughout. (r16 note: a collect_set + HOF pair-explosion rewrite
+    // was measured 1.8× SLOWER — collect_set is an ObjectHashAggregate
+    // that falls back to sort-based aggregation past 128 in-memory groups
+    // per partition, so the order-keyed set build pays a corpus sort the
+    // codegen'd join form never does. Kept as-is.)
+    // r16 (guide §2.4): the explicit repartition(okey) is the ONE
+    // exchange the whole query needs — it satisfies the distinct's
+    // (okey, brand) clustering AND both self-join sides' okey
+    // distribution, so the plan-audited before-shape (the distinct
+    // subtree computed twice: two lineitem scans, two distinct
+    // aggregations, two join-side exchanges — aliasing defeated reuse)
+    // collapses to one scan + one ReusedExchange.
     "join_basket_pairs" -> ((s, d) => {
       val ob = lineitem(s, d)
         .join(part(s, d), col("l_partkey") === col("p_partkey"))
         .select(col("l_orderkey").as("okey"), col("p_brand"))
+        .repartition(col("okey"))
         .distinct()
       val a = ob.select(col("okey"), col("p_brand").as("brand_a"))
       val b = ob.select(col("okey"), col("p_brand").as("brand_b"))

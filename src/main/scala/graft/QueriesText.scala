@@ -21,7 +21,13 @@ import org.apache.spark.sql.types._
 object QueriesText {
   import Tables._
 
-  /** Whitespace-collapsed, lowercased canonical text form. */
+  /** Whitespace-collapsed, lowercased canonical text form. NOTE (r16):
+    * the word-explode paths tokenize as `split(lower(text), "\\s+")` +
+    * the existing non-empty filter instead of splitting this collapsed
+    * form on " " — same token multiset (\s+ runs only ever produce empty
+    * fields at the string's ends, which the filter drops) for one regex
+    * pass instead of two and no intermediate string. Kept here for the
+    * sites that hash/emit the canonical STRING itself. */
   private def normText(c: Column): Column =
     trim(regexp_replace(lower(c), "\\s+", " "))
 
@@ -33,14 +39,18 @@ object QueriesText {
     // raw signals for a training-data pipeline.
     "text_stats" -> ((s, d) =>
       documents(s, d).select(
+        col("doc_id"), col("text"),
+        // one byte pass for all three signals (r16; QualityExprSpec
+        // proves bit-equality with the regex forms)
+        org.apache.spark.sql.graft.QualityExpressions
+          .quality_signals(col("text")).as("q"))
+      .select(
         col("doc_id"),
         length(col("text")).cast(LongType).as("n_chars_calc"),
-        size(split(col("text"), "\\s+")).cast(LongType).as("n_tokens"),
-        (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", "")))
-          .cast(LongType).as("n_punct"),
-        expr("regexp_count(text, '\\\\bthe\\\\b')").cast(LongType).as("n_the"),
-        (expr("CAST(regexp_count(text, '\\\\bthe\\\\b') AS DOUBLE)") /
-          size(split(col("text"), "\\s+"))).as("stop_ratio"))),
+        col("q.n_tokens").cast(LongType).as("n_tokens"),
+        col("q.n_punct").cast(LongType).as("n_punct"),
+        col("q.n_the").cast(LongType).as("n_the"),
+        (col("q.n_the").cast(DoubleType) / col("q.n_tokens")).as("stop_ratio"))),
 
     // Composite quality score — the filter stage of a training-data
     // pipeline: length band + punctuation ratio + stopword presence fold
@@ -49,10 +59,13 @@ object QueriesText {
     "text_quality_score" -> ((s, d) =>
       documents(s, d)
         .select(col("doc_id"),
-          size(split(col("text"), "\\s+")).as("n_tokens"),
-          (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", "")))
-            .as("n_punct"),
-          expr("regexp_count(text, '\\\\bthe\\\\b')").as("n_the"))
+          // one byte pass for all three signals (r16; QualityExprSpec)
+          org.apache.spark.sql.graft.QualityExpressions
+            .quality_signals(col("text")).as("q"))
+        .select(col("doc_id"),
+          col("q.n_tokens").as("n_tokens"),
+          col("q.n_punct").as("n_punct"),
+          col("q.n_the").as("n_the"))
         .select(col("doc_id"),
           (when(col("n_tokens").between(20, 1000), 1).otherwise(0) +
            when(col("n_punct") * 10 < col("n_tokens"), 1).otherwise(0) +
@@ -367,12 +380,16 @@ object QueriesText {
     // transitive-closure clusters.
     "dedup_keep_best" -> ((s, d) => {
       val docs = documents(s, d)
-      val scored = docs.select(col("doc_id"),
-        (when(size(split(col("text"), "\\s+")).between(20, 1000), 1).otherwise(0) +
-         when((length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", ""))) * 10 <
-              size(split(col("text"), "\\s+")), 1).otherwise(0) +
-         when(expr("regexp_count(text, '\\\\bthe\\\\b')") > 0, 1).otherwise(0))
-          .as("quality_score"))
+      // one byte pass for all three signals (r16; QualityExprSpec)
+      val scored = docs
+        .select(col("doc_id"),
+          org.apache.spark.sql.graft.QualityExpressions
+            .quality_signals(col("text")).as("q"))
+        .select(col("doc_id"),
+          (when(col("q.n_tokens").between(20, 1000), 1).otherwise(0) +
+           when(col("q.n_punct") * 10 < col("q.n_tokens"), 1).otherwise(0) +
+           when(col("q.n_the") > 0, 1).otherwise(0))
+            .as("quality_score"))
       val pairs = graft.operators.DedupOps.minhashNearDups(docs, "doc_id", "text", 0.5)
         .select("a_id", "b_id")
       val labels = graft.operators.DedupClusters.clusterLabels(docs, "doc_id", pairs)
@@ -404,8 +421,12 @@ object QueriesText {
     // jaccard restricted to batch-touching pairs.
     "dedup_incremental" -> ((s, d) => {
       val docs = documents(s, d)
+      // the store's signature relation feeds BOTH the band derivation and
+      // the verify join's shingle fetch — cache it like minhashNearDups
+      // caches its own sigs (r16; per-query-scoped, LRU-evicted; the real
+      // nightly job reads the store from parquet instead)
       val storeSigs = graft.operators.DedupOps.signatures(
-        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text").cache()
       graft.operators.DedupOps.incrementalNearDups(
         storeSigs, docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", 0.5)
     }),
@@ -417,10 +438,13 @@ object QueriesText {
     // dedup_incremental, hence the same oracle.
     "dedup_incremental_banded" -> ((s, d) => {
       val docs = documents(s, d)
+      // both signature relations are multi-consumer (bands + shingle
+      // fetches) — cache them per the incrementalNearDupsBanded contract
+      // ("computed ONCE by the caller, who should cache/persist it")
       val storeSigs = graft.operators.DedupOps.signatures(
-        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text").cache()
       val batchSigs = graft.operators.DedupOps.signatures(
-        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text").cache()
       graft.operators.DedupOps.incrementalNearDupsBanded(
         storeSigs.select("doc_id", "shingles"),
         graft.operators.DedupOps.banded(storeSigs, "doc_id"),
@@ -658,7 +682,7 @@ object QueriesText {
     "text_inverted_index" -> ((s, d) => {
       val pairs = documents(s, d)
         .select(col("doc_id"),
-          explode(split(normText(col("text")), " ")).as("word"))
+          explode(split(lower(col("text")), "\\s+")).as("word"))
         .filter(col("word") =!= "")
         .distinct()
       pairs.groupBy("word")
@@ -697,7 +721,7 @@ object QueriesText {
     "text_rarity_score" -> ((s, d) => {
       val words = documents(s, d)
         .select(col("doc_id"),
-          explode(split(normText(col("text")), " ")).as("word"))
+          explode(split(lower(col("text")), "\\s+")).as("word"))
         .filter(col("word") =!= "")
         .distinct()
       val dfreq = words.groupBy("word").agg(count(lit(1)).as("df"))
@@ -720,7 +744,7 @@ object QueriesText {
     "text_commonness_score" -> ((s, d) => {
       val perDoc = documents(s, d)
         .select(col("doc_id"),
-          explode(split(normText(col("text")), " ")).as("word"))
+          explode(split(lower(col("text")), "\\s+")).as("word"))
         .filter(col("word") =!= "")
         .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
       val tf = perDoc.groupBy("word").agg(sum(col("c")).as("tf"))
@@ -752,7 +776,7 @@ object QueriesText {
     "text_vocab_stats" -> ((s, d) => {
       val wf = documents(s, d)
         .select(col("source"),
-          explode(split(normText(col("text")), " ")).as("word"))
+          explode(split(lower(col("text")), "\\s+")).as("word"))
         .filter(col("word") =!= "")
         .groupBy("source", "word").agg(count(lit(1)).as("c"))
       wf.groupBy("source").agg(
@@ -772,7 +796,7 @@ object QueriesText {
       import org.apache.spark.sql.graft.TopKSketch
       documents(s, d)
         .select(col("lang"),
-          explode(split(normText(col("text")), " ")).as("word"))
+          explode(split(lower(col("text")), "\\s+")).as("word"))
         .filter(col("word") =!= "")
         .groupBy("lang")
         .agg(TopKSketch.topk_sketch(col("word"), 512).as("sk"))

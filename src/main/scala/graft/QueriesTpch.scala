@@ -201,20 +201,31 @@ object QueriesTpch {
     // was late" (anti) conditions are equi-joins on l_orderkey with a
     // suppkey-inequality residual — the whole query re-uses one hash
     // partitioning on the order key; nothing is correlated per-row.
+    // r16 (guide §2.4): the semi ("some other supplier exists") and anti
+    // ("no other supplier was late") conditions are per-ORDER facts —
+    // distinct-supplier counts — so they compute as two order-keyed
+    // aggregates over ONE repartition(l_orderkey) that every consumer
+    // shares (the fact scan runs once, reused thrice). The old shape
+    // scanned lineitem twice and paid two sort-merge joins with their own
+    // exchanges. Row-multiset equivalence: a late row has another supplier
+    // on its order iff the order's distinct-supplier count ≥ 2, and no
+    // other LATE supplier iff the order's distinct-late-supplier count
+    // = 1 — exactly the old semi/anti predicates, row for row.
     "sql_waiting_suppliers" -> ((s, d) => {
       val fOrders = orders(s, d).filter(col("o_orderstatus") === "F")
         .select(col("o_orderkey"), col("o_orderdate"))
-      val lines = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      val lines = lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        .repartition(col("l_orderkey"))
       val late = lines.join(fOrders, col("l_orderkey") === col("o_orderkey"))
         .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
-        .select(col("l_orderkey"), col("l_suppkey"), col("o_orderdate"))
-      val l1 = late
-        .join(lines.select(col("l_orderkey").as("o2_okey"), col("l_suppkey").as("o2_skey")),
-              col("l_orderkey") === col("o2_okey") && col("l_suppkey") =!= col("o2_skey"),
-              "left_semi")
-        .join(late.select(col("l_orderkey").as("l3_okey"), col("l_suppkey").as("l3_skey")),
-              col("l_orderkey") === col("l3_okey") && col("l_suppkey") =!= col("l3_skey"),
-              "left_anti")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val stats = lines.groupBy("l_orderkey")
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"))
+      val lateStats = late.groupBy("l_orderkey")
+        .agg(countDistinct(col("l_suppkey")).as("n_late"))
+      val l1 = late.join(stats, "l_orderkey").join(lateStats, "l_orderkey")
+        .filter(col("n_supp") >= 2 && col("n_late") === 1)
       l1.join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(nation(s, d).filter(col("n_name") === "NATION_1")),
               col("s_nationkey") === col("n_nationkey"))

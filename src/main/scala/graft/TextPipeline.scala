@@ -21,19 +21,19 @@ import graft.operators.{AnnOps, DedupClusters, DedupOps, Sampling}
   */
 object TextPipeline {
 
-  /** Quality gate: same signals as the `text_quality_score` query. */
+  /** Quality gate: same signals as the `text_quality_score` query —
+    * computed by the one-byte-pass `quality_signals` expression (r16;
+    * QualityExprSpec proves bit-equality with the regex forms). */
   def qualityFilter(docs: DataFrame, minScore: Int = 2): DataFrame =
     docs
-      .withColumn("n_tokens", size(split(col("text"), "\\s+")))
-      .withColumn("n_punct",
-        length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", "")))
-      .withColumn("n_the", expr("regexp_count(text, '\\\\bthe\\\\b')"))
+      .withColumn("q_", org.apache.spark.sql.graft.QualityExpressions
+        .quality_signals(col("text")))
       .withColumn("quality_score",
-        when(col("n_tokens").between(20, 1000), 1).otherwise(0) +
-        when(col("n_punct") * 10 < col("n_tokens"), 1).otherwise(0) +
-        when(col("n_the") > 0, 1).otherwise(0))
+        when(col("q_.n_tokens").between(20, 1000), 1).otherwise(0) +
+        when(col("q_.n_punct") * 10 < col("q_.n_tokens"), 1).otherwise(0) +
+        when(col("q_.n_the") > 0, 1).otherwise(0))
       .filter(col("quality_score") >= minScore)
-      .drop("n_tokens", "n_punct", "n_the")
+      .drop("q_")
 
   /** The optional SEMANTIC stage of [[curate]]/[[curateIncrement]] —
     * SemDeDup composed into the curation fold (docs that say the same
