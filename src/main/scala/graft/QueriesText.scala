@@ -151,7 +151,10 @@ object QueriesText {
     // is a narrow flatMap; the count is one shuffle on the bigram.
     "text_bigram_freq" -> ((s, d) =>
       documents(s, d)
-        .select(split(normText(col("text")), " ").as("toks"))
+        // same token array as split(normText, " ") — \s+ runs only ever
+        // produce empty fields at the ends, which array_remove drops —
+        // for one regex pass instead of two (r16)
+        .select(array_remove(split(lower(col("text")), "\\s+"), "").as("toks"))
         .filter(size(col("toks")) >= 2)
         .select(explode(expr(
           """transform(sequence(1, size(toks) - 1),

@@ -87,9 +87,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
-  test("correlated EXISTS (Q4 shape) plans as one semi join") {
+  test("correlated EXISTS (Q4 shape) pre-aggregates the fact before one join") {
+    // r16: the EXISTS is max(l_shipdate)-per-order > threshold — the fact
+    // side must aggregate BEFORE its exchange (map-side combine) and the
+    // join must be a single equi hash/merge join, never a nested loop
     val p = plan("sql_order_priority_late")
-    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("max(l_shipdate"), p)
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("Join") || p.contains("join"), p)
   }
 
   test("scalar-max selection (Q15 shape) broadcasts the 1-row max") {
